@@ -1,0 +1,149 @@
+package graft.algebra
+
+/** SPARQL algebra ADT — the engine IR.
+  *
+  * Mirrors the reference's parsed algebra (oxigraph: lib/spargebra/src/
+  * algebra.rs · `GraphPattern`, `Expression`, `PropertyPathExpression`,
+  * `AggregateExpression`; lib/spargebra/src/term.rs · `TermPattern`) —
+  * the *shape* of the IR, not its implementation. Queries are built
+  * programmatically until the parser lands (SURVEY.md §7.2 step 7).
+  */
+object Algebra {
+
+  // ---- term patterns -------------------------------------------------
+  sealed trait TermPat
+  final case class V(name: String) extends TermPat // variable
+  final case class I(iri: String) extends TermPat // named node
+  final case class L(lex: String, dt: String, lang: Option[String] = None)
+      extends TermPat // literal
+  final case class B(id: String) extends TermPat // blank node (as variable-like)
+
+  object L {
+    import graft.model.Term._
+    def str(s: String): L = L(s, XsdString)
+    def int(i: Long): L = L(i.toString, XsdInteger)
+    def dec(d: BigDecimal): L = L(d.toString, XsdDecimal)
+    def dbl(d: Double): L = L(d.toString, XsdDouble)
+    def bool(b: Boolean): L = L(b.toString, XsdBoolean)
+  }
+
+  final case class TriplePattern(s: TermPat, p: TermPat, o: TermPat)
+
+  // ---- property paths (spargebra · PropertyPathExpression) -----------
+  sealed trait Path
+  final case class PLink(iri: String) extends Path
+  final case class PInv(p: Path) extends Path
+  final case class PSeq(a: Path, b: Path) extends Path
+  final case class PAlt(a: Path, b: Path) extends Path
+  final case class PZeroOrOne(p: Path) extends Path
+  final case class POneOrMore(p: Path) extends Path
+  final case class PZeroOrMore(p: Path) extends Path
+  final case class PNeg(iris: Seq[String]) extends Path
+
+  // ---- expressions (spargebra · Expression) --------------------------
+  sealed trait Expr
+  final case class EVar(name: String) extends Expr
+  final case class EIri(iri: String) extends Expr
+  final case class ELit(lex: String, dt: String, lang: Option[String] = None)
+      extends Expr
+  /** Builtin call by SPARQL name: "&&", "||", "!", "=", "<", "+", "STR",
+    * "REGEX", ... — dispatched in SparqlExpr.
+    */
+  final case class EFn(name: String, args: Expr*) extends Expr
+  final case class EExists(pattern: GraphPattern, positive: Boolean = true)
+      extends Expr
+
+  object ELit {
+    import graft.model.Term._
+    def int(i: Long): ELit = ELit(i.toString, XsdInteger)
+    def dbl(d: Double): ELit = ELit(d.toString, XsdDouble)
+    def str(s: String): ELit = ELit(s, XsdString)
+    def bool(b: Boolean): ELit = ELit(b.toString, XsdBoolean)
+  }
+
+  // ---- aggregates (spargebra · AggregateExpression) ------------------
+  final case class AggCall(
+      fn: String, // COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT | COUNT_STAR
+      expr: Option[Expr],
+      distinct: Boolean = false,
+      separator: String = " ")
+
+  // ---- graph patterns (spargebra · GraphPattern) ---------------------
+  sealed trait GraphPattern
+  final case class Bgp(patterns: TriplePattern*) extends GraphPattern
+  final case class PathPattern(s: TermPat, path: Path, o: TermPat)
+      extends GraphPattern
+  final case class Join(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class LeftJoin(l: GraphPattern, r: GraphPattern,
+      filter: Option[Expr] = None) extends GraphPattern
+  final case class Minus(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class Union(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class Filter(expr: Expr, inner: GraphPattern) extends GraphPattern
+  final case class Extend(inner: GraphPattern, v: String, expr: Expr)
+      extends GraphPattern
+  final case class Project(inner: GraphPattern, vars: Seq[String])
+      extends GraphPattern
+  final case class Distinct(inner: GraphPattern) extends GraphPattern
+  final case class Reduced(inner: GraphPattern) extends GraphPattern
+  final case class Slice(inner: GraphPattern, offset: Long, limit: Long)
+      extends GraphPattern // limit < 0 => none
+  final case class OrderBy(inner: GraphPattern, keys: Seq[(Expr, Boolean)])
+      extends GraphPattern // (expr, ascending)
+  final case class Group(inner: GraphPattern, keys: Seq[String],
+      aggs: Seq[(String, AggCall)]) extends GraphPattern
+  final case class ValuesPat(vars: Seq[String],
+      rows: Seq[Seq[Option[TermPat]]]) extends GraphPattern
+  final case class GraphPat(name: TermPat, inner: GraphPattern)
+      extends GraphPattern
+  /** SPARQL 1.2 / oxigraph extension: right evaluated per left binding. */
+  final case class Lateral(l: GraphPattern, r: GraphPattern)
+      extends GraphPattern
+
+  // ---- query forms (spargebra/src/query.rs · Query) ------------------
+  sealed trait QueryForm
+  final case class Select(pattern: GraphPattern) extends QueryForm
+  final case class Ask(pattern: GraphPattern) extends QueryForm
+  final case class Construct(template: Seq[TriplePattern],
+      pattern: GraphPattern) extends QueryForm
+  final case class Describe(pattern: GraphPattern, vars: Seq[String])
+      extends QueryForm
+
+  // ---- updates (spargebra/src/update.rs · GraphUpdateOperation) ------
+  sealed trait UpdateOp
+  final case class InsertData(quads: Seq[(TermPat, TriplePattern)])
+      extends UpdateOp
+  final case class DeleteData(quads: Seq[(TermPat, TriplePattern)])
+      extends UpdateOp
+  final case class DeleteInsert(
+      delete: Seq[TriplePattern], insert: Seq[TriplePattern],
+      where: GraphPattern) extends UpdateOp
+  final case class ClearGraph(graph: Option[String]) extends UpdateOp
+
+  /** Variables bound by a pattern (used for join planning). */
+  def vars(tp: TermPat): Set[String] = tp match {
+    case V(n) => Set(n)
+    case B(id) => Set("_bnode_" + id)
+    case _ => Set.empty
+  }
+
+  def inScopeVars(gp: GraphPattern): Set[String] = gp match {
+    case Bgp(ps @ _*) =>
+      ps.flatMap(p => vars(p.s) ++ vars(p.p) ++ vars(p.o)).toSet
+    case PathPattern(s, _, o) => vars(s) ++ vars(o)
+    case Join(l, r) => inScopeVars(l) ++ inScopeVars(r)
+    case LeftJoin(l, r, _) => inScopeVars(l) ++ inScopeVars(r)
+    case Minus(l, _) => inScopeVars(l)
+    case Union(l, r) => inScopeVars(l) ++ inScopeVars(r)
+    case Filter(_, i) => inScopeVars(i)
+    case Extend(i, v, _) => inScopeVars(i) + v
+    case Project(_, vs) => vs.toSet
+    case Distinct(i) => inScopeVars(i)
+    case Reduced(i) => inScopeVars(i)
+    case Slice(i, _, _) => inScopeVars(i)
+    case OrderBy(i, _) => inScopeVars(i)
+    case Group(_, keys, aggs) => keys.toSet ++ aggs.map(_._1)
+    case ValuesPat(vs, _) => vs.toSet
+    case GraphPat(name, i) => inScopeVars(i) ++ vars(name)
+    case Lateral(l, r) => inScopeVars(l) ++ inScopeVars(r)
+  }
+}

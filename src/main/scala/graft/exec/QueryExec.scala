@@ -1,0 +1,60 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Term
+import graft.algebra.Algebra._
+import graft.expr.SparqlExpr.nullTerm
+
+/** Query-form execution: SELECT / ASK / CONSTRUCT / DESCRIBE
+  * (oxigraph: lib/spargebra/src/query.rs · Query; evaluation entry
+  * lib/oxigraph/src/sparql/mod.rs · evaluate_query — SURVEY.md §2.9).
+  */
+object QueryExec {
+
+  def select(gp: GraphPattern, quads: DataFrame): DataFrame =
+    Translator.translate(gp, quads).df
+
+  /** ASK -> single-row DataFrame with boolean column `result`. */
+  def ask(gp: GraphPattern, quads: DataFrame): DataFrame = {
+    val sol = Translator.translate(gp, quads)
+    sol.df.limit(1)
+      .agg(count(lit(1)).as("n"))
+      .select((col("n") > 0).as("result"))
+  }
+
+  /** Instantiate a triple template against a solution: the CONSTRUCT core
+    * (reference builds triples row-by-row; here it's a projection + union).
+    */
+  def instantiate(template: Seq[TriplePattern], sol: Translator.Sol): DataFrame = {
+    def termCol(tp: TermPat): Column = tp match {
+      case V(n) => if (sol.vars(n)) col(n) else nullTerm
+      case I(iri) => Term.iri(iri)
+      case L(lex, dt, lang) => lang match {
+        case Some(l) => Term.langLit(lit(lex), lit(l))
+        case None => Term.typedLit(lit(lex), dt)
+      }
+      case B(id) => if (sol.vars("_bnode_" + id)) col("_bnode_" + id) else nullTerm
+    }
+    template.map { t =>
+      sol.df.select(termCol(t.s).as("s"), termCol(t.p).as("p"),
+        termCol(t.o).as("o"))
+    }.reduce(_ unionByName _)
+      // triples with unbound components are skipped (SPARQL §16.2.1)
+      .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      .distinct()
+  }
+
+  def construct(template: Seq[TriplePattern], gp: GraphPattern,
+      quads: DataFrame): DataFrame =
+    instantiate(template, Translator.translate(gp, quads))
+
+  /** DESCRIBE ?v: all default-graph triples whose subject is a binding of v. */
+  def describe(gp: GraphPattern, v: String, quads: DataFrame): DataFrame = {
+    val sol = Translator.translate(gp, quads)
+    val subjects = sol.df.select(col(v).as("__subj")).distinct()
+    quads.where(col("g")("kind") === Term.DefaultGraphKind)
+      .join(subjects, col("s") === col("__subj"))
+      .select(col("s"), col("p"), col("o"))
+  }
+}

@@ -1,0 +1,395 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Term
+import graft.algebra.Algebra._
+import graft.expr.SparqlExpr
+import graft.expr.SparqlExpr._
+
+/** Algebra -> DataFrame translation: the engine core.
+  *
+  * Plays the role of the reference's evaluator (oxigraph:
+  * lib/spareval/src/eval.rs · SimpleEvaluator) but declaratively: every
+  * algebra node becomes a Catalyst logical plan fragment, so predicate
+  * pushdown / join strategy / AQE replace the reference's hand-rolled
+  * Volcano closures and its sparopt join-algorithm annotations
+  * (SURVEY.md §3.4, §4).
+  *
+  * A solution sequence is a DataFrame with one Term-struct column per
+  * variable; SQL NULL == SPARQL unbound. `sure` tracks variables that are
+  * provably bound, letting shared-variable joins stay equi-joins
+  * (hash-joinable) instead of degrading to the compatibility theta-join
+  * (SURVEY.md §7.3-3).
+  */
+object Translator {
+
+  /** Graph scope for BGP evaluation (SPARQL dataset semantics). */
+  sealed trait GraphCtx
+  case object DefaultG extends GraphCtx
+  final case class FixedG(iri: String) extends GraphCtx
+  final case class VarG(v: String) extends GraphCtx
+
+  final case class Sol(df: DataFrame, vars: Set[String], sure: Set[String]) {
+    def bind: String => Option[Column] =
+      n => if (vars(n)) Some(col(n)) else None
+  }
+
+  private def varName(tp: TermPat): Option[String] = tp match {
+    case V(n) => Some(n)
+    case B(id) => Some("_bnode_" + id)
+    case _ => None
+  }
+
+  private def constFilter(c: Column, tp: TermPat): Option[Column] = tp match {
+    case I(iri) => Some(c("kind") === Term.IriKind && c("lex") === iri)
+    case L(lex, dt, lang) => Some(
+      c("kind") === Term.LiteralKind && c("lex") === lex && c("dt") === dt &&
+        lang.map(l => c("lang") === l).getOrElse(c("lang").isNull))
+    case _ => None
+  }
+
+  /** One triple pattern over the quad table -> solution DF. */
+  private def scanPattern(quads: DataFrame, tp: TriplePattern,
+      ctx: GraphCtx): Sol = {
+    val gFiltered = ctx match {
+      case DefaultG => quads.where(col("g")("kind") === Term.DefaultGraphKind)
+      case FixedG(iri) => quads.where(
+        col("g")("kind") === Term.IriKind && col("g")("lex") === iri)
+      case VarG(_) => quads.where(col("g")("kind") =!= Term.DefaultGraphKind)
+    }
+    val positions = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+    val filtered = positions.foldLeft(gFiltered) { case (df, (pos, pat)) =>
+      constFilter(col(pos), pat).map(df.where).getOrElse(df)
+    }
+    // repeated variables inside one pattern: equality constraints
+    val varPos: Seq[(String, String)] = positions.flatMap { case (pos, pat) =>
+      varName(pat).map(_ -> pos)
+    } ++ (ctx match { case VarG(v) => Seq(v -> "g"); case _ => Nil })
+    val eqConstrained = varPos.groupBy(_._1).values
+      .filter(_.size > 1)
+      .foldLeft(filtered) { (df, dups) =>
+        dups.map(_._2).sliding(2).foldLeft(df) { case (d, Seq(p1, p2)) =>
+          d.where(col(p1) === col(p2))
+        }
+      }
+    val proj = varPos.map(_._1).distinct.map { v =>
+      col(varPos.find(_._1 == v).get._2).as(v)
+    }
+    val vs = varPos.map(_._1).toSet
+    Sol(eqConstrained.select(proj: _*), vs, vs)
+  }
+
+  /** Selectivity heuristic for BGP join order — port of the reference's
+    * greedy bound-term counting (oxigraph: lib/sparopt/src/optimizer.rs ·
+    * reorder_joins), applied at translation time; AQE re-plans at runtime.
+    */
+  private def orderPatterns(ps: Seq[TriplePattern]): Seq[TriplePattern] = {
+    def constants(tp: TriplePattern): Int =
+      Seq(tp.s, tp.p, tp.o).count(varName(_).isEmpty)
+    val remaining = scala.collection.mutable.ListBuffer(ps: _*)
+    val out = scala.collection.mutable.ListBuffer[TriplePattern]()
+    var bound = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val next = remaining.maxBy { tp =>
+        val vs = vars(tp.s) ++ vars(tp.p) ++ vars(tp.o)
+        val shared = (vs & bound).size
+        (if (out.isEmpty) 0 else shared * 10) + constants(tp)
+      }
+      remaining -= next
+      out += next
+      bound ++= vars(next.s) ++ vars(next.p) ++ vars(next.o)
+    }
+    out.toSeq
+  }
+
+  /** General join of two solutions on SPARQL-compatible mappings.
+    * Equi-join fast path when every shared variable is provably bound on
+    * both sides; null-tolerant compatibility join otherwise.
+    */
+  private def joinSols(l: Sol, r: Sol, joinType: String,
+      extraFilter: Option[(String => Option[Column]) => Column] = None): Sol = {
+    val shared = (l.vars & r.vars).toSeq.sorted
+    val rRenamed = r.df.select(r.vars.toSeq.sorted.map(v =>
+      col(v).as("__r_" + v)): _*)
+    def rc(v: String): Column = col("__r_" + v)
+    val allSure = shared.forall(v => l.sure(v) && r.sure(v))
+    val eqCond: Option[Column] = shared match {
+      case Seq() => None
+      case vs if allSure => Some(vs.map(v => col(v) === rc(v)).reduce(_ && _))
+      case vs => Some(vs.map(v => coalesce(col(v) === rc(v), lit(true)))
+        .reduce(_ && _))
+    }
+    // bind for a filter evaluated in the combined scope
+    val combinedBind: String => Option[Column] = n =>
+      if (shared.contains(n)) Some(coalesce(col(n), rc(n)))
+      else if (l.vars(n)) Some(col(n))
+      else if (r.vars(n)) Some(rc(n))
+      else None
+    val filterCond = extraFilter.map(f => coalesce(ebv(f(combinedBind)), lit(false)))
+    val cond = (eqCond, filterCond) match {
+      case (Some(a), Some(b)) => a && b
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => lit(true)
+    }
+    val joined = l.df.join(rRenamed, cond, joinType)
+    joinType match {
+      case "left_semi" | "left_anti" => Sol(joined, l.vars, l.sure)
+      case _ =>
+        val outVars = (l.vars ++ r.vars).toSeq.sorted
+        val proj = outVars.map { v =>
+          if (l.vars(v) && r.vars(v)) coalesce(col(v), rc(v)).as(v)
+          else if (l.vars(v)) col(v)
+          else rc(v).as(v)
+        }
+        val sure =
+          if (joinType == "inner")
+            l.sure ++ r.sure
+          else l.sure ++ (r.sure -- r.vars) // left outer: right vars may be null
+        Sol(joined.select(proj: _*), l.vars ++ r.vars, sure)
+    }
+  }
+
+  def translate(gp: GraphPattern, quads: DataFrame,
+      ctx: GraphCtx = DefaultG): Sol = gp match {
+
+    case Bgp(ps @ _*) =>
+      if (ps.isEmpty) {
+        // empty BGP: one empty solution (unit of join)
+        val spark = quads.sparkSession
+        Sol(spark.range(1).select(lit(1).as("__unit")).drop("__unit")
+          .select(), Set.empty, Set.empty)
+      } else {
+        orderPatterns(ps).map(scanPattern(quads, _, ctx))
+          .reduce((a, b) => joinSols(a, b, "inner"))
+      }
+
+    case PathPattern(s, path, o) =>
+      val pairs = PathExec.eval(path, quads, ctx) // DF(ps, po)
+      var df = pairs
+      constFilter(col("ps"), s).foreach(f => df = df.where(f))
+      constFilter(col("po"), o).foreach(f => df = df.where(f))
+      (varName(s), varName(o)) match {
+        case (Some(a), Some(b)) if a == b =>
+          val d = df.where(col("ps") === col("po")).select(col("ps").as(a))
+          Sol(d, Set(a), Set(a))
+        case (Some(a), Some(b)) =>
+          Sol(df.select(col("ps").as(a), col("po").as(b)), Set(a, b), Set(a, b))
+        case (Some(a), None) => Sol(df.select(col("ps").as(a)), Set(a), Set(a))
+        case (None, Some(b)) => Sol(df.select(col("po").as(b)), Set(b), Set(b))
+        case (None, None) => Sol(df.select(), Set.empty, Set.empty)
+      }
+
+    case Join(l, r) =>
+      joinSols(translate(l, quads, ctx), translate(r, quads, ctx), "inner")
+
+    case Lateral(l, r) => // v1: uncorrelated-equivalent join (see SURVEY §2.3)
+      joinSols(translate(l, quads, ctx), translate(r, quads, ctx), "inner")
+
+    case LeftJoin(l, r, filt) =>
+      joinSols(translate(l, quads, ctx), translate(r, quads, ctx),
+        "left_outer", filt.map(f => (b: String => Option[Column]) =>
+          SparqlExpr.compile(f, b)))
+
+    case Minus(l, r) =>
+      val ls = translate(l, quads, ctx)
+      val rs = translate(r, quads, ctx)
+      val shared = (ls.vars & rs.vars).toSeq.sorted
+      if (shared.isEmpty) ls
+      else {
+        val rRenamed = rs.df.select(rs.vars.toSeq.sorted.map(v =>
+          col(v).as("__r_" + v)): _*)
+        def rc(v: String) = col("__r_" + v)
+        val compat = shared.map(v => coalesce(col(v) === rc(v), lit(true)))
+          .reduce(_ && _)
+        val anyBothBound = shared.map(v => col(v).isNotNull && rc(v).isNotNull)
+          .reduce(_ || _)
+        Sol(ls.df.join(rRenamed, compat && anyBothBound, "left_anti"),
+          ls.vars, ls.sure)
+      }
+
+    case Union(l, r) =>
+      val ls = translate(l, quads, ctx)
+      val rs = translate(r, quads, ctx)
+      val allVars = (ls.vars ++ rs.vars).toSeq.sorted
+      def pad(s: Sol): DataFrame =
+        s.df.select(allVars.map(v =>
+          (if (s.vars(v)) col(v) else nullTerm).as(v)): _*)
+      Sol(pad(ls).unionByName(pad(rs)), ls.vars ++ rs.vars,
+        ls.sure & rs.sure)
+
+    case Filter(expr, inner) =>
+      // EXISTS/NOT EXISTS conjuncts become semi/anti joins (SURVEY §2.3)
+      val (existsConjs, scalarConjs) = splitConjuncts(expr)
+      val in = translate(inner, quads, ctx)
+      val afterExists = existsConjs.foldLeft(in) { case (sol, EExists(p, pos)) =>
+        val sub = translate(p, quads, ctx)
+        joinSols(sol, sub, if (pos) "left_semi" else "left_anti")
+      }
+      scalarConjs.foldLeft(afterExists) { (sol, e) =>
+        Sol(sol.df.where(coalesce(ebv(SparqlExpr.compile(e, sol.bind)),
+          lit(false))), sol.vars, sol.sure)
+      }
+
+    case Extend(inner, v, expr) =>
+      val in = translate(inner, quads, ctx)
+      val c = SparqlExpr.compile(expr, in.bind)
+      Sol(in.df.withColumn(v, c), in.vars + v, in.sure)
+
+    case Project(inner, vs) =>
+      val in = translate(inner, quads, ctx)
+      Sol(in.df.select(vs.map(v =>
+        (if (in.vars(v)) col(v) else nullTerm).as(v)): _*),
+        vs.toSet, in.sure & vs.toSet)
+
+    case Distinct(inner) =>
+      val in = translate(inner, quads, ctx)
+      Sol(in.df.distinct(), in.vars, in.sure)
+
+    case Reduced(inner) => // spec allows treating REDUCED as DISTINCT
+      val in = translate(inner, quads, ctx)
+      Sol(in.df.distinct(), in.vars, in.sure)
+
+    case Slice(inner, offset, limit) =>
+      val in = translate(inner, quads, ctx)
+      var df = in.df
+      if (offset > 0) df = df.offset(offset.toInt)
+      if (limit >= 0) df = df.limit(limit.toInt)
+      Sol(df, in.vars, in.sure)
+
+    case OrderBy(inner, keys) =>
+      val in = translate(inner, quads, ctx)
+      val sortCols = keys.map { case (e, asc) =>
+        val k = sortKey(SparqlExpr.compile(e, in.bind))
+        if (asc) k.asc else k.desc
+      }
+      Sol(in.df.orderBy(sortCols: _*), in.vars, in.sure)
+
+    case Group(inner, keys, aggs) =>
+      translateGroup(inner, keys, aggs, quads, ctx)
+
+    case ValuesPat(vs, rows) =>
+      val spark = quads.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        vs.map(v => org.apache.spark.sql.types.StructField(v, Term.schema, true)))
+      val data = rows.map { row =>
+        org.apache.spark.sql.Row(row.map {
+          case None => null
+          case Some(I(iri)) =>
+            org.apache.spark.sql.Row(Term.IriKind.toByte, iri, null, null)
+          case Some(L(lex, dt, lang)) =>
+            org.apache.spark.sql.Row(Term.LiteralKind.toByte, lex, dt,
+              lang.orNull)
+          case Some(other) => throw new IllegalArgumentException(
+            s"VALUES supports IRIs and literals, got $other")
+        }: _*)
+      }
+      val sure = vs.zipWithIndex.collect {
+        case (v, i) if rows.forall(_(i).isDefined) => v
+      }.toSet
+      Sol(spark.createDataFrame(
+        spark.sparkContext.parallelize(data.toList), schema), vs.toSet, sure)
+
+    case GraphPat(name, inner) => name match {
+      case I(iri) => translate(inner, quads, FixedG(iri))
+      case V(v) => translate(inner, quads, VarG(v))
+      case other =>
+        throw new IllegalArgumentException(s"GRAPH name pattern: $other")
+    }
+  }
+
+  private def splitConjuncts(e: Expr): (Seq[EExists], Seq[Expr]) = e match {
+    case EFn("&&", a, b) =>
+      val (e1, s1) = splitConjuncts(a); val (e2, s2) = splitConjuncts(b)
+      (e1 ++ e2, s1 ++ s2)
+    case ex: EExists => (Seq(ex), Nil)
+    case EFn("!", inner) => inner match {
+      case EExists(p, pos) => (Seq(EExists(p, !pos)), Nil)
+      case _ => (Nil, Seq(e))
+    }
+    case other => (Nil, Seq(other))
+  }
+
+  /** Nulls-last variant of the sort key, so MIN/SAMPLE skip unbound. */
+  private def sortKeyNullsLast(t: Column): Column = struct(
+    when(t.isNull, 9)
+      .when(t("kind") === Term.BlankKind, 1)
+      .when(t("kind") === Term.IriKind, 2).otherwise(3).as("cls"),
+    sortKey(t).getField("num").as("num"),
+    sortKey(t).getField("lex").as("lex"),
+    sortKey(t).getField("dt").as("dt"),
+    sortKey(t).getField("lang").as("lang"))
+
+  private def translateGroup(inner: GraphPattern, keys: Seq[String],
+      aggs: Seq[(String, AggCall)], quads: DataFrame, ctx: GraphCtx): Sol = {
+    import org.apache.spark.sql.types._
+    val in = translate(inner, quads, ctx)
+    val DV = DecimalType(38, 12)
+    val aggCols = scala.collection.mutable.ListBuffer[Column]()
+    val post = scala.collection.mutable.ListBuffer[Column]()
+    aggs.zipWithIndex.foreach { case ((outName, call), i) =>
+      val e = call.expr.map(SparqlExpr.compile(_, in.bind))
+      def n(suffix: String) = s"__a${i}_$suffix"
+      call.fn match {
+        case "COUNT_STAR" =>
+          aggCols += count(lit(1)).as(n("c"))
+          post += Term.intLit(col(n("c"))).as(outName)
+        case "COUNT" =>
+          val x = e.get
+          aggCols += (if (call.distinct) countDistinct(x) else count(x)).as(n("c"))
+          post += Term.intLit(col(n("c"))).as(outName)
+        case "SUM" | "AVG" =>
+          val x = e.get
+          val dv = numDec(x)
+          val db = numDbl(x)
+          aggCols += (if (call.distinct) sum_distinct(dv) else sum(dv)).as(n("sd"))
+          aggCols += (if (call.distinct) sum_distinct(db) else sum(db)).as(n("sb"))
+          aggCols += max(when(Term.isNumericLit(x),
+            when(x("dt") === Term.XsdDouble, 3)
+              .when(x("dt") === Term.XsdFloat, 2)
+              .when(x("dt") === Term.XsdDecimal, 1).otherwise(0))).as(n("r"))
+          aggCols += max(when(x.isNotNull && !Term.isNumericLit(x), 1)
+            .otherwise(0)).as(n("nn"))
+          aggCols += count(dv).as(n("cnt"))
+          val sd = col(n("sd")); val sb = col(n("sb")); val r = col(n("r"))
+          val bad = col(n("nn")) === 1
+          if (call.fn == "SUM")
+            post += when(bad, nullTerm)
+              .when(col(n("cnt")) === 0, Term.intLit(lit(0L)))
+              .when(r >= 2, Term.doubleLit(sb))
+              .when(r === 0, Term.intLit(sd.cast(DecimalType(38, 0))
+                .cast(LongType)))
+              .otherwise(Term.decimalLit(sd.cast(StringType))).as(outName)
+          else
+            post += when(bad || col(n("cnt")) === 0, nullTerm)
+              .when(r >= 2, Term.doubleLit(sb / col(n("cnt"))))
+              .otherwise(Term.decimalLit(
+                (sd / col(n("cnt"))).cast(DV).cast(StringType))).as(outName)
+        case "MIN" =>
+          aggCols += min_by(e.get, sortKeyNullsLast(e.get)).as(n("m"))
+          post += col(n("m")).as(outName)
+        case "MAX" =>
+          aggCols += max_by(e.get, sortKey(e.get)).as(n("m"))
+          post += col(n("m")).as(outName)
+        case "SAMPLE" =>
+          aggCols += min_by(e.get, sortKeyNullsLast(e.get)).as(n("m"))
+          post += col(n("m")).as(outName)
+        case "GROUP_CONCAT" =>
+          val x = e.get
+          val lst = if (call.distinct) collect_set(x("lex")) else collect_list(x("lex"))
+          aggCols += array_join(array_sort(lst), call.separator).as(n("g"))
+          post += Term.strLit(col(n("g"))).as(outName)
+        case other =>
+          throw new IllegalArgumentException(s"aggregate not implemented: $other")
+      }
+    }
+    val grouped =
+      if (keys.isEmpty) in.df.agg(aggCols.head, aggCols.tail.toSeq: _*)
+      else in.df.groupBy(keys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail.toSeq: _*)
+    val finalCols = keys.map(col) ++ post
+    Sol(grouped.select(finalCols: _*), keys.toSet ++ aggs.map(_._1).toSet,
+      (in.sure & keys.toSet))
+  }
+}

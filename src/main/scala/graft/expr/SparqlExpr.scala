@@ -1,0 +1,334 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Term
+import graft.model.Term._
+import graft.algebra.Algebra._
+
+/** SPARQL expression evaluation as Catalyst Column combinators.
+  *
+  * Plays the role of the reference's expression evaluator
+  * (oxigraph: lib/spareval/src/eval.rs, expression section) with the
+  * error monad mapped onto SQL NULL: a SPARQL evaluation error is a NULL
+  * term, which FILTER drops (EBV null) and BIND leaves unbound — exactly
+  * the reference's error-propagation discipline (SURVEY.md §2.2, §2.8).
+  *
+  * All terms are Term.schema structs; every builtin both consumes and
+  * produces term structs so expressions compose freely.
+  */
+object SparqlExpr {
+
+  val nullTerm: Column = lit(null).cast(Term.schema)
+
+  /** numeric promotion rank: integer(0) < decimal(1) < float(2) < double(3) */
+  private def rank(t: Column): Column =
+    when(t("dt") === XsdDouble, 3)
+      .when(t("dt") === XsdFloat, 2)
+      .when(t("dt") === XsdDecimal, 1)
+      .when(t("dt").isin(numericTypes: _*), 0)
+      .otherwise(lit(null).cast(IntegerType))
+
+  private val DV = DecimalType(38, 12)
+  /** exact numeric value (decimal) of a numeric literal, else null */
+  def numDec(t: Column): Column =
+    when(Term.isNumericLit(t), t("lex").cast(DV)).otherwise(lit(null).cast(DV))
+  /** double numeric value of a numeric literal, else null */
+  def numDbl(t: Column): Column =
+    when(Term.isNumericLit(t), t("lex").cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+
+  private def tsVal(t: Column): Column =
+    when(t("kind") === LiteralKind &&
+      t("dt").isin(XsdDateTime, XsdDate),
+      to_timestamp(t("lex"), "yyyy-MM-dd['T'HH:mm:ss[.SSSSSS]]"))
+      .otherwise(lit(null).cast(TimestampType))
+
+  private def isStrTerm(t: Column): Column =
+    t("kind") === LiteralKind && (t("dt") === XsdString || t("dt") === RdfLangString)
+
+  /** Effective boolean value (SPARQL §17.2.2); evaluation error => null. */
+  def ebv(t: Column): Column =
+    when(t.isNull, lit(null).cast(BooleanType))
+      .when(t("kind") =!= LiteralKind, lit(null).cast(BooleanType))
+      .when(t("dt") === XsdBoolean, t("lex") === "true")
+      .when(t("dt").isin(XsdDouble, XsdFloat),
+        !isnan(t("lex").cast(DoubleType)) &&
+          coalesce(t("lex").cast(DoubleType) =!= 0.0, lit(false)))
+      .when(t("dt").isin(numericTypes: _*),
+        coalesce(t("lex").cast(DV) =!= 0, lit(false)))
+      .when(t("dt") === XsdString || t("dt") === RdfLangString,
+        length(t("lex")) > 0)
+      .otherwise(lit(null).cast(BooleanType))
+
+  /** Wrap a (possibly-null) boolean column as an xsd:boolean term. */
+  def boolTerm(c: Column): Column =
+    when(c.isNull, nullTerm)
+      .otherwise(Term.boolLit(when(c, "true").otherwise("false")))
+
+  /** RDF term equality (sameTerm): structural struct equality. */
+  def sameTerm(a: Column, b: Column): Column = a <=> b
+
+  /** SPARQL value equality `=`: numeric by value w/ promotion, strings by
+    * lex+lang, datetimes by instant, IRIs/bnodes structurally; incompatible
+    * literal comparisons are errors (null).
+    */
+  def valueEq(a: Column, b: Column): Column = {
+    val bothNum = Term.isNumericLit(a) && Term.isNumericLit(b)
+    val bothTs = tsVal(a).isNotNull && tsVal(b).isNotNull
+    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+      .when(bothNum,
+        when(rank(a) >= 2 || rank(b) >= 2, numDbl(a) === numDbl(b))
+          .otherwise(numDec(a) === numDec(b)))
+      .when(bothTs, tsVal(a) === tsVal(b))
+      .when(isStrTerm(a) && isStrTerm(b),
+        a("lex") === b("lex") && coalesce(a("lang") === b("lang"),
+          a("lang").isNull && b("lang").isNull))
+      .when(a("kind") =!= LiteralKind || b("kind") =!= LiteralKind, a <=> b)
+      .when(a("dt") === b("dt"), a("lex") === b("lex"))
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  /** SPARQL order comparison a < b (value spaces only; incomparable => null). */
+  def valueLt(a: Column, b: Column): Column = {
+    val bothNum = Term.isNumericLit(a) && Term.isNumericLit(b)
+    val bothTs = tsVal(a).isNotNull && tsVal(b).isNotNull
+    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+      .when(bothNum,
+        when(rank(a) >= 2 || rank(b) >= 2, numDbl(a) < numDbl(b))
+          .otherwise(numDec(a) < numDec(b)))
+      .when(bothTs, tsVal(a) < tsVal(b))
+      .when(isStrTerm(a) && isStrTerm(b), a("lex") < b("lex"))
+      .when(a("dt") === XsdBoolean && b("dt") === XsdBoolean,
+        a("lex") === "false" && b("lex") === "true")
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  /** Total SPARQL ORDER BY key: unbound < blank < IRI < literal; literals
+    * ranked numeric/temporal/string within (SURVEY.md §2.5). One orderable
+    * struct reused by OrderBy, MIN/MAX and top-k.
+    */
+  def sortKey(t: Column): Column = struct(
+    when(t.isNull, 0).when(t("kind") === BlankKind, 1)
+      .when(t("kind") === IriKind, 2).otherwise(3).as("cls"),
+    coalesce(
+      when(Term.isNumericLit(t), numDbl(t)),
+      when(tsVal(t).isNotNull, unix_timestamp(tsVal(t)).cast(DoubleType)),
+      lit(Double.MaxValue)).as("num"),
+    coalesce(t("lex"), lit("")).as("lex"),
+    coalesce(t("dt"), lit("")).as("dt"),
+    coalesce(t("lang"), lit("")).as("lang"))
+
+  /** Numeric binary op with XSD promotion (int/int division -> decimal;
+    * integer ops stay integer; float/double compute in double).
+    */
+  def arith(op: String, a: Column, b: Column): Column = {
+    val r = greatest(rank(a), rank(b))
+    val bothNum = Term.isNumericLit(a) && Term.isNumericLit(b)
+    def dop(x: Column, y: Column): Column = op match {
+      case "+" => x + y
+      case "-" => x - y
+      case "*" => x * y
+      case "/" => when(y === 0.0, lit(null).cast(DoubleType)).otherwise(x / y)
+    }
+    def decop(x: Column, y: Column): Column = op match {
+      case "+" => (x + y).cast(DV)
+      case "-" => (x - y).cast(DV)
+      case "*" => (x * y).cast(DV)
+      case "/" => when(y === 0, lit(null).cast(DV)).otherwise((x / y).cast(DV))
+    }
+    val decRes = decop(numDec(a), numDec(b))
+    val dblRes = dop(numDbl(a), numDbl(b))
+    val intResult = rank(a) === 0 && rank(b) === 0 && lit(op != "/")
+    when(!bothNum || a.isNull || b.isNull, nullTerm)
+      .when(r >= 2,
+        when(dblRes.isNull, nullTerm)
+          .otherwise(Term.typedLit(dblRes.cast(StringType),
+            XsdDouble)))
+      .when(intResult && decRes.isNotNull,
+        Term.intLit(decRes.cast(DecimalType(38, 0)).cast(LongType)))
+      .otherwise(when(decRes.isNull, nullTerm)
+        .otherwise(Term.decimalLit(decRes.cast(StringType))))
+  }
+
+  /** Compile an algebra expression to a term-struct Column.
+    * `bind`: variable name -> term column (missing => unbound/null).
+    * EExists must be rewritten to joins by the Translator before compile.
+    */
+  def compile(e: Expr, bind: String => Option[Column]): Column = {
+    def c(x: Expr): Column = compile(x, bind)
+    e match {
+      case EVar(n) => bind(n).getOrElse(nullTerm)
+      case EIri(i) => Term.iri(i)
+      case ELit(lex, dt, lang) => lang match {
+        case Some(l) => Term.langLit(lit(lex), lit(l))
+        case None => Term.typedLit(lit(lex), dt)
+      }
+      case EExists(_, _) =>
+        throw new IllegalStateException(
+          "EXISTS must be rewritten to a semi/anti join by the Translator")
+      case EFn(name, args @ _*) => fn(name, args.map(c))
+    }
+  }
+
+  /** Builtin dispatch (SPARQL 1.1 §17.4 <-> SURVEY.md §2.8). */
+  def fn(name: String, a: Seq[Column]): Column = name match {
+    // logic — 3-valued with error=null; error && false = false
+    case "&&" => boolTerm(ebv(a(0)) && ebv(a(1)))
+    case "||" => boolTerm(ebv(a(0)) || ebv(a(1)))
+    case "!" => boolTerm(!ebv(a(0)))
+    case "IF" => when(coalesce(ebv(a(0)), lit(false)), a(1)).otherwise(a(2))
+    case "COALESCE" => coalesce(a: _*)
+    case "BOUND" => boolTerm(a(0).isNotNull)
+    // comparison
+    case "=" => boolTerm(valueEq(a(0), a(1)))
+    case "!=" => boolTerm(!valueEq(a(0), a(1)))
+    case "<" => boolTerm(valueLt(a(0), a(1)))
+    case ">" => boolTerm(valueLt(a(1), a(0)))
+    case "<=" => boolTerm(!valueLt(a(1), a(0)))
+    case ">=" => boolTerm(!valueLt(a(0), a(1)))
+    case "IN" =>
+      boolTerm(a.tail.map(x => valueEq(a(0), x))
+        .reduce((x, y) => x || y))
+    case "sameTerm" => boolTerm(sameTerm(a(0), a(1)))
+    // term tests / accessors / constructors
+    case "isIRI" => boolTerm(when(a(0).isNull, lit(null).cast(BooleanType))
+      .otherwise(a(0)("kind") === IriKind))
+    case "isBlank" => boolTerm(when(a(0).isNull, lit(null).cast(BooleanType))
+      .otherwise(a(0)("kind") === BlankKind))
+    case "isLiteral" => boolTerm(when(a(0).isNull, lit(null).cast(BooleanType))
+      .otherwise(a(0)("kind") === LiteralKind))
+    case "isNumeric" => boolTerm(when(a(0).isNull, lit(null).cast(BooleanType))
+      .otherwise(Term.isNumericLit(a(0))))
+    case "STR" => when(a(0).isNull || a(0)("kind") === BlankKind, nullTerm)
+      .otherwise(Term.strLit(a(0)("lex")))
+    case "LANG" => when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
+      .otherwise(Term.strLit(coalesce(a(0)("lang"), lit(""))))
+    case "DATATYPE" => when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
+      .otherwise(Term.iri(a(0)("dt")))
+    case "IRI" => when(a(0).isNull, nullTerm)
+      .when(a(0)("kind") === IriKind, a(0))
+      .when(isStrTerm(a(0)), Term.iri(a(0)("lex")))
+      .otherwise(nullTerm)
+    case "BNODE" => Term.bnode(expr("uuid()"))
+    case "STRDT" => when(isStrTerm(a(0)) && a(1)("kind") === IriKind,
+      Term.typedLit(a(0)("lex"), "")
+        .withField("dt", a(1)("lex"))).otherwise(nullTerm)
+    case "STRLANG" => when(isStrTerm(a(0)) && isStrTerm(a(1)),
+      Term.langLit(a(0)("lex"), a(1)("lex"))).otherwise(nullTerm)
+    case "UUID" => Term.iri(concat(lit("urn:uuid:"), expr("uuid()")))
+    case "STRUUID" => Term.strLit(expr("uuid()"))
+    // strings (argument-compatibility: both plain or same-lang)
+    case "STRLEN" => strFn1(a(0))(l => Term.intLit(length(l)))
+    case "UCASE" => strPreserve(a(0))(upper)
+    case "LCASE" => strPreserve(a(0))(lower)
+    case "SUBSTR" =>
+      if (a.length == 3) strPreserveDyn(a(0), substring3(_, a(1), a(2)))
+      else strPreserveDyn(a(0), substring2(_, a(1)))
+    case "CONCAT" =>
+      when(a.map(isStrTerm).reduce(_ && _),
+        Term.strLit(concat(a.map(_("lex")): _*))).otherwise(nullTerm)
+    case "CONTAINS" => str2Bool(a(0), a(1))((x, y) => x.contains(y))
+    case "STRSTARTS" => str2Bool(a(0), a(1))((x, y) => x.startsWith(y))
+    case "STRENDS" => str2Bool(a(0), a(1))((x, y) => x.endsWith(y))
+    case "STRBEFORE" => strPreserveDyn(a(0),
+      x => when(instr(x, a(1)("lex")) > 0,
+        substring(x, lit(1), instr(x, a(1)("lex")) - 1)).otherwise(lit("")))
+    case "STRAFTER" => strPreserveDyn(a(0),
+      x => when(instr(x, a(1)("lex")) > 0,
+        expr_substr_after(x, a(1)("lex"))).otherwise(lit("")))
+    case "ENCODE_FOR_URI" => strFn1(a(0))(l =>
+      Term.strLit(url_encode_rfc3986(l)))
+    case "REGEX" =>
+      val flags = if (a.length > 2) a(2)("lex") else lit("")
+      boolTerm(when(!isStrTerm(a(0)), lit(null).cast(BooleanType))
+        .otherwise(regexp_like(a(0)("lex"),
+          concat(when(length(flags) > 0, concat(lit("(?"), flags, lit(")")))
+            .otherwise(lit("")), a(1)("lex")))))
+    case "REPLACE" =>
+      strPreserveDyn(a(0), x => regexp_replace(x, a(1)("lex"), a(2)("lex")))
+    case "LANGMATCHES" =>
+      boolTerm(when(!isStrTerm(a(0)) || !isStrTerm(a(1)),
+        lit(null).cast(BooleanType))
+        .otherwise(a(1)("lex") === "*" && length(a(0)("lex")) > 0 ||
+          lower(a(0)("lex")) === lower(a(1)("lex")) ||
+          lower(a(0)("lex")).startsWith(concat(lower(a(1)("lex")), lit("-")))))
+    // numerics
+    case "+" | "-" | "*" | "/" => arith(name, a(0), a(1))
+    case "UMINUS" => arith("-", Term.intLit(lit(0L)), a(0))
+    case "ABS" => numFn1(a(0))(abs, abs)
+    case "CEIL" => numFn1(a(0))(x => ceil(x).cast(DV), x => ceil(x).cast(DoubleType))
+    case "FLOOR" => numFn1(a(0))(x => floor(x).cast(DV), x => floor(x).cast(DoubleType))
+    case "ROUND" => numFn1(a(0))(x => round(x, 0), x => round(x, 0))
+    case "RAND" => Term.doubleLit(rand())
+    // date/time
+    case "YEAR" => tsFn1(a(0))(x => Term.intLit(year(x)))
+    case "MONTH" => tsFn1(a(0))(x => Term.intLit(month(x)))
+    case "DAY" => tsFn1(a(0))(x => Term.intLit(dayofmonth(x)))
+    case "HOURS" => tsFn1(a(0))(x => Term.intLit(hour(x)))
+    case "MINUTES" => tsFn1(a(0))(x => Term.intLit(minute(x)))
+    case "SECONDS" => tsFn1(a(0))(x => Term.decimalLit(second(x).cast(StringType)))
+    case "NOW" => Term.dateTimeLit(current_timestamp())
+    // hashing
+    case "MD5" => strFn1(a(0))(l => Term.strLit(md5(l.cast(BinaryType))))
+    case "SHA1" => strFn1(a(0))(l => Term.strLit(sha1(l.cast(BinaryType))))
+    case "SHA256" => strFn1(a(0))(l => Term.strLit(sha2(l.cast(BinaryType), 256)))
+    case "SHA384" => strFn1(a(0))(l => Term.strLit(sha2(l.cast(BinaryType), 384)))
+    case "SHA512" => strFn1(a(0))(l => Term.strLit(sha2(l.cast(BinaryType), 512)))
+    // constructor casts xsd:*
+    case "xsd:integer" => castNum(a(0), XsdInteger, DecimalType(38, 0))
+    case "xsd:decimal" => castNum(a(0), XsdDecimal, DV)
+    case "xsd:double" => when(a(0).isNull, nullTerm)
+      .otherwise(castOrNull(a(0)("lex"), DoubleType, XsdDouble))
+    case "xsd:boolean" => when(a(0).isNull, nullTerm)
+      .when(a(0)("lex").isin("true", "false", "1", "0"),
+        Term.boolLit(a(0)("lex").isin("true", "1").cast(StringType)))
+      .otherwise(nullTerm)
+    case "xsd:string" => fn("STR", a)
+    case other => throw new IllegalArgumentException(s"builtin not implemented: $other")
+  }
+
+  // --- small private helpers -----------------------------------------
+  private def strFn1(t: Column)(f: Column => Column): Column =
+    when(t.isNull || !isStrTerm(t), nullTerm).otherwise(f(t("lex")))
+  /** apply a lex transform preserving the lang/datatype of the input */
+  private def strPreserve(t: Column)(f: Column => Column): Column =
+    strPreserveDyn(t, f)
+  private def strPreserveDyn(t: Column, f: Column => Column): Column =
+    when(t.isNull || !isStrTerm(t), nullTerm)
+      .otherwise(struct(lit(LiteralKind).cast(ByteType).as("kind"),
+        f(t("lex")).cast(StringType).as("lex"), t("dt").as("dt"),
+        t("lang").as("lang")))
+  private def str2Bool(x: Column, y: Column)(f: (Column, Column) => Column): Column =
+    boolTerm(when(!isStrTerm(x) || !isStrTerm(y), lit(null).cast(BooleanType))
+      .otherwise(f(x("lex"), y("lex"))))
+  private def substring2(l: Column, from: Column): Column =
+    l.substr(numDec(from).cast(IntegerType), lit(Int.MaxValue))
+  private def substring3(l: Column, from: Column, len: Column): Column =
+    l.substr(numDec(from).cast(IntegerType), numDec(len).cast(IntegerType))
+  private def expr_substr_after(x: Column, needle: Column): Column =
+    x.substr(instr(x, needle) + length(needle), lit(Int.MaxValue))
+  private def url_encode_rfc3986(l: Column): Column =
+    // java URLEncoder-style via reflect-free builtin: percent-encode all but unreserved
+    regexp_replace(
+      url_encode(l), lit("\\+"), lit("%20"))
+  private def numFn1(t: Column)(fd: Column => Column, fdb: Column => Column): Column =
+    when(t.isNull || !Term.isNumericLit(t), nullTerm)
+      .when(rank(t) >= 2, Term.typedLit(fdb(numDbl(t)).cast(StringType), XsdDouble))
+      .when(rank(t) === 0, Term.intLit(fd(numDec(t)).cast(DecimalType(38, 0)).cast(LongType)))
+      .otherwise(Term.decimalLit(fd(numDec(t)).cast(StringType)))
+  private def tsFn1(t: Column)(f: Column => Column): Column =
+    when(tsVal(t).isNull, nullTerm).otherwise(f(tsVal(t)))
+  private def castOrNull(lex: Column, dt: DataType, dtIri: String): Column = {
+    val v = lex.cast(dt)
+    when(v.isNull, nullTerm).otherwise(Term.typedLit(v.cast(StringType), dtIri))
+  }
+  private def castNum(t: Column, dtIri: String, dt: DecimalType): Column =
+    when(t.isNull, nullTerm).otherwise {
+      val v = t("lex").cast(dt)
+      when(v.isNull, nullTerm).otherwise(
+        if (dtIri == XsdInteger) Term.intLit(v.cast(LongType))
+        else Term.decimalLit(v.cast(StringType)))
+    }
+}

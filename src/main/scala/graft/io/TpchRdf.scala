@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Term
+
+/** Derives an RDF quad table from the TPC-H-ish parquet tables so that
+  * graph queries are DuckDB-oracle-checkable over the same inputs
+  * (SURVEY.md §7.2 step 2).
+  *
+  * Everything is columnar DataFrame construction — no driver-side rows,
+  * no UDFs — so the quad "store" scales with the input tables.
+  *
+  * Money columns become xsd:decimal literals with scale-2 lexical forms:
+  * both engines round the binary double to 2 decimals, which is exact for
+  * data generated on a 2-decimal grid, keeping aggregation oracle-exact.
+  */
+object TpchRdf {
+  val ns = "http://example.org/"
+  val G_SUPPLIERS: String = ns + "graph/suppliers"
+  val WORLD: String = ns + "world"
+
+  def P(local: String): String = ns + local
+
+  private def iriCol(prefix: String, key: Column): Column =
+    Term.iri(concat(lit(ns + prefix + "/"), key.cast(StringType)))
+
+  private def dec2Lit(c: Column): Column =
+    Term.decimalLit(c.cast(DecimalType(38, 2)).cast(StringType))
+
+  private def triple(s: Column, p: String, o: Column, g: Column): DataFrame => DataFrame =
+    df => df.select(g.as("g"), s.as("s"), Term.iri(p).as("p"), o.as("o"))
+
+  /** Full quad table: customers/nations/regions/orders in the default
+    * graph, suppliers in a named graph, plus a 3-level `:locatedIn`
+    * chain (customer -> nation -> region -> :world) for path queries.
+    */
+  def quads(spark: SparkSession, dir: String): DataFrame = {
+    val dg = Term.defaultGraph
+    val sg = Term.iri(G_SUPPLIERS)
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    val o = Tables(spark, dir, "orders")
+    val s = Tables(spark, dir, "supplier")
+
+    val cs = iriCol("customer", col("c_custkey"))
+    val nsub = iriCol("nation", col("c_nationkey"))
+    val nn = iriCol("nation", col("n_nationkey"))
+    val rr = iriCol("region", col("n_regionkey"))
+    val rs = iriCol("region", col("r_regionkey"))
+    val os = iriCol("order", col("o_orderkey"))
+    val oc = iriCol("customer", col("o_custkey"))
+    val ss = iriCol("supplier", col("s_suppkey"))
+    val sn = iriCol("nation", col("s_nationkey"))
+
+    val parts: Seq[DataFrame] = Seq(
+      triple(cs, P("name"), Term.strLit(col("c_name")), dg)(c),
+      triple(cs, P("acctbal"), dec2Lit(col("c_acctbal")), dg)(c),
+      triple(cs, P("mktsegment"), Term.strLit(col("c_mktsegment")), dg)(c),
+      triple(cs, P("inNation"), nsub, dg)(c),
+      triple(cs, P("locatedIn"), nsub, dg)(c),
+      triple(nn, P("name"), Term.strLit(col("n_name")), dg)(n),
+      triple(nn, P("inRegion"), rr, dg)(n),
+      triple(nn, P("locatedIn"), rr, dg)(n),
+      triple(rs, P("name"), Term.strLit(col("r_name")), dg)(r),
+      triple(rs, P("locatedIn"), Term.iri(WORLD), dg)(r),
+      triple(os, P("orderedBy"), oc, dg)(o),
+      triple(os, P("totalprice"), dec2Lit(col("o_totalprice")), dg)(o),
+      triple(os, P("status"), Term.strLit(col("o_orderstatus")), dg)(o),
+      triple(os, P("priority"), Term.strLit(col("o_orderpriority")), dg)(o),
+      // suppliers live in a named graph to exercise GRAPH scoping
+      triple(ss, P("name"), Term.strLit(col("s_name")), sg)(s),
+      triple(ss, P("inNation"), sn, sg)(s),
+      triple(ss, P("acctbal"), dec2Lit(col("s_acctbal")), sg)(s))
+    parts.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** RDF term representation as a flat Spark struct.
+  *
+  * Mirrors the reference's term model (oxigraph: lib/oxrdf/src/triple.rs ·
+  * `Term`; lib/oxigraph/src/storage/numeric_encoder.rs · `EncodedTerm`)
+  * but as a Catalyst-friendly StructType instead of an enum encoding:
+  * plain struct columns keep predicate pushdown, whole-stage codegen and
+  * struct equality/ordering alive (SURVEY.md §1.5, §7.3-6).
+  *
+  *   kind: 0=IRI, 1=blank node, 2=literal, 3=default graph
+  *   lex : lexical form (IRI string / bnode id / literal lexical form)
+  *   dt  : datatype IRI for literals, null otherwise;
+  *         plain string literals carry xsd:string, lang strings
+  *         rdf:langString (matches RDF 1.1)
+  *   lang: BCP47 tag for language-tagged strings, else null
+  */
+object Term {
+  val IriKind: Int = 0
+  val BlankKind: Int = 1
+  val LiteralKind: Int = 2
+  val DefaultGraphKind: Int = 3
+
+  val schema: StructType = StructType(Seq(
+    StructField("kind", ByteType, nullable = false),
+    StructField("lex", StringType, nullable = true),
+    StructField("dt", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  val quadSchema: StructType = StructType(Seq(
+    StructField("g", schema, nullable = false),
+    StructField("s", schema, nullable = false),
+    StructField("p", schema, nullable = false),
+    StructField("o", schema, nullable = false)))
+
+  // Well-known datatype IRIs (lib/oxrdf/src/vocab.rs)
+  val xsd = "http://www.w3.org/2001/XMLSchema#"
+  val XsdString: String = xsd + "string"
+  val XsdBoolean: String = xsd + "boolean"
+  val XsdInteger: String = xsd + "integer"
+  val XsdDecimal: String = xsd + "decimal"
+  val XsdFloat: String = xsd + "float"
+  val XsdDouble: String = xsd + "double"
+  val XsdDateTime: String = xsd + "dateTime"
+  val XsdDate: String = xsd + "date"
+  val RdfLangString: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  val numericTypes: Seq[String] = Seq(
+    XsdInteger, XsdDecimal, XsdFloat, XsdDouble,
+    xsd + "int", xsd + "long", xsd + "short", xsd + "byte",
+    xsd + "nonNegativeInteger", xsd + "positiveInteger",
+    xsd + "negativeInteger", xsd + "nonPositiveInteger",
+    xsd + "unsignedInt", xsd + "unsignedLong", xsd + "unsignedShort",
+    xsd + "unsignedByte")
+
+  private def term(kind: Int, lex: Column, dt: Column, lang: Column): Column =
+    struct(
+      lit(kind).cast(ByteType).as("kind"),
+      lex.cast(StringType).as("lex"),
+      dt.cast(StringType).as("dt"),
+      lang.cast(StringType).as("lang"))
+
+  /** IRI term column from a string column/literal. */
+  def iri(c: Column): Column = term(IriKind, c, lit(null), lit(null))
+  def iri(s: String): Column = iri(lit(s))
+
+  /** Blank node with the given id column. */
+  def bnode(c: Column): Column = term(BlankKind, c, lit(null), lit(null))
+
+  /** Typed literal. */
+  def typedLit(lex: Column, dt: String): Column =
+    term(LiteralKind, lex, lit(dt), lit(null))
+
+  /** Simple (xsd:string) literal. */
+  def strLit(c: Column): Column = typedLit(c, XsdString)
+
+  /** Language-tagged string. */
+  def langLit(lex: Column, lang: Column): Column =
+    term(LiteralKind, lex, lit(RdfLangString), lang)
+
+  def intLit(c: Column): Column = typedLit(c, XsdInteger)
+  def decimalLit(c: Column): Column = typedLit(c, XsdDecimal)
+  def doubleLit(c: Column): Column = typedLit(c, XsdDouble)
+  def boolLit(c: Column): Column = typedLit(c, XsdBoolean)
+  def dateTimeLit(c: Column): Column =
+    typedLit(date_format(c, "yyyy-MM-dd'T'HH:mm:ss"), XsdDateTime)
+
+  val defaultGraph: Column =
+    term(DefaultGraphKind, lit(null), lit(null), lit(null))
+
+  /** True when the term column is a literal with a numeric datatype. */
+  def isNumericLit(t: Column): Column =
+    t("kind") === LiteralKind && t("dt").isin(numericTypes: _*)
+}

@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.algebra.Algebra._
+import graft.exec.{QueryExec, Translator}
+import graft.io.TpchRdf
+import graft.io.TpchRdf.P
+import graft.update.UpdateExec
+
+/** SPARQL-engine queries: each builds algebra programmatically (parser
+  * lands later, SURVEY.md §7.2), runs it through Translator over the
+  * TpchRdf quad table, and projects term structs back to plain SQL values
+  * so the DuckDB oracle can check the whole path end-to-end.
+  */
+object Sparql {
+  private val D2 = DecimalType(38, 2)
+  private def str(v: String): Column = col(v)("lex")
+  private def dec2(v: String): Column = col(v)("lex").cast(D2)
+  private def int64(v: String): Column = col(v)("lex").cast(LongType)
+
+  private def run(s: SparkSession, dir: String, gp: GraphPattern): DataFrame =
+    QueryExec.select(gp, TpchRdf.quads(s, dir))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // BGP + FILTER + ORDER BY through the algebra (§2.2, §2.3, §2.5)
+    "sp1_bgp_filter" -> { (s, dir) =>
+      val gp = OrderBy(
+        Filter(EFn(">", EVar("b"), ELit("5000", graft.model.Term.XsdDecimal)),
+          Bgp(
+            TriplePattern(V("c"), I(P("inNation")), V("n")),
+            TriplePattern(V("n"), I(P("inRegion")), V("r")),
+            TriplePattern(V("r"), I(P("name")), L.str("ASIA")),
+            TriplePattern(V("c"), I(P("acctbal")), V("b")),
+            TriplePattern(V("c"), I(P("name")), V("cname")))),
+        Seq(EVar("cname") -> true))
+      run(s, dir, gp).select(str("cname").as("c_name"), dec2("b").as("bal"))
+    },
+
+    // OPTIONAL with filter inside the join scope (§2.3 LeftJoin)
+    "sp2_optional" -> { (s, dir) =>
+      val gp = LeftJoin(
+        Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+          TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+        Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c")),
+          TriplePattern(V("o"), I(P("totalprice")), V("tp"))),
+        Some(EFn(">", EVar("tp"), ELit("300000", graft.model.Term.XsdDecimal))))
+      run(s, dir, gp)
+        .select(str("cname").as("c_name"), dec2("tp").as("bigprice"))
+        .orderBy(col("c_name"), col("bigprice"))
+    },
+
+    // UNION with tagging BIND (§2.6)
+    "sp3_union" -> { (s, dir) =>
+      // nations/regions also carry :name in the default graph, so the
+      // customer branch narrows by subject IRI prefix (STRSTARTS/STR)
+      val customers = Filter(
+        EFn("STRSTARTS", EFn("STR", EVar("x")),
+          ELit.str(TpchRdf.ns + "customer/")),
+        Extend(Bgp(TriplePattern(V("x"), I(P("name")), V("name"))),
+          "src", ELit.str("customer")))
+      val suppliers = Extend(GraphPat(I(TpchRdf.G_SUPPLIERS),
+        Bgp(TriplePattern(V("x"), I(P("name")), V("name")))),
+        "src", ELit.str("supplier"))
+      run(s, dir, Union(customers, suppliers))
+        .select(str("name").as("name"), str("src").as("src"))
+        .orderBy(col("name"), col("src"))
+    },
+
+    // MINUS (§2.3): customers minus those with a >400k order
+    "sp4_minus" -> { (s, dir) =>
+      val gp = OrderBy(Minus(
+        // :acctbal pattern narrows subjects to customers (suppliers'
+        // acctbal lives in the named graph)
+        Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+          TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+        Filter(EFn(">", EVar("tp"), ELit("400000", graft.model.Term.XsdDecimal)),
+          Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c")),
+            TriplePattern(V("o"), I(P("totalprice")), V("tp"))))),
+        Seq(EVar("cname") -> true))
+      run(s, dir, gp).select(str("cname").as("c_name"))
+    },
+
+    // FILTER EXISTS -> semi join (§2.3)
+    "sp5_exists" -> { (s, dir) =>
+      val gp = OrderBy(Filter(
+        EExists(Filter(
+          EFn(">", EVar("tp"), ELit("300000", graft.model.Term.XsdDecimal)),
+          Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c")),
+            TriplePattern(V("o"), I(P("totalprice")), V("tp"))))),
+        Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+          TriplePattern(V("c"), I(P("mktsegment")), V("seg")))),
+        Seq(EVar("cname") -> true))
+      run(s, dir, gp).select(str("cname").as("c_name"), str("seg").as("seg"))
+    },
+
+    // VALUES joined into a BGP (§2.6)
+    "sp6_values" -> { (s, dir) =>
+      val gp = Join(
+        Bgp(
+          TriplePattern(V("c"), I(P("inNation")), V("n")),
+          TriplePattern(V("n"), I(P("inRegion")), V("r")),
+          TriplePattern(V("r"), I(P("name")), V("rn")),
+          TriplePattern(V("c"), I(P("name")), V("cname"))),
+        ValuesPat(Seq("rn"),
+          Seq(Seq(Some(L.str("ASIA"))), Seq(Some(L.str("EUROPE"))))))
+      run(s, dir, gp).select(str("cname").as("c_name"), str("rn").as("r_name"))
+        .orderBy(col("c_name"))
+    },
+
+    // GROUP BY + COUNT/SUM/MAX aggregates over terms (§2.4)
+    "sp7_agg" -> { (s, dir) =>
+      val gp = Group(
+        Bgp(TriplePattern(V("c"), I(P("inNation")), V("n")),
+          TriplePattern(V("n"), I(P("name")), V("nname")),
+          TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+        Seq("nname"),
+        Seq("cnt" -> AggCall("COUNT_STAR", None),
+          "total" -> AggCall("SUM", Some(EVar("b"))),
+          "maxbal" -> AggCall("MAX", Some(EVar("b")))))
+      run(s, dir, gp)
+        .select(str("nname").as("n_name"), int64("cnt").as("cnt"),
+          dec2("total").as("total"), dec2("maxbal").as("maxbal"))
+        .orderBy(col("n_name"))
+    },
+
+    // sequence property path (§2.7)
+    "sp8_path_seq" -> { (s, dir) =>
+      val gp = Join(
+        PathPattern(V("c"), PSeq(PLink(P("inNation")), PLink(P("inRegion"))),
+          V("r")),
+        Bgp(TriplePattern(V("r"), I(P("name")), V("rname")),
+          TriplePattern(V("c"), I(P("name")), V("cname"))))
+      run(s, dir, gp)
+        .select(str("cname").as("c_name"), str("rname").as("r_name"))
+        .orderBy(col("c_name"))
+    },
+
+    // transitive closure + over the 3-level locatedIn chain (§2.7)
+    "sp9_path_plus" -> { (s, dir) =>
+      val gp = PathPattern(V("x"), POneOrMore(PLink(P("locatedIn"))), V("y"))
+      run(s, dir, gp)
+        .select(str("x").as("x"), str("y").as("y"))
+        .orderBy(col("x"), col("y"))
+    },
+
+    // zero-or-more from a fixed start (§2.7)
+    "sp10_path_star" -> { (s, dir) =>
+      val gp = PathPattern(I(TpchRdf.ns + "nation/3"),
+        PZeroOrMore(PLink(P("locatedIn"))), V("y"))
+      run(s, dir, gp).select(str("y").as("y")).orderBy(col("y"))
+    },
+
+    // GRAPH <iri> scoping + cross-graph join (§2.9)
+    "sp11_graph" -> { (s, dir) =>
+      val gp = Join(
+        GraphPat(I(TpchRdf.G_SUPPLIERS),
+          Bgp(TriplePattern(V("sup"), I(P("name")), V("sname")),
+            TriplePattern(V("sup"), I(P("inNation")), V("n")))),
+        Bgp(TriplePattern(V("n"), I(P("name")), V("nname"))))
+      run(s, dir, gp)
+        .select(str("sname").as("s_name"), str("nname").as("n_name"))
+        .orderBy(col("s_name"))
+    },
+
+    // GRAPH ?g: iterate named graphs, bind the graph IRI (§2.9)
+    "sp12_graph_var" -> { (s, dir) =>
+      val gp = GraphPat(V("g"),
+        Bgp(TriplePattern(V("sup"), I(P("name")), V("sname"))))
+      run(s, dir, gp).select(str("g").as("g"), str("sname").as("s_name"))
+        .orderBy(col("s_name"))
+    },
+
+    // CONSTRUCT template instantiation (§2.9)
+    "sp13_construct" -> { (s, dir) =>
+      val template = Seq(
+        TriplePattern(V("c"), I(P("segment")), V("seg")),
+        TriplePattern(V("c"), I(P("type")), L.str("customer")))
+      val gp = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("seg")))
+      QueryExec.construct(template, gp, TpchRdf.quads(s, dir))
+        .select(col("s")("lex").as("s"), col("p")("lex").as("p"),
+          col("o")("lex").as("o"))
+        .orderBy(col("s"), col("p"), col("o"))
+    },
+
+    // ASK (§2.9)
+    "sp14_ask" -> { (s, dir) =>
+      val gp = Filter(EFn(">", EVar("b"),
+        ELit("9000", graft.model.Term.XsdDecimal)),
+        Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))))
+      QueryExec.ask(gp, TpchRdf.quads(s, dir))
+    },
+
+    // BIND arithmetic + string builtins (§2.2 Extend, §2.8)
+    "sp15_bind" -> { (s, dir) =>
+      val gp = Extend(
+        Extend(Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+          TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+          "dblbal", EFn("*", EVar("b"), ELit.int(2))),
+        "namelen", EFn("STRLEN", EVar("cname")))
+      run(s, dir, gp)
+        .select(str("cname").as("c_name"), dec2("dblbal").as("dblbal"),
+          int64("namelen").as("namelen"))
+        .orderBy(col("c_name"))
+    },
+
+    // ORDER BY term ordering + OFFSET/LIMIT through the engine (§2.5)
+    "sp16_orderby_slice" -> { (s, dir) =>
+      val gp = Slice(OrderBy(
+        Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+          TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+        Seq(EVar("b") -> false, EVar("cname") -> true)), 5, 10)
+      run(s, dir, gp).select(str("cname").as("c_name"), dec2("b").as("bal"))
+    },
+
+    // SPARQL UPDATE: INSERT..WHERE then query the updated store (§2.10)
+    "sp17_update" -> { (s, dir) =>
+      val quads = TpchRdf.quads(s, dir)
+      val upd = DeleteInsert(
+        delete = Nil,
+        insert = Seq(TriplePattern(V("c"), I(P("vip")), L.str("true"))),
+        where = Filter(EFn(">", EVar("b"),
+          ELit("7000", graft.model.Term.XsdDecimal)),
+          Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))))
+      val updated = UpdateExec(upd, quads)
+      val gp = Group(Bgp(TriplePattern(V("c"), I(P("vip")), V("v"))),
+        Nil, Seq("cnt" -> AggCall("COUNT_STAR", None)))
+      QueryExec.select(gp, updated).select(int64("cnt").as("cnt"))
+    },
+
+    // CLEAR GRAPH + whole-store count: checks quad construction itself
+    "sp18_clear_graph" -> { (s, dir) =>
+      val quads = TpchRdf.quads(s, dir)
+      val updated = UpdateExec(ClearGraph(Some(TpchRdf.G_SUPPLIERS)), quads)
+      updated.agg(count(lit(1)).as("cnt"))
+    },
+
+    // subselect: per-nation AVG joined back, FILTER above-average (§2.4)
+    "sp19_subselect" -> { (s, dir) =>
+      val gp = OrderBy(Filter(EFn(">", EVar("b"), EVar("av")),
+        Join(
+          Bgp(TriplePattern(V("c"), I(P("inNation")), V("n")),
+            TriplePattern(V("c"), I(P("acctbal")), V("b")),
+            TriplePattern(V("c"), I(P("name")), V("cname"))),
+          Group(Bgp(TriplePattern(V("c2"), I(P("inNation")), V("n")),
+            TriplePattern(V("c2"), I(P("acctbal")), V("b2"))),
+            Seq("n"), Seq("av" -> AggCall("AVG", Some(EVar("b2"))))))),
+        Seq(EVar("cname") -> true))
+      run(s, dir, gp).select(str("cname").as("c_name"))
+    })
+
+  private val cIri = s"'${TpchRdf.ns}customer/' || c_custkey"
+  private val nIriC = s"'${TpchRdf.ns}nation/' || c_nationkey"
+  private val nIri = s"'${TpchRdf.ns}nation/' || n_nationkey"
+  private val rIriN = s"'${TpchRdf.ns}region/' || n_regionkey"
+  private val rIri = s"'${TpchRdf.ns}region/' || r_regionkey"
+
+  val oracle: Map[String, String] = Map(
+    "sp1_bgp_filter" ->
+      """SELECT c_name, CAST(c_acctbal AS DECIMAL(38,2)) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND CAST(c_acctbal AS DECIMAL(38,2)) > 5000
+        ORDER BY c_name""",
+    "sp2_optional" ->
+      """SELECT c_name, CAST(o_totalprice AS DECIMAL(38,2)) AS bigprice
+        FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND CAST(o_totalprice AS DECIMAL(38,2)) > 300000
+        ORDER BY c_name, bigprice NULLS FIRST""",
+    "sp3_union" ->
+      """SELECT name, src FROM (
+        SELECT c_name AS name, 'customer' AS src FROM customer
+        UNION ALL SELECT s_name AS name, 'supplier' AS src FROM supplier)
+        ORDER BY name, src""",
+    "sp4_minus" ->
+      """SELECT c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND CAST(o_totalprice AS DECIMAL(38,2)) > 400000)
+        ORDER BY c_name""",
+    "sp5_exists" ->
+      """SELECT c_name, c_mktsegment AS seg FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND CAST(o_totalprice AS DECIMAL(38,2)) > 300000)
+        ORDER BY c_name""",
+    "sp6_values" ->
+      """SELECT c_name, r_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY c_name""",
+    "sp7_agg" ->
+      """SELECT n_name, count(*) AS cnt,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total,
+        max(CAST(c_acctbal AS DECIMAL(38,2))) AS maxbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
+    "sp8_path_seq" ->
+      """SELECT c_name, r_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey ORDER BY c_name""",
+    "sp9_path_plus" ->
+      s"""WITH e AS (
+        SELECT $cIri AS src, $nIriC AS dst FROM customer
+        UNION ALL SELECT $nIri, $rIriN FROM nation
+        UNION ALL SELECT $rIri, '${TpchRdf.WORLD}' FROM region)
+        SELECT src AS x, dst AS y FROM (
+          SELECT src, dst FROM e
+          UNION SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
+          UNION SELECT a.src, c.dst FROM e a JOIN e b ON a.dst = b.src
+            JOIN e c ON b.dst = c.src)
+        ORDER BY x, y""",
+    "sp10_path_star" ->
+      s"""SELECT y FROM (
+        SELECT '${TpchRdf.ns}nation/3' AS y
+        UNION ALL SELECT $rIriN FROM nation WHERE n_nationkey = 3
+        UNION ALL SELECT '${TpchRdf.WORLD}') ORDER BY y""",
+    "sp11_graph" ->
+      """SELECT s_name, n_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey ORDER BY s_name""",
+    "sp12_graph_var" ->
+      s"""SELECT '${TpchRdf.G_SUPPLIERS}' AS g, s_name FROM supplier
+        ORDER BY s_name""",
+    "sp13_construct" ->
+      s"""SELECT s, p, o FROM (
+        SELECT $cIri AS s, '${P("segment")}' AS p, c_mktsegment AS o FROM customer
+        UNION SELECT $cIri, '${P("type")}', 'customer' FROM customer)
+        ORDER BY s, p, o""",
+    "sp14_ask" ->
+      """SELECT EXISTS (SELECT 1 FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9000) AS result""",
+    "sp15_bind" ->
+      """SELECT c_name,
+        CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 2 AS DECIMAL(38,2)) AS dblbal,
+        length(c_name) AS namelen
+        FROM customer ORDER BY c_name""",
+    "sp16_orderby_slice" ->
+      """SELECT c_name, CAST(c_acctbal AS DECIMAL(38,2)) AS bal FROM customer
+        ORDER BY CAST(c_acctbal AS DECIMAL(38,2)) DESC, c_name
+        LIMIT 10 OFFSET 5""",
+    "sp17_update" ->
+      """SELECT count(*) AS cnt FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 7000""",
+    "sp18_clear_graph" ->
+      """SELECT (SELECT count(*) * 5 FROM customer)
+        + (SELECT count(*) * 3 FROM nation)
+        + (SELECT count(*) * 2 FROM region)
+        + (SELECT count(*) * 4 FROM orders) AS cnt""",
+    "sp19_subselect" ->
+      """SELECT c_name FROM customer JOIN (
+        SELECT c_nationkey AS nk,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) / count(*) AS av
+        FROM customer GROUP BY c_nationkey) t ON c_nationkey = nk
+        WHERE CAST(c_acctbal AS DOUBLE) > av ORDER BY c_name""")
+}

@@ -1,0 +1,67 @@
+package graft.update
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Term
+import graft.algebra.Algebra._
+import graft.exec.{QueryExec, Translator}
+
+/** SPARQL Update as batch quad-table transformations (SURVEY.md §2.10;
+  * oxigraph: lib/spargebra/src/update.rs · GraphUpdateOperation,
+  * lib/oxigraph/src/sparql/update.rs · SimpleUpdateEvaluator).
+  * Transactions/MVCC are out of scope — updates are pure DataFrame
+  * set transforms; persistence = overwrite parquet.
+  */
+object UpdateExec {
+
+  private def templQuads(template: Seq[TriplePattern],
+      where: GraphPattern, quads: DataFrame): DataFrame = {
+    val sol = Translator.translate(where, quads)
+    QueryExec.instantiate(template, sol)
+      .select(Term.defaultGraph.as("g"), col("s"), col("p"), col("o"))
+  }
+
+  def apply(op: UpdateOp, quads: DataFrame): DataFrame = op match {
+    case DeleteInsert(del, ins, where) =>
+      val deletes =
+        if (del.isEmpty) null else templQuads(del, where, quads)
+      val inserts =
+        if (ins.isEmpty) null else templQuads(ins, where, quads)
+      var out = quads
+      if (deletes != null) out = out.except(deletes)
+      if (inserts != null) out = out.unionByName(inserts).distinct()
+      out
+
+    case ClearGraph(None) =>
+      quads.where(col("g")("kind") =!= Term.DefaultGraphKind)
+    case ClearGraph(Some(iri)) =>
+      quads.where(!(col("g")("kind") === Term.IriKind &&
+        col("g")("lex") === iri))
+
+    case InsertData(qs) =>
+      quads.unionByName(constQuads(quads, qs)).distinct()
+    case DeleteData(qs) =>
+      quads.except(constQuads(quads, qs))
+  }
+
+  private def constQuads(quads: DataFrame,
+      qs: Seq[(TermPat, TriplePattern)]): DataFrame = {
+    def c(tp: TermPat): Column = tp match {
+      case I(iri) => Term.iri(iri)
+      case L(lex, dt, lang) => lang match {
+        case Some(l) => Term.langLit(lit(lex), lit(l))
+        case None => Term.typedLit(lit(lex), dt)
+      }
+      case other => throw new IllegalArgumentException(
+        s"ground term required in data block, got $other")
+    }
+    def g(tp: TermPat): Column = tp match {
+      case I(iri) => Term.iri(iri)
+      case _ => Term.defaultGraph
+    }
+    qs.map { case (graph, t) =>
+      quads.sparkSession.range(1).select(
+        g(graph).as("g"), c(t.s).as("s"), c(t.p).as("p"), c(t.o).as("o"))
+    }.reduce(_ unionByName _)
+  }
+}
