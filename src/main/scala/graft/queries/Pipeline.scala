@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Tables
+import graft.ops._
+
+/** Training-data pipeline queries (the extended north-star surface):
+  * dedup, similarity search, text analysis, multimodal plumbing, event
+  * windows/sessions. Oracle-checked wherever DuckDB can express the same
+  * deterministic computation; hash-based LSH internals (xxhash64) get
+  * rows-only checks plus recall assertions in PipelineSpec.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  // DuckDB fragment: rolling fingerprint identical to TextOps.fingerprint
+  private val duckFp =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      [CAST(unicode(c) AS BIGINT) for c in string_split(text,'')]),
+      (a,b) -> (a*31+b) % 1000000007)"""
+
+  // DuckDB fragment: word-3-shingle rows, mirrors Dedup.shingleRows
+  private val duckShingles =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+        [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) s
+        FROM w WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db, inter, x.n AS na, y.n AS nb
+      FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      WHERE inter * 10 >= 8 * (x.n + y.n - inter) ORDER BY da, db"""
+
+  // DuckDB fragments mirroring Similarity.dotSeq: sequential double fold
+  // over the zipped arrays — bit-identical to Spark's functions.aggregate
+  private def duckDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) for z in list_zip($a, $b)]),
+      (acc, v) -> acc + v)"""
+  private def duckNorms =
+    s"""n AS (SELECT vec_id, ${duckDot("embedding", "embedding")} norm2
+      FROM embeddings)"""
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup via fingerprint + group (hash-groupBy dedup)
+    "dd1_exact_dedup" -> { (s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy(col("keep_id"))
+    },
+
+    // exact n-gram Jaccard near-dup pairs (inverted-index self-join)
+    "dd2_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), 8, 10)
+        .orderBy(col("da"), col("db"))
+    },
+
+    // MinHash+LSH candidates -> exact-Jaccard verification; same oracle
+    // as dd2 (banding recall at j>=0.8 is ~1-1e-18 for 16x4)
+    "dd3_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), 64, 16, 8, 10)
+        .orderBy(col("da"), col("db"))
+    },
+
+    // SimHash near-dups (xxhash-based: rows-only check + PipelineSpec)
+    "dd4_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), 7).orderBy(col("da"), col("db"))
+    },
+
+    // embedding-cosine near-dup scan over a probe block, decimal-exact
+    "dd5_embed_sim" -> { (s, dir) =>
+      Similarity.cosinePairs(emb(s, dir), 0.4, col("vec_id") < 200)
+        .orderBy(col("va"), col("vb"))
+    },
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "ann1_brute_topk" -> { (s, dir) =>
+      Similarity.bruteTopK(emb(s, dir), col("vec_id") < 10, 5)
+        .select(col("qid"), col("cid"), col("rank").cast(LongType).as("rank"),
+          col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // SRP-LSH bucketed ANN (scale path; rows-only + recall in spec)
+    "ann2_lsh_topk" -> { (s, dir) =>
+      Similarity.lshTopK(emb(s, dir), col("vec_id") < 10, 5)
+        .select(col("qid"), col("cid"), col("rank").cast(LongType).as("rank"),
+          col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // language-ID by stopword-profile voting
+    "ts1_langid" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // quality metrics (integer-exact + deterministic double ratios)
+    "ts2_quality" -> { (s, dir) =>
+      TextOps.qualityMetrics(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // token stats: most frequent token per doc, deterministic tie-break
+    "ts3_top_token" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("tok").asc)
+      t.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_token"), col("cnt"))
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal: binary blob + metadata -> per-partition stub decode
+    "mm1_media_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.asMedia(docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes").cast(LongType).as("n_bytes"),
+          col("checksum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // tumbling hourly windows over the event stream (exact ns buckets)
+    "ev1_hourly_windows" -> { (s, dir) =>
+      Events.tumblingHourly(Events.read(s, dir))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    },
+
+    // gap-based sessionization
+    "ev2_sessions" -> { (s, dir) =>
+      Events.sessions(Events.read(s, dir)).orderBy(col("user_id"))
+    },
+
+    // JSON property extraction + aggregation
+    "ev3_json_agg" -> { (s, dir) =>
+      Events.jsonAgg(Events.read(s, dir)).orderBy(col("k_bucket"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, $duckFp AS fp
+        FROM documents GROUP BY text ORDER BY keep_id""",
+    "dd2_ngram_jaccard" -> duckShingles,
+    "dd3_minhash_lsh" -> duckShingles,
+    "dd5_embed_sim" ->
+      s"""WITH $duckNorms,
+        c AS (SELECT a.vec_id va, b.vec_id vb,
+          ${duckDot("a.embedding", "b.embedding")} / (sqrt(x.norm2)*sqrt(y.norm2)) cos
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < b.vec_id AND a.vec_id < 200
+          JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id)
+        SELECT va, vb, cos FROM c WHERE cos >= 0.4 ORDER BY va, vb""",
+    "ann1_brute_topk" ->
+      s"""WITH $duckNorms,
+        c AS (SELECT q.vec_id qid, cnd.vec_id cid,
+          ${duckDot("q.embedding", "cnd.embedding")} / (sqrt(x.norm2)*sqrt(y.norm2)) cos
+          FROM embeddings q JOIN embeddings cnd
+            ON q.vec_id < 10 AND cnd.vec_id != q.vec_id
+          JOIN n x ON q.vec_id = x.vec_id JOIN n y ON cnd.vec_id = y.vec_id),
+        r AS (SELECT qid, cid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rank FROM c)
+        SELECT qid, cid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+    "ts1_langid" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+        s AS (SELECT doc_id,
+          len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) s_en,
+          len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) s_de,
+          len(list_filter(ws, w -> w IN ('el','la','de','y','es'))) s_es
+          FROM w)
+        SELECT doc_id, CASE
+          WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+          WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+          WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+        FROM s ORDER BY doc_id""",
+    "ts2_quality" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') ws FROM documents)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(ws) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        CAST(list_sum(list_transform(ws, t -> length(t))) AS BIGINT) AS sum_token_len,
+        CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','is'))) AS BIGINT) AS n_stopwords,
+        CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio,
+        CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(ws) AS stopword_ratio
+        FROM w ORDER BY doc_id""",
+    "ts3_top_token" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) cnt FROM t GROUP BY 1, 2),
+        r AS (SELECT doc_id, tok, cnt,
+          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) rn FROM c)
+        SELECT doc_id, tok AS top_token, cnt FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "mm1_media_features" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        $duckFp AS checksum FROM documents ORDER BY doc_id""",
+    "ev1_hourly_windows" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        count(*) AS n_events, sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
+        count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+    "ev2_sessions" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_ns(ts) tsn FROM events),
+        l AS (SELECT user_id, event_id, tsn,
+          lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) prev FROM s),
+        x AS (SELECT user_id, event_id, tsn, CASE WHEN prev IS NULL
+          OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END ns FROM l),
+        y AS (SELECT user_id, tsn, sum(ns) OVER (PARTITION BY user_id
+          ORDER BY tsn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+          FROM x),
+        g AS (SELECT user_id, sid, count(*) ne,
+          (max(tsn) - min(tsn)) // 1000000000 dur FROM y GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_sessions, CAST(sum(ne) AS BIGINT) AS n_events,
+        max(ne) AS max_session_events, max(dur) AS max_duration_sec
+        FROM g GROUP BY user_id ORDER BY user_id""",
+    "ev3_json_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
+        count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
+        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1 ORDER BY k_bucket""")
+}

@@ -140,7 +140,7 @@ object Relational {
           upper(col("p_name")).as("uname"),
           lower(col("p_brand")).as("lbrand"),
           substring(col("p_name"), 1, 5).as("pre5"),
-          length(col("p_name")).as("len"),
+          length(col("p_name")).cast(LongType).as("len"),
           concat(col("p_brand"), lit("/"), col("p_type")).as("bt"),
           instr(col("p_name"), "widget").cast(LongType).as("pos"),
           regexp_replace(col("p_name"), "[aeiou]", "_").as("novowel"))
@@ -167,8 +167,8 @@ object Relational {
     "q13_scalar_datetime" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy(
-          year(col("o_orderdate")).as("y"),
-          quarter(col("o_orderdate")).as("q"))
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          quarter(col("o_orderdate")).cast(LongType).as("q"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("o_totalprice"))).as("sum_price"),
           min(to_date(col("o_orderdate"))).as("first_day"),

@@ -203,7 +203,7 @@ object Sparql {
         "namelen", EFn("STRLEN", EVar("cname")))
       run(s, dir, gp)
         .select(str("cname").as("c_name"), dec2("dblbal").as("dblbal"),
-          int64("namelen").as("namelen"))
+          int64("namelen").cast(LongType).as("namelen"))
         .orderBy(col("c_name"))
     },
 
