@@ -80,27 +80,45 @@ object Translator {
     Sol(eqConstrained.select(proj: _*), vs, vs)
   }
 
-  /** Selectivity heuristic for BGP join order — port of the reference's
-    * greedy bound-term counting (oxigraph: lib/sparopt/src/optimizer.rs ·
-    * reorder_joins), applied at translation time; AQE re-plans at runtime.
+  /** Flatten a conjunctive region (nested Joins + BGP patterns) into its
+    * leaves, so the whole region is join-ordered together.
     */
-  private def orderPatterns(ps: Seq[TriplePattern]): Seq[TriplePattern] = {
-    def constants(tp: TriplePattern): Int =
-      Seq(tp.s, tp.p, tp.o).count(varName(_).isEmpty)
-    val remaining = scala.collection.mutable.ListBuffer(ps: _*)
-    val out = scala.collection.mutable.ListBuffer[TriplePattern]()
+  private def conjuncts(gp: GraphPattern): Seq[GraphPattern] = gp match {
+    case Join(l, r) => conjuncts(l) ++ conjuncts(r)
+    case Bgp(ps @ _*) if ps.nonEmpty => ps.map(p => Bgp(p))
+    case other => Seq(other)
+  }
+
+  /** Greedy connectivity-aware join ordering over a conjunctive region —
+    * port of the reference's bound-term-counting reorder (oxigraph:
+    * lib/sparopt/src/optimizer.rs · reorder_joins), applied at
+    * translation time; AQE re-plans physically at runtime. Guarantees a
+    * connected part (equi-join) is always preferred over a cartesian.
+    */
+  private def translateConjunction(parts: Seq[GraphPattern],
+      quads: DataFrame, ctx: GraphCtx): Sol = {
+    def constants(gp: GraphPattern): Int = gp match {
+      case Bgp(tp) => Seq(tp.s, tp.p, tp.o).count(varName(_).isEmpty)
+      case PathPattern(s, _, o) => Seq(s, o).count(varName(_).isEmpty) + 1
+      case _: ValuesPat => 3 // inline data: tiny by construction
+      case _ => 0
+    }
+    val remaining = scala.collection.mutable.ListBuffer(parts: _*)
+    var acc: Sol = null
     var bound = Set.empty[String]
     while (remaining.nonEmpty) {
-      val next = remaining.maxBy { tp =>
-        val vs = vars(tp.s) ++ vars(tp.p) ++ vars(tp.o)
-        val shared = (vs & bound).size
-        (if (out.isEmpty) 0 else shared * 10) + constants(tp)
-      }
+      val next =
+        if (acc == null) remaining.maxBy(constants)
+        else remaining.maxBy { p =>
+          val shared = (inScopeVars(p) & bound).size
+          shared * 10 + constants(p)
+        }
       remaining -= next
-      out += next
-      bound ++= vars(next.s) ++ vars(next.p) ++ vars(next.o)
+      val sol = translate(next, quads, ctx)
+      acc = if (acc == null) sol else joinSols(acc, sol, "inner")
+      bound ++= sol.vars
     }
-    out.toSeq
+    acc
   }
 
   /** General join of two solutions on SPARQL-compatible mappings.
@@ -160,10 +178,8 @@ object Translator {
         val spark = quads.sparkSession
         Sol(spark.range(1).select(lit(1).as("__unit")).drop("__unit")
           .select(), Set.empty, Set.empty)
-      } else {
-        orderPatterns(ps).map(scanPattern(quads, _, ctx))
-          .reduce((a, b) => joinSols(a, b, "inner"))
-      }
+      } else if (ps.length == 1) scanPattern(quads, ps.head, ctx)
+      else translateConjunction(ps.map(p => Bgp(p)), quads, ctx)
 
     case PathPattern(s, path, o) =>
       val pairs = PathExec.eval(path, quads, ctx) // DF(ps, po)
@@ -181,8 +197,7 @@ object Translator {
         case (None, None) => Sol(df.select(), Set.empty, Set.empty)
       }
 
-    case Join(l, r) =>
-      joinSols(translate(l, quads, ctx), translate(r, quads, ctx), "inner")
+    case j: Join => translateConjunction(conjuncts(j), quads, ctx)
 
     case Lateral(l, r) => // v1: uncorrelated-equivalent join (see SURVEY §2.3)
       joinSols(translate(l, quads, ctx), translate(r, quads, ctx), "inner")

@@ -32,11 +32,21 @@ object TpchRdf {
   private def triple(s: Column, p: String, o: Column, g: Column): DataFrame => DataFrame =
     df => df.select(g.as("g"), s.as("s"), Term.iri(p).as("p"), o.as("o"))
 
+  // one materialized quad table per (session, dir) — the "store is
+  // loaded once" shape; cached like the reference keeps its indexes open
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def quads(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir),
+      buildQuads(spark, dir).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Full quad table: customers/nations/regions/orders in the default
     * graph, suppliers in a named graph, plus a 3-level `:locatedIn`
     * chain (customer -> nation -> region -> :world) for path queries.
     */
-  def quads(spark: SparkSession, dir: String): DataFrame = {
+  def buildQuads(spark: SparkSession, dir: String): DataFrame = {
     val dg = Term.defaultGraph
     val sg = Term.iri(G_SUPPLIERS)
     val c = Tables(spark, dir, "customer")

@@ -1,0 +1,711 @@
+package graft.parser
+
+import graft.algebra.Algebra._
+import graft.model.Term
+
+/** SPARQL 1.1 parser: query text -> algebra, performing the spec's
+  * syntax-to-algebra translation during the parse exactly like the
+  * reference grammar does (oxigraph: lib/spargebra/src/parser.rs —
+  * OPTIONAL becomes LeftJoin, group-level FILTERs wrap the group,
+  * aggregates are hoisted into Group, solution modifiers nest
+  * Distinct/OrderBy/Slice).
+  *
+  * Recursive descent over a cursor; supported subset: SELECT / ASK /
+  * CONSTRUCT with PREFIX/BASE, BGPs with ';' ',' 'a' abbreviations,
+  * property paths (^ / | + * ? !), OPTIONAL, FILTER (incl. [NOT]
+  * EXISTS), BIND, MINUS, UNION, GRAPH, VALUES, sub-SELECT, expressions
+  * with full operator precedence, aggregates with GROUP BY / HAVING,
+  * DISTINCT/REDUCED, ORDER BY, LIMIT/OFFSET. Not yet: blank-node
+  * property lists, RDF collections, DESCRIBE, federation.
+  */
+final class SparqlParser(input: String) {
+  private var pos = 0
+  private var base = ""
+  private val prefixes = scala.collection.mutable.Map[String, String]()
+  private var anonVar = 0
+
+  final case class ParseError(msg: String, at: Int) extends
+    RuntimeException(s"$msg at offset $at: ...${input.slice(at, at + 40)}...")
+
+  // ---------------- cursor utilities ----------------
+  private def ws(): Unit = {
+    var go = true
+    while (go) {
+      while (pos < input.length && input(pos).isWhitespace) pos += 1
+      if (pos < input.length && input(pos) == '#') {
+        while (pos < input.length && input(pos) != '\n') pos += 1
+      } else go = false
+    }
+  }
+  private def peek(s: String): Boolean = {
+    ws()
+    input.regionMatches(true, pos, s, 0, s.length) && {
+      // keywords must not run into a name character
+      val after = pos + s.length
+      !s.head.isLetter || after >= input.length ||
+        !(input(after).isLetterOrDigit || input(after) == '_')
+    }
+  }
+  private def peekSym(s: String): Boolean = {
+    ws(); input.regionMatches(false, pos, s, 0, s.length)
+  }
+  private def eat(s: String): Boolean = {
+    if (peek(s)) { pos += s.length; true } else false
+  }
+  private def eatSym(s: String): Boolean = {
+    if (peekSym(s)) { pos += s.length; true } else false
+  }
+  private def expect(s: String): Unit =
+    if (!eat(s) && !eatSym(s)) throw ParseError(s"expected '$s'", pos)
+  private def fail(msg: String): Nothing = throw ParseError(msg, pos)
+
+  // ---------------- terminals ----------------
+  private def parseVarName(): String = {
+    ws()
+    if (pos >= input.length || (input(pos) != '?' && input(pos) != '$'))
+      fail("expected variable")
+    pos += 1
+    val start = pos
+    while (pos < input.length &&
+      (input(pos).isLetterOrDigit || input(pos) == '_')) pos += 1
+    if (pos == start) fail("empty variable name")
+    input.substring(start, pos)
+  }
+
+  private def parseIriRef(): String = {
+    ws(); expect("<")
+    val start = pos
+    while (pos < input.length && input(pos) != '>') pos += 1
+    val iri = input.substring(start, pos)
+    expect(">")
+    if (iri.contains(":")) iri else base + iri
+  }
+
+  private def tryPrefixedName(): Option[String] = {
+    ws()
+    val start = pos
+    var p = pos
+    while (p < input.length &&
+      (input(p).isLetterOrDigit || input(p) == '_')) p += 1
+    if (p < input.length && input(p) == ':') {
+      val pfx = input.substring(start, p)
+      prefixes.get(pfx) match {
+        case Some(ns) =>
+          pos = p + 1
+          val ls = pos
+          while (pos < input.length && (input(pos).isLetterOrDigit ||
+            input(pos) == '_' || input(pos) == '-' || input(pos) == '.')) pos += 1
+          // a trailing '.' is a triple terminator, not part of the name
+          while (pos > ls && input(pos - 1) == '.') pos -= 1
+          Some(ns + input.substring(ls, pos))
+        case None => None
+      }
+    } else None
+  }
+
+  private def parseIri(): String = {
+    ws()
+    if (peekSym("<")) parseIriRef()
+    else tryPrefixedName().getOrElse(fail("expected IRI"))
+  }
+
+  private def parseString(): String = {
+    ws()
+    val quote = if (eatSym("\"\"\"")) "\"\"\""
+    else if (eatSym("'''")) "'''"
+    else if (eatSym("\"")) "\"" else if (eatSym("'")) "'"
+    else fail("expected string")
+    val sb = new StringBuilder
+    while (pos < input.length && !input.startsWith(quote, pos)) {
+      if (input(pos) == '\\' && pos + 1 < input.length) {
+        pos += 1
+        sb += (input(pos) match {
+          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+          case '\\' => '\\'; case '"' => '"'; case '\'' => '\''
+          case c => c
+        })
+      } else sb += input(pos)
+      pos += 1
+    }
+    expect(quote)
+    sb.toString
+  }
+
+  /** literal with optional @lang / ^^datatype */
+  private def parseRdfLiteral(): L = {
+    val lex = parseString()
+    if (eatSym("^^")) L(lex, parseIri())
+    else if (pos < input.length && input(pos) == '@') {
+      pos += 1
+      val start = pos
+      while (pos < input.length &&
+        (input(pos).isLetterOrDigit || input(pos) == '-')) pos += 1
+      L(lex, Term.RdfLangString, Some(input.substring(start, pos)))
+    } else L(lex, Term.XsdString)
+  }
+
+  private def parseNumber(): L = {
+    ws()
+    val start = pos
+    if (pos < input.length && (input(pos) == '+' || input(pos) == '-')) pos += 1
+    var isDec = false; var isDouble = false
+    while (pos < input.length && (input(pos).isDigit || input(pos) == '.' ||
+      input(pos) == 'e' || input(pos) == 'E' ||
+      ((input(pos) == '+' || input(pos) == '-') &&
+        (input(pos - 1) == 'e' || input(pos - 1) == 'E')))) {
+      if (input(pos) == '.') isDec = true
+      if (input(pos) == 'e' || input(pos) == 'E') isDouble = true
+      pos += 1
+    }
+    val lex = input.substring(start, pos)
+    if (lex.isEmpty || lex == "+" || lex == "-") fail("expected number")
+    L(lex, if (isDouble) Term.XsdDouble
+    else if (isDec) Term.XsdDecimal else Term.XsdInteger)
+  }
+
+  private def parseVarOrTerm(): TermPat = {
+    ws()
+    if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+      V(parseVarName())
+    else if (peekSym("<")) I(parseIriRef())
+    else if (peekSym("\"") || peekSym("'")) parseRdfLiteral()
+    else if (peek("true")) { eat("true"); L("true", Term.XsdBoolean) }
+    else if (peek("false")) { eat("false"); L("false", Term.XsdBoolean) }
+    else if (pos < input.length &&
+      (input(pos).isDigit || input(pos) == '+' || input(pos) == '-' ||
+        input(pos) == '.')) parseNumber()
+    else if (peekSym("_:")) { pos += 2
+      val start = pos
+      while (pos < input.length && (input(pos).isLetterOrDigit ||
+        input(pos) == '_')) pos += 1
+      B(input.substring(start, pos))
+    }
+    else tryPrefixedName().map(I).getOrElse(fail("expected term"))
+  }
+
+  // ---------------- property paths ----------------
+  private def parsePath(): Path = parsePathAlt()
+  private def parsePathAlt(): Path = {
+    var p = parsePathSeq()
+    while (eatSym("|")) p = PAlt(p, parsePathSeq())
+    p
+  }
+  private def parsePathSeq(): Path = {
+    var p = parsePathElt()
+    while (eatSym("/")) p = PSeq(p, parsePathElt())
+    p
+  }
+  private def parsePathElt(): Path = {
+    val inv = eatSym("^")
+    var p = parsePathPrimary()
+    ws()
+    if (eatSym("+")) p = POneOrMore(p)
+    else if (eatSym("*")) p = PZeroOrMore(p)
+    else if (pos < input.length && input(pos) == '?' &&
+      (pos + 1 >= input.length || !input(pos + 1).isLetterOrDigit)) {
+      pos += 1; p = PZeroOrOne(p)
+    }
+    if (inv) PInv(p) else p
+  }
+  private def parsePathPrimary(): Path = {
+    ws()
+    if (eatSym("!")) {
+      if (eatSym("(")) {
+        val iris = scala.collection.mutable.ListBuffer[String]()
+        iris += parsePathNegElt()
+        while (eatSym("|")) iris += parsePathNegElt()
+        expect(")")
+        PNeg(iris.toSeq)
+      } else PNeg(Seq(parsePathNegElt()))
+    } else if (eatSym("(")) {
+      val p = parsePath(); expect(")"); p
+    } else if (peek("a")) { eat("a")
+      PLink("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    } else PLink(parseIri())
+  }
+  private def parsePathNegElt(): String =
+    if (peek("a")) { eat("a"); "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" }
+    else parseIri()
+
+  /** is the verb position a plain IRI (triple pattern) or a real path */
+  private def pathAsIri(p: Path): Option[String] = p match {
+    case PLink(i) => Some(i)
+    case _ => None
+  }
+
+  // ---------------- triples block ----------------
+  private def parseTriplesBlock(): Seq[GraphPattern] = {
+    val out = scala.collection.mutable.ListBuffer[GraphPattern]()
+    var more = true
+    while (more) {
+      val s = parseVarOrTerm()
+      var moreProps = true
+      while (moreProps) {
+        ws()
+        val verb: Either[Path, String] =
+          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+            Right(parseVarName())
+          else Left(parsePath())
+        var moreObjs = true
+        while (moreObjs) {
+          val o = parseVarOrTerm()
+          verb match {
+            case Right(v) => out += Bgp(TriplePattern(s, V(v), o))
+            case Left(p) => pathAsIri(p) match {
+              case Some(iri) => out += Bgp(TriplePattern(s, I(iri), o))
+              case None => out += PathPattern(s, p, o)
+            }
+          }
+          moreObjs = eatSym(",")
+        }
+        moreProps = eatSym(";")
+        ws()
+        if (moreProps && (pos >= input.length || input(pos) == '.' ||
+          input(pos) == '}')) moreProps = false // dangling ';'
+      }
+      more = eatSym(".")
+      ws()
+      if (pos >= input.length || input(pos) == '}' ||
+        startsGraphPatternNotTriples) more = false
+    }
+    out.toSeq
+  }
+
+  private def startsGraphPatternNotTriples: Boolean =
+    peek("OPTIONAL") || peek("FILTER") || peek("BIND") || peek("MINUS") ||
+      peek("GRAPH") || peek("VALUES") || peekSym("{")
+
+  // ---------------- group graph pattern ----------------
+  private def parseGroupGraphPattern(): GraphPattern = {
+    expect("{")
+    ws()
+    if (peek("SELECT")) { val sub = parseSelect(); expect("}"); sub }
+    else {
+      var acc: GraphPattern = Bgp()
+      val filters = scala.collection.mutable.ListBuffer[Expr]()
+      def add(g: GraphPattern): Unit =
+        acc = if (isEmptyBgp(acc)) g else Join(acc, g)
+      var done = false
+      while (!done) {
+        ws()
+        if (peekSym("}")) done = true
+        else if (peek("OPTIONAL")) {
+          eat("OPTIONAL")
+          val inner = parseGroupGraphPattern()
+          acc = inner match {
+            case Filter(f, p) => LeftJoin(acc, p, Some(f))
+            case p => LeftJoin(acc, p, None)
+          }
+        } else if (peek("FILTER")) {
+          eat("FILTER"); filters += parseConstraint()
+        } else if (peek("BIND")) {
+          eat("BIND"); expect("(")
+          val e = parseExpression(); expect("AS")
+          val v = parseVarName(); expect(")")
+          acc = Extend(acc, v, e)
+        } else if (peek("MINUS")) {
+          eat("MINUS"); acc = Minus(acc, parseGroupGraphPattern())
+        } else if (peek("GRAPH")) {
+          eat("GRAPH")
+          val name: TermPat =
+            if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+              V(parseVarName())
+            else I(parseIri())
+          add(GraphPat(name, parseGroupGraphPattern()))
+        } else if (peek("VALUES")) {
+          add(parseInlineData())
+        } else if (peekSym("{")) {
+          var g = parseGroupGraphPattern()
+          while (peek("UNION")) { eat("UNION"); g = Union(g, parseGroupGraphPattern()) }
+          add(g)
+        } else {
+          parseTriplesBlock().foreach(add)
+        }
+        eatSym(".")
+      }
+      expect("}")
+      filters.foldLeft(acc)((a, f) => Filter(f, a))
+    }
+  }
+  private def isEmptyBgp(g: GraphPattern): Boolean = g match {
+    case Bgp(ps @ _*) => ps.isEmpty
+    case _ => false
+  }
+
+  private def parseInlineData(): ValuesPat = {
+    expect("VALUES")
+    ws()
+    val vars = scala.collection.mutable.ListBuffer[String]()
+    val multi = eatSym("(")
+    if (multi) { while (!eatSym(")")) vars += parseVarName() }
+    else vars += parseVarName()
+    expect("{")
+    val rows = scala.collection.mutable.ListBuffer[Seq[Option[TermPat]]]()
+    while (!eatSym("}")) {
+      if (multi) {
+        expect("(")
+        val row = scala.collection.mutable.ListBuffer[Option[TermPat]]()
+        while (!eatSym(")")) {
+          if (peek("UNDEF")) { eat("UNDEF"); row += None }
+          else row += Some(parseVarOrTerm())
+        }
+        rows += row.toSeq
+      } else {
+        if (peek("UNDEF")) { eat("UNDEF"); rows += Seq(None) }
+        else rows += Seq(Some(parseVarOrTerm()))
+      }
+    }
+    ValuesPat(vars.toSeq, rows.toSeq)
+  }
+
+  // ---------------- expressions ----------------
+  private def parseConstraint(): Expr = {
+    ws()
+    if (peekSym("(")) { expect("("); val e = parseExpression(); expect(")"); e }
+    else parsePrimaryExpression() // builtin call / EXISTS
+  }
+
+  private def parseExpression(): Expr = parseOr()
+  private def parseOr(): Expr = {
+    var e = parseAnd()
+    while (eatSym("||")) e = EFn("||", e, parseAnd())
+    e
+  }
+  private def parseAnd(): Expr = {
+    var e = parseRelational()
+    while (eatSym("&&")) e = EFn("&&", e, parseRelational())
+    e
+  }
+  private def parseRelational(): Expr = {
+    val e = parseAdditive()
+    ws()
+    if (eatSym("!=")) EFn("!=", e, parseAdditive())
+    else if (eatSym("<=")) EFn("<=", e, parseAdditive())
+    else if (eatSym(">=")) EFn(">=", e, parseAdditive())
+    else if (eatSym("=")) EFn("=", e, parseAdditive())
+    else if (peekSym("<") && !peekSym("<http")) { eatSym("<"); EFn("<", e, parseAdditive()) }
+    else if (eatSym(">")) EFn(">", e, parseAdditive())
+    else if (peek("NOT")) { eat("NOT"); expect("IN")
+      expect("(")
+      val items = scala.collection.mutable.ListBuffer[Expr](e)
+      if (!peekSym(")")) { items += parseExpression()
+        while (eatSym(",")) items += parseExpression() }
+      expect(")")
+      EFn("!", EFn("IN", items.toSeq: _*))
+    }
+    else if (peek("IN")) { eat("IN")
+      expect("(")
+      val items = scala.collection.mutable.ListBuffer[Expr](e)
+      if (!peekSym(")")) { items += parseExpression()
+        while (eatSym(",")) items += parseExpression() }
+      expect(")")
+      EFn("IN", items.toSeq: _*)
+    }
+    else e
+  }
+  private def parseAdditive(): Expr = {
+    var e = parseMultiplicative()
+    var go = true
+    while (go) {
+      ws()
+      if (eatSym("+")) e = EFn("+", e, parseMultiplicative())
+      else if (peekSym("-") && !peekSym("->")) { eatSym("-"); e = EFn("-", e, parseMultiplicative()) }
+      else go = false
+    }
+    e
+  }
+  private def parseMultiplicative(): Expr = {
+    var e = parseUnary()
+    var go = true
+    while (go) {
+      ws()
+      if (eatSym("*")) e = EFn("*", e, parseUnary())
+      else if (eatSym("/")) e = EFn("/", e, parseUnary())
+      else go = false
+    }
+    e
+  }
+  private def parseUnary(): Expr = {
+    ws()
+    if (eatSym("!")) EFn("!", parseUnary())
+    else if (eatSym("-")) EFn("UMINUS", parseUnary())
+    else if (eatSym("+")) parseUnary()
+    else parsePrimaryExpression()
+  }
+
+  private val builtins = Set(
+    "BOUND", "COALESCE", "IF", "STR", "LANG", "LANGMATCHES", "DATATYPE",
+    "IRI", "URI", "BNODE", "STRDT", "STRLANG", "UUID", "STRUUID",
+    "STRLEN", "SUBSTR", "UCASE", "LCASE", "CONCAT", "CONTAINS",
+    "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI",
+    "REGEX", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND", "RAND",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "NOW",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ISIRI", "ISURI",
+    "ISBLANK", "ISLITERAL", "ISNUMERIC", "SAMETERM")
+  private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+    "GROUP_CONCAT")
+
+  /** Aggregate calls found while parsing projection/having expressions:
+    * replaced by fresh variables and hoisted into the Group node, like
+    * the reference grammar's aggregate hoisting.
+    */
+  private val hoistedAggs =
+    scala.collection.mutable.ListBuffer[(String, AggCall)]()
+
+  private def canonicalFn(name: String): String = name.toUpperCase match {
+    case "ISIRI" | "ISURI" => "isIRI"
+    case "ISBLANK" => "isBlank"
+    case "ISLITERAL" => "isLiteral"
+    case "ISNUMERIC" => "isNumeric"
+    case "SAMETERM" => "sameTerm"
+    case "URI" => "IRI"
+    case up => up
+  }
+
+  private def parsePrimaryExpression(): Expr = {
+    ws()
+    if (peekSym("(")) { expect("("); val e = parseExpression(); expect(")"); e }
+    else if (peek("EXISTS")) { eat("EXISTS"); EExists(parseGroupGraphPattern()) }
+    else if (peek("NOT")) { eat("NOT"); expect("EXISTS")
+      EExists(parseGroupGraphPattern(), positive = false) }
+    else if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+      EVar(parseVarName())
+    else if (peekSym("\"") || peekSym("'")) {
+      val l = parseRdfLiteral(); ELit(l.lex, l.dt, l.lang)
+    }
+    else if (peek("true")) { eat("true"); ELit("true", Term.XsdBoolean) }
+    else if (peek("false")) { eat("false"); ELit("false", Term.XsdBoolean) }
+    else if (pos < input.length && (input(pos).isDigit ||
+      ((input(pos) == '+' || input(pos) == '-' || input(pos) == '.') &&
+        pos + 1 < input.length && (input(pos + 1).isDigit || input(pos + 1) == '.')))) {
+      val l = parseNumber(); ELit(l.lex, l.dt, l.lang)
+    }
+    else {
+      // keyword function, aggregate, or IRI (cast / constant)
+      val start = pos
+      var p = pos
+      while (p < input.length && (input(p).isLetterOrDigit || input(p) == '_')) p += 1
+      val word = input.substring(start, p).toUpperCase
+      if (aggNames.contains(word)) { pos = p; parseAggregate(word) }
+      else if (builtins.contains(word)) {
+        pos = p
+        val fn = canonicalFn(word)
+        ws()
+        if (peekSym("(")) {
+          expect("(")
+          val args = scala.collection.mutable.ListBuffer[Expr]()
+          if (!peekSym(")")) {
+            args += parseExpression()
+            while (eatSym(",")) args += parseExpression()
+          }
+          expect(")")
+          EFn(fn, args.toSeq: _*)
+        } else EFn(fn) // NOW / RAND / UUID without args? (grammar has ())
+      } else {
+        // IRI: either constant term or constructor cast iri(expr)
+        val iri = parseIri()
+        ws()
+        if (peekSym("(")) {
+          expect("(")
+          val arg = parseExpression()
+          expect(")")
+          val xsdName = iri.stripPrefix(Term.xsd)
+          EFn("xsd:" + xsdName, arg)
+        } else EIri(iri)
+      }
+    }
+  }
+
+  private def parseAggregate(word: String): Expr = {
+    expect("(")
+    val distinct = eat("DISTINCT")
+    val call =
+      if (word == "COUNT" && eatSym("*")) AggCall("COUNT_STAR", None, distinct)
+      else {
+        val e = parseExpression()
+        if (word == "GROUP_CONCAT") {
+          var sep = " "
+          if (eatSym(";")) { expect("SEPARATOR"); expect("=")
+            sep = parseString() }
+          AggCall("GROUP_CONCAT", Some(e), distinct, sep)
+        } else AggCall(word, Some(e), distinct)
+      }
+    expect(")")
+    val v = s"__agg${hoistedAggs.size}"
+    hoistedAggs += v -> call
+    EVar(v)
+  }
+
+  // ---------------- query forms ----------------
+  private def parsePrologue(): Unit = {
+    var go = true
+    while (go) {
+      if (peek("PREFIX")) {
+        eat("PREFIX"); ws()
+        val start = pos
+        while (pos < input.length && input(pos) != ':') pos += 1
+        val name = input.substring(start, pos).trim
+        pos += 1
+        prefixes(name) = parseIriRef()
+      } else if (peek("BASE")) { eat("BASE"); base = parseIriRef() }
+      else go = false
+    }
+  }
+
+  private def parseSelect(): GraphPattern = {
+    expect("SELECT")
+    val aggMark = hoistedAggs.size // aggregates hoisted from THIS scope
+    val distinct = eat("DISTINCT")
+    val reduced = !distinct && eat("REDUCED")
+    val projections =
+      scala.collection.mutable.ListBuffer[(String, Option[Expr])]()
+    var star = false
+    ws()
+    if (eatSym("*")) star = true
+    else {
+      var go = true
+      while (go) {
+        ws()
+        if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+          projections += parseVarName() -> None
+        else if (peekSym("(")) {
+          expect("(")
+          val e = parseExpression()
+          expect("AS")
+          val v = parseVarName()
+          expect(")")
+          projections += v -> Some(e)
+        } else go = false
+      }
+    }
+    eat("WHERE")
+    var pattern = parseGroupGraphPattern()
+
+    // GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
+    var groupKeys: Option[Seq[String]] = None
+    if (peek("GROUP")) {
+      eat("GROUP"); expect("BY")
+      val keys = scala.collection.mutable.ListBuffer[String]()
+      ws()
+      while (pos < input.length && (input(pos) == '?' || input(pos) == '$')) {
+        keys += parseVarName(); ws()
+      }
+      groupKeys = Some(keys.toSeq)
+    }
+    var having: Option[Expr] = None
+    if (peek("HAVING")) { eat("HAVING"); having = Some(parseConstraint()) }
+
+    var orderKeys: Seq[(Expr, Boolean)] = Nil
+    if (peek("ORDER")) {
+      eat("ORDER"); expect("BY")
+      val keys = scala.collection.mutable.ListBuffer[(Expr, Boolean)]()
+      var go = true
+      while (go) {
+        ws()
+        if (peek("ASC")) { eat("ASC"); expect("(")
+          keys += parseExpression() -> true; expect(")") }
+        else if (peek("DESC")) { eat("DESC"); expect("(")
+          keys += parseExpression() -> false; expect(")") }
+        else if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+          keys += EVar(parseVarName()) -> true
+        else if (peekSym("(")) { expect("(")
+          keys += parseExpression() -> true; expect(")") }
+        else go = false
+      }
+      orderKeys = keys.toSeq
+    }
+    var limit = -1L; var offset = 0L
+    var lo = true
+    while (lo) {
+      if (peek("LIMIT")) { eat("LIMIT"); limit = parseNumber().lex.toLong }
+      else if (peek("OFFSET")) { eat("OFFSET"); offset = parseNumber().lex.toLong }
+      else lo = false
+    }
+
+    // assemble: aggregates parsed in this SELECT's scope
+    val myAggs = hoistedAggs.drop(aggMark).toList
+    hoistedAggs.remove(aggMark, hoistedAggs.size - aggMark)
+    val hasAggs = myAggs.nonEmpty || groupKeys.isDefined
+    if (hasAggs) {
+      val keys = groupKeys.getOrElse(Nil)
+      pattern = Group(pattern, keys, myAggs)
+    }
+    having.foreach(h => pattern = Filter(h, pattern))
+    // projection expressions become Extends over the (grouped) pattern
+    projections.foreach { case (v, Some(e)) => pattern = Extend(pattern, v, e)
+      case _ => }
+    if (orderKeys.nonEmpty) pattern = OrderBy(pattern, orderKeys)
+    if (!star) pattern = Project(pattern, projections.map(_._1).toSeq)
+    else if (hasAggs) fail("SELECT * with aggregates unsupported")
+    if (distinct || reduced) pattern = Distinct(pattern)
+    if (limit >= 0 || offset > 0) pattern = Slice(pattern, offset, limit)
+    pattern
+  }
+
+  private def parseConstructTemplate(): Seq[TriplePattern] = {
+    expect("{")
+    val out = scala.collection.mutable.ListBuffer[TriplePattern]()
+    while (!peekSym("}")) {
+      val s = parseVarOrTerm()
+      var moreProps = true
+      while (moreProps) {
+        ws()
+        val p: TermPat =
+          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+            V(parseVarName())
+          else if (peek("a")) { eat("a")
+            I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type") }
+          else I(parseIri())
+        var moreObjs = true
+        while (moreObjs) {
+          out += TriplePattern(s, p, parseVarOrTerm())
+          moreObjs = eatSym(",")
+        }
+        moreProps = eatSym(";")
+        ws()
+        if (moreProps && (input(pos) == '.' || input(pos) == '}'))
+          moreProps = false
+      }
+      eatSym(".")
+    }
+    expect("}")
+    out.toSeq
+  }
+
+  def parseQuery(): QueryForm = {
+    parsePrologue()
+    ws()
+    val form =
+      if (peek("SELECT")) Select(parseSelect())
+      else if (peek("ASK")) { eat("ASK"); eat("WHERE")
+        Ask(parseGroupGraphPattern()) }
+      else if (peek("CONSTRUCT")) {
+        eat("CONSTRUCT")
+        val tmpl = parseConstructTemplate()
+        eat("WHERE")
+        val where = parseGroupGraphPattern()
+        // CONSTRUCT solution modifiers (LIMIT etc.) unsupported in v1
+        Construct(tmpl, where)
+      }
+      else fail("expected SELECT, ASK or CONSTRUCT")
+    ws()
+    if (pos < input.length) fail(s"trailing input")
+    form
+  }
+}
+
+object SparqlParser {
+  def parse(query: String): QueryForm = new SparqlParser(query).parseQuery()
+
+  /** Parse and execute against a quad table. */
+  def execute(query: String, quads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.exec.QueryExec
+    parse(query) match {
+      case Select(p) => QueryExec.select(p, quads)
+      case Ask(p) => QueryExec.ask(p, quads)
+      case Construct(t, p) => QueryExec.construct(t, p, quads)
+      case Describe(p, vs) => QueryExec.describe(p, vs.head, quads)
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.TpchRdf
+import graft.parser.SparqlParser
+
+/** SPARQL *text* queries: the full pipeline parser -> algebra ->
+  * translator -> DataFrame, oracle-checked. Proves a reference user can
+  * paste their SPARQL and run it here (SURVEY.md §3.4).
+  */
+object SparqlText {
+  private val D2 = DecimalType(38, 2)
+  private def str(v: String): Column = col(v)("lex")
+  private def dec2(v: String): Column = col(v)("lex").cast(D2)
+  private def int64(v: String): Column = col(v)("lex").cast(LongType)
+
+  private val prologue = s"PREFIX : <${TpchRdf.ns}>\n"
+
+  private def run(s: SparkSession, dir: String, q: String): DataFrame =
+    SparqlParser.execute(prologue + q, TpchRdf.quads(s, dir))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // text form of sp1: BGP + FILTER + ORDER BY
+    "pq1_select_filter" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?cname ?b WHERE {
+             ?c :inNation ?n . ?n :inRegion ?r .
+             ?r :name "ASIA" .
+             ?c :acctbal ?b ; :name ?cname .
+             FILTER(?b > 5000.00)
+           } ORDER BY ?cname""")
+        .select(str("cname").as("c_name"), dec2("b").as("bal"))
+    },
+
+    // OPTIONAL with inner filter
+    "pq2_optional" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?cname ?tp WHERE {
+             ?c :name ?cname ; :acctbal ?b .
+             OPTIONAL { ?o :orderedBy ?c ; :totalprice ?tp .
+                        FILTER(?tp > 300000.00) }
+           }""")
+        .select(str("cname").as("c_name"), dec2("tp").as("bigprice"))
+        .orderBy(col("c_name"), col("bigprice"))
+    },
+
+    // aggregates: GROUP BY + HAVING + expression projection
+    "pq3_group_having" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?nname (COUNT(*) AS ?cnt) (SUM(?b) AS ?total)
+           WHERE {
+             ?c :inNation ?n . ?n :name ?nname . ?c :acctbal ?b .
+           } GROUP BY ?nname HAVING (COUNT(*) > 50) ORDER BY ?nname""")
+        .select(str("nname").as("n_name"), int64("cnt").as("cnt"),
+          dec2("total").cast(D2).as("total"))
+    },
+
+    // property path: transitive closure from text syntax
+    "pq4_path_plus" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?x ?y WHERE { ?x :locatedIn+ ?y } ORDER BY ?x ?y""")
+        .select(str("x").as("x"), str("y").as("y"))
+    },
+
+    // EXISTS + IN + UNION pieces
+    "pq5_exists" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?cname ?seg WHERE {
+             ?c :name ?cname ; :mktsegment ?seg .
+             FILTER EXISTS { ?o :orderedBy ?c ; :totalprice ?tp .
+                             FILTER(?tp > 300000.00) }
+           } ORDER BY ?cname""")
+        .select(str("cname").as("c_name"), str("seg").as("seg"))
+    },
+
+    // GRAPH scoping + cross-graph join from text
+    "pq6_graph" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT ?sname ?nname WHERE {
+             GRAPH <${TpchRdf.G_SUPPLIERS}> { ?s :name ?sname ; :inNation ?n }
+             ?n :name ?nname .
+           } ORDER BY ?sname""")
+        .select(str("sname").as("s_name"), str("nname").as("n_name"))
+    },
+
+    // ASK text form
+    "pq7_ask" -> { (s, dir) =>
+      run(s, dir,
+        """ASK { ?c :acctbal ?b . FILTER(?b > 9000.00) }""")
+    },
+
+    // CONSTRUCT text form
+    "pq8_construct" -> { (s, dir) =>
+      run(s, dir,
+        """CONSTRUCT { ?c :segment ?seg . ?c :type "customer" }
+           WHERE { ?c :mktsegment ?seg }""")
+        .select(col("s")("lex").as("s"), col("p")("lex").as("p"),
+          col("o")("lex").as("o"))
+        .orderBy(col("s"), col("p"), col("o"))
+    },
+
+    // VALUES + BIND + arithmetic from text
+    "pq9_values_bind" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?cname ?dbl WHERE {
+             VALUES ?rn { "ASIA" "EUROPE" }
+             ?c :inNation ?n . ?n :inRegion ?r . ?r :name ?rn .
+             ?c :name ?cname ; :acctbal ?b .
+             BIND(?b * 2 AS ?dbl)
+           } ORDER BY ?cname""")
+        .select(str("cname").as("c_name"), dec2("dbl").as("dblbal"))
+    },
+
+    // subselect with aggregation joined to outer pattern, from text
+    "pq10_subselect" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?cname WHERE {
+             ?c :inNation ?n ; :acctbal ?b ; :name ?cname .
+             { SELECT ?n (AVG(?b2) AS ?av) WHERE {
+                 ?c2 :inNation ?n ; :acctbal ?b2 . } GROUP BY ?n }
+             FILTER(?b > ?av)
+           } ORDER BY ?cname""")
+        .select(str("cname").as("c_name"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "pq1_select_filter" -> Sparql.oracle("sp1_bgp_filter"),
+    "pq2_optional" -> Sparql.oracle("sp2_optional"),
+    "pq3_group_having" ->
+      """SELECT n_name, count(*) AS cnt,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name HAVING count(*) > 50 ORDER BY n_name""",
+    "pq4_path_plus" -> Sparql.oracle("sp9_path_plus"),
+    "pq5_exists" -> Sparql.oracle("sp5_exists"),
+    "pq6_graph" -> Sparql.oracle("sp11_graph"),
+    "pq7_ask" -> Sparql.oracle("sp14_ask"),
+    "pq8_construct" -> Sparql.oracle("sp13_construct"),
+    "pq9_values_bind" ->
+      """SELECT c_name,
+        CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 2 AS DECIMAL(38,2)) AS dblbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY c_name""",
+    "pq10_subselect" -> Sparql.oracle("sp19_subselect"))
+}

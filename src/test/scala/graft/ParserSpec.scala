@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algebra.Algebra._
+import graft.model.Term
+import graft.parser.SparqlParser
+
+class ParserSpec extends AnyFunSuite {
+  import TestSpark._
+
+  val pfx = "PREFIX : <http://example.org/>\n"
+
+  test("parses a BGP with abbreviations into algebra") {
+    val q = SparqlParser.parse(pfx +
+      "SELECT ?n WHERE { ?c :name ?n ; :acctbal ?b . ?c a :Customer . }")
+    val Select(Project(bgpish, vars)) = q: @unchecked
+    assert(vars == Seq("n"))
+    def count(g: GraphPattern): Int = g match {
+      case Join(l, r) => count(l) + count(r)
+      case Bgp(ps @ _*) => ps.length
+      case _ => 0
+    }
+    assert(count(bgpish) == 3)
+  }
+
+  test("parses paths, filters, optional, values, union") {
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x (:a/:b)|^:c+ ?y . }").isInstanceOf[Select])
+    assert(SparqlParser.parse(pfx +
+      """SELECT ?x WHERE { { ?x :p ?y } UNION { ?x :q ?y }
+         OPTIONAL { ?y :r ?z } FILTER(?y > 3 && !BOUND(?z)) }""")
+      .isInstanceOf[Select])
+    assert(SparqlParser.parse(pfx +
+      """SELECT ?x WHERE { VALUES (?x ?y) { (:a 1) (UNDEF "s"@en) }
+         ?x :p ?y . MINUS { ?x :bad true } }""").isInstanceOf[Select])
+  }
+
+  test("string escapes, datatypes, comments survive the parse") {
+    val Select(Project(Filter(f, _), _)) = SparqlParser.parse(pfx +
+      """SELECT ?x # trailing comment
+         WHERE { ?x :p ?v .
+         FILTER(?v != "a\"b\nc"^^<http://www.w3.org/2001/XMLSchema#string>) }"""): @unchecked
+    val EFn("!=", _, ELit(lex, dt, _)) = f: @unchecked
+    assert(lex == "a\"b\nc" && dt == Term.XsdString)
+  }
+
+  test("parsed text query equals programmatic algebra results (sp1)") {
+    val quads = graft.io.TpchRdf.quads(spark, sf)
+    val text = SparqlParser.execute(pfx +
+      """SELECT ?cname ?b WHERE {
+           ?c :inNation ?n . ?n :inRegion ?r . ?r :name "ASIA" .
+           ?c :acctbal ?b ; :name ?cname . FILTER(?b > 5000.00)
+         } ORDER BY ?cname""", quads)
+    val prog = graft.queries.Sparql.queries("sp1_bgp_filter")(spark, sf)
+    val t = text.select(text("cname")("lex"), text("b")("lex")).collect()
+      .map(_.toSeq).toSet
+    val p = prog.collect().map(r => Seq(r.get(0), r.get(1).toString)).toSet
+    assert(t.map(_.map(_.toString)) == p.map(_.map(_.toString)))
+  }
+
+  test("aggregate hoisting: GROUP BY + HAVING + projection exprs") {
+    val q = SparqlParser.parse(pfx +
+      """SELECT ?n (COUNT(*) AS ?c) (SUM(?b) AS ?s) WHERE {
+           ?x :inNation ?n ; :acctbal ?b } GROUP BY ?n
+         HAVING (COUNT(*) > 2) ORDER BY ?n""")
+    assert(q.isInstanceOf[Select])
+    val df = SparqlParser.execute(pfx +
+      """SELECT ?n (COUNT(*) AS ?c) WHERE {
+           ?x :inNation ?n ; :acctbal ?b } GROUP BY ?n""",
+      graft.io.TpchRdf.quads(spark, sf))
+    assert(df.count() == 25)
+  }
+
+  test("rejects malformed queries") {
+    intercept[RuntimeException](SparqlParser.parse("SELECT ?x WHERE"))
+    intercept[RuntimeException](SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p ?y } trailing"))
+    intercept[RuntimeException](SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :undefinedprefix:p ?y }"))
+  }
+}
