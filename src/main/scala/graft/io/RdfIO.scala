@@ -1,0 +1,178 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Term
+
+/** N-Triples / N-Quads source and sink.
+  *
+  * Mirrors the reference's line-oriented parsers (oxigraph:
+  * lib/oxttl/src/ntriples.rs, nquads.rs, shared line_formats.rs) but as a
+  * SPLITTABLE Spark source: spark.read.text gives line-aligned splits, so
+  * a 100 TB dump parses fully in parallel with no coordination — the
+  * property the reference's push/pull parser gets from chunked feeding,
+  * recovered here from the data format itself (SURVEY.md §2.1).
+  * Serialization is pure Column ops (codegen'd concat/escape).
+  */
+object RdfIO {
+
+  final case class TermRow(kind: Byte, lex: String, dt: String, lang: String)
+  final case class QuadRow(g: TermRow, s: TermRow, p: TermRow, o: TermRow)
+
+  private val DefaultG = TermRow(Term.DefaultGraphKind.toByte, null, null, null)
+
+  // ---------------- parsing (executor-side, line at a time) -----------
+  final class LineParser(line: String) {
+    private var i = 0
+    private def ws(): Unit =
+      while (i < line.length && (line(i) == ' ' || line(i) == '\t')) i += 1
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg in N-Triples line: $line")
+
+    private def unescape(s: String): String = {
+      if (!s.contains('\\')) return s
+      val sb = new StringBuilder(s.length)
+      var j = 0
+      while (j < s.length) {
+        if (s(j) == '\\' && j + 1 < s.length) {
+          j += 1
+          s(j) match {
+            case 'n' => sb += '\n'; case 't' => sb += '\t'
+            case 'r' => sb += '\r'; case 'b' => sb += '\b'
+            case 'f' => sb += '\f'; case '"' => sb += '"'
+            case '\'' => sb += '\''; case '\\' => sb += '\\'
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(j + 1, j + 5), 16).toChar
+              j += 4
+            case 'U' =>
+              sb.appendAll(Character.toChars(
+                Integer.parseInt(s.substring(j + 1, j + 9), 16)))
+              j += 8
+            case c => sb += c
+          }
+        } else sb += s(j)
+        j += 1
+      }
+      sb.toString
+    }
+
+    def parseTerm(): TermRow = {
+      ws()
+      if (i >= line.length) fail("unexpected end")
+      line(i) match {
+        case '<' =>
+          val end = line.indexOf('>', i)
+          if (end < 0) fail("unterminated IRI")
+          val iri = line.substring(i + 1, end); i = end + 1
+          TermRow(Term.IriKind.toByte, unescape(iri), null, null)
+        case '_' =>
+          if (i + 1 >= line.length || line(i + 1) != ':') fail("bad bnode")
+          i += 2
+          val start = i
+          while (i < line.length && !line(i).isWhitespace && line(i) != '.')
+            i += 1
+          TermRow(Term.BlankKind.toByte, line.substring(start, i), null, null)
+        case '"' =>
+          i += 1
+          val start = i
+          while (i < line.length && line(i) != '"') {
+            if (line(i) == '\\') i += 1 // skip escaped char
+            i += 1
+          }
+          if (i >= line.length) fail("unterminated literal")
+          val lex = unescape(line.substring(start, i)); i += 1
+          if (i + 1 < line.length && line(i) == '^' && line(i + 1) == '^') {
+            i += 2
+            val dtTerm = parseTerm()
+            TermRow(Term.LiteralKind.toByte, lex, dtTerm.lex, null)
+          } else if (i < line.length && line(i) == '@') {
+            i += 1
+            val start2 = i
+            while (i < line.length && (line(i).isLetterOrDigit || line(i) == '-'))
+              i += 1
+            TermRow(Term.LiteralKind.toByte, lex, Term.RdfLangString,
+              line.substring(start2, i))
+          } else TermRow(Term.LiteralKind.toByte, lex, Term.XsdString, null)
+        case c => fail(s"unexpected char '$c'")
+      }
+    }
+
+    /** triple or quad; returns null for blank/comment lines */
+    def parseStatement(allowGraph: Boolean): QuadRow = {
+      ws()
+      if (i >= line.length || line(i) == '#') return null
+      val s = parseTerm()
+      val p = parseTerm()
+      val o = parseTerm()
+      ws()
+      val g =
+        if (allowGraph && i < line.length && line(i) != '.') parseTerm()
+        else DefaultG
+      ws()
+      if (i >= line.length || line(i) != '.') fail("missing final '.'")
+      QuadRow(g, s, p, o)
+    }
+  }
+
+  def parseLine(line: String, allowGraph: Boolean): Option[QuadRow] =
+    Option(new LineParser(line).parseStatement(allowGraph))
+
+  /** Read N-Triples (default graph) as a quad DataFrame. */
+  def readNTriples(spark: SparkSession, path: String): DataFrame =
+    readLines(spark, path, allowGraph = false)
+
+  /** Read N-Quads as a quad DataFrame. */
+  def readNQuads(spark: SparkSession, path: String): DataFrame =
+    readLines(spark, path, allowGraph = true)
+
+  private def readLines(spark: SparkSession, path: String,
+      allowGraph: Boolean): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(l => parseLine(l, allowGraph))
+      .toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+  }
+
+  /** Format dispatch facade (oxigraph: lib/oxrdfio · RdfParser). */
+  def read(spark: SparkSession, path: String, format: String): DataFrame =
+    format.toLowerCase match {
+      case "nt" | "ntriples" | "application/n-triples" =>
+        readNTriples(spark, path)
+      case "nq" | "nquads" | "application/n-quads" => readNQuads(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported RDF format: $other (supported: nt, nq)")
+    }
+
+  // ---------------- serialization (pure Column ops) -------------------
+  private def escape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
+
+  /** Format one term column as its N-Triples token. */
+  def formatTerm(t: Column): Column =
+    when(t("kind") === Term.IriKind, concat(lit("<"), t("lex"), lit(">")))
+      .when(t("kind") === Term.BlankKind, concat(lit("_:"), t("lex")))
+      .otherwise(concat(lit("\""), escape(t("lex")), lit("\""),
+        when(t("lang").isNotNull, concat(lit("@"), t("lang")))
+          .when(t("dt").isNotNull && t("dt") =!= Term.XsdString,
+            concat(lit("^^<"), t("dt"), lit(">")))
+          .otherwise(lit(""))))
+
+  /** Serialize quads to N-Quads text (named graph appended when present). */
+  def writeNQuads(quads: DataFrame, path: String): Unit =
+    quads.select(concat(
+      formatTerm(col("s")), lit(" "), formatTerm(col("p")), lit(" "),
+      formatTerm(col("o")),
+      when(col("g")("kind") === Term.DefaultGraphKind, lit(""))
+        .otherwise(concat(lit(" "), formatTerm(col("g")))),
+      lit(" .")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  def writeNTriples(triples: DataFrame, path: String): Unit =
+    triples.select(concat(
+      formatTerm(col("s")), lit(" "), formatTerm(col("p")), lit(" "),
+      formatTerm(col("o")), lit(" .")).as("value"))
+      .write.mode("overwrite").text(path)
+}

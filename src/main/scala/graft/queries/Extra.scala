@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.algebra.Algebra._
+import graft.exec.QueryExec
+import graft.io.{Tables, TpchRdf}
+import graft.io.TpchRdf.P
+import graft.ops.Events
+import graft.update.UpdateExec
+
+/** Coverage widening: window functions, ROLLUP, range + as-of joins,
+  * DESCRIBE, negated/zero-or-one property paths, string builtins through
+  * the SPARQL engine, INSERT DATA, approximate aggregates.
+  */
+object Extra {
+  private val D = DecimalType(38, 6)
+  private val D2 = DecimalType(38, 2)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // window functions: ranking + running aggregate per partition
+    "q16_window" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").where(col("l_suppkey") < 20)
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).cast(LongType).as("rn"),
+        sum(col("l_quantity").cast(D)).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).as("running_qty"),
+        lag(col("l_orderkey"), 1).over(w).as("prev_order"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // grouping sets via ROLLUP (extension beyond SPARQL; SURVEY §2.4)
+    "q17_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // range (theta) join: price falls in a bracket table
+    "q18_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val brackets = Seq((0, 0.0, 1000.0), (1, 1000.0, 10000.0),
+        (2, 10000.0, 50000.0), (3, 50000.0, 1e9))
+        .toDF("bracket", "lo", "hi")
+      Tables(s, dir, "lineitem")
+        .join(broadcast(brackets),
+          col("l_extendedprice") >= col("lo") &&
+            col("l_extendedprice") < col("hi"))
+        .groupBy(col("bracket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(D)).as("sum_price"))
+        .orderBy(col("bracket"))
+    },
+
+    // as-of join: for each 'error' event, the most recent prior 'login'
+    // by the same user (union + running last_value: the scalable shape —
+    // one shuffle on user_id, no per-row subqueries)
+    "q19_asof_join" -> { (s, dir) =>
+      val ev = Events.read(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"))
+      val logins = ev.where(col("event_type") === "login")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      errors.unionByName(logins)
+        .withColumn("login_ts",
+          last(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+        .where(col("side") === 0)
+        .select(col("user_id"), col("event_id"),
+          expr("(ts - login_ts) div 1000000000").as("secs_since_login"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // approximate distinct (sketch surface; no exact oracle by design)
+    "q20_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // DESCRIBE a fixed resource (§2.9)
+    "sp20_describe" -> { (s, dir) =>
+      val gp = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
+      val quads = TpchRdf.quads(s, dir)
+      QueryExec.describe(
+        Filter(EFn("=", EFn("STR", EVar("c")),
+          ELit.str(TpchRdf.ns + "customer/0")), gp), "c", quads)
+        .select(col("s")("lex").as("s"), col("p")("lex").as("p"),
+          col("o")("lex").as("o"))
+        .orderBy(col("p"), col("o"))
+    },
+
+    // negated property set !(:inNation|:locatedIn) over customers (§2.7)
+    "sp21_path_neg" -> { (s, dir) =>
+      val gp = Join(
+        PathPattern(V("c"), PNeg(Seq(P("inNation"), P("locatedIn"),
+          P("name"))), V("o")),
+        Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))))
+      QueryExec.select(gp, TpchRdf.quads(s, dir))
+        .select(col("c")("lex").as("c"), col("o")("lex").as("o"))
+        .orderBy(col("c"), col("o"))
+    },
+
+    // zero-or-one path (§2.7): region :locatedIn? from region subjects
+    "sp22_path_zero_one" -> { (s, dir) =>
+      val gp = Join(
+        Bgp(TriplePattern(V("r"), I(P("name")), V("rn")),
+          TriplePattern(V("r"), I(P("locatedIn")), I(TpchRdf.WORLD))),
+        PathPattern(V("r"), PZeroOrOne(PLink(P("locatedIn"))), V("y")))
+      QueryExec.select(gp, TpchRdf.quads(s, dir))
+        .select(col("rn")("lex").as("r_name"), col("y")("lex").as("y"))
+        .orderBy(col("r_name"), col("y"))
+    },
+
+    // string builtins through the engine: STRBEFORE/STRAFTER/REPLACE/
+    // REGEX/SUBSTR/STRLEN (§2.8)
+    "sp23_string_fns" -> { (s, dir) =>
+      val gp = Filter(EFn("REGEX", EVar("cname"), ELit.str("^Customer#0*1[0-9]$")),
+        Extend(
+          Extend(
+            Extend(Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+              TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+              "before", EFn("STRBEFORE", EVar("cname"), ELit.str("#"))),
+            "after", EFn("STRAFTER", EVar("cname"), ELit.str("#"))),
+          "masked", EFn("REPLACE", EVar("cname"), ELit.str("[0-9]"),
+            ELit.str("x"))))
+      QueryExec.select(gp, TpchRdf.quads(s, dir))
+        .select(col("cname")("lex").as("c_name"),
+          col("before")("lex").as("before"),
+          col("after")("lex").as("after"),
+          col("masked")("lex").as("masked"))
+        .orderBy(col("c_name"))
+    },
+
+    // INSERT DATA + DELETE DATA ground quads (§2.10)
+    "sp24_insert_data" -> { (s, dir) =>
+      val quads = TpchRdf.quads(s, dir)
+      val added = UpdateExec(InsertData(Seq(
+        (I("urn:x-graft:g"), TriplePattern(I("urn:x-graft:s"),
+          I("urn:x-graft:p"), L.str("v1"))),
+        (I("urn:x-graft:g"), TriplePattern(I("urn:x-graft:s"),
+          I("urn:x-graft:p"), L.str("v2"))))), quads)
+      val afterDelete = UpdateExec(DeleteData(Seq(
+        (I("urn:x-graft:g"), TriplePattern(I("urn:x-graft:s"),
+          I("urn:x-graft:p"), L.str("v2"))))), added)
+      afterDelete.agg(count(lit(1)).as("cnt"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q16_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        row_number() OVER w AS rn,
+        sum(CAST(l_quantity AS DECIMAL(38,6))) OVER
+          (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        lag(l_orderkey, 1) OVER w AS prev_order
+        FROM lineitem WHERE l_suppkey < 20
+        WINDOW w AS (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        ORDER BY l_suppkey, rn""",
+    "q17_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q18_range_join" ->
+      """SELECT bracket, count(*) AS n,
+        sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price
+        FROM lineitem JOIN (VALUES (0, 0.0, 1000.0), (1, 1000.0, 10000.0),
+          (2, 10000.0, 50000.0), (3, 50000.0, 1e9)) AS b(bracket, lo, hi)
+        ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY bracket ORDER BY bracket""",
+    "q19_asof_join" ->
+      """SELECT e.user_id, e.event_id,
+        (epoch_ns(e.ts) - epoch_ns(l.ts)) // 1000000000 AS secs_since_login
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+        ON e.user_id = l.user_id AND e.ts >= l.ts
+        ORDER BY e.user_id, e.event_id""",
+    "sp20_describe" ->
+      s"""SELECT s, p, o FROM (
+        SELECT '${TpchRdf.ns}customer/' || c_custkey AS s,
+               '${P("name")}' AS p, c_name AS o FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${P("acctbal")}', CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR)
+          FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${P("mktsegment")}', c_mktsegment FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${P("inNation")}', '${TpchRdf.ns}nation/' || c_nationkey
+          FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${P("locatedIn")}', '${TpchRdf.ns}nation/' || c_nationkey
+          FROM customer WHERE c_custkey = 0)
+        ORDER BY p, o""",
+    "sp21_path_neg" ->
+      s"""SELECT '${TpchRdf.ns}customer/' || c_custkey AS c, o FROM (
+        SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS o
+          FROM customer
+        UNION ALL SELECT c_custkey, c_mktsegment FROM customer)
+        ORDER BY c, o""",
+    "sp22_path_zero_one" ->
+      s"""SELECT r_name, y FROM (
+        SELECT r_name, '${TpchRdf.ns}region/' || r_regionkey AS y FROM region
+        UNION ALL SELECT r_name, '${TpchRdf.WORLD}' FROM region)
+        ORDER BY r_name, y""",
+    "sp23_string_fns" ->
+      """SELECT c_name,
+        CASE WHEN strpos(c_name, '#') > 0
+          THEN substring(c_name, 1, strpos(c_name, '#') - 1) ELSE '' END AS "before",
+        CASE WHEN strpos(c_name, '#') > 0
+          THEN substring(c_name, strpos(c_name, '#') + 1) ELSE '' END AS "after",
+        regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked
+        FROM customer WHERE regexp_matches(c_name, '^Customer#0*1[0-9]$')
+        ORDER BY c_name""",
+    "sp24_insert_data" ->
+      """SELECT (SELECT count(*) * 5 FROM customer)
+        + (SELECT count(*) * 3 FROM nation)
+        + (SELECT count(*) * 2 FROM region)
+        + (SELECT count(*) * 4 FROM orders)
+        + (SELECT count(*) * 3 FROM supplier) + 1 AS cnt""")
+}
