@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.Term
 import graft.algebra.Algebra._
+import graft.io.QuadSource
 import Translator.{DefaultG, FixedG, GraphCtx, VarG}
 
 /** Property-path evaluation (SURVEY.md §2.7).
@@ -35,42 +36,41 @@ object PathExec {
   /** Evaluate a path over the quad table -> DataFrame("ps", "po") of
     * connected term pairs. SET semantics (distinct pairs).
     */
-  def eval(path: Path, quads: DataFrame, ctx: GraphCtx): DataFrame = path match {
+  def eval(path: Path, src: QuadSource, ctx: GraphCtx): DataFrame = path match {
     case PLink(iri) =>
-      quads.where(gFilter(ctx) &&
-        col("p")("kind") === Term.IriKind && col("p")("lex") === iri)
+      src.byPredicate(iri).where(gFilter(ctx))
         .select(col("s").as("ps"), col("o").as("po"))
 
     case PInv(p) =>
-      eval(p, quads, ctx).select(col("po").as("ps"), col("ps").as("po"))
+      eval(p, src, ctx).select(col("po").as("ps"), col("ps").as("po"))
 
     case PSeq(a, b) =>
-      val l = eval(a, quads, ctx).select(col("ps"), col("po").as("mid"))
-      val r = eval(b, quads, ctx).select(col("ps").as("mid2"), col("po"))
+      val l = eval(a, src, ctx).select(col("ps"), col("po").as("mid"))
+      val r = eval(b, src, ctx).select(col("ps").as("mid2"), col("po"))
       l.join(r, col("mid") === col("mid2"))
         .select(col("ps"), col("po")).distinct()
 
     case PAlt(a, b) =>
-      eval(a, quads, ctx).union(eval(b, quads, ctx)).distinct()
+      eval(a, src, ctx).union(eval(b, src, ctx)).distinct()
 
     case PNeg(iris) =>
-      quads.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
+      src.all.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
         !col("p")("lex").isin(iris: _*))
         .select(col("s").as("ps"), col("o").as("po")).distinct()
 
     case PZeroOrOne(p) =>
-      eval(p, quads, ctx).union(identityPairs(quads, ctx)).distinct()
+      eval(p, src, ctx).union(identityPairs(src, ctx)).distinct()
 
-    case POneOrMore(p) => closure(eval(p, quads, ctx).distinct())
+    case POneOrMore(p) => closure(eval(p, src, ctx).distinct())
 
     case PZeroOrMore(p) =>
-      closure(eval(p, quads, ctx).distinct())
-        .union(identityPairs(quads, ctx)).distinct()
+      closure(eval(p, src, ctx).distinct())
+        .union(identityPairs(src, ctx)).distinct()
   }
 
   /** Zero-length path: every term appearing as subject or object. */
-  private def identityPairs(quads: DataFrame, ctx: GraphCtx): DataFrame = {
-    val g = quads.where(gFilter(ctx))
+  private def identityPairs(src: QuadSource, ctx: GraphCtx): DataFrame = {
+    val g = src.all.where(gFilter(ctx))
     g.select(col("s").as("n"))
       .union(g.select(col("o").as("n"))).distinct()
       .select(col("n").as("ps"), col("n").as("po"))

@@ -6,6 +6,7 @@ import graft.model.Term
 import graft.algebra.Algebra._
 import graft.expr.SparqlExpr
 import graft.expr.SparqlExpr._
+import graft.io.{DfQuadSource, QuadSource}
 
 /** Algebra -> DataFrame translation: the engine core.
   *
@@ -49,14 +50,21 @@ object Translator {
     case _ => None
   }
 
-  /** One triple pattern over the quad table -> solution DF. */
-  private def scanPattern(quads: DataFrame, tp: TriplePattern,
+  /** One triple pattern over the quad store -> solution DF. A constant
+    * predicate goes through QuadSource.byPredicate — the partition-pruned
+    * path on a PartitionedQuadStore (the reference's index choice).
+    */
+  private def scanPattern(src: QuadSource, tp: TriplePattern,
       ctx: GraphCtx): Sol = {
+    val base = tp.p match {
+      case I(iri) => src.byPredicate(iri)
+      case _ => src.all
+    }
     val gFiltered = ctx match {
-      case DefaultG => quads.where(col("g")("kind") === Term.DefaultGraphKind)
-      case FixedG(iri) => quads.where(
+      case DefaultG => base.where(col("g")("kind") === Term.DefaultGraphKind)
+      case FixedG(iri) => base.where(
         col("g")("kind") === Term.IriKind && col("g")("lex") === iri)
-      case VarG(_) => quads.where(col("g")("kind") =!= Term.DefaultGraphKind)
+      case VarG(_) => base.where(col("g")("kind") =!= Term.DefaultGraphKind)
     }
     val positions = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
     val filtered = positions.foldLeft(gFiltered) { case (df, (pos, pat)) =>
@@ -96,7 +104,7 @@ object Translator {
     * connected part (equi-join) is always preferred over a cartesian.
     */
   private def translateConjunction(parts: Seq[GraphPattern],
-      quads: DataFrame, ctx: GraphCtx): Sol = {
+      src: QuadSource, ctx: GraphCtx): Sol = {
     def constants(gp: GraphPattern): Int = gp match {
       case Bgp(tp) => Seq(tp.s, tp.p, tp.o).count(varName(_).isEmpty)
       case PathPattern(s, _, o) => Seq(s, o).count(varName(_).isEmpty) + 1
@@ -114,7 +122,7 @@ object Translator {
           shared * 10 + constants(p)
         }
       remaining -= next
-      val sol = translate(next, quads, ctx)
+      val sol = translate(next, src, ctx)
       acc = if (acc == null) sol else joinSols(acc, sol, "inner")
       bound ++= sol.vars
     }
@@ -169,20 +177,25 @@ object Translator {
     }
   }
 
-  def translate(gp: GraphPattern, quads: DataFrame,
-      ctx: GraphCtx = DefaultG): Sol = gp match {
+  def translate(gp: GraphPattern, quads: DataFrame): Sol =
+    translate(gp, DfQuadSource(quads), DefaultG)
+  def translate(gp: GraphPattern, quads: DataFrame, ctx: GraphCtx): Sol =
+    translate(gp, DfQuadSource(quads), ctx)
+
+  def translate(gp: GraphPattern, src: QuadSource, ctx: GraphCtx): Sol =
+    gp match {
 
     case Bgp(ps @ _*) =>
       if (ps.isEmpty) {
         // empty BGP: one empty solution (unit of join)
-        val spark = quads.sparkSession
+        val spark = src.all.sparkSession
         Sol(spark.range(1).select(lit(1).as("__unit")).drop("__unit")
           .select(), Set.empty, Set.empty)
-      } else if (ps.length == 1) scanPattern(quads, ps.head, ctx)
-      else translateConjunction(ps.map(p => Bgp(p)), quads, ctx)
+      } else if (ps.length == 1) scanPattern(src, ps.head, ctx)
+      else translateConjunction(ps.map(p => Bgp(p)), src, ctx)
 
     case PathPattern(s, path, o) =>
-      val pairs = PathExec.eval(path, quads, ctx) // DF(ps, po)
+      val pairs = PathExec.eval(path, src, ctx) // DF(ps, po)
       var df = pairs
       constFilter(col("ps"), s).foreach(f => df = df.where(f))
       constFilter(col("po"), o).foreach(f => df = df.where(f))
@@ -197,19 +210,19 @@ object Translator {
         case (None, None) => Sol(df.select(), Set.empty, Set.empty)
       }
 
-    case j: Join => translateConjunction(conjuncts(j), quads, ctx)
+    case j: Join => translateConjunction(conjuncts(j), src, ctx)
 
     case Lateral(l, r) => // v1: uncorrelated-equivalent join (see SURVEY §2.3)
-      joinSols(translate(l, quads, ctx), translate(r, quads, ctx), "inner")
+      joinSols(translate(l, src, ctx), translate(r, src, ctx), "inner")
 
     case LeftJoin(l, r, filt) =>
-      joinSols(translate(l, quads, ctx), translate(r, quads, ctx),
+      joinSols(translate(l, src, ctx), translate(r, src, ctx),
         "left_outer", filt.map(f => (b: String => Option[Column]) =>
           SparqlExpr.compile(f, b)))
 
     case Minus(l, r) =>
-      val ls = translate(l, quads, ctx)
-      val rs = translate(r, quads, ctx)
+      val ls = translate(l, src, ctx)
+      val rs = translate(r, src, ctx)
       val shared = (ls.vars & rs.vars).toSeq.sorted
       if (shared.isEmpty) ls
       else {
@@ -225,8 +238,8 @@ object Translator {
       }
 
     case Union(l, r) =>
-      val ls = translate(l, quads, ctx)
-      val rs = translate(r, quads, ctx)
+      val ls = translate(l, src, ctx)
+      val rs = translate(r, src, ctx)
       val allVars = (ls.vars ++ rs.vars).toSeq.sorted
       def pad(s: Sol): DataFrame =
         s.df.select(allVars.map(v =>
@@ -237,9 +250,9 @@ object Translator {
     case Filter(expr, inner) =>
       // EXISTS/NOT EXISTS conjuncts become semi/anti joins (SURVEY §2.3)
       val (existsConjs, scalarConjs) = splitConjuncts(expr)
-      val in = translate(inner, quads, ctx)
+      val in = translate(inner, src, ctx)
       val afterExists = existsConjs.foldLeft(in) { case (sol, EExists(p, pos)) =>
-        val sub = translate(p, quads, ctx)
+        val sub = translate(p, src, ctx)
         joinSols(sol, sub, if (pos) "left_semi" else "left_anti")
       }
       scalarConjs.foldLeft(afterExists) { (sol, e) =>
@@ -248,33 +261,33 @@ object Translator {
       }
 
     case Extend(inner, v, expr) =>
-      val in = translate(inner, quads, ctx)
+      val in = translate(inner, src, ctx)
       val c = SparqlExpr.compile(expr, in.bind)
       Sol(in.df.withColumn(v, c), in.vars + v, in.sure)
 
     case Project(inner, vs) =>
-      val in = translate(inner, quads, ctx)
+      val in = translate(inner, src, ctx)
       Sol(in.df.select(vs.map(v =>
         (if (in.vars(v)) col(v) else nullTerm).as(v)): _*),
         vs.toSet, in.sure & vs.toSet)
 
     case Distinct(inner) =>
-      val in = translate(inner, quads, ctx)
+      val in = translate(inner, src, ctx)
       Sol(in.df.distinct(), in.vars, in.sure)
 
     case Reduced(inner) => // spec allows treating REDUCED as DISTINCT
-      val in = translate(inner, quads, ctx)
+      val in = translate(inner, src, ctx)
       Sol(in.df.distinct(), in.vars, in.sure)
 
     case Slice(inner, offset, limit) =>
-      val in = translate(inner, quads, ctx)
+      val in = translate(inner, src, ctx)
       var df = in.df
       if (offset > 0) df = df.offset(offset.toInt)
       if (limit >= 0) df = df.limit(limit.toInt)
       Sol(df, in.vars, in.sure)
 
     case OrderBy(inner, keys) =>
-      val in = translate(inner, quads, ctx)
+      val in = translate(inner, src, ctx)
       val sortCols = keys.map { case (e, asc) =>
         val k = sortKey(SparqlExpr.compile(e, in.bind))
         if (asc) k.asc else k.desc
@@ -282,10 +295,10 @@ object Translator {
       Sol(in.df.orderBy(sortCols: _*), in.vars, in.sure)
 
     case Group(inner, keys, aggs) =>
-      translateGroup(inner, keys, aggs, quads, ctx)
+      translateGroup(inner, keys, aggs, src, ctx)
 
     case ValuesPat(vs, rows) =>
-      val spark = quads.sparkSession
+      val spark = src.all.sparkSession
       val schema = org.apache.spark.sql.types.StructType(
         vs.map(v => org.apache.spark.sql.types.StructField(v, Term.schema, true)))
       val data = rows.map { row =>
@@ -307,8 +320,8 @@ object Translator {
         spark.sparkContext.parallelize(data.toList), schema), vs.toSet, sure)
 
     case GraphPat(name, inner) => name match {
-      case I(iri) => translate(inner, quads, FixedG(iri))
-      case V(v) => translate(inner, quads, VarG(v))
+      case I(iri) => translate(inner, src, FixedG(iri))
+      case V(v) => translate(inner, src, VarG(v))
       case other =>
         throw new IllegalArgumentException(s"GRAPH name pattern: $other")
     }
@@ -337,9 +350,9 @@ object Translator {
     sortKey(t).getField("lang").as("lang"))
 
   private def translateGroup(inner: GraphPattern, keys: Seq[String],
-      aggs: Seq[(String, AggCall)], quads: DataFrame, ctx: GraphCtx): Sol = {
+      aggs: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol = {
     import org.apache.spark.sql.types._
-    val in = translate(inner, quads, ctx)
+    val in = translate(inner, src, ctx)
     val DV = DecimalType(38, 12)
     val aggCols = scala.collection.mutable.ListBuffer[Column]()
     val post = scala.collection.mutable.ListBuffer[Column]()
