@@ -17,6 +17,7 @@ object Algebra {
   final case class L(lex: String, dt: String, lang: Option[String] = None)
       extends TermPat // literal
   final case class B(id: String) extends TermPat // blank node (as variable-like)
+  case object DefaultGraphPat extends TermPat // default graph in quad data
 
   object L {
     import graft.model.Term._

@@ -672,6 +672,89 @@ final class SparqlParser(input: String) {
     out.toSeq
   }
 
+  // ---------------- updates (spargebra/src/update.rs grammar) ---------
+  private def parseQuadData(): Seq[(TermPat, TriplePattern)] = {
+    expect("{")
+    val out = scala.collection.mutable.ListBuffer[(TermPat, TriplePattern)]()
+    def subjectBlock(g: TermPat): Unit = {
+      val s = parseVarOrTerm()
+      var moreProps = true
+      while (moreProps) {
+        ws()
+        val p: TermPat =
+          if (peek("a")) { eat("a")
+            I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type") }
+          else I(parseIri())
+        var moreObjs = true
+        while (moreObjs) {
+          out += g -> TriplePattern(s, p, parseVarOrTerm())
+          moreObjs = eatSym(",")
+        }
+        moreProps = eatSym(";")
+        ws()
+        if (moreProps && (input(pos) == '.' || input(pos) == '}'))
+          moreProps = false
+      }
+      eatSym(".")
+    }
+    var done = false
+    while (!done) {
+      ws()
+      if (peekSym("}")) done = true
+      else if (peek("GRAPH")) {
+        eat("GRAPH")
+        val g = I(parseIri())
+        expect("{")
+        while (!peekSym("}")) subjectBlock(g)
+        expect("}")
+        eatSym(".")
+      } else subjectBlock(DefaultGraphPat)
+    }
+    expect("}")
+    out.toSeq
+  }
+
+  def parseUpdate(): Seq[UpdateOp] = {
+    parsePrologue()
+    val ops = scala.collection.mutable.ListBuffer[UpdateOp]()
+    var go = true
+    while (go) {
+      ws()
+      if (pos >= input.length) go = false
+      else if (peek("INSERT")) {
+        eat("INSERT")
+        if (peek("DATA")) { eat("DATA"); ops += InsertData(parseQuadData()) }
+        else {
+          val ins = parseConstructTemplate()
+          eat("WHERE")
+          ops += DeleteInsert(Nil, ins, parseGroupGraphPattern())
+        }
+      } else if (peek("DELETE")) {
+        eat("DELETE")
+        if (peek("DATA")) { eat("DATA"); ops += DeleteData(parseQuadData()) }
+        else if (peek("WHERE")) { // DELETE WHERE { tmpl }
+          eat("WHERE")
+          val tmpl = parseConstructTemplate()
+          ops += DeleteInsert(tmpl, Nil, Bgp(tmpl: _*))
+        } else {
+          val del = parseConstructTemplate()
+          val ins = if (peek("INSERT")) { eat("INSERT"); parseConstructTemplate() }
+          else Nil
+          eat("WHERE")
+          ops += DeleteInsert(del, ins, parseGroupGraphPattern())
+        }
+      } else if (peek("CLEAR")) {
+        eat("CLEAR")
+        if (peek("GRAPH")) { eat("GRAPH"); ops += ClearGraph(Some(parseIri())) }
+        else if (peek("DEFAULT")) { eat("DEFAULT"); ops += ClearGraph(None) }
+        else fail("expected GRAPH <iri> or DEFAULT after CLEAR")
+      } else fail("expected INSERT, DELETE or CLEAR")
+      ws()
+      if (!eatSym(";")) go = false
+    }
+    ops.toSeq
+  }
+
   def parseQuery(): QueryForm = {
     parsePrologue()
     ws()
@@ -696,6 +779,9 @@ final class SparqlParser(input: String) {
 
 object SparqlParser {
   def parse(query: String): QueryForm = new SparqlParser(query).parseQuery()
+
+  def parseUpdateText(update: String): Seq[UpdateOp] =
+    new SparqlParser(update).parseUpdate()
 
   /** Parse and execute against a quad table. */
   def execute(query: String, quads: org.apache.spark.sql.DataFrame)

@@ -115,6 +115,17 @@ object SparqlText {
         .select(str("cname").as("c_name"), dec2("dbl").as("dblbal"))
     },
 
+    // SPARQL Update text: chained INSERT..WHERE ; DELETE WHERE ; CLEAR
+    "pq11_update_text" -> { (s, dir) =>
+      val updated = graft.update.UpdateExec.executeText(prologue +
+        s"""INSERT { ?c :vip "true" } WHERE { ?c :acctbal ?b .
+              FILTER(?b > 7000.00) } ;
+            DELETE WHERE { ?o :priority ?p } ;
+            CLEAR GRAPH <${TpchRdf.G_SUPPLIERS}>""",
+        TpchRdf.quads(s, dir))
+      updated.agg(count(lit(1)).as("cnt"))
+    },
+
     // subselect with aggregation joined to outer pattern, from text
     "pq10_subselect" -> { (s, dir) =>
       run(s, dir,
@@ -146,5 +157,12 @@ object SparqlText {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY c_name""",
-    "pq10_subselect" -> Sparql.oracle("sp19_subselect"))
+    "pq10_subselect" -> Sparql.oracle("sp19_subselect"),
+    "pq11_update_text" ->
+      """SELECT (SELECT count(*) * 5 FROM customer)
+        + (SELECT count(*) * 3 FROM nation)
+        + (SELECT count(*) * 2 FROM region)
+        + (SELECT count(*) * 3 FROM orders)
+        + (SELECT count(*) FROM customer
+           WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 7000) AS cnt""")
 }

@@ -21,6 +21,11 @@ object UpdateExec {
       .select(Term.defaultGraph.as("g"), col("s"), col("p"), col("o"))
   }
 
+  /** Parse and apply a SPARQL Update string (possibly `;`-chained). */
+  def executeText(update: String, quads: DataFrame): DataFrame =
+    graft.parser.SparqlParser.parseUpdateText(update)
+      .foldLeft(quads)((q, op) => apply(op, q))
+
   def apply(op: UpdateOp, quads: DataFrame): DataFrame = op match {
     case DeleteInsert(del, ins, where) =>
       val deletes =
