@@ -15,6 +15,30 @@ object QueryExec {
   def select(gp: GraphPattern, quads: DataFrame): DataFrame =
     Translator.translate(gp, quads).df
 
+  /** FROM / FROM NAMED dataset construction (SPARQL §13.2; oxigraph:
+    * spargebra/src/query.rs · QueryDataset, spareval/src/dataset.rs):
+    * when either clause is present the active dataset is exactly the
+    * listed graphs — FROM graphs merge into the default graph, FROM
+    * NAMED graphs stay named, everything else disappears.
+    */
+  def applyDataset(quads: DataFrame, defaults: Seq[String],
+      named: Seq[String]): DataFrame = {
+    if (defaults.isEmpty && named.isEmpty) quads
+    else {
+      def inGraphs(iris: Seq[String]): DataFrame =
+        quads.where(col("g")("kind") === Term.IriKind &&
+          col("g")("lex").isin(iris: _*))
+      val d =
+        if (defaults.isEmpty) quads.where(lit(false))
+        else inGraphs(defaults).select(Term.defaultGraph.as("g"),
+          col("s"), col("p"), col("o"))
+      val n =
+        if (named.isEmpty) quads.where(lit(false))
+        else inGraphs(named)
+      d.unionByName(n)
+    }
+  }
+
   /** ASK -> single-row DataFrame with boolean column `result`. */
   def ask(gp: GraphPattern, quads: DataFrame): DataFrame = {
     val sol = Translator.translate(gp, quads)

@@ -33,16 +33,18 @@ object SparqlExpr {
   private val DV = DecimalType(38, 12)
   /** exact numeric value (decimal) of a numeric literal, else null */
   def numDec(t: Column): Column =
-    when(Term.isNumericLit(t), t("lex").cast(DV)).otherwise(lit(null).cast(DV))
+    when(Term.isNumericLit(t), t("lex").try_cast(DV))
+      .otherwise(lit(null).cast(DV))
   /** double numeric value of a numeric literal, else null */
   def numDbl(t: Column): Column =
-    when(Term.isNumericLit(t), t("lex").cast(DoubleType))
+    when(Term.isNumericLit(t), t("lex").try_cast(DoubleType))
       .otherwise(lit(null).cast(DoubleType))
 
   private def tsVal(t: Column): Column =
     when(t("kind") === LiteralKind &&
       t("dt").isin(XsdDateTime, XsdDate),
-      to_timestamp(t("lex"), "yyyy-MM-dd['T'HH:mm:ss[.SSSSSS]]"))
+      try_to_timestamp(t("lex"),
+        lit("yyyy-MM-dd['T'HH:mm:ss[.SSSSSS]]")))
       .otherwise(lit(null).cast(TimestampType))
 
   private def isStrTerm(t: Column): Column =
@@ -54,10 +56,10 @@ object SparqlExpr {
       .when(t("kind") =!= LiteralKind, lit(null).cast(BooleanType))
       .when(t("dt") === XsdBoolean, t("lex") === "true")
       .when(t("dt").isin(XsdDouble, XsdFloat),
-        !isnan(t("lex").cast(DoubleType)) &&
-          coalesce(t("lex").cast(DoubleType) =!= 0.0, lit(false)))
+        !isnan(t("lex").try_cast(DoubleType)) &&
+          coalesce(t("lex").try_cast(DoubleType) =!= 0.0, lit(false)))
       .when(t("dt").isin(numericTypes: _*),
-        coalesce(t("lex").cast(DV) =!= 0, lit(false)))
+        coalesce(t("lex").try_cast(DV) =!= 0, lit(false)))
       .when(t("dt") === XsdString || t("dt") === RdfLangString,
         length(t("lex")) > 0)
       .otherwise(lit(null).cast(BooleanType))
@@ -321,12 +323,12 @@ object SparqlExpr {
   private def tsFn1(t: Column)(f: Column => Column): Column =
     when(tsVal(t).isNull, nullTerm).otherwise(f(tsVal(t)))
   private def castOrNull(lex: Column, dt: DataType, dtIri: String): Column = {
-    val v = lex.cast(dt)
+    val v = lex.try_cast(dt)
     when(v.isNull, nullTerm).otherwise(Term.typedLit(v.cast(StringType), dtIri))
   }
   private def castNum(t: Column, dtIri: String, dt: DecimalType): Column =
     when(t.isNull, nullTerm).otherwise {
-      val v = t("lex").cast(dt)
+      val v = t("lex").try_cast(dt)
       when(v.isNull, nullTerm).otherwise(
         if (dtIri == XsdInteger) Term.intLit(v.cast(LongType))
         else Term.decimalLit(v.cast(StringType)))

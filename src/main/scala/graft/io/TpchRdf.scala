@@ -76,6 +76,10 @@ object TpchRdf {
       triple(nn, P("locatedIn"), rr, dg)(n),
       triple(rs, P("name"), Term.strLit(col("r_name")), dg)(r),
       triple(rs, P("locatedIn"), Term.iri(WORLD), dg)(r),
+      // language-tagged labels (exercises LANG/LANGMATCHES/lang joins)
+      triple(rs, P("label"), Term.langLit(col("r_name"), lit("en")), dg)(r),
+      triple(rs, P("label"),
+        Term.langLit(lower(col("r_name")), lit("de")), dg)(r),
       triple(os, P("orderedBy"), oc, dg)(o),
       triple(os, P("totalprice"), dec2Lit(col("o_totalprice")), dg)(o),
       triple(os, P("status"), Term.strLit(col("o_orderstatus")), dg)(o),

@@ -23,6 +23,9 @@ final class SparqlParser(input: String) {
   private var base = ""
   private val prefixes = scala.collection.mutable.Map[String, String]()
   private var anonVar = 0
+  /** FROM / FROM NAMED graphs of the outermost query (SPARQL §13.2). */
+  var fromDefault: Seq[String] = Nil
+  var fromNamed: Seq[String] = Nil
 
   final case class ParseError(msg: String, at: Int) extends
     RuntimeException(s"$msg at offset $at: ...${input.slice(at, at + 40)}...")
@@ -578,6 +581,11 @@ final class SparqlParser(input: String) {
         } else go = false
       }
     }
+    while (peek("FROM")) {
+      eat("FROM")
+      if (eat("NAMED")) fromNamed :+= parseIri()
+      else fromDefault :+= parseIri()
+    }
     eat("WHERE")
     var pattern = parseGroupGraphPattern()
 
@@ -783,15 +791,19 @@ object SparqlParser {
   def parseUpdateText(update: String): Seq[UpdateOp] =
     new SparqlParser(update).parseUpdate()
 
-  /** Parse and execute against a quad table. */
+  /** Parse and execute against a quad table (honoring FROM/FROM NAMED). */
   def execute(query: String, quads: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.exec.QueryExec
-    parse(query) match {
-      case Select(p) => QueryExec.select(p, quads)
-      case Ask(p) => QueryExec.ask(p, quads)
-      case Construct(t, p) => QueryExec.construct(t, p, quads)
-      case Describe(p, vs) => QueryExec.describe(p, vs.head, quads)
+    val parser = new SparqlParser(query)
+    val form = parser.parseQuery()
+    val dataset = QueryExec.applyDataset(quads, parser.fromDefault,
+      parser.fromNamed)
+    form match {
+      case Select(p) => QueryExec.select(p, dataset)
+      case Ask(p) => QueryExec.ask(p, dataset)
+      case Construct(t, p) => QueryExec.construct(t, p, dataset)
+      case Describe(p, vs) => QueryExec.describe(p, vs.head, dataset)
     }
   }
 }

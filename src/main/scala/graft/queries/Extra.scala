@@ -229,7 +229,7 @@ object Extra {
     "sp24_insert_data" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)
-        + (SELECT count(*) * 2 FROM region)
+        + (SELECT count(*) * 4 FROM region)
         + (SELECT count(*) * 4 FROM orders)
         + (SELECT count(*) * 3 FROM supplier) + 1 AS cnt""")
 }

@@ -345,7 +345,7 @@ object Sparql {
     "sp18_clear_graph" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)
-        + (SELECT count(*) * 2 FROM region)
+        + (SELECT count(*) * 4 FROM region)
         + (SELECT count(*) * 4 FROM orders) AS cnt""",
     "sp19_subselect" ->
       """SELECT c_name FROM customer JOIN (

@@ -126,6 +126,24 @@ object SparqlText {
       updated.agg(count(lit(1)).as("cnt"))
     },
 
+    // language-tagged literals: LANG / LANGMATCHES (§2.8)
+    "pq12_lang" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?rn ?l WHERE {
+             ?r :name ?rn ; :label ?l .
+             FILTER(LANGMATCHES(LANG(?l), "de"))
+           } ORDER BY ?rn""")
+        .select(str("rn").as("r_name"), str("l").as("label"))
+    },
+
+    // FROM: named graph merged into the default graph (§13.2 dataset)
+    "pq13_from" -> { (s, dir) =>
+      run(s, dir,
+        s"""SELECT ?sname FROM <${TpchRdf.G_SUPPLIERS}>
+            WHERE { ?s :name ?sname } ORDER BY ?sname""")
+        .select(str("sname").as("s_name"))
+    },
+
     // subselect with aggregation joined to outer pattern, from text
     "pq10_subselect" -> { (s, dir) =>
       run(s, dir,
@@ -158,10 +176,14 @@ object SparqlText {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY c_name""",
     "pq10_subselect" -> Sparql.oracle("sp19_subselect"),
+    "pq12_lang" ->
+      """SELECT r_name, lower(r_name) AS label FROM region ORDER BY r_name""",
+    "pq13_from" ->
+      """SELECT s_name FROM supplier ORDER BY s_name""",
     "pq11_update_text" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)
-        + (SELECT count(*) * 2 FROM region)
+        + (SELECT count(*) * 4 FROM region)
         + (SELECT count(*) * 3 FROM orders)
         + (SELECT count(*) FROM customer
            WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 7000) AS cnt""")

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparqlExpr
+import graft.model.Term
+
+/** Direct evaluation coverage for every SparqlExpr builtin: each one
+  * evaluates on a literal row and yields the SPARQL-spec value (or NULL
+  * for type errors). Catches unresolved functions / bad when-chains that
+  * the query gate might not reach.
+  */
+class BuiltinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def lex(c: org.apache.spark.sql.Column): (Option[String], Option[String], Option[String]) = {
+    val r = spark.range(1).select(c.as("t")).head()
+    Option(r.getAs[Row]("t")) match {
+      case None => (None, None, None)
+      case Some(t) => (Option(t.getString(1)), Option(t.getString(2)),
+        Option(t.getString(3)))
+    }
+  }
+  private def i(s: String) = Term.iri(s)
+  private def n(v: String, dt: String = Term.XsdInteger) =
+    Term.typedLit(lit(v), dt)
+  private def s(v: String) = Term.strLit(lit(v))
+  private def f(name: String, args: org.apache.spark.sql.Column*) =
+    SparqlExpr.fn(name, args)
+
+  test("logic and conditionals") {
+    assert(lex(f("&&", f("=", n("1"), n("1")), f("<", n("1"), n("2"))))._1 ==
+      Some("true"))
+    assert(lex(f("||", f("=", n("1"), n("2")), f(">", n("3"), n("2"))))._1 ==
+      Some("true"))
+    assert(lex(f("!", f("=", n("1"), n("1"))))._1 == Some("false"))
+    assert(lex(f("IF", f("<", n("1"), n("2")), s("yes"), s("no")))._1 ==
+      Some("yes"))
+    assert(lex(f("COALESCE", SparqlExpr.nullTerm, s("x")))._1 == Some("x"))
+    assert(lex(f("BOUND", SparqlExpr.nullTerm))._1 == Some("false"))
+    // error && false = false (SPARQL 3-valued)
+    assert(lex(f("&&", f("<", s("a"), n("1")), f("=", n("1"), n("2"))))._1 ==
+      Some("false"))
+  }
+
+  test("comparison with promotion; IN") {
+    assert(lex(f("=", n("5"), n("5.0", Term.XsdDecimal)))._1 == Some("true"))
+    assert(lex(f("<", n("2"), n("10.5", Term.XsdDecimal)))._1 == Some("true"))
+    assert(lex(f("<=", n("2"), n("2.0", Term.XsdDouble)))._1 == Some("true"))
+    assert(lex(f(">=", n("3"), n("2.9", Term.XsdDouble)))._1 == Some("true"))
+    assert(lex(f("IN", n("2"), n("1"), n("2"), n("3")))._1 == Some("true"))
+    assert(lex(f("sameTerm", i("http://a"), i("http://a")))._1 == Some("true"))
+    // incomparable: string vs int -> error (null)
+    assert(lex(f("<", s("a"), n("1")))._1.isEmpty)
+  }
+
+  test("term tests, accessors, constructors") {
+    assert(lex(f("isIRI", i("http://a")))._1 == Some("true"))
+    assert(lex(f("isLiteral", s("x")))._1 == Some("true"))
+    assert(lex(f("isNumeric", n("4")))._1 == Some("true"))
+    assert(lex(f("isBlank", s("x")))._1 == Some("false"))
+    assert(lex(f("STR", i("http://a")))._1 == Some("http://a"))
+    val lng = Term.langLit(lit("bonjour"), lit("fr"))
+    assert(lex(f("LANG", lng))._1 == Some("fr"))
+    assert(lex(f("LANG", s("x")))._1 == Some(""))
+    assert(lex(f("DATATYPE", n("4")))._1 == Some(Term.XsdInteger))
+    assert(lex(f("IRI", s("http://b")))._1 == Some("http://b"))
+    val sd = lex(f("STRDT", s("7"), i(Term.XsdInteger)))
+    assert(sd._1 == Some("7") && sd._2 == Some(Term.XsdInteger))
+    val sl = lex(f("STRLANG", s("hi"), s("en")))
+    assert(sl._1 == Some("hi") && sl._3 == Some("en"))
+    assert(lex(f("STRUUID"))._1.get.matches("[0-9a-f-]{36}"))
+    assert(lex(f("UUID"))._1.get.startsWith("urn:uuid:"))
+    assert(lex(f("BNODE"))._1.isDefined)
+  }
+
+  test("strings") {
+    assert(lex(f("STRLEN", s("héllo")))._1 == Some("5"))
+    assert(lex(f("UCASE", s("ab")))._1 == Some("AB"))
+    assert(lex(f("LCASE", s("AB")))._1 == Some("ab"))
+    assert(lex(f("SUBSTR", s("abcde"), n("2"), n("3")))._1 == Some("bcd"))
+    assert(lex(f("SUBSTR", s("abcde"), n("3")))._1 == Some("cde"))
+    assert(lex(f("CONCAT", s("a"), s("b"), s("c")))._1 == Some("abc"))
+    assert(lex(f("CONTAINS", s("foobar"), s("oba")))._1 == Some("true"))
+    assert(lex(f("STRSTARTS", s("foobar"), s("foo")))._1 == Some("true"))
+    assert(lex(f("STRENDS", s("foobar"), s("bar")))._1 == Some("true"))
+    assert(lex(f("STRBEFORE", s("abc#def"), s("#")))._1 == Some("abc"))
+    assert(lex(f("STRAFTER", s("abc#def"), s("#")))._1 == Some("def"))
+    assert(lex(f("STRBEFORE", s("abc"), s("#")))._1 == Some(""))
+    assert(lex(f("REGEX", s("abc123"), s("^[a-z]+[0-9]+$")))._1 == Some("true"))
+    assert(lex(f("REGEX", s("ABC"), s("abc"), s("i")))._1 == Some("true"))
+    assert(lex(f("REPLACE", s("a1b2"), s("[0-9]"), s("_")))._1 == Some("a_b_"))
+    assert(lex(f("ENCODE_FOR_URI", s("a b/c")))._1 == Some("a%20b%2Fc"))
+    assert(lex(f("LANGMATCHES", s("en-US"), s("en")))._1 == Some("true"))
+    assert(lex(f("LANGMATCHES", s("fr"), s("*")))._1 == Some("true"))
+    // lang preservation through string ops
+    val up = lex(f("UCASE", Term.langLit(lit("ab"), lit("en"))))
+    assert(up._1 == Some("AB") && up._3 == Some("en"))
+  }
+
+  test("numerics with promotion") {
+    assert(lex(f("+", n("2"), n("3")))._1 == Some("5"))
+    val div = lex(f("/", n("7"), n("2")))
+    assert(div._1.exists(_.startsWith("3.5")) &&
+      div._2 == Some(Term.XsdDecimal), s"int/int -> decimal, got $div")
+    assert(lex(f("*", n("2"), n("2.5", Term.XsdDouble)))._2 ==
+      Some(Term.XsdDouble))
+    assert(lex(f("/", n("1"), n("0")))._1.isEmpty) // div by zero -> error
+    assert(lex(f("UMINUS", n("4")))._1 == Some("-4"))
+    assert(lex(f("ABS", n("-3")))._1 == Some("3"))
+    assert(lex(f("CEIL", n("2.1", Term.XsdDecimal)))._1.exists(_.startsWith("3")))
+    assert(lex(f("FLOOR", n("2.9", Term.XsdDecimal)))._1.exists(_.startsWith("2")))
+    assert(lex(f("ROUND", n("2.5", Term.XsdDecimal)))._1.exists(_.startsWith("3")))
+    assert(lex(f("RAND"))._2 == Some(Term.XsdDouble))
+  }
+
+  test("datetime") {
+    val dt = Term.typedLit(lit("2024-03-05T10:20:30"), Term.XsdDateTime)
+    assert(lex(f("YEAR", dt))._1 == Some("2024"))
+    assert(lex(f("MONTH", dt))._1 == Some("3"))
+    assert(lex(f("DAY", dt))._1 == Some("5"))
+    assert(lex(f("HOURS", dt))._1 == Some("10"))
+    assert(lex(f("MINUTES", dt))._1 == Some("20"))
+    assert(lex(f("SECONDS", dt))._1 == Some("30"))
+    assert(lex(f("NOW"))._2 == Some(Term.XsdDateTime))
+  }
+
+  test("hashing and casts") {
+    assert(lex(f("MD5", s("abc")))._1 ==
+      Some("900150983cd24fb0d6963f7d28e17f72"))
+    assert(lex(f("SHA1", s("abc")))._1 ==
+      Some("a9993e364706816aba3e25717850c26c9cd0d89d"))
+    assert(lex(f("SHA256", s("abc")))._1.get.length == 64)
+    assert(lex(f("SHA384", s("abc")))._1.get.length == 96)
+    assert(lex(f("SHA512", s("abc")))._1.get.length == 128)
+    assert(lex(f("xsd:integer", s("42")))._1 == Some("42"))
+    assert(lex(f("xsd:integer", s("x")))._1.isEmpty) // bad lexical -> error
+    assert(lex(f("xsd:double", s("1.5")))._2 == Some(Term.XsdDouble))
+    assert(lex(f("xsd:boolean", s("1")))._1 == Some("true"))
+    assert(lex(f("xsd:string", n("9")))._1 == Some("9"))
+  }
+}
