@@ -34,6 +34,21 @@ object Events {
         sum(col("value").cast(DecimalType(38, 6))).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Sliding windows (1 h window, 30 min slide): each event lands in
+    * exactly two windows; realized as an explode over the two window ids
+    * — integer-exact ns arithmetic, identical under batch and streaming
+    * (`window(ts, "1 hour", "30 minutes")` is the streaming twin).
+    */
+  def slidingHourly(events: DataFrame): DataFrame = {
+    val slide = HourNs / 2
+    events
+      .withColumn("w", explode(array(
+        expr(s"ts div $slide"), expr(s"ts div $slide") - 1)))
+      .groupBy(col("w").as("window_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"))
+  }
+
   /** Gap-based sessionization (30 min): classic lag + cumulative-sum
     * session ids, then per-user session stats. Partitioned by user —
     * scales with user count, skew bounded by per-user event counts.

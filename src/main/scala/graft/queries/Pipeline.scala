@@ -134,6 +134,12 @@ object Pipeline {
         .orderBy(col("hour_bucket"), col("event_type"))
     },
 
+    // sliding windows: 1h window / 30min slide via window-id explode
+    "ev4_sliding_windows" -> { (s, dir) =>
+      Events.slidingHourly(Events.read(s, dir))
+        .orderBy(col("window_id"), col("event_type"))
+    },
+
     // gap-based sessionization
     "ev2_sessions" -> { (s, dir) =>
       Events.sessions(Events.read(s, dir)).orderBy(col("user_id"))
@@ -204,6 +210,13 @@ object Pipeline {
         count(*) AS n_events, sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
         count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+    "ev4_sliding_windows" ->
+      """SELECT w AS window_id, event_type, count(*) AS n_events,
+        sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+        FROM (SELECT unnest([epoch_ns(ts) // 1800000000000,
+                             epoch_ns(ts) // 1800000000000 - 1]) AS w,
+                     event_type, value FROM events)
+        GROUP BY w, event_type ORDER BY window_id, event_type""",
     "ev2_sessions" ->
       """WITH s AS (SELECT user_id, event_id, epoch_ns(ts) tsn FROM events),
         l AS (SELECT user_id, event_id, tsn,

@@ -43,4 +43,43 @@ class StreamingSpec extends AnyFunSuite {
         "streaming and batch hourly windows must agree")
     } finally q.stop()
   }
+
+  test("session_window agrees with gap-based sessionization") {
+    val ev = Events.read(spark, sf)
+      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+    val viaSessionWindow = ev
+      .groupBy(session_window(col("ts_micro"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val viaGaps = Events.sessions(Events.read(spark, sf))
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assert(viaSessionWindow.except(viaGaps).count() == 0 &&
+      viaGaps.except(viaSessionWindow).count() == 0,
+      "native session_window and lag/cumsum sessionization must agree")
+  }
+
+  test("streaming dedup via dropDuplicatesWithinWatermark") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // duplicate the stream (union with itself) -> exact-dup events
+    val base = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+    val doubled = base.union(base)
+      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_micro", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = doubled.writeStream.outputMode("append")
+      .format("memory").queryName("ev_dedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_dedup").count()
+      val expected = Events.read(spark, sf).count()
+      assert(got == expected,
+        s"stream dedup should restore unique events: got $got, want $expected")
+    } finally q.stop()
+  }
 }
