@@ -239,9 +239,24 @@ final class SparqlParser(input: String) {
   // ---------------- triples block ----------------
   private def parseTriplesBlock(): Seq[GraphPattern] = {
     val out = scala.collection.mutable.ListBuffer[GraphPattern]()
-    var more = true
-    while (more) {
-      val s = parseVarOrTerm()
+
+    /** subject/object position: plain term or `[ props ]` blank-node
+      * property list (emits its triples, returns the fresh bnode).
+      */
+    def termOrBnodeList(): TermPat = {
+      ws()
+      if (peekSym("[")) {
+        expect("[")
+        anonVar += 1
+        val b = B(s"anon$anonVar")
+        ws()
+        if (!peekSym("]")) propertyList(b)
+        expect("]")
+        b
+      } else parseVarOrTerm()
+    }
+
+    def propertyList(s: TermPat): Unit = {
       var moreProps = true
       while (moreProps) {
         ws()
@@ -251,7 +266,7 @@ final class SparqlParser(input: String) {
           else Left(parsePath())
         var moreObjs = true
         while (moreObjs) {
-          val o = parseVarOrTerm()
+          val o = termOrBnodeList()
           verb match {
             case Right(v) => out += Bgp(TriplePattern(s, V(v), o))
             case Left(p) => pathAsIri(p) match {
@@ -264,8 +279,20 @@ final class SparqlParser(input: String) {
         moreProps = eatSym(";")
         ws()
         if (moreProps && (pos >= input.length || input(pos) == '.' ||
-          input(pos) == '}')) moreProps = false // dangling ';'
+          input(pos) == '}' || input(pos) == ']')) moreProps = false
       }
+    }
+
+    var more = true
+    while (more) {
+      ws()
+      val wasBnodeList = peekSym("[")
+      val s = termOrBnodeList()
+      ws()
+      // only a `[ ... ]` subject may omit its own property list
+      if (!wasBnodeList ||
+        (pos < input.length && input(pos) != '.' && input(pos) != '}'))
+        propertyList(s)
       more = eatSym(".")
       ws()
       if (pos >= input.length || input(pos) == '}' ||

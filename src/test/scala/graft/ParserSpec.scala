@@ -71,6 +71,27 @@ class ParserSpec extends AnyFunSuite {
     assert(df.count() == 25)
   }
 
+  test("blank-node property lists desugar to bnode-var triples") {
+    val q = SparqlParser.parse(pfx +
+      "SELECT ?n WHERE { ?c :knows [ :name ?n ; :age 5 ] . }")
+    def pats(g: GraphPattern): Seq[TriplePattern] = g match {
+      case Join(l, r) => pats(l) ++ pats(r)
+      case Bgp(ps @ _*) => ps
+      case Project(i, _) => pats(i)
+      case _ => Nil
+    }
+    val Select(inner) = q: @unchecked
+    val ps = pats(inner)
+    assert(ps.length == 3)
+    val bnodes = ps.flatMap(p => Seq(p.s, p.o)).collect { case b: B => b }
+    assert(bnodes.distinct.length == 1, "one shared fresh bnode")
+    // executes end-to-end (bnode becomes a join variable)
+    val df = SparqlParser.execute(pfx +
+      "SELECT ?rn WHERE { ?r :locatedIn [ ] ; :name ?rn . }",
+      graft.io.TpchRdf.quads(spark, sf))
+    assert(df.count() > 0)
+  }
+
   test("rejects malformed queries") {
     intercept[RuntimeException](SparqlParser.parse("SELECT ?x WHERE"))
     intercept[RuntimeException](SparqlParser.parse(pfx +
