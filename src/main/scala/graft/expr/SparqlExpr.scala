@@ -174,6 +174,18 @@ object SparqlExpr {
     }
   }
 
+  /** Custom function registry — the extension point the reference exposes
+    * as QueryEvaluator::with_custom_function (oxigraph: lib/spareval;
+    * SURVEY.md §2.12): an IRI (or name) mapped to a Column combinator
+    * over term structs. Registered names win over nothing — builtins are
+    * matched first, customs resolve what the builtin table misses.
+    */
+  private val customFns =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Column] => Column]
+
+  def registerFunction(name: String, f: Seq[Column] => Column): Unit =
+    customFns(name) = f
+
   /** Builtin dispatch (SPARQL 1.1 §17.4 <-> SURVEY.md §2.8). */
   def fn(name: String, a: Seq[Column]): Column = name match {
     // logic — 3-valued with error=null; error && false = false
@@ -288,7 +300,11 @@ object SparqlExpr {
         Term.boolLit(a(0)("lex").isin("true", "1").cast(StringType)))
       .otherwise(nullTerm)
     case "xsd:string" => fn("STR", a)
-    case other => throw new IllegalArgumentException(s"builtin not implemented: $other")
+    case other => customFns.get(other) match {
+      case Some(f) => f(a)
+      case None =>
+        throw new IllegalArgumentException(s"builtin not implemented: $other")
+    }
   }
 
   // --- small private helpers -----------------------------------------

@@ -1,0 +1,113 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.model.Term
+
+/** SPARQL Query Results serializers (oxigraph: lib/sparesults —
+  * SURVEY.md §2.1 "results sinks"): solution DataFrames (one term-struct
+  * column per variable) to the W3C JSON / CSV / TSV result formats.
+  *
+  * Serialization is an output boundary: rows stream through the driver
+  * exactly like the reference streams solutions to its writer. For bulk
+  * materialization the parquet path (Verify) is the scale sink; these
+  * formats exist for SPARQL-protocol parity.
+  */
+object Results {
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def termJson(t: Row): String = {
+    val kind = t.getByte(0)
+    val lex = jsonEscape(Option(t.getString(1)).getOrElse(""))
+    kind match {
+      case k if k == Term.IriKind.toByte =>
+        s"""{"type":"uri","value":"$lex"}"""
+      case k if k == Term.BlankKind.toByte =>
+        s"""{"type":"bnode","value":"$lex"}"""
+      case _ =>
+        val dt = Option(t.getString(2))
+        val lang = Option(t.getString(3))
+        val extra = lang.map(l => s""","xml:lang":"${jsonEscape(l)}"""")
+          .getOrElse(dt match {
+            case Some(Term.XsdString) | None => ""
+            case Some(d) => s""","datatype":"${jsonEscape(d)}""""
+          })
+        s"""{"type":"literal","value":"$lex"$extra}"""
+    }
+  }
+
+  /** W3C SPARQL 1.1 Query Results JSON. */
+  def toJson(solutions: DataFrame): String = {
+    val vars = solutions.columns
+    val head = vars.map(v => s""""${jsonEscape(v)}"""").mkString("[", ",", "]")
+    val bindings = solutions.toLocalIterator()
+    val sb = new StringBuilder(s"""{"head":{"vars":$head},"results":{"bindings":[""")
+    var first = true
+    bindings.forEachRemaining { row =>
+      val entries = vars.zipWithIndex.flatMap { case (v, i) =>
+        Option(row.getAs[Row](i)).map(t => s""""${jsonEscape(v)}":${termJson(t)}""")
+      }
+      if (!first) sb.append(",")
+      first = false
+      sb.append(entries.mkString("{", ",", "}"))
+    }
+    sb.append("]}}").toString
+  }
+
+  private def termText(t: Row, tsv: Boolean): String = {
+    val kind = t.getByte(0)
+    val lex = Option(t.getString(1)).getOrElse("")
+    if (!tsv) lex // CSV: plain lexical forms (spec §4)
+    else kind match { // TSV: full N-Triples terms (spec §3)
+      case k if k == Term.IriKind.toByte => s"<$lex>"
+      case k if k == Term.BlankKind.toByte => s"_:$lex"
+      case _ =>
+        val esc = lex.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t")
+        Option(t.getString(3)) match {
+          case Some(lang) => s""""$esc"@$lang"""
+          case None => Option(t.getString(2)) match {
+            case Some(Term.XsdString) | None => s""""$esc""""
+            case Some(dt) => s""""$esc"^^<$dt>"""
+          }
+        }
+    }
+  }
+
+  private def csvEscape(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** W3C SPARQL 1.1 Query Results CSV / TSV. */
+  def toSeparated(solutions: DataFrame, tsv: Boolean): String = {
+    val vars = solutions.columns
+    val sep = if (tsv) "\t" else ","
+    val header =
+      (if (tsv) vars.map("?" + _) else vars).mkString(sep) + "\r\n"
+    val sb = new StringBuilder(header)
+    solutions.toLocalIterator().forEachRemaining { row =>
+      val cells = vars.indices.map { i =>
+        Option(row.getAs[Row](i)) match {
+          case None => ""
+          case Some(t) =>
+            val s = termText(t, tsv)
+            if (tsv) s else csvEscape(s)
+        }
+      }
+      sb.append(cells.mkString(sep)).append("\r\n")
+    }
+    sb.toString
+  }
+
+  def toCsv(solutions: DataFrame): String = toSeparated(solutions, tsv = false)
+  def toTsv(solutions: DataFrame): String = toSeparated(solutions, tsv = true)
+}
