@@ -238,6 +238,24 @@ object Sparql {
       updated.agg(count(lit(1)).as("cnt"))
     },
 
+    // GROUP_CONCAT (distinct, sorted) + SAMPLE + MIN aggregates (§2.4)
+    "sp25_groupconcat" -> { (s, dir) =>
+      val gp = Group(
+        Bgp(TriplePattern(V("c"), I(P("inNation")), V("n")),
+          TriplePattern(V("c"), I(P("mktsegment")), V("seg")),
+          TriplePattern(V("c"), I(P("acctbal")), V("b")),
+          TriplePattern(V("n"), I(P("name")), V("nname"))),
+        Seq("nname"),
+        Seq("segs" -> AggCall("GROUP_CONCAT", Some(EVar("seg")),
+          distinct = true, separator = ","),
+          "minbal" -> AggCall("MIN", Some(EVar("b"))),
+          "anybal" -> AggCall("SAMPLE", Some(EVar("b")))))
+      run(s, dir, gp)
+        .select(str("nname").as("n_name"), str("segs").as("segs"),
+          dec2("minbal").as("minbal"), dec2("anybal").as("anybal"))
+        .orderBy(col("n_name"))
+    },
+
     // subselect: per-nation AVG joined back, FILTER above-average (§2.4)
     "sp19_subselect" -> { (s, dir) =>
       val gp = OrderBy(Filter(EFn(">", EVar("b"), EVar("av")),
@@ -347,6 +365,13 @@ object Sparql {
         + (SELECT count(*) * 3 FROM nation)
         + (SELECT count(*) * 4 FROM region)
         + (SELECT count(*) * 4 FROM orders) AS cnt""",
+    "sp25_groupconcat" ->
+      """SELECT n_name,
+        array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
+        min(CAST(c_acctbal AS DECIMAL(38,2))) AS minbal,
+        min(CAST(c_acctbal AS DECIMAL(38,2))) AS anybal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
     "sp19_subselect" ->
       """SELECT c_name FROM customer JOIN (
         SELECT c_nationkey AS nk,
