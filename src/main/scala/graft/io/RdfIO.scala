@@ -135,14 +135,28 @@ object RdfIO {
         col("p").cast(Term.schema), col("o").cast(Term.schema))
   }
 
+  /** Read Turtle: prefix-stateful, so one task per FILE (wholeTextFiles)
+    * — many files still parse in parallel; single huge documents should
+    * convert to N-Triples for split-level parallelism (SURVEY.md §2.1).
+    */
+  def readTurtle(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) => new TurtleParser(content).parse() }
+      .toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+  }
+
   /** Format dispatch facade (oxigraph: lib/oxrdfio · RdfParser). */
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     format.toLowerCase match {
       case "nt" | "ntriples" | "application/n-triples" =>
         readNTriples(spark, path)
       case "nq" | "nquads" | "application/n-quads" => readNQuads(spark, path)
+      case "ttl" | "turtle" | "text/turtle" => readTurtle(spark, path)
       case other => throw new IllegalArgumentException(
-        s"unsupported RDF format: $other (supported: nt, nq)")
+        s"unsupported RDF format: $other (supported: nt, nq, ttl)")
     }
 
   // ---------------- serialization (pure Column ops) -------------------

@@ -72,6 +72,24 @@ object Events {
         max("duration_sec").as("max_duration_sec"))
   }
 
+  /** Funnel analysis: signup -> purchase conversion within one hour,
+    * computed with a single user-partitioned window pass (next-purchase
+    * timestamp via a forward-looking min), not per-row subqueries.
+    */
+  def signupConversion(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events
+      .withColumn("next_purchase_ts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .where(col("event_type") === "signup")
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("next_purchase_ts").isNotNull &&
+          col("next_purchase_ts") > col("ts") &&
+          col("next_purchase_ts") <= col("ts") + HourNs, 1L).otherwise(0L))
+          .as("n_converted"))
+  }
+
   /** JSON property extraction + aggregation (events.props is JSON text). */
   def jsonAgg(events: DataFrame): DataFrame =
     events

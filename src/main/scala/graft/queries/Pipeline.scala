@@ -145,6 +145,11 @@ object Pipeline {
       Events.sessions(Events.read(s, dir)).orderBy(col("user_id"))
     },
 
+    // funnel: signup -> purchase conversion within 1h (window pass)
+    "ev5_funnel" -> { (s, dir) =>
+      Events.signupConversion(Events.read(s, dir))
+    },
+
     // JSON property extraction + aggregation
     "ev3_json_agg" -> { (s, dir) =>
       Events.jsonAgg(Events.read(s, dir)).orderBy(col("k_bucket"))
@@ -231,6 +236,15 @@ object Pipeline {
         SELECT user_id, count(*) AS n_sessions, CAST(sum(ne) AS BIGINT) AS n_events,
         max(ne) AS max_session_events, max(dur) AS max_duration_sec
         FROM g GROUP BY user_id ORDER BY user_id""",
+    "ev5_funnel" ->
+      """SELECT count(*) AS n_signups,
+        CAST(sum(CASE WHEN EXISTS (
+          SELECT 1 FROM events p WHERE p.user_id = s.user_id
+          AND p.event_type = 'purchase'
+          AND epoch_ns(p.ts) > epoch_ns(s.ts)
+          AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 3600000000000)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM events s WHERE s.event_type = 'signup'""",
     "ev3_json_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
         count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
