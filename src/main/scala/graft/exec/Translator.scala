@@ -152,7 +152,7 @@ object Translator {
       else if (l.vars(n)) Some(col(n))
       else if (r.vars(n)) Some(rc(n))
       else None
-    val filterCond = extraFilter.map(f => coalesce(ebv(f(combinedBind)), lit(false)))
+    val filterCond = extraFilter.map(f => coalesce(f(combinedBind), lit(false)))
     val cond = (eqCond, filterCond) match {
       case (Some(a), Some(b)) => a && b
       case (Some(a), None) => a
@@ -218,7 +218,7 @@ object Translator {
     case LeftJoin(l, r, filt) =>
       joinSols(translate(l, src, ctx), translate(r, src, ctx),
         "left_outer", filt.map(f => (b: String => Option[Column]) =>
-          SparqlExpr.compile(f, b)))
+          SparqlExpr.compileBool(f, b)))
 
     case Minus(l, r) =>
       val ls = translate(l, src, ctx)
@@ -256,7 +256,7 @@ object Translator {
         joinSols(sol, sub, if (pos) "left_semi" else "left_anti")
       }
       scalarConjs.foldLeft(afterExists) { (sol, e) =>
-        Sol(sol.df.where(coalesce(ebv(SparqlExpr.compile(e, sol.bind)),
+        Sol(sol.df.where(coalesce(SparqlExpr.compileBool(e, sol.bind),
           lit(false))), sol.vars, sol.sure)
       }
 

@@ -157,6 +157,12 @@ object SparqlExpr {
   /** Compile an algebra expression to a term-struct Column.
     * `bind`: variable name -> term column (missing => unbound/null).
     * EExists must be rewritten to joins by the Translator before compile.
+    *
+    * Boolean-valued operators route through compileBool and only wrap in
+    * a term struct at the boundary: ebv(boolTerm(x)) round-trips would
+    * otherwise multiply the argument tree ~10x per nesting level, which
+    * after Catalyst's projection collapse becomes an exponentially large
+    * expression (a real OOM on 3-deep boolean filters).
     */
   def compile(e: Expr, bind: String => Option[Column]): Column = {
     def c(x: Expr): Column = compile(x, bind)
@@ -170,7 +176,45 @@ object SparqlExpr {
       case EExists(_, _) =>
         throw new IllegalStateException(
           "EXISTS must be rewritten to a semi/anti join by the Translator")
+      case EFn("IF", cond, t, f) =>
+        when(coalesce(compileBool(cond, bind), lit(false)), c(t))
+          .otherwise(c(f))
+      case EFn(name, _*) if boolFns(name) => boolTerm(compileBool(e, bind))
       case EFn(name, args @ _*) => fn(name, args.map(c))
+    }
+  }
+
+  private val boolFns = Set("&&", "||", "!", "=", "!=", "<", ">", "<=", ">=",
+    "IN", "BOUND", "sameTerm", "isIRI", "isBlank", "isLiteral", "isNumeric",
+    "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "LANGMATCHES")
+
+  /** Compile a boolean-valued expression directly to a Boolean column
+    * (SQL NULL three-valued logic == SPARQL error semantics: error&&false
+    * = false, error||true = true). Non-boolean expressions fall back to
+    * EBV of their term value.
+    */
+  def compileBool(e: Expr, bind: String => Option[Column]): Column = {
+    def b(x: Expr): Column = compileBool(x, bind)
+    def c(x: Expr): Column = compile(x, bind)
+    e match {
+      case EFn("&&", x, y) => b(x) && b(y)
+      case EFn("||", x, y) => b(x) || b(y)
+      case EFn("!", x) => !b(x)
+      case EFn("=", x, y) => valueEq(c(x), c(y))
+      case EFn("!=", x, y) => !valueEq(c(x), c(y))
+      case EFn("<", x, y) => valueLt(c(x), c(y))
+      case EFn(">", x, y) => valueLt(c(y), c(x))
+      case EFn("<=", x, y) => !valueLt(c(y), c(x))
+      case EFn(">=", x, y) => !valueLt(c(x), c(y))
+      case EFn("IN", args @ _*) =>
+        val h = c(args.head)
+        args.tail.map(x => valueEq(h, c(x))).reduce(_ || _)
+      case EFn("BOUND", x) => c(x).isNotNull
+      case EFn("sameTerm", x, y) => sameTerm(c(x), c(y))
+      // other EFns compile via the builtin table (NOT via compile(), which
+      // would route boolean fns back here)
+      case EFn(name, args @ _*) => ebv(fn(name, args.map(c)))
+      case _ => ebv(c(e))
     }
   }
 

@@ -145,6 +145,39 @@ object Extra {
         .orderBy(col("c_name"))
     },
 
+    // set ops beyond SPARQL: INTERSECT / EXCEPT (§2.6 internal rewrites)
+    "q21_intersect" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast(IntegerType).as("nk"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_nationkey").cast(IntegerType).as("nk"))
+      c.intersect(sup).orderBy(col("nk"))
+    },
+    "q22_except" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast(IntegerType).as("nk"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_nationkey").cast(IntegerType).as("nk"))
+      c.except(sup).orderBy(col("nk"))
+    },
+
+    // boolean logic + conditionals through the engine (§2.8 EBV)
+    "sp26_conditional" -> { (s, dir) =>
+      val gp = OrderBy(Filter(
+        EFn("||", EFn("!", EFn("=", EVar("tier"), ELit.str("low"))),
+          EFn(">", EFn("STRLEN", EVar("cname")), ELit.int(100))),
+        Extend(
+          Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+            TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+          "tier", EFn("IF",
+            EFn(">=", EVar("b"), ELit("5000", graft.model.Term.XsdDecimal)),
+            ELit.str("high"), ELit.str("low")))),
+        Seq(EVar("cname") -> true))
+      QueryExec.select(gp, TpchRdf.quads(s, dir))
+        .select(col("cname")("lex").as("c_name"),
+          col("tier")("lex").as("tier"))
+    },
+
     // INSERT DATA + DELETE DATA ground quads (§2.10)
     "sp24_insert_data" -> { (s, dir) =>
       val quads = TpchRdf.quads(s, dir)
@@ -190,6 +223,23 @@ object Extra {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
         ON e.user_id = l.user_id AND e.ts >= l.ts
         ORDER BY e.user_id, e.event_id""",
+    "q21_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
+        INTERSECT SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+        ORDER BY nk""",
+    "q22_except" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
+        EXCEPT SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+        ORDER BY nk""",
+    "sp26_conditional" ->
+      """SELECT c_name,
+        CASE WHEN CAST(c_acctbal AS DECIMAL(38,2)) >= 5000
+          THEN 'high' ELSE 'low' END AS tier
+        FROM customer
+        WHERE NOT (CASE WHEN CAST(c_acctbal AS DECIMAL(38,2)) >= 5000
+            THEN 'high' ELSE 'low' END = 'low')
+          OR length(c_name) > 100
+        ORDER BY c_name""",
     "sp20_describe" ->
       s"""SELECT s, p, o FROM (
         SELECT '${TpchRdf.ns}customer/' || c_custkey AS s,
