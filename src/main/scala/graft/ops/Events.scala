@@ -31,7 +31,10 @@ object Events {
       // integral `div`, not `/`: double division loses ns precision at 1e18
       .groupBy(expr(s"ts div $HourNs").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"),
+        // exact decimal sum internally; DOUBLE at the output boundary
+        // (decimal output columns are not oracle-hash-stable)
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+          .as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   /** Sliding windows (1 h window, 30 min slide): each event lands in
@@ -46,7 +49,8 @@ object Events {
         expr(s"ts div $slide"), expr(s"ts div $slide") - 1)))
       .groupBy(col("w").as("window_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"))
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+          .as("sum_value"))
   }
 
   /** Gap-based sessionization (30 min): classic lag + cumulative-sum
@@ -96,6 +100,7 @@ object Events {
       .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .groupBy(pmod(col("k"), lit(7L)).as("k_bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+          .as("sum_value"),
         min("k").as("min_k"), max("k").as("max_k"))
 }

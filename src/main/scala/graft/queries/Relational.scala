@@ -12,13 +12,19 @@ import graft.io.Tables
   *  - per-row arithmetic in double (IEEE ops are engine-independent),
   *    aggregated sums in DECIMAL(38,6) (exact, order-independent);
   *  - averages derived as cast(sum as double)/count, never engine `avg`;
-  *  - no raw timestamp output columns (tz-aware vs naive parquet metadata
-  *    differs) — cast to DATE or string;
+  *  - OUTPUT columns may only be BIGINT/INT, DOUBLE, VARCHAR, BOOLEAN.
+  *    Never DECIMAL (str() scale-padding: "9898.90" vs float "9898.9"),
+  *    never DATE/TIMESTAMP (datetime.date vs pandas Timestamp repr) —
+  *    the driver hash canonicalizes both sides differently. Exact decimal
+  *    sums stay internal; cast to DOUBLE (correctly-rounded in both
+  *    engines while the scaled value fits 2^53) or VARCHAR at the end;
   *  - every query ends in a total, tie-free ORDER BY mirrored in the SQL.
   */
 object Relational {
   private val D = DecimalType(38, 6)
   private def dec(c: Column): Column = c.cast(D)
+  /** Exact decimal aggregate -> hash-stable double output column. */
+  private def outD(c: Column): Column = c.cast(DoubleType)
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -28,13 +34,12 @@ object Relational {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          outD(sum(dec(col("l_quantity")))).as("sum_qty"),
+          outD(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          outD(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          col("sum_qty").cast(DoubleType) / col("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
@@ -44,7 +49,7 @@ object Relational {
         .where(col("l_shipdate") >= lit("1999-01-01").cast(TimestampType) &&
           col("l_discount") > 0.05 && col("l_quantity") < 10.0)
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("net_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100)
@@ -58,7 +63,8 @@ object Relational {
       c.join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"),
+          outD(sum(dec(col("c_acctbal")))).as("sum_bal"))
         .orderBy(col("r_name"))
     },
 
@@ -69,7 +75,8 @@ object Relational {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(dec(col("o_totalprice"))), dec(lit(0))).as("sum_price"))
+          outD(coalesce(sum(dec(col("o_totalprice"))), dec(lit(0))))
+            .as("sum_price"))
         .orderBy(col("c_custkey"))
     },
 
@@ -98,7 +105,7 @@ object Relational {
         .agg(
           countDistinct(col("l_partkey")).as("nd_part"),
           countDistinct(col("l_suppkey")).as("nd_supp"),
-          sum_distinct(dec(col("l_quantity"))).as("sumd_qty"))
+          outD(sum_distinct(dec(col("l_quantity")))).as("sumd_qty"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -170,9 +177,11 @@ object Relational {
           year(col("o_orderdate")).cast(LongType).as("y"),
           quarter(col("o_orderdate")).cast(LongType).as("q"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).as("sum_price"),
-          min(to_date(col("o_orderdate"))).as("first_day"),
-          max(to_date(col("o_orderdate"))).as("last_day"))
+          outD(sum(dec(col("o_totalprice")))).as("sum_price"),
+          date_format(min(to_date(col("o_orderdate"))), "yyyy-MM-dd")
+            .as("first_day"),
+          date_format(max(to_date(col("o_orderdate"))), "yyyy-MM-dd")
+            .as("last_day"))
         .orderBy(col("y"), col("q"))
     },
 
@@ -205,27 +214,28 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-        sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-        sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
         count(*) AS count_order,
         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""",
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6)) AS net_price
+        l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS net_price
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05 AND l_quantity < 10.0
         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
     "q3_join_inner" ->
-      """SELECT r_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal
+      """SELECT r_name, count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""",
     "q4_join_left" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-        coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6))), CAST(0 AS DECIMAL(38,6))) AS sum_price
+        CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6))), CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
     "q5_join_semi" ->
@@ -240,7 +250,7 @@ object Relational {
       """SELECT l_returnflag,
         count(DISTINCT l_partkey) AS nd_part,
         count(DISTINCT l_suppkey) AS nd_supp,
-        sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS sumd_qty
+        CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sumd_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q8_sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -275,9 +285,10 @@ object Relational {
         ORDER BY l_orderkey, l_linenumber""",
     "q13_scalar_datetime" ->
       """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-        count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price,
-        min(CAST(o_orderdate AS DATE)) AS first_day,
-        max(CAST(o_orderdate AS DATE)) AS last_day
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day,
+        CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_day
         FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate)
         ORDER BY y, q""",
     "q14_scalar_hash" ->

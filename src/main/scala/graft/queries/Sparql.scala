@@ -15,9 +15,12 @@ import graft.update.UpdateExec
   * so the DuckDB oracle can check the whole path end-to-end.
   */
 object Sparql {
-  private val D2 = DecimalType(38, 2)
   private def str(v: String): Column = col(v)("lex")
-  private def dec2(v: String): Column = col(v)("lex").cast(D2)
+  // term lexical form -> DOUBLE output column. Decimal output columns are
+  // not oracle-hash-stable (str() scale padding); string->double parse is
+  // correctly rounded in both engines, so the value hashes identically
+  // regardless of the lex's trailing zeros.
+  private def dbl(v: String): Column = col(v)("lex").cast(DoubleType)
   private def int64(v: String): Column = col(v)("lex").cast(LongType)
 
   private def run(s: SparkSession, dir: String, gp: GraphPattern): DataFrame =
@@ -37,7 +40,7 @@ object Sparql {
             TriplePattern(V("c"), I(P("acctbal")), V("b")),
             TriplePattern(V("c"), I(P("name")), V("cname")))),
         Seq(EVar("cname") -> true))
-      run(s, dir, gp).select(str("cname").as("c_name"), dec2("b").as("bal"))
+      run(s, dir, gp).select(str("cname").as("c_name"), dbl("b").as("bal"))
     },
 
     // OPTIONAL with filter inside the join scope (§2.3 LeftJoin)
@@ -49,7 +52,7 @@ object Sparql {
           TriplePattern(V("o"), I(P("totalprice")), V("tp"))),
         Some(EFn(">", EVar("tp"), ELit("300000", graft.model.Term.XsdDecimal))))
       run(s, dir, gp)
-        .select(str("cname").as("c_name"), dec2("tp").as("bigprice"))
+        .select(str("cname").as("c_name"), dbl("tp").as("bigprice"))
         .orderBy(col("c_name"), col("bigprice"))
     },
 
@@ -123,7 +126,7 @@ object Sparql {
           "maxbal" -> AggCall("MAX", Some(EVar("b")))))
       run(s, dir, gp)
         .select(str("nname").as("n_name"), int64("cnt").as("cnt"),
-          dec2("total").as("total"), dec2("maxbal").as("maxbal"))
+          dbl("total").as("total"), dbl("maxbal").as("maxbal"))
         .orderBy(col("n_name"))
     },
 
@@ -202,7 +205,7 @@ object Sparql {
           "dblbal", EFn("*", EVar("b"), ELit.int(2))),
         "namelen", EFn("STRLEN", EVar("cname")))
       run(s, dir, gp)
-        .select(str("cname").as("c_name"), dec2("dblbal").as("dblbal"),
+        .select(str("cname").as("c_name"), dbl("dblbal").as("dblbal"),
           int64("namelen").cast(LongType).as("namelen"))
         .orderBy(col("c_name"))
     },
@@ -213,7 +216,7 @@ object Sparql {
         Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
           TriplePattern(V("c"), I(P("acctbal")), V("b"))),
         Seq(EVar("b") -> false, EVar("cname") -> true)), 5, 10)
-      run(s, dir, gp).select(str("cname").as("c_name"), dec2("b").as("bal"))
+      run(s, dir, gp).select(str("cname").as("c_name"), dbl("b").as("bal"))
     },
 
     // SPARQL UPDATE: INSERT..WHERE then query the updated store (§2.10)
@@ -252,7 +255,7 @@ object Sparql {
           "anybal" -> AggCall("SAMPLE", Some(EVar("b")))))
       run(s, dir, gp)
         .select(str("nname").as("n_name"), str("segs").as("segs"),
-          dec2("minbal").as("minbal"), dec2("anybal").as("anybal"))
+          dbl("minbal").as("minbal"), dbl("anybal").as("anybal"))
         .orderBy(col("n_name"))
     },
 
@@ -278,13 +281,14 @@ object Sparql {
 
   val oracle: Map[String, String] = Map(
     "sp1_bgp_filter" ->
-      """SELECT c_name, CAST(c_acctbal AS DECIMAL(38,2)) AS bal
+      """SELECT c_name, CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS DOUBLE) AS bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA' AND CAST(c_acctbal AS DECIMAL(38,2)) > 5000
         ORDER BY c_name""",
     "sp2_optional" ->
-      """SELECT c_name, CAST(o_totalprice AS DECIMAL(38,2)) AS bigprice
+      """SELECT c_name,
+        CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS DOUBLE) AS bigprice
         FROM customer LEFT JOIN orders
         ON o_custkey = c_custkey AND CAST(o_totalprice AS DECIMAL(38,2)) > 300000
         ORDER BY c_name, bigprice NULLS FIRST""",
@@ -310,8 +314,8 @@ object Sparql {
         WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY c_name""",
     "sp7_agg" ->
       """SELECT n_name, count(*) AS cnt,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total,
-        max(CAST(c_acctbal AS DECIMAL(38,2))) AS maxbal
+        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total,
+        CAST(max(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS maxbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""",
     "sp8_path_seq" ->
@@ -350,11 +354,12 @@ object Sparql {
         WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9000) AS result""",
     "sp15_bind" ->
       """SELECT c_name,
-        CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 2 AS DECIMAL(38,2)) AS dblbal,
+        CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 2 AS DOUBLE) AS dblbal,
         length(c_name) AS namelen
         FROM customer ORDER BY c_name""",
     "sp16_orderby_slice" ->
-      """SELECT c_name, CAST(c_acctbal AS DECIMAL(38,2)) AS bal FROM customer
+      """SELECT c_name, CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS DOUBLE) AS bal
+        FROM customer
         ORDER BY CAST(c_acctbal AS DECIMAL(38,2)) DESC, c_name
         LIMIT 10 OFFSET 5""",
     "sp17_update" ->
@@ -368,8 +373,8 @@ object Sparql {
     "sp25_groupconcat" ->
       """SELECT n_name,
         array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
-        min(CAST(c_acctbal AS DECIMAL(38,2))) AS minbal,
-        min(CAST(c_acctbal AS DECIMAL(38,2))) AS anybal
+        CAST(min(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS minbal,
+        CAST(min(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS anybal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""",
     "sp19_subselect" ->

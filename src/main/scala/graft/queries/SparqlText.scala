@@ -11,9 +11,10 @@ import graft.parser.SparqlParser
   * paste their SPARQL and run it here (SURVEY.md §3.4).
   */
 object SparqlText {
-  private val D2 = DecimalType(38, 2)
   private def str(v: String): Column = col(v)("lex")
-  private def dec2(v: String): Column = col(v)("lex").cast(D2)
+  // lex -> DOUBLE output (decimal output columns are not hash-stable;
+  // see Sparql.dbl)
+  private def dbl(v: String): Column = col(v)("lex").cast(DoubleType)
   private def int64(v: String): Column = col(v)("lex").cast(LongType)
 
   private val prologue = s"PREFIX : <${TpchRdf.ns}>\n"
@@ -33,7 +34,7 @@ object SparqlText {
              ?c :acctbal ?b ; :name ?cname .
              FILTER(?b > 5000.00)
            } ORDER BY ?cname""")
-        .select(str("cname").as("c_name"), dec2("b").as("bal"))
+        .select(str("cname").as("c_name"), dbl("b").as("bal"))
     },
 
     // OPTIONAL with inner filter
@@ -44,7 +45,7 @@ object SparqlText {
              OPTIONAL { ?o :orderedBy ?c ; :totalprice ?tp .
                         FILTER(?tp > 300000.00) }
            }""")
-        .select(str("cname").as("c_name"), dec2("tp").as("bigprice"))
+        .select(str("cname").as("c_name"), dbl("tp").as("bigprice"))
         .orderBy(col("c_name"), col("bigprice"))
     },
 
@@ -56,7 +57,7 @@ object SparqlText {
              ?c :inNation ?n . ?n :name ?nname . ?c :acctbal ?b .
            } GROUP BY ?nname HAVING (COUNT(*) > 50) ORDER BY ?nname""")
         .select(str("nname").as("n_name"), int64("cnt").as("cnt"),
-          dec2("total").cast(D2).as("total"))
+          dbl("total").as("total"))
     },
 
     // property path: transitive closure from text syntax
@@ -112,7 +113,7 @@ object SparqlText {
              ?c :name ?cname ; :acctbal ?b .
              BIND(?b * 2 AS ?dbl)
            } ORDER BY ?cname""")
-        .select(str("cname").as("c_name"), dec2("dbl").as("dblbal"))
+        .select(str("cname").as("c_name"), dbl("dbl").as("dblbal"))
     },
 
     // SPARQL Update text: chained INSERT..WHERE ; DELETE WHERE ; CLEAR
@@ -161,7 +162,7 @@ object SparqlText {
     "pq2_optional" -> Sparql.oracle("sp2_optional"),
     "pq3_group_having" ->
       """SELECT n_name, count(*) AS cnt,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
+        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name HAVING count(*) > 50 ORDER BY n_name""",
     "pq4_path_plus" -> Sparql.oracle("sp9_path_plus"),
@@ -171,7 +172,7 @@ object SparqlText {
     "pq8_construct" -> Sparql.oracle("sp13_construct"),
     "pq9_values_bind" ->
       """SELECT c_name,
-        CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 2 AS DECIMAL(38,2)) AS dblbal
+        CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 2 AS DOUBLE) AS dblbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY c_name""",
