@@ -17,6 +17,13 @@ import Translator.{DefaultG, FixedG, GraphCtx, VarG}
   * relation, removes already-seen pairs, and localCheckpoints to cut the
   * lineage — the pattern that survives scale-up (bounded lineage, AQE-
   * planned joins, no driver-side data movement beyond an empty-check).
+  *
+  * Closures are SEEDED whenever an endpoint is known (the reference's
+  * ALP-from-node shape): a bound subject/object — either a query constant
+  * or the already-bound values of a join variable — restricts the fixpoint
+  * to nodes actually reachable from the seed set, instead of materializing
+  * the all-pairs closure and filtering afterwards. At 100 TB that is the
+  * difference between O(reachable) and O(V·E) for a point query.
   */
 object PathExec {
 
@@ -26,6 +33,28 @@ object PathExec {
     */
   val MaxIterations = 64
 
+  /** A set of known endpoint terms restricting a path evaluation.
+    *
+    * `nodes` is a single-column DataFrame("n") of term structs.
+    * `zeroIncludesSeed`: for zero-length paths, SPARQL §18.4 includes a
+    * *query constant* endpoint unconditionally (ALP starts from the term,
+    * in or out of the graph), while a *variable* endpoint only matches
+    * terms occurring in the graph — so acc-derived seeds (values of an
+    * already-bound join variable) must be intersected with graph terms.
+    */
+  final case class Seed(nodes: DataFrame, zeroIncludesSeed: Boolean)
+
+  /** True when evaluating `p` involves a fixpoint or zero-length step —
+    * the cases where endpoint seeding changes complexity class.
+    */
+  def hasClosure(p: Path): Boolean = p match {
+    case POneOrMore(_) | PZeroOrMore(_) | PZeroOrOne(_) => true
+    case PInv(x) => hasClosure(x)
+    case PSeq(a, b) => hasClosure(a) || hasClosure(b)
+    case PAlt(a, b) => hasClosure(a) || hasClosure(b)
+    case _ => false
+  }
+
   private def gFilter(ctx: GraphCtx): Column = ctx match {
     case DefaultG => col("g")("kind") === Term.DefaultGraphKind
     case FixedG(iri) =>
@@ -33,25 +62,57 @@ object PathExec {
     case VarG(_) => col("g")("kind") =!= Term.DefaultGraphKind
   }
 
+  def eval(path: Path, src: QuadSource, ctx: GraphCtx): DataFrame =
+    eval(path, src, ctx, None, None)
+
   /** Evaluate a path over the quad table -> DataFrame("ps", "po") of
-    * connected term pairs. SET semantics (distinct pairs).
+    * connected term pairs. SET semantics (distinct pairs). Seeds restrict
+    * closures/zero-length steps only; plain links rely on Catalyst filter
+    * pushdown (constants) and the enclosing equi-join (variables), which
+    * already reach the scans.
     */
-  def eval(path: Path, src: QuadSource, ctx: GraphCtx): DataFrame = path match {
+  def eval(path: Path, src: QuadSource, ctx: GraphCtx,
+      sSeed: Option[Seed], oSeed: Option[Seed]): DataFrame = path match {
     case PLink(iri) =>
       src.byPredicate(iri).where(gFilter(ctx))
         .select(col("s").as("ps"), col("o").as("po"))
 
     case PInv(p) =>
-      eval(p, src, ctx).select(col("po").as("ps"), col("ps").as("po"))
+      eval(p, src, ctx, oSeed, sSeed)
+        .select(col("po").as("ps"), col("ps").as("po"))
 
     case PSeq(a, b) =>
-      val l = eval(a, src, ctx).select(col("ps"), col("po").as("mid"))
-      val r = eval(b, src, ctx).select(col("ps").as("mid2"), col("po"))
-      l.join(r, col("mid") === col("mid2"))
-        .select(col("ps"), col("po")).distinct()
+      if (sSeed.isDefined || oSeed.isEmpty) {
+        // left-to-right: a's outputs seed a closure in b (dataflow ALP)
+        val l = eval(a, src, ctx, sSeed, None)
+          .select(col("ps"), col("po").as("mid"))
+        val rSeed =
+          if (hasClosure(b))
+            Some(Seed(l.select(col("mid").as("n")).distinct(),
+              zeroIncludesSeed = false))
+          else None
+        val r = eval(b, src, ctx, rSeed, oSeed)
+          .select(col("ps").as("mid2"), col("po"))
+        l.join(r, col("mid") === col("mid2"))
+          .select(col("ps"), col("po")).distinct()
+      } else {
+        // right-to-left when only the object end is bound
+        val r = eval(b, src, ctx, None, oSeed)
+          .select(col("ps").as("mid2"), col("po"))
+        val lSeed =
+          if (hasClosure(a))
+            Some(Seed(r.select(col("mid2").as("n")).distinct(),
+              zeroIncludesSeed = false))
+          else None
+        val l = eval(a, src, ctx, None, lSeed)
+          .select(col("ps"), col("po").as("mid"))
+        l.join(r, col("mid") === col("mid2"))
+          .select(col("ps"), col("po")).distinct()
+      }
 
     case PAlt(a, b) =>
-      eval(a, src, ctx).union(eval(b, src, ctx)).distinct()
+      eval(a, src, ctx, sSeed, oSeed)
+        .union(eval(b, src, ctx, sSeed, oSeed)).distinct()
 
     case PNeg(iris) =>
       src.all.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
@@ -59,24 +120,81 @@ object PathExec {
         .select(col("s").as("ps"), col("o").as("po")).distinct()
 
     case PZeroOrOne(p) =>
-      eval(p, src, ctx).union(identityPairs(src, ctx)).distinct()
+      eval(p, src, ctx, sSeed, oSeed)
+        .union(zeroPairs(src, ctx, sSeed.orElse(oSeed))).distinct()
 
-    case POneOrMore(p) => closure(eval(p, src, ctx).distinct())
+    case POneOrMore(p) => plusClosure(p, src, ctx, sSeed, oSeed)
 
     case PZeroOrMore(p) =>
-      closure(eval(p, src, ctx).distinct())
-        .union(identityPairs(src, ctx)).distinct()
+      plusClosure(p, src, ctx, sSeed, oSeed)
+        .union(zeroPairs(src, ctx, sSeed.orElse(oSeed))).distinct()
   }
 
-  /** Zero-length path: every term appearing as subject or object. */
-  private def identityPairs(src: QuadSource, ctx: GraphCtx): DataFrame = {
+  /** Zero-length path: (n, n) for every matching term. With a seed only
+    * the seed terms matter (intersected with graph terms unless the seed
+    * is a query constant — see Seed.zeroIncludesSeed); unseeded, every
+    * term appearing as subject or object.
+    */
+  private def zeroPairs(src: QuadSource, ctx: GraphCtx,
+      seed: Option[Seed]): DataFrame = seed match {
+    case Some(Seed(nodes, true)) =>
+      nodes.select(col("n").as("ps"), col("n").as("po")).distinct()
+    case Some(Seed(nodes, false)) =>
+      nodes.join(graphTerms(src, ctx), Seq("n"), "left_semi")
+        .select(col("n").as("ps"), col("n").as("po")).distinct()
+    case None =>
+      graphTerms(src, ctx).select(col("n").as("ps"), col("n").as("po"))
+  }
+
+  /** Every term appearing as subject or object in the scoped graph. */
+  private def graphTerms(src: QuadSource, ctx: GraphCtx): DataFrame = {
     val g = src.all.where(gFilter(ctx))
     g.select(col("s").as("n"))
       .union(g.select(col("o").as("n"))).distinct()
-      .select(col("n").as("ps"), col("n").as("po"))
   }
 
-  /** Distributed semi-naive transitive closure with bounded lineage. */
+  /** One-or-more closure of the inner path, seeded when an endpoint is
+    * known. The edge relation itself stays unrestricted (multi-hop walks
+    * may traverse anywhere), but the fixpoint only ever visits nodes
+    * reachable from (or reaching, for object seeds) the seed set.
+    */
+  private def plusClosure(p: Path, src: QuadSource, ctx: GraphCtx,
+      sSeed: Option[Seed], oSeed: Option[Seed]): DataFrame = {
+    val edges = eval(p, src, ctx, None, None).distinct()
+    (sSeed, oSeed) match {
+      case (Some(sd), _) => closureFrom(edges, sd.nodes)
+      case (None, Some(od)) =>
+        closureFrom(
+          edges.select(col("po").as("ps"), col("ps").as("po")), od.nodes)
+          .select(col("po").as("ps"), col("ps").as("po"))
+      case _ => closure(edges)
+    }
+  }
+
+  /** Seeded semi-naive closure: pairs (s, t) with s in seed and t
+    * reachable from s in >= 1 step. Frontier and result carry only
+    * seed-reachable pairs — O(reachable), not O(V·E).
+    */
+  private def closureFrom(edges0: DataFrame, seed: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    var result = seed.select(col("n").as("ps")).distinct()
+      .join(edges, Seq("ps"))
+      .select(col("ps"), col("po")).distinct().localCheckpoint(true)
+    var frontier = result
+    var i = 1
+    while (i < MaxIterations && !frontier.isEmpty) {
+      val stepped = frontier.select(col("ps"), col("po").as("mid"))
+        .join(edges.select(col("ps").as("mid2"), col("po")),
+          col("mid") === col("mid2"))
+        .select(col("ps"), col("po")).distinct()
+      frontier = stepped.except(result).localCheckpoint(true)
+      result = result.union(frontier).localCheckpoint(true)
+      i += 1
+    }
+    result
+  }
+
+  /** Distributed all-pairs semi-naive closure (both endpoints free). */
   private def closure(edges0: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint(true)
     var result = edges
@@ -88,7 +206,7 @@ object PathExec {
           col("mid") === col("mid2"))
         .select(col("ps"), col("po")).distinct()
       frontier = stepped.except(result).localCheckpoint(true)
-      result = result.union(frontier).distinct().localCheckpoint(true)
+      result = result.union(frontier).localCheckpoint(true)
       i += 1
     }
     result

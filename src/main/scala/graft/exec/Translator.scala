@@ -50,6 +50,16 @@ object Translator {
     case _ => None
   }
 
+  /** Term-struct literal for a constant pattern (path closure seeds). */
+  private def constCol(tp: TermPat): Option[Column] = tp match {
+    case I(iri) => Some(Term.iri(iri))
+    case L(lex, dt, lang) => Some(lang match {
+      case Some(l) => Term.langLit(lit(lex), lit(l))
+      case None => Term.typedLit(lit(lex), dt)
+    })
+    case _ => None
+  }
+
   /** One triple pattern over the quad store -> solution DF. A constant
     * predicate goes through QuadSource.byPredicate — the partition-pruned
     * path on a PartitionedQuadStore (the reference's index choice).
@@ -122,11 +132,53 @@ object Translator {
           shared * 10 + constants(p)
         }
       remaining -= next
-      val sol = translate(next, src, ctx)
+      val sol = next match {
+        // Closure-bearing path whose endpoint is already bound by the
+        // accumulated join: seed the fixpoint with the bound values
+        // (the reference's ALP-from-node, generalized to a node set).
+        case pp @ PathPattern(s, path, o)
+            if acc != null && PathExec.hasClosure(path) =>
+          def accSeed(tp: TermPat): Option[PathExec.Seed] = varName(tp)
+            .filter(v => acc.vars(v) && acc.sure(v))
+            .map(v => PathExec.Seed(
+              acc.df.select(col(v).as("n")).distinct(),
+              zeroIncludesSeed = false))
+          translatePath(pp, src, ctx, accSeed(s), accSeed(o))
+        case _ => translate(next, src, ctx)
+      }
       acc = if (acc == null) sol else joinSols(acc, sol, "inner")
       bound ++= sol.vars
     }
     acc
+  }
+
+  /** Path pattern -> solution. Constant endpoints become closure seeds
+    * (and are additionally filtered below — Catalyst pushes those filters
+    * into the leaf scans for non-closure paths); `extraS`/`extraO` carry
+    * join-derived seeds from translateConjunction.
+    */
+  private def translatePath(pp: PathPattern, src: QuadSource, ctx: GraphCtx,
+      extraS: Option[PathExec.Seed], extraO: Option[PathExec.Seed]): Sol = {
+    val PathPattern(s, path, o) = pp
+    val spark = src.all.sparkSession
+    def constSeed(tp: TermPat): Option[PathExec.Seed] = constCol(tp).map(c =>
+      PathExec.Seed(spark.range(1).select(c.as("n")),
+        zeroIncludesSeed = true))
+    val pairs = PathExec.eval(path, src, ctx,
+      constSeed(s).orElse(extraS), constSeed(o).orElse(extraO))
+    var df = pairs
+    constFilter(col("ps"), s).foreach(f => df = df.where(f))
+    constFilter(col("po"), o).foreach(f => df = df.where(f))
+    (varName(s), varName(o)) match {
+      case (Some(a), Some(b)) if a == b =>
+        val d = df.where(col("ps") === col("po")).select(col("ps").as(a))
+        Sol(d, Set(a), Set(a))
+      case (Some(a), Some(b)) =>
+        Sol(df.select(col("ps").as(a), col("po").as(b)), Set(a, b), Set(a, b))
+      case (Some(a), None) => Sol(df.select(col("ps").as(a)), Set(a), Set(a))
+      case (None, Some(b)) => Sol(df.select(col("po").as(b)), Set(b), Set(b))
+      case (None, None) => Sol(df.select(), Set.empty, Set.empty)
+    }
   }
 
   /** General join of two solutions on SPARQL-compatible mappings.
@@ -194,25 +246,20 @@ object Translator {
       } else if (ps.length == 1) scanPattern(src, ps.head, ctx)
       else translateConjunction(ps.map(p => Bgp(p)), src, ctx)
 
-    case PathPattern(s, path, o) =>
-      val pairs = PathExec.eval(path, src, ctx) // DF(ps, po)
-      var df = pairs
-      constFilter(col("ps"), s).foreach(f => df = df.where(f))
-      constFilter(col("po"), o).foreach(f => df = df.where(f))
-      (varName(s), varName(o)) match {
-        case (Some(a), Some(b)) if a == b =>
-          val d = df.where(col("ps") === col("po")).select(col("ps").as(a))
-          Sol(d, Set(a), Set(a))
-        case (Some(a), Some(b)) =>
-          Sol(df.select(col("ps").as(a), col("po").as(b)), Set(a, b), Set(a, b))
-        case (Some(a), None) => Sol(df.select(col("ps").as(a)), Set(a), Set(a))
-        case (None, Some(b)) => Sol(df.select(col("po").as(b)), Set(b), Set(b))
-        case (None, None) => Sol(df.select(), Set.empty, Set.empty)
-      }
+    case pp: PathPattern => translatePath(pp, src, ctx, None, None)
 
     case j: Join => translateConjunction(conjuncts(j), src, ctx)
 
-    case Lateral(l, r) => // v1: uncorrelated-equivalent join (see SURVEY §2.3)
+    case Lateral(l, r) =>
+      // Correlated LATERAL (shared in-scope vars) is not implemented; a
+      // silently-uncorrelated evaluation would return wrong answers, so
+      // refuse loudly (reference: spargebra · GraphPattern::Lateral).
+      val lVars = inScopeVars(l)
+      val rVars = inScopeVars(r)
+      if ((lVars & rVars).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"correlated LATERAL (shared vars ${(lVars & rVars).mkString(", ")}) " +
+            "is not implemented")
       joinSols(translate(l, src, ctx), translate(r, src, ctx), "inner")
 
     case LeftJoin(l, r, filt) =>
@@ -229,12 +276,21 @@ object Translator {
         val rRenamed = rs.df.select(rs.vars.toSeq.sorted.map(v =>
           col(v).as("__r_" + v)): _*)
         def rc(v: String) = col("__r_" + v)
-        val compat = shared.map(v => coalesce(col(v) === rc(v), lit(true)))
-          .reduce(_ && _)
-        val anyBothBound = shared.map(v => col(v).isNotNull && rc(v).isNotNull)
-          .reduce(_ || _)
-        Sol(ls.df.join(rRenamed, compat && anyBothBound, "left_anti"),
-          ls.vars, ls.sure)
+        if (shared.forall(v => ls.sure(v) && rs.sure(v))) {
+          // Every shared var is provably bound on both sides: the
+          // disjoint-domain clause is statically true and compatibility
+          // degenerates to equality — a hash-joinable equi anti join
+          // (the plan that survives scale; BNLJ does not).
+          val eq = shared.map(v => col(v) === rc(v)).reduce(_ && _)
+          Sol(ls.df.join(rRenamed, eq, "left_anti"), ls.vars, ls.sure)
+        } else {
+          val compat = shared.map(v => coalesce(col(v) === rc(v), lit(true)))
+            .reduce(_ && _)
+          val anyBothBound = shared.map(v =>
+            col(v).isNotNull && rc(v).isNotNull).reduce(_ || _)
+          Sol(ls.df.join(rRenamed, compat && anyBothBound, "left_anti"),
+            ls.vars, ls.sure)
+        }
       }
 
     case Union(l, r) =>
@@ -345,6 +401,7 @@ object Translator {
       .when(t("kind") === Term.BlankKind, 1)
       .when(t("kind") === Term.IriKind, 2).otherwise(3).as("cls"),
     sortKey(t).getField("num").as("num"),
+    sortKey(t).getField("numx").as("numx"),
     sortKey(t).getField("lex").as("lex"),
     sortKey(t).getField("dt").as("dt"),
     sortKey(t).getField("lang").as("lang"))

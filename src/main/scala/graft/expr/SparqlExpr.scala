@@ -35,10 +35,24 @@ object SparqlExpr {
   def numDec(t: Column): Column =
     when(Term.isNumericLit(t), t("lex").try_cast(DV))
       .otherwise(lit(null).cast(DV))
-  /** double numeric value of a numeric literal, else null */
+  /** double numeric value of a numeric literal, else null. XSD spells
+    * the special values INF/-INF (Spark's parser wants Infinity).
+    */
   def numDbl(t: Column): Column =
-    when(Term.isNumericLit(t), t("lex").try_cast(DoubleType))
+    when(Term.isNumericLit(t),
+      when(t("dt").isin(XsdDouble, XsdFloat) && t("lex") === "INF",
+        lit(Double.PositiveInfinity))
+        .when(t("dt").isin(XsdDouble, XsdFloat) && t("lex") === "-INF",
+          lit(Double.NegativeInfinity))
+        .otherwise(t("lex").try_cast(DoubleType)))
       .otherwise(lit(null).cast(DoubleType))
+
+  /** XSD lexical form of a double value (INF/-INF/NaN canonical names). */
+  def dblLex(c: Column): Column =
+    when(isnan(c), lit("NaN"))
+      .when(c === Double.PositiveInfinity, lit("INF"))
+      .when(c === Double.NegativeInfinity, lit("-INF"))
+      .otherwise(c.cast(StringType))
 
   private def tsVal(t: Column): Column =
     when(t("kind") === LiteralKind &&
@@ -54,7 +68,7 @@ object SparqlExpr {
   def ebv(t: Column): Column =
     when(t.isNull, lit(null).cast(BooleanType))
       .when(t("kind") =!= LiteralKind, lit(null).cast(BooleanType))
-      .when(t("dt") === XsdBoolean, t("lex") === "true")
+      .when(t("dt") === XsdBoolean, t("lex").isin("true", "1"))
       .when(t("dt").isin(XsdDouble, XsdFloat),
         !isnan(t("lex").try_cast(DoubleType)) &&
           coalesce(t("lex").try_cast(DoubleType) =!= 0.0, lit(false)))
@@ -118,6 +132,11 @@ object SparqlExpr {
       when(Term.isNumericLit(t), numDbl(t)),
       when(tsVal(t).isNotNull, unix_timestamp(tsVal(t)).cast(DoubleType)),
       lit(Double.MaxValue)).as("num"),
+    // exact-decimal tiebreak: integers beyond 2^53 compare equal in the
+    // double rank; the DV value keeps them totally ordered (rounding to
+    // double is monotone, so num-then-numx is consistent)
+    coalesce(when(Term.isNumericLit(t), numDec(t)), lit(0).cast(DV))
+      .as("numx"),
     coalesce(t("lex"), lit("")).as("lex"),
     coalesce(t("dt"), lit("")).as("dt"),
     coalesce(t("lang"), lit("")).as("lang"))
@@ -132,7 +151,13 @@ object SparqlExpr {
       case "+" => x + y
       case "-" => x - y
       case "*" => x * y
-      case "/" => when(y === 0.0, lit(null).cast(DoubleType)).otherwise(x / y)
+      // XPath op:numeric-divide: float/double division by zero is IEEE
+      // (±INF, NaN), never an error — only the exact branches error.
+      case "/" => when(y === 0.0,
+        when(x > 0, lit(Double.PositiveInfinity))
+          .when(x < 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(x / y)
     }
     def decop(x: Column, y: Column): Column = op match {
       case "+" => (x + y).cast(DV)
@@ -146,8 +171,7 @@ object SparqlExpr {
     when(!bothNum || a.isNull || b.isNull, nullTerm)
       .when(r >= 2,
         when(dblRes.isNull, nullTerm)
-          .otherwise(Term.typedLit(dblRes.cast(StringType),
-            XsdDouble)))
+          .otherwise(Term.typedLit(dblLex(dblRes), XsdDouble)))
       .when(intResult && decRes.isNotNull,
         Term.intLit(decRes.cast(DecimalType(38, 0)).cast(LongType)))
       .otherwise(when(decRes.isNull, nullTerm)
@@ -177,8 +201,10 @@ object SparqlExpr {
         throw new IllegalStateException(
           "EXISTS must be rewritten to a semi/anti join by the Translator")
       case EFn("IF", cond, t, f) =>
-        when(coalesce(compileBool(cond, bind), lit(false)), c(t))
-          .otherwise(c(f))
+        // SPARQL §17.4.1.2: an error in the condition propagates (it does
+        // NOT select the else branch).
+        val cb = compileBool(cond, bind)
+        when(cb, c(t)).when(!cb, c(f)).otherwise(nullTerm)
       case EFn(name, _*) if boolFns(name) => boolTerm(compileBool(e, bind))
       case EFn(name, args @ _*) => fn(name, args.map(c))
     }
@@ -236,7 +262,8 @@ object SparqlExpr {
     case "&&" => boolTerm(ebv(a(0)) && ebv(a(1)))
     case "||" => boolTerm(ebv(a(0)) || ebv(a(1)))
     case "!" => boolTerm(!ebv(a(0)))
-    case "IF" => when(coalesce(ebv(a(0)), lit(false)), a(1)).otherwise(a(2))
+    case "IF" =>
+      when(ebv(a(0)), a(1)).when(!ebv(a(0)), a(2)).otherwise(nullTerm)
     case "COALESCE" => coalesce(a: _*)
     case "BOUND" => boolTerm(a(0).isNotNull)
     // comparison
@@ -377,7 +404,7 @@ object SparqlExpr {
       url_encode(l), lit("\\+"), lit("%20"))
   private def numFn1(t: Column)(fd: Column => Column, fdb: Column => Column): Column =
     when(t.isNull || !Term.isNumericLit(t), nullTerm)
-      .when(rank(t) >= 2, Term.typedLit(fdb(numDbl(t)).cast(StringType), XsdDouble))
+      .when(rank(t) >= 2, Term.typedLit(dblLex(fdb(numDbl(t))), XsdDouble))
       .when(rank(t) === 0, Term.intLit(fd(numDec(t)).cast(DecimalType(38, 0)).cast(LongType)))
       .otherwise(Term.decimalLit(fd(numDec(t)).cast(StringType)))
   private def tsFn1(t: Column)(f: Column => Column): Column =

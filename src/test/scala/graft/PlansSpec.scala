@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algebra.Algebra._
+import graft.exec.{PathExec, Translator}
+import graft.io.{DfQuadSource, TpchRdf}
+import graft.io.TpchRdf.P
+import graft.model.Term
+
+/** Plan-shape assertions: lock in the physical plans that survive
+  * scale-up (hash joins, seeded fixpoints) so a regression to a
+  * nested-loop or all-pairs shape fails loudly, not just slowly.
+  */
+class PlansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def t(iri: String) = Row(Term.IriKind.toByte, iri, null, null)
+  private val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
+  private def quadsDf(edges: Seq[(String, String, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        edges.map { case (s, p, o) => Row(dg, t(s), t(p), t(o)) }.toList, 2),
+      Term.quadSchema)
+
+  test("MINUS with sure shared vars compiles to a hash anti-join (no BNLJ)") {
+    val gp = Minus(
+      Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+        TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+      Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c")),
+        TriplePattern(V("o"), I(P("totalprice")), V("tp"))))
+    val df = Translator.translate(gp, TpchRdf.quads(spark, sf)).df
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"MINUS regressed to a nested-loop join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+  }
+
+  test("MINUS with nullable shared vars keeps compatibility semantics") {
+    // right side binds ?b only optionally -> not sure -> theta join path
+    val gp = Minus(
+      Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+        TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+      LeftJoin(
+        Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("seg"))),
+        Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))))
+    // just needs to run correctly; every customer has both -> all removed
+    val df = Translator.translate(gp, TpchRdf.quads(spark, sf)).df
+    assert(df.count() == 0)
+  }
+
+  test("p+ closure with a constant subject stays seeded (no all-pairs)") {
+    val p = "http://x/p"
+    val edges = Seq(
+      ("http://x/a", p, "http://x/b"), ("http://x/b", p, "http://x/c"),
+      ("http://x/c", p, "http://x/d"),
+      // a second component the seeded closure must never visit
+      ("http://x/e", p, "http://x/f"), ("http://x/f", p, "http://x/g"))
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(List(Row(t("http://x/a")))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", Term.schema, true))))
+    val pairs = PathExec.eval(POneOrMore(PLink(p)),
+      DfQuadSource(quadsDf(edges)), Translator.DefaultG,
+      Some(PathExec.Seed(seed, zeroIncludesSeed = true)), None)
+    val got = pairs.collect().map(r =>
+      (r.getAs[Row]("ps").getString(1), r.getAs[Row]("po").getString(1))).toSet
+    // the closure OUTPUT itself (pre-filter) must only contain seed rows:
+    // the old all-pairs shape would also emit (b,c), (e,f), ...
+    assert(got == Set(
+      ("http://x/a", "http://x/b"),
+      ("http://x/a", "http://x/c"),
+      ("http://x/a", "http://x/d")), s"closure not seeded: $got")
+  }
+
+  test("p+ closure with a constant object seeds backwards") {
+    val p = "http://x/p"
+    val edges = Seq(
+      ("http://x/a", p, "http://x/b"), ("http://x/b", p, "http://x/c"),
+      ("http://x/e", p, "http://x/f"))
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(List(Row(t("http://x/c")))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", Term.schema, true))))
+    val pairs = PathExec.eval(POneOrMore(PLink(p)),
+      DfQuadSource(quadsDf(edges)), Translator.DefaultG,
+      None, Some(PathExec.Seed(seed, zeroIncludesSeed = true)))
+    val got = pairs.collect().map(r =>
+      (r.getAs[Row]("ps").getString(1), r.getAs[Row]("po").getString(1))).toSet
+    assert(got == Set(
+      ("http://x/a", "http://x/c"),
+      ("http://x/b", "http://x/c")), s"backward closure not seeded: $got")
+  }
+
+  test("p* with constant subject includes the seed even off-graph") {
+    // SPARQL §18.4 ALP: a term start node matches zero-length even when
+    // absent from the graph
+    val p = "http://x/p"
+    val edges = Seq(("http://x/a", p, "http://x/b"))
+    val sol = Translator.translate(
+      PathPattern(I("http://x/zzz"), PZeroOrMore(PLink(p)), V("y")),
+      quadsDf(edges))
+    val got = sol.df.collect().map(_.getAs[Row]("y").getString(1)).toSet
+    assert(got == Set("http://x/zzz"), s"got $got")
+  }
+
+  test("correlated LATERAL throws instead of silently decorrelating") {
+    val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
+    val r = Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))
+    intercept[UnsupportedOperationException] {
+      Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
+    }
+  }
+
+  test("uncorrelated LATERAL still evaluates as a join") {
+    val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
+    val r = Bgp(TriplePattern(V("r"), I(P("regionName")), V("rn")))
+    val sol = Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
+    assert(sol.vars == Set("c", "n", "r", "rn"))
+  }
+}
