@@ -54,12 +54,111 @@ object SparqlExpr {
       .when(c === Double.NegativeInfinity, lit("-INF"))
       .otherwise(c.cast(StringType))
 
-  private def tsVal(t: Column): Column =
-    when(t("kind") === LiteralKind &&
-      t("dt").isin(XsdDateTime, XsdDate),
-      try_to_timestamp(t("lex"),
-        lit("yyyy-MM-dd['T'HH:mm:ss[.SSSSSS]]")))
+  /** Trailing timezone part of a temporal lexical form: "Z", "+05:00",
+    * "" when absent (xsd:dateTime/date lexical space).
+    */
+  private val TzRe = "(Z|[+-]\\d{2}:\\d{2})$"
+  private def tzPart(lex: Column): Column = regexp_extract(lex, TzRe, 1)
+
+  /** Signed offset seconds of a timezone part ("" and "Z" are 0). */
+  private def tzOffsetSecs(tz: Column): Column =
+    when(tz === "" || tz === "Z", lit(0L))
+      .otherwise(when(tz.startsWith("-"), -1L).otherwise(1L) *
+        (substring(tz, 2, 2).cast(LongType) * 3600L +
+          substring(tz, 5, 2).cast(LongType) * 60L))
+
+  /** Instant value of a dateTime/date literal, timezone-normalized to
+    * UTC (session timezone must be UTC — set by the entry points).
+    */
+  private def tsVal(t: Column): Column = {
+    val lex = t("lex")
+    val base = regexp_replace(lex, TzRe, "")
+    val ts0 = try_to_timestamp(base, lit("yyyy-MM-dd['T'HH:mm:ss[.SSSSSS]]"))
+    when(t("kind") === LiteralKind && t("dt").isin(XsdDateTime, XsdDate),
+      ts0 - make_dt_interval(lit(0), lit(0), lit(0),
+        tzOffsetSecs(tzPart(lex)).cast(DecimalType(18, 6))))
       .otherwise(lit(null).cast(TimestampType))
+  }
+
+  private def isDtLit(t: Column): Column =
+    t("kind") === LiteralKind && t("dt").isin(XsdDateTime, XsdDate)
+  private def isDurLit(t: Column): Column =
+    t("kind") === LiteralKind &&
+      t("dt").isin(XsdDayTimeDuration, XsdDuration)
+
+  /** Signed total seconds (decimal) of a dayTimeDuration lexical form. */
+  private def durSecs(lex: Column): Column = {
+    def comp(re: String): Column =
+      coalesce(regexp_extract(lex, re, 1).try_cast(DecimalType(38, 6)),
+        lit(0).cast(DecimalType(38, 6)))
+    val total = comp("(\\d+)D") * 86400 + comp("(\\d+)H") * 3600 +
+      comp("(\\d+)M") * 60 + comp("(\\d+(?:\\.\\d+)?)S")
+    (when(lex.startsWith("-"), -1).otherwise(1) * total)
+      .cast(DecimalType(38, 6))
+  }
+
+  /** Canonical xsd:dayTimeDuration lexical form from signed seconds. */
+  private def durLex(secs: Column): Column = {
+    val neg = secs < 0
+    val total = abs(secs.cast(DecimalType(38, 6)))
+    val d = floor(total / 86400).cast(LongType)
+    val h = floor((total % 86400) / 3600).cast(LongType)
+    val m = floor((total % 3600) / 60).cast(LongType)
+    val sNum = (total % 60).cast(DecimalType(38, 6))
+    // canonical decimal: strip trailing zeros, then a trailing dot
+    val sStr = regexp_replace(
+      regexp_replace(sNum.cast(StringType), "(\\.\\d*?)0+$", "$1"),
+      "\\.$", "")
+    val timePart = concat(
+      when(h > 0, concat(h.cast(StringType), lit("H"))).otherwise(lit("")),
+      when(m > 0, concat(m.cast(StringType), lit("M"))).otherwise(lit("")),
+      when(sNum =!= 0, concat(sStr, lit("S"))).otherwise(lit("")))
+    val body = concat(
+      lit("P"),
+      when(d > 0, concat(d.cast(StringType), lit("D"))).otherwise(lit("")),
+      when(length(timePart) > 0, concat(lit("T"), timePart))
+        .otherwise(lit("")))
+    when(secs === 0, lit("PT0S"))
+      .otherwise(concat(when(neg, lit("-")).otherwise(lit("")), body))
+  }
+
+  /** Canonical dateTime lexical form of a timestamp: no fraction when
+    * zero, micros with trailing zeros stripped otherwise; `tz` carries
+    * the original timezone part ("" keeps the result zoneless, anything
+    * else is rendered as the UTC-normalized "Z").
+    */
+  private def dtLexOut(ts: Column, tz: Column): Column = {
+    val frac = date_format(ts, "SSSSSS")
+    concat(
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+      when(frac =!= "000000",
+        concat(lit("."), regexp_replace(frac, "0+$", ""))).otherwise(lit("")),
+      when(tz === "", lit("")).otherwise(lit("Z")))
+  }
+
+  /** dateTime/date ± dayTimeDuration (XPath op:add-dayTimeDuration-to-*):
+    * keeps the argument's datatype, normalizes any timezone to Z.
+    */
+  private def dtPlusDur(t: Column, dur: Column, negate: Boolean): Column = {
+    val secs = durSecs(dur("lex")) * (if (negate) -1 else 1)
+    val res = tsVal(t) + make_dt_interval(lit(0), lit(0), lit(0),
+      secs.cast(DecimalType(18, 6)))
+    when(res.isNull, nullTerm)
+      .when(t("dt") === XsdDate,
+        Term.typedLit(
+          concat(date_format(res, "yyyy-MM-dd"),
+            when(tzPart(t("lex")) === "", lit("")).otherwise(lit("Z"))),
+          XsdDate))
+      .otherwise(Term.typedLit(dtLexOut(res, tzPart(t("lex"))), XsdDateTime))
+  }
+
+  /** dateTime - dateTime -> xsd:dayTimeDuration (op:subtract-dateTimes). */
+  private def dtMinusDt(a: Column, b: Column): Column = {
+    val secs = ((unix_micros(tsVal(a)) - unix_micros(tsVal(b)))
+      .cast(DecimalType(38, 6)) / 1000000L).cast(DecimalType(38, 6))
+    when(tsVal(a).isNull || tsVal(b).isNull, nullTerm)
+      .otherwise(Term.typedLit(durLex(secs), XsdDayTimeDuration))
+  }
 
   private def isStrTerm(t: Column): Column =
     t("kind") === LiteralKind && (t("dt") === XsdString || t("dt") === RdfLangString)
@@ -339,8 +438,17 @@ object SparqlExpr {
         .otherwise(a(1)("lex") === "*" && length(a(0)("lex")) > 0 ||
           lower(a(0)("lex")) === lower(a(1)("lex")) ||
           lower(a(0)("lex")).startsWith(concat(lower(a(1)("lex")), lit("-")))))
-    // numerics
-    case "+" | "-" | "*" | "/" => arith(name, a(0), a(1))
+    // numerics (+/- also dispatch the temporal value space: XPath
+    // op:add/subtract-dayTimeDuration-to-dateTime, op:subtract-dateTimes)
+    case "+" =>
+      when(isDtLit(a(0)) && isDurLit(a(1)), dtPlusDur(a(0), a(1), negate = false))
+        .when(isDurLit(a(0)) && isDtLit(a(1)), dtPlusDur(a(1), a(0), negate = false))
+        .otherwise(arith("+", a(0), a(1)))
+    case "-" =>
+      when(isDtLit(a(0)) && isDurLit(a(1)), dtPlusDur(a(0), a(1), negate = true))
+        .when(isDtLit(a(0)) && isDtLit(a(1)), dtMinusDt(a(0), a(1)))
+        .otherwise(arith("-", a(0), a(1)))
+    case "*" | "/" => arith(name, a(0), a(1))
     case "UMINUS" => arith("-", Term.intLit(lit(0L)), a(0))
     case "ABS" => numFn1(a(0))(abs, abs)
     case "CEIL" => numFn1(a(0))(x => ceil(x).cast(DV), x => ceil(x).cast(DoubleType))
@@ -353,7 +461,28 @@ object SparqlExpr {
     case "DAY" => tsFn1(a(0))(x => Term.intLit(dayofmonth(x)))
     case "HOURS" => tsFn1(a(0))(x => Term.intLit(hour(x)))
     case "MINUTES" => tsFn1(a(0))(x => Term.intLit(minute(x)))
-    case "SECONDS" => tsFn1(a(0))(x => Term.decimalLit(second(x).cast(StringType)))
+    case "SECONDS" =>
+      // fractional seconds from the lexical form (the instant extraction
+      // would truncate to whole seconds)
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind ||
+        a(0)("dt") =!= XsdDateTime || tsVal(a(0)).isNull, nullTerm)
+        .otherwise(Term.decimalLit(regexp_replace(regexp_replace(
+          regexp_replace(
+            coalesce(
+              nullif(regexp_extract(a(0)("lex"),
+                "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1), lit("")),
+              lit("0")),
+            "^0(\\d)", "$1"),
+          "(\\.\\d*?)0+$", "$1"), "\\.$", "")))
+    case "TZ" =>
+      when(!isDtLit(a(0)), nullTerm)
+        .otherwise(Term.strLit(tzPart(a(0)("lex"))))
+    case "TIMEZONE" =>
+      // xsd:dayTimeDuration of the explicit timezone; error when absent
+      when(!isDtLit(a(0)) || tzPart(a(0)("lex")) === "", nullTerm)
+        .otherwise(Term.typedLit(
+          durLex(tzOffsetSecs(tzPart(a(0)("lex"))).cast(DecimalType(38, 6))),
+          XsdDayTimeDuration))
     case "NOW" => Term.dateTimeLit(current_timestamp())
     // hashing
     case "MD5" => strFn1(a(0))(l => Term.strLit(md5(l.cast(BinaryType))))
@@ -365,7 +494,38 @@ object SparqlExpr {
     case "xsd:integer" => castNum(a(0), XsdInteger, DecimalType(38, 0))
     case "xsd:decimal" => castNum(a(0), XsdDecimal, DV)
     case "xsd:double" => when(a(0).isNull, nullTerm)
+      .when(a(0)("lex").isin("INF", "-INF", "NaN"),
+        Term.typedLit(a(0)("lex"), XsdDouble))
       .otherwise(castOrNull(a(0)("lex"), DoubleType, XsdDouble))
+    case "xsd:float" => when(a(0).isNull, nullTerm)
+      .when(a(0)("lex").isin("INF", "-INF", "NaN"),
+        Term.typedLit(a(0)("lex"), XsdFloat))
+      .otherwise(castOrNull(a(0)("lex"), FloatType, XsdFloat))
+    case "xsd:dateTime" =>
+      val lex = trim(a(0)("lex"))
+      val tz = tzPart(lex)
+      val base = regexp_replace(lex, TzRe, "")
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
+        .when(a(0)("dt") === XsdDateTime, a(0))
+        .when(a(0)("dt") === XsdDate,
+          Term.typedLit(concat(base, lit("T00:00:00"), tz), XsdDateTime))
+        .when(isStrTerm(a(0)) &&
+          try_to_timestamp(base,
+            lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")).isNotNull,
+          Term.typedLit(lex, XsdDateTime))
+        .otherwise(nullTerm)
+    case "xsd:date" =>
+      val lex = trim(a(0)("lex"))
+      val tz = tzPart(lex)
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
+        .when(a(0)("dt") === XsdDate, a(0))
+        .when(a(0)("dt") === XsdDateTime,
+          Term.typedLit(concat(substring(lex, 1, 10), tz), XsdDate))
+        .when(isStrTerm(a(0)) &&
+          regexp_like(lex, lit("^\\d{4}-\\d{2}-\\d{2}(Z|[+-]\\d{2}:\\d{2})?$")) &&
+          try_to_timestamp(substring(lex, 1, 10), lit("yyyy-MM-dd")).isNotNull,
+          Term.typedLit(lex, XsdDate))
+        .otherwise(nullTerm)
     case "xsd:boolean" => when(a(0).isNull, nullTerm)
       .when(a(0)("lex").isin("true", "false", "1", "0"),
         Term.boolLit(a(0)("lex").isin("true", "1").cast(StringType)))

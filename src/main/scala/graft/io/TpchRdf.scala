@@ -82,6 +82,9 @@ object TpchRdf {
         Term.langLit(lower(col("r_name")), lit("de")), dg)(r),
       triple(os, P("orderedBy"), oc, dg)(o),
       triple(os, P("totalprice"), dec2Lit(col("o_totalprice")), dg)(o),
+      triple(os, P("orderdate"),
+        Term.typedLit(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          Term.XsdDate), dg)(o),
       triple(os, P("status"), Term.strLit(col("o_orderstatus")), dg)(o),
       triple(os, P("priority"), Term.strLit(col("o_orderpriority")), dg)(o),
       // suppliers live in a named graph to exercise GRAPH scoping

@@ -47,6 +47,9 @@ object Term {
   val XsdDouble: String = xsd + "double"
   val XsdDateTime: String = xsd + "dateTime"
   val XsdDate: String = xsd + "date"
+  val XsdTime: String = xsd + "time"
+  val XsdDuration: String = xsd + "duration"
+  val XsdDayTimeDuration: String = xsd + "dayTimeDuration"
   val RdfLangString: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
   val numericTypes: Seq[String] = Seq(

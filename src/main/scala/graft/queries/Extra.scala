@@ -282,6 +282,6 @@ object Extra {
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)
         + (SELECT count(*) * 4 FROM region)
-        + (SELECT count(*) * 4 FROM orders)
+        + (SELECT count(*) * 5 FROM orders)
         + (SELECT count(*) * 3 FROM supplier) + 1 AS cnt""")
 }

@@ -157,6 +157,33 @@ object Sparql {
       run(s, dir, gp).select(str("y").as("y")).orderBy(col("y"))
     },
 
+    // bound-subject transitive closure over the longest :locatedIn chain
+    // (§2.7): the seeded-fixpoint path — 3 hops from one customer
+    "sp28_path_seeded" -> { (s, dir) =>
+      val gp = PathPattern(I(TpchRdf.ns + "customer/7"),
+        POneOrMore(PLink(P("locatedIn"))), V("y"))
+      run(s, dir, gp).select(str("y").as("y")).orderBy(col("y"))
+    },
+
+    // temporal value system (§2.8): date + dayTimeDuration, dateTime
+    // subtraction -> canonical duration, TZ accessor
+    "sp27_date_arith" -> { (s, dir) =>
+      import graft.model.Term
+      val gp = OrderBy(
+        Extend(
+          Extend(
+            Extend(
+              Bgp(TriplePattern(V("o"), I(P("orderdate")), V("d"))),
+              "due", EFn("+", EVar("d"),
+                ELit("P30D", Term.XsdDayTimeDuration))),
+            "age", EFn("-", EFn("xsd:dateTime", EVar("d")),
+              ELit("1990-01-01T00:00:00", Term.XsdDateTime))),
+          "tzs", EFn("TZ", EVar("d"))),
+        Seq(EVar("o") -> true))
+      run(s, dir, gp).select(str("o").as("o"), str("due").as("due"),
+        str("age").as("age"), str("tzs").as("tzs"))
+    },
+
     // GRAPH <iri> scoping + cross-graph join (§2.9)
     "sp11_graph" -> { (s, dir) =>
       val gp = Join(
@@ -338,6 +365,19 @@ object Sparql {
         SELECT '${TpchRdf.ns}nation/3' AS y
         UNION ALL SELECT $rIriN FROM nation WHERE n_nationkey = 3
         UNION ALL SELECT '${TpchRdf.WORLD}') ORDER BY y""",
+    "sp28_path_seeded" ->
+      s"""SELECT y FROM (
+        SELECT $nIriC AS y FROM customer WHERE c_custkey = 7
+        UNION ALL SELECT $rIriN FROM customer
+          JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 7
+        UNION ALL SELECT '${TpchRdf.WORLD}') ORDER BY y""",
+    "sp27_date_arith" ->
+      s"""SELECT '${TpchRdf.ns}order/' || o_orderkey AS o,
+        CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due,
+        'P' || date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+          || 'D' AS age,
+        '' AS tzs
+        FROM orders ORDER BY o""",
     "sp11_graph" ->
       """SELECT s_name, n_name FROM supplier
         JOIN nation ON s_nationkey = n_nationkey ORDER BY s_name""",
@@ -369,7 +409,7 @@ object Sparql {
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)
         + (SELECT count(*) * 4 FROM region)
-        + (SELECT count(*) * 4 FROM orders) AS cnt""",
+        + (SELECT count(*) * 5 FROM orders) AS cnt""",
     "sp25_groupconcat" ->
       """SELECT n_name,
         array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,

@@ -185,7 +185,7 @@ object SparqlText {
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)
         + (SELECT count(*) * 4 FROM region)
-        + (SELECT count(*) * 3 FROM orders)
+        + (SELECT count(*) * 4 FROM orders)
         + (SELECT count(*) FROM customer
            WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 7000) AS cnt""")
 }

@@ -126,6 +126,62 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(lex(f("NOW"))._2 == Some(Term.XsdDateTime))
   }
 
+  test("temporal value system: TZ/TIMEZONE, fractions, durations, casts") {
+    val dtz = Term.typedLit(lit("2024-03-05T10:20:30.5+05:30"),
+      Term.XsdDateTime)
+    val dtp = Term.typedLit(lit("2024-03-05T10:20:30"), Term.XsdDateTime)
+    val d = Term.typedLit(lit("2024-03-05"), Term.XsdDate)
+    // fractional seconds come from the lexical form
+    assert(lex(f("SECONDS", dtz))._1 == Some("30.5"))
+    assert(lex(f("SECONDS", dtp))._1 == Some("30"))
+    // TZ: literal timezone string, "" when absent
+    assert(lex(f("TZ", dtz))._1 == Some("+05:30"))
+    assert(lex(f("TZ", dtp))._1 == Some(""))
+    // TIMEZONE: dayTimeDuration, error (null) when absent
+    assert(lex(f("TIMEZONE", dtz)) ==
+      (Some("PT5H30M"), Some(Term.XsdDayTimeDuration), None))
+    assert(lex(f("TIMEZONE", dtp))._1 == None)
+    assert(lex(f("TIMEZONE",
+      Term.typedLit(lit("2024-03-05T00:00:00Z"), Term.XsdDateTime)))._1 ==
+      Some("PT0S"))
+    // timezone-normalized comparison: 10:00+05:00 == 05:00Z
+    assert(lex(f("=",
+      Term.typedLit(lit("2024-03-05T10:00:00+05:00"), Term.XsdDateTime),
+      Term.typedLit(lit("2024-03-05T05:00:00Z"), Term.XsdDateTime)))._1 ==
+      Some("true"))
+    // dateTime + dayTimeDuration
+    val dur = Term.typedLit(lit("P1DT2H30M"), Term.XsdDayTimeDuration)
+    assert(lex(f("+", dtp, dur))._1 == Some("2024-03-06T12:50:30"))
+    assert(lex(f("-", dtp, dur))._1 == Some("2024-03-04T07:50:30"))
+    // date + duration stays a date
+    assert(lex(f("+", d, Term.typedLit(lit("P30D"),
+      Term.XsdDayTimeDuration))) ==
+      (Some("2024-04-04"), Some(Term.XsdDate), None))
+    // dateTime - dateTime -> canonical dayTimeDuration
+    assert(lex(f("-", dtp,
+      Term.typedLit(lit("2024-03-04T07:50:30"), Term.XsdDateTime)))._1 ==
+      Some("P1DT2H30M"))
+    assert(lex(f("-", dtp, dtp))._1 == Some("PT0S"))
+    assert(lex(f("-",
+      Term.typedLit(lit("2024-03-04T00:00:00"), Term.XsdDateTime),
+      Term.typedLit(lit("2024-03-05T00:00:00"), Term.XsdDateTime)))._1 ==
+      Some("-P1D"))
+    // constructor casts
+    assert(lex(f("xsd:dateTime", d)) ==
+      (Some("2024-03-05T00:00:00"), Some(Term.XsdDateTime), None))
+    assert(lex(f("xsd:dateTime", s("2024-03-05T10:20:30")))._2 ==
+      Some(Term.XsdDateTime))
+    assert(lex(f("xsd:dateTime", s("nope")))._1 == None)
+    assert(lex(f("xsd:date", dtz)) ==
+      (Some("2024-03-05+05:30"), Some(Term.XsdDate), None))
+    assert(lex(f("xsd:date", s("2024-03-05")))._2 == Some(Term.XsdDate))
+    assert(lex(f("xsd:date", s("2024-13-05")))._1 == None)
+    assert(lex(f("xsd:float", s("1.5"))) ==
+      (Some("1.5"), Some(Term.XsdFloat), None))
+    assert(lex(f("xsd:float", s("INF")))._1 == Some("INF"))
+    assert(lex(f("xsd:float", s("nope")))._1 == None)
+  }
+
   test("hashing and casts") {
     assert(lex(f("MD5", s("abc")))._1 ==
       Some("900150983cd24fb0d6963f7d28e17f72"))
