@@ -34,20 +34,38 @@ object Dedup {
       explode(TextOps.shingles(TextOps.tokens(col("text")), k)).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs at `threshold` (as a rational
-    * num/den to stay integer-exact): inverted-index self-join on shingles,
-    * count co-occurrences, filter inter/(na+nb-inter) >= num/den.
+    * num/den to stay integer-exact): inverted-index self-join on shingles
+    * for candidates, exact set verification per candidate pair.
+    *
+    * `dfCap` bounds the hottest posting list: a stop-shingle shared by a
+    * large fraction of the corpus makes the self-join quadratic in its
+    * document frequency while carrying no near-dup signal, so shingles
+    * with df > dfCap are dropped from CANDIDATE GENERATION only —
+    * verification still intersects the full shingle sets, keeping the
+    * reported Jaccard exact. The default cap never binds at test scale;
+    * at 100 TB set it to a small multiple of the expected dup-cluster
+    * size.
     */
   def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int,
-      k: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, k)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+      k: Int = 3, dfCap: Long = 1L << 20): DataFrame = {
+    val withSh = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("s"))
+    val capped = sh.join(rare, Seq("s"), "left_semi")
+    val cands = capped.as("a").join(capped.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .dropDuplicates("da", "db")
+    cands
+      .join(withSh.select(col("doc_id").as("da"), col("sh").as("sa")), "da")
+      .join(withSh.select(col("doc_id").as("db"), col("sh").as("sb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("na", size(col("sa")))
+      .withColumn("nb", size(col("sb")))
       .where(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
   }
@@ -68,25 +86,34 @@ object Dedup {
     * (bandRows hashes per band). Shuffle key is (band, bandSig) — short
     * and uniform; then verify candidates with exact Jaccard on the
     * shingle sets (array_intersect on the two docs only).
+    *
+    * The signature table is persisted and only (doc_id, band, bsig) rows
+    * flow through the band self-join — the shingle arrays never ride the
+    * ×bands explode/exchange; verification joins them back per candidate
+    * from the cached table (the retry precondition NEXT.md recorded:
+    * without the persist, the joins recomputed the signature projection
+    * and regressed 18×).
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       num: Int = 8, den: Int = 10, k: Int = 3): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes, k)
-    val banded = sigs.select(col("doc_id"), col("sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64((0 until rows).map(r =>
             element_at(col("sig"), b * rows + r + 1)): _*).as("bsig"))))
         .as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bsig"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
     val cands = banded.as("a").join(banded.as("b"),
       col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .dropDuplicates("da", "db")
     cands
+      .join(sigs.select(col("doc_id").as("da"), col("sh").as("sa")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sh").as("sb")), "db")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("na", size(col("sa")))
       .withColumn("nb", size(col("sb")))

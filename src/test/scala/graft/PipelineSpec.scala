@@ -20,6 +20,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH verified output must equal exact pairs")
   }
 
+  test("df-cap drops stop-shingle-only candidates but keeps exact Jaccard") {
+    import spark.implicits._
+    // docs 1/2 are near-dups; 3/4 share ONLY the stop shingle, which
+    // appears in every doc (df = 4)
+    val tiny = Seq(
+      (1L, "stop stop stop alpha beta gamma delta"),
+      (2L, "stop stop stop alpha beta gamma epsilon"),
+      (3L, "stop stop stop one two three four five six seven"),
+      (4L, "stop stop stop eight nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    // no cap: the 1-2 pair qualifies at 3/10 (shares stop + alpha/beta...)
+    val uncapped = Dedup.ngramJaccardPairs(tiny, 3, 10)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)))
+    // cap df<=3: the "stop stop stop" shingle (df 4) leaves candidate
+    // generation; 1-2 still found via their other shared shingles, and
+    // their reported Jaccard is still computed on the FULL sets
+    val capped = Dedup.ngramJaccardPairs(tiny, 3, 10, 3, dfCap = 3L)
+    val cappedPairs = capped.select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((1L, 2L)))
+    val row = capped.where(col("da") === 1L && col("db") === 2L).head()
+    val uncappedRow = Dedup.ngramJaccardPairs(tiny, 3, 10)
+      .where(col("da") === 1L && col("db") === 2L).head()
+    assert(row.getAs[Int]("inter") == uncappedRow.getAs[Int]("inter"),
+      "verification must use full shingle sets, not the capped index")
+    // 3-4 share only the stop shingle: candidate only without the cap
+    assert(!cappedPairs.contains((3L, 4L)))
+  }
+
   test("simhash near-dups recall >= 0.8 of jaccard near-dups") {
     val jacc = Dedup.ngramJaccardPairs(docs, 8, 10)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
