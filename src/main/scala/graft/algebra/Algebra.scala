@@ -39,7 +39,12 @@ object Algebra {
   final case class PZeroOrOne(p: Path) extends Path
   final case class POneOrMore(p: Path) extends Path
   final case class PZeroOrMore(p: Path) extends Path
-  final case class PNeg(iris: Seq[String]) extends Path
+  /** Negated property set `!(p1|…|^q1|…)`: `iris` are the forward
+    * exclusions, `invIris` the inverse ones. Per SPARQL §18.2.2.5 each
+    * component exists only when its list is non-empty.
+    */
+  final case class PNeg(iris: Seq[String], invIris: Seq[String] = Nil)
+      extends Path
 
   // ---- expressions (spargebra · Expression) --------------------------
   sealed trait Expr
@@ -119,6 +124,19 @@ object Algebra {
       delete: Seq[TriplePattern], insert: Seq[TriplePattern],
       where: GraphPattern) extends UpdateOp
   final case class ClearGraph(graph: Option[String]) extends UpdateOp
+  /** Graph management (update.rs · GraphUpdateOperation::{Copy,Move,Add,
+    * Load,Create}); `None` = the default graph. DROP desugars to Clear
+    * (a quad table has no empty-graph registry), CREATE is a no-op.
+    */
+  final case class CopyGraph(from: Option[String], to: Option[String])
+      extends UpdateOp
+  final case class MoveGraph(from: Option[String], to: Option[String])
+      extends UpdateOp
+  final case class AddGraph(from: Option[String], to: Option[String])
+      extends UpdateOp
+  final case class LoadGraph(source: String, into: Option[String])
+      extends UpdateOp
+  final case class CreateGraph(iri: String) extends UpdateOp
 
   /** Variables bound by a pattern (used for join planning). */
   def vars(tp: TermPat): Set[String] = tp match {

@@ -114,10 +114,16 @@ object PathExec {
       eval(a, src, ctx, sSeed, oSeed)
         .union(eval(b, src, ctx, sSeed, oSeed)).distinct()
 
-    case PNeg(iris) =>
-      src.all.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
-        !col("p")("lex").isin(iris: _*))
-        .select(col("s").as("ps"), col("o").as("po")).distinct()
+    case PNeg(iris, invIris) =>
+      def nps(excl: Seq[String]): DataFrame =
+        src.all.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
+          !col("p")("lex").isin(excl: _*))
+          .select(col("s").as("ps"), col("o").as("po"))
+      val fwd = if (iris.nonEmpty) Some(nps(iris)) else None
+      val inv = if (invIris.nonEmpty)
+        Some(nps(invIris).select(col("po").as("ps"), col("ps").as("po")))
+      else None
+      (fwd.toSeq ++ inv.toSeq).reduce(_ union _).distinct()
 
     case PZeroOrOne(p) =>
       eval(p, src, ctx, sSeed, oSeed)

@@ -74,9 +74,15 @@ object QueryExec {
     instantiate(template, Translator.translate(gp, quads))
 
   /** DESCRIBE ?v: all default-graph triples whose subject is a binding of v. */
-  def describe(gp: GraphPattern, v: String, quads: DataFrame): DataFrame = {
+  def describe(gp: GraphPattern, v: String, quads: DataFrame): DataFrame =
+    describe(gp, Seq(v), quads)
+
+  /** DESCRIBE over several resources: union of per-variable bindings. */
+  def describe(gp: GraphPattern, vs: Seq[String], quads: DataFrame)
+      : DataFrame = {
     val sol = Translator.translate(gp, quads)
-    val subjects = sol.df.select(col(v).as("__subj")).distinct()
+    val subjects = vs.map(v => sol.df.select(col(v).as("__subj")))
+      .reduce(_ unionByName _).distinct()
     quads.where(col("g")("kind") === Term.DefaultGraphKind)
       .join(subjects, col("s") === col("__subj"))
       .select(col("s"), col("p"), col("o"))

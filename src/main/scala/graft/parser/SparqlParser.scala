@@ -11,14 +11,20 @@ import graft.model.Term
   * Distinct/OrderBy/Slice).
   *
   * Recursive descent over a cursor; supported subset: SELECT / ASK /
-  * CONSTRUCT with PREFIX/BASE, BGPs with ';' ',' 'a' abbreviations,
-  * property paths (^ / | + * ? !), OPTIONAL, FILTER (incl. [NOT]
-  * EXISTS), BIND, MINUS, UNION, GRAPH, VALUES, sub-SELECT, expressions
-  * with full operator precedence, aggregates with GROUP BY / HAVING,
-  * DISTINCT/REDUCED, ORDER BY, LIMIT/OFFSET. Not yet: blank-node
-  * property lists, RDF collections, DESCRIBE, federation.
+  * CONSTRUCT / DESCRIBE with PREFIX/BASE, BGPs with ';' ',' 'a'
+  * abbreviations, blank-node property lists, RDF collections,
+  * property paths (^ / | + * ? !, incl. inverse in negated sets),
+  * OPTIONAL, FILTER (incl. [NOT] EXISTS), BIND, MINUS, UNION, GRAPH,
+  * VALUES, sub-SELECT, expressions with full operator precedence,
+  * aggregates with GROUP BY (vars and (expr AS ?v)) / HAVING,
+  * DISTINCT/REDUCED, ORDER BY, LIMIT/OFFSET. Not yet: federation,
+  * DESCRIBE *, CONSTRUCT solution modifiers.
   */
 final class SparqlParser(input: String) {
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val RdfFirst = RdfNs + "first"
+  private val RdfRest = RdfNs + "rest"
+  private val RdfNil = RdfNs + "nil"
   private var pos = 0
   private var base = ""
   private val prefixes = scala.collection.mutable.Map[String, String]()
@@ -213,22 +219,33 @@ final class SparqlParser(input: String) {
   private def parsePathPrimary(): Path = {
     ws()
     if (eatSym("!")) {
+      val fwd = scala.collection.mutable.ListBuffer[String]()
+      val inv = scala.collection.mutable.ListBuffer[String]()
+      def elt(): Unit = {
+        val (isInv, iri) = parsePathNegElt()
+        if (isInv) inv += iri else fwd += iri
+      }
       if (eatSym("(")) {
-        val iris = scala.collection.mutable.ListBuffer[String]()
-        iris += parsePathNegElt()
-        while (eatSym("|")) iris += parsePathNegElt()
+        elt()
+        while (eatSym("|")) elt()
         expect(")")
-        PNeg(iris.toSeq)
-      } else PNeg(Seq(parsePathNegElt()))
+      } else elt()
+      PNeg(fwd.toSeq, inv.toSeq)
     } else if (eatSym("(")) {
       val p = parsePath(); expect(")"); p
     } else if (peek("a")) { eat("a")
       PLink("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
     } else PLink(parseIri())
   }
-  private def parsePathNegElt(): String =
-    if (peek("a")) { eat("a"); "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" }
-    else parseIri()
+  /** One element of a negated property set: (inverse?, iri). */
+  private def parsePathNegElt(): (Boolean, String) = {
+    val isInv = eatSym("^")
+    val iri =
+      if (peek("a")) { eat("a")
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" }
+      else parseIri()
+    (isInv, iri)
+  }
 
   /** is the verb position a plain IRI (triple pattern) or a real path */
   private def pathAsIri(p: Path): Option[String] = p match {
@@ -253,6 +270,22 @@ final class SparqlParser(input: String) {
         if (!peekSym("]")) propertyList(b)
         expect("]")
         b
+      } else if (peekSym("(")) {
+        // RDF collection ( e1 e2 ... ) -> rdf:first/rdf:rest chain
+        expect("(")
+        val items = scala.collection.mutable.ListBuffer[TermPat]()
+        while (!eatSym(")")) items += termOrBnodeList()
+        if (items.isEmpty) I(RdfNil)
+        else {
+          val nodes = items.map { _ => anonVar += 1; B(s"anon$anonVar") }
+          for (((node, item), idx) <- nodes.zip(items).zipWithIndex) {
+            out += Bgp(TriplePattern(node, I(RdfFirst), item))
+            val rest: TermPat =
+              if (idx == items.size - 1) I(RdfNil) else nodes(idx + 1)
+            out += Bgp(TriplePattern(node, I(RdfRest), rest))
+          }
+          nodes.head
+        }
       } else parseVarOrTerm()
     }
 
@@ -621,9 +654,21 @@ final class SparqlParser(input: String) {
     if (peek("GROUP")) {
       eat("GROUP"); expect("BY")
       val keys = scala.collection.mutable.ListBuffer[String]()
-      ws()
-      while (pos < input.length && (input(pos) == '?' || input(pos) == '$')) {
-        keys += parseVarName(); ws()
+      var gk = true
+      while (gk) {
+        ws()
+        if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+          keys += parseVarName()
+        else if (peekSym("(")) {
+          // GROUP BY (expr AS ?v): bind the key expression, group on it
+          expect("(")
+          val e = parseExpression()
+          expect("AS")
+          val v = parseVarName()
+          expect(")")
+          pattern = Extend(pattern, v, e)
+          keys += v
+        } else gk = false
       }
       groupKeys = Some(keys.toSeq)
     }
@@ -779,11 +824,42 @@ final class SparqlParser(input: String) {
           ops += DeleteInsert(del, ins, parseGroupGraphPattern())
         }
       } else if (peek("CLEAR")) {
-        eat("CLEAR")
+        eat("CLEAR"); eat("SILENT")
         if (peek("GRAPH")) { eat("GRAPH"); ops += ClearGraph(Some(parseIri())) }
         else if (peek("DEFAULT")) { eat("DEFAULT"); ops += ClearGraph(None) }
         else fail("expected GRAPH <iri> or DEFAULT after CLEAR")
-      } else fail("expected INSERT, DELETE or CLEAR")
+      } else if (peek("DROP")) { // ≡ CLEAR in a quad table (no registry)
+        eat("DROP"); eat("SILENT")
+        if (peek("GRAPH")) { eat("GRAPH"); ops += ClearGraph(Some(parseIri())) }
+        else if (peek("DEFAULT")) { eat("DEFAULT"); ops += ClearGraph(None) }
+        else fail("expected GRAPH <iri> or DEFAULT after DROP")
+      } else if (peek("CREATE")) {
+        eat("CREATE"); eat("SILENT"); expect("GRAPH")
+        ops += CreateGraph(parseIri())
+      } else if (peek("LOAD")) {
+        eat("LOAD"); eat("SILENT")
+        val src = parseIri()
+        val into =
+          if (eat("INTO")) { expect("GRAPH"); Some(parseIri()) } else None
+        ops += LoadGraph(src, into)
+      } else if (peek("COPY") || peek("MOVE") || peek("ADD")) {
+        val kind =
+          if (eat("COPY")) "COPY" else if (eat("MOVE")) "MOVE"
+          else { eat("ADD"); "ADD" }
+        eat("SILENT")
+        def graphRef(): Option[String] =
+          if (eat("DEFAULT")) None
+          else { eat("GRAPH"); Some(parseIri()) }
+        val from = graphRef()
+        expect("TO")
+        val to = graphRef()
+        ops += (kind match {
+          case "COPY" => CopyGraph(from, to)
+          case "MOVE" => MoveGraph(from, to)
+          case _ => AddGraph(from, to)
+        })
+      } else fail("expected INSERT, DELETE, LOAD, CLEAR, DROP, CREATE, " +
+        "COPY, MOVE or ADD")
       ws()
       if (!eatSym(";")) go = false
     }
@@ -805,7 +881,34 @@ final class SparqlParser(input: String) {
         // CONSTRUCT solution modifiers (LIMIT etc.) unsupported in v1
         Construct(tmpl, where)
       }
-      else fail("expected SELECT, ASK or CONSTRUCT")
+      else if (peek("DESCRIBE")) {
+        eat("DESCRIBE")
+        val vars = scala.collection.mutable.ListBuffer[String]()
+        val iris = scala.collection.mutable.ListBuffer[String]()
+        var go = true
+        while (go) {
+          ws()
+          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+            vars += parseVarName()
+          else if (peekSym("<")) iris += parseIriRef()
+          else tryPrefixedName() match {
+            case Some(iri) => iris += iri
+            case None => go = false
+          }
+        }
+        if (vars.isEmpty && iris.isEmpty) fail("DESCRIBE needs a resource")
+        var pattern: GraphPattern =
+          if (peek("WHERE")) { eat("WHERE"); parseGroupGraphPattern() }
+          else Bgp()
+        // constant resources: bind each to a fresh var via inline data
+        val iriVars = iris.toSeq.zipWithIndex.map { case (iri, idx) =>
+          val v = s"__desc$idx"
+          pattern = Join(pattern, ValuesPat(Seq(v), Seq(Seq(Some(I(iri))))))
+          v
+        }
+        Describe(pattern, vars.toSeq ++ iriVars)
+      }
+      else fail("expected SELECT, ASK, CONSTRUCT or DESCRIBE")
     ws()
     if (pos < input.length) fail(s"trailing input")
     form
@@ -830,7 +933,7 @@ object SparqlParser {
       case Select(p) => QueryExec.select(p, dataset)
       case Ask(p) => QueryExec.ask(p, dataset)
       case Construct(t, p) => QueryExec.construct(t, p, dataset)
-      case Describe(p, vs) => QueryExec.describe(p, vs.head, dataset)
+      case Describe(p, vs) => QueryExec.describe(p, vs, dataset)
     }
   }
 }

@@ -180,6 +180,18 @@ object Extra {
           col("tier")("lex").as("tier"))
     },
 
+    // graph management COPY/ADD/DROP chain through the update text
+    // parser (§2.10): copy suppliers out, merge them into the default
+    // graph, drop the scratch graph
+    "sp29_graph_mgmt" -> { (s, dir) =>
+      val quads = TpchRdf.quads(s, dir)
+      val updated = UpdateExec.executeText(
+        s"""COPY GRAPH <${TpchRdf.G_SUPPLIERS}> TO GRAPH <urn:x-graft:tmp> ;
+            ADD GRAPH <urn:x-graft:tmp> TO DEFAULT ;
+            DROP GRAPH <urn:x-graft:tmp>""", quads)
+      updated.agg(count(lit(1)).as("cnt"))
+    },
+
     // INSERT DATA + DELETE DATA ground quads (§2.10)
     "sp24_insert_data" -> { (s, dir) =>
       val quads = TpchRdf.quads(s, dir)
@@ -278,6 +290,12 @@ object Extra {
         regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked
         FROM customer WHERE regexp_matches(c_name, '^Customer#0*1[0-9]$')
         ORDER BY c_name""",
+    "sp29_graph_mgmt" ->
+      """SELECT (SELECT count(*) * 5 FROM customer)
+        + (SELECT count(*) * 3 FROM nation)
+        + (SELECT count(*) * 4 FROM region)
+        + (SELECT count(*) * 5 FROM orders)
+        + (SELECT count(*) * 6 FROM supplier) AS cnt""",
     "sp24_insert_data" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)

@@ -137,6 +137,14 @@ object SparqlText {
         .select(str("rn").as("r_name"), str("l").as("label"))
     },
 
+    // DESCRIBE text form: constant resource, no WHERE clause (§2.9)
+    "pq14_describe" -> { (s, dir) =>
+      run(s, dir, s"DESCRIBE <${TpchRdf.ns}customer/0>")
+        .select(col("s")("lex").as("s"), col("p")("lex").as("p"),
+          col("o")("lex").as("o"))
+        .orderBy(col("p"), col("o"))
+    },
+
     // FROM: named graph merged into the default graph (§13.2 dataset)
     "pq13_from" -> { (s, dir) =>
       run(s, dir,
@@ -181,6 +189,25 @@ object SparqlText {
       """SELECT r_name, lower(r_name) AS label FROM region ORDER BY r_name""",
     "pq13_from" ->
       """SELECT s_name FROM supplier ORDER BY s_name""",
+    "pq14_describe" ->
+      s"""SELECT s, p, o FROM (
+        SELECT '${TpchRdf.ns}customer/' || c_custkey AS s,
+               '${TpchRdf.ns}name' AS p, c_name AS o
+          FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${TpchRdf.ns}acctbal',
+          CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR)
+          FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${TpchRdf.ns}mktsegment', c_mktsegment
+          FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${TpchRdf.ns}inNation', '${TpchRdf.ns}nation/' || c_nationkey
+          FROM customer WHERE c_custkey = 0
+        UNION ALL SELECT '${TpchRdf.ns}customer/' || c_custkey,
+          '${TpchRdf.ns}locatedIn', '${TpchRdf.ns}nation/' || c_nationkey
+          FROM customer WHERE c_custkey = 0)
+        ORDER BY p, o""",
     "pq11_update_text" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)

@@ -47,7 +47,39 @@ object UpdateExec {
       quads.unionByName(constQuads(quads, qs)).distinct()
     case DeleteData(qs) =>
       quads.except(constQuads(quads, qs))
+
+    // graph management: pure relational retargeting of the g column
+    case CopyGraph(f, t) =>
+      if (f == t) quads
+      else quads.where(!graphFilter(t)).unionByName(retarget(quads, f, t))
+    case MoveGraph(f, t) =>
+      if (f == t) quads
+      else quads.where(!graphFilter(t) && !graphFilter(f))
+        .unionByName(retarget(quads, f, t))
+    case AddGraph(f, t) =>
+      if (f == t) quads
+      else quads.unionByName(retarget(quads, f, t)).distinct()
+    case LoadGraph(source, into) =>
+      val fmt = source.substring(source.lastIndexOf('.') + 1)
+      val loaded = graft.io.RdfIO.read(quads.sparkSession, source, fmt)
+        .select(graphCol(into).as("g"), col("s"), col("p"), col("o"))
+      quads.unionByName(loaded).distinct()
+    case CreateGraph(_) => quads // empty graphs are implicit in a quad table
   }
+
+  private def graphFilter(g: Option[String]): Column = g match {
+    case None => col("g")("kind") === Term.DefaultGraphKind
+    case Some(iri) =>
+      col("g")("kind") === Term.IriKind && col("g")("lex") === iri
+  }
+  private def graphCol(g: Option[String]): Column = g match {
+    case None => Term.defaultGraph
+    case Some(iri) => Term.iri(iri)
+  }
+  private def retarget(quads: DataFrame, f: Option[String],
+      t: Option[String]): DataFrame =
+    quads.where(graphFilter(f))
+      .select(graphCol(t).as("g"), col("s"), col("p"), col("o"))
 
   private def constQuads(quads: DataFrame,
       qs: Seq[(TermPat, TriplePattern)]): DataFrame = {

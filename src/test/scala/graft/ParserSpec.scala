@@ -35,6 +35,77 @@ class ParserSpec extends AnyFunSuite {
          ?x :p ?y . MINUS { ?x :bad true } }""").isInstanceOf[Select])
   }
 
+  test("DESCRIBE forms parse to Describe algebra") {
+    val Describe(_, vs) = SparqlParser.parse(pfx +
+      "DESCRIBE ?c WHERE { ?c :name ?n }"): @unchecked
+    assert(vs == Seq("c"))
+    // constant resource: fresh var bound via inline data, no WHERE needed
+    val Describe(p, vs2) = SparqlParser.parse(pfx +
+      "DESCRIBE <http://example.org/customer/0>"): @unchecked
+    assert(vs2.length == 1)
+    def hasValues(g: GraphPattern): Boolean = g match {
+      case ValuesPat(_, _) => true
+      case Join(l, r) => hasValues(l) || hasValues(r)
+      case _ => false
+    }
+    assert(hasValues(p))
+    val Describe(_, vs3) = SparqlParser.parse(pfx +
+      "DESCRIBE ?a ?b WHERE { ?a :knows ?b }"): @unchecked
+    assert(vs3 == Seq("a", "b"))
+  }
+
+  test("RDF collections desugar to rdf:first/rdf:rest chains") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val q = SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :list (1 2 3) . }")
+    val Select(Project(gp, _)) = q: @unchecked
+    def triples(g: GraphPattern): Seq[TriplePattern] = g match {
+      case Join(l, r) => triples(l) ++ triples(r)
+      case Bgp(ps @ _*) => ps
+      case _ => Nil
+    }
+    val ts = triples(gp)
+    // 1 membership triple + 3 first + 3 rest
+    assert(ts.length == 7)
+    assert(ts.count(_.p == I(rdf + "first")) == 3)
+    assert(ts.count(_.p == I(rdf + "rest")) == 3)
+    assert(ts.count(_.o == I(rdf + "nil")) == 1)
+    // empty collection is rdf:nil itself
+    val q2 = SparqlParser.parse(pfx + "SELECT ?x WHERE { ?x :list () . }")
+    val Select(Project(gp2, _)) = q2: @unchecked
+    assert(triples(gp2) ==
+      Seq(TriplePattern(V("x"), I("http://example.org/list"), I(rdf + "nil"))))
+  }
+
+  test("GROUP BY expression keys bind then group") {
+    val q = SparqlParser.parse(pfx +
+      """SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c :mktsegment ?s }
+         GROUP BY (UCASE(?s) AS ?seg)""")
+    val Select(Project(gp, _)) = q: @unchecked
+    def findGroup(g: GraphPattern): Option[Group] = g match {
+      case grp: Group => Some(grp)
+      case Extend(i, _, _) => findGroup(i)
+      case Project(i, _) => findGroup(i)
+      case _ => None
+    }
+    val Some(Group(Extend(_, v, EFn("UCASE", _)), keys, _)) =
+      findGroup(gp): @unchecked
+    assert(v == "seg" && keys == Seq("seg"))
+  }
+
+  test("inverse elements in negated property sets") {
+    val Select(Project(gp, _)) = SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x !(:p|^:q|^:r) ?y }"): @unchecked
+    def findPath(g: GraphPattern): Option[Path] = g match {
+      case PathPattern(_, p, _) => Some(p)
+      case Join(l, r) => findPath(l).orElse(findPath(r))
+      case _ => None
+    }
+    val Some(PNeg(fwd, inv)) = findPath(gp): @unchecked
+    assert(fwd == Seq("http://example.org/p"))
+    assert(inv == Seq("http://example.org/q", "http://example.org/r"))
+  }
+
   test("string escapes, datatypes, comments survive the parse") {
     val Select(Project(Filter(f, _), _)) = SparqlParser.parse(pfx +
       """SELECT ?x # trailing comment

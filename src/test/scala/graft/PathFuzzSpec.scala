@@ -43,8 +43,16 @@ class PathFuzzSpec extends AnyFunSuite {
       val l = evalNaive(a, edges); val r = evalNaive(b, edges)
       for { (s, m) <- l; (m2, o) <- r if m == m2 } yield (s, o)
     case PAlt(a, b) => evalNaive(a, edges) ++ evalNaive(b, edges)
-    case PNeg(iris) =>
-      edges.collect { case (s, p0, o) if !iris.contains(p0) => (s, o) }.toSet
+    case PNeg(iris, invIris) =>
+      val fwd =
+        if (iris.nonEmpty)
+          edges.collect { case (s, p0, o) if !iris.contains(p0) => (s, o) }
+        else Nil
+      val inv =
+        if (invIris.nonEmpty)
+          edges.collect { case (s, p0, o) if !invIris.contains(p0) => (o, s) }
+        else Nil
+      (fwd ++ inv).toSet
     case PZeroOrOne(q) => evalNaive(q, edges) ++ allNodes(edges).map(n => (n, n))
     case POneOrMore(q) => closure(evalNaive(q, edges))
     case PZeroOrMore(q) =>

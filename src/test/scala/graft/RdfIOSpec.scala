@@ -32,6 +32,35 @@ class RdfIOSpec extends AnyFunSuite {
       quads.except(back).count() == 0, "roundtrip must be lossless")
   }
 
+  test("LOAD / CREATE / graph management through the update parser") {
+    import graft.update.UpdateExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_load")
+    java.nio.file.Files.writeString(dir.resolve("extra.nt"),
+      """<http://x/s1> <http://x/p> "v1" .
+        |<http://x/s2> <http://x/p> "v2" .
+        |""".stripMargin)
+    val quads = TpchRdf.quads(spark, sf)
+    val n0 = quads.count()
+    // LOAD into a named graph, CREATE no-op, COPY to a second graph,
+    // MOVE it onto a third, then DROP the source
+    val updated = UpdateExec.executeText(
+      s"""LOAD <${dir.resolve("extra.nt")}> INTO GRAPH <urn:g:a> ;
+          CREATE GRAPH <urn:g:b> ;
+          COPY GRAPH <urn:g:a> TO GRAPH <urn:g:b> ;
+          MOVE GRAPH <urn:g:b> TO GRAPH <urn:g:c> ;
+          DROP GRAPH <urn:g:a>""", quads)
+    assert(updated.count() == n0 + 2)
+    import org.apache.spark.sql.functions._
+    val inC = updated.where(col("g")("lex") === "urn:g:c").count()
+    assert(inC == 2, s"expected the 2 loaded triples in urn:g:c, got $inC")
+    assert(updated.where(col("g")("lex").isin("urn:g:a", "urn:g:b"))
+      .count() == 0)
+    // LOAD without INTO lands in the default graph
+    val viaDefault = UpdateExec.executeText(
+      s"LOAD <${dir.resolve("extra.nt")}>", quads)
+    assert(viaDefault.count() == n0 + 2)
+  }
+
   test("Turtle reader: prefixes, abbreviations, bnode lists, shorthand") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ttl")
     java.nio.file.Files.writeString(dir.resolve("data.ttl"),
