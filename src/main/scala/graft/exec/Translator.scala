@@ -65,7 +65,7 @@ object Translator {
     * path on a PartitionedQuadStore (the reference's index choice).
     */
   private def scanPattern(src: QuadSource, tp: TriplePattern,
-      ctx: GraphCtx): Sol = {
+      ctx: GraphCtx, encode: Column => Column = identity): Sol = {
     val base = tp.p match {
       case I(iri) => src.byPredicate(iri)
       case _ => src.all
@@ -92,7 +92,7 @@ object Translator {
         }
       }
     val proj = varPos.map(_._1).distinct.map { v =>
-      col(varPos.find(_._1 == v).get._2).as(v)
+      encode(col(varPos.find(_._1 == v).get._2)).as(v)
     }
     val vs = varPos.map(_._1).toSet
     Sol(eqConstrained.select(proj: _*), vs, vs)
@@ -113,6 +113,67 @@ object Translator {
     * translation time; AQE re-plans physically at runtime. Guarantees a
     * connected part (equi-join) is always preferred over a cartesian.
     */
+  /** Dictionary-encoded execution flag (SURVEY.md §4.2): BGP-only
+    * conjunctions join on 128-bit term ids (16-byte shuffle keys instead
+    * of 4-field string structs) and decode lexical forms only at the
+    * conjunction boundary — the reference's numeric_encoder / lazy-decode
+    * shape. Off by default; enable with -Dgraft.dictExec=true.
+    */
+  private def dictExec: Boolean =
+    java.lang.Boolean.getBoolean("graft.dictExec") ||
+      sys.env.get("GRAFT_DICT_EXEC").contains("true")
+
+  /** Per-source term dictionary (id2 -> term), cached and persisted like
+    * the reference keeps id2str open alongside the indexes.
+    */
+  private val dictCache =
+    scala.collection.concurrent.TrieMap.empty[QuadSource, DataFrame]
+  private def dictFor(src: QuadSource): DataFrame =
+    dictCache.getOrElseUpdate(src, {
+      val q = src.all
+      Seq("s", "p", "o", "g")
+        .map(c => q.select(graft.io.DictStore.termId2(col(c)).as("id"),
+          col(c).as("term")))
+        .reduce(_ unionByName _)
+        .dropDuplicates("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Id-space evaluation of an all-BGP conjunction: scan leaves project
+    * term ids, the greedy join chain runs on ids, and every variable is
+    * decoded by one dictionary join at the end (output-cardinality cost
+    * only). Constant filters run on the raw scans BEFORE encoding, so
+    * pushdown is unchanged.
+    */
+  private def translateConjunctionIds(tps: Seq[TriplePattern],
+      src: QuadSource, ctx: GraphCtx): Sol = {
+    val dict = dictFor(src)
+    val sols = tps.map(tp =>
+      scanPattern(src, tp, ctx, graft.io.DictStore.termId2))
+    val remaining = scala.collection.mutable.ListBuffer(sols.zip(tps): _*)
+    var acc: Sol = null
+    var bound = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val next =
+        if (acc == null) remaining.maxBy { case (_, tp) =>
+          Seq(tp.s, tp.p, tp.o).count(varName(_).isEmpty) }
+        else remaining.maxBy { case (sol, tp) =>
+          (sol.vars & bound).size * 10 +
+            Seq(tp.s, tp.p, tp.o).count(varName(_).isEmpty) }
+      remaining -= next
+      acc = if (acc == null) next._1 else joinSols(acc, next._1, "inner")
+      bound ++= next._1.vars
+    }
+    val vars = acc.vars.toSeq.sorted
+    val decoded = vars.foldLeft(acc.df) { (d, v) =>
+      d.join(dict.select(col("id").as(s"__k_$v"), col("term").as(s"__t_$v")),
+        col(v) === col(s"__k_$v"))
+        .drop(v, s"__k_$v")
+        .withColumnRenamed(s"__t_$v", v)
+    }
+    Sol(decoded.select(vars.map(col): _*), acc.vars, acc.sure)
+  }
+
   private def translateConjunction(parts: Seq[GraphPattern],
       src: QuadSource, ctx: GraphCtx): Sol = {
     def constants(gp: GraphPattern): Int = gp match {
@@ -121,6 +182,9 @@ object Translator {
       case _: ValuesPat => 3 // inline data: tiny by construction
       case _ => 0
     }
+    val bgpLeaves = parts.collect { case Bgp(tp) => tp }
+    if (dictExec && bgpLeaves.length == parts.length && bgpLeaves.length >= 2)
+      return translateConjunctionIds(bgpLeaves, src, ctx)
     val remaining = scala.collection.mutable.ListBuffer(parts: _*)
     var acc: Sol = null
     var bound = Set.empty[String]

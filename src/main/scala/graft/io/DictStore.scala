@@ -22,6 +22,18 @@ object DictStore {
     xxhash64(t("kind"), coalesce(t("lex"), lit("")),
       coalesce(t("dt"), lit("")), coalesce(t("lang"), lit("")))
 
+  /** 128-bit id: two independently-seeded xxhash64 halves (the salt
+    * literal acts as the seed), like the reference's 128-bit StrHash —
+    * birthday-collision risk at 1e12 terms is ~1e-14, safe to treat as
+    * injective at any realistic vocabulary.
+    */
+  def termId2(t: Column): Column = {
+    def half(salt: Int) =
+      xxhash64(lit(salt), t("kind"), coalesce(t("lex"), lit("")),
+        coalesce(t("dt"), lit("")), coalesce(t("lang"), lit("")))
+    struct(half(1).as("h1"), half(2).as("h2"))
+  }
+
   /** Encode a quad table: (ids DF, dictionary DF id -> term). */
   def encode(quads: DataFrame): (DataFrame, DataFrame) = {
     val enc = quads.select(
