@@ -28,7 +28,10 @@ for t in ["region","nation","customer","supplier","part","orders",
 BANNED = (decimal.Decimal, datetime.date, datetime.datetime, datetime.time)
 
 def canon(v):
-    """Canonical cell repr; floats by exact bits (repr), None/NaN unified."""
+    """Canonical cell repr; floats by exact bits (repr). None and NaN each
+    normalize to their own fixed token (NOT unified): SQL NULL in float
+    columns surfaces as NaN on both sides (fetchdf / read_parquet), so the
+    distinct tokens still compare equal across engines."""
     if v is None:
         return "NULL"
     if isinstance(v, float):

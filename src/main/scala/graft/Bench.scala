@@ -28,15 +28,28 @@ object Bench {
     spark.range(2).count()
     val warmup = (System.nanoTime() - t0) / 1e9
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+    // SPARK_GRAFT_RUNS > 1: repeat the whole set and report per-query
+    // MEDIANS (BASELINE.md: totals vary ±20% run-to-run; medians don't)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    val perRun = (1 to runs).map { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val results = perRun.head.map(_._1).map { name =>
+      name -> median(perRun.map(_.toMap.apply(name)))
+    }
+    // compact 3-decimal formatting keeps the line under capture limits
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"warmup_sec":${f(warmup)},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

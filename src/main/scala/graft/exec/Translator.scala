@@ -529,8 +529,13 @@ object Translator {
           val lst = if (call.distinct) collect_set(x("lex")) else collect_list(x("lex"))
           aggCols += array_join(array_sort(lst), call.separator).as(n("g"))
           post += Term.strLit(col(n("g"))).as(outName)
-        case other =>
-          throw new IllegalArgumentException(s"aggregate not implemented: $other")
+        case other => SparqlExpr.customAggregate(other) match {
+          case Some(f) =>
+            aggCols += f(e.get, call.distinct).as(n("m"))
+            post += col(n("m")).as(outName)
+          case None => throw new IllegalArgumentException(
+            s"aggregate not implemented: $other")
+        }
       }
     }
     val grouped =

@@ -355,6 +355,22 @@ object SparqlExpr {
   def registerFunction(name: String, f: Seq[Column] => Column): Unit =
     customFns(name) = f
 
+  /** Custom aggregate registry — the reference's
+    * QueryEvaluator::with_custom_aggregate_function (oxigraph:
+    * lib/spareval; SURVEY.md §2.12): a name mapped to an aggregate Column
+    * combinator (value column, DISTINCT?) -> term-struct result. Built
+    * from org.apache.spark.sql.functions aggregates or a
+    * functions.udaf(Aggregator) — both stay whole-plan Catalyst.
+    */
+  private val customAggs = scala.collection.concurrent.TrieMap
+    .empty[String, (Column, Boolean) => Column]
+
+  def registerAggregate(name: String, f: (Column, Boolean) => Column): Unit =
+    customAggs(name) = f
+
+  def customAggregate(name: String): Option[(Column, Boolean) => Column] =
+    customAggs.get(name)
+
   /** Builtin dispatch (SPARQL 1.1 §17.4 <-> SURVEY.md §2.8). */
   def fn(name: String, a: Seq[Column]): Column = name match {
     // logic — 3-valued with error=null; error && false = false

@@ -110,4 +110,80 @@ object Results {
 
   def toCsv(solutions: DataFrame): String = toSeparated(solutions, tsv = false)
   def toTsv(solutions: DataFrame): String = toSeparated(solutions, tsv = true)
+
+  // ---- parse direction (oxigraph: lib/sparesults readers) ------------
+  // Results documents are small by construction (they already passed
+  // through a driver/endpoint); parsing is driver-side, the DataFrame is
+  // for composing with the engine. Bulk interchange stays on parquet.
+
+  /** Parse a W3C SPARQL 1.1 JSON results document into a solution
+    * DataFrame (one Term-struct column per head var). Uses Spark's own
+    * JSON reader for the document structure.
+    */
+  def fromJson(spark: org.apache.spark.sql.SparkSession,
+      json: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val raw = spark.read.json(spark.createDataset(Seq(json)))
+    val vars = raw.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.col("head.vars"))).as[String].collect()
+    val outSchema = StructType(
+      vars.map(v => StructField(v, Term.schema, nullable = true)).toSeq)
+    val hasBindings = raw.schema.fields.exists(_.name == "results") &&
+      raw.select("results.*").schema.fields.exists(_.name == "bindings")
+    if (!hasBindings)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val b = raw.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.col("results.bindings")).as("b"))
+    val bType = b.schema.fields.head.dataType.asInstanceOf[StructType]
+    import org.apache.spark.sql.functions._
+    def termCol(v: String): org.apache.spark.sql.Column =
+      if (!bType.fieldNames.contains(v)) lit(null).cast(Term.schema)
+      else {
+        val t = col("b")(v)
+        val sub = bType(v).dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        def f(n: String) =
+          if (sub.contains(n)) t(n) else lit(null).cast("string")
+        val lang = f("xml:lang")
+        val dt = coalesce(f("datatype"),
+          when(lang.isNotNull, Term.RdfLangString)
+            .otherwise(Term.XsdString))
+        when(t.isNull || f("type").isNull, lit(null).cast(Term.schema))
+          .when(f("type") === "uri", Term.iri(f("value")))
+          .when(f("type") === "bnode", Term.bnode(f("value")))
+          .otherwise(struct(
+            lit(Term.LiteralKind).cast("byte").as("kind"),
+            f("value").cast("string").as("lex"),
+            dt.cast("string").as("dt"),
+            lang.cast("string").as("lang")))
+      }
+    b.select(vars.toSeq.map(v => termCol(v).as(v)): _*)
+  }
+
+  /** Parse W3C SPARQL 1.1 TSV results (N-Triples-syntax cells) into a
+    * solution DataFrame; empty cells are unbound.
+    */
+  def fromTsv(spark: org.apache.spark.sql.SparkSession,
+      tsv: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val lines = tsv.split("\r?\n").filter(_.nonEmpty)
+    val vars = lines.head.split("\t").map(_.stripPrefix("?"))
+    val rows = lines.tail.map { ln =>
+      val cells = ln.split("\t", -1)
+      Row(vars.indices.map { i =>
+        val c = if (i < cells.length) cells(i).trim else ""
+        if (c.isEmpty) null
+        else {
+          val t = new RdfIO.LineParser(c).parseTerm()
+          Row(t.kind, t.lex, t.dt, t.lang)
+        }
+      }: _*)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList),
+      StructType(vars.map(v =>
+        StructField(v, Term.schema, nullable = true)).toSeq))
+  }
 }

@@ -33,7 +33,8 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         // exact decimal sum internally; DOUBLE at the output boundary
         // (decimal output columns are not oracle-hash-stable)
-        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+        sum(col("value").cast(DecimalType(38, 6))).cast(StringType)
+          .cast(DoubleType)
           .as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
@@ -49,7 +50,8 @@ object Events {
         expr(s"ts div $slide"), expr(s"ts div $slide") - 1)))
       .groupBy(col("w").as("window_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+        sum(col("value").cast(DecimalType(38, 6))).cast(StringType)
+          .cast(DoubleType)
           .as("sum_value"))
   }
 
@@ -100,7 +102,8 @@ object Events {
       .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .groupBy(pmod(col("k"), lit(7L)).as("k_bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType)
+        sum(col("value").cast(DecimalType(38, 6))).cast(StringType)
+          .cast(DoubleType)
           .as("sum_value"),
         min("k").as("min_k"), max("k").as("max_k"))
 }

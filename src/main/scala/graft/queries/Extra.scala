@@ -17,7 +17,6 @@ import graft.update.UpdateExec
   */
 object Extra {
   private val D = DecimalType(38, 6)
-  private val D2 = DecimalType(38, 2)
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -30,8 +29,8 @@ object Extra {
       li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).cast(LongType).as("rn"),
         sum(col("l_quantity").cast(D)).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType)
-          .as("running_qty"),
+          w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(StringType).cast(DoubleType).as("running_qty"),
         lag(col("l_orderkey"), 1).over(w).as("prev_order"))
         .orderBy(col("l_suppkey"), col("rn"))
     },
@@ -41,7 +40,8 @@ object Extra {
       Tables(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(D)).cast(DoubleType).as("sum_qty"))
+          sum(col("l_quantity").cast(D)).cast(StringType)
+            .cast(DoubleType).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     },
@@ -58,8 +58,8 @@ object Extra {
             col("l_extendedprice") < col("hi"))
         .groupBy(col("bracket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast(D)).cast(DoubleType)
-            .as("sum_price"))
+          sum(col("l_extendedprice").cast(D)).cast(StringType)
+            .cast(DoubleType).as("sum_price"))
         .orderBy(col("bracket"))
     },
 
@@ -210,9 +210,9 @@ object Extra {
     "q16_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         row_number() OVER w AS rn,
-        CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER
           (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty,
         lag(l_orderkey, 1) OVER w AS prev_order
         FROM lineitem WHERE l_suppkey < 20
         WINDOW w AS (PARTITION BY l_suppkey
@@ -220,12 +220,12 @@ object Extra {
         ORDER BY l_suppkey, rn""",
     "q17_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q18_range_join" ->
       """SELECT bracket, count(*) AS n,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         FROM lineitem JOIN (VALUES (0, 0.0, 1000.0), (1, 1000.0, 10000.0),
           (2, 10000.0, 50000.0), (3, 50000.0, 1e9)) AS b(bracket, lo, hi)
         ON l_extendedprice >= lo AND l_extendedprice < hi

@@ -213,12 +213,12 @@ object Pipeline {
     "ev1_hourly_windows" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         count(*) AS n_events,
-        CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
         count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
     "ev4_sliding_windows" ->
       """SELECT w AS window_id, event_type, count(*) AS n_events,
-        CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM (SELECT unnest([epoch_ns(ts) // 1800000000000,
                              epoch_ns(ts) // 1800000000000 - 1]) AS w,
                      event_type, value FROM events)
@@ -249,7 +249,7 @@ object Pipeline {
     "ev3_json_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
         count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY 1 ORDER BY k_bucket""")

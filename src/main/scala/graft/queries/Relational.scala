@@ -23,8 +23,14 @@ import graft.io.Tables
 object Relational {
   private val D = DecimalType(38, 6)
   private def dec(c: Column): Column = c.cast(D)
-  /** Exact decimal aggregate -> hash-stable double output column. */
-  private def outD(c: Column): Column = c.cast(DoubleType)
+  /** Exact decimal aggregate -> hash-stable double output column. The
+    * VARCHAR hop matters: decimal->string is exact and string->double is
+    * correctly rounded in BOTH engines at any magnitude, while DuckDB's
+    * direct decimal->double cast is off by 1 ulp once the unscaled value
+    * exceeds 2^53 (reached near TPC-H SF1 for scale-6 price sums).
+    */
+  private def outD(c: Column): Column =
+    c.cast(StringType).cast(DoubleType)
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -214,11 +220,11 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         count(*) AS count_order,
-        CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""",
     "q2_filter_project" ->
@@ -229,13 +235,13 @@ object Relational {
         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
     "q3_join_inner" ->
       """SELECT r_name, count(*) AS n_cust,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""",
     "q4_join_left" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-        CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6))), CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6))), CAST(0 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
     "q5_join_semi" ->
@@ -250,7 +256,7 @@ object Relational {
       """SELECT l_returnflag,
         count(DISTINCT l_partkey) AS nd_part,
         count(DISTINCT l_suppkey) AS nd_supp,
-        CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sumd_qty
+        CAST(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sumd_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q8_sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -286,7 +292,7 @@ object Relational {
     "q13_scalar_datetime" ->
       """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
         count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day,
         CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_day
         FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate)

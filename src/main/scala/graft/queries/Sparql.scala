@@ -341,7 +341,7 @@ object Sparql {
         WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY c_name""",
     "sp7_agg" ->
       """SELECT n_name, count(*) AS cnt,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total,
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS total,
         CAST(max(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS maxbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""",
@@ -420,7 +420,7 @@ object Sparql {
     "sp19_subselect" ->
       """SELECT c_name FROM customer JOIN (
         SELECT c_nationkey AS nk,
-          CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) / count(*) AS av
+          CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) / count(*) AS av
         FROM customer GROUP BY c_nationkey) t ON c_nationkey = nk
         WHERE CAST(c_acctbal AS DOUBLE) > av ORDER BY c_name""")
 }

@@ -170,7 +170,7 @@ object SparqlText {
     "pq2_optional" -> Sparql.oracle("sp2_optional"),
     "pq3_group_having" ->
       """SELECT n_name, count(*) AS cnt,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total
+        CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS total
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name HAVING count(*) > 50 ORDER BY n_name""",
     "pq4_path_plus" -> Sparql.oracle("sp9_path_plus"),

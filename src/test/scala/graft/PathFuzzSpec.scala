@@ -32,7 +32,12 @@ class PathFuzzSpec extends AnyFunSuite {
       1 -> (for { a <- genPath(depth - 1); b <- genPath(depth - 1) }
         yield PAlt(a, b)),
       1 -> genPath(depth - 1).map(POneOrMore),
-      1 -> genPath(depth - 1).map(PZeroOrOne))
+      1 -> genPath(depth - 1).map(PZeroOrMore),
+      1 -> genPath(depth - 1).map(PZeroOrOne),
+      1 -> Gen.oneOf(preds).map(p => PNeg(Seq(p))),
+      1 -> (for { p <- Gen.oneOf(preds); q <- Gen.oneOf(preds) }
+        yield PNeg(Seq(p), Seq(q))),
+      1 -> Gen.oneOf(preds).map(p => PNeg(Nil, Seq(p))))
 
   // naive evaluation over edge set; nodes = all subjects/objects
   private def evalNaive(p: Path, edges: Seq[(String, String, String)])
@@ -95,5 +100,35 @@ class PathFuzzSpec extends AnyFunSuite {
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(result.passed, s"path fuzz failed: ${result.status}")
+  }
+
+  test("seeded evaluation with a bound endpoint equals filtered naive") {
+    val prop = Prop.forAllNoShrink(genGraph, genPath(2), Gen.choose(0, 6),
+      Gen.oneOf(true, false)) { (edges, path, k, boundSubj) =>
+      val x = node(k)
+      // restrict to in-graph seeds: for off-graph terms the spec's ALP
+      // includes the zero-length self-pair that the naive bottom-up
+      // model (graph terms only) omits — covered by PlansSpec instead
+      if (!allNodes(edges).contains(x)) true
+      else {
+        val expected = evalNaive(path, edges).collect {
+          case (s, o) if (if (boundSubj) s == x else o == x) =>
+            if (boundSubj) o else s
+        }.toSet
+        val pat =
+          if (boundSubj) PathPattern(I(x), path, V("v"))
+          else PathPattern(V("v"), path, I(x))
+        val df = graft.exec.Translator.translate(pat, quadsDf(edges)).df
+        val got = df.collect()
+          .map(r => r.getAs[Row]("v").getString(1)).toSet
+        if (got != expected)
+          println(s"SEEDED MISMATCH x=$x subj=$boundSubj path=$path " +
+            s"edges=$edges\nexp=$expected\ngot=$got")
+        got == expected
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, s"seeded path fuzz failed: ${result.status}")
   }
 }

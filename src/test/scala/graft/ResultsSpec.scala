@@ -34,6 +34,43 @@ class ResultsSpec extends AnyFunSuite {
     assert(tsv.contains("\"AFRICA\"\t\"africa\"@de"))
   }
 
+  test("JSON results roundtrip: toJson -> fromJson is lossless") {
+    val back = Results.fromJson(spark, Results.toJson(sols))
+    assert(back.columns.toSeq == sols.columns.toSeq)
+    assert(back.count() == sols.count())
+    assert(back.except(sols).count() == 0 &&
+      sols.except(back).count() == 0)
+  }
+
+  test("TSV results roundtrip: toTsv -> fromTsv is lossless") {
+    // include an unbound cell via a query with OPTIONAL-shaped nulls
+    val withNull = sols.unionByName(
+      sols.limit(1).select(col("rn"),
+        SparqlExpr.nullTerm.as("l")))
+    val back = Results.fromTsv(spark, Results.toTsv(withNull))
+    assert(back.columns.toSeq == withNull.columns.toSeq)
+    assert(back.count() == withNull.count())
+    assert(back.except(withNull).count() == 0 &&
+      withNull.except(back).count() == 0)
+  }
+
+  test("fromJson handles unbound vars and typed/bnode terms") {
+    val json = """{"head":{"vars":["a","b"]},"results":{"bindings":[
+      {"a":{"type":"uri","value":"http://x/1"}},
+      {"a":{"type":"bnode","value":"n1"},
+       "b":{"type":"literal","value":"5",
+            "datatype":"http://www.w3.org/2001/XMLSchema#integer"}}]}}"""
+    val df = Results.fromJson(spark, json).orderBy(col("a")("lex"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val r0 = rows(0).getAs[org.apache.spark.sql.Row]("a")
+    assert(r0.getByte(0) == Term.IriKind.toByte &&
+      r0.getString(1) == "http://x/1")
+    assert(rows(0).isNullAt(1)) // unbound b
+    val r1b = rows(1).getAs[org.apache.spark.sql.Row]("b")
+    assert(r1b.getString(2) == Term.XsdInteger)
+  }
+
   test("custom function registry (with_custom_function parity)") {
     SparqlExpr.registerFunction("urn:graft:shout",
       args => SparqlExpr.fn("UCASE", args))
