@@ -216,6 +216,96 @@ object Translator {
     acc
   }
 
+  /** Correlated LATERAL (SPARQL 1.2 / oxigraph extension: the right side
+    * is evaluated once per left solution with its bindings substituted).
+    *
+    * Two Spark-first rewrites cover the useful surface without per-row
+    * re-execution:
+    *  - a "join-safe" right side (monotone patterns; OPTIONAL/MINUS only
+    *    when their correlation flows through their own left part)
+    *    evaluates bottom-up and equi-joins on the shared variables —
+    *    substitution and join coincide for these shapes;
+    *  - a subselect shell Slice(Project(OrderBy(core))) becomes the
+    *    top-k-per-binding window rewrite: join the core, rank per left
+    *    binding, slice ranks — one shuffle, no driver loops.
+    * Anything else (per-binding aggregation, re-binding an outer var)
+    * still throws rather than silently decorrelating.
+    */
+  private def translateLateral(l: GraphPattern, r: GraphPattern,
+      src: QuadSource, ctx: GraphCtx): Sol = {
+    val lVars = inScopeVars(l)
+
+    def existsOk(e: Expr, scope: Set[String]): Boolean = {
+      val (exs, _) = splitConjuncts(e)
+      exs.forall(ex => (inScopeVars(ex.pattern) & lVars).subsetOf(scope))
+    }
+    def joinSafe(gp: GraphPattern): Boolean = gp match {
+      case _: Bgp | _: PathPattern | _: ValuesPat => true
+      case Join(a, b) => joinSafe(a) && joinSafe(b)
+      case Lateral(a, b) => joinSafe(a) && joinSafe(b)
+      case Filter(e, i) => joinSafe(i) && existsOk(e, inScopeVars(i))
+      case Extend(i, v, _) => joinSafe(i) && !lVars(v)
+      case Union(a, b) => joinSafe(a) && joinSafe(b)
+      case GraphPat(_, i) => joinSafe(i)
+      case LeftJoin(a, b, _) => joinSafe(a) && joinSafe(b) &&
+        (inScopeVars(b) & lVars).subsetOf(inScopeVars(a))
+      case Minus(a, b) => joinSafe(a) &&
+        (inScopeVars(b) & lVars).subsetOf(inScopeVars(a))
+      case _ => false
+    }
+
+    if (joinSafe(r))
+      return joinSols(translate(l, src, ctx), translate(r, src, ctx), "inner")
+
+    // subselect shell: peel Slice / Distinct / Project / OrderBy down to
+    // a join-safe core (correlation vars hidden by the projection are
+    // restored because the JOIN happens before the projection applies)
+    var node = r
+    var offset = 0L; var limit = -1L; var hasSlice = false
+    var distinct = false
+    var proj: Option[Seq[String]] = None
+    var orderKeys: Seq[(Expr, Boolean)] = Nil
+    var peeling = true
+    while (peeling) node match {
+      case Slice(i, off, lim) if !hasSlice =>
+        hasSlice = true; offset = off; limit = lim; node = i
+      case Distinct(i) => distinct = true; node = i
+      case Project(i, vs) if proj.isEmpty => proj = Some(vs); node = i
+      case OrderBy(i, ks) if orderKeys.isEmpty => orderKeys = ks; node = i
+      case _ => peeling = false
+    }
+    if (!joinSafe(node))
+      throw new UnsupportedOperationException(
+        "correlated LATERAL over this pattern shape is not supported " +
+          s"(core: ${node.getClass.getSimpleName})")
+
+    val ls = translate(l, src, ctx)
+    val rs = translate(node, src, ctx)
+    val joined = joinSols(ls, rs, "inner")
+    var df = joined.df
+    if (distinct) df = df.distinct()
+    if (hasSlice) {
+      import org.apache.spark.sql.expressions.Window
+      val partCols =
+        if (ls.vars.isEmpty) Seq(lit(0)) else ls.vars.toSeq.sorted.map(col)
+      val sortCols =
+        if (orderKeys.nonEmpty) orderKeys.map { case (e, asc) =>
+          val k = sortKey(SparqlExpr.compile(e, joined.bind))
+          if (asc) k.asc else k.desc
+        }
+        else (joined.vars -- ls.vars).toSeq.sorted.map(v => sortKey(col(v)).asc)
+      val w = Window.partitionBy(partCols: _*).orderBy(sortCols: _*)
+      df = df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") > offset &&
+          (if (limit >= 0) col("__rn") <= offset + limit else lit(true)))
+        .drop("__rn")
+    }
+    val outVars = ls.vars ++ proj.map(_.toSet).getOrElse(rs.vars)
+    Sol(df.select(outVars.toSeq.sorted.map(v =>
+      (if (joined.vars(v)) col(v) else nullTerm).as(v)): _*),
+      outVars, joined.sure & outVars)
+  }
+
   /** Path pattern -> solution. Constant endpoints become closure seeds
     * (and are additionally filtered below — Catalyst pushes those filters
     * into the leaf scans for non-closure paths); `extraS`/`extraO` carry
@@ -314,17 +404,7 @@ object Translator {
 
     case j: Join => translateConjunction(conjuncts(j), src, ctx)
 
-    case Lateral(l, r) =>
-      // Correlated LATERAL (shared in-scope vars) is not implemented; a
-      // silently-uncorrelated evaluation would return wrong answers, so
-      // refuse loudly (reference: spargebra · GraphPattern::Lateral).
-      val lVars = inScopeVars(l)
-      val rVars = inScopeVars(r)
-      if ((lVars & rVars).nonEmpty)
-        throw new UnsupportedOperationException(
-          s"correlated LATERAL (shared vars ${(lVars & rVars).mkString(", ")}) " +
-            "is not implemented")
-      joinSols(translate(l, src, ctx), translate(r, src, ctx), "inner")
+    case Lateral(l, r) => translateLateral(l, r, src, ctx)
 
     case LeftJoin(l, r, filt) =>
       joinSols(translate(l, src, ctx), translate(r, src, ctx),

@@ -304,6 +304,8 @@ object SparqlExpr {
         // NOT select the else branch).
         val cb = compileBool(cond, bind)
         when(cb, c(t)).when(!cb, c(f)).otherwise(nullTerm)
+      case EFn(op @ ("+" | "-"), x, y) =>
+        compileArith(op, x, y, bind)
       case EFn(name, _*) if boolFns(name) => boolTerm(compileBool(e, bind))
       case EFn(name, args @ _*) => fn(name, args.map(c))
     }
@@ -312,6 +314,64 @@ object SparqlExpr {
   private val boolFns = Set("&&", "||", "!", "=", "!=", "<", ">", "<=", ">=",
     "IN", "BOUND", "sameTerm", "isIRI", "isBlank", "isLiteral", "isNumeric",
     "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "LANGMATCHES")
+
+  /** Statically-known datatype of an expression, when the syntax fixes it
+    * (a literal, a constructor cast) — a micro type-inference in the
+    * spirit of the reference's sparopt lattice. Used to prune dead
+    * branches from the +/- dispatch: the full numeric-promotion tree AND
+    * both temporal trees inlined per operator blow whole-stage codegen
+    * past the JVM's 64 KB method limit (observed on the date-arith gate
+    * query; Spark then falls back to interpreted execution).
+    */
+  private def staticDt(e: Expr): Option[String] = e match {
+    case ELit(_, dt, None) => Some(dt)
+    case ELit(_, _, Some(_)) => Some(RdfLangString)
+    case EFn("xsd:dateTime", _*) => Some(XsdDateTime)
+    case EFn("xsd:date", _*) => Some(XsdDate)
+    case EFn("xsd:integer", _*) => Some(XsdInteger)
+    case EFn("xsd:decimal", _*) => Some(XsdDecimal)
+    case EFn("xsd:double", _*) => Some(XsdDouble)
+    case EFn("xsd:float", _*) => Some(XsdFloat)
+    case EFn("STR", _*) => Some(XsdString)
+    case EFn("STRLEN", _*) => Some(XsdInteger)
+    case _ => None
+  }
+  private def isDurType(dt: String): Boolean =
+    dt == XsdDayTimeDuration || dt == XsdDuration
+  private def isDtType(dt: String): Boolean =
+    dt == XsdDateTime || dt == XsdDate
+  private def isNumType(dt: String): Boolean = numericTypes.contains(dt)
+
+  /** `+`/`-` with static-type pruning; falls back to the full dynamic
+    * dispatch (fn) only when neither argument's value space is known.
+    */
+  private def compileArith(op: String, x: Expr, y: Expr,
+      bind: String => Option[Column]): Column = {
+    val cx = compile(x, bind); val cy = compile(y, bind)
+    val neg = op == "-"
+    (staticDt(x), staticDt(y)) match {
+      case (Some(a), _) if isNumType(a) => arith(op, cx, cy)
+      case (_, Some(b)) if isNumType(b) => arith(op, cx, cy)
+      case (_, Some(b)) if isDurType(b) => dtPlusDur(cx, cy, negate = neg)
+      case (Some(a), _) if isDurType(a) && !neg =>
+        dtPlusDur(cy, cx, negate = false)
+      case (Some(a), Some(b)) if isDtType(a) && isDtType(b) && neg =>
+        dtMinusDt(cx, cy)
+      case (Some(a), _) if isDtType(a) && neg =>
+        when(isDurLit(cy), dtPlusDur(cx, cy, negate = true))
+          .when(isDtLit(cy), dtMinusDt(cx, cy))
+          .otherwise(nullTerm)
+      case (Some(a), _) if isDtType(a) =>
+        when(isDurLit(cy), dtPlusDur(cx, cy, negate = false))
+          .otherwise(nullTerm)
+      case (_, Some(b)) if isDtType(b) && neg =>
+        when(isDtLit(cx), dtMinusDt(cx, cy)).otherwise(nullTerm)
+      case (_, Some(b)) if isDtType(b) =>
+        when(isDurLit(cx), dtPlusDur(cy, cx, negate = false))
+          .otherwise(nullTerm)
+      case _ => fn(op, Seq(cx, cy))
+    }
+  }
 
   /** Compile a boolean-valued expression directly to a Boolean column
     * (SQL NULL three-valued logic == SPARQL error semantics: error&&false

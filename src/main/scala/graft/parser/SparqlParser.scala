@@ -336,7 +336,7 @@ final class SparqlParser(input: String) {
 
   private def startsGraphPatternNotTriples: Boolean =
     peek("OPTIONAL") || peek("FILTER") || peek("BIND") || peek("MINUS") ||
-      peek("GRAPH") || peek("VALUES") || peekSym("{")
+      peek("LATERAL") || peek("GRAPH") || peek("VALUES") || peekSym("{")
 
   // ---------------- group graph pattern ----------------
   private def parseGroupGraphPattern(): GraphPattern = {
@@ -368,6 +368,8 @@ final class SparqlParser(input: String) {
           acc = Extend(acc, v, e)
         } else if (peek("MINUS")) {
           eat("MINUS"); acc = Minus(acc, parseGroupGraphPattern())
+        } else if (peek("LATERAL")) { // SPARQL 1.2 / oxigraph extension
+          eat("LATERAL"); acc = Lateral(acc, parseGroupGraphPattern())
         } else if (peek("GRAPH")) {
           eat("GRAPH")
           val name: TermPat =

@@ -145,6 +145,22 @@ object SparqlText {
         .orderBy(col("p"), col("o"))
     },
 
+    // correlated LATERAL: top-2 customers by balance per nation via the
+    // per-binding window rewrite (SPARQL 1.2 / oxigraph extension)
+    "pq15_lateral" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?nname ?cname ?b WHERE {
+             ?n :inRegion ?r ; :name ?nname .
+             LATERAL {
+               SELECT ?c ?cname ?b WHERE {
+                 ?c :inNation ?n ; :name ?cname ; :acctbal ?b .
+               } ORDER BY DESC(?b) ?cname LIMIT 2
+             }
+           } ORDER BY ?nname ?cname""")
+        .select(str("nname").as("n_name"), str("cname").as("c_name"),
+          dbl("b").as("bal"))
+    },
+
     // FROM: named graph merged into the default graph (§13.2 dataset)
     "pq13_from" -> { (s, dir) =>
       run(s, dir,
@@ -208,6 +224,14 @@ object SparqlText {
           '${TpchRdf.ns}locatedIn', '${TpchRdf.ns}nation/' || c_nationkey
           FROM customer WHERE c_custkey = 0)
         ORDER BY p, o""",
+    "pq15_lateral" ->
+      """WITH ranked AS (
+        SELECT n_name, c_name, CAST(c_acctbal AS DECIMAL(38,2)) AS bal,
+          row_number() OVER (PARTITION BY n_nationkey
+            ORDER BY CAST(c_acctbal AS DECIMAL(38,2)) DESC, c_name) AS rn
+        FROM nation JOIN customer ON c_nationkey = n_nationkey)
+        SELECT n_name, c_name, CAST(CAST(bal AS VARCHAR) AS DOUBLE) AS bal
+        FROM ranked WHERE rn <= 2 ORDER BY n_name, c_name""",
     "pq11_update_text" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)

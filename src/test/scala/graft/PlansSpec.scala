@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.algebra.Algebra._
 import graft.exec.{PathExec, Translator}
@@ -104,18 +105,51 @@ class PlansSpec extends AnyFunSuite {
     assert(got == Set("http://x/zzz"), s"got $got")
   }
 
-  test("correlated LATERAL throws instead of silently decorrelating") {
+  test("correlated monotone LATERAL equals the equi-join") {
     val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
     val r = Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))
+    val quads = TpchRdf.quads(spark, sf)
+    val lat = Translator.translate(Lateral(l, r), quads).df
+    val join = Translator.translate(Join(l, r), quads).df
+    assert(lat.count() == join.count() && lat.count() > 0)
+    assert(lat.except(join).count() == 0)
+  }
+
+  test("unsupported correlated LATERAL shapes still throw") {
+    val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
+    // per-binding aggregation over a correlated group: not rewritable yet
+    val r = Group(Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+      Nil, Seq("m" -> AggCall("MAX", Some(EVar("b")))))
     intercept[UnsupportedOperationException] {
       Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
     }
   }
 
-  test("uncorrelated LATERAL still evaluates as a join") {
-    val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
-    val r = Bgp(TriplePattern(V("r"), I(P("regionName")), V("rn")))
-    val sol = Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
-    assert(sol.vars == Set("c", "n", "r", "rn"))
+  test("LATERAL sliced subselect is a per-binding top-k window") {
+    // for each nation, the 2 customers with the highest acctbal
+    val l = Bgp(TriplePattern(V("n"), I(P("inRegion")), V("r")))
+    val sub: GraphPattern = Slice(
+      Project(
+        OrderBy(
+          Bgp(TriplePattern(V("c"), I(P("inNation")), V("n")),
+            TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+          Seq((EVar("b"), false), (EVar("c"), true))),
+        Seq("c", "b")),
+      0, 2)
+    val sol = Translator.translate(Lateral(l, sub), TpchRdf.quads(spark, sf))
+    assert(sol.vars == Set("n", "r", "c", "b"))
+    val perN = sol.df.groupBy(col("n")("lex")).count().collect()
+    assert(perN.nonEmpty && perN.forall(_.getLong(1) <= 2))
+    // spot-check against a direct computation
+    import org.apache.spark.sql.expressions.Window
+    val cust = graft.io.Tables(spark, sf, "customer")
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("bal").desc, col("c_custkey"))
+    val expected = cust
+      .select(col("c_nationkey"), col("c_custkey"),
+        col("c_acctbal").cast("decimal(38,2)").as("bal"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .count()
+    assert(sol.df.count() == expected)
   }
 }
