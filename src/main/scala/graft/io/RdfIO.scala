@@ -155,8 +155,9 @@ object RdfIO {
         readNTriples(spark, path)
       case "nq" | "nquads" | "application/n-quads" => readNQuads(spark, path)
       case "ttl" | "turtle" | "text/turtle" => readTurtle(spark, path)
+      case "trig" | "application/trig" => readTurtle(spark, path)
       case other => throw new IllegalArgumentException(
-        s"unsupported RDF format: $other (supported: nt, nq, ttl)")
+        s"unsupported RDF format: $other (supported: nt, nq, ttl, trig)")
     }
 
   // ---------------- serialization (pure Column ops) -------------------

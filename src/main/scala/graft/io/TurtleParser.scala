@@ -4,15 +4,16 @@ import scala.collection.mutable.ListBuffer
 import graft.io.RdfIO.{QuadRow, TermRow}
 import graft.model.Term
 
-/** Turtle parser (oxigraph: lib/oxttl/src/turtle.rs + terse.rs):
-  * prefix-stateful, so a document parses as a unit — RdfIO feeds whole
-  * files (per-FILE parallelism; SURVEY.md §2.1: Turtle is not
-  * line-splittable, N-Triples is the parallel bulk format).
+/** Turtle / TriG parser (oxigraph: lib/oxttl/src/turtle.rs + terse.rs
+  * + trig.rs): prefix-stateful, so a document parses as a unit — RdfIO
+  * feeds whole files (per-FILE parallelism; SURVEY.md §2.1: Turtle is
+  * not line-splittable, N-Quads is the parallel bulk format).
   *
   * Subset: @prefix/@base (+ SPARQL-style PREFIX/BASE), prefixed names,
   * 'a', ';' ',' object lists, blank node labels and property lists
-  * [ ... ], numeric/boolean shorthand literals, quoted literals with
-  * @lang / ^^dt and long quotes. Not yet: collections ( ... ).
+  * [ ... ], collections ( ... ), numeric/boolean shorthand literals,
+  * quoted literals with @lang / ^^dt and long quotes, TriG graph blocks
+  * (`<g> { ... }`, `GRAPH <g> { ... }`, `{ ... }`).
   */
 final class TurtleParser(input: String) {
   private var pos = 0
@@ -21,6 +22,11 @@ final class TurtleParser(input: String) {
   private var bnodeN = 0
   private val out = ListBuffer[QuadRow]()
   private val DG = TermRow(Term.DefaultGraphKind.toByte, null, null, null)
+  /** current graph context (TriG blocks); default graph otherwise */
+  private var graph: TermRow = DG
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private def rdfIri(local: String) =
+    TermRow(Term.IriKind.toByte, RdfNs + local, null, null)
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(
     s"Turtle parse error: $msg at ...${input.slice(pos, pos + 40)}")
@@ -130,6 +136,25 @@ final class TurtleParser(input: String) {
         if (input(pos) != ']') predicateObjectList(b)
         expect("]")
         b
+      case '(' =>
+        // collection ( e1 e2 ... ) -> rdf:first/rdf:rest chain
+        pos += 1
+        val items = ListBuffer[TermRow]()
+        ws()
+        while (pos < input.length && input(pos) != ')') {
+          items += parseTerm(); ws()
+        }
+        expect(")")
+        if (items.isEmpty) rdfIri("nil")
+        else {
+          val nodes = items.map(_ => freshBnode())
+          for (((n, item), idx) <- nodes.zip(items).zipWithIndex) {
+            out += QuadRow(graph, n, rdfIri("first"), item)
+            out += QuadRow(graph, n, rdfIri("rest"),
+              if (idx == items.size - 1) rdfIri("nil") else nodes(idx + 1))
+          }
+          nodes.head
+        }
       case c if c.isDigit || c == '+' || c == '-' || c == '.' =>
         val start = pos
         if (c == '+' || c == '-') pos += 1
@@ -176,7 +201,7 @@ final class TurtleParser(input: String) {
       var moreObjs = true
       while (moreObjs) {
         val o = parseTerm()
-        out += QuadRow(DG, s, p, o)
+        out += QuadRow(graph, s, p, o)
         moreObjs = eatSym(",")
       }
       moreProps = eatSym(";")
@@ -202,14 +227,46 @@ final class TurtleParser(input: String) {
         if (!eatSym("@base")) { expect("BASE") }
         base = parseIriRef()
         eatSym(".")
+      } else if (eatSym("{")) { // TriG: anonymous default-graph block
+        parseBlock(DG)
+      } else if (peekKeyword("GRAPH") &&
+        pos + 5 < input.length && !input(pos + 5).isLetterOrDigit &&
+        input(pos + 5) != ':' && input(pos + 5) != '_') {
+        pos += 5
+        val g = parseTerm()
+        expect("{")
+        parseBlock(g)
       } else {
         val s = parseTerm()
         ws()
-        if (pos < input.length && input(pos) != '.') predicateObjectList(s)
-        expect(".")
+        if (pos < input.length && input(pos) == '{') { // TriG: <g> { ... }
+          pos += 1
+          parseBlock(s)
+        } else {
+          if (pos < input.length && input(pos) != '.') predicateObjectList(s)
+          expect(".")
+        }
       }
       ws()
     }
     out.toSeq
+  }
+
+  /** TriG graph block body: triples emitted into graph `g`. */
+  private def parseBlock(g: TermRow): Unit = {
+    val saved = graph
+    graph = g
+    ws()
+    while (pos < input.length && input(pos) != '}') {
+      val s = parseTerm()
+      ws()
+      if (pos < input.length && input(pos) != '.' && input(pos) != '}')
+        predicateObjectList(s)
+      eatSym(".")
+      ws()
+    }
+    expect("}")
+    eatSym(".")
+    graph = saved
   }
 }

@@ -84,6 +84,21 @@ object Extra {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // mergeable HLL sketch workflow: per-group partials unioned to the
+    // estimate without raw rescan (no exact oracle by design; exact
+    // column computed alongside, bounds asserted in SketchSpec)
+    "q23_hll_merge" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val partials = graft.ops.Sketches.hllPartials(
+        li, Seq("l_returnflag"), col("l_partkey"))
+      graft.ops.Sketches.hllMerge(partials, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("approx_distinct"))
+        .join(li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_distinct")),
+          "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    },
+
     // approximate distinct (sketch surface; no exact oracle by design)
     "q20_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "lineitem")

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algebra.Algebra._
+import graft.model.Term
+import graft.parser.SparqlParser
+
+/** Text-level grammar fuzzing (the reference tests its parser with
+  * sparql-smith-generated queries): generate SPARQL TEXT and the algebra
+  * the parser is SPECIFIED to produce, in lockstep; then compare the
+  * parsed query's execution against the hand-built algebra's execution
+  * on random data. Catches tokenizer/precedence/scoping bugs that the
+  * algebra-level DifferentialSpec can never see.
+  */
+class GrammarFuzzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val ns = "http://x/"
+  private val preds = Seq("p0", "p1", "p2")
+  private def node(n: Int) = s"${ns}n$n"
+
+  // ---- random data ----------------------------------------------------
+  private val genQuad: Gen[(String, String, Either[String, Long])] = for {
+    s <- Gen.choose(0, 5)
+    p <- Gen.oneOf(preds)
+    o <- Gen.oneOf(
+      Gen.choose(0, 5).map(i => Left(node(i))),
+      Gen.choose(0L, 5L).map(Right(_)))
+  } yield (node(s), ns + p, o)
+  private val genData: Gen[Seq[(String, String, Either[String, Long])]] =
+    Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, genQuad))
+
+  private def quadsDf(data: Seq[(String, String, Either[String, Long])]) = {
+    def iri(v: String) = Row(Term.IriKind.toByte, v, null, null)
+    def lit(v: Long) =
+      Row(Term.LiteralKind.toByte, v.toString, Term.XsdInteger, null)
+    val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
+    val rows = data.map { case (s, p, o) =>
+      Row(dg, iri(s), iri(p), o.fold(iri, lit))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 2), Term.quadSchema)
+  }
+
+  // ---- paired text + algebra generator --------------------------------
+  private final case class Piece(text: String, alg: GraphPattern)
+
+  private val genVar: Gen[String] = Gen.oneOf("a", "b", "c", "d")
+  private def term(v: Either[String, Int]): (String, TermPat) = v match {
+    case Left(name) => (s"?$name", V(name))
+    case Right(i) => (s":n$i", I(node(i)))
+  }
+
+  private val genTriple: Gen[Piece] = for {
+    s <- Gen.oneOf(genVar.map(Left(_)), Gen.choose(0, 5).map(Right(_)))
+    p <- Gen.oneOf(preds)
+    o <- Gen.frequency(
+      3 -> genVar.map(Left(_)),
+      1 -> Gen.choose(0, 5).map(Right(_)))
+  } yield {
+    val (st, sa) = term(s); val (ot, oa) = term(o)
+    Piece(s"$st :$p $ot .", Bgp(TriplePattern(sa, I(ns + p), oa)))
+  }
+
+  /** One group graph pattern: mirrors the parser's accumulation rules
+    * (triples JOIN in order, OPTIONAL left-joins the accumulated group,
+    * UNION groups join in, group-level FILTERs wrap the whole group).
+    */
+  private val genTripleGroup: Gen[Piece] =
+    Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, genTriple)).map { ts =>
+      val alg = ts.map(_.alg).reduceLeft[GraphPattern](Join(_, _))
+      Piece(ts.map(_.text).mkString("{ ", " ", " }"), alg)
+    }
+
+  private def genGroup(depth: Int): Gen[Piece] = for {
+    triples <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, genTriple))
+    extras <- if (depth == 0) Gen.const(Seq.empty[Int])
+      else Gen.someOf(Seq(1, 2, 3, 4)).map(_.toSeq)
+    optG <- genTripleGroup
+    u1 <- genTripleGroup; u2 <- genTripleGroup
+    filtVar <- genVar
+    filtN <- Gen.choose(0, 5)
+    valVar <- genVar
+    bindVar <- Gen.oneOf("x", "y")
+  } yield {
+    var acc: GraphPattern = Bgp()
+    def add(g: GraphPattern): Unit = acc = acc match {
+      case Bgp(ps @ _*) if ps.isEmpty => g
+      case a => Join(a, g)
+    }
+    val sb = new StringBuilder("{\n")
+    triples.foreach { t => sb.append("  " + t.text + "\n"); add(t.alg) }
+    if (extras.contains(1)) { // OPTIONAL
+      sb.append(s"  OPTIONAL ${optG.text}\n")
+      acc = LeftJoin(acc, optG.alg, None)
+    }
+    if (extras.contains(2)) { // UNION pair
+      sb.append(s"  ${u1.text} UNION ${u2.text}\n")
+      add(Union(u1.alg, u2.alg))
+    }
+    if (extras.contains(3)) { // VALUES
+      sb.append(s"  VALUES ?$valVar { :n0 :n2 }\n")
+      add(ValuesPat(Seq(valVar),
+        Seq(Seq(Some(I(node(0)))), Seq(Some(I(node(2)))))))
+    }
+    if (extras.contains(4)) { // BIND (fresh var)
+      sb.append(s"  BIND(?$filtVar + 1 AS ?$bindVar)\n")
+      acc = Extend(acc, bindVar,
+        EFn("+", EVar(filtVar), ELit("1", Term.XsdInteger)))
+    }
+    // group-level FILTER wraps the accumulated group (parser rule)
+    val withFilter = if (depth > 0) {
+      sb.append(s"  FILTER(?$filtVar < $filtN || isIRI(?$filtVar))\n")
+      Filter(EFn("||",
+        EFn("<", EVar(filtVar), ELit(filtN.toString, Term.XsdInteger)),
+        EFn("isIRI", EVar(filtVar))), acc)
+    } else acc
+    sb.append("}")
+    Piece(sb.toString, withFilter)
+  }
+
+  test("parsed text executes identically to the specified algebra") {
+    val prop = Prop.forAllNoShrink(genData, genGroup(1)) { (data, piece) =>
+      val quads = quadsDf(data)
+      val text = s"PREFIX : <$ns>\nSELECT * WHERE ${piece.text}"
+      val parsed = SparqlParser.execute(text, quads)
+      val direct = graft.exec.Translator.translate(piece.alg, quads)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val cols = df.columns.sorted
+        df.select(cols.head, cols.tail: _*).collect()
+          .map(_.toString).sorted.toSeq
+      }
+      val (g, e) = (rows(parsed), rows(direct.df))
+      if (g != e)
+        println(s"TEXT/ALGEBRA MISMATCH\nquery:\n$text\nalg: ${piece.alg}\n" +
+          s"data: $data\nparsed: $g\ndirect: $e")
+      g == e
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, s"grammar fuzz failed: ${result.status}")
+  }
+}

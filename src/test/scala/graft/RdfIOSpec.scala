@@ -96,6 +96,41 @@ class RdfIOSpec extends AnyFunSuite {
       .getString(1).endsWith("#type")))
   }
 
+  test("Turtle collections desugar to rdf:first/rdf:rest chains") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val dir = java.nio.file.Files.createTempDirectory("graft_coll")
+    java.nio.file.Files.writeString(dir.resolve("c.ttl"),
+      """@prefix : <http://x/> .
+        |:s :list (1 2 3) .
+        |:t :list () .
+        |""".stripMargin)
+    val quads = RdfIO.readTurtle(spark, dir.resolve("c.ttl").toString)
+    import org.apache.spark.sql.functions._
+    assert(quads.where(col("p")("lex") === rdf + "first").count() == 3)
+    assert(quads.where(col("p")("lex") === rdf + "rest").count() == 3)
+    // () is rdf:nil directly; chain also ends in nil -> 2 nil objects
+    assert(quads.where(col("o")("lex") === rdf + "nil").count() == 2)
+    assert(quads.count() == 8) // 2 membership + 3 first + 3 rest
+  }
+
+  test("TriG graph blocks land triples in named graphs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trig")
+    java.nio.file.Files.writeString(dir.resolve("d.trig"),
+      """@prefix : <http://x/> .
+        |:s0 :p "default0" .
+        |{ :s1 :p "default1" . }
+        |:g1 { :s2 :p "in-g1" . :s3 :p "also-g1" ; :q "q" . }
+        |GRAPH <http://x/g2> { :s4 :p "in-g2" . }
+        |""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("d.trig").toString, "trig")
+    import org.apache.spark.sql.functions._
+    assert(quads.count() == 6)
+    assert(quads.where(col("g")("kind") === graft.model.Term.DefaultGraphKind)
+      .count() == 2)
+    assert(quads.where(col("g")("lex") === "http://x/g1").count() == 3)
+    assert(quads.where(col("g")("lex") === "http://x/g2").count() == 1)
+  }
+
   test("format facade dispatches and rejects unknown formats") {
     intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "rdfxml"))
   }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Tables
+import graft.ops.Sketches
+
+/** Sketch error-bound assertions (no DuckDB oracle possible by design —
+  * sketches are implementation-defined; the guarantees ARE the spec).
+  */
+class SketchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val li = Tables(spark, sf, "lineitem")
+
+  test("HLL partials merge to the global estimate within error bounds") {
+    // daily-partition analogue: partial per returnflag, merged to global
+    val partials = Sketches.hllPartials(li, Seq("l_returnflag"),
+      col("l_partkey"), lgK = 12)
+    assert(partials.count() >= 2) // genuinely multiple partials merged
+    val merged = Sketches.hllMerge(partials, Nil)
+    val est = merged.select(col("approx_distinct")).head().getLong(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    // lgK=12 -> stderr ~1.04/sqrt(4096) ~= 1.6%; assert within 5 sigma
+    val tol = math.max(5 * 0.0163 * exact, 10.0)
+    assert(math.abs(est - exact) <= tol,
+      s"HLL estimate $est vs exact $exact (tol $tol)")
+    // per-group merge equals direct per-group sketching
+    val perGroup = Sketches.hllMerge(partials, Seq("l_returnflag"))
+    assert(perGroup.count() == partials.count())
+  }
+
+  test("count-min estimates are one-sided and tight for heavy hitters") {
+    val sketch = Sketches.countMinBuild(li, col("l_suppkey"), 5, 1024)
+    assert(sketch.count() <= 5 * 1024) // bounded regardless of input size
+    val candidates = li.select(col("l_suppkey")).distinct().limit(50)
+    val est = Sketches.countMinQuery(sketch, candidates, col("l_suppkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy(col("l_suppkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = li.count()
+    est.foreach { case (k, e) =>
+      val t = exact(k)
+      assert(e >= t, s"CM estimate $e below true $t for $k (must not be)")
+      // eps = e/width ~= 2.7/1024; allow 3x slack on the w.h.p. bound
+      assert(e <= t + 3 * (math.E / 1024) * n,
+        s"CM estimate $e too far above true $t for $k")
+    }
+  }
+
+  test("count-min sketches merge by cell-wise sum") {
+    val half1 = li.where(col("l_orderkey") % 2 === 0)
+    val half2 = li.where(col("l_orderkey") % 2 =!= 0)
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinBuild(half1, col("l_suppkey"), 5, 1024),
+      Sketches.countMinBuild(half2, col("l_suppkey"), 5, 1024))
+    val whole = Sketches.countMinBuild(li, col("l_suppkey"), 5, 1024)
+    assert(merged.except(whole).count() == 0 &&
+      whole.except(merged).count() == 0,
+      "merged halves must equal the whole-input sketch cell-for-cell")
+  }
+}
