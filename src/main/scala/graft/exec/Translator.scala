@@ -489,7 +489,19 @@ object Translator {
     case OrderBy(inner, keys) =>
       val in = translate(inner, src, ctx)
       val sortCols = keys.map { case (e, asc) =>
-        val k = sortKey(SparqlExpr.compile(e, in.bind))
+        val k = e match {
+          // static term-class shortcut (sparopt type-inference spirit):
+          // a var bound only in subject/predicate/graph positions can
+          // never be a literal, so the numeric/temporal/datatype ranks
+          // are dead code — order by (class, lex) alone
+          case EVar(v) if in.vars(v) && iriOnly(inner, v) =>
+            struct(
+              when(col(v).isNull, 0)
+                .when(col(v)("kind") === Term.BlankKind, 1)
+                .otherwise(2).as("cls"),
+              coalesce(col(v)("lex"), lit("")).as("lex"))
+          case _ => sortKey(SparqlExpr.compile(e, in.bind))
+        }
         if (asc) k.asc else k.desc
       }
       Sol(in.df.orderBy(sortCols: _*), in.vars, in.sure)
@@ -537,6 +549,33 @@ object Translator {
       case _ => (Nil, Seq(e))
     }
     case other => (Nil, Seq(other))
+  }
+
+  /** True when every binding site of `v` in the pattern is a subject,
+    * predicate or graph-name position — term class is then statically
+    * IRI-or-bnode (never a literal). Conservative: any literal-capable
+    * site (object position, BIND, VALUES, aggregate output) returns
+    * false.
+    */
+  private def iriOnly(gp: GraphPattern, v: String): Boolean = gp match {
+    case Bgp(ps @ _*) => ps.forall(tp => !varName(tp.o).contains(v))
+    case PathPattern(_, _, o) => !varName(o).contains(v)
+    case Join(l, r) => iriOnly(l, v) && iriOnly(r, v)
+    case Lateral(l, r) => iriOnly(l, v) && iriOnly(r, v)
+    case LeftJoin(l, r, _) => iriOnly(l, v) && iriOnly(r, v)
+    case Minus(l, _) => iriOnly(l, v)
+    case Union(l, r) => iriOnly(l, v) && iriOnly(r, v)
+    case Filter(_, i) => iriOnly(i, v)
+    case Extend(i, x, _) => x != v && iriOnly(i, v)
+    case Project(i, _) => iriOnly(i, v)
+    case Distinct(i) => iriOnly(i, v)
+    case Reduced(i) => iriOnly(i, v)
+    case Slice(i, _, _) => iriOnly(i, v)
+    case OrderBy(i, _) => iriOnly(i, v)
+    case Group(i, keys, aggs) =>
+      aggs.forall(_._1 != v) && (!keys.contains(v) || iriOnly(i, v))
+    case ValuesPat(vs, _) => !vs.contains(v)
+    case GraphPat(_, i) => iriOnly(i, v)
   }
 
   /** Nulls-last variant of the sort key, so MIN/SAMPLE skip unbound. */

@@ -724,6 +724,38 @@ final class SparqlParser(input: String) {
     pattern
   }
 
+  /** Trailing ORDER BY / LIMIT / OFFSET (CONSTRUCT and DESCRIBE forms). */
+  private def parseSolutionModifiers(p0: GraphPattern): GraphPattern = {
+    var pattern = p0
+    if (peek("ORDER")) {
+      eat("ORDER"); expect("BY")
+      val keys = scala.collection.mutable.ListBuffer[(Expr, Boolean)]()
+      var go = true
+      while (go) {
+        ws()
+        if (peek("ASC")) { eat("ASC"); expect("(")
+          keys += parseExpression() -> true; expect(")") }
+        else if (peek("DESC")) { eat("DESC"); expect("(")
+          keys += parseExpression() -> false; expect(")") }
+        else if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+          keys += EVar(parseVarName()) -> true
+        else if (peekSym("(")) { expect("(")
+          keys += parseExpression() -> true; expect(")") }
+        else go = false
+      }
+      pattern = OrderBy(pattern, keys.toSeq)
+    }
+    var limit = -1L; var offset = 0L
+    var lo = true
+    while (lo) {
+      if (peek("LIMIT")) { eat("LIMIT"); limit = parseNumber().lex.toLong }
+      else if (peek("OFFSET")) { eat("OFFSET"); offset = parseNumber().lex.toLong }
+      else lo = false
+    }
+    if (limit >= 0 || offset > 0) pattern = Slice(pattern, offset, limit)
+    pattern
+  }
+
   private def parseConstructTemplate(): Seq[TriplePattern] = {
     expect("{")
     val out = scala.collection.mutable.ListBuffer[TriplePattern]()
@@ -879,18 +911,23 @@ final class SparqlParser(input: String) {
         eat("CONSTRUCT")
         val tmpl = parseConstructTemplate()
         eat("WHERE")
-        val where = parseGroupGraphPattern()
-        // CONSTRUCT solution modifiers (LIMIT etc.) unsupported in v1
+        var where = parseGroupGraphPattern()
+        // solution modifiers apply to the WHERE solutions before the
+        // template instantiates (SPARQL §16.2)
+        where = parseSolutionModifiers(where)
         Construct(tmpl, where)
       }
       else if (peek("DESCRIBE")) {
         eat("DESCRIBE")
         val vars = scala.collection.mutable.ListBuffer[String]()
         val iris = scala.collection.mutable.ListBuffer[String]()
+        var star = false
         var go = true
         while (go) {
           ws()
-          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+          if (eatSym("*")) { star = true; go = false }
+          else if (pos < input.length &&
+            (input(pos) == '?' || input(pos) == '$'))
             vars += parseVarName()
           else if (peekSym("<")) iris += parseIriRef()
           else tryPrefixedName() match {
@@ -898,10 +935,13 @@ final class SparqlParser(input: String) {
             case None => go = false
           }
         }
-        if (vars.isEmpty && iris.isEmpty) fail("DESCRIBE needs a resource")
+        if (!star && vars.isEmpty && iris.isEmpty)
+          fail("DESCRIBE needs a resource")
         var pattern: GraphPattern =
           if (peek("WHERE")) { eat("WHERE"); parseGroupGraphPattern() }
           else Bgp()
+        if (star) vars ++= inScopeVars(pattern).toSeq.sorted
+        pattern = parseSolutionModifiers(pattern)
         // constant resources: bind each to a fresh var via inline data
         val iriVars = iris.toSeq.zipWithIndex.map { case (iri, idx) =>
           val v = s"__desc$idx"

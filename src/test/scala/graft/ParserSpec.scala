@@ -54,6 +54,17 @@ class ParserSpec extends AnyFunSuite {
     assert(vs3 == Seq("a", "b"))
   }
 
+  test("CONSTRUCT solution modifiers and DESCRIBE *") {
+    val Construct(_, w) = SparqlParser.parse(pfx +
+      """CONSTRUCT { ?c :seg ?s } WHERE { ?c :mktsegment ?s }
+         ORDER BY ?c LIMIT 5"""): @unchecked
+    val Slice(OrderBy(_, keys), off, lim) = w: @unchecked
+    assert(keys == Seq(EVar("c") -> true) && off == 0 && lim == 5)
+    val Describe(_, vs) = SparqlParser.parse(pfx +
+      "DESCRIBE * WHERE { ?a :knows ?b } LIMIT 3"): @unchecked
+    assert(vs == Seq("a", "b"))
+  }
+
   test("RDF collections desugar to rdf:first/rdf:rest chains") {
     val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val q = SparqlParser.parse(pfx +
