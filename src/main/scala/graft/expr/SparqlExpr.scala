@@ -200,6 +200,8 @@ object SparqlExpr {
       .when(isStrTerm(a) && isStrTerm(b),
         a("lex") === b("lex") && coalesce(a("lang") === b("lang"),
           a("lang").isNull && b("lang").isNull))
+      .when(a("dt") === XsdBoolean && b("dt") === XsdBoolean,
+        a("lex").isin("true", "1") === b("lex").isin("true", "1"))
       .when(a("kind") =!= LiteralKind || b("kind") =!= LiteralKind, a <=> b)
       .when(a("dt") === b("dt"), a("lex") === b("lex"))
       .otherwise(lit(null).cast(BooleanType))
@@ -216,7 +218,7 @@ object SparqlExpr {
       .when(bothTs, tsVal(a) < tsVal(b))
       .when(isStrTerm(a) && isStrTerm(b), a("lex") < b("lex"))
       .when(a("dt") === XsdBoolean && b("dt") === XsdBoolean,
-        a("lex") === "false" && b("lex") === "true")
+        !a("lex").isin("true", "1") && b("lex").isin("true", "1"))
       .otherwise(lit(null).cast(BooleanType))
   }
 
@@ -342,6 +344,97 @@ object SparqlExpr {
     dt == XsdDateTime || dt == XsdDate
   private def isNumType(dt: String): Boolean = numericTypes.contains(dt)
 
+  /** Value-space class for comparison pruning. */
+  private sealed trait VClass
+  private case object VNum extends VClass
+  private case object VTemporal extends VClass
+  private case object VStr extends VClass
+  private case object VBool extends VClass
+  private case object VOther extends VClass
+
+  private def staticClass(e: Expr): Option[VClass] = staticDt(e).map { dt =>
+    if (isNumType(dt)) VNum
+    else if (isDtType(dt)) VTemporal
+    else if (dt == XsdString || dt == RdfLangString) VStr
+    else if (dt == XsdBoolean) VBool
+    else VOther
+  }
+
+  /** Comparison hint: the single value-space class both operands must
+    * inhabit for the comparison to succeed, when one side's syntax fixes
+    * it. None = no pruning (full dynamic dispatch).
+    */
+  private def cmpHint(x: Expr, y: Expr): Option[VClass] =
+    (staticClass(x), staticClass(y)) match {
+      case (Some(a), Some(b)) => if (a == b && a != VOther) Some(a) else None
+      case (Some(a), None) if a != VOther => Some(a)
+      case (None, Some(b)) if b != VOther => Some(b)
+      case _ => None
+    }
+
+  private def nullBool: Column = lit(null).cast(BooleanType)
+
+  /** valueLt restricted to one value space (the other branches are
+    * statically dead — prunes tsVal's regex/timestamp trees from every
+    * numeric filter, the hottest expression path in the gate suite).
+    */
+  private def valueLtHint(a: Column, b: Column, cls: VClass): Column =
+    cls match {
+      case VNum =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(Term.isNumericLit(a) && Term.isNumericLit(b),
+            when(rank(a) >= 2 || rank(b) >= 2, numDbl(a) < numDbl(b))
+              .otherwise(numDec(a) < numDec(b)))
+          .otherwise(nullBool)
+      case VTemporal =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(tsVal(a).isNotNull && tsVal(b).isNotNull, tsVal(a) < tsVal(b))
+          .otherwise(nullBool)
+      case VStr =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(isStrTerm(a) && isStrTerm(b), a("lex") < b("lex"))
+          .otherwise(nullBool)
+      case VBool =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(a("dt") === XsdBoolean && b("dt") === XsdBoolean,
+            !a("lex").isin("true", "1") && b("lex").isin("true", "1"))
+          .otherwise(nullBool)
+      case VOther => valueLt(a, b)
+    }
+
+  /** valueEq restricted to one value space; kind mismatches stay plain
+    * structural inequality (false), incompatible literals stay errors.
+    */
+  private def valueEqHint(a: Column, b: Column, cls: VClass): Column =
+    cls match {
+      case VNum =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(Term.isNumericLit(a) && Term.isNumericLit(b),
+            when(rank(a) >= 2 || rank(b) >= 2, numDbl(a) === numDbl(b))
+              .otherwise(numDec(a) === numDec(b)))
+          .when(a("kind") =!= LiteralKind || b("kind") =!= LiteralKind, a <=> b)
+          .otherwise(nullBool)
+      case VTemporal =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(tsVal(a).isNotNull && tsVal(b).isNotNull, tsVal(a) === tsVal(b))
+          .when(a("kind") =!= LiteralKind || b("kind") =!= LiteralKind, a <=> b)
+          .otherwise(nullBool)
+      case VStr =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(isStrTerm(a) && isStrTerm(b),
+            a("lex") === b("lex") && coalesce(a("lang") === b("lang"),
+              a("lang").isNull && b("lang").isNull))
+          .when(a("kind") =!= LiteralKind || b("kind") =!= LiteralKind, a <=> b)
+          .otherwise(nullBool)
+      case VBool =>
+        when(a.isNull || b.isNull, nullBool)
+          .when(a("dt") === XsdBoolean && b("dt") === XsdBoolean,
+            a("lex").isin("true", "1") === b("lex").isin("true", "1"))
+          .when(a("kind") =!= LiteralKind || b("kind") =!= LiteralKind, a <=> b)
+          .otherwise(nullBool)
+      case VOther => valueEq(a, b)
+    }
+
   /** `+`/`-` with static-type pruning; falls back to the full dynamic
     * dispatch (fn) only when neither argument's value space is known.
     */
@@ -381,19 +474,30 @@ object SparqlExpr {
   def compileBool(e: Expr, bind: String => Option[Column]): Column = {
     def b(x: Expr): Column = compileBool(x, bind)
     def c(x: Expr): Column = compile(x, bind)
+    def eqC(x: Expr, y: Expr): Column = cmpHint(x, y) match {
+      case Some(k) => valueEqHint(c(x), c(y), k)
+      case None => valueEq(c(x), c(y))
+    }
+    def ltC(x: Expr, y: Expr): Column = cmpHint(x, y) match {
+      case Some(k) => valueLtHint(c(x), c(y), k)
+      case None => valueLt(c(x), c(y))
+    }
     e match {
       case EFn("&&", x, y) => b(x) && b(y)
       case EFn("||", x, y) => b(x) || b(y)
       case EFn("!", x) => !b(x)
-      case EFn("=", x, y) => valueEq(c(x), c(y))
-      case EFn("!=", x, y) => !valueEq(c(x), c(y))
-      case EFn("<", x, y) => valueLt(c(x), c(y))
-      case EFn(">", x, y) => valueLt(c(y), c(x))
-      case EFn("<=", x, y) => !valueLt(c(y), c(x))
-      case EFn(">=", x, y) => !valueLt(c(x), c(y))
+      case EFn("=", x, y) => eqC(x, y)
+      case EFn("!=", x, y) => !eqC(x, y)
+      case EFn("<", x, y) => ltC(x, y)
+      case EFn(">", x, y) => ltC(y, x)
+      case EFn("<=", x, y) => !ltC(y, x)
+      case EFn(">=", x, y) => !ltC(x, y)
       case EFn("IN", args @ _*) =>
         val h = c(args.head)
-        args.tail.map(x => valueEq(h, c(x))).reduce(_ || _)
+        args.tail.map(x => cmpHint(args.head, x) match {
+          case Some(k) => valueEqHint(h, c(x), k)
+          case None => valueEq(h, c(x))
+        }).reduce(_ || _)
       case EFn("BOUND", x) => c(x).isNotNull
       case EFn("sameTerm", x, y) => sameTerm(c(x), c(y))
       // other EFns compile via the builtin table (NOT via compile(), which

@@ -115,6 +115,15 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(lex(f("RAND"))._2 == Some(Term.XsdDouble))
   }
 
+  test("boolean value-space equality accepts 1/0 lexicals") {
+    val t1 = Term.typedLit(lit("1"), Term.XsdBoolean)
+    val tt = Term.typedLit(lit("true"), Term.XsdBoolean)
+    val f0 = Term.typedLit(lit("0"), Term.XsdBoolean)
+    assert(lex(f("=", t1, tt))._1 == Some("true"))
+    assert(lex(f("=", f0, tt))._1 == Some("false"))
+    assert(lex(f("<", f0, t1))._1 == Some("true"))
+  }
+
   test("datetime") {
     val dt = Term.typedLit(lit("2024-03-05T10:20:30"), Term.XsdDateTime)
     assert(lex(f("YEAR", dt))._1 == Some("2024"))

@@ -129,7 +129,8 @@ class GrammarFuzzSpec extends AnyFunSuite {
       val direct = graft.exec.Translator.translate(piece.alg, quads)
       def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
         val cols = df.columns.sorted
-        df.select(cols.head, cols.tail: _*).collect()
+        if (cols.isEmpty) Seq.fill(df.count().toInt)("[]")
+        else df.select(cols.head, cols.tail: _*).collect()
           .map(_.toString).sorted.toSeq
       }
       val (g, e) = (rows(parsed), rows(direct.df))
