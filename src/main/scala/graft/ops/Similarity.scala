@@ -88,6 +88,61 @@ object Similarity {
       when(proj > 0, expr(s"shiftleft(cast(1 as bigint), $j)")).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF coarse quantizer: `nlist` centroids, every vector assigned to
+    * its nearest list. Centroids are taken deterministically from the
+    * corpus (lowest vec_ids) — at scale you would k-means them; the
+    * harness needs reproducibility more than centroid quality, and the
+    * probe/rerank dataflow is identical either way. Assignment is one
+    * broadcast join + a per-vector argmax (no shuffle of the corpus).
+    */
+  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame = {
+    val cents = withNorm(emb).orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("list_id"), col("embedding").as("cent"),
+        col("norm2").as("cnorm2"))
+    val v = withNorm(emb)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("list_id"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        cosine(col("embedding"), col("cent"), col("norm2"), col("cnorm2")))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("list_id"))
+  }
+
+  /** ANN top-k via IVF: queries probe their `nprobe` nearest centroid
+    * lists and rerank exactly within them. The 100 TB shape: candidate
+    * generation shuffles on the short list_id key; the corpus is scanned
+    * once for assignment (persist the assignment table in practice).
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(emb, nlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = withNorm(emb).orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("list_id"), col("embedding").as("cent"),
+        col("norm2").as("cnorm2"))
+    val q = withNorm(emb).where(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm2").as("qn"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cscore").desc, col("list_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosine(col("qe"), col("cent"), col("qn"),
+        col("cnorm2")))
+      .withColumn("__rn", row_number().over(wq)).where(col("__rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+    val cands = probes.join(assigned, Seq("list_id"))
+      .where(col("qid") =!= col("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .withColumn("cos", cosine(col("qe"), col("embedding"), col("qn"),
+        col("norm2")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("rank"), col("cos"))
+  }
+
   /** ANN top-k via SRP-LSH: exact rerank within matching buckets.
     * Recall < 1 by construction; pair with bruteTopK to measure.
     */

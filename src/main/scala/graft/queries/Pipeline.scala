@@ -94,6 +94,16 @@ object Pipeline {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF-bucketed ANN (coarse quantize -> probe -> exact rerank); the
+    // second scale path next to SRP-LSH (recall < 1 by construction:
+    // rows-only gate + PipelineSpec bound)
+    "ann3_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), col("vec_id") < 10, 5)
+        .select(col("qid"), col("cid"), col("rank").cast(LongType).as("rank"),
+          col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // language-ID by stopword-profile voting
     "ts1_langid" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),

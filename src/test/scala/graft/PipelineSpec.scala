@@ -72,6 +72,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN cosines are bounded by brute force and recall is sane") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteTop1 = Similarity.bruteTopK(emb, col("vec_id") < 10, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 5)
+      .collect()
+    assert(ivf.nonEmpty)
+    // exactness within probed lists: no IVF cosine can beat brute top-1
+    ivf.foreach { r =>
+      assert(r.getDouble(3) <= bruteTop1(r.getLong(0)) + 1e-12)
+    }
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfPairs).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall implausibly low")
+  }
+
   test("multimodal stub decode matches columnar fingerprint") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs))
       .toDF().select(col("doc_id"), col("checksum"))
