@@ -265,6 +265,7 @@ object Translator {
     var distinct = false
     var proj: Option[Seq[String]] = None
     var orderKeys: Seq[(Expr, Boolean)] = Nil
+    val shellExtends = scala.collection.mutable.ListBuffer[(String, Expr)]()
     var peeling = true
     while (peeling) node match {
       case Slice(i, off, lim) if !hasSlice =>
@@ -272,8 +273,46 @@ object Translator {
       case Distinct(i) => distinct = true; node = i
       case Project(i, vs) if proj.isEmpty => proj = Some(vs); node = i
       case OrderBy(i, ks) if orderKeys.isEmpty => orderKeys = ks; node = i
+      case Extend(i, v, ex) if !lVars(v) =>
+        shellExtends += ((v, ex)); node = i // applied inner-to-outer below
       case _ => peeling = false
     }
+    def applyExtends(sol0: Sol): Sol =
+      shellExtends.reverse.foldLeft(sol0) { case (s, (v, ex)) =>
+        Sol(s.df.withColumn(v, SparqlExpr.compile(ex, s.bind)),
+          s.vars + v, s.sure)
+      }
+    node match {
+      // per-binding aggregation: tag each left row, outer-join the
+      // group's input, aggregate per (row id, group keys) with the
+      // padding row blanked — one shuffle, no per-row re-execution.
+      // Keys-empty groups yield exactly one row per binding (left outer);
+      // keyed groups drop match-less bindings (inner), per SPARQL.
+      case Group(ginner, gkeys, gaggs) if !hasSlice && joinSafe(ginner) =>
+        val ls = translate(l, src, ctx)
+        val lsId = Sol(ls.df.withColumn("__lid", monotonically_increasing_id()),
+          ls.vars + "__lid", ls.sure + "__lid")
+        val rs0 = translate(ginner, src, ctx)
+        val rsM = Sol(rs0.df.withColumn("__rmark", lit(true)),
+          rs0.vars + "__rmark", rs0.sure + "__rmark")
+        val jt = if (gkeys.isEmpty) "left_outer" else "inner"
+        val joined = joinSols(lsId, rsM, jt)
+        val allKeys = ("__lid" +: (ls.vars.toSeq ++ gkeys)).distinct
+        val grouped = applyExtends(groupAggregate(joined, allKeys, gaggs,
+          e => when(col("__rmark").isNotNull, e)))
+        val outVars0 =
+          ls.vars ++ gkeys ++ gaggs.map(_._1) ++ shellExtends.map(_._1)
+        val outVars = proj.map(vs => ls.vars ++ vs).getOrElse(outVars0)
+        var gdf = grouped.df
+        if (distinct) gdf = gdf.select(
+          outVars.toSeq.sorted.map(v =>
+            (if (grouped.vars(v)) col(v) else nullTerm).as(v)): _*).distinct()
+        else gdf = gdf.select(outVars.toSeq.sorted.map(v =>
+          (if (grouped.vars(v)) col(v) else nullTerm).as(v)): _*)
+        return Sol(gdf, outVars, ls.sure & outVars)
+      case _ =>
+    }
+
     if (!joinSafe(node))
       throw new UnsupportedOperationException(
         "correlated LATERAL over this pattern shape is not supported " +
@@ -281,7 +320,7 @@ object Translator {
 
     val ls = translate(l, src, ctx)
     val rs = translate(node, src, ctx)
-    val joined = joinSols(ls, rs, "inner")
+    val joined = applyExtends(joinSols(ls, rs, "inner"))
     var df = joined.df
     if (distinct) df = df.distinct()
     if (hasSlice) {
@@ -300,7 +339,8 @@ object Translator {
           (if (limit >= 0) col("__rn") <= offset + limit else lit(true)))
         .drop("__rn")
     }
-    val outVars = ls.vars ++ proj.map(_.toSet).getOrElse(rs.vars)
+    val outVars = ls.vars ++ proj.map(_.toSet)
+      .getOrElse(rs.vars ++ shellExtends.map(_._1))
     Sol(df.select(outVars.toSeq.sorted.map(v =>
       (if (joined.vars(v)) col(v) else nullTerm).as(v)): _*),
       outVars, joined.sure & outVars)
@@ -590,18 +630,27 @@ object Translator {
     sortKey(t).getField("lang").as("lang"))
 
   private def translateGroup(inner: GraphPattern, keys: Seq[String],
-      aggs: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol = {
+      aggs: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol =
+    groupAggregate(translate(inner, src, ctx), keys, aggs)
+
+  /** Aggregation core over an existing solution. `wrap` guards each
+    * aggregate input (and the COUNT(*) row marker) — the per-binding
+    * LATERAL rewrite uses it to blank the padding row a left-outer join
+    * introduces for match-less bindings.
+    */
+  private def groupAggregate(in: Sol, keys: Seq[String],
+      aggs: Seq[(String, AggCall)],
+      wrap: Column => Column = identity): Sol = {
     import org.apache.spark.sql.types._
-    val in = translate(inner, src, ctx)
     val DV = DecimalType(38, 12)
     val aggCols = scala.collection.mutable.ListBuffer[Column]()
     val post = scala.collection.mutable.ListBuffer[Column]()
     aggs.zipWithIndex.foreach { case ((outName, call), i) =>
-      val e = call.expr.map(SparqlExpr.compile(_, in.bind))
+      val e = call.expr.map(x => wrap(SparqlExpr.compile(x, in.bind)))
       def n(suffix: String) = s"__a${i}_$suffix"
       call.fn match {
         case "COUNT_STAR" =>
-          aggCols += count(lit(1)).as(n("c"))
+          aggCols += count(wrap(lit(1))).as(n("c"))
           post += Term.intLit(col(n("c"))).as(outName)
         case "COUNT" =>
           val x = e.get

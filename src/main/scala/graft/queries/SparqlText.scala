@@ -161,6 +161,19 @@ object SparqlText {
           dbl("b").as("bal"))
     },
 
+    // per-binding LATERAL aggregation: max customer balance per nation
+    // (keys-empty correlated group -> one row per binding, match-less
+    // bindings keep unbound aggregates)
+    "pq16_lateral_agg" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?nname ?m WHERE {
+             ?n :inRegion ?r ; :name ?nname .
+             LATERAL { SELECT (MAX(?b) AS ?m) WHERE {
+               ?c :inNation ?n ; :acctbal ?b } }
+           } ORDER BY ?nname""")
+        .select(str("nname").as("n_name"), dbl("m").as("m"))
+    },
+
     // FROM: named graph merged into the default graph (§13.2 dataset)
     "pq13_from" -> { (s, dir) =>
       run(s, dir,
@@ -232,6 +245,12 @@ object SparqlText {
         FROM nation JOIN customer ON c_nationkey = n_nationkey)
         SELECT n_name, c_name, CAST(CAST(bal AS VARCHAR) AS DOUBLE) AS bal
         FROM ranked WHERE rn <= 2 ORDER BY n_name, c_name""",
+    "pq16_lateral_agg" ->
+      """SELECT n_name,
+        CAST(CAST(max(CAST(c_acctbal AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
+          AS m
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
     "pq11_update_text" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)

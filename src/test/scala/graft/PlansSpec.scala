@@ -117,11 +117,45 @@ class PlansSpec extends AnyFunSuite {
 
   test("unsupported correlated LATERAL shapes still throw") {
     val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
-    // per-binding aggregation over a correlated group: not rewritable yet
-    val r = Group(Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))),
-      Nil, Seq("m" -> AggCall("MAX", Some(EVar("b")))))
+    // slicing a per-binding aggregation is not rewritable yet
+    val r: GraphPattern = Slice(
+      Group(Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+        Nil, Seq("m" -> AggCall("MAX", Some(EVar("b"))))), 0, 1)
     intercept[UnsupportedOperationException] {
       Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
+    }
+  }
+
+  test("LATERAL per-binding aggregation equals grouped left join") {
+    // per nation: count + max balance of its customers; nations without
+    // customers keep a row with unbound aggregates (keys-empty group)
+    val l = Bgp(TriplePattern(V("n"), I(P("inRegion")), V("r")))
+    val g: GraphPattern = Group(
+      Bgp(TriplePattern(V("c"), I(P("inNation")), V("n")),
+        TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+      Nil, Seq("cnt" -> AggCall("COUNT_STAR", None),
+        "m" -> AggCall("MAX", Some(EVar("b")))))
+    val sol = Translator.translate(Lateral(l, g), TpchRdf.quads(spark, sf))
+    assert(sol.vars == Set("n", "r", "cnt", "m"))
+    val got = sol.df.collect().map { row =>
+      val nk = row.getAs[Row]("n").getString(1).split("/").last.toLong
+      val cnt = row.getAs[Row]("cnt").getString(1).toLong
+      val m = Option(row.getAs[Row]("m")).map(_.getString(1).toDouble)
+      (nk, (cnt, m))
+    }.toMap
+    val nations = graft.io.Tables(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    val exact = graft.io.Tables(spark, sf, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nk"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("c_acctbal").cast("decimal(38,2)")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Some(r.getDecimal(2).doubleValue)))).toMap
+    assert(got.keySet == nations.toSet)
+    nations.foreach { nk =>
+      assert(got(nk) == exact.getOrElse(nk, (0L, None)),
+        s"nation $nk: ${got(nk)} vs ${exact.get(nk)}")
     }
   }
 
