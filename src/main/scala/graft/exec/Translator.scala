@@ -288,7 +288,7 @@ object Translator {
       // padding row blanked — one shuffle, no per-row re-execution.
       // Keys-empty groups yield exactly one row per binding (left outer);
       // keyed groups drop match-less bindings (inner), per SPARQL.
-      case Group(ginner, gkeys, gaggs) if !hasSlice && joinSafe(ginner) =>
+      case Group(ginner, gkeys, gaggs) if joinSafe(ginner) =>
         val ls = translate(l, src, ctx)
         val lsId = Sol(ls.df.withColumn("__lid", monotonically_increasing_id()),
           ls.vars + "__lid", ls.sure + "__lid")
@@ -298,8 +298,28 @@ object Translator {
         val jt = if (gkeys.isEmpty) "left_outer" else "inner"
         val joined = joinSols(lsId, rsM, jt)
         val allKeys = ("__lid" +: (ls.vars.toSeq ++ gkeys)).distinct
-        val grouped = applyExtends(groupAggregate(joined, allKeys, gaggs,
+        var grouped = applyExtends(groupAggregate(joined, allKeys, gaggs,
           e => when(col("__rmark").isNotNull, e)))
+        if (hasSlice) {
+          // slice of the per-binding groups (argmax-per-binding idiom):
+          // rank the group rows within each left row id
+          import org.apache.spark.sql.expressions.Window
+          val sortCols =
+            if (orderKeys.nonEmpty) orderKeys.map { case (e, asc) =>
+              val k = sortKey(SparqlExpr.compile(e, grouped.bind))
+              if (asc) k.asc else k.desc
+            }
+            else (gkeys ++ gaggs.map(_._1)).sorted
+              .map(v => sortKey(col(v)).asc)
+          val w = Window.partitionBy(col("__lid")).orderBy(sortCols: _*)
+          grouped = Sol(
+            grouped.df.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") > offset &&
+                (if (limit >= 0) col("__rn") <= offset + limit
+                 else lit(true)))
+              .drop("__rn"),
+            grouped.vars, grouped.sure)
+        }
         val outVars0 =
           ls.vars ++ gkeys ++ gaggs.map(_._1) ++ shellExtends.map(_._1)
         val outVars = proj.map(vs => ls.vars ++ vs).getOrElse(outVars0)

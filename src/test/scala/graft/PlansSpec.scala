@@ -117,13 +117,45 @@ class PlansSpec extends AnyFunSuite {
 
   test("unsupported correlated LATERAL shapes still throw") {
     val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
-    // slicing a per-binding aggregation is not rewritable yet
-    val r: GraphPattern = Slice(
-      Group(Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))),
-        Nil, Seq("m" -> AggCall("MAX", Some(EVar("b"))))), 0, 1)
+    // OPTIONAL whose right side correlates with the outer binding NOT
+    // through its own left part: join-equivalence does not hold
+    val r: GraphPattern = LeftJoin(
+      Bgp(TriplePattern(V("x"), I(P("regionName")), V("y"))),
+      Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))))
     intercept[UnsupportedOperationException] {
       Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
     }
+  }
+
+  test("LATERAL sliced aggregation: top segment per nation") {
+    val l = Bgp(TriplePattern(V("n"), I(P("inRegion")), V("r")))
+    val g: GraphPattern = Slice(
+      OrderBy(
+        Group(Bgp(TriplePattern(V("c"), I(P("inNation")), V("n")),
+          TriplePattern(V("c"), I(P("mktsegment")), V("seg"))),
+          Seq("seg"), Seq("cnt" -> AggCall("COUNT_STAR", None))),
+        Seq((EVar("cnt"), false), (EVar("seg"), true))),
+      0, 1)
+    val sol = Translator.translate(Lateral(l, g), TpchRdf.quads(spark, sf))
+    val got = sol.df.collect().map { row =>
+      val nk = row.getAs[Row]("n").getString(1).split("/").last.toLong
+      nk -> (row.getAs[Row]("seg").getString(1),
+        row.getAs[Row]("cnt").getString(1).toLong)
+    }.toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("cnt").desc, col("c_mktsegment"))
+    val expected = graft.io.Tables(spark, sf, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nk").orderBy(col("cnt").desc,
+          col("c_mktsegment"))))
+      .where(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == expected, s"diff: ${got.toSet diff expected.toSet}")
   }
 
   test("LATERAL per-binding aggregation equals grouped left join") {
