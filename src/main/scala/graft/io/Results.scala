@@ -111,6 +111,49 @@ object Results {
   def toCsv(solutions: DataFrame): String = toSeparated(solutions, tsv = false)
   def toTsv(solutions: DataFrame): String = toSeparated(solutions, tsv = true)
 
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+    case '"' => "&quot;"; case c => c.toString
+  }
+
+  /** W3C SPARQL Query Results XML Format (the sparesults XML writer). */
+  def toXml(solutions: DataFrame): String = {
+    val vars = solutions.columns
+    val sb = new StringBuilder(
+      """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""")
+    vars.foreach(v => sb.append(s"""<variable name="${xmlEscape(v)}"/>"""))
+    sb.append("</head><results>")
+    solutions.toLocalIterator().forEachRemaining { row =>
+      sb.append("<result>")
+      vars.zipWithIndex.foreach { case (v, i) =>
+        Option(row.getAs[Row](i)).foreach { t =>
+          sb.append(s"""<binding name="${xmlEscape(v)}">""")
+          val lex = xmlEscape(Option(t.getString(1)).getOrElse(""))
+          t.getByte(0) match {
+            case k if k == Term.IriKind.toByte =>
+              sb.append(s"<uri>$lex</uri>")
+            case k if k == Term.BlankKind.toByte =>
+              sb.append(s"<bnode>$lex</bnode>")
+            case _ =>
+              (Option(t.getString(3)), Option(t.getString(2))) match {
+                case (Some(lang), _) =>
+                  sb.append(
+                    s"""<literal xml:lang="${xmlEscape(lang)}">$lex</literal>""")
+                case (None, Some(Term.XsdString)) | (None, None) =>
+                  sb.append(s"<literal>$lex</literal>")
+                case (None, Some(dt)) =>
+                  sb.append(
+                    s"""<literal datatype="${xmlEscape(dt)}">$lex</literal>""")
+              }
+          }
+          sb.append("</binding>")
+        }
+      }
+      sb.append("</result>")
+    }
+    sb.append("</results></sparql>").toString
+  }
+
   // ---- parse direction (oxigraph: lib/sparesults readers) ------------
   // Results documents are small by construction (they already passed
   // through a driver/endpoint); parsing is driver-side, the DataFrame is

@@ -34,6 +34,18 @@ class ResultsSpec extends AnyFunSuite {
     assert(tsv.contains("\"AFRICA\"\t\"africa\"@de"))
   }
 
+  test("SPARQL XML results format") {
+    val xml = Results.toXml(sols)
+    assert(xml.startsWith(
+      """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">"""))
+    assert(xml.contains("""<variable name="rn"/>"""))
+    assert(xml.contains("""<literal xml:lang="de">africa</literal>"""))
+    assert("<result>".r.findAllIn(xml).length == 5)
+    // escaping: no raw ampersands/angles survive in content
+    val inner = xml.replaceAll("<[^>]+>", "")
+    assert(!inner.contains("<") && !inner.contains(">"))
+  }
+
   test("JSON results roundtrip: toJson -> fromJson is lossless") {
     val back = Results.fromJson(spark, Results.toJson(sols))
     assert(back.columns.toSeq == sols.columns.toSeq)
