@@ -148,6 +148,18 @@ object RdfIO {
         col("p").cast(Term.schema), col("o").cast(Term.schema))
   }
 
+  /** Read RDF/XML: DOM parse per FILE (not line-splittable), parallel
+    * across files like Turtle.
+    */
+  def readRdfXml(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) => new RdfXmlParser(content).parse() }
+      .toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+  }
+
   /** Format dispatch facade (oxigraph: lib/oxrdfio · RdfParser). */
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     format.toLowerCase match {
@@ -156,8 +168,9 @@ object RdfIO {
       case "nq" | "nquads" | "application/n-quads" => readNQuads(spark, path)
       case "ttl" | "turtle" | "text/turtle" => readTurtle(spark, path)
       case "trig" | "application/trig" => readTurtle(spark, path)
+      case "rdf" | "rdfxml" | "application/rdf+xml" => readRdfXml(spark, path)
       case other => throw new IllegalArgumentException(
-        s"unsupported RDF format: $other (supported: nt, nq, ttl, trig)")
+        s"unsupported RDF format: $other (supported: nt, nq, ttl, trig, rdf)")
     }
 
   // ---------------- serialization (pure Column ops) -------------------

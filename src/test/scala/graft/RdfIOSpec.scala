@@ -131,7 +131,49 @@ class RdfIOSpec extends AnyFunSuite {
     assert(quads.where(col("g")("lex") === "http://x/g2").count() == 1)
   }
 
+  test("RDF/XML reader: typed nodes, nesting, datatypes, lang, bnodes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdfxml")
+    java.nio.file.Files.writeString(dir.resolve("d.rdf"),
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://x/">
+        |  <ex:Person rdf:about="http://x/alice" ex:nick="Al">
+        |    <ex:name xml:lang="en">Alice</ex:name>
+        |    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+        |    <ex:knows rdf:resource="http://x/bob"/>
+        |    <ex:address>
+        |      <rdf:Description rdf:nodeID="addr1">
+        |        <ex:city>Berlin</ex:city>
+        |      </rdf:Description>
+        |    </ex:address>
+        |  </ex:Person>
+        |</rdf:RDF>
+        |""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("d.rdf").toString, "rdfxml")
+    import org.apache.spark.sql.functions._
+    // type + nick-attr + name + age + knows + address + city = 7 triples
+    assert(quads.count() == 7)
+    def byP(p: String) = quads.where(col("p")("lex") === "http://x/" + p)
+    assert(quads.where(col("p")("lex") ===
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+      .head().getAs[org.apache.spark.sql.Row]("o").getString(1) ==
+      "http://x/Person")
+    val name = byP("name").head().getAs[org.apache.spark.sql.Row]("o")
+    assert(name.getString(1) == "Alice" && name.getString(3) == "en")
+    val age = byP("age").head().getAs[org.apache.spark.sql.Row]("o")
+    assert(age.getString(1) == "30" &&
+      age.getString(2) == graft.model.Term.XsdInteger)
+    assert(byP("knows").head().getAs[org.apache.spark.sql.Row]("o")
+      .getString(1) == "http://x/bob")
+    val addr = byP("address").head().getAs[org.apache.spark.sql.Row]("o")
+    assert(addr.getByte(0) == graft.model.Term.BlankKind.toByte &&
+      addr.getString(1) == "addr1")
+    assert(byP("nick").count() == 1)
+    assert(byP("city").head().getAs[org.apache.spark.sql.Row]("s")
+      .getString(1) == "addr1")
+  }
+
   test("format facade dispatches and rejects unknown formats") {
-    intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "rdfxml"))
+    intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "jsonld"))
   }
 }
