@@ -66,6 +66,9 @@ class DifferentialSpec extends AnyFunSuite {
         yield Minus(l, r)),
       1 -> (for { p <- genPattern(depth - 1); f <- genFilterExpr }
         yield Filter(f, p)),
+      // monotone right side: lateral substitution coincides with join
+      1 -> (for { l <- genPattern(depth - 1); r <- genBgp }
+        yield Lateral(l, r)),
       1 -> genPattern(depth - 1).map(Distinct))
 
   // ---- naive reference evaluator ------------------------------------
@@ -99,6 +102,7 @@ class DifferentialSpec extends AnyFunSuite {
       for { a <- evalNaive(l, data); b <- evalNaive(r, data)
         if compatible(a, b) } yield a ++ b
     case Union(l, r) => evalNaive(l, data) ++ evalNaive(r, data)
+    case Lateral(l, r) => evalNaive(Join(l, r), data)
     case LeftJoin(l, r, None) =>
       val rs = evalNaive(r, data)
       evalNaive(l, data).flatMap { a =>
