@@ -99,6 +99,20 @@ object Extra {
         .orderBy(col("l_returnflag"))
     },
 
+    // skew-salted join: hot orderkeys scattered over salt sub-keys,
+    // result provably equal to the plain join (oracle-checked)
+    "q24_salted_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, o, "l_orderkey", 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast(StringType)
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // approximate distinct (sketch surface; no exact oracle by design)
     "q20_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
@@ -252,6 +266,12 @@ object Extra {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
         ON e.user_id = l.user_id AND e.ts >= l.ts
         ORDER BY e.user_id, e.event_id""",
+    "q24_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+          AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q21_intersect" ->
       """SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
         INTERSECT SELECT CAST(s_nationkey AS INTEGER) FROM supplier
