@@ -160,6 +160,18 @@ object RdfIO {
         col("p").cast(Term.schema), col("o").cast(Term.schema))
   }
 
+  /** Read expanded-form JSON-LD (one document per FILE, parallel across
+    * files; see JsonLdParser for the supported subset).
+    */
+  def readJsonLd(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) => new JsonLdParser(content).parse() }
+      .toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+  }
+
   /** Format dispatch facade (oxigraph: lib/oxrdfio · RdfParser). */
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     format.toLowerCase match {
@@ -169,8 +181,10 @@ object RdfIO {
       case "ttl" | "turtle" | "text/turtle" => readTurtle(spark, path)
       case "trig" | "application/trig" => readTurtle(spark, path)
       case "rdf" | "rdfxml" | "application/rdf+xml" => readRdfXml(spark, path)
+      case "jsonld" | "application/ld+json" => readJsonLd(spark, path)
       case other => throw new IllegalArgumentException(
-        s"unsupported RDF format: $other (supported: nt, nq, ttl, trig, rdf)")
+        s"unsupported RDF format: $other " +
+          "(supported: nt, nq, ttl, trig, rdf, jsonld)")
     }
 
   // ---------------- serialization (pure Column ops) -------------------

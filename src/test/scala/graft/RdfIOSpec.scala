@@ -173,7 +173,41 @@ class RdfIOSpec extends AnyFunSuite {
       .getString(1) == "addr1")
   }
 
+  test("JSON-LD expanded-form reader: values, types, lists, graphs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonld")
+    java.nio.file.Files.writeString(dir.resolve("d.jsonld"),
+      """[
+        |  {"@id": "http://x/alice",
+        |   "@type": ["http://x/Person"],
+        |   "http://x/name": [{"@value": "Alice", "@language": "en"}],
+        |   "http://x/age": [{"@value": 30}],
+        |   "http://x/score": [{"@value": "7.5",
+        |     "@type": "http://www.w3.org/2001/XMLSchema#decimal"}],
+        |   "http://x/knows": [{"@id": "http://x/bob"}],
+        |   "http://x/list": [{"@list": [{"@value": 1}, {"@value": 2}]}]},
+        |  {"@id": "http://x/g1",
+        |   "@graph": [
+        |     {"@id": "http://x/s1", "http://x/p": [{"@value": "in-g1"}]}]}
+        |]
+        |""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("d.jsonld").toString, "jsonld")
+    import org.apache.spark.sql.functions._
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    // type + name + age + score + knows + list-head + 2*(first+rest) + g1
+    assert(quads.count() == 11)
+    def o(p: String) = quads.where(col("p")("lex") === p)
+      .head().getAs[org.apache.spark.sql.Row]("o")
+    assert(o("http://x/name").getString(3) == "en")
+    assert(o("http://x/age").getString(1) == "30" &&
+      o("http://x/age").getString(2) == graft.model.Term.XsdInteger)
+    assert(o("http://x/score").getString(2) ==
+      graft.model.Term.XsdDecimal)
+    assert(o("http://x/knows").getString(1) == "http://x/bob")
+    assert(quads.where(col("p")("lex") === rdf + "first").count() == 2)
+    assert(quads.where(col("g")("lex") === "http://x/g1").count() == 1)
+  }
+
   test("format facade dispatches and rejects unknown formats") {
-    intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "jsonld"))
+    intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "n3"))
   }
 }
