@@ -145,6 +145,16 @@ object Algebra {
     case _ => Set.empty
   }
 
+  /** Variables an expression references. EExists contributes its
+    * pattern's in-scope vars (they correlate with the enclosing scope).
+    */
+  def exprVars(e: Expr): Set[String] = e match {
+    case EVar(n) => Set(n)
+    case EFn(_, args @ _*) => args.flatMap(exprVars).toSet
+    case EExists(p, _) => inScopeVars(p)
+    case _ => Set.empty
+  }
+
   def inScopeVars(gp: GraphPattern): Set[String] = gp match {
     case Bgp(ps @ _*) =>
       ps.flatMap(p => vars(p.s) ++ vars(p.p) ++ vars(p.o)).toSet

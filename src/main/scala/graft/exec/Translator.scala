@@ -235,27 +235,75 @@ object Translator {
       src: QuadSource, ctx: GraphCtx): Sol = {
     val lVars = inScopeVars(l)
 
-    def existsOk(e: Expr, scope: Set[String]): Boolean = {
-      val (exs, _) = splitConjuncts(e)
-      exs.forall(ex => (inScopeVars(ex.pattern) & lVars).subsetOf(scope))
+    // A scalar filter conjunct is bottom-up-safe when every left var it
+    // references is bound inside its own scope (join handles the
+    // correlation), OR when it also references a non-left var its scope
+    // does not bind — then it evaluates to error -> false under both
+    // bottom-up and substitution semantics (unbound either way).
+    def scalarOk(s: Expr, scope: Set[String]): Boolean = {
+      val vs = exprVars(s)
+      (vs & lVars).subsetOf(scope) || !(vs -- lVars).subsetOf(scope)
+    }
+    def filterOk(e: Expr, scope: Set[String]): Boolean = {
+      val (exs, scalars) = splitConjuncts(e)
+      exs.forall(ex => (inScopeVars(ex.pattern) & lVars).subsetOf(scope)) &&
+        scalars.forall(scalarOk(_, scope))
     }
     def joinSafe(gp: GraphPattern): Boolean = gp match {
       case _: Bgp | _: PathPattern | _: ValuesPat => true
       case Join(a, b) => joinSafe(a) && joinSafe(b)
       case Lateral(a, b) => joinSafe(a) && joinSafe(b)
-      case Filter(e, i) => joinSafe(i) && existsOk(e, inScopeVars(i))
+      case Filter(e, i) => joinSafe(i) && filterOk(e, inScopeVars(i))
       case Extend(i, v, _) => joinSafe(i) && !lVars(v)
       case Union(a, b) => joinSafe(a) && joinSafe(b)
       case GraphPat(_, i) => joinSafe(i)
-      case LeftJoin(a, b, _) => joinSafe(a) && joinSafe(b) &&
-        (inScopeVars(b) & lVars).subsetOf(inScopeVars(a))
+      case LeftJoin(a, b, filt) => joinSafe(a) && joinSafe(b) &&
+        (inScopeVars(b) & lVars).subsetOf(inScopeVars(a)) &&
+        filt.forall(f => scalarOk(f, inScopeVars(a) ++ inScopeVars(b)))
       case Minus(a, b) => joinSafe(a) &&
         (inScopeVars(b) & lVars).subsetOf(inScopeVars(a))
       case _ => false
     }
 
-    if (joinSafe(r))
-      return joinSols(translate(l, src, ctx), translate(r, src, ctx), "inner")
+    // Correlated scalar filter conjuncts in conjunctive position (Filter
+    // over Join/Extend/Lateral chains) reference left vars their own
+    // scope does not bind. Bottom-up they would see unbound -> error ->
+    // false and silently drop every row; because they sit above only
+    // inner joins, filtering AFTER the l⋈r join IS the substitution
+    // semantics — hoist them out and apply post-join.
+    def hoist(gp: GraphPattern): (GraphPattern, Seq[Expr]) = gp match {
+      case Filter(e, i) =>
+        val (i2, up0) = hoist(i)
+        val scope = inScopeVars(i)
+        val (exs, scalars) = splitConjuncts(e)
+        val (up, stay) = scalars.partition(s =>
+          !(exprVars(s) & lVars).subsetOf(scope) &&
+            (exprVars(s) -- lVars).subsetOf(scope))
+        val keep: Seq[Expr] = exs ++ stay
+        val rebuilt =
+          if (keep.isEmpty) i2
+          else Filter(keep.reduce((a, b) => EFn("&&", a, b)), i2)
+        (rebuilt, up0 ++ up)
+      case Join(a, b) =>
+        val (a2, ua) = hoist(a); val (b2, ub) = hoist(b)
+        (Join(a2, b2), ua ++ ub)
+      case Lateral(a, b) =>
+        val (a2, ua) = hoist(a); val (b2, ub) = hoist(b)
+        (Lateral(a2, b2), ua ++ ub)
+      case Extend(i, v, ex) =>
+        val (i2, u) = hoist(i); (Extend(i2, v, ex), u)
+      case other => (other, Nil)
+    }
+    def applyHoisted(s: Sol, conjs: Seq[Expr]): Sol =
+      conjs.foldLeft(s) { (sol, e) =>
+        Sol(sol.df.where(coalesce(SparqlExpr.compileBool(e, sol.bind),
+          lit(false))), sol.vars, sol.sure)
+      }
+
+    val (rH, rUp) = hoist(r)
+    if (joinSafe(rH))
+      return applyHoisted(joinSols(translate(l, src, ctx),
+        translate(rH, src, ctx), "inner"), rUp)
 
     // subselect shell: peel Slice / Distinct / Project / OrderBy down to
     // a join-safe core (correlation vars hidden by the projection are
@@ -288,7 +336,8 @@ object Translator {
       // padding row blanked — one shuffle, no per-row re-execution.
       // Keys-empty groups yield exactly one row per binding (left outer);
       // keyed groups drop match-less bindings (inner), per SPARQL.
-      case Group(ginner, gkeys, gaggs) if joinSafe(ginner) =>
+      case Group(ginner0, gkeys, gaggs) if joinSafe(hoist(ginner0)._1) =>
+        val (ginner, gUp) = hoist(ginner0)
         val ls = translate(l, src, ctx)
         val lsId = Sol(ls.df.withColumn("__lid", monotonically_increasing_id()),
           ls.vars + "__lid", ls.sure + "__lid")
@@ -296,7 +345,24 @@ object Translator {
         val rsM = Sol(rs0.df.withColumn("__rmark", lit(true)),
           rs0.vars + "__rmark", rs0.sure + "__rmark")
         val jt = if (gkeys.isEmpty) "left_outer" else "inner"
-        val joined = joinSols(lsId, rsM, jt)
+        val joined0 = joinSols(lsId, rsM, jt)
+        // Correlated filter conjuncts hoisted from the group input apply
+        // BEFORE aggregation. Keys-empty groups must keep a padding row
+        // per binding (COUNT=0 when every match fails the filter), so
+        // there we blank __rmark instead of dropping the row; keyed
+        // groups drop filtered rows outright (match-less bindings drop).
+        val joined =
+          if (gUp.isEmpty) joined0
+          else {
+            val cond = gUp.map(e => coalesce(
+              SparqlExpr.compileBool(e, joined0.bind), lit(false)))
+              .reduce(_ && _)
+            if (gkeys.isEmpty)
+              Sol(joined0.df.withColumn("__rmark",
+                when(col("__rmark").isNotNull && cond, lit(true))),
+                joined0.vars, joined0.sure - "__rmark")
+            else Sol(joined0.df.where(cond), joined0.vars, joined0.sure)
+          }
         val allKeys = ("__lid" +: (ls.vars.toSeq ++ gkeys)).distinct
         var grouped = applyExtends(groupAggregate(joined, allKeys, gaggs,
           e => when(col("__rmark").isNotNull, e)))
@@ -324,42 +390,55 @@ object Translator {
           ls.vars ++ gkeys ++ gaggs.map(_._1) ++ shellExtends.map(_._1)
         val outVars = proj.map(vs => ls.vars ++ vs).getOrElse(outVars0)
         var gdf = grouped.df
+        // DISTINCT dedups within each per-binding evaluation, so keep
+        // __lid through it: duplicate left solutions each contribute
+        // their own (identical) output rows under multiset semantics.
         if (distinct) gdf = gdf.select(
-          outVars.toSeq.sorted.map(v =>
-            (if (grouped.vars(v)) col(v) else nullTerm).as(v)): _*).distinct()
+          ("__lid" +: outVars.toSeq.sorted).map(v =>
+            (if (grouped.vars(v)) col(v) else nullTerm).as(v)): _*)
+          .distinct().drop("__lid")
         else gdf = gdf.select(outVars.toSeq.sorted.map(v =>
           (if (grouped.vars(v)) col(v) else nullTerm).as(v)): _*)
         return Sol(gdf, outVars, ls.sure & outVars)
       case _ =>
     }
 
-    if (!joinSafe(node))
+    val (nodeH, nUp) = hoist(node)
+    if (!joinSafe(nodeH))
       throw new UnsupportedOperationException(
         "correlated LATERAL over this pattern shape is not supported " +
-          s"(core: ${node.getClass.getSimpleName})")
+          s"(core: ${nodeH.getClass.getSimpleName})")
 
-    val ls = translate(l, src, ctx)
-    val rs = translate(node, src, ctx)
-    val joined = applyExtends(joinSols(ls, rs, "inner"))
+    // Tag left rows with a unique id: DISTINCT and the top-k window are
+    // per left SOLUTION (multiset semantics), not per left value tuple —
+    // duplicate left rows each get their own k rows / their own dedup.
+    val ls0 = translate(l, src, ctx)
+    val ls = Sol(ls0.df.withColumn("__lid", monotonically_increasing_id()),
+      ls0.vars + "__lid", ls0.sure + "__lid")
+    val rs = translate(nodeH, src, ctx)
+    val joined = applyHoisted(applyExtends(joinSols(ls, rs, "inner")), nUp)
     var df = joined.df
-    if (distinct) df = df.distinct()
+    if (distinct) {
+      val dCols = ("__lid" +: proj.getOrElse(
+        (rs.vars ++ shellExtends.map(_._1)).toSeq)
+        .filter(joined.vars)).distinct
+      df = df.dropDuplicates(dCols)
+    }
     if (hasSlice) {
       import org.apache.spark.sql.expressions.Window
-      val partCols =
-        if (ls.vars.isEmpty) Seq(lit(0)) else ls.vars.toSeq.sorted.map(col)
       val sortCols =
         if (orderKeys.nonEmpty) orderKeys.map { case (e, asc) =>
           val k = sortKey(SparqlExpr.compile(e, joined.bind))
           if (asc) k.asc else k.desc
         }
         else (joined.vars -- ls.vars).toSeq.sorted.map(v => sortKey(col(v)).asc)
-      val w = Window.partitionBy(partCols: _*).orderBy(sortCols: _*)
+      val w = Window.partitionBy(col("__lid")).orderBy(sortCols: _*)
       df = df.withColumn("__rn", row_number().over(w))
         .where(col("__rn") > offset &&
           (if (limit >= 0) col("__rn") <= offset + limit else lit(true)))
         .drop("__rn")
     }
-    val outVars = ls.vars ++ proj.map(_.toSet)
+    val outVars = ls0.vars ++ proj.map(_.toSet)
       .getOrElse(rs.vars ++ shellExtends.map(_._1))
     Sol(df.select(outVars.toSeq.sorted.map(v =>
       (if (joined.vars(v)) col(v) else nullTerm).as(v)): _*),

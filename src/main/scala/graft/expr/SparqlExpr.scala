@@ -86,15 +86,25 @@ object SparqlExpr {
     t("kind") === LiteralKind &&
       t("dt").isin(XsdDayTimeDuration, XsdDuration)
 
-  /** Signed total seconds (decimal) of a dayTimeDuration lexical form. */
+  /** Signed total seconds (decimal) of a dayTimeDuration lexical form.
+    * Minutes/seconds are extracted from the part after 'T' only — in
+    * "P1M" the M is MONTHS, not minutes. Durations with year/month
+    * fields (Y anywhere, M before T) have no fixed seconds value and
+    * yield null (callers surface that as an evaluation error); the
+    * reference evaluates yearMonthDuration arithmetic separately.
+    */
   private def durSecs(lex: Column): Column = {
-    def comp(re: String): Column =
-      coalesce(regexp_extract(lex, re, 1).try_cast(DecimalType(38, 6)),
+    val datePart = regexp_extract(lex, "^-?P([^T]*)", 1)
+    val timePart = regexp_extract(lex, "T(.*)$", 1)
+    def comp(src: Column, re: String): Column =
+      coalesce(regexp_extract(src, re, 1).try_cast(DecimalType(38, 6)),
         lit(0).cast(DecimalType(38, 6)))
-    val total = comp("(\\d+)D") * 86400 + comp("(\\d+)H") * 3600 +
-      comp("(\\d+)M") * 60 + comp("(\\d+(?:\\.\\d+)?)S")
-    (when(lex.startsWith("-"), -1).otherwise(1) * total)
-      .cast(DecimalType(38, 6))
+    val total = comp(datePart, "(\\d+)D") * 86400 +
+      comp(timePart, "(\\d+)H") * 3600 + comp(timePart, "(\\d+)M") * 60 +
+      comp(timePart, "(\\d+(?:\\.\\d+)?)S")
+    when(datePart.rlike("[YM]"), lit(null).cast(DecimalType(38, 6)))
+      .otherwise((when(lex.startsWith("-"), -1).otherwise(1) * total)
+        .cast(DecimalType(38, 6)))
   }
 
   /** Canonical xsd:dayTimeDuration lexical form from signed seconds. */
@@ -254,11 +264,17 @@ object SparqlExpr {
       case "*" => x * y
       // XPath op:numeric-divide: float/double division by zero is IEEE
       // (±INF, NaN), never an error — only the exact branches error.
-      case "/" => when(y === 0.0,
-        when(x > 0, lit(Double.PositiveInfinity))
-          .when(x < 0, lit(Double.NegativeInfinity))
-          .otherwise(lit(Double.NaN)))
-        .otherwise(x / y)
+      // `y === 0.0` also matches -0.0, whose sign must flip the INF
+      // (IEEE sign(x/y) = sign(x)*sign(y)); the zero's sign survives
+      // only in its string form.
+      case "/" =>
+        val zsign =
+          when(y.cast(StringType).startsWith("-"), -1.0d).otherwise(1.0d)
+        when(y === 0.0,
+          when(x > 0, zsign * Double.PositiveInfinity)
+            .when(x < 0, zsign * Double.NegativeInfinity)
+            .otherwise(lit(Double.NaN)))
+          .otherwise(x / y)
     }
     def decop(x: Column, y: Column): Column = op match {
       case "+" => (x + y).cast(DV)
@@ -629,7 +645,8 @@ object SparqlExpr {
         .when(isDtLit(a(0)) && isDtLit(a(1)), dtMinusDt(a(0), a(1)))
         .otherwise(arith("-", a(0), a(1)))
     case "*" | "/" => arith(name, a(0), a(1))
-    case "UMINUS" => arith("-", Term.intLit(lit(0L)), a(0))
+    // sign REVERSAL (op:numeric-unary-minus), not 0-x: -(0e0) is -0.0
+    case "UMINUS" => arith("*", Term.intLit(lit(-1L)), a(0))
     case "ABS" => numFn1(a(0))(abs, abs)
     case "CEIL" => numFn1(a(0))(x => ceil(x).cast(DV), x => ceil(x).cast(DoubleType))
     case "FLOOR" => numFn1(a(0))(x => floor(x).cast(DV), x => floor(x).cast(DoubleType))
