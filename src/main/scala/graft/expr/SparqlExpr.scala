@@ -107,30 +107,12 @@ object SparqlExpr {
         .cast(DecimalType(38, 6)))
   }
 
-  /** Canonical xsd:dayTimeDuration lexical form from signed seconds. */
-  private def durLex(secs: Column): Column = {
-    val neg = secs < 0
-    val total = abs(secs.cast(DecimalType(38, 6)))
-    val d = floor(total / 86400).cast(LongType)
-    val h = floor((total % 86400) / 3600).cast(LongType)
-    val m = floor((total % 3600) / 60).cast(LongType)
-    val sNum = (total % 60).cast(DecimalType(38, 6))
-    // canonical decimal: strip trailing zeros, then a trailing dot
-    val sStr = regexp_replace(
-      regexp_replace(sNum.cast(StringType), "(\\.\\d*?)0+$", "$1"),
-      "\\.$", "")
-    val timePart = concat(
-      when(h > 0, concat(h.cast(StringType), lit("H"))).otherwise(lit("")),
-      when(m > 0, concat(m.cast(StringType), lit("M"))).otherwise(lit("")),
-      when(sNum =!= 0, concat(sStr, lit("S"))).otherwise(lit("")))
-    val body = concat(
-      lit("P"),
-      when(d > 0, concat(d.cast(StringType), lit("D"))).otherwise(lit("")),
-      when(length(timePart) > 0, concat(lit("T"), timePart))
-        .otherwise(lit("")))
-    when(secs === 0, lit("PT0S"))
-      .otherwise(concat(when(neg, lit("-")).otherwise(lit("")), body))
-  }
+  /** Canonical xsd:dayTimeDuration lexical form from signed seconds —
+    * a native codegen'd expression (see DayTimeDurationLex for why the
+    * pure-Column formulation was retired).
+    */
+  private def durLex(secs: Column): Column =
+    DayTimeDurationLex.lex(secs.cast(DecimalType(38, 6)))
 
   /** Canonical dateTime lexical form of a timestamp: no fraction when
     * zero, micros with trailing zeros stripped otherwise; `tz` carries
