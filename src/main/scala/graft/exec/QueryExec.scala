@@ -15,6 +15,13 @@ object QueryExec {
   def select(gp: GraphPattern, quads: DataFrame): DataFrame =
     Translator.translate(gp, quads).df
 
+  /** SELECT with a predicate->value-class catalog (type-inference
+    * lattice seed; see QuadSource.predClass).
+    */
+  def select(gp: GraphPattern, quads: DataFrame,
+      classes: Map[String, Term.VClass]): DataFrame =
+    Translator.translate(gp, quads, classes).df
+
   /** FROM / FROM NAMED dataset construction (SPARQL §13.2; oxigraph:
     * spargebra/src/query.rs · QueryDataset, spareval/src/dataset.rs):
     * when either clause is present the active dataset is exactly the

@@ -31,9 +31,38 @@ object Translator {
   final case class FixedG(iri: String) extends GraphCtx
   final case class VarG(v: String) extends GraphCtx
 
-  final case class Sol(df: DataFrame, vars: Set[String], sure: Set[String]) {
+  final case class Sol(df: DataFrame, vars: Set[String], sure: Set[String],
+      cls: Map[String, Term.VClass] = Map.empty) {
     def bind: String => Option[Column] =
       n => if (vars(n)) Some(col(n)) else None
+    /** Inference-lattice lookup for SparqlExpr hint params. */
+    def hint: String => Option[Term.VClass] = cls.get
+  }
+
+  /** Merge the two sides' value-class claims across a join. A claim for
+    * a shared variable survives only when the joined output value is
+    * guaranteed to come from a claiming side: both agree, or the
+    * claiming side is `sure` (the output coalesce always picks it — for
+    * a right-side claim only under inner join, where the compatibility
+    * clause forces equality).
+    */
+  private def mergeCls(l: Sol, r: Sol,
+      joinType: String): Map[String, Term.VClass] = joinType match {
+    case "left_semi" | "left_anti" => l.cls
+    case _ =>
+      val shared = l.vars & r.vars
+      val lOnly = l.cls.filter { case (v, _) => !shared(v) }
+      val rOnly = r.cls.filter { case (v, _) => !shared(v) }
+      val merged = shared.flatMap { v =>
+        (l.cls.get(v), r.cls.get(v)) match {
+          case (Some(a), Some(b)) if a == b => Some(v -> a)
+          case (Some(a), _) if l.sure(v) => Some(v -> a)
+          case (_, Some(b)) if r.sure(v) && joinType == "inner" =>
+            Some(v -> b)
+          case _ => None
+        }
+      }
+      lOnly ++ rOnly ++ merged
   }
 
   private def varName(tp: TermPat): Option[String] = tp match {
@@ -65,7 +94,7 @@ object Translator {
     * path on a PartitionedQuadStore (the reference's index choice).
     */
   private def scanPattern(src: QuadSource, tp: TriplePattern,
-      ctx: GraphCtx, encode: Column => Column = identity): Sol = {
+      ctx: GraphCtx, encode: Column => Column = identityEncode): Sol = {
     val base = tp.p match {
       case I(iri) => src.byPredicate(iri)
       case _ => src.all
@@ -95,8 +124,17 @@ object Translator {
       encode(col(varPos.find(_._1 == v).get._2)).as(v)
     }
     val vs = varPos.map(_._1).toSet
-    Sol(eqConstrained.select(proj: _*), vs, vs)
+    // seed the inference lattice from the predicate catalog (object
+    // position only; id-encoded scans skip it — ids aren't term structs)
+    val cls = (tp.p, varName(tp.o)) match {
+      case (I(iri), Some(ov)) if encode eq identityEncode =>
+        src.predClass(iri).map(ov -> _).toMap
+      case _ => Map.empty[String, Term.VClass]
+    }
+    Sol(eqConstrained.select(proj: _*), vs, vs, cls)
   }
+
+  private val identityEncode: Column => Column = identity
 
   /** Flatten a conjunctive region (nested Joins + BGP patterns) into its
     * leaves, so the whole region is join-ordered together.
@@ -506,7 +544,7 @@ object Translator {
     }
     val joined = l.df.join(rRenamed, cond, joinType)
     joinType match {
-      case "left_semi" | "left_anti" => Sol(joined, l.vars, l.sure)
+      case "left_semi" | "left_anti" => Sol(joined, l.vars, l.sure, l.cls)
       case _ =>
         val outVars = (l.vars ++ r.vars).toSeq.sorted
         val proj = outVars.map { v =>
@@ -518,7 +556,8 @@ object Translator {
           if (joinType == "inner")
             l.sure ++ r.sure
           else l.sure ++ (r.sure -- r.vars) // left outer: right vars may be null
-        Sol(joined.select(proj: _*), l.vars ++ r.vars, sure)
+        Sol(joined.select(proj: _*), l.vars ++ r.vars, sure,
+          mergeCls(l, r, joinType))
     }
   }
 
@@ -526,6 +565,9 @@ object Translator {
     translate(gp, DfQuadSource(quads), DefaultG)
   def translate(gp: GraphPattern, quads: DataFrame, ctx: GraphCtx): Sol =
     translate(gp, DfQuadSource(quads), ctx)
+  def translate(gp: GraphPattern, quads: DataFrame,
+      classes: Map[String, Term.VClass]): Sol =
+    translate(gp, DfQuadSource(quads, classes), DefaultG)
 
   def translate(gp: GraphPattern, src: QuadSource, ctx: GraphCtx): Sol =
     gp match {
@@ -583,8 +625,19 @@ object Translator {
       def pad(s: Sol): DataFrame =
         s.df.select(allVars.map(v =>
           (if (s.vars(v)) col(v) else nullTerm).as(v)): _*)
+      // class claims survive a union when the branches agree (a var
+      // bound in only one branch pads null in the other — nulls satisfy
+      // every claim)
+      val uCls = (ls.cls.keySet ++ rs.cls.keySet).flatMap { v =>
+        (ls.cls.get(v), rs.cls.get(v)) match {
+          case (Some(a), Some(b)) => if (a == b) Some(v -> a) else None
+          case (Some(a), None) => if (rs.vars(v)) None else Some(v -> a)
+          case (None, Some(b)) => if (ls.vars(v)) None else Some(v -> b)
+          case _ => None
+        }
+      }.toMap
       Sol(pad(ls).unionByName(pad(rs)), ls.vars ++ rs.vars,
-        ls.sure & rs.sure)
+        ls.sure & rs.sure, uCls)
 
     case Filter(expr, inner) =>
       // EXISTS/NOT EXISTS conjuncts become semi/anti joins (SURVEY §2.3)
@@ -595,35 +648,38 @@ object Translator {
         joinSols(sol, sub, if (pos) "left_semi" else "left_anti")
       }
       scalarConjs.foldLeft(afterExists) { (sol, e) =>
-        Sol(sol.df.where(coalesce(SparqlExpr.compileBool(e, sol.bind),
-          lit(false))), sol.vars, sol.sure)
+        Sol(sol.df.where(coalesce(
+          SparqlExpr.compileBool(e, sol.bind, sol.hint),
+          lit(false))), sol.vars, sol.sure, sol.cls)
       }
 
     case Extend(inner, v, expr) =>
       val in = translate(inner, src, ctx)
-      val c = SparqlExpr.compile(expr, in.bind)
-      Sol(in.df.withColumn(v, c), in.vars + v, in.sure)
+      val c = SparqlExpr.compile(expr, in.bind, in.hint)
+      Sol(in.df.withColumn(v, c), in.vars + v, in.sure,
+        SparqlExpr.exprClass(expr, in.hint)
+          .map(k => in.cls + (v -> k)).getOrElse(in.cls - v))
 
     case Project(inner, vs) =>
       val in = translate(inner, src, ctx)
       Sol(in.df.select(vs.map(v =>
         (if (in.vars(v)) col(v) else nullTerm).as(v)): _*),
-        vs.toSet, in.sure & vs.toSet)
+        vs.toSet, in.sure & vs.toSet, in.cls.filter(kv => vs.contains(kv._1)))
 
     case Distinct(inner) =>
       val in = translate(inner, src, ctx)
-      Sol(in.df.distinct(), in.vars, in.sure)
+      Sol(in.df.distinct(), in.vars, in.sure, in.cls)
 
     case Reduced(inner) => // spec allows treating REDUCED as DISTINCT
       val in = translate(inner, src, ctx)
-      Sol(in.df.distinct(), in.vars, in.sure)
+      Sol(in.df.distinct(), in.vars, in.sure, in.cls)
 
     case Slice(inner, offset, limit) =>
       val in = translate(inner, src, ctx)
       var df = in.df
       if (offset > 0) df = df.offset(offset.toInt)
       if (limit >= 0) df = df.limit(limit.toInt)
-      Sol(df, in.vars, in.sure)
+      Sol(df, in.vars, in.sure, in.cls)
 
     case OrderBy(inner, keys) =>
       val in = translate(inner, src, ctx)
@@ -639,11 +695,15 @@ object Translator {
                 .when(col(v)("kind") === Term.BlankKind, 1)
                 .otherwise(2).as("cls"),
               coalesce(col(v)("lex"), lit("")).as("lex"))
-          case _ => sortKey(SparqlExpr.compile(e, in.bind))
+          // inferred value class prunes the dead rank branches (VNum
+          // drops the temporal regex tree from measure sorts)
+          case EVar(v) if in.vars(v) && in.cls.contains(v) =>
+            sortKey(col(v), in.cls.get(v))
+          case _ => sortKey(SparqlExpr.compile(e, in.bind, in.hint))
         }
         if (asc) k.asc else k.desc
       }
-      Sol(in.df.orderBy(sortCols: _*), in.vars, in.sure)
+      Sol(in.df.orderBy(sortCols: _*), in.vars, in.sure, in.cls)
 
     case Group(inner, keys, aggs) =>
       translateGroup(inner, keys, aggs, src, ctx)
@@ -810,7 +870,22 @@ object Translator {
       else in.df.groupBy(keys.map(col): _*)
         .agg(aggCols.head, aggCols.tail.toSeq: _*)
     val finalCols = keys.map(col) ++ post
+    // aggregate outputs have statically-known value classes (COUNT/SUM/
+    // AVG numeric, GROUP_CONCAT string, MIN/MAX/SAMPLE inherit)
+    val aggCls: Map[String, Term.VClass] = aggs.flatMap {
+      case (out, call) => call.fn match {
+        case "COUNT" | "COUNT_STAR" => Some(out -> Term.VNum)
+        case "SUM" | "AVG" => Some(out -> Term.VNum)
+        case "GROUP_CONCAT" => Some(out -> Term.VStr)
+        case "MIN" | "MAX" | "SAMPLE" => call.expr match {
+          case Some(EVar(k)) => in.cls.get(k).map(out -> _)
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
     Sol(grouped.select(finalCols: _*), keys.toSet ++ aggs.map(_._1).toSet,
-      (in.sure & keys.toSet))
+      (in.sure & keys.toSet),
+      in.cls.filter(kv => keys.contains(kv._1)) ++ aggCls)
   }
 }

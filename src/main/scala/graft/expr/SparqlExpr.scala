@@ -218,18 +218,32 @@ object SparqlExpr {
     * ranked numeric/temporal/string within (SURVEY.md §2.5). One orderable
     * struct reused by OrderBy, MIN/MAX and top-k.
     */
-  def sortKey(t: Column): Column = struct(
+  def sortKey(t: Column, cls: Option[VClass] = None): Column = struct(
     when(t.isNull, 0).when(t("kind") === BlankKind, 1)
       .when(t("kind") === IriKind, 2).otherwise(3).as("cls"),
-    coalesce(
-      when(Term.isNumericLit(t), numDbl(t)),
-      when(tsVal(t).isNotNull, unix_timestamp(tsVal(t)).cast(DoubleType)),
-      lit(Double.MaxValue)).as("num"),
+    // static class pruning: a known value space makes the other rank
+    // branches dead code (VNum drops the tsVal regex/timestamp tree —
+    // the hottest expression in ORDER BY over measures)
+    (cls match {
+      case Some(VNum) =>
+        coalesce(when(Term.isNumericLit(t), numDbl(t)), lit(Double.MaxValue))
+      case Some(VTemporal) => coalesce(
+        when(tsVal(t).isNotNull, unix_timestamp(tsVal(t)).cast(DoubleType)),
+        lit(Double.MaxValue))
+      case Some(_) => lit(Double.MaxValue)
+      case None => coalesce(
+        when(Term.isNumericLit(t), numDbl(t)),
+        when(tsVal(t).isNotNull, unix_timestamp(tsVal(t)).cast(DoubleType)),
+        lit(Double.MaxValue))
+    }).as("num"),
     // exact-decimal tiebreak: integers beyond 2^53 compare equal in the
     // double rank; the DV value keeps them totally ordered (rounding to
     // double is monotone, so num-then-numx is consistent)
-    coalesce(when(Term.isNumericLit(t), numDec(t)), lit(0).cast(DV))
-      .as("numx"),
+    (cls match {
+      case Some(VNum) | None =>
+        coalesce(when(Term.isNumericLit(t), numDec(t)), lit(0).cast(DV))
+      case Some(_) => lit(0).cast(DV)
+    }).as("numx"),
     coalesce(t("lex"), lit("")).as("lex"),
     coalesce(t("dt"), lit("")).as("dt"),
     coalesce(t("lang"), lit("")).as("lang"))
@@ -287,8 +301,9 @@ object SparqlExpr {
     * after Catalyst's projection collapse becomes an exponentially large
     * expression (a real OOM on 3-deep boolean filters).
     */
-  def compile(e: Expr, bind: String => Option[Column]): Column = {
-    def c(x: Expr): Column = compile(x, bind)
+  def compile(e: Expr, bind: String => Option[Column],
+      hint: String => Option[VClass] = noHints): Column = {
+    def c(x: Expr): Column = compile(x, bind, hint)
     e match {
       case EVar(n) => bind(n).getOrElse(nullTerm)
       case EIri(i) => Term.iri(i)
@@ -302,11 +317,12 @@ object SparqlExpr {
       case EFn("IF", cond, t, f) =>
         // SPARQL §17.4.1.2: an error in the condition propagates (it does
         // NOT select the else branch).
-        val cb = compileBool(cond, bind)
+        val cb = compileBool(cond, bind, hint)
         when(cb, c(t)).when(!cb, c(f)).otherwise(nullTerm)
       case EFn(op @ ("+" | "-"), x, y) =>
         compileArith(op, x, y, bind)
-      case EFn(name, _*) if boolFns(name) => boolTerm(compileBool(e, bind))
+      case EFn(name, _*) if boolFns(name) =>
+        boolTerm(compileBool(e, bind, hint))
       case EFn(name, args @ _*) => fn(name, args.map(c))
     }
   }
@@ -343,27 +359,38 @@ object SparqlExpr {
   private def isNumType(dt: String): Boolean = numericTypes.contains(dt)
 
   /** Value-space class for comparison pruning. */
-  private sealed trait VClass
-  private case object VNum extends VClass
-  private case object VTemporal extends VClass
-  private case object VStr extends VClass
-  private case object VBool extends VClass
-  private case object VOther extends VClass
+  /** No-inference hint (the default for every caller without a Sol). */
+  val noHints: String => Option[VClass] = _ => None
 
-  private def staticClass(e: Expr): Option[VClass] = staticDt(e).map { dt =>
-    if (isNumType(dt)) VNum
-    else if (isDtType(dt)) VTemporal
-    else if (dt == XsdString || dt == RdfLangString) VStr
-    else if (dt == XsdBoolean) VBool
-    else VOther
+  /** Static value-space class: from the expression's own syntax, or —
+    * for a variable — from the caller's inference lattice (predicate
+    * catalog / BIND / aggregate classes threaded through the Sol).
+    */
+  private def staticClass(e: Expr,
+      hint: String => Option[VClass]): Option[VClass] = e match {
+    case EVar(n) => hint(n)
+    case _ => staticDt(e).map { dt =>
+      if (isNumType(dt)) VNum
+      else if (isDtType(dt)) VTemporal
+      else if (dt == XsdString || dt == RdfLangString) VStr
+      else if (dt == XsdBoolean) VBool
+      else VOther
+    }
   }
 
-  /** Comparison hint: the single value-space class both operands must
-    * inhabit for the comparison to succeed, when one side's syntax fixes
-    * it. None = no pruning (full dynamic dispatch).
+  /** Class of an expression a Translator Extend binds (public face of
+    * staticClass for the Sol lattice).
     */
-  private def cmpHint(x: Expr, y: Expr): Option[VClass] =
-    (staticClass(x), staticClass(y)) match {
+  def exprClass(e: Expr,
+      hint: String => Option[VClass]): Option[VClass] = staticClass(e, hint)
+
+  /** Comparison hint: the single value-space class both operands must
+    * inhabit for the comparison to succeed, when one side's syntax (or
+    * inferred variable class) fixes it. None = full dynamic dispatch.
+    */
+  private def cmpHint(x: Expr, y: Expr,
+      hint: String => Option[VClass]): Option[VClass] =
+    (staticClass(x, hint), staticClass(y, hint)) match {
       case (Some(a), Some(b)) => if (a == b && a != VOther) Some(a) else None
       case (Some(a), None) if a != VOther => Some(a)
       case (None, Some(b)) if b != VOther => Some(b)
@@ -469,14 +496,15 @@ object SparqlExpr {
     * = false, error||true = true). Non-boolean expressions fall back to
     * EBV of their term value.
     */
-  def compileBool(e: Expr, bind: String => Option[Column]): Column = {
-    def b(x: Expr): Column = compileBool(x, bind)
-    def c(x: Expr): Column = compile(x, bind)
-    def eqC(x: Expr, y: Expr): Column = cmpHint(x, y) match {
+  def compileBool(e: Expr, bind: String => Option[Column],
+      hint: String => Option[VClass] = noHints): Column = {
+    def b(x: Expr): Column = compileBool(x, bind, hint)
+    def c(x: Expr): Column = compile(x, bind, hint)
+    def eqC(x: Expr, y: Expr): Column = cmpHint(x, y, hint) match {
       case Some(k) => valueEqHint(c(x), c(y), k)
       case None => valueEq(c(x), c(y))
     }
-    def ltC(x: Expr, y: Expr): Column = cmpHint(x, y) match {
+    def ltC(x: Expr, y: Expr): Column = cmpHint(x, y, hint) match {
       case Some(k) => valueLtHint(c(x), c(y), k)
       case None => valueLt(c(x), c(y))
     }
@@ -492,7 +520,7 @@ object SparqlExpr {
       case EFn(">=", x, y) => !ltC(x, y)
       case EFn("IN", args @ _*) =>
         val h = c(args.head)
-        args.tail.map(x => cmpHint(args.head, x) match {
+        args.tail.map(x => cmpHint(args.head, x, hint) match {
           case Some(k) => valueEqHint(h, c(x), k)
           case None => valueEq(h, c(x))
         }).reduce(_ || _)

@@ -22,15 +22,60 @@ trait QuadSource {
     * case; every pattern the TPC-H queries use).
     */
   def byPredicate(iri: String): DataFrame
+  /** Static value-space class of this predicate's OBJECT values, when
+    * the catalog knows it (schema-owner-declared, or load-time
+    * statistics via QuadSource.inferPredicateClasses). Feeds the
+    * translation-time type-inference lattice; None = no pruning.
+    */
+  def predClass(iri: String): Option[Term.VClass] = None
+}
+
+object QuadSource {
+  import Term.{VClass, VNum, VTemporal, VStr, VBool, VOther}
+
+  /** One-pass statistics build: predicate -> object value-space class,
+    * kept only when uniform across every object of that predicate (the
+    * load-time analogue of a column catalog — at scale this runs once
+    * per dataset alongside the bulk load and is persisted with the
+    * store, never per query).
+    */
+  def inferPredicateClasses(quads: DataFrame): Map[String, VClass] = {
+    val o = col("o")
+    val cls = when(o("kind") =!= Term.LiteralKind, "other")
+      .when(o("dt").isin(Term.numericTypes: _*), "num")
+      .when(o("dt").isin(Term.XsdDateTime, Term.XsdDate), "temporal")
+      .when(o("dt").isin(Term.XsdString, Term.RdfLangString), "str")
+      .when(o("dt") === Term.XsdBoolean, "bool")
+      .otherwise("other")
+    quads.where(col("p")("kind") === Term.IriKind)
+      .groupBy(col("p")("lex").as("pred"))
+      .agg(collect_set(cls).as("classes"))
+      .where(size(col("classes")) === 1)
+      .select(col("pred"), element_at(col("classes"), 1).as("cls"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1) match {
+        case "num" => VNum
+        case "temporal" => VTemporal
+        case "str" => VStr
+        case "bool" => VBool
+        case _ => VOther
+      }))
+      .toMap
+  }
 }
 
 /** In-memory/cached DataFrame store: predicate filter is a plain filter
-  * (Catalyst prunes union branches via constant folding).
+  * (Catalyst prunes union branches via constant folding). `classes` is
+  * the optional predicate->value-class catalog (see
+  * QuadSource.predClass).
   */
-final case class DfQuadSource(df: DataFrame) extends QuadSource {
+final case class DfQuadSource(df: DataFrame,
+    classes: Map[String, Term.VClass] = Map.empty) extends QuadSource {
   def all: DataFrame = df
   def byPredicate(iri: String): DataFrame =
     df.where(col("p")("kind") === Term.IriKind && col("p")("lex") === iri)
+  override def predClass(iri: String): Option[Term.VClass] =
+    classes.get(iri)
 }
 
 /** Predicate-partitioned parquet store: one directory per predicate local

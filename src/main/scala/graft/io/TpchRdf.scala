@@ -23,6 +23,24 @@ object TpchRdf {
 
   def P(local: String): String = ns + local
 
+  /** Predicate -> object value-space catalog for this vocabulary (the
+    * schema owner declares it; external data derives the same map once
+    * at load via QuadSource.inferPredicateClasses). Drives comparison /
+    * sort-key pruning in the translation-time type-inference lattice.
+    * `label` is rdf:langString (VStr); the IRI-valued predicates
+    * (inNation/inRegion/locatedIn/orderedBy) are deliberately absent —
+    * IRI ordering has its own shortcut (Translator.iriOnly).
+    */
+  val predClasses: Map[String, Term.VClass] = Map(
+    P("name") -> Term.VStr,
+    P("label") -> Term.VStr,
+    P("mktsegment") -> Term.VStr,
+    P("status") -> Term.VStr,
+    P("priority") -> Term.VStr,
+    P("acctbal") -> Term.VNum,
+    P("totalprice") -> Term.VNum,
+    P("orderdate") -> Term.VTemporal)
+
   private def iriCol(prefix: String, key: Column): Column =
     Term.iri(concat(lit(ns + prefix + "/"), key.cast(StringType)))
 

@@ -98,4 +98,18 @@ object Term {
   /** True when the term column is a literal with a numeric datatype. */
   def isNumericLit(t: Column): Column =
     t("kind") === LiteralKind && t("dt").isin(numericTypes: _*)
+
+  /** Static value-space class of a term — the type-inference lattice
+    * element (oxigraph: lib/sparopt/src/type_inference.rs ·
+    * VariableTypes, re-expressed as value spaces rather than node
+    * kinds). Used for comparison/sort-key pruning: when a variable's
+    * class is statically known, the other value-space branches of the
+    * dynamic dispatch are dead code.
+    */
+  sealed trait VClass
+  case object VNum extends VClass
+  case object VTemporal extends VClass
+  case object VStr extends VClass
+  case object VBool extends VClass
+  case object VOther extends VClass
 }

@@ -24,7 +24,7 @@ object Sparql {
   private def int64(v: String): Column = col(v)("lex").cast(LongType)
 
   private def run(s: SparkSession, dir: String, gp: GraphPattern): DataFrame =
-    QueryExec.select(gp, TpchRdf.quads(s, dir))
+    QueryExec.select(gp, TpchRdf.quads(s, dir), TpchRdf.predClasses)
 
   type Q = (SparkSession, String) => DataFrame
 

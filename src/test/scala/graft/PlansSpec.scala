@@ -218,4 +218,55 @@ class PlansSpec extends AnyFunSuite {
       .count()
     assert(sol.df.count() == expected)
   }
+
+  test("inferred VNum sort key prunes the temporal-parse branch") {
+    // ORDER BY over :acctbal (catalog class VNum): the sort key must
+    // not carry the dateTime regex/timestamp tree the dynamic dispatch
+    // needs; without the catalog it must (the pruning is observable).
+    val gp = OrderBy(
+      Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+      Seq(EVar("b") -> true))
+    val hinted = Translator.translate(gp, TpchRdf.quads(spark, sf),
+      TpchRdf.predClasses).df
+    val unhinted = Translator.translate(gp, TpchRdf.quads(spark, sf)).df
+    def hasTemporalParse(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("to_timestamp")
+    assert(!hasTemporalParse(hinted),
+      "catalog-hinted numeric sort key still parses timestamps")
+    assert(hasTemporalParse(unhinted),
+      "control: un-hinted sort key should carry the temporal branch")
+    // ordering identical either way
+    val a = hinted.select(col("b")("lex")).collect().map(_.getString(0))
+    val b = unhinted.select(col("b")("lex")).collect().map(_.getString(0))
+    assert(a.sameElements(b))
+  }
+
+  test("class claims merge soundly across joins and filters prune compares") {
+    // var-var compare: both sides catalog-numeric -> the compiled filter
+    // carries no timestamp parse; results match the relational compute
+    val gp = Filter(EFn("<", EVar("b"), EVar("tp")),
+      Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")),
+        TriplePattern(V("o"), I(P("orderedBy")), V("c")),
+        TriplePattern(V("o"), I(P("totalprice")), V("tp"))))
+    val df = Translator.translate(gp, TpchRdf.quads(spark, sf),
+      TpchRdf.predClasses).df
+    assert(!df.queryExecution.optimizedPlan.toString.contains("to_timestamp"),
+      "numeric var-var compare still carries the temporal branch")
+    val cust = graft.io.Tables(spark, sf, "customer")
+    val ord = graft.io.Tables(spark, sf, "orders")
+    val expected = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .where(col("c_acctbal").cast("decimal(38,2)") <
+        col("o_totalprice").cast("decimal(38,2)")).count()
+    assert(df.count() == expected)
+  }
+
+  test("inferPredicateClasses derives the catalog from data") {
+    val inferred = graft.io.QuadSource.inferPredicateClasses(
+      TpchRdf.quads(spark, sf))
+    assert(inferred.get(P("acctbal")).contains(Term.VNum))
+    assert(inferred.get(P("orderdate")).contains(Term.VTemporal))
+    assert(inferred.get(P("name")).contains(Term.VStr))
+    // IRI-valued predicates come out VOther (uniform non-literal)
+    assert(inferred.get(P("inNation")).contains(Term.VOther))
+  }
 }
