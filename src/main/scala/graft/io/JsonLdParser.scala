@@ -6,18 +6,112 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.io.RdfIO.{QuadRow, TermRow}
 import graft.model.Term
 
-/** JSON-LD parser, EXPANDED FORM ONLY (oxigraph: lib/oxjsonld). Full
-  * JSON-LD requires @context processing (remote contexts, term
-  * definitions, compaction rules) — out of scope offline; expanded
-  * documents (arrays of node objects with absolute-IRI keys, @value /
-  * @id / @type / @language / @graph / @list) cover the interchange
-  * format produced by jsonld.expand() everywhere.
+/** JSON-LD parser (oxigraph: lib/oxjsonld): expanded form plus LOCAL
+  * `@context` processing — term definitions (string and expanded form
+  * with @id / @type / @language / @container), prefix (compact-IRI)
+  * expansion, @vocab and @base, default @language, keyword aliases,
+  * context arrays and null-resets, and nested node-object contexts
+  * (inherit + override). Remote contexts (a string entry in @context)
+  * are rejected — zero egress — and scoped (term-level) contexts are
+  * out of scope; both are documented deviations.
   */
 final class JsonLdParser(content: String) {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val out = ListBuffer[QuadRow]()
   private var bn = 0
   private val DG = TermRow(Term.DefaultGraphKind.toByte, null, null, null)
+
+  /** One term definition from an @context. `typ` is "@id" or a datatype
+    * IRI; `container` is "@list" when list-coercing.
+    */
+  private case class TermDef(iri: String, typ: Option[String] = None,
+      lang: Option[String] = None, container: Option[String] = None)
+
+  /** Active context. `aliases` maps user keys to JSON-LD keywords. */
+  private case class Ctx(terms: Map[String, TermDef] = Map.empty,
+      vocab: Option[String] = None, base: Option[String] = None,
+      lang: Option[String] = None, aliases: Map[String, String] = Map.empty) {
+
+    def keyword(key: String): String = aliases.getOrElse(key, key)
+
+    /** Expand a property key to an absolute IRI (None = drop, per the
+      * JSON-LD algorithm for unmapped keys without @vocab).
+      */
+    def expandKey(key: String): Option[String] =
+      terms.get(key).map(_.iri).orElse {
+        val c = key.indexOf(':')
+        if (c > 0) {
+          val (pfx, local) = (key.substring(0, c), key.substring(c + 1))
+          if (local.startsWith("//")) Some(key) // absolute like http://
+          else terms.get(pfx).map(_.iri + local).orElse(Some(key))
+        } else vocab.map(_ + key)
+      }
+
+    /** Expand an @id / @type VALUE (base-relative, compact, or term). */
+    def expandRef(v: String): String =
+      if (v.startsWith("_:")) v
+      else terms.get(v).map(_.iri).getOrElse {
+        val c = v.indexOf(':')
+        if (c > 0) {
+          val (pfx, local) = (v.substring(0, c), v.substring(c + 1))
+          if (local.startsWith("//")) v
+          else terms.get(pfx).map(_.iri + local).getOrElse(v)
+        } else base.map(b => resolve(b, v)).getOrElse(v)
+      }
+
+    private def resolve(b: String, rel: String): String =
+      if (rel.isEmpty) b
+      else if (rel.startsWith("#") || rel.startsWith("?")) b + rel
+      else if (rel.startsWith("/")) {
+        val schemeEnd = b.indexOf("://")
+        if (schemeEnd < 0) b + rel
+        else {
+          val authEnd = b.indexOf('/', schemeEnd + 3)
+          (if (authEnd < 0) b else b.substring(0, authEnd)) + rel
+        }
+      } else b.substring(0, b.lastIndexOf('/') + 1) + rel
+  }
+
+  private def parseContext(node: JsonNode, parent: Ctx): Ctx = {
+    if (node.isNull) return Ctx() // null context resets
+    if (node.isArray)
+      return node.elements.asScala.foldLeft(parent)((c, n) =>
+        parseContext(n, c))
+    if (node.isTextual)
+      throw new IllegalArgumentException(
+        s"remote @context not supported (zero egress): ${node.asText}")
+    var ctx = parent
+    node.fields.asScala.foreach { e =>
+      (e.getKey, e.getValue) match {
+        case ("@vocab", v) =>
+          ctx = ctx.copy(vocab = if (v.isNull) None else Some(v.asText))
+        case ("@base", v) =>
+          ctx = ctx.copy(base = if (v.isNull) None else Some(v.asText))
+        case ("@language", v) =>
+          ctx = ctx.copy(lang = if (v.isNull) None else Some(v.asText))
+        case ("@version", _) => // 1.1 marker, nothing to do
+        case (term, v) if v.isTextual && v.asText.startsWith("@") =>
+          ctx = ctx.copy(aliases = ctx.aliases + (term -> v.asText))
+        case (term, v) if v.isTextual =>
+          ctx = ctx.copy(terms =
+            ctx.terms + (term -> TermDef(ctx.expandRef(v.asText))))
+        case (term, v) if v.isObject =>
+          val id =
+            if (v.has("@id")) ctx.expandRef(v.get("@id").asText)
+            else ctx.expandKey(term).getOrElse(term)
+          val typ = Option(v.get("@type")).map(_.asText)
+            .map(t => if (t == "@id" || t == "@vocab") "@id"
+                      else ctx.expandRef(t))
+          val lang = Option(v.get("@language"))
+            .map(l => if (l.isNull) "" else l.asText)
+          val cont = Option(v.get("@container")).map(_.asText)
+          ctx = ctx.copy(terms = ctx.terms +
+            (term -> TermDef(id, typ, lang, cont)))
+        case _ =>
+      }
+    }
+    ctx
+  }
 
   private def fresh(): TermRow = {
     bn += 1
@@ -32,12 +126,15 @@ final class JsonLdParser(content: String) {
   def parse(): Seq[QuadRow] = {
     val root = new ObjectMapper().readTree(content)
     val nodes = if (root.isArray) root.elements.asScala.toSeq else Seq(root)
-    nodes.foreach(n => nodeObject(n, DG))
+    nodes.foreach(n => nodeObject(n, DG, Ctx()))
     out.toSeq
   }
 
-  /** Scalar JSON -> RDF literal (JSON-LD value coercion rules). */
-  private def scalarLit(v: JsonNode): TermRow =
+  /** Scalar JSON -> RDF literal (JSON-LD value coercion rules), shaped
+    * by the property's term definition / context default language.
+    */
+  private def scalarLit(v: JsonNode, td: Option[TermDef],
+      ctx: Ctx): TermRow =
     if (v.isBoolean)
       TermRow(Term.LiteralKind.toByte, v.asBoolean.toString,
         Term.XsdBoolean, null)
@@ -47,50 +144,91 @@ final class JsonLdParser(content: String) {
     else if (v.isNumber)
       TermRow(Term.LiteralKind.toByte, v.asDouble.toString,
         Term.XsdDouble, null)
-    else TermRow(Term.LiteralKind.toByte, v.asText, Term.XsdString, null)
+    else td.flatMap(_.typ) match {
+      case Some("@id") => ref(ctx.expandRef(v.asText))
+      case Some(dt) => TermRow(Term.LiteralKind.toByte, v.asText, dt, null)
+      case None =>
+        // term language ("" clears the default) else context default
+        val lang = td.flatMap(_.lang).orElse(ctx.lang).filter(_.nonEmpty)
+        lang match {
+          case Some(l) =>
+            TermRow(Term.LiteralKind.toByte, v.asText, Term.RdfLangString, l)
+          case None =>
+            TermRow(Term.LiteralKind.toByte, v.asText, Term.XsdString, null)
+        }
+    }
 
   /** One value entry of a property -> term (emitting nested triples). */
-  private def valueTerm(v: JsonNode, g: TermRow): TermRow =
+  private def valueTerm(v: JsonNode, g: TermRow, ctx: Ctx,
+      td: Option[TermDef]): TermRow =
     if (v.isObject) {
-      if (v.has("@value")) {
-        val lex = v.get("@value")
-        if (v.has("@type"))
+      val vk = ctx.keyword _
+      val valueKey = v.fieldNames.asScala.find(k => vk(k) == "@value")
+      val listKey = v.fieldNames.asScala.find(k => vk(k) == "@list")
+      if (valueKey.isDefined) {
+        val lex = v.get(valueKey.get)
+        val typeKey = v.fieldNames.asScala.find(k => vk(k) == "@type")
+        val langKey = v.fieldNames.asScala.find(k => vk(k) == "@language")
+        if (typeKey.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText,
-            v.get("@type").asText, null)
-        else if (v.has("@language"))
+            ctx.expandRef(v.get(typeKey.get).asText), null)
+        else if (langKey.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText, Term.RdfLangString,
-            v.get("@language").asText)
-        else scalarLit(lex)
-      } else if (v.has("@list")) {
-        val items = v.get("@list").elements.asScala.toSeq
-        if (items.isEmpty) iri(RdfNs + "nil")
-        else {
-          val nodes = items.map(_ => fresh())
-          for (((n, item), idx) <- nodes.zip(items).zipWithIndex) {
-            out += QuadRow(g, n, iri(RdfNs + "first"), valueTerm(item, g))
-            out += QuadRow(g, n, iri(RdfNs + "rest"),
-              if (idx == items.size - 1) iri(RdfNs + "nil")
-              else nodes(idx + 1))
-          }
-          nodes.head
-        }
-      } else nodeObject(v, g) // node object (possibly just {"@id": ...})
-    } else scalarLit(v)
+            v.get(langKey.get).asText)
+        else scalarLit(lex, None, Ctx()) // explicit @value: no coercion
+      } else if (listKey.isDefined) listTerm(
+        v.get(listKey.get).elements.asScala.toSeq, g, ctx, td)
+      else nodeObject(v, g, ctx) // node object (possibly just {"@id"})
+    } else if (td.exists(_.container.contains("@list")) && v.isArray)
+      listTerm(v.elements.asScala.toSeq, g, ctx, td)
+    else scalarLit(v, td, ctx)
+
+  private def listTerm(items: Seq[JsonNode], g: TermRow, ctx: Ctx,
+      td: Option[TermDef]): TermRow =
+    if (items.isEmpty) iri(RdfNs + "nil")
+    else {
+      val nodes = items.map(_ => fresh())
+      val itemTd = td.map(_.copy(container = None))
+      for (((n, item), idx) <- nodes.zip(items).zipWithIndex) {
+        out += QuadRow(g, n, iri(RdfNs + "first"),
+          valueTerm(item, g, ctx, itemTd))
+        out += QuadRow(g, n, iri(RdfNs + "rest"),
+          if (idx == items.size - 1) iri(RdfNs + "nil")
+          else nodes(idx + 1))
+      }
+      nodes.head
+    }
 
   /** A node object: emits its triples into graph `g`, returns subject. */
-  private def nodeObject(n: JsonNode, g: TermRow): TermRow = {
-    val subj =
-      if (n.has("@id")) ref(n.get("@id").asText) else fresh()
-    if (n.has("@type"))
-      asArray(n.get("@type")).foreach(t =>
-        out += QuadRow(g, subj, iri(RdfNs + "type"), ref(t.asText)))
-    if (n.has("@graph"))
-      asArray(n.get("@graph")).foreach(child => nodeObject(child, subj))
+  private def nodeObject(n: JsonNode, g: TermRow, parentCtx: Ctx): TermRow = {
+    val ctx =
+      if (n.has("@context")) parseContext(n.get("@context"), parentCtx)
+      else parentCtx
+    val kw = ctx.keyword _
+    def field(keyword: String): Option[JsonNode] =
+      n.fields.asScala.find(e => kw(e.getKey) == keyword).map(_.getValue)
+    val subj = field("@id") match {
+      case Some(id) => ref(ctx.expandRef(id.asText))
+      case None => fresh()
+    }
+    field("@type").foreach(t =>
+      asArray(t).foreach(x =>
+        out += QuadRow(g, subj, iri(RdfNs + "type"),
+          ref(ctx.expandRef(x.asText)))))
+    field("@graph").foreach(gn =>
+      asArray(gn).foreach(child => nodeObject(child, subj, ctx)))
     n.fields.asScala.foreach { e =>
       val key = e.getKey
-      if (!key.startsWith("@"))
-        asArray(e.getValue).foreach { v =>
-          out += QuadRow(g, subj, iri(key), valueTerm(v, g))
+      if (!key.startsWith("@") && !kw(key).startsWith("@"))
+        ctx.expandKey(key).foreach { p =>
+          val td = ctx.terms.get(key)
+          val vs =
+            if (td.exists(_.container.contains("@list")) &&
+              e.getValue.isArray) Seq(e.getValue) // one list, not n values
+            else asArray(e.getValue)
+          vs.foreach { v =>
+            out += QuadRow(g, subj, iri(p), valueTerm(v, g, ctx, td))
+          }
         }
     }
     subj

@@ -207,6 +207,61 @@ class RdfIOSpec extends AnyFunSuite {
     assert(quads.where(col("g")("lex") === "http://x/g1").count() == 1)
   }
 
+  test("JSON-LD @context: terms, prefixes, vocab, coercion, aliases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonldctx")
+    java.nio.file.Files.writeString(dir.resolve("c.jsonld"),
+      """{
+        |  "@context": {
+        |    "id": "@id",
+        |    "foaf": "http://xmlns.com/foaf/0.1/",
+        |    "xsd": "http://www.w3.org/2001/XMLSchema#",
+        |    "@vocab": "http://x/",
+        |    "@base": "http://base.org/people/",
+        |    "@language": "en",
+        |    "name": "foaf:name",
+        |    "knows": {"@id": "foaf:knows", "@type": "@id"},
+        |    "age": {"@id": "http://x/age", "@type": "xsd:integer"},
+        |    "tags": {"@id": "http://x/tags", "@container": "@list"},
+        |    "plain": {"@id": "http://x/plain", "@language": null}
+        |  },
+        |  "id": "alice",
+        |  "name": "Alice",
+        |  "plain": "raw",
+        |  "knows": "bob",
+        |  "age": "30",
+        |  "hobby": "chess",
+        |  "tags": ["a", "b"]
+        |}
+        |""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("c.jsonld").toString, "jsonld")
+    import org.apache.spark.sql.functions._
+    def o(p: String) = quads.where(col("p")("lex") === p)
+      .head().getAs[org.apache.spark.sql.Row]("o")
+    val s = quads.where(col("p")("lex") === "http://xmlns.com/foaf/0.1/name")
+      .head().getAs[org.apache.spark.sql.Row]("s")
+    assert(s.getString(1) == "http://base.org/people/alice") // @base + alias
+    val name = o("http://xmlns.com/foaf/0.1/name")
+    assert(name.getString(1) == "Alice" && name.getString(3) == "en")
+    assert(o("http://x/plain").getString(3) == null) // "@language": null
+    val knows = o("http://xmlns.com/foaf/0.1/knows")
+    assert(knows.getByte(0) == graft.model.Term.IriKind &&
+      knows.getString(1) == "http://base.org/people/bob") // @type:@id + base
+    assert(o("http://x/age").getString(2) == graft.model.Term.XsdInteger)
+    assert(o("http://x/hobby").getString(1) == "chess") // @vocab key
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert(quads.where(col("p")("lex") === rdf + "first").count() == 2)
+    assert(quads.where(col("p")("lex") === "http://x/tags").count() == 1)
+  }
+
+  test("JSON-LD remote @context is rejected (zero egress)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonldrem")
+    java.nio.file.Files.writeString(dir.resolve("r.jsonld"),
+      """{"@context": "http://schema.org/", "@id": "http://x/a"}""")
+    val ex = intercept[org.apache.spark.SparkException](
+      RdfIO.read(spark, dir.resolve("r.jsonld").toString, "jsonld").count())
+    assert(ex.getMessage != null)
+  }
+
   test("format facade dispatches and rejects unknown formats") {
     intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "n3"))
   }
