@@ -160,6 +160,19 @@ object RdfIO {
         col("p").cast(Term.schema), col("o").cast(Term.schema))
   }
 
+  /** Read N3 (one document per FILE; see TurtleParser's n3 mode for the
+    * supported subset — formulas become blank-named graphs).
+    */
+  def readN3(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) =>
+        new TurtleParser(content, n3 = true).parse() }
+      .toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+  }
+
   /** Read expanded-form JSON-LD (one document per FILE, parallel across
     * files; see JsonLdParser for the supported subset).
     */
@@ -182,9 +195,10 @@ object RdfIO {
       case "trig" | "application/trig" => readTurtle(spark, path)
       case "rdf" | "rdfxml" | "application/rdf+xml" => readRdfXml(spark, path)
       case "jsonld" | "application/ld+json" => readJsonLd(spark, path)
+      case "n3" | "text/n3" => readN3(spark, path)
       case other => throw new IllegalArgumentException(
         s"unsupported RDF format: $other " +
-          "(supported: nt, nq, ttl, trig, rdf, jsonld)")
+          "(supported: nt, nq, ttl, trig, rdf, jsonld, n3)")
     }
 
   // ---------------- serialization (pure Column ops) -------------------

@@ -8,12 +8,15 @@ import graft.model.Term
   * task (RdfIO feeds whole files, same per-FILE parallelism as Turtle —
   * RDF/XML is not line-splittable either).
   *
-  * Subset: rdf:RDF roots, rdf:Description and typed node elements,
-  * rdf:about / rdf:nodeID / fresh bnodes, property elements with
-  * rdf:resource / rdf:nodeID / rdf:datatype / nested node elements /
-  * text literals, xml:lang inheritance, non-rdf property attributes as
-  * string literals. Not yet: rdf:parseType (Resource/Collection/Literal),
-  * rdf:li / containers, rdf:ID / xml:base relative resolution, reification.
+  * Covers: rdf:RDF roots, rdf:Description and typed node elements,
+  * rdf:about / rdf:ID / rdf:nodeID / fresh bnodes, property elements
+  * with rdf:resource / rdf:nodeID / rdf:datatype / nested node elements
+  * / text literals, rdf:parseType Resource / Collection / Literal,
+  * rdf:li container membership renumbering, xml:base inheritance with
+  * relative-IRI resolution, xml:lang inheritance, property-element
+  * rdf:ID reification, and non-rdf property attributes as string
+  * literals. Not yet: rdf:aboutEach (obsolete), xml:base fragment
+  * edge-cases beyond RFC 3986 basics.
   */
 final class RdfXmlParser(content: String) {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -27,6 +30,23 @@ final class RdfXmlParser(content: String) {
     TermRow(Term.BlankKind.toByte, s"rx$bn", null, null)
   }
   private def iri(v: String) = TermRow(Term.IriKind.toByte, v, null, null)
+
+  /** RFC 3986-style resolution, scoped to what RDF/XML needs. */
+  private def resolve(base: Option[String], v: String): String =
+    if (v.contains("://") || base.isEmpty) v
+    else {
+      val b = base.get
+      if (v.isEmpty) b
+      else if (v.startsWith("#")) b.takeWhile(_ != '#') + v
+      else if (v.startsWith("/")) {
+        val schemeEnd = b.indexOf("://")
+        if (schemeEnd < 0) v
+        else {
+          val authEnd = b.indexOf('/', schemeEnd + 3)
+          (if (authEnd < 0) b else b.substring(0, authEnd)) + v
+        }
+      } else b.substring(0, b.lastIndexOf('/') + 1) + v
+    }
 
   private def childElements(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
     val nl = e.getChildNodes
@@ -45,26 +65,49 @@ final class RdfXmlParser(content: String) {
     val doc = f.newDocumentBuilder().parse(
       new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
     val root = doc.getDocumentElement
+    val rootBase = Option(root.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
     val nodes =
       if (qname(root) == RdfNs + "RDF") childElements(root) else Seq(root)
-    nodes.foreach(n => nodeElement(n, None))
+    nodes.foreach(n => nodeElement(n, None, rootBase))
     out.toSeq
   }
 
+  /** Serialize an element's child nodes as literal XML (parseType
+    * Literal; datatype rdf:XMLLiteral).
+    */
+  private def innerXml(e: org.w3c.dom.Element): String = {
+    val tf = javax.xml.transform.TransformerFactory.newInstance()
+      .newTransformer()
+    tf.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION,
+      "yes")
+    val sw = new java.io.StringWriter()
+    val nl = e.getChildNodes
+    (0 until nl.getLength).foreach { i =>
+      tf.transform(new javax.xml.transform.dom.DOMSource(nl.item(i)),
+        new javax.xml.transform.stream.StreamResult(sw))
+    }
+    sw.toString
+  }
+
   /** A node element: emits its triples, returns its subject term. */
-  private def nodeElement(e: org.w3c.dom.Element,
-      lang0: Option[String]): TermRow = {
+  private def nodeElement(e: org.w3c.dom.Element, lang0: Option[String],
+      base0: Option[String]): TermRow = {
     val lang = Option(e.getAttributeNS(XmlNs, "lang")).filter(_.nonEmpty)
       .orElse(lang0)
+    val base = Option(e.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
+      .orElse(base0)
     val subj =
-      if (e.hasAttributeNS(RdfNs, "about")) iri(e.getAttributeNS(RdfNs, "about"))
+      if (e.hasAttributeNS(RdfNs, "about"))
+        iri(resolve(base, e.getAttributeNS(RdfNs, "about")))
+      else if (e.hasAttributeNS(RdfNs, "ID"))
+        iri(resolve(base, "#" + e.getAttributeNS(RdfNs, "ID")))
       else if (e.hasAttributeNS(RdfNs, "nodeID"))
         TermRow(Term.BlankKind.toByte, e.getAttributeNS(RdfNs, "nodeID"),
           null, null)
       else fresh()
     if (qname(e) != RdfNs + "Description")
       out += QuadRow(DG, subj, iri(RdfNs + "type"), iri(qname(e)))
-    // property attributes (non-rdf, non-xmlns, non-xml:lang)
+    // property attributes (non-rdf, non-xmlns, non-xml:lang/base)
     val attrs = e.getAttributes
     (0 until attrs.getLength).map(attrs.item).foreach { a =>
       val ns = Option(a.getNamespaceURI).getOrElse("")
@@ -75,33 +118,82 @@ final class RdfXmlParser(content: String) {
           TermRow(Term.LiteralKind.toByte, a.getNodeValue,
             Term.XsdString, null))
     }
-    // property elements
-    childElements(e).foreach { pe =>
-      val pred = iri(qname(pe))
+    propertyElements(subj, childElements(e), lang, base)
+    subj
+  }
+
+  /** Property elements of one subject (shared by node elements and
+    * parseType="Resource" implicit nodes). rdf:li renumbers per subject
+    * element (rdf:_1, rdf:_2, ... — container membership properties).
+    */
+  private def propertyElements(subj: TermRow,
+      pes: Seq[org.w3c.dom.Element], lang: Option[String],
+      base: Option[String]): Unit = {
+    var liN = 0
+    pes.foreach { pe =>
+      val pred =
+        if (qname(pe) == RdfNs + "li") { liN += 1; iri(RdfNs + "_" + liN) }
+        else iri(qname(pe))
       val plang = Option(pe.getAttributeNS(XmlNs, "lang")).filter(_.nonEmpty)
         .orElse(lang)
-      val obj: TermRow =
-        if (pe.hasAttributeNS(RdfNs, "resource"))
-          iri(pe.getAttributeNS(RdfNs, "resource"))
-        else if (pe.hasAttributeNS(RdfNs, "nodeID"))
-          TermRow(Term.BlankKind.toByte, pe.getAttributeNS(RdfNs, "nodeID"),
-            null, null)
-        else if (pe.hasAttributeNS(RdfNs, "datatype"))
-          TermRow(Term.LiteralKind.toByte, pe.getTextContent,
-            pe.getAttributeNS(RdfNs, "datatype"), null)
-        else childElements(pe) match {
-          case Seq(nested) => nodeElement(nested, plang)
-          case Seq() => plang match {
-            case Some(l) => TermRow(Term.LiteralKind.toByte,
-              pe.getTextContent, Term.RdfLangString, l)
-            case None => TermRow(Term.LiteralKind.toByte,
-              pe.getTextContent, Term.XsdString, null)
+      val pbase = Option(pe.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
+        .orElse(base)
+      val parseType =
+        Option(pe.getAttributeNS(RdfNs, "parseType")).filter(_.nonEmpty)
+      val obj: TermRow = parseType match {
+        case Some("Resource") =>
+          // implicit blank node whose property elements are pe's children
+          val b = fresh()
+          propertyElements(b, childElements(pe), plang, pbase)
+          b
+        case Some("Collection") =>
+          val items = childElements(pe).map(nodeElement(_, plang, pbase))
+          if (items.isEmpty) iri(RdfNs + "nil")
+          else {
+            val cells = items.map(_ => fresh())
+            for (((cell, item), idx) <- cells.zip(items).zipWithIndex) {
+              out += QuadRow(DG, cell, iri(RdfNs + "first"), item)
+              out += QuadRow(DG, cell, iri(RdfNs + "rest"),
+                if (idx == items.size - 1) iri(RdfNs + "nil")
+                else cells(idx + 1))
+            }
+            cells.head
           }
-          case _ => throw new IllegalArgumentException(
-            s"unsupported RDF/XML property content in <${qname(pe)}>")
-        }
+        case Some("Literal") =>
+          TermRow(Term.LiteralKind.toByte, innerXml(pe),
+            RdfNs + "XMLLiteral", null)
+        case Some(other) => throw new IllegalArgumentException(
+          s"unsupported rdf:parseType: $other")
+        case None =>
+          if (pe.hasAttributeNS(RdfNs, "resource"))
+            iri(resolve(pbase, pe.getAttributeNS(RdfNs, "resource")))
+          else if (pe.hasAttributeNS(RdfNs, "nodeID"))
+            TermRow(Term.BlankKind.toByte, pe.getAttributeNS(RdfNs, "nodeID"),
+              null, null)
+          else if (pe.hasAttributeNS(RdfNs, "datatype"))
+            TermRow(Term.LiteralKind.toByte, pe.getTextContent,
+              pe.getAttributeNS(RdfNs, "datatype"), null)
+          else childElements(pe) match {
+            case Seq(nested) => nodeElement(nested, plang, pbase)
+            case Seq() => plang match {
+              case Some(l) => TermRow(Term.LiteralKind.toByte,
+                pe.getTextContent, Term.RdfLangString, l)
+              case None => TermRow(Term.LiteralKind.toByte,
+                pe.getTextContent, Term.XsdString, null)
+            }
+            case _ => throw new IllegalArgumentException(
+              s"unsupported RDF/XML property content in <${qname(pe)}>")
+          }
+      }
       out += QuadRow(DG, subj, pred, obj)
+      // rdf:ID on a property element reifies the statement
+      if (pe.hasAttributeNS(RdfNs, "ID")) {
+        val st = iri(resolve(pbase, "#" + pe.getAttributeNS(RdfNs, "ID")))
+        out += QuadRow(DG, st, iri(RdfNs + "type"), iri(RdfNs + "Statement"))
+        out += QuadRow(DG, st, iri(RdfNs + "subject"), subj)
+        out += QuadRow(DG, st, iri(RdfNs + "predicate"), pred)
+        out += QuadRow(DG, st, iri(RdfNs + "object"), obj)
+      }
     }
-    subj
   }
 }

@@ -14,8 +14,18 @@ import graft.model.Term
   * [ ... ], collections ( ... ), numeric/boolean shorthand literals,
   * quoted literals with @lang / ^^dt and long quotes, TriG graph blocks
   * (`<g> { ... }`, `GRAPH <g> { ... }`, `{ ... }`).
+  *
+  * With `n3 = true` (oxigraph: lib/oxttl/src/n3.rs) the grammar grows
+  * N3 features: quick variables `?x` (universals, materialized as
+  * stable blank nodes), `@forAll` / `@forSome` quantifier declarations
+  * (quantified symbols substitute to blank nodes), operator predicates
+  * `=` (owl:sameAs), `=>` (log:implies) and `<=` (reversed implies),
+  * and formula terms `{ ... }` — each formula's triples land in a
+  * fresh blank-node-named graph and the formula term IS that graph
+  * name (quoting-as-named-graph, a documented deviation from true N3
+  * quoting; paths `!`/`^` are not supported).
   */
-final class TurtleParser(input: String) {
+final class TurtleParser(input: String, n3: Boolean = false) {
   private var pos = 0
   private var base = ""
   private val prefixes = scala.collection.mutable.Map[String, String]()
@@ -105,11 +115,54 @@ final class TurtleParser(input: String) {
     TermRow(Term.BlankKind.toByte, s"tb$bnodeN", null, null)
   }
 
+  // ---- N3 state ------------------------------------------------------
+  private val OwlSameAs = "http://www.w3.org/2002/07/owl#sameAs"
+  private val LogImplies = "http://www.w3.org/2000/10/swap/log#implies"
+  /** @forAll/@forSome-declared symbols and ?quickVars -> blank nodes. */
+  private val quantified = scala.collection.mutable.Map[String, TermRow]()
+  private def quantVar(key: String): TermRow =
+    quantified.getOrElseUpdate(key,
+      TermRow(Term.BlankKind.toByte, "v_" + key.replaceAll("[^A-Za-z0-9]", "_"),
+        null, null))
+  /** Substitute a quantified symbol with its variable blank node. */
+  private def subst(t: TermRow): TermRow =
+    if (n3 && t.kind == Term.IriKind.toByte)
+      quantified.getOrElse(t.lex, t)
+    else t
+
+  /** N3 formula term: triples land in a fresh blank-named graph; the
+    * graph name is the formula's term value.
+    */
+  private def parseFormula(): TermRow = {
+    val fid = freshBnode()
+    val saved = graph
+    graph = fid
+    ws()
+    while (pos < input.length && input(pos) != '}') {
+      val s = parseTerm()
+      ws()
+      if (pos < input.length && input(pos) != '.' && input(pos) != '}')
+        predicateObjectList(s)
+      eatSym(".")
+      ws()
+    }
+    expect("}")
+    graph = saved
+    fid
+  }
+
   private def parseTerm(): TermRow = {
     ws()
     if (pos >= input.length) fail("unexpected end")
     input(pos) match {
-      case '<' => TermRow(Term.IriKind.toByte, parseIriRef(), null, null)
+      case '{' if n3 => pos += 1; parseFormula()
+      case '?' if n3 =>
+        pos += 1
+        val start = pos
+        while (pos < input.length && (input(pos).isLetterOrDigit ||
+          input(pos) == '_')) pos += 1
+        quantVar("?" + input.substring(start, pos))
+      case '<' => subst(TermRow(Term.IriKind.toByte, parseIriRef(), null, null))
       case '_' =>
         pos += 2 // _:
         val start = pos
@@ -178,7 +231,8 @@ final class TurtleParser(input: String) {
         pos += 4; TermRow(Term.LiteralKind.toByte, "true", Term.XsdBoolean, null)
       case 'f' if peekKeyword("false") =>
         pos += 5; TermRow(Term.LiteralKind.toByte, "false", Term.XsdBoolean, null)
-      case _ => TermRow(Term.IriKind.toByte, parsePrefixedName(), null, null)
+      case _ => subst(TermRow(Term.IriKind.toByte, parsePrefixedName(),
+        null, null))
     }
   }
 
@@ -197,11 +251,22 @@ final class TurtleParser(input: String) {
   private def predicateObjectList(s: TermRow): Unit = {
     var moreProps = true
     while (moreProps) {
-      val p = parsePredicate()
+      // N3 operator predicates come before the general verb forms
+      // ("<=" is checked before an IRI's '<'; its 2nd char disambiguates)
+      val (p, reversed) =
+        if (n3 && eatSym("=>"))
+          (TermRow(Term.IriKind.toByte, LogImplies, null, null), false)
+        else if (n3 && eatSym("<="))
+          (TermRow(Term.IriKind.toByte, LogImplies, null, null), true)
+        else if (n3 && peekSymbolEq())
+          { eatSym("=")
+            (TermRow(Term.IriKind.toByte, OwlSameAs, null, null), false) }
+        else (subst(parsePredicate()), false)
       var moreObjs = true
       while (moreObjs) {
         val o = parseTerm()
-        out += QuadRow(graph, s, p, o)
+        if (reversed) out += QuadRow(graph, o, p, s)
+        else out += QuadRow(graph, s, p, o)
         moreObjs = eatSym(",")
       }
       moreProps = eatSym(";")
@@ -209,6 +274,13 @@ final class TurtleParser(input: String) {
       if (moreProps && (pos >= input.length || input(pos) == '.' ||
         input(pos) == ']')) moreProps = false
     }
+  }
+
+  /** A bare '=' verb (not '=>' which eatSym checks first). */
+  private def peekSymbolEq(): Boolean = {
+    ws()
+    pos < input.length && input(pos) == '=' &&
+      (pos + 1 >= input.length || input(pos + 1) != '>')
   }
 
   def parse(): Seq[QuadRow] = {
@@ -227,7 +299,17 @@ final class TurtleParser(input: String) {
         if (!eatSym("@base")) { expect("BASE") }
         base = parseIriRef()
         eatSym(".")
-      } else if (eatSym("{")) { // TriG: anonymous default-graph block
+      } else if (n3 && (peekKeyword("@forAll") || peekKeyword("@forSome"))) {
+        // quantifier declaration: map each symbol to a variable bnode
+        if (!eatSym("@forAll")) expect("@forSome")
+        var more = true
+        while (more) {
+          val t = parseTerm()
+          if (t.kind == Term.IriKind.toByte) quantified(t.lex) = quantVar(t.lex)
+          more = eatSym(",")
+        }
+        eatSym(".")
+      } else if (!n3 && eatSym("{")) { // TriG: anonymous default-graph block
         parseBlock(DG)
       } else if (peekKeyword("GRAPH") &&
         pos + 5 < input.length && !input(pos + 5).isLetterOrDigit &&
@@ -239,7 +321,7 @@ final class TurtleParser(input: String) {
       } else {
         val s = parseTerm()
         ws()
-        if (pos < input.length && input(pos) == '{') { // TriG: <g> { ... }
+        if (!n3 && pos < input.length && input(pos) == '{') { // TriG: <g> { }
           pos += 1
           parseBlock(s)
         } else {

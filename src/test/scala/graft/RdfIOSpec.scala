@@ -207,6 +207,64 @@ class RdfIOSpec extends AnyFunSuite {
     assert(quads.where(col("g")("lex") === "http://x/g1").count() == 1)
   }
 
+  test("RDF/XML residue: parseType, rdf:li, rdf:ID, xml:base, reification") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdfxml2")
+    java.nio.file.Files.writeString(dir.resolve("r.rdf"),
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://x/" xml:base="http://base.org/doc">
+        |  <rdf:Description rdf:ID="thing">
+        |    <ex:rel rdf:parseType="Resource">
+        |      <ex:a>1</ex:a>
+        |      <ex:b rdf:resource="other"/>
+        |    </ex:rel>
+        |    <ex:items rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="http://x/i1"/>
+        |      <rdf:Description rdf:about="http://x/i2"/>
+        |    </ex:items>
+        |    <ex:xml rdf:parseType="Literal"><b>bold</b></ex:xml>
+        |    <ex:claim rdf:ID="st1" rdf:resource="http://x/o"/>
+        |  </rdf:Description>
+        |  <rdf:Seq rdf:about="http://x/seq">
+        |    <rdf:li>first</rdf:li>
+        |    <rdf:li>second</rdf:li>
+        |  </rdf:Seq>
+        |</rdf:RDF>
+        |""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("r.rdf").toString, "rdfxml")
+    import org.apache.spark.sql.functions._
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    def byP(p: String) = quads.where(col("p")("lex") === p)
+    def o(p: String) = byP(p).head().getAs[org.apache.spark.sql.Row]("o")
+    // rdf:ID resolves against xml:base
+    assert(byP("http://x/rel").head()
+      .getAs[org.apache.spark.sql.Row]("s")
+      .getString(1) == "http://base.org/doc#thing")
+    // parseType=Resource: object is a bnode carrying a/b
+    assert(o("http://x/rel").getByte(0) == graft.model.Term.BlankKind.toByte)
+    assert(o("http://x/a").getString(1) == "1")
+    assert(o("http://x/b").getString(1) == "http://base.org/other")
+    // parseType=Collection: first/rest chain over i1, i2
+    assert(byP(rdf + "first").count() == 2)
+    val firsts = byP(rdf + "first").collect()
+      .map(_.getAs[org.apache.spark.sql.Row]("o").getString(1)).sorted
+    assert(firsts.sameElements(Array("http://x/i1", "http://x/i2")))
+    // parseType=Literal: XMLLiteral datatype with markup preserved
+    val x = o("http://x/xml")
+    assert(x.getString(2) == rdf + "XMLLiteral" &&
+      x.getString(1).contains("<b>bold</b>"))
+    // reification quad set for ex:claim
+    assert(byP(rdf + "subject").count() == 1)
+    assert(o(rdf + "predicate").getString(1) == "http://x/claim")
+    assert(o(rdf + "object").getString(1) == "http://x/o")
+    assert(byP(rdf + "subject").head()
+      .getAs[org.apache.spark.sql.Row]("s")
+      .getString(1) == "http://base.org/doc#st1")
+    // rdf:li renumbering
+    assert(o(rdf + "_1").getString(1) == "first")
+    assert(o(rdf + "_2").getString(1) == "second")
+  }
+
   test("JSON-LD @context: terms, prefixes, vocab, coercion, aliases") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonldctx")
     java.nio.file.Files.writeString(dir.resolve("c.jsonld"),
