@@ -254,6 +254,105 @@ object Translator {
     acc
   }
 
+  /** A post-join operation hoisted out of a LATERAL right side: a
+    * correlated scalar filter conjunct or a correlated BIND. Order
+    * matters (a hoisted filter may reference a hoisted BIND variable),
+    * so they travel as one sequence.
+    */
+  private sealed trait HoistOp
+  private final case class HFilt(e: Expr) extends HoistOp
+  private final case class HExt(v: String, ex: Expr) extends HoistOp
+
+  /** Hoist correlated scalar filters and correlated BINDs out of the
+    * conjunctive spine (Filter/Extend over Join/Extend/Lateral) of a
+    * LATERAL right side. Returns (rebuilt tree, ordered post-join ops,
+    * variables whose binding moved post-join). A filter conjunct hoists
+    * when it references left vars outside its own scope (evaluable only
+    * after the join) or references an already-hoisted BIND variable; a
+    * BIND hoists under the same correlation test. Both are sound
+    * because everything on the spine is an inner join: filtering /
+    * extending after l⋈r is exactly the substitution semantics.
+    */
+  private def hoist(gp: GraphPattern,
+      lVars: Set[String]): (GraphPattern, Seq[HoistOp], Set[String]) =
+    gp match {
+      case Filter(e, i) =>
+        val (i2, up0, hv) = hoist(i, lVars)
+        val scope = inScopeVars(i) -- hv
+        val (exs, scalars) = splitConjuncts(e)
+        val (up, stay) = scalars.partition { s =>
+          val vs = exprVars(s)
+          (vs & hv).nonEmpty ||
+            (!(vs & lVars).subsetOf(scope) &&
+              (vs -- lVars).subsetOf(scope ++ hv))
+        }
+        val keep: Seq[Expr] = exs ++ stay
+        val rebuilt =
+          if (keep.isEmpty) i2
+          else Filter(keep.reduce((a, b) => EFn("&&", a, b)), i2)
+        (rebuilt, up0 ++ up.map(HFilt.apply), hv)
+      case Join(a, b) =>
+        val (a2, ua, ha) = hoist(a, lVars); val (b2, ub, hb) = hoist(b, lVars)
+        (Join(a2, b2), ua ++ ub, ha ++ hb)
+      case Lateral(a, b) =>
+        val (a2, ua, ha) = hoist(a, lVars); val (b2, ub, hb) = hoist(b, lVars)
+        (Lateral(a2, b2), ua ++ ub, ha ++ hb)
+      case Extend(i, v, ex) =>
+        val (i2, u, hv) = hoist(i, lVars)
+        val vs = exprVars(ex)
+        val correlated = (vs & hv).nonEmpty ||
+          !(vs & lVars).subsetOf(inScopeVars(i) -- hv)
+        if (correlated && !lVars(v)) (i2, u :+ HExt(v, ex), hv + v)
+        else (Extend(i2, v, ex), u, hv)
+      case other => (other, Nil, Set.empty[String])
+    }
+
+  /** Every variable a pattern tree references: bound pattern positions
+    * plus every expression occurrence (filters, BIND bodies, EXISTS
+    * scopes, order keys, group keys/agg inputs). Used to detect a
+    * hoisted BIND variable still referenced in-tree — that shape cannot
+    * be rewritten bottom-up and must throw, not silently mis-bind.
+    */
+  private def treeRefs(gp: GraphPattern): Set[String] = gp match {
+    case Filter(e, i) => exprVars(e) ++ treeRefs(i)
+    case Extend(i, _, ex) => exprVars(ex) ++ treeRefs(i)
+    case Join(a, b) => treeRefs(a) ++ treeRefs(b)
+    case Lateral(a, b) => treeRefs(a) ++ treeRefs(b)
+    case LeftJoin(a, b, f) => treeRefs(a) ++ treeRefs(b) ++
+      f.map(exprVars).getOrElse(Set.empty)
+    case Minus(a, b) => treeRefs(a) ++ treeRefs(b)
+    case Union(a, b) => treeRefs(a) ++ treeRefs(b)
+    case GraphPat(_, i) => treeRefs(i)
+    case Project(i, vs) => treeRefs(i) ++ vs
+    case Distinct(i) => treeRefs(i)
+    case Reduced(i) => treeRefs(i)
+    case Slice(i, _, _) => treeRefs(i)
+    case OrderBy(i, ks) => treeRefs(i) ++ ks.flatMap(k => exprVars(k._1))
+    case Group(i, keys, aggs) => treeRefs(i) ++ keys ++
+      aggs.flatMap(_._2.expr.map(exprVars).getOrElse(Set.empty))
+    case other => inScopeVars(other) // Bgp, PathPattern, ValuesPat
+  }
+
+  private def checkNoDangling(gp: GraphPattern, hv: Set[String]): Unit = {
+    val dangling = hv & treeRefs(gp)
+    if (dangling.nonEmpty) throw new UnsupportedOperationException(
+      "correlated LATERAL: BIND variable(s) " + dangling.mkString(", ") +
+        " are referenced in a position that cannot be hoisted post-join")
+  }
+
+  /** Apply hoisted ops post-join in their original bottom-up order. */
+  private def applyHoisted(s: Sol, ops: Seq[HoistOp]): Sol =
+    ops.foldLeft(s) {
+      case (sol, HFilt(e)) =>
+        Sol(sol.df.where(coalesce(SparqlExpr.compileBool(e, sol.bind),
+          lit(false))), sol.vars, sol.sure, sol.cls)
+      case (sol, HExt(v, ex)) =>
+        Sol(sol.df.withColumn(v, SparqlExpr.compile(ex, sol.bind)),
+          sol.vars + v, sol.sure,
+          SparqlExpr.exprClass(ex, sol.hint)
+            .map(k => sol.cls + (v -> k)).getOrElse(sol.cls - v))
+    }
+
   /** Correlated LATERAL (SPARQL 1.2 / oxigraph extension: the right side
     * is evaluated once per left solution with its bindings substituted).
     *
@@ -292,7 +391,8 @@ object Translator {
       case Join(a, b) => joinSafe(a) && joinSafe(b)
       case Lateral(a, b) => joinSafe(a) && joinSafe(b)
       case Filter(e, i) => joinSafe(i) && filterOk(e, inScopeVars(i))
-      case Extend(i, v, _) => joinSafe(i) && !lVars(v)
+      case Extend(i, v, ex) => joinSafe(i) && !lVars(v) &&
+        (exprVars(ex) & lVars).subsetOf(inScopeVars(i))
       case Union(a, b) => joinSafe(a) && joinSafe(b)
       case GraphPat(_, i) => joinSafe(i)
       case LeftJoin(a, b, filt) => joinSafe(a) && joinSafe(b) &&
@@ -303,42 +403,16 @@ object Translator {
       case _ => false
     }
 
-    // Correlated scalar filter conjuncts in conjunctive position (Filter
-    // over Join/Extend/Lateral chains) reference left vars their own
-    // scope does not bind. Bottom-up they would see unbound -> error ->
-    // false and silently drop every row; because they sit above only
-    // inner joins, filtering AFTER the l⋈r join IS the substitution
-    // semantics — hoist them out and apply post-join.
-    def hoist(gp: GraphPattern): (GraphPattern, Seq[Expr]) = gp match {
-      case Filter(e, i) =>
-        val (i2, up0) = hoist(i)
-        val scope = inScopeVars(i)
-        val (exs, scalars) = splitConjuncts(e)
-        val (up, stay) = scalars.partition(s =>
-          !(exprVars(s) & lVars).subsetOf(scope) &&
-            (exprVars(s) -- lVars).subsetOf(scope))
-        val keep: Seq[Expr] = exs ++ stay
-        val rebuilt =
-          if (keep.isEmpty) i2
-          else Filter(keep.reduce((a, b) => EFn("&&", a, b)), i2)
-        (rebuilt, up0 ++ up)
-      case Join(a, b) =>
-        val (a2, ua) = hoist(a); val (b2, ub) = hoist(b)
-        (Join(a2, b2), ua ++ ub)
-      case Lateral(a, b) =>
-        val (a2, ua) = hoist(a); val (b2, ub) = hoist(b)
-        (Lateral(a2, b2), ua ++ ub)
-      case Extend(i, v, ex) =>
-        val (i2, u) = hoist(i); (Extend(i2, v, ex), u)
-      case other => (other, Nil)
-    }
-    def applyHoisted(s: Sol, conjs: Seq[Expr]): Sol =
-      conjs.foldLeft(s) { (sol, e) =>
-        Sol(sol.df.where(coalesce(SparqlExpr.compileBool(e, sol.bind),
-          lit(false))), sol.vars, sol.sure)
-      }
-
-    val (rH, rUp) = hoist(r)
+    // Correlated scalar filter conjuncts AND correlated BINDs in
+    // conjunctive position (Filter/Extend over Join/Extend/Lateral
+    // chains) reference left vars their own scope does not bind.
+    // Bottom-up they would see unbound -> error and silently drop every
+    // row / bind nothing; because they sit above only inner joins,
+    // applying them AFTER the l⋈r join IS the substitution semantics —
+    // hoist them out, preserving bottom-up order (a hoisted filter may
+    // reference a hoisted BIND's variable, so the ops interleave).
+    val (rH, rUp, rHv) = hoist(r, lVars)
+    checkNoDangling(rH, rHv)
     if (joinSafe(rH))
       return applyHoisted(joinSols(translate(l, src, ctx),
         translate(rH, src, ctx), "inner"), rUp)
@@ -374,8 +448,11 @@ object Translator {
       // padding row blanked — one shuffle, no per-row re-execution.
       // Keys-empty groups yield exactly one row per binding (left outer);
       // keyed groups drop match-less bindings (inner), per SPARQL.
-      case Group(ginner0, gkeys, gaggs) if joinSafe(hoist(ginner0)._1) =>
-        val (ginner, gUp) = hoist(ginner0)
+      case Group(ginner0, gkeys, gaggs) if {
+            val (g2, _, ghv) = hoist(ginner0, lVars)
+            joinSafe(g2) && (ghv & treeRefs(g2)).isEmpty
+          } =>
+        val (ginner, gUp, _) = hoist(ginner0, lVars)
         val ls = translate(l, src, ctx)
         val lsId = Sol(ls.df.withColumn("__lid", monotonically_increasing_id()),
           ls.vars + "__lid", ls.sure + "__lid")
@@ -384,22 +461,31 @@ object Translator {
           rs0.vars + "__rmark", rs0.sure + "__rmark")
         val jt = if (gkeys.isEmpty) "left_outer" else "inner"
         val joined0 = joinSols(lsId, rsM, jt)
-        // Correlated filter conjuncts hoisted from the group input apply
-        // BEFORE aggregation. Keys-empty groups must keep a padding row
-        // per binding (COUNT=0 when every match fails the filter), so
-        // there we blank __rmark instead of dropping the row; keyed
+        // Hoisted ops from the group input apply BEFORE aggregation:
+        // correlated BINDs add their columns (extends never drop rows,
+        // filters never change values, so extends-then-filters preserves
+        // the interleaved order). Keys-empty groups must keep a padding
+        // row per binding (COUNT=0 when every match fails the filter),
+        // so there we blank __rmark instead of dropping the row; keyed
         // groups drop filtered rows outright (match-less bindings drop).
+        val withExt = gUp.foldLeft(joined0) {
+          case (sol, HExt(v, ex)) =>
+            Sol(sol.df.withColumn(v, SparqlExpr.compile(ex, sol.bind)),
+              sol.vars + v, sol.sure, sol.cls)
+          case (sol, _) => sol
+        }
+        val gFilts = gUp.collect { case HFilt(e) => e }
         val joined =
-          if (gUp.isEmpty) joined0
+          if (gFilts.isEmpty) withExt
           else {
-            val cond = gUp.map(e => coalesce(
-              SparqlExpr.compileBool(e, joined0.bind), lit(false)))
+            val cond = gFilts.map(e => coalesce(
+              SparqlExpr.compileBool(e, withExt.bind), lit(false)))
               .reduce(_ && _)
             if (gkeys.isEmpty)
-              Sol(joined0.df.withColumn("__rmark",
+              Sol(withExt.df.withColumn("__rmark",
                 when(col("__rmark").isNotNull && cond, lit(true))),
-                joined0.vars, joined0.sure - "__rmark")
-            else Sol(joined0.df.where(cond), joined0.vars, joined0.sure)
+                withExt.vars, withExt.sure - "__rmark")
+            else Sol(withExt.df.where(cond), withExt.vars, withExt.sure)
           }
         val allKeys = ("__lid" +: (ls.vars.toSeq ++ gkeys)).distinct
         var grouped = applyExtends(groupAggregate(joined, allKeys, gaggs,
@@ -441,7 +527,8 @@ object Translator {
       case _ =>
     }
 
-    val (nodeH, nUp) = hoist(node)
+    val (nodeH, nUp, nHv) = hoist(node, lVars)
+    checkNoDangling(nodeH, nHv)
     if (!joinSafe(nodeH))
       throw new UnsupportedOperationException(
         "correlated LATERAL over this pattern shape is not supported " +

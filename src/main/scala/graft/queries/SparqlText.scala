@@ -174,6 +174,20 @@ object SparqlText {
         .select(str("nname").as("n_name"), dbl("m").as("m"))
     },
 
+    // correlated BIND inside LATERAL (the hoisted-Extend rewrite): the
+    // BIND body mixes a left-bound var (?nname) with right-bound ones,
+    // so it must evaluate per left binding, not bottom-up
+    "pq17_lateral_bind" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?t ?b WHERE {
+             ?n :name ?nname ; :inRegion ?r .
+             LATERAL { ?c :inNation ?n ; :name ?cname ; :acctbal ?b .
+                       BIND(CONCAT(?nname, "/", ?cname) AS ?t)
+                       FILTER(?b > 9000.00) }
+           } ORDER BY ?t""")
+        .select(str("t").as("t"), dbl("b").as("bal"))
+    },
+
     // FROM: named graph merged into the default graph (§13.2 dataset)
     "pq13_from" -> { (s, dir) =>
       run(s, dir,
@@ -251,6 +265,12 @@ object SparqlText {
           AS m
         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""",
+    "pq17_lateral_bind" ->
+      """SELECT n_name || '/' || c_name AS t,
+        CAST(CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+          AS bal
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9000.00 ORDER BY t""",
     "pq11_update_text" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)

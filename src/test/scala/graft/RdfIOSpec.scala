@@ -321,6 +321,6 @@ class RdfIOSpec extends AnyFunSuite {
   }
 
   test("format facade dispatches and rejects unknown formats") {
-    intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "n3"))
+    intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "xyz"))
   }
 }
