@@ -54,6 +54,17 @@ object SparqlExpr {
       .when(c === Double.NegativeInfinity, lit("-INF"))
       .otherwise(c.cast(StringType))
 
+  /** xsd:float lexical: the double result rounded to f32 (XPath float
+    * ops are performed in float precision; overflow becomes ±INF).
+    */
+  def fltLex(c: Column): Column = {
+    val f = c.cast(FloatType)
+    when(isnan(f), lit("NaN"))
+      .when(f === Float.PositiveInfinity, lit("INF"))
+      .when(f === Float.NegativeInfinity, lit("-INF"))
+      .otherwise(f.cast(StringType))
+  }
+
   /** Trailing timezone part of a temporal lexical form: "Z", "+05:00",
     * "" when absent (xsd:dateTime/date lexical space).
     */
@@ -282,9 +293,13 @@ object SparqlExpr {
     val dblRes = dop(numDbl(a), numDbl(b))
     val intResult = rank(a) === 0 && rank(b) === 0 && lit(op != "/")
     when(!bothNum || a.isNull || b.isNull, nullTerm)
-      .when(r >= 2,
+      .when(r === 3,
         when(dblRes.isNull, nullTerm)
           .otherwise(Term.typedLit(dblLex(dblRes), XsdDouble)))
+      // XPath promotion: float∘float (or float∘exact) stays xsd:float
+      .when(r === 2,
+        when(dblRes.isNull, nullTerm)
+          .otherwise(Term.typedLit(fltLex(dblRes), XsdFloat)))
       .when(intResult && decRes.isNotNull,
         Term.intLit(decRes.cast(DecimalType(38, 0)).cast(LongType)))
       .otherwise(when(decRes.isNull, nullTerm)
@@ -601,7 +616,14 @@ object SparqlExpr {
       .when(a(0)("kind") === IriKind, a(0))
       .when(isStrTerm(a(0)), Term.iri(a(0)("lex")))
       .otherwise(nullTerm)
-    case "BNODE" => Term.bnode(expr("uuid()"))
+    case "BNODE" if a.isEmpty => Term.bnode(expr("uuid()"))
+    // labeled form (§17.4.2.9): same label -> same bnode within one
+    // solution, distinct across solutions — a row-unique id salts the
+    // label so the mapping is per-row stable and cross-row fresh
+    case "BNODE" =>
+      when(a(0).isNull || !isStrTerm(a(0)), nullTerm)
+        .otherwise(Term.bnode(concat(lit("bl"), md5(concat(a(0)("lex"),
+          lit("#"), monotonically_increasing_id().cast(StringType))))))
     case "STRDT" => when(isStrTerm(a(0)) && a(1)("kind") === IriKind,
       Term.typedLit(a(0)("lex"), "")
         .withField("dt", a(1)("lex"))).otherwise(nullTerm)
@@ -771,7 +793,8 @@ object SparqlExpr {
       url_encode(l), lit("\\+"), lit("%20"))
   private def numFn1(t: Column)(fd: Column => Column, fdb: Column => Column): Column =
     when(t.isNull || !Term.isNumericLit(t), nullTerm)
-      .when(rank(t) >= 2, Term.typedLit(dblLex(fdb(numDbl(t))), XsdDouble))
+      .when(rank(t) === 3, Term.typedLit(dblLex(fdb(numDbl(t))), XsdDouble))
+      .when(rank(t) === 2, Term.typedLit(fltLex(fdb(numDbl(t))), XsdFloat))
       .when(rank(t) === 0, Term.intLit(fd(numDec(t)).cast(DecimalType(38, 0)).cast(LongType)))
       .otherwise(Term.decimalLit(fd(numDec(t)).cast(StringType)))
   private def tsFn1(t: Column)(f: Column => Column): Column =

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, Row}
+import scala.collection.mutable.ListBuffer
 import graft.model.Term
 
 /** SPARQL Query Results serializers (oxigraph: lib/sparesults —
@@ -203,6 +204,74 @@ object Results {
             lang.cast("string").as("lang")))
       }
     b.select(vars.toSeq.map(v => termCol(v).as(v)): _*)
+  }
+
+  /** Parse a W3C SPARQL Query Results XML document (the sparesults XML
+    * reader direction; also the native expected-results format of the
+    * W3C test suite) into a solution DataFrame. Driver-side DOM over a
+    * protocol-sized document, namespace-tolerant (matches by local
+    * name). ASK documents (`<boolean>`) yield a single `__ask` column.
+    */
+  def fromXml(spark: org.apache.spark.sql.SparkSession,
+      xml: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    val doc = f.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    def children(n: org.w3c.dom.Node, local: String): Seq[org.w3c.dom.Element] = {
+      val out = ListBuffer[org.w3c.dom.Element]()
+      val cs = n.getChildNodes
+      for (i <- 0 until cs.getLength) cs.item(i) match {
+        case e: org.w3c.dom.Element if e.getLocalName == local => out += e
+        case _ =>
+      }
+      out.toSeq
+    }
+    val root = doc.getDocumentElement
+    children(root, "boolean").headOption match {
+      case Some(b) =>
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(Row(Row(Term.LiteralKind.toByte, b.getTextContent.trim,
+              Term.XsdBoolean, null)))),
+          StructType(Seq(StructField("__ask", Term.schema, nullable = true))))
+      case None =>
+    }
+    val vars = children(root, "head").headOption
+      .map(h => children(h, "variable").map(_.getAttribute("name")))
+      .getOrElse(Nil)
+    def termOf(binding: org.w3c.dom.Element): Row = {
+      val uri = children(binding, "uri").headOption
+      val bn = children(binding, "bnode").headOption
+      val li = children(binding, "literal").headOption
+      (uri, bn, li) match {
+        case (Some(u), _, _) =>
+          Row(Term.IriKind.toByte, u.getTextContent, null, null)
+        case (_, Some(b), _) =>
+          Row(Term.BlankKind.toByte, b.getTextContent, null, null)
+        case (_, _, Some(l)) =>
+          val lang = Option(l.getAttributeNS(
+            "http://www.w3.org/XML/1998/namespace", "lang")).filter(_.nonEmpty)
+          val dt = Option(l.getAttribute("datatype")).filter(_.nonEmpty)
+            .getOrElse(lang.map(_ => Term.RdfLangString).getOrElse(Term.XsdString))
+          Row(Term.LiteralKind.toByte, l.getTextContent, dt, lang.orNull)
+        case _ => null
+      }
+    }
+    val rows = for {
+      rs <- children(root, "results")
+      res <- children(rs, "result")
+    } yield {
+      val bound = children(res, "binding")
+        .map(b => b.getAttribute("name") -> termOf(b)).toMap
+      Row(vars.map(v => bound.get(v).orNull): _*)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList),
+      StructType(vars.map(v =>
+        StructField(v, Term.schema, nullable = true)).toSeq))
   }
 
   /** Parse W3C SPARQL 1.1 TSV results (N-Triples-syntax cells) into a

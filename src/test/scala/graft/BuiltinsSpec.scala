@@ -106,6 +106,16 @@ class BuiltinsSpec extends AnyFunSuite {
       div._2 == Some(Term.XsdDecimal), s"int/int -> decimal, got $div")
     assert(lex(f("*", n("2"), n("2.5", Term.XsdDouble)))._2 ==
       Some(Term.XsdDouble))
+    // XPath promotion: float stays float unless a double participates
+    val ff = lex(f("+", n("2.5", Term.XsdFloat), n("0.5", Term.XsdFloat)))
+    assert(ff._1 == Some("3.0") && ff._2 == Some(Term.XsdFloat),
+      s"float+float -> float, got $ff")
+    assert(lex(f("*", n("2", Term.XsdFloat), n("2.5", Term.XsdDouble)))._2 ==
+      Some(Term.XsdDouble))
+    assert(lex(f("+", n("2"), n("0.5", Term.XsdFloat)))._2 ==
+      Some(Term.XsdFloat))
+    assert(lex(f("ABS", n("-3.5", Term.XsdFloat)))._2 == Some(Term.XsdFloat))
+    assert(lex(f("UMINUS", n("4.5", Term.XsdFloat)))._2 == Some(Term.XsdFloat))
     assert(lex(f("/", n("1"), n("0")))._1.isEmpty) // div by zero -> error
     assert(lex(f("UMINUS", n("4")))._1 == Some("-4"))
     assert(lex(f("ABS", n("-3")))._1 == Some("3"))
@@ -113,6 +123,25 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(lex(f("FLOOR", n("2.9", Term.XsdDecimal)))._1.exists(_.startsWith("2")))
     assert(lex(f("ROUND", n("2.5", Term.XsdDecimal)))._1.exists(_.startsWith("3")))
     assert(lex(f("RAND"))._2 == Some(Term.XsdDouble))
+  }
+
+  test("BNODE labeled form: per-row stable, cross-row fresh") {
+    // same label within one solution -> same bnode; different labels differ
+    val df = spark.range(2).select(
+      f("BNODE", s("a")).as("x"), f("BNODE", s("a")).as("y"),
+      f("BNODE", s("b")).as("z"))
+    val rows = df.collect()
+    for (r <- rows) {
+      val (x, y, z) = (r.getAs[Row]("x"), r.getAs[Row]("y"), r.getAs[Row]("z"))
+      assert(x.getByte(0) == Term.BlankKind.toByte)
+      assert(x.getString(1) == y.getString(1), "same label, same row")
+      assert(x.getString(1) != z.getString(1), "different label")
+    }
+    // same label across solutions -> distinct bnodes
+    assert(rows(0).getAs[Row]("x").getString(1) !=
+      rows(1).getAs[Row]("x").getString(1), "fresh across rows")
+    // non-string argument is an error
+    assert(lex(f("BNODE", n("1")))._1.isEmpty)
   }
 
   test("boolean value-space equality accepts 1/0 lexicals") {

@@ -66,6 +66,48 @@ class ResultsSpec extends AnyFunSuite {
       withNull.except(back).count() == 0)
   }
 
+  test("XML results roundtrip: toXml -> fromXml is lossless") {
+    val withNull = sols.unionByName(
+      sols.limit(1).select(col("rn"),
+        SparqlExpr.nullTerm.as("l")))
+    val back = Results.fromXml(spark, Results.toXml(withNull))
+    assert(back.columns.toSeq == withNull.columns.toSeq)
+    assert(back.count() == withNull.count())
+    assert(back.except(withNull).count() == 0 &&
+      withNull.except(back).count() == 0)
+  }
+
+  test("fromXml handles bnode/typed terms and ASK booleans") {
+    val xml = """<?xml version="1.0"?>
+      <sparql xmlns="http://www.w3.org/2005/sparql-results#">
+        <head><variable name="a"/><variable name="b"/></head>
+        <results>
+          <result><binding name="a"><uri>http://x/1</uri></binding></result>
+          <result>
+            <binding name="a"><bnode>n1</bnode></binding>
+            <binding name="b"><literal
+              datatype="http://www.w3.org/2001/XMLSchema#integer">5</literal>
+            </binding>
+          </result>
+        </results>
+      </sparql>"""
+    val df = Results.fromXml(spark, xml).orderBy(col("a")("lex"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("a")
+      .getByte(0) == Term.IriKind.toByte)
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("a")
+      .getByte(0) == Term.BlankKind.toByte)
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("b")
+      .getString(2) == Term.XsdInteger)
+    val ask = Results.fromXml(spark,
+      """<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+           <head/><boolean>true</boolean></sparql>""")
+    assert(ask.columns.toSeq == Seq("__ask"))
+    assert(ask.head.getAs[org.apache.spark.sql.Row](0).getString(1) == "true")
+  }
+
   test("fromJson handles unbound vars and typed/bnode terms") {
     val json = """{"head":{"vars":["a","b"]},"results":{"bindings":[
       {"a":{"type":"uri","value":"http://x/1"}},
