@@ -78,21 +78,67 @@ object SparqlExpr {
         (substring(tz, 2, 2).cast(LongType) * 3600L +
           substring(tz, 5, 2).cast(LongType) * 60L))
 
-  /** Instant value of a dateTime/date literal, timezone-normalized to
-    * UTC (session timezone must be UTC — set by the entry points).
+  private val temporalTypes = Seq(XsdDateTime, XsdDate, XsdTime,
+    XsdGYear, XsdGYearMonth, XsdGMonth, XsdGMonthDay, XsdGDay)
+
+  /** Instant value of a temporal literal, timezone-normalized to UTC
+    * (session timezone must be UTC — set by the entry points).
+    * xsd:time and the 7-field G-types map onto the timeline with the
+    * XSD reference fillers (time on an arbitrary shared date; month/day
+    * types on 1972, a leap year, so --02-29 is valid). Cross-TYPE
+    * comparability is enforced by the callers (cmpFamily), not here.
     */
-  private def tsVal(t: Column): Column = {
+  private def tsValRaw(t: Column, utcNormalize: Boolean): Column = {
     val lex = t("lex")
     val base = regexp_replace(lex, TzRe, "")
-    val ts0 = try_to_timestamp(base, lit("yyyy-MM-dd['T'HH:mm:ss[.SSSSSS]]"))
-    when(t("kind") === LiteralKind && t("dt").isin(XsdDateTime, XsdDate),
-      ts0 - make_dt_interval(lit(0), lit(0), lit(0),
-        tzOffsetSecs(tzPart(lex)).cast(DecimalType(18, 6))))
+    val dt = t("dt")
+    val full =
+      when(dt.isin(XsdDateTime, XsdDate), base)
+        .when(dt === XsdTime, concat(lit("1972-12-31T"), base))
+        .when(dt === XsdGYear, concat(base, lit("-01-01")))
+        .when(dt === XsdGYearMonth, concat(base, lit("-01")))
+        .when(dt === XsdGMonthDay, concat(lit("1972-"),
+          regexp_extract(base, "^--(\\d{2}-\\d{2})$", 1)))
+        .when(dt === XsdGMonth, concat(lit("1972-"),
+          regexp_extract(base, "^--(\\d{2})$", 1), lit("-01")))
+        .when(dt === XsdGDay, concat(lit("1972-01-"),
+          regexp_extract(base, "^---(\\d{2})$", 1)))
+    val ts0 = try_to_timestamp(full, lit("yyyy-MM-dd['T'HH:mm:ss[.SSSSSS]]"))
+    val res =
+      if (utcNormalize)
+        ts0 - make_dt_interval(lit(0), lit(0), lit(0),
+          tzOffsetSecs(tzPart(lex)).cast(DecimalType(18, 6)))
+      else ts0
+    when(t("kind") === LiteralKind && dt.isin(temporalTypes: _*), res)
       .otherwise(lit(null).cast(TimestampType))
   }
+  private def tsVal(t: Column): Column = tsValRaw(t, utcNormalize = true)
+  /** Local (own-timezone) value — XPath component extraction reads the
+    * value as written, not the UTC-normalized instant.
+    */
+  private def tsLocal(t: Column): Column = tsValRaw(t, utcNormalize = false)
 
   private def isDtLit(t: Column): Column =
     t("kind") === LiteralKind && t("dt").isin(XsdDateTime, XsdDate)
+  private def isTemporalLit(t: Column): Column =
+    t("kind") === LiteralKind && t("dt").isin(temporalTypes: _*)
+
+  /** XSD temporal types are comparable only within one primitive type
+    * (dateTime/date cross-comparison is kept as a documented deviation
+    * the relational gates rely on).
+    */
+  private def cmpFamily(a: Column, b: Column): Column =
+    (isDtLit(a) && isDtLit(b)) || a("dt") === b("dt")
+
+  /** XSD §3.2.7.4 partial order: a timezone-less instant vs a
+    * timezone'd one is indeterminate (=> SPARQL error) unless they lie
+    * more than ±14 h apart on the timeline — the full range of legal
+    * timezone offsets.
+    */
+  private def tzIndet(a: Column, b: Column): Column =
+    ((tzPart(a("lex")) === "") =!= (tzPart(b("lex")) === "")) &&
+      abs(unix_micros(tsVal(a)) - unix_micros(tsVal(b))) <=
+        lit(14L * 3600L * 1000000L)
   private def isDurLit(t: Column): Column =
     t("kind") === LiteralKind &&
       t("dt").isin(XsdDayTimeDuration, XsdDuration)
@@ -199,6 +245,8 @@ object SparqlExpr {
       .when(bothNum,
         when(rank(a) >= 2 || rank(b) >= 2, numDbl(a) === numDbl(b))
           .otherwise(numDec(a) === numDec(b)))
+      .when(bothTs && !cmpFamily(a, b), lit(null).cast(BooleanType))
+      .when(bothTs && tzIndet(a, b), lit(null).cast(BooleanType))
       .when(bothTs, tsVal(a) === tsVal(b))
       .when(isStrTerm(a) && isStrTerm(b),
         a("lex") === b("lex") && coalesce(a("lang") === b("lang"),
@@ -218,6 +266,8 @@ object SparqlExpr {
       .when(bothNum,
         when(rank(a) >= 2 || rank(b) >= 2, numDbl(a) < numDbl(b))
           .otherwise(numDec(a) < numDec(b)))
+      .when(bothTs && !cmpFamily(a, b), lit(null).cast(BooleanType))
+      .when(bothTs && tzIndet(a, b), lit(null).cast(BooleanType))
       .when(bothTs, tsVal(a) < tsVal(b))
       .when(isStrTerm(a) && isStrTerm(b), a("lex") < b("lex"))
       .when(a("dt") === XsdBoolean && b("dt") === XsdBoolean,
@@ -386,7 +436,7 @@ object SparqlExpr {
     case EVar(n) => hint(n)
     case _ => staticDt(e).map { dt =>
       if (isNumType(dt)) VNum
-      else if (isDtType(dt)) VTemporal
+      else if (isDtType(dt) || temporalTypes.contains(dt)) VTemporal
       else if (dt == XsdString || dt == RdfLangString) VStr
       else if (dt == XsdBoolean) VBool
       else VOther
@@ -428,7 +478,9 @@ object SparqlExpr {
           .otherwise(nullBool)
       case VTemporal =>
         when(a.isNull || b.isNull, nullBool)
-          .when(tsVal(a).isNotNull && tsVal(b).isNotNull, tsVal(a) < tsVal(b))
+          .when(tsVal(a).isNotNull && tsVal(b).isNotNull,
+            when(!cmpFamily(a, b) || tzIndet(a, b), nullBool)
+              .otherwise(tsVal(a) < tsVal(b)))
           .otherwise(nullBool)
       case VStr =>
         when(a.isNull || b.isNull, nullBool)
@@ -456,7 +508,9 @@ object SparqlExpr {
           .otherwise(nullBool)
       case VTemporal =>
         when(a.isNull || b.isNull, nullBool)
-          .when(tsVal(a).isNotNull && tsVal(b).isNotNull, tsVal(a) === tsVal(b))
+          .when(tsVal(a).isNotNull && tsVal(b).isNotNull,
+            when(!cmpFamily(a, b) || tzIndet(a, b), nullBool)
+              .otherwise(tsVal(a) === tsVal(b)))
           .when(a("kind") =!= LiteralKind || b("kind") =!= LiteralKind, a <=> b)
           .otherwise(nullBool)
       case VStr =>
@@ -694,21 +748,22 @@ object SparqlExpr {
       // fractional seconds from the lexical form (the instant extraction
       // would truncate to whole seconds)
       when(a(0).isNull || a(0)("kind") =!= LiteralKind ||
-        a(0)("dt") =!= XsdDateTime || tsVal(a(0)).isNull, nullTerm)
+        !a(0)("dt").isin(XsdDateTime, XsdTime) || tsVal(a(0)).isNull,
+        nullTerm)
         .otherwise(Term.decimalLit(regexp_replace(regexp_replace(
           regexp_replace(
             coalesce(
               nullif(regexp_extract(a(0)("lex"),
-                "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1), lit("")),
+                "(?:T|^)\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1), lit("")),
               lit("0")),
             "^0(\\d)", "$1"),
           "(\\.\\d*?)0+$", "$1"), "\\.$", "")))
     case "TZ" =>
-      when(!isDtLit(a(0)), nullTerm)
+      when(!isTemporalLit(a(0)), nullTerm)
         .otherwise(Term.strLit(tzPart(a(0)("lex"))))
     case "TIMEZONE" =>
       // xsd:dayTimeDuration of the explicit timezone; error when absent
-      when(!isDtLit(a(0)) || tzPart(a(0)("lex")) === "", nullTerm)
+      when(!isTemporalLit(a(0)) || tzPart(a(0)("lex")) === "", nullTerm)
         .otherwise(Term.typedLit(
           durLex(tzOffsetSecs(tzPart(a(0)("lex"))).cast(DecimalType(38, 6))),
           XsdDayTimeDuration))
@@ -798,7 +853,7 @@ object SparqlExpr {
       .when(rank(t) === 0, Term.intLit(fd(numDec(t)).cast(DecimalType(38, 0)).cast(LongType)))
       .otherwise(Term.decimalLit(fd(numDec(t)).cast(StringType)))
   private def tsFn1(t: Column)(f: Column => Column): Column =
-    when(tsVal(t).isNull, nullTerm).otherwise(f(tsVal(t)))
+    when(tsLocal(t).isNull, nullTerm).otherwise(f(tsLocal(t)))
   private def castOrNull(lex: Column, dt: DataType, dtIri: String): Column = {
     val v = lex.try_cast(dt)
     when(v.isNull, nullTerm).otherwise(Term.typedLit(v.cast(StringType), dtIri))

@@ -48,6 +48,11 @@ object Term {
   val XsdDateTime: String = xsd + "dateTime"
   val XsdDate: String = xsd + "date"
   val XsdTime: String = xsd + "time"
+  val XsdGYear: String = xsd + "gYear"
+  val XsdGYearMonth: String = xsd + "gYearMonth"
+  val XsdGMonth: String = xsd + "gMonth"
+  val XsdGMonthDay: String = xsd + "gMonthDay"
+  val XsdGDay: String = xsd + "gDay"
   val XsdDuration: String = xsd + "duration"
   val XsdDayTimeDuration: String = xsd + "dayTimeDuration"
   val RdfLangString: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"

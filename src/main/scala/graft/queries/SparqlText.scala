@@ -188,6 +188,24 @@ object SparqlText {
         .select(str("t").as("t"), dbl("b").as("bal"))
     },
 
+    // xsd:time literals: value-space comparison + component extraction
+    "pq18_time" -> { (s, dir) =>
+      run(s, dir,
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?rname ?h WHERE {
+             ?r :name ?rname .
+             VALUES (?rname ?tm) {
+               ("AFRICA" "08:30:00"^^xsd:time)
+               ("AMERICA" "12:45:10"^^xsd:time)
+               ("ASIA" "23:05:00"^^xsd:time)
+               ("EUROPE" "00:15:30"^^xsd:time)
+               ("MIDDLE EAST" "06:00:00"^^xsd:time) }
+             BIND(HOURS(?tm) AS ?h)
+             FILTER(?tm > "05:00:00"^^xsd:time)
+           } ORDER BY ?rname""")
+        .select(str("rname").as("r_name"), int64("h").as("h"))
+    },
+
     // FROM: named graph merged into the default graph (§13.2 dataset)
     "pq13_from" -> { (s, dir) =>
       run(s, dir,
@@ -271,6 +289,11 @@ object SparqlText {
           AS bal
         FROM nation JOIN customer ON c_nationkey = n_nationkey
         WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9000.00 ORDER BY t""",
+    "pq18_time" ->
+      """SELECT r_name, CAST(h AS BIGINT) AS h FROM region
+        JOIN (VALUES ('AFRICA', 8), ('AMERICA', 12), ('ASIA', 23),
+          ('MIDDLE EAST', 6)) AS v(vn, h) ON r_name = vn
+        ORDER BY r_name""",
     "pq11_update_text" ->
       """SELECT (SELECT count(*) * 5 FROM customer)
         + (SELECT count(*) * 3 FROM nation)

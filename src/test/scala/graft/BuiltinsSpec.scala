@@ -125,6 +125,42 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(lex(f("RAND"))._2 == Some(Term.XsdDouble))
   }
 
+  test("xsd:time and G-type comparisons; tz partial order") {
+    val t1 = n("10:20:30", Term.XsdTime)
+    val t2 = n("11:00:00", Term.XsdTime)
+    assert(lex(f("<", t1, t2))._1 == Some("true"))
+    assert(lex(f("HOURS", t1))._1 == Some("10"))
+    assert(lex(f("MINUTES", t1))._1 == Some("20"))
+    assert(lex(f("SECONDS", n("10:20:30.25", Term.XsdTime)))._1 ==
+      Some("30.25"))
+    assert(lex(f("TZ", n("10:00:00+05:00", Term.XsdTime)))._1 ==
+      Some("+05:00"))
+    // G-types compare within their own type (1972 leap-year filler)
+    assert(lex(f("<", n("2023", Term.XsdGYear),
+      n("2024", Term.XsdGYear)))._1 == Some("true"))
+    assert(lex(f("<", n("2023-05", Term.XsdGYearMonth),
+      n("2023-06", Term.XsdGYearMonth)))._1 == Some("true"))
+    assert(lex(f("<", n("--02-29", Term.XsdGMonthDay),
+      n("--03-01", Term.XsdGMonthDay)))._1 == Some("true"))
+    assert(lex(f("<", n("--03", Term.XsdGMonth),
+      n("--04", Term.XsdGMonth)))._1 == Some("true"))
+    assert(lex(f("<", n("---05", Term.XsdGDay),
+      n("---06", Term.XsdGDay)))._1 == Some("true"))
+    // cross-type temporal comparison is an error, not an answer
+    assert(lex(f("<", n("2023", Term.XsdGYear),
+      n("2023-05", Term.XsdGYearMonth)))._1.isEmpty)
+    // tz-less vs tz'd within the ±14h window: indeterminate -> error
+    val noTz = n("2024-01-01T12:00:00", Term.XsdDateTime)
+    val tzd = n("2024-01-01T12:00:00Z", Term.XsdDateTime)
+    val far = n("2024-01-03T12:00:00Z", Term.XsdDateTime)
+    assert(lex(f("<", noTz, tzd))._1.isEmpty)
+    assert(lex(f("=", noTz, tzd))._1.isEmpty)
+    assert(lex(f("<", noTz, far))._1 == Some("true"))
+    // component extraction reads the local value, not the UTC instant
+    assert(lex(f("HOURS",
+      n("2024-01-01T10:00:00+05:00", Term.XsdDateTime)))._1 == Some("10"))
+  }
+
   test("BNODE labeled form: per-row stable, cross-row fresh") {
     // same label within one solution -> same bnode; different labels differ
     val df = spark.range(2).select(
