@@ -18,6 +18,12 @@ object Algebra {
       extends TermPat // literal
   final case class B(id: String) extends TermPat // blank node (as variable-like)
   case object DefaultGraphPat extends TermPat // default graph in quad data
+  /** RDF-star quoted-triple pattern `<< s p o >>` in subject/object
+    * position (spargebra RDF-star grammar: TermPattern::Triple).
+    * Components may be variables; fully-constant patterns compare as one
+    * canonical term.
+    */
+  final case class Q(s: TermPat, p: TermPat, o: TermPat) extends TermPat
 
   object L {
     import graft.model.Term._
@@ -142,6 +148,7 @@ object Algebra {
   def vars(tp: TermPat): Set[String] = tp match {
     case V(n) => Set(n)
     case B(id) => Set("_bnode_" + id)
+    case Q(s, p, o) => vars(s) ++ vars(p) ++ vars(o)
     case _ => Set.empty
   }
 

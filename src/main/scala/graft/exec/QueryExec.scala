@@ -66,6 +66,16 @@ object QueryExec {
         case None => Term.typedLit(lit(lex), dt)
       }
       case B(id) => if (sol.vars("_bnode_" + id)) col("_bnode_" + id) else nullTerm
+      // CONSTRUCT-star: build the quoted term from its (possibly
+      // variable) components via the canonical token renderer
+      case Q(s, p, o) =>
+        val (cs, cp, co) = (termCol(s), termCol(p), termCol(o))
+        when(cs.isNull || cp.isNull || co.isNull, nullTerm)
+          .otherwise(Term.quoted(concat(lit("<< "),
+            graft.expr.SparqlExpr.ntToken(cs), lit(" "),
+            graft.expr.SparqlExpr.ntToken(cp), lit(" "),
+            graft.expr.SparqlExpr.ntToken(co), lit(" >>"))))
+      case DefaultGraphPat => nullTerm
     }
     template.map { t =>
       sol.df.select(termCol(t.s).as("s"), termCol(t.p).as("p"),

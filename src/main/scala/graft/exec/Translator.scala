@@ -76,7 +76,30 @@ object Translator {
     case L(lex, dt, lang) => Some(
       c("kind") === Term.LiteralKind && c("lex") === lex && c("dt") === dt &&
         lang.map(l => c("lang") === l).getOrElse(c("lang").isNull))
+    // quoted pattern: fully constant compares as one canonical lex
+    // (pushdown-friendly); with inner variables only the kind is known
+    // here — components bind/filter via QuotedParts in scanPattern
+    case q: Q => Some(constQLex(q) match {
+      case Some(lexv) => c("kind") === Term.QuotedKind && c("lex") === lexv
+      case None => c("kind") === Term.QuotedKind
+    })
     case _ => None
+  }
+
+  /** Canonical lex of a fully-constant quoted pattern. */
+  private def constQLex(q: Q): Option[String] = {
+    import graft.model.QuotedTriple
+    def qt(tp: TermPat): Option[QuotedTriple.QTerm] = tp match {
+      case I(iri) =>
+        Some(QuotedTriple.QTerm(Term.IriKind.toByte, iri, null, null))
+      case L(lex, dt, lang) => Some(QuotedTriple.QTerm(
+        Term.LiteralKind.toByte, lex, dt, lang.orNull))
+      case q2: Q => constQLex(q2).map(l =>
+        QuotedTriple.QTerm(Term.QuotedKind.toByte, l, null, null))
+      case _ => None
+    }
+    for { s <- qt(q.s); p <- qt(q.p); o <- qt(q.o) }
+      yield QuotedTriple.encode(s, p, o)
   }
 
   /** Term-struct literal for a constant pattern (path closure seeds). */
@@ -86,6 +109,7 @@ object Translator {
       case Some(l) => Term.langLit(lit(lex), lit(l))
       case None => Term.typedLit(lit(lex), dt)
     })
+    case q: Q => constQLex(q).map(l => Term.quoted(lit(l)))
     case _ => None
   }
 
@@ -109,19 +133,42 @@ object Translator {
     val filtered = positions.foldLeft(gFiltered) { case (df, (pos, pat)) =>
       constFilter(col(pos), pat).map(df.where).getOrElse(df)
     }
-    // repeated variables inside one pattern: equality constraints
-    val varPos: Seq[(String, String)] = positions.flatMap { case (pos, pat) =>
-      varName(pat).map(_ -> pos)
-    } ++ (ctx match { case VarG(v) => Seq(v -> "g"); case _ => Nil })
+    // variable bindings: position columns, plus quoted-triple components
+    // extracted via QuotedParts (scan + projection — no join, no UDF)
+    val qConds = scala.collection.mutable.ListBuffer[Column]()
+    def qBinds(part: Column, pat: TermPat): Seq[(String, Column)] =
+      pat match {
+        case q2: Q if constQLex(q2).isEmpty =>
+          qConds += part("kind") === Term.QuotedKind
+          val parts = graft.expr.QuotedParts.parts(part("lex"))
+          Seq(q2.s -> "s", q2.p -> "p", q2.o -> "o").flatMap {
+            case (cp, f) => qBinds(parts(f), cp)
+          }
+        case other =>
+          constFilter(part, other).foreach(qConds += _)
+          varName(other).map(_ -> part).toSeq
+      }
+    val varPos: Seq[(String, Column)] = positions.flatMap { case (pos, pat) =>
+      pat match {
+        // top-level kind/const filter already applied by `filtered`
+        case q: Q if constQLex(q).isEmpty =>
+          val parts = graft.expr.QuotedParts.parts(col(pos)("lex"))
+          Seq(q.s -> "s", q.p -> "p", q.o -> "o").flatMap {
+            case (cp, f) => qBinds(parts(f), cp)
+          }
+        case other => varName(other).map(_ -> col(pos)).toSeq
+      }
+    } ++ (ctx match { case VarG(v) => Seq(v -> col("g")); case _ => Nil })
+    val condFiltered = qConds.foldLeft(filtered)((df, c) => df.where(c))
     val eqConstrained = varPos.groupBy(_._1).values
       .filter(_.size > 1)
-      .foldLeft(filtered) { (df, dups) =>
-        dups.map(_._2).sliding(2).foldLeft(df) { case (d, Seq(p1, p2)) =>
-          d.where(col(p1) === col(p2))
+      .foldLeft(condFiltered) { (df, dups) =>
+        dups.map(_._2).sliding(2).foldLeft(df) { case (d, Seq(c1, c2)) =>
+          d.where(c1 === c2)
         }
       }
     val proj = varPos.map(_._1).distinct.map { v =>
-      encode(col(varPos.find(_._1 == v).get._2)).as(v)
+      encode(varPos.find(_._1 == v).get._2).as(v)
     }
     val vs = varPos.map(_._1).toSet
     // seed the inference lattice from the predicate catalog (object
@@ -221,7 +268,12 @@ object Translator {
       case _ => 0
     }
     val bgpLeaves = parts.collect { case Bgp(tp) => tp }
-    if (dictExec && bgpLeaves.length == parts.length && bgpLeaves.length >= 2)
+    // quoted patterns need term structs (component extraction), so the
+    // id-encoded path skips conjunctions containing them
+    def hasQ(tp: TriplePattern): Boolean =
+      Seq(tp.s, tp.p, tp.o).exists(_.isInstanceOf[Q])
+    if (dictExec && bgpLeaves.length == parts.length &&
+        bgpLeaves.length >= 2 && !bgpLeaves.exists(hasQ))
       return translateConjunctionIds(bgpLeaves, src, ctx)
     val remaining = scala.collection.mutable.ListBuffer(parts: _*)
     var acc: Sol = null

@@ -212,6 +212,28 @@ object SparqlExpr {
   private def isStrTerm(t: Column): Column =
     t("kind") === LiteralKind && (t("dt") === XsdString || t("dt") === RdfLangString)
 
+  /** Canonical N-Triples token of a term column (mirrors
+    * QuotedTriple.renderTerm exactly — both sides of the quoted-triple
+    * codec must agree byte-for-byte for equality to stay structural).
+    */
+  private def ntEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
+  def ntToken(t: Column): Column =
+    when(t("kind") === IriKind, concat(lit("<"), t("lex"), lit(">")))
+      .when(t("kind") === BlankKind, concat(lit("_:"), t("lex")))
+      .when(t("kind") === QuotedKind, t("lex"))
+      .otherwise(concat(lit("\""), ntEscape(t("lex")), lit("\""),
+        when(t("lang").isNotNull, concat(lit("@"), t("lang")))
+          .when(t("dt").isNotNull && t("dt") =!= XsdString,
+            concat(lit("^^<"), t("dt"), lit(">")))
+          .otherwise(lit(""))))
+
+  /** One component of a quoted-triple term (SUBJECT/PREDICATE/OBJECT). */
+  private def quotedPart(t: Column, field: String): Column =
+    when(t.isNull || t("kind") =!= QuotedKind, nullTerm)
+      .otherwise(QuotedParts.parts(t("lex"))(field))
+
   /** Effective boolean value (SPARQL §17.2.2); evaluation error => null. */
   def ebv(t: Column): Column =
     when(t.isNull, lit(null).cast(BooleanType))
@@ -660,6 +682,18 @@ object SparqlExpr {
       .otherwise(a(0)("kind") === LiteralKind))
     case "isNumeric" => boolTerm(when(a(0).isNull, lit(null).cast(BooleanType))
       .otherwise(Term.isNumericLit(a(0))))
+    // RDF-star (SPARQL 1.2 §17.4.2.8-ish; oxigraph TRIPLE/SUBJECT/...)
+    case "isTRIPLE" => boolTerm(when(a(0).isNull, lit(null).cast(BooleanType))
+      .otherwise(a(0)("kind") === QuotedKind))
+    case "TRIPLE" =>
+      // subject must be IRI/bnode/quoted, predicate an IRI, else error
+      when(a(0).isNull || a(1).isNull || a(2).isNull ||
+        a(0)("kind") === LiteralKind || a(1)("kind") =!= IriKind, nullTerm)
+        .otherwise(Term.quoted(concat(lit("<< "), ntToken(a(0)), lit(" "),
+          ntToken(a(1)), lit(" "), ntToken(a(2)), lit(" >>"))))
+    case "SUBJECT" => quotedPart(a(0), "s")
+    case "PREDICATE" => quotedPart(a(0), "p")
+    case "OBJECT" => quotedPart(a(0), "o")
     case "STR" => when(a(0).isNull || a(0)("kind") === BlankKind, nullTerm)
       .otherwise(Term.strLit(a(0)("lex")))
     case "LANG" => when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.Term
+import graft.model.{QuotedTriple, Term}
 
 /** N-Triples / N-Quads source and sink.
   *
@@ -60,6 +60,17 @@ object RdfIO {
       ws()
       if (i >= line.length) fail("unexpected end")
       line(i) match {
+        // RDF-star quoted triple << s p o >> (N-Triples-star)
+        case '<' if i + 1 < line.length && line(i + 1) == '<' =>
+          i += 2
+          val s = parseTerm(); val p = parseTerm(); val o = parseTerm()
+          ws()
+          if (i + 1 >= line.length || line(i) != '>' || line(i + 1) != '>')
+            fail("unterminated quoted triple")
+          i += 2
+          def q(t: TermRow) = QuotedTriple.QTerm(t.kind, t.lex, t.dt, t.lang)
+          TermRow(Term.QuotedKind.toByte,
+            QuotedTriple.encode(q(s), q(p), q(o)), null, null)
         case '<' =>
           val end = line.indexOf('>', i)
           if (end < 0) fail("unterminated IRI")
@@ -210,6 +221,8 @@ object RdfIO {
   def formatTerm(t: Column): Column =
     when(t("kind") === Term.IriKind, concat(lit("<"), t("lex"), lit(">")))
       .when(t("kind") === Term.BlankKind, concat(lit("_:"), t("lex")))
+      // quoted triple: lex already IS the canonical N-Triples-star token
+      .when(t("kind") === Term.QuotedKind, t("lex"))
       .otherwise(concat(lit("\""), escape(t("lex")), lit("\""),
         when(t("lang").isNotNull, concat(lit("@"), t("lang")))
           .when(t("dt").isNotNull && t("dt") =!= Term.XsdString,

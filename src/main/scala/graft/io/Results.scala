@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, Row}
 import scala.collection.mutable.ListBuffer
-import graft.model.Term
+import graft.model.{QuotedTriple, Term}
 
 /** SPARQL Query Results serializers (oxigraph: lib/sparesults —
   * SURVEY.md §2.1 "results sinks"): solution DataFrames (one term-struct
@@ -33,6 +33,15 @@ object Results {
         s"""{"type":"uri","value":"$lex"}"""
       case k if k == Term.BlankKind.toByte =>
         s"""{"type":"bnode","value":"$lex"}"""
+      case k if k == Term.QuotedKind.toByte =>
+        // SPARQL-star JSON: nested triple object, recursively decoded
+        // from the canonical lex
+        Option(QuotedTriple.decode(t.getString(1))).map { parts =>
+          def r(q: QuotedTriple.QTerm) =
+            termJson(Row(q.kind, q.lex, q.dt, q.lang))
+          s"""{"type":"triple","value":{"subject":${r(parts(0))},""" +
+            s""""predicate":${r(parts(1))},"object":${r(parts(2))}}}"""
+        }.getOrElse(s"""{"type":"triple","value":"$lex"}""")
       case _ =>
         val dt = Option(t.getString(2))
         val lang = Option(t.getString(3))
@@ -70,6 +79,8 @@ object Results {
     else kind match { // TSV: full N-Triples terms (spec §3)
       case k if k == Term.IriKind.toByte => s"<$lex>"
       case k if k == Term.BlankKind.toByte => s"_:$lex"
+      // quoted triple: lex already IS the canonical N-Triples-star token
+      case k if k == Term.QuotedKind.toByte => lex
       case _ =>
         val esc = lex.replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", "\\n").replace("\t", "\\t")
@@ -117,6 +128,30 @@ object Results {
     case '"' => "&quot;"; case c => c.toString
   }
 
+  /** One term as its XML results element (recursive for RDF-star
+    * quoted triples: the SPARQL 1.2 <triple> element).
+    */
+  private def termXml(kind: Byte, lex0: String, dt: String,
+      lang: String): String = {
+    val lex = xmlEscape(Option(lex0).getOrElse(""))
+    if (kind == Term.IriKind.toByte) s"<uri>$lex</uri>"
+    else if (kind == Term.BlankKind.toByte) s"<bnode>$lex</bnode>"
+    else if (kind == Term.QuotedKind.toByte)
+      Option(QuotedTriple.decode(lex0)).map { p =>
+        def r(q: QuotedTriple.QTerm) = termXml(q.kind, q.lex, q.dt, q.lang)
+        s"<triple><subject>${r(p(0))}</subject>" +
+          s"<predicate>${r(p(1))}</predicate>" +
+          s"<object>${r(p(2))}</object></triple>"
+      }.getOrElse(s"<literal>$lex</literal>")
+    else Option(lang) match {
+      case Some(l) => s"""<literal xml:lang="${xmlEscape(l)}">$lex</literal>"""
+      case None => Option(dt) match {
+        case Some(Term.XsdString) | None => s"<literal>$lex</literal>"
+        case Some(d) => s"""<literal datatype="${xmlEscape(d)}">$lex</literal>"""
+      }
+    }
+  }
+
   /** W3C SPARQL Query Results XML Format (the sparesults XML writer). */
   def toXml(solutions: DataFrame): String = {
     val vars = solutions.columns
@@ -135,6 +170,9 @@ object Results {
               sb.append(s"<uri>$lex</uri>")
             case k if k == Term.BlankKind.toByte =>
               sb.append(s"<bnode>$lex</bnode>")
+            case k if k == Term.QuotedKind.toByte =>
+              sb.append(termXml(t.getByte(0), t.getString(1),
+                t.getString(2), t.getString(3)))
             case _ =>
               (Option(t.getString(3)), Option(t.getString(2))) match {
                 case (Some(lang), _) =>
@@ -242,21 +280,32 @@ object Results {
     val vars = children(root, "head").headOption
       .map(h => children(h, "variable").map(_.getAttribute("name")))
       .getOrElse(Nil)
-    def termOf(binding: org.w3c.dom.Element): Row = {
-      val uri = children(binding, "uri").headOption
-      val bn = children(binding, "bnode").headOption
-      val li = children(binding, "literal").headOption
-      (uri, bn, li) match {
-        case (Some(u), _, _) =>
+    def termOf(holder: org.w3c.dom.Element): Row = {
+      val uri = children(holder, "uri").headOption
+      val bn = children(holder, "bnode").headOption
+      val li = children(holder, "literal").headOption
+      val tr = children(holder, "triple").headOption
+      (uri, bn, li, tr) match {
+        case (Some(u), _, _, _) =>
           Row(Term.IriKind.toByte, u.getTextContent, null, null)
-        case (_, Some(b), _) =>
+        case (_, Some(b), _, _) =>
           Row(Term.BlankKind.toByte, b.getTextContent, null, null)
-        case (_, _, Some(l)) =>
+        case (_, _, Some(l), _) =>
           val lang = Option(l.getAttributeNS(
             "http://www.w3.org/XML/1998/namespace", "lang")).filter(_.nonEmpty)
           val dt = Option(l.getAttribute("datatype")).filter(_.nonEmpty)
             .getOrElse(lang.map(_ => Term.RdfLangString).getOrElse(Term.XsdString))
           Row(Term.LiteralKind.toByte, l.getTextContent, dt, lang.orNull)
+        case (_, _, _, Some(t)) =>
+          // SPARQL 1.2 <triple>: recursively re-encode to canonical lex
+          def q(r: Row) = QuotedTriple.QTerm(r.getByte(0), r.getString(1),
+            r.getString(2), r.getString(3))
+          val parts = Seq("subject", "predicate", "object")
+            .map(n => children(t, n).headOption.map(termOf).orNull)
+          if (parts.exists(_ == null)) null
+          else Row(Term.QuotedKind.toByte,
+            QuotedTriple.encode(q(parts(0)), q(parts(1)), q(parts(2))),
+            null, null)
         case _ => null
       }
     }

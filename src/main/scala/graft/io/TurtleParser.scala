@@ -162,6 +162,13 @@ final class TurtleParser(input: String, n3: Boolean = false) {
         while (pos < input.length && (input(pos).isLetterOrDigit ||
           input(pos) == '_')) pos += 1
         quantVar("?" + input.substring(start, pos))
+      // RDF-star quoted triple << s p o >> (Turtle-star)
+      case '<' if pos + 1 < input.length && input(pos + 1) == '<' =>
+        pos += 2
+        val qs = parseTerm(); val qp = parseTerm(); val qo = parseTerm()
+        ws()
+        expect(">>")
+        quotedTerm(qs, qp, qo)
       case '<' => subst(TermRow(Term.IriKind.toByte, parseIriRef(), null, null))
       case '_' =>
         pos += 2 // _:
@@ -267,6 +274,15 @@ final class TurtleParser(input: String, n3: Boolean = false) {
         val o = parseTerm()
         if (reversed) out += QuadRow(graph, o, p, s)
         else out += QuadRow(graph, s, p, o)
+        ws()
+        // Turtle-star annotation {| q v ; ... |}: asserts the triple AND
+        // annotates the quoted form of it
+        if (!reversed && pos + 1 < input.length && input(pos) == '{' &&
+            input(pos + 1) == '|') {
+          pos += 2
+          predicateObjectList(quotedTerm(s, p, o))
+          expect("|}")
+        }
         moreObjs = eatSym(",")
       }
       moreProps = eatSym(";")
@@ -274,6 +290,12 @@ final class TurtleParser(input: String, n3: Boolean = false) {
       if (moreProps && (pos >= input.length || input(pos) == '.' ||
         input(pos) == ']')) moreProps = false
     }
+  }
+
+  private def quotedTerm(s: TermRow, p: TermRow, o: TermRow): TermRow = {
+    def q(t: TermRow) = graft.model.QuotedTriple.QTerm(t.kind, t.lex, t.dt, t.lang)
+    TermRow(Term.QuotedKind.toByte,
+      graft.model.QuotedTriple.encode(q(s), q(p), q(o)), null, null)
   }
 
   /** A bare '=' verb (not '=>' which eatSym checks first). */

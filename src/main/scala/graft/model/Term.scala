@@ -24,6 +24,13 @@ object Term {
   val BlankKind: Int = 1
   val LiteralKind: Int = 2
   val DefaultGraphKind: Int = 3
+  /** RDF-star quoted triple (oxrdf: Subject::Triple / Term::Triple):
+    * `lex` holds the canonical N-Triples-star rendering "<< s p o >>"
+    * (single spaces, canonical escapes), so sameTerm / equality / joins
+    * stay plain struct comparisons and the components are recoverable
+    * by a deterministic parse (QuotedTriple).
+    */
+  val QuotedKind: Int = 4
 
   val schema: StructType = StructType(Seq(
     StructField("kind", ByteType, nullable = false),
@@ -96,6 +103,9 @@ object Term {
   def boolLit(c: Column): Column = typedLit(c, XsdBoolean)
   def dateTimeLit(c: Column): Column =
     typedLit(date_format(c, "yyyy-MM-dd'T'HH:mm:ss"), XsdDateTime)
+
+  /** Quoted triple term from its canonical lex (see QuotedKind). */
+  def quoted(c: Column): Column = term(QuotedKind, c, lit(null), lit(null))
 
   val defaultGraph: Column =
     term(DefaultGraphKind, lit(null), lit(null), lit(null))

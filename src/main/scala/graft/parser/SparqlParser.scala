@@ -176,6 +176,14 @@ final class SparqlParser(input: String) {
     ws()
     if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
       V(parseVarName())
+    else if (peekSym("<<")) {
+      // RDF-star quoted-triple pattern (SPARQL-star)
+      expect("<<")
+      val qs = parseVarOrTerm(); val qp = parseVarOrTerm()
+      val qo = parseVarOrTerm()
+      ws(); expect(">>")
+      Q(qs, qp, qo)
+    }
     else if (peekSym("<")) I(parseIriRef())
     else if (peekSym("\"") || peekSym("'")) parseRdfLiteral()
     else if (peek("true")) { eat("true"); L("true", Term.XsdBoolean) }
@@ -506,7 +514,8 @@ final class SparqlParser(input: String) {
     "REGEX", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND", "RAND",
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "NOW",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ISIRI", "ISURI",
-    "ISBLANK", "ISLITERAL", "ISNUMERIC", "SAMETERM")
+    "ISBLANK", "ISLITERAL", "ISNUMERIC", "SAMETERM", "TZ", "TIMEZONE",
+    "ISTRIPLE", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT")
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
     "GROUP_CONCAT")
 
@@ -523,6 +532,7 @@ final class SparqlParser(input: String) {
     case "ISLITERAL" => "isLiteral"
     case "ISNUMERIC" => "isNumeric"
     case "SAMETERM" => "sameTerm"
+    case "ISTRIPLE" => "isTRIPLE"
     case "URI" => "IRI"
     case up => up
   }

@@ -188,6 +188,21 @@ object SparqlText {
         .select(str("t").as("t"), dbl("b").as("bal"))
     },
 
+    // RDF-star expression surface through the full text pipeline:
+    // TRIPLE constructor, isTRIPLE, component accessor + sameTerm over
+    // quoted terms (pattern-level RDF-star is fixture-covered; this
+    // keeps the oracle-checkable gate on TPC-H data)
+    "pq19_rdfstar" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?cname ?b WHERE {
+             ?c :name ?cname ; :acctbal ?b .
+             BIND(TRIPLE(?c, :acctbal, ?b) AS ?t)
+             FILTER(isTRIPLE(?t) && sameTerm(OBJECT(?t), ?b)
+                    && ?b > 9500.00)
+           } ORDER BY ?cname""")
+        .select(str("cname").as("c_name"), dbl("b").as("bal"))
+    },
+
     // xsd:time literals: value-space comparison + component extraction
     "pq18_time" -> { (s, dir) =>
       run(s, dir,
@@ -289,6 +304,12 @@ object SparqlText {
           AS bal
         FROM nation JOIN customer ON c_nationkey = n_nationkey
         WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9000.00 ORDER BY t""",
+    "pq19_rdfstar" ->
+      """SELECT c_name,
+        CAST(CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+          AS bal
+        FROM customer WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9500.00
+        ORDER BY c_name""",
     "pq18_time" ->
       """SELECT r_name, CAST(h AS BIGINT) AS h FROM region
         JOIN (VALUES ('AFRICA', 8), ('AMERICA', 12), ('ASIA', 23),

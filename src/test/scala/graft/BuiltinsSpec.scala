@@ -180,6 +180,30 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(lex(f("BNODE", n("1")))._1.isEmpty)
   }
 
+  test("RDF-star TRIPLE/SUBJECT/PREDICATE/OBJECT round-trip") {
+    val t = f("TRIPLE", i("http://x/s"), i("http://x/p"), n("5"))
+    val tv = lex(t)
+    assert(tv._1 == Some(
+      "<< <http://x/s> <http://x/p> \"5\"^^<" + Term.XsdInteger + "> >>"))
+    assert(lex(f("isTRIPLE", t))._1 == Some("true"))
+    assert(lex(f("isTRIPLE", i("http://x/s")))._1 == Some("false"))
+    assert(lex(f("SUBJECT", t))._1 == Some("http://x/s"))
+    assert(lex(f("PREDICATE", t))._1 == Some("http://x/p"))
+    val o = lex(f("OBJECT", t))
+    assert(o._1 == Some("5") && o._2 == Some(Term.XsdInteger))
+    // nested: TRIPLE with a quoted subject; OBJECT(SUBJECT(..)) digs in
+    val nested = f("TRIPLE", t, i("http://x/q"), s("v"))
+    assert(lex(f("OBJECT", f("SUBJECT", nested)))._1 == Some("5"))
+    // errors: literal subject / non-IRI predicate / non-triple accessor
+    assert(lex(f("TRIPLE", s("x"), i("http://x/p"), n("1")))._1.isEmpty)
+    assert(lex(f("TRIPLE", i("http://x/s"), s("p"), n("1")))._1.isEmpty)
+    assert(lex(f("SUBJECT", i("http://x/s")))._1.isEmpty)
+    // sameTerm over quoted terms is structural equality
+    assert(lex(f("sameTerm", t,
+      f("TRIPLE", i("http://x/s"), i("http://x/p"), n("5"))))._1 ==
+      Some("true"))
+  }
+
   test("boolean value-space equality accepts 1/0 lexicals") {
     val t1 = Term.typedLit(lit("1"), Term.XsdBoolean)
     val tt = Term.typedLit(lit("true"), Term.XsdBoolean)

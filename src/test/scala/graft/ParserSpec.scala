@@ -117,6 +117,38 @@ class ParserSpec extends AnyFunSuite {
     assert(inv == Seq("http://example.org/q", "http://example.org/r"))
   }
 
+  test("RDF-star quoted-triple patterns parse in subject/object") {
+    val q = SparqlParser.parse(pfx +
+      "SELECT ?s ?c WHERE { << ?s :age ?a >> :certainty ?c . }")
+    val Select(Project(inner, _)) = q: @unchecked
+    def findQ(g: GraphPattern): Option[TriplePattern] = g match {
+      case Bgp(ps @ _*) => ps.find(_.s.isInstanceOf[Q])
+      case Join(l, r) => findQ(l).orElse(findQ(r))
+      case other => None
+    }
+    val tp = findQ(inner).get
+    val Q(V("s"), I(p), V("a")) = tp.s: @unchecked
+    assert(p == "http://example.org/age")
+    // nested quoted + object position + constant components
+    val q2 = SparqlParser.parse(pfx +
+      """SELECT ?x WHERE { ?x :says << << :a :b :c >> :d "v" >> . }""")
+    val Select(Project(inner2, _)) = q2: @unchecked
+    def findO(g: GraphPattern): Option[TermPat] = g match {
+      case Bgp(ps @ _*) => ps.map(_.o).find(_.isInstanceOf[Q])
+      case Join(l, r) => findO(l).orElse(findO(r))
+      case other => None
+    }
+    val Some(Q(nested: Q, I(_), L("v", Term.XsdString, None))) =
+      findO(inner2): @unchecked
+    assert(nested.s == I("http://example.org/a"))
+    // expression builtins
+    assert(SparqlParser.parse(pfx +
+      """SELECT ?t WHERE { ?x :p ?y .
+         BIND(TRIPLE(?x, :p, ?y) AS ?t)
+         FILTER(isTRIPLE(?t) && BOUND(SUBJECT(?t))) }""")
+      .isInstanceOf[Select])
+  }
+
   test("string escapes, datatypes, comments survive the parse") {
     val Select(Project(Filter(f, _), _)) = SparqlParser.parse(pfx +
       """SELECT ?x # trailing comment

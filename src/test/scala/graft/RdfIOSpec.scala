@@ -96,6 +96,41 @@ class RdfIOSpec extends AnyFunSuite {
       .getString(1).endsWith("#type")))
   }
 
+  test("Turtle-star quoted triples and annotation syntax") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttlstar")
+    java.nio.file.Files.writeString(dir.resolve("data.ttl"),
+      """@prefix ex: <http://e/> .
+        |<< ex:a ex:age 30 >> ex:certainty 0.9 .
+        |ex:b ex:age 25 {| ex:certainty 0.5 ; ex:src ex:wiki |} .
+        |ex:c ex:says << ex:a ex:age 30 >> .
+        |""".stripMargin)
+    val df = RdfIO.read(spark, dir.toString + "/data.ttl", "ttl")
+    val rows = df.collect()
+    // annotation asserts the base triple AND two annotation triples
+    assert(rows.length == 5)
+    def term(r: org.apache.spark.sql.Row, f: String) =
+      r.getAs[org.apache.spark.sql.Row](f)
+    val quotedSubs = rows.filter(r => term(r, "s").getByte(0) ==
+      graft.model.Term.QuotedKind.toByte)
+    assert(quotedSubs.length == 3)
+    // the annotated triple's quoted form is canonical and matches the
+    // N-Triples-star spelling of the same triple
+    val annCert = quotedSubs.filter(r =>
+      term(r, "p").getString(1) == "http://e/certainty")
+    assert(annCert.map(r => term(r, "s").getString(1)).toSet == Set(
+      "<< <http://e/a> <http://e/age> \"30\"^^<http://www.w3.org/2001/XMLSchema#integer> >>",
+      "<< <http://e/b> <http://e/age> \"25\"^^<http://www.w3.org/2001/XMLSchema#integer> >>"))
+    // object-position quoted triple
+    assert(rows.exists(r => term(r, "o").getByte(0) ==
+      graft.model.Term.QuotedKind.toByte))
+    // NT roundtrip: serialize + reparse preserves the quoted terms
+    val out = java.nio.file.Files.createTempDirectory("graft_ntstar")
+    RdfIO.writeNTriples(df, out.toString + "/out.nt")
+    val back = RdfIO.readNTriples(spark, out.toString + "/out.nt")
+    assert(back.count() == 5)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+
   test("Turtle collections desugar to rdf:first/rdf:rest chains") {
     val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val dir = java.nio.file.Files.createTempDirectory("graft_coll")
