@@ -260,6 +260,19 @@ class PlansSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("dd3 banding reuses the persisted signature table (no recompute)") {
+    // the documented 18x-regression failure mode is the signature
+    // projection being recomputed for the banding self-join and the two
+    // verification joins; the persist must surface as InMemoryTableScans
+    val docs = graft.io.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val pairs = graft.ops.Dedup.minhashLshPairs(docs)
+    pairs.count() // materializes the cache
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "persisted minhash signatures are not being reused:\n" + plan)
+  }
+
   test("inferPredicateClasses derives the catalog from data") {
     val inferred = graft.io.QuadSource.inferPredicateClasses(
       TpchRdf.quads(spark, sf))
