@@ -859,6 +859,12 @@ object Translator {
           case Some(L(lex, dt, lang)) =>
             org.apache.spark.sql.Row(Term.LiteralKind.toByte, lex, dt,
               lang.orNull)
+          case Some(q: Q) => constQLex(q) match {
+            case Some(l) =>
+              org.apache.spark.sql.Row(Term.QuotedKind.toByte, l, null, null)
+            case None => throw new IllegalArgumentException(
+              "VALUES quoted triples must be constant: " + q)
+          }
           case Some(other) => throw new IllegalArgumentException(
             s"VALUES supports IRIs and literals, got $other")
         }: _*)

@@ -10,10 +10,11 @@ import graft.model.Term
   * `@context` processing — term definitions (string and expanded form
   * with @id / @type / @language / @container), prefix (compact-IRI)
   * expansion, @vocab and @base, default @language, keyword aliases,
-  * context arrays and null-resets, and nested node-object contexts
-  * (inherit + override). Remote contexts (a string entry in @context)
-  * are rejected — zero egress — and scoped (term-level) contexts are
-  * out of scope; both are documented deviations.
+  * context arrays and null-resets, nested node-object contexts
+  * (inherit + override), and scoped contexts (property-scoped via a
+  * term definition's @context, type-scoped via a matched @type's term
+  * definition). Remote contexts (a string entry in @context) are
+  * rejected — zero egress; the one documented deviation.
   */
 final class JsonLdParser(content: String) {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -25,7 +26,8 @@ final class JsonLdParser(content: String) {
     * IRI; `container` is "@list" when list-coercing.
     */
   private case class TermDef(iri: String, typ: Option[String] = None,
-      lang: Option[String] = None, container: Option[String] = None)
+      lang: Option[String] = None, container: Option[String] = None,
+      scoped: Option[JsonNode] = None)
 
   /** Active context. `aliases` maps user keys to JSON-LD keywords. */
   private case class Ctx(terms: Map[String, TermDef] = Map.empty,
@@ -105,8 +107,11 @@ final class JsonLdParser(content: String) {
           val lang = Option(v.get("@language"))
             .map(l => if (l.isNull) "" else l.asText)
           val cont = Option(v.get("@container")).map(_.asText)
+          // scoped (term-level) context: raw node kept, parsed against
+          // the ACTIVE context at each use site (property or type)
+          val scoped = Option(v.get("@context"))
           ctx = ctx.copy(terms = ctx.terms +
-            (term -> TermDef(id, typ, lang, cont)))
+            (term -> TermDef(id, typ, lang, cont, scoped)))
         case _ =>
       }
     }
@@ -201,20 +206,26 @@ final class JsonLdParser(content: String) {
 
   /** A node object: emits its triples into graph `g`, returns subject. */
   private def nodeObject(n: JsonNode, g: TermRow, parentCtx: Ctx): TermRow = {
-    val ctx =
+    val ctx0 =
       if (n.has("@context")) parseContext(n.get("@context"), parentCtx)
       else parentCtx
-    val kw = ctx.keyword _
+    val kw = ctx0.keyword _
     def field(keyword: String): Option[JsonNode] =
       n.fields.asScala.find(e => kw(e.getKey) == keyword).map(_.getValue)
     val subj = field("@id") match {
-      case Some(id) => ref(ctx.expandRef(id.asText))
+      case Some(id) => ref(ctx0.expandRef(id.asText))
       case None => fresh()
     }
-    field("@type").foreach(t =>
-      asArray(t).foreach(x =>
-        out += QuadRow(g, subj, iri(RdfNs + "type"),
-          ref(ctx.expandRef(x.asText)))))
+    val typeVals = field("@type").toSeq.flatMap(asArray).map(_.asText)
+    typeVals.foreach(x =>
+      out += QuadRow(g, subj, iri(RdfNs + "type"),
+        ref(ctx0.expandRef(x))))
+    // type-scoped contexts: a matched @type whose term definition
+    // carries @context extends the active context for this node
+    val ctx = typeVals.foldLeft(ctx0) { (c, t) =>
+      c.terms.get(t).flatMap(_.scoped)
+        .map(parseContext(_, c)).getOrElse(c)
+    }
     field("@graph").foreach(gn =>
       asArray(gn).foreach(child => nodeObject(child, subj, ctx)))
     n.fields.asScala.foreach { e =>
@@ -226,8 +237,11 @@ final class JsonLdParser(content: String) {
             if (td.exists(_.container.contains("@list")) &&
               e.getValue.isArray) Seq(e.getValue) // one list, not n values
             else asArray(e.getValue)
+          // property-scoped context applies while processing the values
+          val vctx = td.flatMap(_.scoped)
+            .map(parseContext(_, ctx)).getOrElse(ctx)
           vs.foreach { v =>
-            out += QuadRow(g, subj, iri(p), valueTerm(v, g, ctx, td))
+            out += QuadRow(g, subj, iri(p), valueTerm(v, g, vctx, td))
           }
         }
     }

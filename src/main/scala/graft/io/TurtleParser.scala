@@ -23,7 +23,8 @@ import graft.model.Term
   * and formula terms `{ ... }` — each formula's triples land in a
   * fresh blank-node-named graph and the formula term IS that graph
   * name (quoting-as-named-graph, a documented deviation from true N3
-  * quoting; paths `!`/`^` are not supported).
+  * quoting), and paths `t!p` / `t^p` (each step materializes a fresh
+  * bnode plus its step triple).
   */
 final class TurtleParser(input: String, n3: Boolean = false) {
   private var pos = 0
@@ -151,7 +152,29 @@ final class TurtleParser(input: String, n3: Boolean = false) {
     fid
   }
 
+  /** N3 path suffixes `t!p` (object of p from t) and `t^p` (subject of
+    * p leading to t): each step materializes a fresh bnode and the
+    * step's triple; the path value is the final bnode (oxttl n3.rs
+    * path handling). Adjacent only — `^^` stays the datatype marker.
+    */
   private def parseTerm(): TermRow = {
+    var t = parsePrimaryTerm()
+    while (n3 && pos < input.length &&
+        (input(pos) == '!' ||
+          (input(pos) == '^' &&
+            (pos + 1 >= input.length || input(pos + 1) != '^')))) {
+      val fwd = input(pos) == '!'
+      pos += 1
+      val p = parsePrimaryTerm()
+      val b = freshBnode()
+      if (fwd) out += QuadRow(graph, t, p, b)
+      else out += QuadRow(graph, b, p, t)
+      t = b
+    }
+    t
+  }
+
+  private def parsePrimaryTerm(): TermRow = {
     ws()
     if (pos >= input.length) fail("unexpected end")
     input(pos) match {

@@ -315,6 +315,19 @@ final class SparqlParser(input: String) {
               case None => out += PathPattern(s, p, o)
             }
           }
+          ws()
+          // SPARQL-star annotation block {| q v ; ... |}: also matches
+          // the quoted form of the triple just parsed
+          if (peekSym("{|")) {
+            expect("{|")
+            val vp: TermPat = verb match {
+              case Right(v) => V(v)
+              case Left(p) => pathAsIri(p).map(I)
+                .getOrElse(fail("annotation on a property path"))
+            }
+            propertyList(Q(s, vp, o))
+            expect("|}")
+          }
           moreObjs = eatSym(",")
         }
         moreProps = eatSym(";")
@@ -540,6 +553,22 @@ final class SparqlParser(input: String) {
   private def parsePrimaryExpression(): Expr = {
     ws()
     if (peekSym("(")) { expect("("); val e = parseExpression(); expect(")"); e }
+    else if (peekSym("<<")) {
+      // SPARQL-star embedded triple in expression position: sugar for
+      // the TRIPLE(...) constructor over its components
+      expect("<<")
+      def toExpr(tp: TermPat): Expr = tp match {
+        case V(n) => EVar(n)
+        case I(iri) => EIri(iri)
+        case L(lex, dt, lang) => ELit(lex, dt, lang)
+        case Q(s2, p2, o2) => EFn("TRIPLE", toExpr(s2), toExpr(p2), toExpr(o2))
+        case other => fail(s"unsupported term in embedded triple: $other")
+      }
+      val s = parseVarOrTerm(); val p = parseVarOrTerm()
+      val o = parseVarOrTerm()
+      ws(); expect(">>")
+      EFn("TRIPLE", toExpr(s), toExpr(p), toExpr(o))
+    }
     else if (peek("EXISTS")) { eat("EXISTS"); EExists(parseGroupGraphPattern()) }
     else if (peek("NOT")) { eat("NOT"); expect("EXISTS")
       EExists(parseGroupGraphPattern(), positive = false) }

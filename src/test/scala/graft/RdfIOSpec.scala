@@ -131,6 +131,51 @@ class RdfIOSpec extends AnyFunSuite {
     assert(back.except(df).count() == 0 && df.except(back).count() == 0)
   }
 
+  test("N3 mode: quick vars, operators, formulas, and paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_n3")
+    java.nio.file.Files.writeString(dir.resolve("data.n3"),
+      """@prefix ex: <http://e/> .
+        |ex:a ex:knows ex:b .
+        |ex:x = ex:y .
+        |{ ?p ex:knows ?q } => { ?p ex:linked ?q } .
+        |ex:a!ex:knows ex:name "via-path" .
+        |ex:up^ex:parent ex:name "child-of-up" .
+        |""".stripMargin)
+    val df = RdfIO.read(spark, dir.toString + "/data.n3", "n3")
+    val rows = df.collect()
+    def p(r: org.apache.spark.sql.Row) =
+      r.getAs[org.apache.spark.sql.Row]("p").getString(1)
+    // '=' becomes owl:sameAs
+    assert(rows.exists(r => p(r) == "http://www.w3.org/2002/07/owl#sameAs"))
+    // '=>' becomes log:implies between two formula graphs
+    assert(rows.exists(r =>
+      p(r) == "http://www.w3.org/2000/10/swap/log#implies"))
+    // path ex:a!ex:knows: bnode B with (ex:a knows B) and (B name "via-path")
+    val viaName = rows.filter(r => p(r) == "http://e/name" &&
+      r.getAs[org.apache.spark.sql.Row]("o").getString(1) == "via-path")
+    assert(viaName.length == 1)
+    val pathNode = viaName.head.getAs[org.apache.spark.sql.Row]("s")
+    assert(pathNode.getByte(0) == graft.model.Term.BlankKind.toByte)
+    assert(rows.exists { r =>
+      val s = r.getAs[org.apache.spark.sql.Row]("s")
+      val o = r.getAs[org.apache.spark.sql.Row]("o")
+      s.getString(1) == "http://e/a" && p(r) == "http://e/knows" &&
+        o.getByte(0) == graft.model.Term.BlankKind.toByte &&
+        o.getString(1) == pathNode.getString(1)
+    }, "path step triple (ex:a knows _:b) missing")
+    // reverse path ex:up^ex:parent: (B parent ex:up) and (B name ...)
+    val childName = rows.filter(r => p(r) == "http://e/name" &&
+      r.getAs[org.apache.spark.sql.Row]("o").getString(1) == "child-of-up")
+    assert(childName.length == 1)
+    val revNode = childName.head.getAs[org.apache.spark.sql.Row]("s")
+    assert(rows.exists { r =>
+      val s = r.getAs[org.apache.spark.sql.Row]("s")
+      val o = r.getAs[org.apache.spark.sql.Row]("o")
+      s.getString(1) == revNode.getString(1) && p(r) == "http://e/parent" &&
+        o.getString(1) == "http://e/up"
+    }, "reverse path step triple (_:b parent ex:up) missing")
+  }
+
   test("Turtle collections desugar to rdf:first/rdf:rest chains") {
     val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val dir = java.nio.file.Files.createTempDirectory("graft_coll")
@@ -298,6 +343,45 @@ class RdfIOSpec extends AnyFunSuite {
     // rdf:li renumbering
     assert(o(rdf + "_1").getString(1) == "first")
     assert(o(rdf + "_2").getString(1) == "second")
+  }
+
+  test("JSON-LD scoped contexts: property-scoped and type-scoped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonldscoped")
+    java.nio.file.Files.writeString(dir.resolve("s.jsonld"),
+      """{
+        |  "@context": {
+        |    "@vocab": "http://x/",
+        |    "friend": {
+        |      "@id": "http://x/friend",
+        |      "@context": {"label": "http://inner/label"}
+        |    },
+        |    "Person": {
+        |      "@type": "@id", "@id": "http://x/Person",
+        |      "@context": {"born": "http://person/born"}
+        |    }
+        |  },
+        |  "@id": "http://x/a",
+        |  "@type": "Person",
+        |  "born": "1990",
+        |  "label": "outer",
+        |  "friend": {"@id": "http://x/b", "label": "inner"}
+        |}""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("s.jsonld").toString, "jsonld")
+    import org.apache.spark.sql.functions._
+    def preds = quads.select(col("p")("lex")).collect().map(_.getString(0))
+    // type-scoped: "born" maps through the Person term's @context
+    assert(preds.contains("http://person/born"))
+    // property-scoped: "label" inside the friend value maps to inner
+    val inner = quads.where(col("p")("lex") === "http://inner/label")
+      .collect()
+    assert(inner.length == 1)
+    assert(inner.head.getAs[org.apache.spark.sql.Row]("s")
+      .getString(1) == "http://x/b")
+    // outside the friend value, "label" still expands via @vocab
+    val outer = quads.where(col("p")("lex") === "http://x/label").collect()
+    assert(outer.length == 1)
+    assert(outer.head.getAs[org.apache.spark.sql.Row]("s")
+      .getString(1) == "http://x/a")
   }
 
   test("JSON-LD @context: terms, prefixes, vocab, coercion, aliases") {
