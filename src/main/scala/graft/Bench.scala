@@ -31,8 +31,14 @@ object Bench {
     // SPARK_GRAFT_RUNS > 1: repeat the whole set and report per-query
     // MEDIANS (BASELINE.md: totals vary ±20% run-to-run; medians don't)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    // SPARK_GRAFT_ONLY=q1,q2: restrict to named queries (local micro-
+    // benchmarking; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val perRun = (1 to runs).map { _ =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t) / 1e9

@@ -126,21 +126,22 @@ object Dedup {
     * expressions stay plain resolvable columns.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val bits = broadcast(spark.range(64).select(col("id").as("j")))
+    // One shuffle: 64 per-bit vote sums as parallel aggregates over raw
+    // token occurrences (identical to frequency-weighted votes, since
+    // sum of +-1 per occurrence == +-cnt per distinct token). Replaces
+    // the former 64-row crossJoin + two-stage aggregation — no x64 row
+    // blowup, map-side partial aggregation does most of the work.
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))
-    toks.crossJoin(bits)
-      .withColumn("v",
-        when(expr("shiftright(h, cast(j as int)) % 2 != 0"), col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy("doc_id", "j").agg(sum("v").as("bit"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("bit") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until 64).map(j =>
+      sum(when(expr(s"shiftright(h, $j) % 2 != 0"), 1L).otherwise(-1L))
+        .as(s"b$j"))
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, candidates

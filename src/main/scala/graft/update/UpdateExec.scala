@@ -83,12 +83,25 @@ object UpdateExec {
 
   private def constQuads(quads: DataFrame,
       qs: Seq[(TermPat, TriplePattern)]): DataFrame = {
+    import graft.model.QuotedTriple
+    def qt(tp: TermPat): QuotedTriple.QTerm = tp match {
+      case I(iri) => QuotedTriple.QTerm(Term.IriKind.toByte, iri, null, null)
+      case L(lex, dt, lang) => QuotedTriple.QTerm(
+        Term.LiteralKind.toByte, lex, dt, lang.orNull)
+      case Q(s2, p2, o2) => QuotedTriple.QTerm(
+        Term.QuotedKind.toByte, enc(s2, p2, o2), null, null)
+      case other => throw new IllegalArgumentException(
+        s"ground term required in quoted triple, got $other")
+    }
+    def enc(s: TermPat, p: TermPat, o: TermPat): String =
+      QuotedTriple.encode(qt(s), qt(p), qt(o))
     def c(tp: TermPat): Column = tp match {
       case I(iri) => Term.iri(iri)
       case L(lex, dt, lang) => lang match {
         case Some(l) => Term.langLit(lit(lex), lit(l))
         case None => Term.typedLit(lit(lex), dt)
       }
+      case Q(s, p, o) => Term.quoted(lit(enc(s, p, o)))
       case other => throw new IllegalArgumentException(
         s"ground term required in data block, got $other")
     }

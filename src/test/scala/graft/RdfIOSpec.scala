@@ -61,6 +61,33 @@ class RdfIOSpec extends AnyFunSuite {
     assert(viaDefault.count() == n0 + 2)
   }
 
+  test("INSERT DATA / DELETE DATA with quoted triples") {
+    import org.apache.spark.sql.functions._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Term.quadSchema)
+    val afterIns = graft.update.UpdateExec.executeText(
+      """PREFIX : <http://x/>
+        |INSERT DATA {
+        |  << :a :age 30 >> :certainty 0.9 .
+        |  :a :age 30 .
+        |}""".stripMargin, empty)
+    assert(afterIns.count() == 2)
+    val qrow = afterIns.where(col("s")("kind") ===
+      graft.model.Term.QuotedKind).collect()
+    assert(qrow.length == 1)
+    assert(qrow.head.getAs[org.apache.spark.sql.Row]("s").getString(1) ==
+      "<< <http://x/a> <http://x/age> \"30\"^^<http://www.w3.org/2001/XMLSchema#integer> >>")
+    // DELETE DATA with the same spelling removes exactly that quad
+    val afterDel = graft.update.UpdateExec.executeText(
+      """PREFIX : <http://x/>
+        |DELETE DATA { << :a :age 30 >> :certainty 0.9 . }""".stripMargin,
+      afterIns)
+    assert(afterDel.count() == 1)
+    assert(afterDel.where(col("s")("kind") ===
+      graft.model.Term.QuotedKind).count() == 0)
+  }
+
   test("Turtle reader: prefixes, abbreviations, bnode lists, shorthand") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ttl")
     java.nio.file.Files.writeString(dir.resolve("data.ttl"),
