@@ -303,7 +303,11 @@ object SparqlExpr {
     */
   def sortKey(t: Column, cls: Option[VClass] = None): Column = struct(
     when(t.isNull, 0).when(t("kind") === BlankKind, 1)
-      .when(t("kind") === IriKind, 2).otherwise(3).as("cls"),
+      .when(t("kind") === IriKind, 2)
+      // quoted triples order after literals (SPARQL 1.2 extended
+      // ordering); within the bucket the canonical lex is the tiebreak
+      .when(t("kind") === QuotedKind, 4)
+      .otherwise(3).as("cls"),
     // static class pruning: a known value space makes the other rank
     // branches dead code (VNum drops the tsVal regex/timestamp tree —
     // the hottest expression in ORDER BY over measures)

@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, Row}
 import scala.collection.mutable.ListBuffer
+import scala.jdk.CollectionConverters._
 import graft.model.{QuotedTriple, Term}
 
 /** SPARQL Query Results serializers (oxigraph: lib/sparesults —
@@ -199,49 +200,61 @@ object Results {
   // for composing with the engine. Bulk interchange stays on parquet.
 
   /** Parse a W3C SPARQL 1.1 JSON results document into a solution
-    * DataFrame (one Term-struct column per head var). Uses Spark's own
-    * JSON reader for the document structure.
+    * DataFrame (one Term-struct column per head var). Results documents
+    * are driver-side protocol payloads (see section note above), so the
+    * document parses with Jackson row-by-row — which also makes the
+    * SPARQL 1.2 nested `"type":"triple"` objects (RDF-star) a simple
+    * recursion. ASK documents yield a single `__ask` column.
     */
   def fromJson(spark: org.apache.spark.sql.SparkSession,
       json: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.types.{StructField, StructType}
-    val raw = spark.read.json(spark.createDataset(Seq(json)))
-    val vars = raw.select(org.apache.spark.sql.functions.explode(
-      org.apache.spark.sql.functions.col("head.vars"))).as[String].collect()
-    val outSchema = StructType(
-      vars.map(v => StructField(v, Term.schema, nullable = true)).toSeq)
-    val hasBindings = raw.schema.fields.exists(_.name == "results") &&
-      raw.select("results.*").schema.fields.exists(_.name == "bindings")
-    if (!hasBindings)
+    import com.fasterxml.jackson.databind.JsonNode
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    if (root.has("boolean"))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], outSchema)
-    val b = raw.select(org.apache.spark.sql.functions.explode(
-      org.apache.spark.sql.functions.col("results.bindings")).as("b"))
-    val bType = b.schema.fields.head.dataType.asInstanceOf[StructType]
-    import org.apache.spark.sql.functions._
-    def termCol(v: String): org.apache.spark.sql.Column =
-      if (!bType.fieldNames.contains(v)) lit(null).cast(Term.schema)
-      else {
-        val t = col("b")(v)
-        val sub = bType(v).dataType
-          .asInstanceOf[StructType].fieldNames.toSet
-        def f(n: String) =
-          if (sub.contains(n)) t(n) else lit(null).cast("string")
-        val lang = f("xml:lang")
-        val dt = coalesce(f("datatype"),
-          when(lang.isNotNull, Term.RdfLangString)
-            .otherwise(Term.XsdString))
-        when(t.isNull || f("type").isNull, lit(null).cast(Term.schema))
-          .when(f("type") === "uri", Term.iri(f("value")))
-          .when(f("type") === "bnode", Term.bnode(f("value")))
-          .otherwise(struct(
-            lit(Term.LiteralKind).cast("byte").as("kind"),
-            f("value").cast("string").as("lex"),
-            dt.cast("string").as("dt"),
-            lang.cast("string").as("lang")))
+        spark.sparkContext.parallelize(
+          Seq(Row(Row(Term.LiteralKind.toByte,
+            root.get("boolean").asBoolean.toString,
+            Term.XsdBoolean, null)))),
+        StructType(Seq(StructField("__ask", Term.schema, nullable = true))))
+    val vars = Option(root.get("head")).flatMap(h => Option(h.get("vars")))
+      .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+    def term(n: JsonNode): Row =
+      if (n == null || n.isNull || !n.has("type")) null
+      else n.get("type").asText match {
+        case "uri" => Row(Term.IriKind.toByte, n.get("value").asText,
+          null, null)
+        case "bnode" => Row(Term.BlankKind.toByte, n.get("value").asText,
+          null, null)
+        case "triple" =>
+          val v = n.get("value")
+          def q(r: Row) = QuotedTriple.QTerm(r.getByte(0), r.getString(1),
+            r.getString(2), r.getString(3))
+          val parts = Seq("subject", "predicate", "object")
+            .map(f => Option(v.get(f)).map(term).orNull)
+          if (parts.exists(_ == null)) null
+          else Row(Term.QuotedKind.toByte,
+            QuotedTriple.encode(q(parts(0)), q(parts(1)), q(parts(2))),
+            null, null)
+        case _ => // "literal" (and the legacy "typed-literal")
+          val lang = Option(n.get("xml:lang")).map(_.asText)
+          val dt = Option(n.get("datatype")).map(_.asText)
+            .getOrElse(lang.map(_ => Term.RdfLangString)
+              .getOrElse(Term.XsdString))
+          Row(Term.LiteralKind.toByte, n.get("value").asText, dt,
+            lang.orNull)
       }
-    b.select(vars.toSeq.map(v => termCol(v).as(v)): _*)
+    val bindings = Option(root.get("results"))
+      .flatMap(r => Option(r.get("bindings")))
+      .map(_.elements.asScala.toSeq).getOrElse(Nil)
+    val rows = bindings.map(b =>
+      Row(vars.map(v => Option(b.get(v)).map(term).orNull): _*))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList),
+      StructType(vars.map(v =>
+        StructField(v, Term.schema, nullable = true)).toSeq))
   }
 
   /** Parse a W3C SPARQL Query Results XML document (the sparesults XML

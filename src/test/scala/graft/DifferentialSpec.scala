@@ -26,8 +26,19 @@ class DifferentialSpec extends AnyFunSuite {
     Gen.choose(0, 4).map(iri), Gen.choose(0, 5).map(int),
     Gen.oneOf("a", "b", "c").map(str))
   private val genPred: Gen[T] = Gen.choose(0, 2).map(n => iri(10 + n))
-  private val genQuad: Gen[(T, T, T)] = for {
+  // RDF-star: quoted-triple terms over the same universe (kind 4; lex =
+  // canonical encoding, dt null) — appear as subjects/objects
+  private def toQ(t: T) = graft.model.QuotedTriple.QTerm(
+    t._1.toByte, t._2, t._3, null)
+  private def qt(s: T, p: T, o: T): T =
+    (4, graft.model.QuotedTriple.encode(toQ(s), toQ(p), toQ(o)), null)
+  private val genQuoted: Gen[T] = for {
     s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genTerm
+  } yield qt(s, p, o)
+  private val genQuad: Gen[(T, T, T)] = for {
+    s <- Gen.frequency(5 -> Gen.choose(0, 4).map(iri), 1 -> genQuoted)
+    p <- genPred
+    o <- Gen.frequency(5 -> genTerm, 1 -> genQuoted)
   } yield (s, p, o)
   private val genData: Gen[Seq[(T, T, T)]] =
     Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, genQuad))
@@ -39,11 +50,21 @@ class DifferentialSpec extends AnyFunSuite {
     5 -> genVar,
     1 -> Gen.choose(0, 4).map(n => I(s"http://x/i$n")),
     1 -> Gen.choose(0, 5).map(n => L(n.toString, Term.XsdInteger)))
-  private val genTriple: Gen[TriplePattern] = for {
-    s <- genTermPat; p <- Gen.frequency(
-      4 -> Gen.choose(0, 2).map(n => I(s"http://x/i${10 + n}")),
+  // quoted-triple patterns, components var/constant (inner vars bind
+  // through QuotedParts extraction on the Spark side)
+  private val genQPat: Gen[TermPat] = for {
+    s <- genTermPat
+    p <- Gen.frequency(
+      3 -> Gen.choose(0, 2).map(n => I(s"http://x/i${10 + n}")),
       1 -> genVar)
     o <- genTermPat
+  } yield Q(s, p, o)
+  private val genTriple: Gen[TriplePattern] = for {
+    s <- Gen.frequency(6 -> genTermPat, 1 -> genQPat)
+    p <- Gen.frequency(
+      4 -> Gen.choose(0, 2).map(n => I(s"http://x/i${10 + n}")),
+      1 -> genVar)
+    o <- Gen.frequency(6 -> genTermPat, 1 -> genQPat)
   } yield TriplePattern(s, p, o)
   private val genBgp: Gen[GraphPattern] =
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, genTriple))
@@ -82,7 +103,18 @@ class DifferentialSpec extends AnyFunSuite {
       case I(i) => if (t == (0, i, null)) Some(b) else None
       case L(lex, dt, _) => if (t._1 == 2 && t._2 == lex && t._3 == dt)
         Some(b) else None
-      case B(_) => None
+      case Q(qs, qp, qo) =>
+        if (t._1 != 4) None
+        else Option(graft.model.QuotedTriple.decode(t._2)).flatMap { ps =>
+          def asT(q: graft.model.QuotedTriple.QTerm): T =
+            (q.kind.toInt, q.lex, q.dt)
+          for {
+            b1 <- matchPat(qs, asT(ps(0)), b)
+            b2 <- matchPat(qp, asT(ps(1)), b1)
+            b3 <- matchPat(qo, asT(ps(2)), b2)
+          } yield b3
+        }
+      case B(_) | DefaultGraphPat => None
     }
   private def compatible(a: Binding, b: Binding): Boolean =
     a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))

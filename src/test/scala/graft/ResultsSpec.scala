@@ -108,6 +108,28 @@ class ResultsSpec extends AnyFunSuite {
     assert(ask.head.getAs[org.apache.spark.sql.Row](0).getString(1) == "true")
   }
 
+  test("JSON/XML/TSV roundtrip quoted triples (RDF-star results)") {
+    val q = SparqlExpr.fn("TRIPLE", Seq(
+      graft.model.Term.iri("http://x/s"), graft.model.Term.iri("http://x/p"),
+      graft.model.Term.typedLit(lit("5"), Term.XsdInteger)))
+    val df = spark.range(1).select(q.as("t"),
+      graft.model.Term.strLit(lit("note")).as("n"))
+    for (roundtrip <- Seq(
+      (d: org.apache.spark.sql.DataFrame) =>
+        Results.fromJson(spark, Results.toJson(d)),
+      (d: org.apache.spark.sql.DataFrame) =>
+        Results.fromXml(spark, Results.toXml(d)),
+      (d: org.apache.spark.sql.DataFrame) =>
+        Results.fromTsv(spark, Results.toTsv(d)))) {
+      val back = roundtrip(df)
+      assert(back.count() == 1)
+      val t = back.head.getAs[org.apache.spark.sql.Row]("t")
+      assert(t.getByte(0) == Term.QuotedKind.toByte)
+      assert(t.getString(1) ==
+        "<< <http://x/s> <http://x/p> \"5\"^^<" + Term.XsdInteger + "> >>")
+    }
+  }
+
   test("fromJson handles unbound vars and typed/bnode terms") {
     val json = """{"head":{"vars":["a","b"]},"results":{"bindings":[
       {"a":{"type":"uri","value":"http://x/1"}},
