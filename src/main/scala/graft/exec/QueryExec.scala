@@ -94,14 +94,34 @@ object QueryExec {
   def describe(gp: GraphPattern, v: String, quads: DataFrame): DataFrame =
     describe(gp, Seq(v), quads)
 
-  /** DESCRIBE over several resources: union of per-variable bindings. */
+  /** DESCRIBE over several resources: union of per-variable bindings,
+    * expanded to the Concise Bounded Description — blank-node objects
+    * of included triples are described transitively (seeded frontier
+    * fixpoint, same discipline as the path closures: each round joins
+    * only the NEW bnodes, localCheckpoint cuts lineage).
+    */
   def describe(gp: GraphPattern, vs: Seq[String], quads: DataFrame)
       : DataFrame = {
     val sol = Translator.translate(gp, quads)
+    val dg = quads.where(col("g")("kind") === Term.DefaultGraphKind)
     val subjects = vs.map(v => sol.df.select(col(v).as("__subj")))
       .reduce(_ unionByName _).distinct()
-    quads.where(col("g")("kind") === Term.DefaultGraphKind)
-      .join(subjects, col("s") === col("__subj"))
+    var acc = dg.join(subjects, col("s") === col("__subj"))
       .select(col("s"), col("p"), col("o"))
+    var frontier = acc.where(col("o")("kind") === Term.BlankKind)
+      .select(col("o").as("__subj")).distinct()
+      .except(subjects).localCheckpoint(eager = true)
+    var rounds = 0
+    while (frontier.limit(1).count() > 0 && rounds < 32) {
+      val next = dg.join(frontier, col("s") === col("__subj"))
+        .select(col("s"), col("p"), col("o"))
+      acc = acc.unionByName(next)
+      frontier = next.where(col("o")("kind") === Term.BlankKind)
+        .select(col("o").as("__subj")).distinct()
+        .except(acc.select(col("s").as("__subj")).distinct())
+        .localCheckpoint(eager = true)
+      rounds += 1
+    }
+    acc.distinct()
   }
 }

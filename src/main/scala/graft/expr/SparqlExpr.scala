@@ -119,7 +119,7 @@ object SparqlExpr {
   private def tsLocal(t: Column): Column = tsValRaw(t, utcNormalize = false)
 
   private def isDtLit(t: Column): Column =
-    t("kind") === LiteralKind && t("dt").isin(XsdDateTime, XsdDate)
+    t("kind") === LiteralKind && t("dt").isin(XsdDateTime, XsdDate, XsdTime)
   private def isTemporalLit(t: Column): Column =
     t("kind") === LiteralKind && t("dt").isin(temporalTypes: _*)
 
@@ -198,6 +198,19 @@ object SparqlExpr {
           concat(date_format(res, "yyyy-MM-dd"),
             when(tzPart(t("lex")) === "", lit("")).otherwise(lit("Z"))),
           XsdDate))
+      // op:add-dayTimeDuration-to-time: arithmetic modulo 24 h — taking
+      // the time-of-day of the shifted instant IS the mod (the filler
+      // date absorbs day rollover)
+      .when(t("dt") === XsdTime, {
+        val frac = date_format(res, "SSSSSS")
+        Term.typedLit(concat(
+          date_format(res, "HH:mm:ss"),
+          when(frac =!= "000000",
+            concat(lit("."), regexp_replace(frac, "0+$", "")))
+            .otherwise(lit("")),
+          when(tzPart(t("lex")) === "", lit("")).otherwise(lit("Z"))),
+          XsdTime)
+      })
       .otherwise(Term.typedLit(dtLexOut(res, tzPart(t("lex"))), XsdDateTime))
   }
 
@@ -206,6 +219,9 @@ object SparqlExpr {
     val secs = ((unix_micros(tsVal(a)) - unix_micros(tsVal(b)))
       .cast(DecimalType(38, 6)) / 1000000L).cast(DecimalType(38, 6))
     when(tsVal(a).isNull || tsVal(b).isNull, nullTerm)
+      // time-of-day only subtracts against time-of-day (the filler date
+      // would otherwise leak into a time - dateTime difference)
+      .when((a("dt") === XsdTime) =!= (b("dt") === XsdTime), nullTerm)
       .otherwise(Term.typedLit(durLex(secs), XsdDayTimeDuration))
   }
 
@@ -446,7 +462,7 @@ object SparqlExpr {
   private def isDurType(dt: String): Boolean =
     dt == XsdDayTimeDuration || dt == XsdDuration
   private def isDtType(dt: String): Boolean =
-    dt == XsdDateTime || dt == XsdDate
+    dt == XsdDateTime || dt == XsdDate || dt == XsdTime
   private def isNumType(dt: String): Boolean = numericTypes.contains(dt)
 
   /** Value-space class for comparison pruning. */

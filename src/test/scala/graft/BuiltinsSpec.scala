@@ -159,6 +159,17 @@ class BuiltinsSpec extends AnyFunSuite {
     // component extraction reads the local value, not the UTC instant
     assert(lex(f("HOURS",
       n("2024-01-01T10:00:00+05:00", Term.XsdDateTime)))._1 == Some("10"))
+    // time +- dayTimeDuration wraps modulo 24 h; time - time -> duration
+    val t23 = n("23:30:00", Term.XsdTime)
+    val plus = lex(f("+", t23, n("PT2H", Term.XsdDayTimeDuration)))
+    assert(plus._1 == Some("01:30:00") && plus._2 == Some(Term.XsdTime),
+      s"time wrap, got $plus")
+    assert(lex(f("-", t23, n("PT30M", Term.XsdDayTimeDuration)))._1 ==
+      Some("23:00:00"))
+    assert(lex(f("-", t23, n("22:30:00", Term.XsdTime)))._1 == Some("PT1H"))
+    // time - dateTime is an error (filler date must not leak)
+    assert(lex(f("-", t23,
+      n("2024-01-01T10:00:00", Term.XsdDateTime)))._1.isEmpty)
   }
 
   test("BNODE labeled form: per-row stable, cross-row fresh") {
