@@ -233,15 +233,30 @@ final class JsonLdParser(content: String) {
       if (!key.startsWith("@") && !kw(key).startsWith("@"))
         ctx.expandKey(key).foreach { p =>
           val td = ctx.terms.get(key)
-          val vs =
-            if (td.exists(_.container.contains("@list")) &&
-              e.getValue.isArray) Seq(e.getValue) // one list, not n values
-            else asArray(e.getValue)
           // property-scoped context applies while processing the values
           val vctx = td.flatMap(_.scoped)
             .map(parseContext(_, ctx)).getOrElse(ctx)
-          vs.foreach { v =>
-            out += QuadRow(g, subj, iri(p), valueTerm(v, g, vctx, td))
+          val cont = td.flatMap(_.container)
+          if (cont.contains("@index") && e.getValue.isObject) {
+            // index map: keys are opaque indexes, values are the data
+            e.getValue.fields.asScala.foreach(ix =>
+              asArray(ix.getValue).foreach(v =>
+                out += QuadRow(g, subj, iri(p), valueTerm(v, g, vctx, td))))
+          } else if (cont.contains("@language") && e.getValue.isObject) {
+            // language map: keys are BCP47 tags, values the strings
+            e.getValue.fields.asScala.foreach(lv =>
+              asArray(lv.getValue).foreach(v =>
+                out += QuadRow(g, subj, iri(p),
+                  TermRow(Term.LiteralKind.toByte, v.asText,
+                    Term.RdfLangString, lv.getKey))))
+          } else {
+            val vs =
+              if (cont.contains("@list") && e.getValue.isArray)
+                Seq(e.getValue) // one list, not n values
+              else asArray(e.getValue) // @set and no-container: n values
+            vs.foreach { v =>
+              out += QuadRow(g, subj, iri(p), valueTerm(v, g, vctx, td))
+            }
           }
         }
     }

@@ -149,6 +149,19 @@ class ParserSpec extends AnyFunSuite {
       .isInstanceOf[Select])
   }
 
+  test("malformed queries are rejected, not misparsed") {
+    val bad = Seq(
+      pfx + "SELECT ?x WHERE { ?x :p ?y",                 // unclosed group
+      pfx + "SELECT ?x WHERE { << ?x :p >> :q 1 . }",     // 2-part quoted
+      pfx + "SELECT ?x WHERE { << ?x :p ?y :z >> :q 1 . }", // 4-part quoted
+      pfx + "SELECT ?x WHERE { ?x :p ?y . FILTER( }",     // broken filter
+      pfx + "SELECT ?x WHERE { ?x :p ?y {| :q |} }",      // annot, no object
+      pfx + "SELECT ?x WHERE { VALUES ?v { ",             // unclosed VALUES
+      "SELECT ?x WHERE { ?x unknown:p ?y . }")            // unbound prefix
+    for (q <- bad)
+      assertThrows[Exception](SparqlParser.parse(q))
+  }
+
   test("string escapes, datatypes, comments survive the parse") {
     val Select(Project(Filter(f, _), _)) = SparqlParser.parse(pfx +
       """SELECT ?x # trailing comment

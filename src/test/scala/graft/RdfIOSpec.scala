@@ -411,6 +411,34 @@ class RdfIOSpec extends AnyFunSuite {
       .getString(1) == "http://x/a")
   }
 
+  test("JSON-LD container maps: @index, @language, @set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonldmaps")
+    java.nio.file.Files.writeString(dir.resolve("m.jsonld"),
+      """{
+        |  "@context": {
+        |    "@vocab": "http://x/",
+        |    "byRegion": {"@id": "http://x/val", "@container": "@index"},
+        |    "label": {"@id": "http://x/label", "@container": "@language"},
+        |    "tags": {"@id": "http://x/tags", "@container": "@set"}
+        |  },
+        |  "@id": "http://x/a",
+        |  "byRegion": {"eu": "one", "us": ["two", "three"]},
+        |  "label": {"en": "hello", "de": "hallo"},
+        |  "tags": ["t1", "t2"]
+        |}""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("m.jsonld").toString, "jsonld")
+    import org.apache.spark.sql.functions._
+    // @index: index keys dropped, all values kept
+    assert(quads.where(col("p")("lex") === "http://x/val").count() == 3)
+    // @language: keys become language tags
+    val labels = quads.where(col("p")("lex") === "http://x/label").collect()
+      .map(r => { val o = r.getAs[org.apache.spark.sql.Row]("o")
+        (o.getString(3), o.getString(1)) }).toSet
+    assert(labels == Set("en" -> "hello", "de" -> "hallo"))
+    // @set: plain multi-values
+    assert(quads.where(col("p")("lex") === "http://x/tags").count() == 2)
+  }
+
   test("JSON-LD @context: terms, prefixes, vocab, coercion, aliases") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonldctx")
     java.nio.file.Files.writeString(dir.resolve("c.jsonld"),
