@@ -188,6 +188,20 @@ object SparqlText {
         .select(str("t").as("t"), dbl("b").as("bal"))
     },
 
+    // per-binding aggregation OVER a correlated BIND: the hoisted
+    // Extend lands between the join and the aggregation (keys-empty
+    // group -> one row per binding)
+    "pq20_lateral_group_bind" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?nname ?m WHERE {
+             ?n :name ?nname ; :inRegion ?r .
+             LATERAL { SELECT (MAX(?t) AS ?m) WHERE {
+               ?c :inNation ?n ; :name ?cname .
+               BIND(CONCAT(?nname, "/", ?cname) AS ?t) } }
+           } ORDER BY ?nname""")
+        .select(str("nname").as("n_name"), str("m").as("m"))
+    },
+
     // RDF-star expression surface through the full text pipeline:
     // TRIPLE constructor, isTRIPLE, component accessor + sameTerm over
     // quoted terms (pattern-level RDF-star is fixture-covered; this
@@ -304,6 +318,10 @@ object SparqlText {
           AS bal
         FROM nation JOIN customer ON c_nationkey = n_nationkey
         WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9000.00 ORDER BY t""",
+    "pq20_lateral_group_bind" ->
+      """SELECT n_name, max(n_name || '/' || c_name) AS m
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
     "pq19_rdfstar" ->
       """SELECT c_name,
         CAST(CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
