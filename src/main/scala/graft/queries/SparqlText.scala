@@ -217,6 +217,22 @@ object SparqlText {
         .select(str("cname").as("c_name"), dbl("b").as("bal"))
     },
 
+    // RDF-star through update templates AND pattern matching at engine
+    // scale: INSERT a quoted annotation per matching customer, then
+    // destructure it back with a quoted pattern (QuotedParts path)
+    "pq21_rdfstar_update" -> { (s, dir) =>
+      val updated = graft.update.UpdateExec.executeText(prologue +
+        """INSERT { << ?c :acctbal ?b >> :flag "hi" } WHERE {
+             ?c :acctbal ?b . FILTER(?b > 9500.00) }""",
+        TpchRdf.quads(s, dir))
+      SparqlParser.execute(prologue +
+        """SELECT ?cname ?b WHERE {
+             << ?c :acctbal ?b >> :flag "hi" .
+             ?c :name ?cname .
+           } ORDER BY ?cname""", updated)
+        .select(str("cname").as("c_name"), dbl("b").as("bal"))
+    },
+
     // xsd:time literals: value-space comparison + component extraction
     "pq18_time" -> { (s, dir) =>
       run(s, dir,
@@ -323,6 +339,12 @@ object SparqlText {
         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""",
     "pq19_rdfstar" ->
+      """SELECT c_name,
+        CAST(CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+          AS bal
+        FROM customer WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 9500.00
+        ORDER BY c_name""",
+    "pq21_rdfstar_update" ->
       """SELECT c_name,
         CAST(CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
           AS bal

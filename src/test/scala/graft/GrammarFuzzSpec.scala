@@ -29,16 +29,31 @@ class GrammarFuzzSpec extends AnyFunSuite {
       Gen.choose(0, 5).map(i => Left(node(i))),
       Gen.choose(0L, 5L).map(Right(_)))
   } yield (node(s), ns + p, o)
-  private val genData: Gen[Seq[(String, String, Either[String, Long])]] =
-    Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, genQuad))
+  // each quad optionally carries an RDF-star annotation:
+  // << s p o >> :src <s> joins the data so quoted patterns can match
+  private val genData: Gen[Seq[((String, String, Either[String, Long]), Boolean)]] =
+    Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n,
+      Gen.zip(genQuad, Gen.frequency(4 -> Gen.const(false),
+        1 -> Gen.const(true)))))
 
-  private def quadsDf(data: Seq[(String, String, Either[String, Long])]) = {
+  private def quadsDf(
+      data: Seq[((String, String, Either[String, Long]), Boolean)]) = {
+    import graft.model.QuotedTriple
     def iri(v: String) = Row(Term.IriKind.toByte, v, null, null)
     def lit(v: Long) =
       Row(Term.LiteralKind.toByte, v.toString, Term.XsdInteger, null)
+    def q(v: Either[String, Long]) = v.fold(
+      x => QuotedTriple.QTerm(Term.IriKind.toByte, x, null, null),
+      n => QuotedTriple.QTerm(Term.LiteralKind.toByte, n.toString,
+        Term.XsdInteger, null))
     val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
-    val rows = data.map { case (s, p, o) =>
-      Row(dg, iri(s), iri(p), o.fold(iri, lit))
+    val rows = data.flatMap { case ((s, p, o), annotated) =>
+      val base = Row(dg, iri(s), iri(p), o.fold(iri, lit))
+      if (!annotated) Seq(base)
+      else Seq(base, Row(dg,
+        Row(Term.QuotedKind.toByte,
+          QuotedTriple.encode(q(Left(s)), q(Left(p)), q(o)), null, null),
+        iri(ns + "src"), iri(s)))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList, 2), Term.quadSchema)
@@ -53,7 +68,7 @@ class GrammarFuzzSpec extends AnyFunSuite {
     case Right(i) => (s":n$i", I(node(i)))
   }
 
-  private val genTriple: Gen[Piece] = for {
+  private val genPlainTriple: Gen[Piece] = for {
     s <- Gen.oneOf(genVar.map(Left(_)), Gen.choose(0, 5).map(Right(_)))
     p <- Gen.oneOf(preds)
     o <- Gen.frequency(
@@ -63,6 +78,24 @@ class GrammarFuzzSpec extends AnyFunSuite {
     val (st, sa) = term(s); val (ot, oa) = term(o)
     Piece(s"$st :$p $ot .", Bgp(TriplePattern(sa, I(ns + p), oa)))
   }
+
+  // SPARQL-star: quoted-triple pattern in subject position against the
+  // :src annotations the data generator emits
+  private val genStarTriple: Gen[Piece] = for {
+    s <- Gen.oneOf(genVar.map(Left(_)), Gen.choose(0, 5).map(Right(_)))
+    p <- Gen.oneOf(preds)
+    o <- Gen.frequency(
+      3 -> genVar.map(Left(_)),
+      1 -> Gen.choose(0, 5).map(Right(_)))
+    av <- genVar
+  } yield {
+    val (st, sa) = term(s); val (ot, oa) = term(o)
+    Piece(s"<< $st :$p $ot >> :src ?$av .",
+      Bgp(TriplePattern(Q(sa, I(ns + p), oa), I(ns + "src"), V(av))))
+  }
+
+  private val genTriple: Gen[Piece] =
+    Gen.frequency(6 -> genPlainTriple, 1 -> genStarTriple)
 
   /** One group graph pattern: mirrors the parser's accumulation rules
     * (triples JOIN in order, OPTIONAL left-joins the accumulated group,
