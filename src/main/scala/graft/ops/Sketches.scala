@@ -74,4 +74,83 @@ object Sketches {
   def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("seed"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  // ---- KLL quantile sketch (DataSketches KllDoublesSketch) -----------
+
+  /** Per-group KLL quantile partials. Distributed shape: each input
+    * partition builds one in-memory sketch per key it sees
+    * (mapPartitions — genuine per-partition imperative state), emitting
+    * (key, sketch bytes); per-key partial count is bounded by the
+    * partition count, so the downstream byte-level merge touches a few
+    * kilobytes per key regardless of input size. This is the mergeable
+    * path approx_percentile lacks: daily partials roll up to monthly
+    * quantiles as a sketch merge, never a re-aggregation of raw data.
+    * Normalized rank error ~1.65% at the default k=200.
+    */
+  def kllPartials(df: DataFrame, keys: Seq[String], value: Column,
+      k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val spark = df.sparkSession
+    val in = df.select((keys.map(k => col(k).cast("string").as(k)) :+
+      value.cast("double").as("__v")): _*)
+    val nkeys = keys.length
+    val rows = in.rdd.mapPartitions { it =>
+      val sketches =
+        scala.collection.mutable.HashMap.empty[Seq[String], KllDoublesSketch]
+      it.foreach { r =>
+        if (!r.isNullAt(nkeys)) {
+          val key = (0 until nkeys).map(i =>
+            if (r.isNullAt(i)) null else r.getString(i))
+          sketches.getOrElseUpdate(key,
+            KllDoublesSketch.newHeapInstance(k)).update(r.getDouble(nkeys))
+        }
+      }
+      sketches.iterator.map { case (key, s) =>
+        org.apache.spark.sql.Row((key :+ s.toByteArray): _*)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      keys.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)) :+
+        org.apache.spark.sql.types.StructField("kll",
+          org.apache.spark.sql.types.BinaryType, nullable = false))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Merge partials down to a coarser key set and extract quantile
+    * estimates (one output column per requested rank). Byte-level
+    * sketch union via a typed Aggregator — partial counts are small
+    * (<= input partitions per key), so the per-merge heapify cost is
+    * bounded.
+    */
+  def kllMerge(partials: DataFrame, keys: Seq[String],
+      quantiles: Seq[Double]): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val mergeAgg = new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      private def heapify(b: Array[Byte]) = KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b))
+      def zero: Array[Byte] = Array.empty
+      def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge(b, a)
+      def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        if (a.isEmpty) b else if (b.isEmpty) a
+        else { val s = heapify(a); s.merge(heapify(b)); s.toByteArray }
+      def finish(r: Array[Byte]): Array[Byte] = r
+      def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+    val mergeUdaf = udaf(mergeAgg)
+    val grouped =
+      if (keys.isEmpty) partials.agg(mergeUdaf(col("kll")).as("kll"))
+      else partials.groupBy(keys.map(col): _*)
+        .agg(mergeUdaf(col("kll")).as("kll"))
+    val qUdf = udf((b: Array[Byte], q: Double) =>
+      if (b == null || b.isEmpty) null
+      else java.lang.Double.valueOf(KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b)).getQuantile(q)))
+    quantiles.foldLeft(grouped) { (d, q) =>
+      d.withColumn(s"q${(q * 100).round}", qUdf(col("kll"), lit(q)))
+    }
+  }
 }

@@ -99,6 +99,19 @@ object Extra {
         .orderBy(col("l_returnflag"))
     },
 
+    // mergeable KLL quantile workflow: per-partition partials merged to
+    // per-group quantile estimates (no exact oracle by design; rank
+    // error bounds asserted in SketchSpec)
+    "q25_kll_quantiles" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val partials = graft.ops.Sketches.kllPartials(
+        li, Seq("l_returnflag"), col("l_quantity"))
+      graft.ops.Sketches.kllMerge(partials, Seq("l_returnflag"),
+        Seq(0.5, 0.9))
+        .select(col("l_returnflag"), col("q50"), col("q90"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // skew-salted join: hot orderkeys scattered over salt sub-keys,
     // result provably equal to the plain join (oracle-checked)
     "q24_salted_join" -> { (s, dir) =>

@@ -30,6 +30,30 @@ class SketchSpec extends AnyFunSuite {
     assert(perGroup.count() == partials.count())
   }
 
+  test("KLL quantile partials merge within rank-error bounds") {
+    // repartition so per-partition sketching yields several partials
+    // per key — the merge path is then genuinely exercised
+    val partials = Sketches.kllPartials(li.repartition(4),
+      Seq("l_returnflag"), col("l_quantity"))
+    assert(partials.count() > partials.select("l_returnflag").distinct.count())
+    val merged = Sketches.kllMerge(partials, Nil, Seq(0.5, 0.9))
+    val est50 = merged.select(col("q50")).head().getDouble(0)
+    val est90 = merged.select(col("q90")).head().getDouble(0)
+    val exact = li.stat.approxQuantile("l_quantity", Array(0.5, 0.9), 0.0)
+    // k=200 -> normalized rank error ~1.65%; translate via the value
+    // spread (quantity is ~uniform 1..50, so 5% rank ~ 2.5 in value)
+    assert(math.abs(est50 - exact(0)) <= 3.0,
+      s"q50 $est50 vs ${exact(0)}")
+    assert(math.abs(est90 - exact(1)) <= 3.0,
+      s"q90 $est90 vs ${exact(1)}")
+    // keyed merge keeps one row per group with quantile columns
+    val perGroup = Sketches.kllMerge(partials, Seq("l_returnflag"),
+      Seq(0.5))
+    assert(perGroup.columns.contains("q50"))
+    assert(perGroup.count() ==
+      partials.select("l_returnflag").distinct.count())
+  }
+
   test("count-min estimates are one-sided and tight for heavy hitters") {
     val sketch = Sketches.countMinBuild(li, col("l_suppkey"), 5, 1024)
     assert(sketch.count() <= 5 * 1024) // bounded regardless of input size
