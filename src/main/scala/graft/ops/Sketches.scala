@@ -153,4 +153,104 @@ object Sketches {
       d.withColumn(s"q${(q * 100).round}", qUdf(col("kll"), lit(q)))
     }
   }
+
+  // ---- Theta sketch (DataSketches: distinct-count SET ALGEBRA) -------
+
+  /** Per-group theta partials (same distributed shape as kllPartials:
+    * per-partition per-key in-memory sketches, small mergeable bytes
+    * out). Theta adds what HLL cannot do: intersection and difference
+    * estimates — "how many training documents do these two crawls
+    * share" without ever joining the raw ids.
+    */
+  def thetaPartials(df: DataFrame, keys: Seq[String], value: Column,
+      lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.theta.UpdateSketch
+    val spark = df.sparkSession
+    val in = df.select((keys.map(k => col(k).cast("string").as(k)) :+
+      value.cast("string").as("__v")): _*)
+    val nkeys = keys.length
+    val rows = in.rdd.mapPartitions { it =>
+      val sketches =
+        scala.collection.mutable.HashMap.empty[Seq[String], UpdateSketch]
+      it.foreach { r =>
+        if (!r.isNullAt(nkeys)) {
+          val key = (0 until nkeys).map(i =>
+            if (r.isNullAt(i)) null else r.getString(i))
+          sketches.getOrElseUpdate(key, UpdateSketch.builder()
+            .setLogNominalEntries(lgK).build()).update(r.getString(nkeys))
+        }
+      }
+      sketches.iterator.map { case (key, s) =>
+        org.apache.spark.sql.Row((key :+ s.compact().toByteArray): _*)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      keys.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)) :+
+        org.apache.spark.sql.types.StructField("theta",
+          org.apache.spark.sql.types.BinaryType, nullable = false))
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def thetaHeapify(b: Array[Byte]) =
+    org.apache.datasketches.theta.CompactSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(b))
+
+  /** Union partials down to one sketch per key, with the distinct-count
+    * estimate alongside.
+    */
+  def thetaMerge(partials: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val unionAgg = new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      def zero: Array[Byte] = Array.empty
+      def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge(b, a)
+      def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        if (a.isEmpty) b else if (b.isEmpty) a
+        else {
+          val u = org.apache.datasketches.theta.SetOperation.builder()
+            .buildUnion()
+          u.union(thetaHeapify(a)); u.union(thetaHeapify(b))
+          u.getResult.toByteArray
+        }
+      def finish(r: Array[Byte]): Array[Byte] = r
+      def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+    val u = udaf(unionAgg)
+    val grouped =
+      if (keys.isEmpty) partials.agg(u(col("theta")).as("theta"))
+      else partials.groupBy(keys.map(col): _*)
+        .agg(u(col("theta")).as("theta"))
+    val est = udf((b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0.0 else thetaHeapify(b).getEstimate)
+    grouped.withColumn("approx_distinct", est(col("theta")))
+  }
+
+  /** Estimate |A ∩ B| and |A \ B| from two merged sketch columns —
+    * pure sketch math, no raw-data join.
+    */
+  def thetaSetOps(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val inter = udf((x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || x.isEmpty || y == null || y.isEmpty) 0.0
+      else {
+        val i = org.apache.datasketches.theta.SetOperation.builder()
+          .buildIntersection()
+        i.intersect(thetaHeapify(x)); i.intersect(thetaHeapify(y))
+        i.getResult.getEstimate
+      })
+    val diff = udf((x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || x.isEmpty) 0.0
+      else if (y == null || y.isEmpty) thetaHeapify(x).getEstimate
+      else org.apache.datasketches.theta.SetOperation.builder()
+        .buildANotB().aNotB(thetaHeapify(x), thetaHeapify(y)).getEstimate)
+    val al = a.select((keys.map(col) :+ col("theta").as("__ta")): _*)
+    val bl = b.select((keys.map(col) :+ col("theta").as("__tb")): _*)
+    val joined = if (keys.isEmpty) al.crossJoin(bl)
+      else al.join(bl, keys)
+    joined.select((keys.map(col) :+
+      inter(col("__ta"), col("__tb")).as("approx_intersection") :+
+      diff(col("__ta"), col("__tb")).as("approx_difference")): _*)
+  }
 }

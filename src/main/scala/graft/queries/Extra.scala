@@ -112,6 +112,22 @@ object Extra {
         .orderBy(col("l_returnflag"))
     },
 
+    // theta-sketch set algebra: distinct-part overlap between return
+    // flags, estimated from sketches without joining raw ids (no exact
+    // oracle by design; error bounds asserted in SketchSpec)
+    "q26_theta_overlap" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val pa = graft.ops.Sketches.thetaMerge(graft.ops.Sketches
+        .thetaPartials(li.where(col("l_returnflag") === "A"), Nil,
+          col("l_partkey")), Nil)
+      val pb = graft.ops.Sketches.thetaMerge(graft.ops.Sketches
+        .thetaPartials(li.where(col("l_returnflag") === "R"), Nil,
+          col("l_partkey")), Nil)
+      graft.ops.Sketches.thetaSetOps(pa, pb, Nil)
+        .select(round(col("approx_intersection")).as("inter"),
+          round(col("approx_difference")).as("diff"))
+    },
+
     // skew-salted join: hot orderkeys scattered over salt sub-keys,
     // result provably equal to the plain join (oracle-checked)
     "q24_salted_join" -> { (s, dir) =>

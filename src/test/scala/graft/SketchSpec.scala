@@ -54,6 +54,35 @@ class SketchSpec extends AnyFunSuite {
       partials.select("l_returnflag").distinct.count())
   }
 
+  test("theta sketches estimate set intersection and difference") {
+    // two overlapping id sets with KNOWN overlap via quantity bands
+    val a = li.where(col("l_quantity") <= 30)
+    val b = li.where(col("l_quantity") >= 20)
+    val sa = Sketches.thetaMerge(
+      Sketches.thetaPartials(a.repartition(4), Nil, col("l_partkey")), Nil)
+    val sb = Sketches.thetaMerge(
+      Sketches.thetaPartials(b.repartition(4), Nil, col("l_partkey")), Nil)
+    val ops = Sketches.thetaSetOps(sa, sb, Nil).head()
+    val exactI = a.select("l_partkey").intersect(b.select("l_partkey"))
+      .count().toDouble
+    val exactD = a.select("l_partkey").except(b.select("l_partkey"))
+      .count().toDouble
+    val estI = ops.getAs[Double]("approx_intersection")
+    val estD = ops.getAs[Double]("approx_difference")
+    // lgK=12 union/intersection error is a few percent; allow 10% + slack
+    assert(math.abs(estI - exactI) <= math.max(0.10 * exactI, 20.0),
+      s"intersection $estI vs $exactI")
+    assert(math.abs(estD - exactD) <= math.max(0.15 * exactD, 20.0),
+      s"difference $estD vs $exactD")
+    // union estimate sanity via merge of the two sides
+    val both = Sketches.thetaMerge(
+      Sketches.thetaPartials(a.unionByName(b), Nil, col("l_partkey")), Nil)
+    val exactU = a.select("l_partkey").union(b.select("l_partkey"))
+      .distinct().count().toDouble
+    val estU = both.head().getAs[Double]("approx_distinct")
+    assert(math.abs(estU - exactU) <= math.max(0.10 * exactU, 20.0))
+  }
+
   test("count-min estimates are one-sided and tight for heavy hitters") {
     val sketch = Sketches.countMinBuild(li, col("l_suppkey"), 5, 1024)
     assert(sketch.count() <= 5 * 1024) // bounded regardless of input size
