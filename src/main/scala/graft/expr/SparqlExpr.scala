@@ -141,7 +141,7 @@ object SparqlExpr {
         lit(14L * 3600L * 1000000L)
   private def isDurLit(t: Column): Column =
     t("kind") === LiteralKind &&
-      t("dt").isin(XsdDayTimeDuration, XsdDuration)
+      t("dt").isin(XsdDayTimeDuration, XsdDuration, XsdYearMonthDuration)
 
   /** Signed total seconds (decimal) of a dayTimeDuration lexical form.
     * Minutes/seconds are extracted from the part after 'T' only — in
@@ -185,13 +185,52 @@ object SparqlExpr {
       when(tz === "", lit("")).otherwise(lit("Z")))
   }
 
-  /** dateTime/date ± dayTimeDuration (XPath op:add-dayTimeDuration-to-*):
-    * keeps the argument's datatype, normalizes any timezone to Z.
+  /** Signed total months of the year/month fields of a duration
+    * lexical (the M before 'T' is months; after 'T' it is minutes).
+    */
+  private def durMonths(lex: Column): Column = {
+    val datePart = regexp_extract(lex, "^-?P([^T]*)", 1)
+    def comp(re: String): Column =
+      coalesce(regexp_extract(datePart, re, 1).try_cast(LongType), lit(0L))
+    when(lex.startsWith("-"), -1L).otherwise(1L) *
+      (comp("(\\d+)Y") * 12L + comp("(\\d+)M"))
+  }
+
+  /** Signed day/time seconds of a duration lexical, Y/M fields allowed
+    * alongside (unlike durSecs, which rejects them — full xsd:duration
+    * arithmetic adds the month part separately).
+    */
+  private def durDtSecs(lex: Column): Column = {
+    val datePart = regexp_extract(lex, "^-?P([^T]*)", 1)
+    val timePart = regexp_extract(lex, "T(.*)$", 1)
+    def comp(src: Column, re: String): Column =
+      coalesce(regexp_extract(src, re, 1).try_cast(DecimalType(38, 6)),
+        lit(0).cast(DecimalType(38, 6)))
+    ((when(lex.startsWith("-"), -1).otherwise(1)) *
+      (comp(datePart, "(\\d+)D") * 86400 + comp(timePart, "(\\d+)H") * 3600 +
+        comp(timePart, "(\\d+)M") * 60 +
+        comp(timePart, "(\\d+(?:\\.\\d+)?)S"))).cast(DecimalType(38, 6))
+  }
+
+  /** dateTime/date/time ± duration (XPath op:add-*Duration-to-*): the
+    * month component applies first (calendar arithmetic with day
+    * clamping, XSD 1.1 E.3.1 via Spark's year-month interval), then the
+    * day/time seconds; keeps the argument's datatype, normalizes any
+    * timezone to Z. A month component on xsd:dayTimeDuration (or a
+    * day/time component on xsd:yearMonthDuration) violates that type's
+    * lexical space and errors.
     */
   private def dtPlusDur(t: Column, dur: Column, negate: Boolean): Column = {
-    val secs = durSecs(dur("lex")) * (if (negate) -1 else 1)
-    val res = tsVal(t) + make_dt_interval(lit(0), lit(0), lit(0),
+    val sgn = if (negate) -1 else 1
+    val months = durMonths(dur("lex")) * sgn
+    val secs = durDtSecs(dur("lex")) * sgn
+    val badType =
+      (dur("dt") === XsdDayTimeDuration && months =!= 0L) ||
+        (dur("dt") === XsdYearMonthDuration && secs =!= 0)
+    val res0 = tsVal(t) + make_ym_interval(lit(0),
+      months.cast(IntegerType)) + make_dt_interval(lit(0), lit(0), lit(0),
       secs.cast(DecimalType(18, 6)))
+    val res = when(badType, lit(null).cast(TimestampType)).otherwise(res0)
     when(res.isNull, nullTerm)
       .when(t("dt") === XsdDate,
         Term.typedLit(
@@ -460,7 +499,8 @@ object SparqlExpr {
     case _ => None
   }
   private def isDurType(dt: String): Boolean =
-    dt == XsdDayTimeDuration || dt == XsdDuration
+    dt == XsdDayTimeDuration || dt == XsdDuration ||
+      dt == XsdYearMonthDuration
   private def isDtType(dt: String): Boolean =
     dt == XsdDateTime || dt == XsdDate || dt == XsdTime
   private def isNumType(dt: String): Boolean = numericTypes.contains(dt)

@@ -62,6 +62,7 @@ object Term {
   val XsdGDay: String = xsd + "gDay"
   val XsdDuration: String = xsd + "duration"
   val XsdDayTimeDuration: String = xsd + "dayTimeDuration"
+  val XsdYearMonthDuration: String = xsd + "yearMonthDuration"
   val RdfLangString: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
   val numericTypes: Seq[String] = Seq(

@@ -170,6 +170,18 @@ class BuiltinsSpec extends AnyFunSuite {
     // time - dateTime is an error (filler date must not leak)
     assert(lex(f("-", t23,
       n("2024-01-01T10:00:00", Term.XsdDateTime)))._1.isEmpty)
+    // yearMonthDuration arithmetic: calendar months with day clamping
+    val jan31 = n("2024-01-31T00:00:00", Term.XsdDateTime)
+    assert(lex(f("+", jan31, n("P1M", Term.XsdYearMonthDuration)))._1 ==
+      Some("2024-02-29T00:00:00")) // leap-year clamp
+    assert(lex(f("-", jan31, n("P1Y", Term.XsdYearMonthDuration)))._1 ==
+      Some("2023-01-31T00:00:00"))
+    assert(lex(f("+", n("2024-01-15", Term.XsdDate),
+      n("P2M", Term.XsdDuration)))._1 == Some("2024-03-15"))
+    // lexical-space violations stay errors
+    assert(lex(f("+", jan31, n("P1M", Term.XsdDayTimeDuration)))._1.isEmpty)
+    assert(lex(f("+", jan31,
+      n("PT1M", Term.XsdYearMonthDuration)))._1.isEmpty)
   }
 
   test("BNODE labeled form: per-row stable, cross-row fresh") {
