@@ -325,6 +325,11 @@ object SparqlExpr {
       .when(bothTs && !cmpFamily(a, b), lit(null).cast(BooleanType))
       .when(bothTs && tzIndet(a, b), lit(null).cast(BooleanType))
       .when(bothTs, tsVal(a) === tsVal(b))
+      // op:duration-equal compares the months and seconds fields
+      // separately, across subtypes (P0Y = PT0S; P1D = PT24H)
+      .when(isDurLit(a) && isDurLit(b),
+        durMonths(a("lex")) === durMonths(b("lex")) &&
+          durDtSecs(a("lex")) === durDtSecs(b("lex")))
       .when(isStrTerm(a) && isStrTerm(b),
         a("lex") === b("lex") && coalesce(a("lang") === b("lang"),
           a("lang").isNull && b("lang").isNull))
@@ -346,6 +351,13 @@ object SparqlExpr {
       .when(bothTs && !cmpFamily(a, b), lit(null).cast(BooleanType))
       .when(bothTs && tzIndet(a, b), lit(null).cast(BooleanType))
       .when(bothTs, tsVal(a) < tsVal(b))
+      // duration order exists within each subtype only (XPath defines
+      // lt for yearMonthDuration and dayTimeDuration, not xsd:duration)
+      .when(a("dt") === XsdDayTimeDuration && b("dt") === XsdDayTimeDuration,
+        durDtSecs(a("lex")) < durDtSecs(b("lex")))
+      .when(a("dt") === XsdYearMonthDuration &&
+        b("dt") === XsdYearMonthDuration,
+        durMonths(a("lex")) < durMonths(b("lex")))
       .when(isStrTerm(a) && isStrTerm(b), a("lex") < b("lex"))
       .when(a("dt") === XsdBoolean && b("dt") === XsdBoolean,
         !a("lex").isin("true", "1") && b("lex").isin("true", "1"))

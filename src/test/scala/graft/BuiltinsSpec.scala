@@ -182,6 +182,19 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(lex(f("+", jan31, n("P1M", Term.XsdDayTimeDuration)))._1.isEmpty)
     assert(lex(f("+", jan31,
       n("PT1M", Term.XsdYearMonthDuration)))._1.isEmpty)
+    // duration value comparison: equality across subtypes by field
+    // pair; order within each subtype
+    assert(lex(f("=", n("P1D", Term.XsdDuration),
+      n("PT24H", Term.XsdDayTimeDuration)))._1 == Some("true"))
+    assert(lex(f("=", n("P1Y", Term.XsdYearMonthDuration),
+      n("P12M", Term.XsdDuration)))._1 == Some("true"))
+    assert(lex(f("<", n("PT1H30M", Term.XsdDayTimeDuration),
+      n("PT2H", Term.XsdDayTimeDuration)))._1 == Some("true"))
+    assert(lex(f("<", n("P1Y", Term.XsdYearMonthDuration),
+      n("P14M", Term.XsdYearMonthDuration)))._1 == Some("true"))
+    // cross-subtype order is undefined -> error
+    assert(lex(f("<", n("P1M", Term.XsdYearMonthDuration),
+      n("P30D", Term.XsdDayTimeDuration)))._1.isEmpty)
   }
 
   test("BNODE labeled form: per-row stable, cross-row fresh") {
