@@ -150,6 +150,10 @@ object SparqlExpr {
     * yield null (callers surface that as an evaluation error); the
     * reference evaluates yearMonthDuration arithmetic separately.
     */
+  /** xsd:duration lexical space (at least one component present). */
+  private val DurRe =
+    "^-?P(?=.)(\\d+Y)?(\\d+M)?(\\d+D)?(T(?=.)(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$"
+
   private def durSecs(lex: Column): Column = {
     val datePart = regexp_extract(lex, "^-?P([^T]*)", 1)
     val timePart = regexp_extract(lex, "T(.*)$", 1)
@@ -921,6 +925,37 @@ object SparqlExpr {
         Term.boolLit(a(0)("lex").isin("true", "1").cast(StringType)))
       .otherwise(nullTerm)
     case "xsd:string" => fn("STR", a)
+    case "xsd:time" => {
+      val lex = trim(a(0)("lex"))
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
+        .when(a(0)("dt") === XsdTime, a(0))
+        .when(a(0)("dt") === XsdDateTime, Term.typedLit(
+          regexp_extract(lex, "T(.*)$", 1), XsdTime))
+        .when(isStrTerm(a(0)) && regexp_like(lex, lit(
+          "^\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$")),
+          Term.typedLit(lex, XsdTime))
+        .otherwise(nullTerm)
+    }
+    // duration constructors: accept strings/durations whose lexical
+    // form fits the target subtype's space
+    case "xsd:duration" =>
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
+        .when(isDurLit(a(0)), Term.typedLit(a(0)("lex"), XsdDuration))
+        .when(isStrTerm(a(0)) && regexp_like(trim(a(0)("lex")), lit(DurRe)),
+          Term.typedLit(trim(a(0)("lex")), XsdDuration))
+        .otherwise(nullTerm)
+    case "xsd:dayTimeDuration" =>
+      val lex = when(isDurLit(a(0)) || isStrTerm(a(0)),
+        trim(a(0)("lex"))).otherwise(lit(null))
+      when(a(0).isNull || lex.isNull || !regexp_like(lex, lit(DurRe)) ||
+        durMonths(lex) =!= 0L, nullTerm)
+        .otherwise(Term.typedLit(lex, XsdDayTimeDuration))
+    case "xsd:yearMonthDuration" =>
+      val lex = when(isDurLit(a(0)) || isStrTerm(a(0)),
+        trim(a(0)("lex"))).otherwise(lit(null))
+      when(a(0).isNull || lex.isNull || !regexp_like(lex, lit(DurRe)) ||
+        durDtSecs(lex) =!= 0, nullTerm)
+        .otherwise(Term.typedLit(lex, XsdYearMonthDuration))
     case other => customFns.get(other) match {
       case Some(f) => f(a)
       case None =>

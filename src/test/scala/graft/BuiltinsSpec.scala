@@ -195,6 +195,20 @@ class BuiltinsSpec extends AnyFunSuite {
     // cross-subtype order is undefined -> error
     assert(lex(f("<", n("P1M", Term.XsdYearMonthDuration),
       n("P30D", Term.XsdDayTimeDuration)))._1.isEmpty)
+    // constructor casts for time and the duration family
+    val tc = lex(f("xsd:time", n("2024-01-01T10:20:30", Term.XsdDateTime)))
+    assert(tc._1 == Some("10:20:30") && tc._2 == Some(Term.XsdTime))
+    assert(lex(f("xsd:time", s("07:08:09")))._2 == Some(Term.XsdTime))
+    assert(lex(f("xsd:time", s("25:00:00x")))._1.isEmpty)
+    assert(lex(f("xsd:duration", s("P1Y2M3DT4H")))._2 ==
+      Some(Term.XsdDuration))
+    assert(lex(f("xsd:dayTimeDuration", s("P1DT2H")))._2 ==
+      Some(Term.XsdDayTimeDuration))
+    assert(lex(f("xsd:dayTimeDuration", s("P1M")))._1.isEmpty)
+    assert(lex(f("xsd:yearMonthDuration", s("P1Y2M")))._2 ==
+      Some(Term.XsdYearMonthDuration))
+    assert(lex(f("xsd:yearMonthDuration", s("P1DT2H")))._1.isEmpty)
+    assert(lex(f("xsd:duration", s("nope")))._1.isEmpty)
   }
 
   test("BNODE labeled form: per-row stable, cross-row fresh") {
