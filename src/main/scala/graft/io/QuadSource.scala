@@ -43,7 +43,9 @@ object QuadSource {
     val o = col("o")
     val cls = when(o("kind") =!= Term.LiteralKind, "other")
       .when(o("dt").isin(Term.numericTypes: _*), "num")
-      .when(o("dt").isin(Term.XsdDateTime, Term.XsdDate), "temporal")
+      .when(o("dt").isin(Term.XsdDateTime, Term.XsdDate, Term.XsdTime,
+        Term.XsdGYear, Term.XsdGYearMonth, Term.XsdGMonth,
+        Term.XsdGMonthDay, Term.XsdGDay), "temporal")
       .when(o("dt").isin(Term.XsdString, Term.RdfLangString), "str")
       .when(o("dt") === Term.XsdBoolean, "bool")
       .otherwise("other")
