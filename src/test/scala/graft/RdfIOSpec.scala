@@ -203,6 +203,24 @@ class RdfIOSpec extends AnyFunSuite {
     }, "reverse path step triple (_:b parent ex:up) missing")
   }
 
+  test("TriG-star: quoted triples inside named graph blocks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trigstar")
+    java.nio.file.Files.writeString(dir.resolve("d.trig"),
+      """@prefix ex: <http://e/> .
+        |ex:g1 {
+        |  << ex:a ex:p ex:b >> ex:conf 0.8 .
+        |  ex:a ex:p ex:b .
+        |}
+        |""".stripMargin)
+    val df = RdfIO.read(spark, dir.toString + "/d.trig", "trig")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[org.apache.spark.sql.Row]("g")
+      .getString(1) == "http://e/g1"))
+    assert(rows.exists(_.getAs[org.apache.spark.sql.Row]("s")
+      .getByte(0) == graft.model.Term.QuotedKind.toByte))
+  }
+
   test("Turtle collections desugar to rdf:first/rdf:rest chains") {
     val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val dir = java.nio.file.Files.createTempDirectory("graft_coll")
