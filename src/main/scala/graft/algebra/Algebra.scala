@@ -110,6 +110,14 @@ object Algebra {
   /** SPARQL 1.2 / oxigraph extension: right evaluated per left binding. */
   final case class Lateral(l: GraphPattern, r: GraphPattern)
       extends GraphPattern
+  /** SPARQL 1.1 Federated Query `SERVICE (SILENT)? name { inner }`
+    * (spargebra · GraphPattern::Service). Evaluation dispatches to a
+    * registered handler (spareval/src/service.rs · ServiceHandler); with
+    * no handler the reference without its `http-client` feature errors,
+    * and SILENT turns that failure into the unit solution (§18.8).
+    */
+  final case class Service(name: TermPat, inner: GraphPattern,
+      silent: Boolean = false) extends GraphPattern
 
   // ---- query forms (spargebra/src/query.rs · Query) ------------------
   sealed trait QueryForm
@@ -181,5 +189,6 @@ object Algebra {
     case ValuesPat(vs, _) => vs.toSet
     case GraphPat(name, i) => inScopeVars(i) ++ vars(name)
     case Lateral(l, r) => inScopeVars(l) ++ inScopeVars(r)
+    case Service(_, i, _) => inScopeVars(i)
   }
 }

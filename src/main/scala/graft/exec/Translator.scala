@@ -881,6 +881,35 @@ object Translator {
       case other =>
         throw new IllegalArgumentException(s"GRAPH name pattern: $other")
     }
+
+    case Service(name, inner, silent) =>
+      // Registered handler → local evaluation of the body; otherwise the
+      // no-egress build behaves like the reference without http-client:
+      // error, or the unit solution under SILENT (§18.8 / spareval
+      // service.rs). Variable endpoints require a handler lookup at
+      // eval time, which a static translation cannot do — SILENT
+      // degrades gracefully, non-SILENT throws.
+      def unit: Sol = {
+        val spark = src.all.sparkSession
+        Sol(spark.range(1).select(lit(1).as("__unit")).drop("__unit")
+          .select(), Set.empty, Set.empty)
+      }
+      name match {
+        case I(iri) => ServiceExec.get(iri) match {
+          case Some(h) =>
+            val df = h.eval(inner, src.all.sparkSession)
+            val vs = df.columns.toSet
+            Sol(df, vs, if (h.totalBindings) vs else Set.empty)
+          case None if silent => unit
+          case None => throw new UnsupportedOperationException(
+            s"SERVICE <$iri>: no handler registered and this build has " +
+              "no HTTP client (use ServiceExec.register, or SERVICE SILENT)")
+        }
+        case _ if silent => unit
+        case other => throw new UnsupportedOperationException(
+          s"SERVICE with a variable endpoint ($other) requires SILENT " +
+            "or a registered handler")
+      }
   }
 
   private def splitConjuncts(e: Expr): (Seq[EExists], Seq[Expr]) = e match {
@@ -920,6 +949,8 @@ object Translator {
       aggs.forall(_._1 != v) && (!keys.contains(v) || iriOnly(i, v))
     case ValuesPat(vs, _) => !vs.contains(v)
     case GraphPat(_, i) => iriOnly(i, v)
+    // SERVICE bindings come from an external handler — no static claim
+    case Service(_, i, _) => false
   }
 
   /** Nulls-last variant of the sort key, so MIN/SAMPLE skip unbound. */

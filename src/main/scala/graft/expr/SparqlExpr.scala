@@ -803,17 +803,26 @@ object SparqlExpr {
       if (a.length == 3) strPreserveDyn(a(0), substring3(_, a(1), a(2)))
       else strPreserveDyn(a(0), substring2(_, a(1)))
     case "CONCAT" =>
+      // §17.4.3.12: a language tag survives only when EVERY argument
+      // carries that same tag; any plain/xsd:string argument (or a tag
+      // mismatch) degrades the result to a simple literal
+      val clex = concat(a.map(_("lex")): _*)
+      val l0 = a.head("lang")
+      val sameLang = l0.isNotNull && a.map(x => x("lang") <=> l0)
+        .reduce(_ && _)
       when(a.map(isStrTerm).reduce(_ && _),
-        Term.strLit(concat(a.map(_("lex")): _*))).otherwise(nullTerm)
+        when(sameLang, Term.langLit(clex, l0)).otherwise(Term.strLit(clex)))
+        .otherwise(nullTerm)
     case "CONTAINS" => str2Bool(a(0), a(1))((x, y) => x.contains(y))
     case "STRSTARTS" => str2Bool(a(0), a(1))((x, y) => x.startsWith(y))
     case "STRENDS" => str2Bool(a(0), a(1))((x, y) => x.endsWith(y))
-    case "STRBEFORE" => strPreserveDyn(a(0),
-      x => when(instr(x, a(1)("lex")) > 0,
-        substring(x, lit(1), instr(x, a(1)("lex")) - 1)).otherwise(lit("")))
-    case "STRAFTER" => strPreserveDyn(a(0),
-      x => when(instr(x, a(1)("lex")) > 0,
-        expr_substr_after(x, a(1)("lex"))).otherwise(lit("")))
+    // §17.4.3.14/15: match (incl. empty needle) keeps arg1's lang/
+    // datatype; NO match yields the SIMPLE literal "" (not ""@lang);
+    // incompatible argument languages are an error (§17.4.3.1)
+    case "STRBEFORE" => strCut(a(0), a(1),
+      (x, n) => substring(x, lit(1), instr(x, n) - 1))
+    case "STRAFTER" => strCut(a(0), a(1),
+      (x, n) => x.substr(instr(x, n) + length(n), lit(Int.MaxValue)))
     case "ENCODE_FOR_URI" => strFn1(a(0))(l =>
       Term.strLit(url_encode_rfc3986(l)))
     case "REGEX" =>
@@ -974,15 +983,41 @@ object SparqlExpr {
       .otherwise(struct(lit(LiteralKind).cast(ByteType).as("kind"),
         f(t("lex")).cast(StringType).as("lex"), t("dt").as("dt"),
         t("lang").as("lang")))
+  /** §17.4.3.1 argument compatibility: arg2 plain/xsd:string goes with
+    * anything stringy; a language-tagged arg2 requires arg1 to carry the
+    * identical tag.
+    */
+  private def argCompat(x: Column, y: Column): Column =
+    isStrTerm(x) && isStrTerm(y) &&
+      (y("lang").isNull || (x("lang") <=> y("lang")))
   private def str2Bool(x: Column, y: Column)(f: (Column, Column) => Column): Column =
-    boolTerm(when(!isStrTerm(x) || !isStrTerm(y), lit(null).cast(BooleanType))
+    boolTerm(when(!argCompat(x, y), lit(null).cast(BooleanType))
       .otherwise(f(x("lex"), y("lex"))))
+  /** STRBEFORE/STRAFTER shell: compat check, then lang/datatype of arg1
+    * on a match and the simple literal "" on no match.
+    */
+  private def strCut(x: Column, y: Column,
+      f: (Column, Column) => Column): Column =
+    when(x.isNull || y.isNull || !argCompat(x, y), nullTerm)
+      .otherwise(when(instr(x("lex"), y("lex")) > 0,
+        struct(lit(LiteralKind).cast(ByteType).as("kind"),
+          f(x("lex"), y("lex")).cast(StringType).as("lex"),
+          x("dt").as("dt"), x("lang").as("lang")))
+        .otherwise(Term.strLit(lit(""))))
+  /** XPath fn:substring semantics (what the reference evaluates): both
+    * args round (not truncate), the window [start, start+len) clips to
+    * position 1, so start 0 or negative shortens the result instead of
+    * shifting it.
+    */
   private def substring2(l: Column, from: Column): Column =
-    l.substr(numDec(from).cast(IntegerType), lit(Int.MaxValue))
-  private def substring3(l: Column, from: Column, len: Column): Column =
-    l.substr(numDec(from).cast(IntegerType), numDec(len).cast(IntegerType))
-  private def expr_substr_after(x: Column, needle: Column): Column =
-    x.substr(instr(x, needle) + length(needle), lit(Int.MaxValue))
+    l.substr(greatest(round(numDec(from), 0).cast(IntegerType), lit(1)),
+      lit(Int.MaxValue))
+  private def substring3(l: Column, from: Column, len: Column): Column = {
+    val st = round(numDec(from), 0).cast(IntegerType)
+    val begin = greatest(st, lit(1))
+    l.substr(begin,
+      greatest(st + round(numDec(len), 0).cast(IntegerType) - begin, lit(0)))
+  }
   private def url_encode_rfc3986(l: Column): Column =
     // java URLEncoder-style via reflect-free builtin: percent-encode all but unreserved
     regexp_replace(

@@ -357,7 +357,8 @@ final class SparqlParser(input: String) {
 
   private def startsGraphPatternNotTriples: Boolean =
     peek("OPTIONAL") || peek("FILTER") || peek("BIND") || peek("MINUS") ||
-      peek("LATERAL") || peek("GRAPH") || peek("VALUES") || peekSym("{")
+      peek("LATERAL") || peek("GRAPH") || peek("SERVICE") ||
+      peek("VALUES") || peekSym("{")
 
   // ---------------- group graph pattern ----------------
   private def parseGroupGraphPattern(): GraphPattern = {
@@ -393,11 +394,21 @@ final class SparqlParser(input: String) {
           eat("LATERAL"); acc = Lateral(acc, parseGroupGraphPattern())
         } else if (peek("GRAPH")) {
           eat("GRAPH")
+          ws()
           val name: TermPat =
             if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
               V(parseVarName())
             else I(parseIri())
           add(GraphPat(name, parseGroupGraphPattern()))
+        } else if (peek("SERVICE")) {
+          eat("SERVICE")
+          val silent = eat("SILENT")
+          ws()
+          val name: TermPat =
+            if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+              V(parseVarName())
+            else I(parseIri())
+          add(Service(name, parseGroupGraphPattern(), silent))
         } else if (peek("VALUES")) {
           add(parseInlineData())
         } else if (peekSym("{")) {
@@ -528,7 +539,7 @@ final class SparqlParser(input: String) {
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "NOW",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ISIRI", "ISURI",
     "ISBLANK", "ISLITERAL", "ISNUMERIC", "SAMETERM", "TZ", "TIMEZONE",
-    "ISTRIPLE", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT")
+    "ISTRIPLE", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ADJUST")
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
     "GROUP_CONCAT")
 
@@ -606,15 +617,24 @@ final class SparqlParser(input: String) {
           EFn(fn, args.toSeq: _*)
         } else EFn(fn) // NOW / RAND / UUID without args? (grammar has ())
       } else {
-        // IRI: either constant term or constructor cast iri(expr)
+        // IRI: constant term, constructor cast iri(expr), or a custom
+        // function call by IRI (spareval · with_custom_function parity:
+        // dispatch key is the raw IRI, resolved in SparqlExpr.compile
+        // against the registerFunction registry)
         val iri = parseIri()
         ws()
         if (peekSym("(")) {
           expect("(")
-          val arg = parseExpression()
+          val args = scala.collection.mutable.ListBuffer[Expr]()
+          if (!peekSym(")")) {
+            args += parseExpression()
+            while (eatSym(",")) args += parseExpression()
+          }
           expect(")")
-          val xsdName = iri.stripPrefix(Term.xsd)
-          EFn("xsd:" + xsdName, arg)
+          if (iri.startsWith(Term.xsd)) {
+            if (args.length != 1) fail("constructor cast takes one argument")
+            EFn("xsd:" + iri.stripPrefix(Term.xsd), args.head)
+          } else EFn(iri, args.toSeq: _*)
         } else EIri(iri)
       }
     }

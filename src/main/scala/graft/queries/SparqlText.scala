@@ -251,6 +251,24 @@ object SparqlText {
         .select(str("rname").as("r_name"), int64("h").as("h"))
     },
 
+    // SERVICE federation (§2.12 ServiceHandler parity): a registered
+    // local handler evaluates the SERVICE body — here a pseudo-endpoint
+    // serving the same dataset's nation names — and its solutions join
+    // into the outer group on the shared variable. Also exercises
+    // SERVICE SILENT with no handler: the unit solution (join identity),
+    // per SPARQL 1.1 Federated Query §2.2 / oxigraph without http-client.
+    "pq22_service" -> { (s, dir) =>
+      graft.exec.ServiceExec.register("local:nations", (gp, sp) =>
+        graft.exec.Translator.translate(gp, TpchRdf.quads(sp, dir)).df)
+      run(s, dir,
+        """SELECT ?cname ?nname WHERE {
+             ?c :name ?cname ; :inNation ?n .
+             SERVICE <local:nations> { ?n :name ?nname }
+             SERVICE SILENT <local:unreachable> { ?x :nope ?y }
+           } ORDER BY ?cname""")
+        .select(str("cname").as("c_name"), str("nname").as("n_name"))
+    },
+
     // FROM: named graph merged into the default graph (§13.2 dataset)
     "pq13_from" -> { (s, dir) =>
       run(s, dir,
@@ -295,6 +313,10 @@ object SparqlText {
       """SELECT r_name, lower(r_name) AS label FROM region ORDER BY r_name""",
     "pq13_from" ->
       """SELECT s_name FROM supplier ORDER BY s_name""",
+    "pq22_service" ->
+      """SELECT c_name, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_name""",
     "pq14_describe" ->
       s"""SELECT s, p, o FROM (
         SELECT '${TpchRdf.ns}customer/' || c_custkey AS s,

@@ -99,6 +99,32 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(up._1 == Some("AB") && up._3 == Some("en"))
   }
 
+  test("string edge semantics: §17.4.3 compatibility, CONCAT lang, XPath SUBSTR") {
+    def en(x: String) = Term.langLit(lit(x), lit("en"))
+    def cy(x: String) = Term.langLit(lit(x), lit("cy"))
+    // CONCAT: common tag survives, any mismatch degrades to simple
+    val cc = lex(f("CONCAT", en("a"), en("b")))
+    assert(cc._1 == Some("ab") && cc._3 == Some("en"))
+    val cm = lex(f("CONCAT", en("a"), s("b")))
+    assert(cm._1 == Some("ab") && cm._3.isEmpty)
+    // argument compatibility: tagged arg2 must match arg1's tag
+    assert(lex(f("CONTAINS", en("abc"), en("b")))._1 == Some("true"))
+    assert(lex(f("CONTAINS", en("abc"), cy("b")))._1.isEmpty) // error
+    assert(lex(f("STRBEFORE", en("abc"), cy("b")))._1.isEmpty) // error
+    // match keeps arg1's lang; NO match is the SIMPLE literal ""
+    val m = lex(f("STRBEFORE", en("abc"), s("bc")))
+    assert(m._1 == Some("a") && m._3 == Some("en"))
+    val nm = lex(f("STRBEFORE", en("abc"), s("z")))
+    assert(nm._1 == Some("") && nm._3.isEmpty)
+    val me = lex(f("STRAFTER", en("abc"), en("")))
+    assert(me._1 == Some("abc") && me._3 == Some("en"))
+    // XPath fn:substring: window clips at position 1, args round
+    assert(lex(f("SUBSTR", s("hello"), n("0"), n("2")))._1 == Some("h"))
+    assert(lex(f("SUBSTR", s("hello"), n("-1"), n("3")))._1 == Some("h"))
+    assert(lex(f("SUBSTR", s("hello"), n("1.6", Term.XsdDecimal),
+      n("2")))._1 == Some("el"))
+  }
+
   test("numerics with promotion") {
     assert(lex(f("+", n("2"), n("3")))._1 == Some("5"))
     val div = lex(f("/", n("7"), n("2")))
