@@ -886,6 +886,45 @@ object SparqlExpr {
         .otherwise(Term.typedLit(
           durLex(tzOffsetSecs(tzPart(a(0)("lex"))).cast(DecimalType(38, 6))),
           XsdDayTimeDuration))
+    case "ADJUST" =>
+      // SPARQL 1.2 SEP-0002 / XPath fn:adjust-{dateTime,date,time}-to-
+      // timezone (oxigraph: spareval Function::Adjust). Second argument:
+      // a dayTimeDuration in whole minutes within ±PT14H sets the
+      // timezone — a timezoned input keeps its instant (local clock
+      // shifts), a zoneless input keeps its clock (offset attaches);
+      // the empty string "" removes the timezone, keeping local time.
+      val t = a(0); val z = a(1)
+      val off = durSecs(z("lex")).cast(LongType)
+      val setTz = isDurLit(z) && off.isNotNull &&
+        abs(off) <= lit(14L * 3600L) && off % 60L === 0L
+      val strip = isStrTerm(z) && z("lex") === ""
+      val hasTz = tzPart(t("lex")) =!= ""
+      // target local wall-clock: shifted instant when re-zoning a
+      // timezoned value, the as-written clock otherwise
+      val local = when(setTz && hasTz, tsVal(t) +
+        make_dt_interval(lit(0), lit(0), lit(0),
+          off.cast(DecimalType(18, 6)))).otherwise(tsLocal(t))
+      val frac = date_format(local, "SSSSSS")
+      val fracLex = when(frac =!= "000000",
+        concat(lit("."), regexp_replace(frac, "0+$", ""))).otherwise(lit(""))
+      val tzLex = when(strip, lit(""))
+        .when(off === 0L, lit("Z"))
+        .otherwise(concat(when(off < 0L, lit("-")).otherwise(lit("+")),
+          lpad((abs(off) / 3600L).cast(IntegerType).cast(StringType),
+            2, "0"), lit(":"),
+          lpad(((abs(off) % 3600L) / 60L).cast(IntegerType)
+            .cast(StringType), 2, "0")))
+      when(t.isNull || z.isNull || t("kind") =!= LiteralKind ||
+        !t("dt").isin(XsdDateTime, XsdDate, XsdTime) || local.isNull ||
+        !(coalesce(setTz, lit(false)) || coalesce(strip, lit(false))),
+        nullTerm)
+        .when(t("dt") === XsdDate, Term.typedLit(
+          concat(date_format(local, "yyyy-MM-dd"), tzLex), XsdDate))
+        .when(t("dt") === XsdTime, Term.typedLit(
+          concat(date_format(local, "HH:mm:ss"), fracLex, tzLex), XsdTime))
+        .otherwise(Term.typedLit(
+          concat(date_format(local, "yyyy-MM-dd'T'HH:mm:ss"), fracLex,
+            tzLex), XsdDateTime))
     case "NOW" => Term.dateTimeLit(current_timestamp())
     // hashing
     case "MD5" => strFn1(a(0))(l => Term.strLit(md5(l.cast(BinaryType))))

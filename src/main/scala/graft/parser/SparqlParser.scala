@@ -737,24 +737,8 @@ final class SparqlParser(input: String) {
     if (peek("HAVING")) { eat("HAVING"); having = Some(parseConstraint()) }
 
     var orderKeys: Seq[(Expr, Boolean)] = Nil
-    if (peek("ORDER")) {
-      eat("ORDER"); expect("BY")
-      val keys = scala.collection.mutable.ListBuffer[(Expr, Boolean)]()
-      var go = true
-      while (go) {
-        ws()
-        if (peek("ASC")) { eat("ASC"); expect("(")
-          keys += parseExpression() -> true; expect(")") }
-        else if (peek("DESC")) { eat("DESC"); expect("(")
-          keys += parseExpression() -> false; expect(")") }
-        else if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
-          keys += EVar(parseVarName()) -> true
-        else if (peekSym("(")) { expect("(")
-          keys += parseExpression() -> true; expect(")") }
-        else go = false
-      }
-      orderKeys = keys.toSeq
-    }
+    if (peek("ORDER")) { eat("ORDER"); expect("BY")
+      orderKeys = parseOrderConditions() }
     var limit = -1L; var offset = 0L
     var lo = true
     while (lo) {
@@ -783,26 +767,36 @@ final class SparqlParser(input: String) {
     pattern
   }
 
+  /** OrderCondition list (§18.2.4.4): ASC/DESC bracketted expressions,
+    * bare variables, bracketted expressions, and bare Constraints — a
+    * builtin call (`ORDER BY STRLEN(?x)`) or a function call by IRI.
+    */
+  private def parseOrderConditions(): Seq[(Expr, Boolean)] = {
+    val keys = scala.collection.mutable.ListBuffer[(Expr, Boolean)]()
+    var go = true
+    while (go) {
+      ws()
+      if (pos >= input.length || input(pos) == '}' ||
+        peek("LIMIT") || peek("OFFSET") || peek("VALUES")) go = false
+      else if (peek("ASC")) { eat("ASC"); expect("(")
+        keys += parseExpression() -> true; expect(")") }
+      else if (peek("DESC")) { eat("DESC"); expect("(")
+        keys += parseExpression() -> false; expect(")") }
+      else if (input(pos) == '?' || input(pos) == '$')
+        keys += EVar(parseVarName()) -> true
+      else if (peekSym("(")) { expect("(")
+        keys += parseExpression() -> true; expect(")") }
+      else keys += parsePrimaryExpression() -> true // bare Constraint
+    }
+    keys.toSeq
+  }
+
   /** Trailing ORDER BY / LIMIT / OFFSET (CONSTRUCT and DESCRIBE forms). */
   private def parseSolutionModifiers(p0: GraphPattern): GraphPattern = {
     var pattern = p0
     if (peek("ORDER")) {
       eat("ORDER"); expect("BY")
-      val keys = scala.collection.mutable.ListBuffer[(Expr, Boolean)]()
-      var go = true
-      while (go) {
-        ws()
-        if (peek("ASC")) { eat("ASC"); expect("(")
-          keys += parseExpression() -> true; expect(")") }
-        else if (peek("DESC")) { eat("DESC"); expect("(")
-          keys += parseExpression() -> false; expect(")") }
-        else if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
-          keys += EVar(parseVarName()) -> true
-        else if (peekSym("(")) { expect("(")
-          keys += parseExpression() -> true; expect(")") }
-        else go = false
-      }
-      pattern = OrderBy(pattern, keys.toSeq)
+      pattern = OrderBy(pattern, parseOrderConditions())
     }
     var limit = -1L; var offset = 0L
     var lo = true
@@ -956,6 +950,8 @@ final class SparqlParser(input: String) {
       ws()
       if (!eatSym(";")) go = false
     }
+    ws()
+    if (pos < input.length) fail("unexpected trailing input")
     ops.toSeq
   }
 
@@ -1010,8 +1006,11 @@ final class SparqlParser(input: String) {
         Describe(pattern, vars.toSeq ++ iriVars)
       }
       else fail("expected SELECT, ASK, CONSTRUCT or DESCRIBE")
+    // a mis-parse must be loud: leftover input means some clause was
+    // silently skipped (e.g. an unsupported solution modifier), which
+    // would otherwise return wrong answers instead of an error
     ws()
-    if (pos < input.length) fail(s"trailing input")
+    if (pos < input.length) fail("unexpected trailing input")
     form
   }
 }

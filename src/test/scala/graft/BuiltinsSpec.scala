@@ -125,6 +125,37 @@ class BuiltinsSpec extends AnyFunSuite {
       n("2")))._1 == Some("el"))
   }
 
+  test("ADJUST: XPath adjust-*-to-timezone (SEP-0002)") {
+    def dt(v: String) = Term.typedLit(lit(v), Term.XsdDateTime)
+    def d(v: String) = Term.typedLit(lit(v), Term.XsdDate)
+    def tm(v: String) = Term.typedLit(lit(v), Term.XsdTime)
+    def dur(v: String) = Term.typedLit(lit(v), Term.XsdDayTimeDuration)
+    // timezoned input: same instant, local clock shifts to the new zone
+    assert(lex(f("ADJUST", dt("2002-03-07T10:00:00-07:00"),
+      dur("-PT10H")))._1 == Some("2002-03-07T07:00:00-10:00"))
+    // zoneless input: clock kept, offset attached
+    assert(lex(f("ADJUST", dt("2002-03-07T10:00:00"),
+      dur("-PT10H")))._1 == Some("2002-03-07T10:00:00-10:00"))
+    // empty string strips the timezone, keeping local time
+    assert(lex(f("ADJUST", dt("2002-03-07T10:00:00-07:00"), s("")))._1 ==
+      Some("2002-03-07T10:00:00"))
+    // date crosses midnight backward when re-zoned (XPath example)
+    assert(lex(f("ADJUST", d("2002-03-07-07:00"), dur("-PT10H")))._1 ==
+      Some("2002-03-06-10:00"))
+    assert(lex(f("ADJUST", d("2002-03-07"), dur("-PT10H")))._1 ==
+      Some("2002-03-07-10:00"))
+    // time wraps mod 24h (XPath example); zero offset renders Z
+    assert(lex(f("ADJUST", tm("10:00:00-07:00"), dur("PT10H30M")))._1 ==
+      Some("03:30:00+10:30"))
+    assert(lex(f("ADJUST", tm("10:00:00-07:00"), dur("PT0S")))._1 ==
+      Some("17:00:00Z"))
+    // out-of-range / fractional-minute / year-month offsets error
+    assert(lex(f("ADJUST", dt("2002-03-07T10:00:00"), dur("PT15H")))._1.isEmpty)
+    assert(lex(f("ADJUST", dt("2002-03-07T10:00:00"), dur("PT10H5S")))._1.isEmpty)
+    assert(lex(f("ADJUST", dt("2002-03-07T10:00:00"),
+      Term.typedLit(lit("P1M"), Term.XsdYearMonthDuration)))._1.isEmpty)
+  }
+
   test("numerics with promotion") {
     assert(lex(f("+", n("2"), n("3")))._1 == Some("5"))
     val div = lex(f("/", n("7"), n("2")))

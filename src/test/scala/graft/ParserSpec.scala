@@ -225,5 +225,14 @@ class ParserSpec extends AnyFunSuite {
       "SELECT ?x WHERE { ?x :p ?y } trailing"))
     intercept[RuntimeException](SparqlParser.parse(pfx +
       "SELECT ?x WHERE { ?x :undefinedprefix:p ?y }"))
+    intercept[RuntimeException](SparqlParser.parseUpdateText(pfx +
+      "INSERT DATA { :a :p :b } trailing"))
+  }
+
+  test("ORDER BY accepts bare constraints (builtin / function calls)") {
+    val q = SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p ?y } ORDER BY STRLEN(?y) DESC(?x)")
+    val Select(Project(OrderBy(_, keys), _)) = q: @unchecked
+    assert(keys == Seq(EFn("STRLEN", EVar("y")) -> true, EVar("x") -> false))
   }
 }

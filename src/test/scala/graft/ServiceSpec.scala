@@ -80,6 +80,22 @@ class ServiceSpec extends AnyFunSuite {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("custom function call by IRI through the text pipeline") {
+    val quads = TpchRdf.quads(spark, sf)
+    graft.expr.SparqlExpr.registerFunction(TpchRdf.ns + "fn/shout", args =>
+      graft.model.Term.strLit(
+        concat(upper(args(0)("lex")), args(1)("lex"))))
+    val got = SparqlParser.execute(prologue +
+      """SELECT ?rn ?d WHERE {
+           ?r :inRegion ?g . ?g :name ?rn .
+           BIND(<http://example.org/fn/shout>(?rn, "!") AS ?d)
+         } ORDER BY ?rn""", quads)
+      .select(col("rn")("lex"), col("d")("lex"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.nonEmpty &&
+      got.forall { case (rn, d) => d == rn.toUpperCase + "!" })
+  }
+
   test("registered handler evaluates the body and joins on shared vars") {
     val quads = TpchRdf.quads(spark, sf)
     ServiceExec.register("local:test-nations", (gp, sp) =>
