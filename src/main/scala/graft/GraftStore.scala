@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algebra.Algebra._
+import graft.io.{PartitionedQuadStore, RdfIO}
+import graft.model.Term
+import graft.parser.SparqlParser
+import graft.update.UpdateExec
+
+/** The reference's embedded store API re-expressed over a quad DataFrame
+  * (oxigraph: lib/oxigraph/src/store.rs · Store; python · pyoxigraph
+  * Store) — the top entry point of SURVEY.md §3.1, minus transactions
+  * (out of scope by design: SURVEY §2.10). A `GraftStore` is immutable;
+  * update operations return a NEW store over the transformed quad table,
+  * so "commit" is writing the table out (`save`) — batch-dataset
+  * semantics instead of MVCC.
+  */
+final class GraftStore private (val quads: DataFrame) {
+  private def spark: SparkSession = quads.sparkSession
+
+  /** SELECT/ASK/CONSTRUCT/DESCRIBE over this store (Store::query). */
+  def query(sparql: String): DataFrame = SparqlParser.execute(sparql, quads)
+
+  /** SPARQL Update (possibly `;`-chained) → the updated store
+    * (Store::update; evaluation in update/UpdateExec).
+    */
+  def update(sparql: String): GraftStore =
+    new GraftStore(UpdateExec.executeText(sparql, quads))
+
+  /** Parsed algebra + the Catalyst plan Spark will run — the analogue of
+    * the reference's QueryExplanation (lib/oxigraph/src/sparql/mod.rs ·
+    * explain support), with Spark's formatted physical plan standing in
+    * for the evaluator node tree.
+    */
+  def explain(sparql: String): String = {
+    val form = SparqlParser.parse(sparql)
+    val df = SparqlParser.execute(sparql, quads)
+    val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s"== SPARQL algebra ==\n$form\n\n== Spark plan ==\n" +
+      df.queryExecution.explainString(mode)
+  }
+
+  /** Bound-prefix quad scan (Store::quads_for_pattern — SURVEY §2.1).
+    * `None` positions are wildcards; constant positions become pushed
+    * Parquet predicates when the store is file-backed.
+    */
+  def quadsForPattern(s: Option[TermPat] = None, p: Option[TermPat] = None,
+      o: Option[TermPat] = None, graph: Option[TermPat] = None): DataFrame = {
+    def f(c: String, tp: Option[TermPat]): Column = tp match {
+      case None => lit(true)
+      case Some(I(iri)) =>
+        col(c)("kind") === Term.IriKind && col(c)("lex") === iri
+      case Some(L(lex, dt, lang)) =>
+        col(c)("kind") === Term.LiteralKind && col(c)("lex") === lex &&
+          col(c)("dt") <=> lit(lang.map(_ => Term.RdfLangString)
+            .getOrElse(dt)) && col(c)("lang") <=> lit(lang.orNull)
+      case Some(DefaultGraphPat) =>
+        col(c)("kind") === Term.DefaultGraphKind
+      case Some(other) => throw new IllegalArgumentException(
+        s"quadsForPattern takes constant terms, got $other")
+    }
+    quads.where(f("s", s) && f("p", p) && f("o", o) && f("g", graph))
+  }
+
+  /** Load an RDF file into the default or a named graph (Store::load). */
+  def load(path: String, into: Option[String] = None): GraftStore =
+    new GraftStore(UpdateExec(
+      LoadGraph(path, into), quads))
+
+  /** Serialize the full dataset as N-Quads (Store::dump). */
+  def dumpNQuads(path: String): Unit = RdfIO.writeNQuads(quads, path)
+
+  /** Serialize one graph as N-Triples. */
+  def dumpNTriples(path: String, graph: Option[String] = None): Unit = {
+    val g = graph match {
+      case None => col("g")("kind") === Term.DefaultGraphKind
+      case Some(iri) => col("g")("kind") === Term.IriKind &&
+        col("g")("lex") === iri
+    }
+    RdfIO.writeNTriples(quads.where(g).select(col("s"), col("p"), col("o")),
+      path)
+  }
+
+  /** Non-empty named graphs (Store::named_graphs; a quad table has no
+    * empty-graph registry — documented deviation, COVERAGE §2.10).
+    */
+  def namedGraphs: Seq[String] =
+    quads.where(col("g")("kind") === Term.IriKind)
+      .select(col("g")("lex")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Quad count (Store::len). */
+  def size: Long = quads.count()
+
+  def isEmpty: Boolean = quads.limit(1).count() == 0
+
+  /** Persist as predicate-partitioned Parquet (the S2RDF-style layout
+    * QuadSource scans with partition pruning); reopen with
+    * `GraftStore.open`.
+    */
+  def save(path: String): Unit = PartitionedQuadStore.write(quads, path)
+}
+
+object GraftStore {
+  /** Wrap an existing quad DataFrame (g/s/p/o term structs). */
+  def apply(quads: DataFrame): GraftStore = new GraftStore(quads)
+
+  /** Empty store. */
+  def empty(spark: SparkSession): GraftStore =
+    new GraftStore(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq("g", "s", "p", "o").map(
+        n => org.apache.spark.sql.types.StructField(n, Term.schema, true)))))
+
+  /** Open a store saved with `save` (predicate-partitioned Parquet). */
+  def open(spark: SparkSession, path: String): GraftStore =
+    new GraftStore(PartitionedQuadStore(spark, path).all)
+
+  /** Build a store from an RDF file in any supported format. */
+  def fromFile(spark: SparkSession, path: String,
+      format: String): GraftStore =
+    new GraftStore(toQuads(RdfIO.read(spark, path, format)))
+
+  private def toQuads(df: DataFrame): DataFrame =
+    if (df.columns.contains("g")) df.select("g", "s", "p", "o")
+    else df.select(Term.defaultGraph.as("g"), col("s"), col("p"), col("o"))
+}

@@ -1012,12 +1012,12 @@ object Translator {
               .when(r >= 2, Term.doubleLit(sb))
               .when(r === 0, Term.intLit(sd.cast(DecimalType(38, 0))
                 .cast(LongType)))
-              .otherwise(Term.decimalLit(sd.cast(StringType))).as(outName)
+              .otherwise(Term.decimalLit(SparqlExpr.decLex(sd))).as(outName)
           else
             post += when(bad || col(n("cnt")) === 0, nullTerm)
               .when(r >= 2, Term.doubleLit(sb / col(n("cnt"))))
-              .otherwise(Term.decimalLit(
-                (sd / col(n("cnt"))).cast(DV).cast(StringType))).as(outName)
+              .otherwise(Term.decimalLit(SparqlExpr.decLex(
+                (sd / col(n("cnt"))).cast(DV)))).as(outName)
         case "MIN" =>
           aggCols += min_by(e.get, sortKeyNullsLast(e.get)).as(n("m"))
           post += col(n("m")).as(outName)

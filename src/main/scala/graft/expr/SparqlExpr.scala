@@ -450,7 +450,7 @@ object SparqlExpr {
       .when(intResult && decRes.isNotNull,
         Term.intLit(decRes.cast(DecimalType(38, 0)).cast(LongType)))
       .otherwise(when(decRes.isNull, nullTerm)
-        .otherwise(Term.decimalLit(decRes.cast(StringType))))
+        .otherwise(Term.decimalLit(decLex(decRes))))
   }
 
   /** Compile an algebra expression to a term-struct Column.
@@ -1061,12 +1061,23 @@ object SparqlExpr {
     // java URLEncoder-style via reflect-free builtin: percent-encode all but unreserved
     regexp_replace(
       url_encode(l), lit("\\+"), lit("%20"))
+  /** XSD canonical decimal lexical: fractional trailing zeros drop, a
+    * bare trailing point drops, "-0" normalizes to "0" — computed
+    * decimals must print the canonical representation the reference
+    * emits (oxsdatatypes Decimal), not the storage scale.
+    */
+  def decLex(c: Column): Column = {
+    val s = regexp_replace(regexp_replace(c.cast(StringType),
+      "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+    when(s === "-0", lit("0")).otherwise(s)
+  }
+
   private def numFn1(t: Column)(fd: Column => Column, fdb: Column => Column): Column =
     when(t.isNull || !Term.isNumericLit(t), nullTerm)
       .when(rank(t) === 3, Term.typedLit(dblLex(fdb(numDbl(t))), XsdDouble))
       .when(rank(t) === 2, Term.typedLit(fltLex(fdb(numDbl(t))), XsdFloat))
       .when(rank(t) === 0, Term.intLit(fd(numDec(t)).cast(DecimalType(38, 0)).cast(LongType)))
-      .otherwise(Term.decimalLit(fd(numDec(t)).cast(StringType)))
+      .otherwise(Term.decimalLit(decLex(fd(numDec(t)))))
   private def tsFn1(t: Column)(f: Column => Column): Column =
     when(tsLocal(t).isNull, nullTerm).otherwise(f(tsLocal(t)))
   private def castOrNull(lex: Column, dt: DataType, dtIri: String): Column = {
@@ -1078,6 +1089,6 @@ object SparqlExpr {
       val v = t("lex").try_cast(dt)
       when(v.isNull, nullTerm).otherwise(
         if (dtIri == XsdInteger) Term.intLit(v.cast(LongType))
-        else Term.decimalLit(v.cast(StringType)))
+        else Term.decimalLit(decLex(v)))
     }
 }

@@ -446,6 +446,9 @@ final class SparqlParser(input: String) {
           if (peek("UNDEF")) { eat("UNDEF"); row += None }
           else row += Some(parseVarOrTerm())
         }
+        if (row.length != vars.length)
+          fail(s"VALUES row has ${row.length} terms for ${vars.length} " +
+            "variables")
         rows += row.toSeq
       } else {
         if (peek("UNDEF")) { eat("UNDEF"); rows += Seq(None) }
@@ -878,6 +881,16 @@ final class SparqlParser(input: String) {
       } else subjectBlock(DefaultGraphPat)
     }
     expect("}")
+    // QuadData is ground by grammar (§19.8 rule [48]): variables are a
+    // SYNTAX error here, not an evaluation error
+    def ground(tp: TermPat): Boolean = tp match {
+      case V(_) => false
+      case Q(s, p, o) => ground(s) && ground(p) && ground(o)
+      case _ => true
+    }
+    for ((g, t) <- out)
+      if (!ground(g) || !ground(t.s) || !ground(t.p) || !ground(t.o))
+        fail("variables are not allowed in INSERT/DELETE DATA")
     out.toSeq
   }
 

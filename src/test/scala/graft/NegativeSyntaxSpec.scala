@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.parser.SparqlParser
+
+/** Negative syntax cases — the W3C `NegativeSyntaxTest11` analogue the
+  * reference's testsuite/ runs (SURVEY.md §5): every malformed query or
+  * update must raise a parse error, never mis-parse into a runnable
+  * (wrong) algebra. Positive-syntax coverage lives in ParserSpec /
+  * GrammarFuzzSpec; FixtureSpec holds the evaluation suite.
+  */
+class NegativeSyntaxSpec extends AnyFunSuite {
+
+  private val pfx = "PREFIX : <http://x/>\n"
+
+  private val badQueries = Seq(
+    "empty input" -> "",
+    "keyword soup" -> "SELECT WHERE",
+    "missing closing brace" -> (pfx + "SELECT ?x WHERE { ?x :p ?y"),
+    "missing WHERE body" -> (pfx + "SELECT ?x"),
+    "trailing garbage" -> (pfx + "SELECT ?x WHERE { ?x :p ?y } nonsense"),
+    "unterminated string" -> (pfx + "SELECT ?x WHERE { ?x :p \"abc }"),
+    "unterminated long string" ->
+      (pfx + "SELECT ?x WHERE { ?x :p \"\"\"abc }"),
+    "unterminated IRI" -> (pfx + "SELECT ?x WHERE { ?x <http://x/p ?y }"),
+    "undefined prefix" -> "SELECT ?x WHERE { ?x undef:p ?y }",
+    "bad variable" -> (pfx + "SELECT ? WHERE { ?x :p ?y }"),
+    "FILTER without parens" -> (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER }"),
+    "BIND without AS" -> (pfx + "SELECT ?x WHERE { BIND(1 ?x) }"),
+    "VALUES arity mismatch is a parse-time shape" ->
+      (pfx + "SELECT ?x WHERE { VALUES (?a ?b) { (1) } }"),
+    "cast with two args" ->
+      ("PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n" + pfx +
+        "SELECT ?r WHERE { ?x :p ?y . BIND(xsd:integer(?y, 2) AS ?r) }"),
+    "unclosed embedded triple" ->
+      (pfx + "SELECT ?x WHERE { << ?x :p ?y :q ?z }"),
+    "ORDER BY garbage" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y } ORDER BY 😀"),
+    "double dot in triples block" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y . . ?y :q ?z }"),
+    "SERVICE without group" ->
+      (pfx + "SELECT ?x WHERE { SERVICE <http://e/> ?x :p ?y }"))
+
+  private val badUpdates = Seq(
+    "INSERT DATA with variable" ->
+      (pfx + "INSERT DATA { ?x :p :b }"),
+    "DELETE without template or WHERE" -> (pfx + "DELETE"),
+    "CLEAR without target" -> (pfx + "CLEAR"),
+    "COPY missing TO" -> (pfx + "COPY GRAPH <urn:a> GRAPH <urn:b>"),
+    "update trailing garbage" ->
+      (pfx + "INSERT DATA { :a :p :b } nonsense"),
+    "unknown op" -> (pfx + "FROBNICATE GRAPH <urn:a>"))
+
+  for ((name, q) <- badQueries)
+    test(s"negative query syntax: $name") {
+      intercept[Exception](SparqlParser.parse(q))
+    }
+
+  for ((name, u) <- badUpdates)
+    test(s"negative update syntax: $name") {
+      intercept[Exception](SparqlParser.parseUpdateText(u))
+    }
+}
