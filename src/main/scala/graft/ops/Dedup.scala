@@ -51,21 +51,48 @@ object Dedup {
     val withSh = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select(col("s"))
     val capped = sh.join(rare, Seq("s"), "left_semi")
-    val cands = capped.as("a").join(capped.as("b"),
+    // Shingle sets are distinct (TextOps.shingles), so aggregating the
+    // inverted-index self-join counts |capped-set intersection| per pair
+    // on the SAME exchange the former pair-dedup used — and that count
+    // IS the exact intersection whenever neither doc lost a shingle to
+    // the df-cap. The array_intersect fallback then runs only for pairs
+    // touching capped docs; with the cap unbound it processes zero rows.
+    val counts = capped.as("a").join(capped.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .dropDuplicates("da", "db")
-    cands
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).cast("int").as("ic"))
+    val dropped = sh.join(rare, Seq("s"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("nd"))
+    val sizes = withSh.select(col("doc_id"), col("n"))
+      .join(dropped, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n"), coalesce(col("nd"), lit(0)).as("nd"))
+    val stats = counts
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na"),
+        col("nd").as("nda")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb"),
+        col("nd").as("ndb")), "db")
+    // true intersection <= ic + dropped_a + dropped_b, and Jaccard is
+    // increasing in the intersection — the upper bound prunes safely
+    // before any array work
+    val ub = col("ic") + col("nda") + col("ndb")
+    val plausible = stats
+      .where(ub * den >= (col("na") + col("nb") - ub) * num)
+    val exact = plausible.where(col("nda") + col("ndb") === 0)
+      .select(col("da"), col("db"), col("ic").as("inter"),
+        col("na"), col("nb"))
+    val fuzzy = plausible.where(col("nda") + col("ndb") > 0)
       .join(withSh.select(col("doc_id").as("da"), col("sh").as("sa")), "da")
       .join(withSh.select(col("doc_id").as("db"), col("sh").as("sb")), "db")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("na", size(col("sa")))
-      .withColumn("nb", size(col("sb")))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        col("na"), col("nb"))
+    exact.unionByName(fuzzy)
       .where(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
   }
@@ -160,7 +187,10 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
-      .dropDuplicates("da", "db")
+      // distance is pair-deterministic, so filtering BEFORE the dedup
+      // exchange is equivalent — the shuffle then carries only the pairs
+      // within maxDist instead of every banding candidate
       .where(col("dist") <= maxDist)
+      .dropDuplicates("da", "db")
   }
 }
