@@ -17,17 +17,29 @@ import graft.update.UpdateExec
   * so "commit" is writing the table out (`save`) — batch-dataset
   * semantics instead of MVCC.
   */
-final class GraftStore private (val quads: DataFrame) {
+final class GraftStore private (val quads: DataFrame,
+    /** Named graphs that exist while (possibly) holding no quads —
+      * CREATEd or CLEARed; graphs with quads are implicit. Metadata-scale
+      * (names only), so a driver-side set like the predicate catalog.
+      */
+    val emptyGraphs: Set[String] = Set.empty) {
   private def spark: SparkSession = quads.sparkSession
 
   /** SELECT/ASK/CONSTRUCT/DESCRIBE over this store (Store::query). */
   def query(sparql: String): DataFrame = SparqlParser.execute(sparql, quads)
 
   /** SPARQL Update (possibly `;`-chained) → the updated store
-    * (Store::update; evaluation in update/UpdateExec).
+    * (Store::update; evaluation in update/UpdateExec). CREATE/DROP/CLEAR
+    * also maintain the empty-graph registry, so `namedGraphs` sees
+    * graphs CREATEd empty and graphs CLEARed down to zero quads.
     */
-  def update(sparql: String): GraftStore =
-    new GraftStore(UpdateExec.executeText(sparql, quads))
+  def update(sparql: String): GraftStore = {
+    val (q, g) = SparqlParser.parseUpdateText(sparql)
+      .foldLeft((quads, emptyGraphs)) { case ((q, g), op) =>
+        UpdateExec.applyWithGraphs(op, q, g)
+      }
+    new GraftStore(q, g)
+  }
 
   /** Parsed algebra + the Catalyst plan Spark will run — the analogue of
     * the reference's QueryExplanation (lib/oxigraph/src/sparql/mod.rs ·
@@ -66,8 +78,8 @@ final class GraftStore private (val quads: DataFrame) {
 
   /** Load an RDF file into the default or a named graph (Store::load). */
   def load(path: String, into: Option[String] = None): GraftStore =
-    new GraftStore(UpdateExec(
-      LoadGraph(path, into), quads))
+    new GraftStore(UpdateExec(LoadGraph(path, into), quads),
+      emptyGraphs ++ into)
 
   /** Serialize the full dataset as N-Quads (Store::dump). */
   def dumpNQuads(path: String): Unit = RdfIO.writeNQuads(quads, path)
@@ -83,13 +95,33 @@ final class GraftStore private (val quads: DataFrame) {
       path)
   }
 
-  /** Non-empty named graphs (Store::named_graphs; a quad table has no
-    * empty-graph registry — documented deviation, COVERAGE §2.10).
+  /** All named graphs — those holding quads plus registered empty ones
+    * (Store::named_graphs, including graphs created empty).
     */
   def namedGraphs: Seq[String] =
-    quads.where(col("g")("kind") === Term.IriKind)
+    (quads.where(col("g")("kind") === Term.IriKind)
       .select(col("g")("lex")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(_.getString(0)).toSet ++ emptyGraphs).toSeq.sorted
+
+  /** Store::contains_named_graph. */
+  def containsNamedGraph(iri: String): Boolean =
+    emptyGraphs(iri) ||
+      quads.where(col("g")("kind") === Term.IriKind &&
+        col("g")("lex") === iri).limit(1).count() > 0
+
+  /** Store::insert_named_graph — register `iri`, possibly empty. */
+  def insertNamedGraph(iri: String): GraftStore =
+    new GraftStore(quads, emptyGraphs + iri)
+
+  /** Store::remove_named_graph — drop quads AND the registry entry. */
+  def removeNamedGraph(iri: String): GraftStore =
+    new GraftStore(UpdateExec(DropGraph(Some(iri)), quads),
+      emptyGraphs - iri)
+
+  /** Store::clear_graph — drop quads, keep the graph alive (empty). */
+  def clearGraph(iri: String): GraftStore =
+    new GraftStore(UpdateExec(ClearGraph(Some(iri)), quads),
+      emptyGraphs + iri)
 
   /** Quad count (Store::len). */
   def size: Long = quads.count()
@@ -98,9 +130,17 @@ final class GraftStore private (val quads: DataFrame) {
 
   /** Persist as predicate-partitioned Parquet (the S2RDF-style layout
     * QuadSource scans with partition pruning); reopen with
-    * `GraftStore.open`.
+    * `GraftStore.open`. Registered empty graphs ride along in a
+    * `_empty_graphs` sidecar so the registry survives the round-trip.
     */
-  def save(path: String): Unit = PartitionedQuadStore.write(quads, path)
+  def save(path: String): Unit = {
+    PartitionedQuadStore.write(quads, path)
+    val ss = quads.sparkSession
+    import ss.implicits._
+    emptyGraphs.toSeq.sorted.toDF("g")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(path + "/_empty_graphs")
+  }
 }
 
 object GraftStore {
@@ -115,8 +155,14 @@ object GraftStore {
         n => org.apache.spark.sql.types.StructField(n, Term.schema, true)))))
 
   /** Open a store saved with `save` (predicate-partitioned Parquet). */
-  def open(spark: SparkSession, path: String): GraftStore =
-    new GraftStore(PartitionedQuadStore(spark, path).all)
+  def open(spark: SparkSession, path: String): GraftStore = {
+    val empties =
+      try spark.read.parquet(path + "/_empty_graphs")
+        .collect().map(_.getString(0)).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Set.empty[String] } // pre-registry layout: no sidecar
+    new GraftStore(PartitionedQuadStore(spark, path).all, empties)
+  }
 
   /** Build a store from an RDF file in any supported format. */
   def fromFile(spark: SparkSession, path: String,

@@ -138,9 +138,21 @@ object Algebra {
       delete: Seq[TriplePattern], insert: Seq[TriplePattern],
       where: GraphPattern) extends UpdateOp
   final case class ClearGraph(graph: Option[String]) extends UpdateOp
+  /** DROP removes the graph's quads AND its entry in the store-level
+    * named-graph registry (GraftStore tracks empty graphs; the bare
+    * quad-table path treats Drop ≡ Clear). `None` = the default graph.
+    */
+  final case class DropGraph(graph: Option[String]) extends UpdateOp
+  /** CLEAR/DROP NAMED and ALL targets (SPARQL 1.1 Update §3.2.3/§3.2.2:
+    * GraphRefAll ::= GraphRef | DEFAULT | NAMED | ALL).
+    */
+  case object ClearNamed extends UpdateOp
+  case object ClearAll extends UpdateOp
+  case object DropNamed extends UpdateOp
+  case object DropAll extends UpdateOp
   /** Graph management (update.rs · GraphUpdateOperation::{Copy,Move,Add,
-    * Load,Create}); `None` = the default graph. DROP desugars to Clear
-    * (a quad table has no empty-graph registry), CREATE is a no-op.
+    * Load,Create}); `None` = the default graph. CREATE registers an empty
+    * graph in the store-level registry (no quad effect).
     */
   final case class CopyGraph(from: Option[String], to: Option[String])
       extends UpdateOp

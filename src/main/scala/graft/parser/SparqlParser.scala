@@ -923,16 +923,22 @@ final class SparqlParser(input: String) {
           eat("WHERE")
           ops += DeleteInsert(del, ins, parseGroupGraphPattern())
         }
-      } else if (peek("CLEAR")) {
-        eat("CLEAR"); eat("SILENT")
-        if (peek("GRAPH")) { eat("GRAPH"); ops += ClearGraph(Some(parseIri())) }
-        else if (peek("DEFAULT")) { eat("DEFAULT"); ops += ClearGraph(None) }
-        else fail("expected GRAPH <iri> or DEFAULT after CLEAR")
-      } else if (peek("DROP")) { // ≡ CLEAR in a quad table (no registry)
-        eat("DROP"); eat("SILENT")
-        if (peek("GRAPH")) { eat("GRAPH"); ops += ClearGraph(Some(parseIri())) }
-        else if (peek("DEFAULT")) { eat("DEFAULT"); ops += ClearGraph(None) }
-        else fail("expected GRAPH <iri> or DEFAULT after DROP")
+      } else if (peek("CLEAR") || peek("DROP")) {
+        // GraphRefAll ::= GRAPH iri | DEFAULT | NAMED | ALL (§3.2.2/3)
+        val drop = peek("DROP")
+        eat(if (drop) "DROP" else "CLEAR"); eat("SILENT")
+        if (peek("GRAPH")) {
+          eat("GRAPH"); val i = parseIri()
+          ops += (if (drop) DropGraph(Some(i)) else ClearGraph(Some(i)))
+        } else if (peek("DEFAULT")) {
+          eat("DEFAULT")
+          ops += (if (drop) DropGraph(None) else ClearGraph(None))
+        } else if (peek("NAMED")) {
+          eat("NAMED"); ops += (if (drop) DropNamed else ClearNamed)
+        } else if (peek("ALL")) {
+          eat("ALL"); ops += (if (drop) DropAll else ClearAll)
+        } else fail("expected GRAPH <iri>, DEFAULT, NAMED or ALL after " +
+          (if (drop) "DROP" else "CLEAR"))
       } else if (peek("CREATE")) {
         eat("CREATE"); eat("SILENT"); expect("GRAPH")
         ops += CreateGraph(parseIri())

@@ -250,6 +250,25 @@ object Extra {
       updated.agg(count(lit(1)).as("cnt"))
     },
 
+    // full graph lifecycle through the update text parser (§2.10):
+    // CREATE registers, INSERT DATA targets two graphs, DROP removes
+    // one, CLEAR empties the other — total count returns to base and
+    // the only surviving named-graph quads are the suppliers
+    "sp30_graph_lifecycle" -> { (s, dir) =>
+      val quads = TpchRdf.quads(s, dir)
+      val updated = UpdateExec.executeText(
+        """CREATE GRAPH <urn:x-graft:t1> ;
+           INSERT DATA {
+             GRAPH <urn:x-graft:t1> { <urn:x-graft:a> <urn:x-graft:p> "1" .
+                                      <urn:x-graft:a> <urn:x-graft:p> "2" }
+             GRAPH <urn:x-graft:t2> { <urn:x-graft:a> <urn:x-graft:p> "3" } } ;
+           DROP SILENT GRAPH <urn:x-graft:t2> ;
+           CLEAR GRAPH <urn:x-graft:t1>""", quads)
+      updated.agg(count(lit(1)).as("cnt"),
+        count(when(col("g")("kind") === graft.model.Term.IriKind, 1))
+          .as("named_cnt"))
+    },
+
     // INSERT DATA + DELETE DATA ground quads (§2.10)
     "sp24_insert_data" -> { (s, dir) =>
       val quads = TpchRdf.quads(s, dir)
@@ -365,5 +384,12 @@ object Extra {
         + (SELECT count(*) * 3 FROM nation)
         + (SELECT count(*) * 4 FROM region)
         + (SELECT count(*) * 5 FROM orders)
-        + (SELECT count(*) * 3 FROM supplier) + 1 AS cnt""")
+        + (SELECT count(*) * 3 FROM supplier) + 1 AS cnt""",
+    "sp30_graph_lifecycle" ->
+      """SELECT (SELECT count(*) * 5 FROM customer)
+        + (SELECT count(*) * 3 FROM nation)
+        + (SELECT count(*) * 4 FROM region)
+        + (SELECT count(*) * 5 FROM orders)
+        + (SELECT count(*) * 3 FROM supplier) AS cnt,
+        (SELECT count(*) * 3 FROM supplier) AS named_cnt""")
 }

@@ -26,6 +26,37 @@ object UpdateExec {
     graft.parser.SparqlParser.parseUpdateText(update)
       .foldLeft(quads)((q, op) => apply(op, q))
 
+  /** Quad effect plus the named-graph-registry effect (oxigraph:
+    * lib/oxigraph/src/storage · named graph set; Store::insert_named_graph).
+    * `graphs` holds graphs that exist while possibly empty — explicitly
+    * CREATEd, or left behind by CLEAR — and is metadata-scale (graph
+    * names only, like the predicate catalog). Graphs that hold quads are
+    * implicit and never need registering; DROP removes both quads and
+    * the registry entry, CLEAR removes quads but keeps the graph alive.
+    * SILENT-tolerant by design: CREATE of an existing graph and
+    * CLEAR/DROP of an absent one are no-ops, not errors.
+    */
+  def applyWithGraphs(op: UpdateOp, quads: DataFrame,
+      graphs: Set[String]): (DataFrame, Set[String]) = {
+    def live: Set[String] = // non-empty named graphs, collected on demand
+      quads.where(col("g")("kind") === Term.IriKind)
+        .select(col("g")("lex")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val g2 = op match {
+      case CreateGraph(i) => graphs + i
+      case ClearGraph(Some(i)) => graphs + i // survives, empty
+      case ClearNamed | ClearAll => graphs ++ live
+      case DropGraph(Some(i)) => graphs - i
+      case DropNamed | DropAll => Set.empty[String]
+      case CopyGraph(_, Some(t)) => graphs + t
+      case MoveGraph(f, t) => graphs -- f.toSet ++ t.toSet
+      case AddGraph(_, Some(t)) => graphs + t
+      case LoadGraph(_, Some(t)) => graphs + t
+      case _ => graphs
+    }
+    (apply(op, quads), g2)
+  }
+
   def apply(op: UpdateOp, quads: DataFrame): DataFrame = op match {
     case DeleteInsert(del, ins, where) =>
       val deletes =
@@ -42,6 +73,13 @@ object UpdateExec {
     case ClearGraph(Some(iri)) =>
       quads.where(!(col("g")("kind") === Term.IriKind &&
         col("g")("lex") === iri))
+    // DROP has the same quad effect as CLEAR; the registry difference
+    // (DROP unregisters, CLEAR leaves an empty graph) lives in
+    // applyWithGraphs / GraftStore.
+    case DropGraph(g) => apply(ClearGraph(g), quads)
+    case ClearNamed | DropNamed =>
+      quads.where(col("g")("kind") === Term.DefaultGraphKind)
+    case ClearAll | DropAll => quads.limit(0)
 
     case InsertData(qs) =>
       quads.unionByName(constQuads(quads, qs)).distinct()

@@ -84,6 +84,51 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(st.quadsForPattern().count() == 3)
   }
 
+  test("CREATE registers an empty graph; CLEAR keeps it; DROP removes it") {
+    val st = sampleStore().update("CREATE GRAPH <urn:g:e>")
+    assert(st.namedGraphs == Seq("urn:g:e"))
+    assert(st.containsNamedGraph("urn:g:e") && st.size == 3)
+    val filled = st.update(
+      "INSERT DATA { GRAPH <urn:g:e> { <http://x/s> <http://x/p> \"v\" } }")
+    assert(filled.size == 4)
+    val cleared = filled.update("CLEAR GRAPH <urn:g:e>")
+    assert(cleared.size == 3 && cleared.namedGraphs == Seq("urn:g:e"))
+    val dropped = filled.update("DROP GRAPH <urn:g:e>")
+    assert(dropped.size == 3 && dropped.namedGraphs.isEmpty)
+    assert(!dropped.containsNamedGraph("urn:g:e"))
+  }
+
+  test("CLEAR NAMED keeps graphs alive empty; DROP NAMED unregisters") {
+    val st = sampleStore().update(
+      """INSERT DATA { GRAPH <urn:g:a> { <http://x/s> <http://x/p> "1" }
+                       GRAPH <urn:g:b> { <http://x/s> <http://x/p> "2" } }""")
+    assert(st.namedGraphs == Seq("urn:g:a", "urn:g:b") && st.size == 5)
+    val cleared = st.update("CLEAR NAMED")
+    assert(cleared.size == 3)
+    assert(cleared.namedGraphs == Seq("urn:g:a", "urn:g:b"))
+    val dropped = st.update("DROP NAMED")
+    assert(dropped.size == 3 && dropped.namedGraphs.isEmpty)
+    val allGone = st.update("DROP ALL")
+    assert(allGone.isEmpty && allGone.namedGraphs.isEmpty)
+  }
+
+  test("insert/remove named graph API parity") {
+    val st = sampleStore().insertNamedGraph("urn:g:api")
+    assert(st.containsNamedGraph("urn:g:api") && st.size == 3)
+    assert(st.removeNamedGraph("urn:g:api").namedGraphs.isEmpty)
+    assert(st.clearGraph("urn:g:other").namedGraphs ==
+      Seq("urn:g:api", "urn:g:other"))
+  }
+
+  test("save/open round-trips the empty-graph registry") {
+    val st = sampleStore().update("CREATE GRAPH <urn:g:persisted>")
+    val out = tmpDir().resolve("store_reg").toString
+    st.save(out)
+    val back = GraftStore.open(spark, out)
+    assert(back.size == 3)
+    assert(back.namedGraphs == Seq("urn:g:persisted"))
+  }
+
   test("explain shows algebra and Spark plan") {
     val st = sampleStore()
     val e = st.explain("SELECT ?o WHERE { <http://x/a> <http://x/p> ?o }")

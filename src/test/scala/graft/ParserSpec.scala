@@ -229,6 +229,18 @@ class ParserSpec extends AnyFunSuite {
       "INSERT DATA { :a :p :b } trailing"))
   }
 
+  test("CLEAR/DROP graph-ref targets parse to distinct ops") {
+    assert(SparqlParser.parseUpdateText(
+      "CLEAR GRAPH <urn:g> ; CLEAR SILENT DEFAULT ; CLEAR NAMED ; CLEAR ALL")
+      == Seq(ClearGraph(Some("urn:g")), ClearGraph(None),
+        ClearNamed, ClearAll))
+    assert(SparqlParser.parseUpdateText(
+      "DROP SILENT GRAPH <urn:g> ; DROP DEFAULT ; DROP NAMED ; DROP ALL")
+      == Seq(DropGraph(Some("urn:g")), DropGraph(None), DropNamed, DropAll))
+    intercept[RuntimeException](
+      SparqlParser.parseUpdateText("DROP SOMETHING"))
+  }
+
   test("ORDER BY accepts bare constraints (builtin / function calls)") {
     val q = SparqlParser.parse(pfx +
       "SELECT ?x WHERE { ?x :p ?y } ORDER BY STRLEN(?y) DESC(?x)")
