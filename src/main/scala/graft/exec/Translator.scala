@@ -985,7 +985,13 @@ object Translator {
       def n(suffix: String) = s"__a${i}_$suffix"
       call.fn match {
         case "COUNT_STAR" =>
-          aggCols += count(wrap(lit(1))).as(n("c"))
+          // COUNT(DISTINCT *) counts distinct whole solutions: one struct
+          // over every in-scope var (a struct is itself never null, so
+          // solutions with unbound positions still count)
+          aggCols += (if (call.distinct) {
+            val vs = in.vars.toSeq.sorted.map(col)
+            countDistinct(wrap(if (vs.isEmpty) lit(1) else struct(vs: _*)))
+          } else count(wrap(lit(1)))).as(n("c"))
           post += Term.intLit(col(n("c"))).as(outName)
         case "COUNT" =>
           val x = e.get
