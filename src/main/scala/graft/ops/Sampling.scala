@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixes.
+  *
+  * A row is kept iff the first 8 hex chars of md5(key) sort below the
+  * stratum's threshold. That makes the sample a pure, stateless FILTER:
+  * no RNG state, no shuffle, no driver coordination — reproducible
+  * bit-for-bit across engines, runs and cluster sizes, which is what a
+  * 100 TB mixing pipeline needs (re-running a stage must not resample).
+  * Hex-string comparison is order-equivalent to comparing the 32-bit
+  * value, so the keep probability is rate to within 2^-32.
+  */
+object Sampling {
+
+  /** Threshold hex string for a keep-rate in [0, 1]. "g" sorts above
+    * every hex digit, so rate >= 1 keeps all rows (a 9-char "100000000"
+    * would compare LEXICOGRAPHICALLY below "f…" and drop ~94%).
+    */
+  def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max(0L, math.min(0xffffffffL, math.round(rate * 4294967296.0)))}%08x"
+
+  private def bucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Uniform deterministic sample at `rate` keyed by `key`. */
+  def deterministicSample(df: DataFrame, key: Column,
+      rate: Double): DataFrame =
+    df.where(bucket(key) < lit(hexThreshold(rate)))
+
+  /** Per-stratum rates (e.g. language mixing weights); strata missing
+    * from `rates` fall back to `defaultRate`. The rate table compiles
+    * into the filter expression itself (strata counts are mix-config
+    * scale), so this too is a shuffle-free scan-time filter.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultRate))) { case (acc, (s, r)) =>
+        when(stratum === s, lit(hexThreshold(r))).otherwise(acc)
+      }
+    df.where(bucket(key) < thr)
+  }
+}

@@ -55,6 +55,50 @@ object TextOps {
       .otherwise(lit("es"))
   }
 
+  /** Non-distinct word k-grams — repetition analysis needs multiplicity
+    * (contrast `shingles`, which dedupes for set-Jaccard).
+    */
+  def ngrams(ws: Column, k: Int): Column =
+    when(size(ws) < k, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(k)))))
+
+  /** Repetition signals for quality filtering (the Gopher-rule family:
+    * duplicate n-gram fractions, most-frequent-n-gram share). Pure
+    * Column math: the mode count is the longest equal run of the SORTED
+    * n-gram array, computed with one `aggregate` fold — no explode, no
+    * shuffle, the whole row stays in codegen.
+    */
+  def repetitionStats(doc: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    def dupFrac(k: Int): Column = {
+      val g = ngrams(ws, k)
+      when(size(g) === 0, lit(0.0)).otherwise(
+        (size(g) - size(array_distinct(g))).cast(DoubleType) / size(g))
+    }
+    def topRun(k: Int): Column = {
+      val sorted = array_sort(ngrams(ws, k))
+      when(size(sorted) === 0, lit(0L)).otherwise(aggregate(
+        sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best")))
+    }
+    doc.select(col("doc_id"),
+      size(ws).cast(LongType).as("n_tokens"),
+      dupFrac(2).as("dup_bigram_frac"),
+      dupFrac(3).as("dup_trigram_frac"),
+      topRun(2).as("top_bigram_count"))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") > 1,
+          col("top_bigram_count").cast(DoubleType) / (col("n_tokens") - 1))
+          .otherwise(lit(0.0)))
+  }
+
   /** Quality metrics: all integer-exact (oracle-friendly) plus a derived
     * double ratio (deterministic: int/int division in IEEE doubles).
     */

@@ -129,6 +129,20 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // repetition signals (Gopher-rule family): duplicate n-gram
+    // fractions + top-bigram share, all codegen'd Column math
+    "ts4_repetition" -> { (s, dir) =>
+      TextOps.repetitionStats(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // deterministic stratified sample (md5-threshold mixing weights):
+    // a pure scan-time filter — no shuffle, reproducible across runs
+    "ts5_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 0.25, "zh" -> 0.5))
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    },
+
     // multimodal: binary blob + metadata -> per-partition stub decode
     "mm1_media_features" -> { (s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(docs(s, dir)))
@@ -217,6 +231,32 @@ object Pipeline {
         r AS (SELECT doc_id, tok, cnt,
           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) rn FROM c)
         SELECT doc_id, tok AS top_token, cnt FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "ts4_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+        g AS (SELECT doc_id, ws,
+          CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+            ELSE [array_to_string(ws[i:i+1],' ') for i in generate_series(1, len(ws)-1)] END bg,
+          CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+            ELSE [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)] END tg
+          FROM w),
+        top AS (SELECT doc_id AS tid, max(cnt) top_cnt FROM (
+          SELECT doc_id, b, count(*) cnt
+          FROM (SELECT doc_id, unnest(bg) b FROM g) GROUP BY 1, 2) GROUP BY 1)
+        SELECT g.doc_id AS doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        CASE WHEN len(bg) = 0 THEN 0.0
+          ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)/len(bg) END AS dup_bigram_frac,
+        CASE WHEN len(tg) = 0 THEN 0.0
+          ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)/len(tg) END AS dup_trigram_frac,
+        CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_bigram_count,
+        CASE WHEN len(ws) > 1 THEN CAST(coalesce(top_cnt, 0) AS DOUBLE)/(len(ws)-1)
+          ELSE 0.0 END AS top_bigram_frac
+        FROM g LEFT JOIN top ON g.doc_id = top.tid ORDER BY doc_id""",
+    "ts5_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN '80000000'
+            ELSE 'g' END
+        ORDER BY doc_id""",
     "mm1_media_features" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         $duckFp AS checksum FROM documents ORDER BY doc_id""",

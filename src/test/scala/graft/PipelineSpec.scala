@@ -89,6 +89,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall implausibly low")
   }
 
+  test("repetition stats: known repeats measured exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),        // bigrams: ab ba ab ba ab -> top "a b" x3
+      (2L, "x y z w"),            // all distinct
+      (3L, "solo")                // too short for bigrams
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 6 && r(0).getLong(4) == 3)
+    assert(math.abs(r(0).getDouble(2) - 3.0 / 5) < 1e-12) // 5 bigrams, 2 distinct
+    assert(r(1).getDouble(2) == 0.0 && r(1).getLong(4) == 1)
+    assert(r(2).getLong(1) == 1 && r(2).getLong(4) == 0L &&
+      r(2).getDouble(5) == 0.0)
+  }
+
+  test("stratified sample: deterministic, monotone in rate, rate-accurate") {
+    val half = Sampling.deterministicSample(docs, col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val quarter = Sampling.deterministicSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.deterministicSample(docs, col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half == again, "same rate must resample identically")
+    assert(quarter.subsetOf(half), "lower rate nests inside higher rate")
+    val n = docs.count().toDouble
+    assert(math.abs(half.size / n - 0.5) < 0.1)
+    assert(Sampling.deterministicSample(docs, col("doc_id"), 1.0).count()
+      == docs.count(), "rate 1.0 keeps everything")
+    assert(Sampling.deterministicSample(docs, col("doc_id"), 0.0).count()
+      == 0, "rate 0.0 keeps nothing")
+  }
+
   test("multimodal stub decode matches columnar fingerprint") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs))
       .toDF().select(col("doc_id"), col("checksum"))
