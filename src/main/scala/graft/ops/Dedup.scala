@@ -97,6 +97,22 @@ object Dedup {
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
   }
 
+  /** Benchmark decontamination: corpus docs sharing at least
+    * `minOverlap` distinct k-shingles with any probe (benchmark) doc.
+    * The probe side is BROADCAST — benchmark suites are tiny next to a
+    * 100 TB corpus, so the corpus never shuffles for the join; only the
+    * matched (doc, probe) pairs ride the final count exchange.
+    */
+  def contamination(corpus: DataFrame, probes: DataFrame, k: Int = 3,
+      minOverlap: Int = 2): DataFrame = {
+    val c = shingleRows(corpus, k)
+    val p = shingleRows(probes, k).withColumnRenamed("doc_id", "probe_id")
+    c.join(broadcast(p), "s")
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).cast("int").as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
   /** MinHash signatures: numHashes seeded xxhash64 mins, computed in one
     * codegen'd projection (no explode, no shuffle).
     */

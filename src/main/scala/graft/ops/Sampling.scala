@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data mixes.
@@ -44,4 +45,17 @@ object Sampling {
       }
     df.where(bucket(key) < thr)
   }
+
+  /** Per-stratum cap: keep the top `k` rows of each stratum under
+    * `order` (make it total — tiebreak on a unique key — or the cap is
+    * nondeterministic). One shuffle on the stratum key; at 100 TB a
+    * pathologically hot stratum (one domain = half the corpus) should
+    * be pre-filtered by `deterministicSample` before ranking, since a
+    * rank window cannot be salted without changing its meaning.
+    */
+  def perStratumTopK(df: DataFrame, stratum: Column, order: Seq[Column],
+      k: Int): DataFrame =
+    df.withColumn("__rn",
+      row_number().over(Window.partitionBy(stratum).orderBy(order: _*)))
+      .where(col("__rn") <= k).drop("__rn")
 }

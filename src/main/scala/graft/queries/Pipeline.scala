@@ -143,6 +143,25 @@ object Pipeline {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 
+    // benchmark decontamination: corpus docs overlapping a broadcast
+    // probe set on >= 3 distinct shingles
+    "dd6_contamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.contamination(d.where(col("doc_id") >= 20),
+        d.where(col("doc_id") < 20), 3, 3)
+        .orderBy(col("doc_id"), col("probe_id"))
+    },
+
+    // per-domain cap: top-5 docs per source by length (total order via
+    // doc_id tiebreak) — the standard hot-domain downweighting pass
+    "ts6_domain_cap" -> { (s, dir) =>
+      Sampling.perStratumTopK(docs(s, dir), col("source"),
+        Seq(col("n_chars").desc, col("doc_id").asc), 5)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // multimodal: binary blob + metadata -> per-partition stub decode
     "mm1_media_features" -> { (s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(docs(s, dir)))
@@ -257,6 +276,23 @@ object Pipeline {
           CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN '80000000'
             ELSE 'g' END
         ORDER BY doc_id""",
+    "dd6_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+          [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) s
+          FROM w WHERE len(ws) >= 3)
+        SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
+          CAST(count(*) AS INT) AS n_overlap
+        FROM sh c JOIN sh p ON c.s = p.s
+        WHERE c.doc_id >= 20 AND p.doc_id < 20
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY doc_id, probe_id""",
+    "ts6_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) rn FROM documents)
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn <= 5 ORDER BY doc_id""",
     "mm1_media_features" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         $duckFp AS checksum FROM documents ORDER BY doc_id""",

@@ -121,6 +121,32 @@ class PipelineSpec extends AnyFunSuite {
       == 0, "rate 0.0 keeps nothing")
   }
 
+  test("contamination flags shingle overlap with broadcast probes") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different words here entirely now")).toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, probes, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // shared 3-shingles: "the quick brown", "quick brown fox",
+    // "brown fox jumps" = 3
+    assert(hits.toSeq == Seq((100L, 1L, 3)))
+  }
+
+  test("per-domain cap keeps exactly k rows per stratum, longest first") {
+    val capped = Sampling.perStratumTopK(docs, col("source"),
+      Seq(col("n_chars").desc, col("doc_id").asc), 2)
+    val bySrc = capped.groupBy("source").count().collect()
+    assert(bySrc.nonEmpty && bySrc.forall(_.getLong(1) <= 2))
+    val srcMax = docs.groupBy("source").agg(max("n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    capped.groupBy("source").agg(max("n_chars").as("got")).collect()
+      .foreach(r => assert(r.getLong(1) == srcMax(r.getString(0)),
+        "cap must retain each stratum's max"))
+  }
+
   test("multimodal stub decode matches columnar fingerprint") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs))
       .toDF().select(col("doc_id"), col("checksum"))
