@@ -273,6 +273,26 @@ class PlansSpec extends AnyFunSuite {
       "persisted minhash signatures are not being reused:\n" + plan)
   }
 
+  test("contamination broadcasts the probe side (corpus never shuffles)") {
+    val docs = graft.io.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val hits = graft.ops.Dedup.contamination(
+      docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20), 3, 3)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe side must broadcast:\n" + plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "only the matched-pair count may shuffle:\n" + plan)
+  }
+
+  test("stratified sample is a pure scan-time filter (no exchange)") {
+    val docs = graft.io.Tables(spark, sf, "documents")
+    val s = graft.ops.Sampling.stratifiedSample(docs, col("doc_id"),
+      col("lang"), Map("en" -> 0.25), 0.5)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "sampling must not shuffle:\n" + plan)
+  }
+
   test("inferPredicateClasses derives the catalog from data") {
     val inferred = graft.io.QuadSource.inferPredicateClasses(
       TpchRdf.quads(spark, sf))
