@@ -67,7 +67,7 @@ final class TurtleParser(input: String, n3: Boolean = false) {
     expect("<")
     val start = pos
     while (pos < input.length && input(pos) != '>') pos += 1
-    val iri = input.substring(start, pos)
+    val iri = graft.model.RdfEscapes.unescapeIri(input.substring(start, pos))
     expect(">")
     if (iri.contains(":")) iri else base + iri
   }
@@ -99,11 +99,22 @@ final class TurtleParser(input: String, n3: Boolean = false) {
     while (pos < input.length && !input.startsWith(quote, pos)) {
       if (input(pos) == '\\' && pos + 1 < input.length) {
         pos += 1
-        sb += (input(pos) match {
-          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-          case '"' => '"'; case '\'' => '\''; case '\\' => '\\'
-          case c => c
-        })
+        input(pos) match {
+          // UCHAR: \uXXXX / \UXXXXXXXX codepoint escapes
+          case 'u' if pos + 4 < input.length =>
+            sb += Integer.parseInt(input.substring(pos + 1, pos + 5), 16)
+              .toChar
+            pos += 4
+          case 'U' if pos + 8 < input.length =>
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(input.substring(pos + 1, pos + 9), 16)))
+            pos += 8
+          case c => sb += (c match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'b' => '\b'; case 'f' => '\f'
+            case other => other // incl. \\ \" \'
+          })
+        }
       } else sb += input(pos)
       pos += 1
     }

@@ -88,6 +88,20 @@ class RdfIOSpec extends AnyFunSuite {
       graft.model.Term.QuotedKind).count() == 0)
   }
 
+  test("UCHAR escapes in Turtle strings and IRIs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_uchar")
+    java.nio.file.Files.writeString(dir.resolve("u.ttl"),
+      "<http://e/s\\u00E9> <http://e/p> \"\\u00FCber \\U0001F600\" .\n")
+    val rows = graft.io.RdfIO.readTurtle(spark, dir.resolve("u.ttl").toString)
+      .select(org.apache.spark.sql.functions.col("s")("lex"),
+        org.apache.spark.sql.functions.col("o")("lex"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "http://e/s\u00E9")
+    assert(rows(0).getString(1) ==
+      "\u00FCber " + new String(Character.toChars(0x1F600)))
+  }
+
   test("Turtle reader: prefixes, abbreviations, bnode lists, shorthand") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ttl")
     java.nio.file.Files.writeString(dir.resolve("data.ttl"),
