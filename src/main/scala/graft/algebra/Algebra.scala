@@ -134,8 +134,14 @@ object Algebra {
       extends UpdateOp
   final case class DeleteData(quads: Seq[(TermPat, TriplePattern)])
       extends UpdateOp
+  /** Templates are QUAD patterns (update.rs · GraphUpdateOperation::
+    * DeleteInsert holds Vec<QuadPattern>): each triple carries a graph
+    * position — DefaultGraphPat, a constant IRI (GRAPH <g> block / WITH
+    * default), or a variable bound in `where` (GRAPH ?g block).
+    */
   final case class DeleteInsert(
-      delete: Seq[TriplePattern], insert: Seq[TriplePattern],
+      delete: Seq[(TermPat, TriplePattern)],
+      insert: Seq[(TermPat, TriplePattern)],
       where: GraphPattern) extends UpdateOp
   final case class ClearGraph(graph: Option[String]) extends UpdateOp
   /** DROP removes the graph's quads AND its entry in the store-level

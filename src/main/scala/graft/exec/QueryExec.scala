@@ -57,32 +57,60 @@ object QueryExec {
   /** Instantiate a triple template against a solution: the CONSTRUCT core
     * (reference builds triples row-by-row; here it's a projection + union).
     */
-  def instantiate(template: Seq[TriplePattern], sol: Translator.Sol): DataFrame = {
-    def termCol(tp: TermPat): Column = tp match {
-      case V(n) => if (sol.vars(n)) col(n) else nullTerm
-      case I(iri) => Term.iri(iri)
-      case L(lex, dt, lang) => lang match {
-        case Some(l) => Term.langLit(lit(lex), lit(l))
-        case None => Term.typedLit(lit(lex), dt)
-      }
-      case B(id) => if (sol.vars("_bnode_" + id)) col("_bnode_" + id) else nullTerm
-      // CONSTRUCT-star: build the quoted term from its (possibly
-      // variable) components via the canonical token renderer
-      case Q(s, p, o) =>
-        val (cs, cp, co) = (termCol(s), termCol(p), termCol(o))
-        when(cs.isNull || cp.isNull || co.isNull, nullTerm)
-          .otherwise(Term.quoted(concat(lit("<< "),
-            graft.expr.SparqlExpr.ntToken(cs), lit(" "),
-            graft.expr.SparqlExpr.ntToken(cp), lit(" "),
-            graft.expr.SparqlExpr.ntToken(co), lit(" >>"))))
-      case DefaultGraphPat => nullTerm
+  private def termCol(sol: Translator.Sol)(tp: TermPat): Column = tp match {
+    case V(n) => if (sol.vars(n)) col(n) else nullTerm
+    case I(iri) => Term.iri(iri)
+    case L(lex, dt, lang) => lang match {
+      case Some(l) => Term.langLit(lit(lex), lit(l))
+      case None => Term.typedLit(lit(lex), dt)
     }
+    case B(id) => if (sol.vars("_bnode_" + id)) col("_bnode_" + id) else nullTerm
+    // CONSTRUCT-star: build the quoted term from its (possibly
+    // variable) components via the canonical token renderer
+    case Q(s, p, o) =>
+      val (cs, cp, co) =
+        (termCol(sol)(s), termCol(sol)(p), termCol(sol)(o))
+      when(cs.isNull || cp.isNull || co.isNull, nullTerm)
+        .otherwise(Term.quoted(concat(lit("<< "),
+          graft.expr.SparqlExpr.ntToken(cs), lit(" "),
+          graft.expr.SparqlExpr.ntToken(cp), lit(" "),
+          graft.expr.SparqlExpr.ntToken(co), lit(" >>"))))
+    case DefaultGraphPat => nullTerm
+  }
+
+  def instantiate(template: Seq[TriplePattern], sol: Translator.Sol): DataFrame = {
+    val tc = termCol(sol) _
     template.map { t =>
-      sol.df.select(termCol(t.s).as("s"), termCol(t.p).as("p"),
-        termCol(t.o).as("o"))
+      sol.df.select(tc(t.s).as("s"), tc(t.p).as("p"), tc(t.o).as("o"))
     }.reduce(_ unionByName _)
       // triples with unbound components are skipped (SPARQL §16.2.1)
       .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      .distinct()
+  }
+
+  /** Quad-template instantiation for DELETE/INSERT … WHERE: each
+    * template triple carries a graph position. An unbound or non-IRI
+    * graph binding skips the quad, the same rule §16.2.1 applies to
+    * unbound triple components.
+    */
+  def instantiateQuads(template: Seq[(TermPat, TriplePattern)],
+      sol: Translator.Sol): DataFrame = {
+    val tc = termCol(sol) _
+    template.map { case (g, t) =>
+      val gc = g match {
+        case DefaultGraphPat => Term.defaultGraph
+        case I(iri) => Term.iri(iri)
+        case V(n) =>
+          if (sol.vars(n)) when(col(n)("kind") === Term.IriKind, col(n))
+          else nullTerm
+        case other => throw new IllegalArgumentException(
+          s"bad graph term in update template: $other")
+      }
+      sol.df.select(gc.as("g"), tc(t.s).as("s"), tc(t.p).as("p"),
+        tc(t.o).as("o"))
+    }.reduce(_ unionByName _)
+      .where(col("g").isNotNull && col("s").isNotNull &&
+        col("p").isNotNull && col("o").isNotNull)
       .distinct()
   }
 

@@ -854,7 +854,12 @@ final class SparqlParser(input: String) {
   }
 
   // ---------------- updates (spargebra/src/update.rs grammar) ---------
-  private def parseQuadData(): Seq[(TermPat, TriplePattern)] = {
+  /** QuadPattern block: triples with optional `GRAPH <iri>/?var { … }`
+    * sub-blocks; bare triples land in `defaultG` (DefaultGraphPat, or
+    * the WITH graph).
+    */
+  private def parseQuadBlock(
+      defaultG: TermPat): Seq[(TermPat, TriplePattern)] = {
     expect("{")
     val out = scala.collection.mutable.ListBuffer[(TermPat, TriplePattern)]()
     def subjectBlock(g: TermPat): Unit = {
@@ -863,7 +868,9 @@ final class SparqlParser(input: String) {
       while (moreProps) {
         ws()
         val p: TermPat =
-          if (peek("a")) { eat("a")
+          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+            V(parseVarName())
+          else if (peek("a")) { eat("a")
             I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type") }
           else I(parseIri())
         var moreObjs = true
@@ -884,14 +891,23 @@ final class SparqlParser(input: String) {
       if (peekSym("}")) done = true
       else if (peek("GRAPH")) {
         eat("GRAPH")
-        val g = I(parseIri())
+        ws()
+        val g: TermPat =
+          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+            V(parseVarName())
+          else I(parseIri())
         expect("{")
         while (!peekSym("}")) subjectBlock(g)
         expect("}")
         eatSym(".")
-      } else subjectBlock(DefaultGraphPat)
+      } else subjectBlock(defaultG)
     }
     expect("}")
+    out.toSeq
+  }
+
+  private def parseQuadData(): Seq[(TermPat, TriplePattern)] = {
+    val out = parseQuadBlock(DefaultGraphPat)
     // QuadData is ground by grammar (§19.8 rule [48]): variables are a
     // SYNTAX error here, not an evaluation error
     def ground(tp: TermPat): Boolean = tp match {
@@ -902,8 +918,21 @@ final class SparqlParser(input: String) {
     for ((g, t) <- out)
       if (!ground(g) || !ground(t.s) || !ground(t.p) || !ground(t.o))
         fail("variables are not allowed in INSERT/DELETE DATA")
-    out.toSeq
+    out
   }
+
+  /** DELETE WHERE shorthand: the quad template doubles as the pattern —
+    * per-graph groups become GRAPH-scoped BGPs.
+    */
+  private def quadsToPattern(
+      qs: Seq[(TermPat, TriplePattern)]): GraphPattern =
+    qs.groupBy(_._1).toSeq.sortBy(_._1.toString).map { case (g, ts) =>
+      val bgp = Bgp(ts.map(_._2): _*)
+      g match {
+        case DefaultGraphPat => bgp: GraphPattern
+        case other => GraphPat(other, bgp)
+      }
+    }.reduce(Join(_, _))
 
   def parseUpdate(): Seq[UpdateOp] = {
     parsePrologue()
@@ -912,28 +941,43 @@ final class SparqlParser(input: String) {
     while (go) {
       ws()
       if (pos >= input.length) go = false
-      else if (peek("INSERT")) {
-        eat("INSERT")
-        if (peek("DATA")) { eat("DATA"); ops += InsertData(parseQuadData()) }
-        else {
-          val ins = parseConstructTemplate()
-          eat("WHERE")
-          ops += DeleteInsert(Nil, ins, parseGroupGraphPattern())
-        }
-      } else if (peek("DELETE")) {
-        eat("DELETE")
-        if (peek("DATA")) { eat("DATA"); ops += DeleteData(parseQuadData()) }
-        else if (peek("WHERE")) { // DELETE WHERE { tmpl }
-          eat("WHERE")
-          val tmpl = parseConstructTemplate()
-          ops += DeleteInsert(tmpl, Nil, Bgp(tmpl: _*))
-        } else {
-          val del = parseConstructTemplate()
-          val ins = if (peek("INSERT")) { eat("INSERT"); parseConstructTemplate() }
-          else Nil
-          eat("WHERE")
-          ops += DeleteInsert(del, ins, parseGroupGraphPattern())
-        }
+      else if (peek("WITH") || peek("INSERT") || peek("DELETE")) {
+        // WITH <g> (§3.1.3): default graph for both templates AND the
+        // WHERE match; only legal on the Modify form, not DATA.
+        val withG: Option[String] =
+          if (peek("WITH")) { eat("WITH"); Some(parseIri()) } else None
+        val defaultG: TermPat =
+          withG.map(I(_): TermPat).getOrElse(DefaultGraphPat)
+        def wrapWhere(p: GraphPattern): GraphPattern =
+          withG.map(g => GraphPat(I(g), p): GraphPattern).getOrElse(p)
+        if (peek("INSERT")) {
+          eat("INSERT")
+          if (peek("DATA")) {
+            if (withG.isDefined) fail("WITH is not allowed on INSERT DATA")
+            eat("DATA"); ops += InsertData(parseQuadData())
+          } else {
+            val ins = parseQuadBlock(defaultG)
+            eat("WHERE")
+            ops += DeleteInsert(Nil, ins, wrapWhere(parseGroupGraphPattern()))
+          }
+        } else if (peek("DELETE")) {
+          eat("DELETE")
+          if (peek("DATA")) {
+            if (withG.isDefined) fail("WITH is not allowed on DELETE DATA")
+            eat("DATA"); ops += DeleteData(parseQuadData())
+          } else if (peek("WHERE")) { // DELETE WHERE { quad tmpl }
+            eat("WHERE")
+            val tmpl = parseQuadBlock(defaultG)
+            ops += DeleteInsert(tmpl, Nil, quadsToPattern(tmpl))
+          } else {
+            val del = parseQuadBlock(defaultG)
+            val ins =
+              if (peek("INSERT")) { eat("INSERT"); parseQuadBlock(defaultG) }
+              else Nil
+            eat("WHERE")
+            ops += DeleteInsert(del, ins, wrapWhere(parseGroupGraphPattern()))
+          }
+        } else fail("WITH must be followed by DELETE or INSERT")
       } else if (peek("CLEAR") || peek("DROP")) {
         // GraphRefAll ::= GRAPH iri | DEFAULT | NAMED | ALL (§3.2.2/3)
         val drop = peek("DROP")

@@ -269,6 +269,20 @@ object Extra {
           .as("named_cnt"))
     },
 
+    // GRAPH-targeted DELETE/INSERT templates + WITH (§2.10): insert
+    // matches into a named graph, then WITH-scope a delete to it
+    "sp31_update_with_graph" -> { (s, dir) =>
+      val quads = TpchRdf.quads(s, dir)
+      val updated = UpdateExec.executeText(
+        s"""INSERT { GRAPH <urn:x-graft:vip> { ?c <urn:x-graft:vip> ?b } }
+            WHERE { ?c <${P("acctbal")}> ?b . FILTER(?b > 7000) } ;
+            WITH <urn:x-graft:vip> DELETE { ?c ?p ?b }
+            WHERE { ?c ?p ?b . FILTER(?b > 9000) }""", quads)
+      updated.where(col("g")("kind") === graft.model.Term.IriKind &&
+        col("g")("lex") === "urn:x-graft:vip")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // INSERT DATA + DELETE DATA ground quads (§2.10)
     "sp24_insert_data" -> { (s, dir) =>
       val quads = TpchRdf.quads(s, dir)
@@ -391,5 +405,9 @@ object Extra {
         + (SELECT count(*) * 4 FROM region)
         + (SELECT count(*) * 5 FROM orders)
         + (SELECT count(*) * 3 FROM supplier) AS cnt,
-        (SELECT count(*) * 3 FROM supplier) AS named_cnt""")
+        (SELECT count(*) * 3 FROM supplier) AS named_cnt""",
+    "sp31_update_with_graph" ->
+      """SELECT count(*) AS cnt FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 7000
+          AND NOT (CAST(c_acctbal AS DECIMAL(38,2)) > 9000)""")
 }

@@ -251,7 +251,8 @@ object Sparql {
       val quads = TpchRdf.quads(s, dir)
       val upd = DeleteInsert(
         delete = Nil,
-        insert = Seq(TriplePattern(V("c"), I(P("vip")), L.str("true"))),
+        insert = Seq(DefaultGraphPat ->
+          TriplePattern(V("c"), I(P("vip")), L.str("true"))),
         where = Filter(EFn(">", EVar("b"),
           ELit("7000", graft.model.Term.XsdDecimal)),
           Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))))

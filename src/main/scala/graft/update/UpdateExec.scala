@@ -14,12 +14,10 @@ import graft.exec.{QueryExec, Translator}
   */
 object UpdateExec {
 
-  private def templQuads(template: Seq[TriplePattern],
-      where: GraphPattern, quads: DataFrame): DataFrame = {
-    val sol = Translator.translate(where, quads)
-    QueryExec.instantiate(template, sol)
-      .select(Term.defaultGraph.as("g"), col("s"), col("p"), col("o"))
-  }
+  private def templQuads(template: Seq[(TermPat, TriplePattern)],
+      where: GraphPattern, quads: DataFrame): DataFrame =
+    QueryExec.instantiateQuads(template,
+      Translator.translate(where, quads))
 
   /** Parse and apply a SPARQL Update string (possibly `;`-chained). */
   def executeText(update: String, quads: DataFrame): DataFrame =

@@ -129,6 +129,38 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(back.namedGraphs == Seq("urn:g:persisted"))
   }
 
+  test("GRAPH-targeted templates, WITH, and graph variables in updates") {
+    // data: a :p b, b :p c, a :name "alpha"
+    val marked = sampleStore().update(
+      """INSERT { GRAPH <urn:g:m> { ?s <http://x/mark> "hit" } }
+         WHERE { ?s <http://x/p> ?o }""")
+    assert(marked.query(
+      "SELECT ?s WHERE { GRAPH <urn:g:m> { ?s <http://x/mark> ?v } }")
+      .count() == 2)
+    // WITH scopes both the delete template and the match to urn:g:m
+    val pruned = marked.update(
+      """WITH <urn:g:m> DELETE { ?s <http://x/mark> ?v }
+         WHERE { ?s <http://x/mark> ?v .
+                 FILTER(STR(?s) = "http://x/a") }""")
+    assert(pruned.query(
+      "SELECT ?s WHERE { GRAPH <urn:g:m> { ?s <http://x/mark> ?v } }")
+      .count() == 1)
+    // a variable graph in the template writes into the matched graph
+    val tagged = pruned.update(
+      """INSERT { GRAPH ?g { <http://x/seen> <http://x/in> ?g } }
+         WHERE { GRAPH ?g { ?s <http://x/mark> ?v } }""")
+    val tags = tagged.query(
+      "SELECT ?x WHERE { GRAPH <urn:g:m> { <http://x/seen> <http://x/in> ?x } }")
+      .collect()
+    assert(tags.length == 1)
+    // DELETE WHERE shorthand with a GRAPH block deletes from that graph
+    val wiped = tagged.update(
+      "DELETE WHERE { GRAPH <urn:g:m> { ?s ?p ?o } }")
+    assert(wiped.query(
+      "SELECT ?s WHERE { GRAPH <urn:g:m> { ?s ?p ?o } }").count() == 0)
+    assert(wiped.size == 3, "default graph untouched")
+  }
+
   test("explain shows algebra and Spark plan") {
     val st = sampleStore()
     val e = st.explain("SELECT ?o WHERE { <http://x/a> <http://x/p> ?o }")
