@@ -142,7 +142,13 @@ object Algebra {
   final case class DeleteInsert(
       delete: Seq[(TermPat, TriplePattern)],
       insert: Seq[(TermPat, TriplePattern)],
-      where: GraphPattern) extends UpdateOp
+      where: GraphPattern,
+      /** USING / USING NAMED (§3.1.3): the dataset WHERE matches
+        * against, exactly like FROM on queries; template effects still
+        * hit the full store. USING overrides WITH for matching.
+        */
+      using: Seq[String] = Nil,
+      usingNamed: Seq[String] = Nil) extends UpdateOp
   final case class ClearGraph(graph: Option[String]) extends UpdateOp
   /** DROP removes the graph's quads AND its entry in the store-level
     * named-graph registry (GraftStore tracks empty graphs; the bare

@@ -948,8 +948,21 @@ final class SparqlParser(input: String) {
           if (peek("WITH")) { eat("WITH"); Some(parseIri()) } else None
         val defaultG: TermPat =
           withG.map(I(_): TermPat).getOrElse(DefaultGraphPat)
-        def wrapWhere(p: GraphPattern): GraphPattern =
-          withG.map(g => GraphPat(I(g), p): GraphPattern).getOrElse(p)
+        // USING overrides WITH for the WHERE match (§3.1.3)
+        def wrapWhere(p: GraphPattern, u: Seq[String],
+            un: Seq[String]): GraphPattern =
+          if (u.nonEmpty || un.nonEmpty) p
+          else withG.map(g => GraphPat(I(g), p): GraphPattern).getOrElse(p)
+        def parseUsing(): (Seq[String], Seq[String]) = {
+          val u = scala.collection.mutable.ListBuffer[String]()
+          val un = scala.collection.mutable.ListBuffer[String]()
+          while (peek("USING")) {
+            eat("USING")
+            if (peek("NAMED")) { eat("NAMED"); un += parseIri() }
+            else u += parseIri()
+          }
+          (u.toSeq, un.toSeq)
+        }
         if (peek("INSERT")) {
           eat("INSERT")
           if (peek("DATA")) {
@@ -957,8 +970,10 @@ final class SparqlParser(input: String) {
             eat("DATA"); ops += InsertData(parseQuadData())
           } else {
             val ins = parseQuadBlock(defaultG)
+            val (u, un) = parseUsing()
             eat("WHERE")
-            ops += DeleteInsert(Nil, ins, wrapWhere(parseGroupGraphPattern()))
+            ops += DeleteInsert(Nil, ins,
+              wrapWhere(parseGroupGraphPattern(), u, un), u, un)
           }
         } else if (peek("DELETE")) {
           eat("DELETE")
@@ -974,8 +989,10 @@ final class SparqlParser(input: String) {
             val ins =
               if (peek("INSERT")) { eat("INSERT"); parseQuadBlock(defaultG) }
               else Nil
+            val (u, un) = parseUsing()
             eat("WHERE")
-            ops += DeleteInsert(del, ins, wrapWhere(parseGroupGraphPattern()))
+            ops += DeleteInsert(del, ins,
+              wrapWhere(parseGroupGraphPattern(), u, un), u, un)
           }
         } else fail("WITH must be followed by DELETE or INSERT")
       } else if (peek("CLEAR") || peek("DROP")) {

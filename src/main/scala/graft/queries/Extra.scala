@@ -283,6 +283,20 @@ object Extra {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // USING re-scopes the update WHERE like FROM (§2.10): match
+    // suppliers inside their named graph, write into the default graph
+    "sp32_update_using" -> { (s, dir) =>
+      val quads = TpchRdf.quads(s, dir)
+      val updated = UpdateExec.executeText(
+        s"""INSERT { ?s <urn:x-graft:snapshot> ?b }
+            USING <${TpchRdf.G_SUPPLIERS}>
+            WHERE { ?s <${P("acctbal")}> ?b }""", quads)
+      updated.where(col("p")("lex") === "urn:x-graft:snapshot")
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("g")("kind") === graft.model.Term.DefaultGraphKind,
+            1)).as("in_default"))
+    },
+
     // INSERT DATA + DELETE DATA ground quads (§2.10)
     "sp24_insert_data" -> { (s, dir) =>
       val quads = TpchRdf.quads(s, dir)
@@ -409,5 +423,7 @@ object Extra {
     "sp31_update_with_graph" ->
       """SELECT count(*) AS cnt FROM customer
         WHERE CAST(c_acctbal AS DECIMAL(38,2)) > 7000
-          AND NOT (CAST(c_acctbal AS DECIMAL(38,2)) > 9000)""")
+          AND NOT (CAST(c_acctbal AS DECIMAL(38,2)) > 9000)""",
+    "sp32_update_using" ->
+      """SELECT count(*) AS cnt, count(*) AS in_default FROM supplier""")
 }

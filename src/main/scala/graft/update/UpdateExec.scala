@@ -56,11 +56,16 @@ object UpdateExec {
   }
 
   def apply(op: UpdateOp, quads: DataFrame): DataFrame = op match {
-    case DeleteInsert(del, ins, where) =>
+    case DeleteInsert(del, ins, where, using, usingNamed) =>
+      // USING builds the match dataset like FROM does for queries; the
+      // delete/insert effects still apply to the FULL store
+      val matchQuads =
+        if (using.isEmpty && usingNamed.isEmpty) quads
+        else QueryExec.applyDataset(quads, using, usingNamed)
       val deletes =
-        if (del.isEmpty) null else templQuads(del, where, quads)
+        if (del.isEmpty) null else templQuads(del, where, matchQuads)
       val inserts =
-        if (ins.isEmpty) null else templQuads(ins, where, quads)
+        if (ins.isEmpty) null else templQuads(ins, where, matchQuads)
       var out = quads
       if (deletes != null) out = out.except(deletes)
       if (inserts != null) out = out.unionByName(inserts).distinct()

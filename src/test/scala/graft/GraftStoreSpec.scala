@@ -161,6 +161,24 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(wiped.size == 3, "default graph untouched")
   }
 
+  test("USING overrides WITH for matching; effects hit the full store") {
+    val st = sampleStore().update(
+      """INSERT DATA { GRAPH <urn:g:src> { <http://x/n> <http://x/q> "v" } }""")
+    // USING merges urn:g:src into the match default; WITH only targets
+    // the template (writes land in urn:g:dst)
+    val updated = st.update(
+      """WITH <urn:g:dst> INSERT { ?s <http://x/copied> "y" }
+         USING <urn:g:src> WHERE { ?s <http://x/q> ?v }""")
+    val got = updated.query(
+      "SELECT ?s WHERE { GRAPH <urn:g:dst> { ?s <http://x/copied> ?y } }")
+      .collect()
+    assert(got.length == 1)
+    // default-graph triples were invisible under USING
+    assert(updated.query(
+      "SELECT ?s WHERE { GRAPH <urn:g:dst> { <http://x/a> ?p ?y } }")
+      .count() == 0)
+  }
+
   test("explain shows algebra and Spark plan") {
     val st = sampleStore()
     val e = st.explain("SELECT ?o WHERE { <http://x/a> <http://x/p> ?o }")
