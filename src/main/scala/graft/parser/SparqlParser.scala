@@ -760,6 +760,12 @@ final class SparqlParser(input: String) {
       else if (peek("OFFSET")) { eat("OFFSET"); offset = parseNumber().lex.toLong }
       else lo = false
     }
+    // trailing ValuesClause (grammar rule [28]); joins the solutions
+    // after HAVING, before SELECT expressions (§18.2.4.6)
+    val trailingValues: Option[ValuesPat] = {
+      ws()
+      if (peek("VALUES")) Some(parseInlineData()) else None
+    }
 
     // assemble: aggregates parsed in this SELECT's scope
     val myAggs = hoistedAggs.drop(aggMark).toList
@@ -770,6 +776,7 @@ final class SparqlParser(input: String) {
       pattern = Group(pattern, keys, myAggs)
     }
     having.foreach(h => pattern = Filter(h, pattern))
+    trailingValues.foreach(v => pattern = Join(pattern, v))
     // projection expressions become Extends over the (grouped) pattern
     projections.foreach { case (v, Some(e)) => pattern = Extend(pattern, v, e)
       case _ => }
@@ -1055,13 +1062,24 @@ final class SparqlParser(input: String) {
         Ask(parseGroupGraphPattern()) }
       else if (peek("CONSTRUCT")) {
         eat("CONSTRUCT")
-        val tmpl = parseConstructTemplate()
-        eat("WHERE")
-        var where = parseGroupGraphPattern()
-        // solution modifiers apply to the WHERE solutions before the
-        // template instantiates (SPARQL §16.2)
-        where = parseSolutionModifiers(where)
-        Construct(tmpl, where)
+        ws()
+        if (peek("WHERE")) {
+          // CONSTRUCT WHERE { bgp } shorthand (§10.2.2): the template IS
+          // the pattern; only triple patterns allowed, which is exactly
+          // what the template parser accepts
+          eat("WHERE")
+          val tmpl = parseConstructTemplate()
+          val where = parseSolutionModifiers(Bgp(tmpl: _*))
+          Construct(tmpl, where)
+        } else {
+          val tmpl = parseConstructTemplate()
+          eat("WHERE")
+          var where = parseGroupGraphPattern()
+          // solution modifiers apply to the WHERE solutions before the
+          // template instantiates (SPARQL §16.2)
+          where = parseSolutionModifiers(where)
+          Construct(tmpl, where)
+        }
       }
       else if (peek("DESCRIBE")) {
         eat("DESCRIBE")

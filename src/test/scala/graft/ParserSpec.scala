@@ -229,6 +229,25 @@ class ParserSpec extends AnyFunSuite {
       "INSERT DATA { :a :p :b } trailing"))
   }
 
+  test("CONSTRUCT WHERE shorthand equals the explicit form") {
+    val quads = graft.io.TpchRdf.quads(spark, sf)
+    val short = SparqlParser.execute(pfx +
+      "CONSTRUCT WHERE { ?r :name ?n }", quads)
+    val full = SparqlParser.execute(pfx +
+      "CONSTRUCT { ?r :name ?n } WHERE { ?r :name ?n }", quads)
+    assert(short.count() == full.count() && short.count() > 0)
+    assert(short.except(full).count() == 0)
+  }
+
+  test("trailing VALUES clause joins the query solutions") {
+    val quads = graft.io.TpchRdf.quads(spark, sf)
+    val df = SparqlParser.execute(pfx +
+      """SELECT ?rn WHERE { ?r :name ?rn . ?r :locatedIn :world }
+         ORDER BY ?rn VALUES ?rn { "ASIA" "EUROPE" }""", quads)
+    val got = df.collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(got == Seq("ASIA", "EUROPE"))
+  }
+
   test("CLEAR/DROP graph-ref targets parse to distinct ops") {
     assert(SparqlParser.parseUpdateText(
       "CLEAR GRAPH <urn:g> ; CLEAR SILENT DEFAULT ; CLEAR NAMED ; CLEAR ALL")
