@@ -748,7 +748,15 @@ final class SparqlParser(input: String) {
       groupKeys = Some(keys.toSeq)
     }
     var having: Option[Expr] = None
-    if (peek("HAVING")) { eat("HAVING"); having = Some(parseConstraint()) }
+    if (peek("HAVING")) {
+      eat("HAVING"); having = Some(parseConstraint())
+      // HavingClause takes a constraint LIST (grammar rule [21]):
+      // additional constraints conjoin
+      ws()
+      while (peekSym("(")) {
+        having = Some(EFn("&&", having.get, parseConstraint())); ws()
+      }
+    }
 
     var orderKeys: Seq[(Expr, Boolean)] = Nil
     if (peek("ORDER")) { eat("ORDER"); expect("BY")
