@@ -46,6 +46,9 @@ class DifferentialSpec extends AnyFunSuite {
   // ---- algebra generator --------------------------------------------
   private val varNames = Seq("a", "b", "c", "d")
   private val genVar: Gen[TermPat] = Gen.oneOf(varNames).map(V)
+  private val genConstPat: Gen[TermPat] = Gen.frequency(
+    1 -> Gen.choose(0, 4).map(n => I(s"http://x/i$n")),
+    1 -> Gen.choose(0, 5).map(n => L(n.toString, Term.XsdInteger)))
   private val genTermPat: Gen[TermPat] = Gen.frequency(
     5 -> genVar,
     1 -> Gen.choose(0, 4).map(n => I(s"http://x/i$n")),
@@ -98,6 +101,16 @@ class DifferentialSpec extends AnyFunSuite {
         n <- Gen.choose(0, 3)
       } yield Lateral(l,
         Extend(r, nv, EFn("+", EVar(v), ELit(n.toString, Term.XsdInteger))))),
+      // VALUES joined in (incl. UNDEF cells -> compat-join semantics)
+      1 -> (for {
+        l <- genPattern(depth - 1)
+        v1 <- Gen.oneOf(varNames); v2 <- Gen.oneOf(varNames.filter(_ != "a"))
+        rows <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, for {
+          o1 <- Gen.option(genConstPat); o2 <- Gen.option(genConstPat)
+        } yield Seq(o1, o2)))
+      } yield
+        if (v1 == v2) Join(l, ValuesPat(Seq(v1), rows.map(_.take(1))))
+        else Join(l, ValuesPat(Seq(v1, v2), rows))),
       1 -> genPattern(depth - 1).map(Distinct))
 
   // ---- naive reference evaluator ------------------------------------
@@ -178,6 +191,13 @@ class DifferentialSpec extends AnyFunSuite {
         }
       }
     case Distinct(p) => evalNaive(p, data).distinct
+    case ValuesPat(vs, rows) =>
+      rows.map { row =>
+        vs.zip(row).collect {
+          case (v, Some(I(i))) => v -> ((0, i, null): T)
+          case (v, Some(L(lex, dt, _))) => v -> ((2, lex, dt): T)
+        }.toMap: Binding
+      }
     case other => fail(s"naive evaluator: unexpected $other")
   }
 
