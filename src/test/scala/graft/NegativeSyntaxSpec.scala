@@ -50,7 +50,14 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "COPY missing TO" -> (pfx + "COPY GRAPH <urn:a> GRAPH <urn:b>"),
     "update trailing garbage" ->
       (pfx + "INSERT DATA { :a :p :b } nonsense"),
-    "unknown op" -> (pfx + "FROBNICATE GRAPH <urn:a>"))
+    "unknown op" -> (pfx + "FROBNICATE GRAPH <urn:a>"),
+    "WITH on INSERT DATA" ->
+      (pfx + "WITH <urn:g> INSERT DATA { :a :p :b }"),
+    "WITH without DELETE or INSERT" -> (pfx + "WITH <urn:g> CLEAR ALL"),
+    "USING before the template" ->
+      (pfx + "INSERT USING <urn:g> { :a :p :b } WHERE { ?s :q ?o }"),
+    "quad data with variable graph" ->
+      (pfx + "INSERT DATA { GRAPH ?g { :a :p :b } }"))
 
   for ((name, q) <- badQueries)
     test(s"negative query syntax: $name") {
