@@ -398,6 +398,10 @@ final class SparqlParser(input: String) {
           eat("BIND"); expect("(")
           val e = parseExpression(); expect("AS")
           val v = parseVarName(); expect(")")
+          // §19.8 rule [60] note: the BIND target must not be in scope
+          // from the group so far — a SYNTAX error, not a shadow
+          if (inScopeVars(acc)(v))
+            fail(s"BIND would rebind in-scope variable ?$v")
           acc = Extend(acc, v, e)
         } else if (peek("MINUS")) {
           eat("MINUS"); acc = Minus(acc, parseGroupGraphPattern())

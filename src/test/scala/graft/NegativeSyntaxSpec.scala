@@ -40,7 +40,9 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "double dot in triples block" ->
       (pfx + "SELECT ?x WHERE { ?x :p ?y . . ?y :q ?z }"),
     "SERVICE without group" ->
-      (pfx + "SELECT ?x WHERE { SERVICE <http://e/> ?x :p ?y }"))
+      (pfx + "SELECT ?x WHERE { SERVICE <http://e/> ?x :p ?y }"),
+    "BIND rebinding an in-scope variable" ->
+      (pfx + "SELECT ?y WHERE { ?x :p ?y . BIND(1 AS ?y) }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->
