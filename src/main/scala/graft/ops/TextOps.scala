@@ -55,6 +55,25 @@ object TextOps {
       .otherwise(lit("es"))
   }
 
+  /** BPE-ish subword segmentation (GPT-2-family pre-tokenizer shape:
+    * space-prefixed letter runs, digit runs, punctuation runs). The
+    * pattern sticks to literal classes so Java and RE2 agree — the
+    * count is reproducible against any engine. Codegen'd regexp, no UDF.
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Per-doc token accounting: whitespace tokens vs BPE-ish segments —
+    * the unit a training-mix budget is expressed in.
+    */
+  def tokenCounts(doc: DataFrame, textCol: String = "text"): DataFrame =
+    doc.select(col("doc_id"),
+      size(tokens(col(textCol))).cast(LongType).as("n_ws_tokens"),
+      size(bpeTokens(col(textCol))).cast(LongType).as("n_bpe_tokens"),
+      length(col(textCol)).cast(LongType).as("n_chars"))
+
   /** Non-distinct word k-grams — repetition analysis needs multiplicity
     * (contrast `shingles`, which dedupes for set-Jaccard).
     */

@@ -143,6 +143,12 @@ object Pipeline {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
     },
 
+    // token accounting: whitespace vs BPE-ish segmentation (the unit
+    // of a training-mix token budget), codegen'd regexp
+    "ts7_token_counts" -> { (s, dir) =>
+      TextOps.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
     // benchmark decontamination: corpus docs overlapping a broadcast
     // probe set on >= 3 distinct shingles
     "dd6_contamination" -> { (s, dir) =>
@@ -276,6 +282,11 @@ object Pipeline {
           CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN '80000000'
             ELSE 'g' END
         ORDER BY doc_id""",
+    "ts7_token_counts" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id""",
     "dd6_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
         sh AS (SELECT doc_id, unnest(list_distinct(

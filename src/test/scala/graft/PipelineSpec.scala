@@ -121,6 +121,16 @@ class PipelineSpec extends AnyFunSuite {
       == 0, "rate 0.0 keeps nothing")
   }
 
+  test("BPE-ish segmentation splits letter/digit/punct runs") {
+    import spark.implicits._
+    val d = Seq((1L, "hello world42 a-b")).toDF("doc_id", "text")
+    val segs = d.select(TextOps.bpeTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(segs == Seq("hello", " world", "42", " a", "-", "b"))
+    val counts = TextOps.tokenCounts(d).collect()(0)
+    assert(counts.getLong(1) == 3 && counts.getLong(2) == 6)
+  }
+
   test("contamination flags shingle overlap with broadcast probes") {
     import spark.implicits._
     val corpus = Seq(
