@@ -113,6 +113,44 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Connected components over near-dup pairs — the clustering step
+    * that turns pairwise matches into keep/drop decisions (cluster_id =
+    * the smallest doc_id in the component; keep it, drop the rest).
+    *
+    * Min-label propagation to fixpoint: each round every vertex takes
+    * the min of its own and its neighbors' labels. Rounds = component
+    * diameter, and near-dup clusters are small by construction, so this
+    * terminates in a handful of shuffles on (id) — no per-vertex state
+    * beyond one long. localCheckpoint cuts lineage per round (the same
+    * discipline as the PathExec fixpoints).
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    // persist BEFORE the symmetrization union — otherwise the (possibly
+    // expensive) pair-generation subtree materializes once per branch
+    val p = pairs.select(col("da"), col("db"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p
+      .unionByName(p.select(col("db").as("da"), col("da").as("db")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = edges.select(col("da").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = true
+    while (changed) {
+      val nbrMin = edges.join(comp, edges("db") === comp("id"))
+        .groupBy(edges("da").as("nid")).agg(min("comp").as("nmin"))
+      val next = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left_outer")
+        .select(comp("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("a").join(comp.as("b"), "id")
+        .where(col("a.comp") =!= col("b.comp")).limit(1).count() > 0
+      comp = next
+    }
+    edges.unpersist(); p.unpersist()
+    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   /** MinHash signatures: numHashes seeded xxhash64 mins, computed in one
     * codegen'd projection (no explode, no shuffle).
     */

@@ -38,6 +38,19 @@ object Pipeline {
       FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
       WHERE inter * 10 >= 8 * (x.n + y.n - inter) ORDER BY da, db"""
 
+  // DuckDB fragment: just the (da, db) near-dup pairs — the edge list
+  // the clustering oracle builds components over
+  private val duckShinglePairs =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+        [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) s
+        FROM w WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      WHERE inter * 10 >= 8 * (x.n + y.n - inter)"""
+
   // DuckDB fragments mirroring Similarity.dotSeq: sequential double fold
   // over the zipped arrays — bit-identical to Spark's functions.aggregate
   private def duckDot(a: String, b: String) =
@@ -147,6 +160,13 @@ object Pipeline {
     // of a training-mix token budget), codegen'd regexp
     "ts7_token_counts" -> { (s, dir) =>
       TextOps.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // near-dup clustering: connected components over the exact-Jaccard
+    // pairs (cluster_id = smallest member -> keep/drop decision)
+    "dd7_dup_clusters" -> { (s, dir) =>
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, dir), 8, 10))
+        .orderBy(col("doc_id"))
     },
 
     // benchmark decontamination: corpus docs overlapping a broadcast
@@ -282,6 +302,15 @@ object Pipeline {
           CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN '80000000'
             ELSE 'g' END
         ORDER BY doc_id""",
+    "dd7_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($duckShinglePairs),
+        u AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM u)
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a)
+        SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+        GROUP BY a ORDER BY doc_id""",
     "ts7_token_counts" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
         CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,

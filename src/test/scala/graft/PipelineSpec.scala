@@ -131,6 +131,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.getLong(1) == 3 && counts.getLong(2) == 6)
   }
 
+  test("dup clustering: chains collapse to one component") {
+    import spark.implicits._
+    // 1-2-3-4 is a path (diameter 3, needs >1 propagation round); 9-10
+    // is separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("da", "db")
+    val comp = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      9L -> 9L, 10L -> 9L))
+  }
+
   test("contamination flags shingle overlap with broadcast probes") {
     import spark.implicits._
     val corpus = Seq(
