@@ -118,10 +118,14 @@ final class GraftStore private (val quads: DataFrame,
     new GraftStore(UpdateExec(DropGraph(Some(iri)), quads),
       emptyGraphs - iri)
 
-  /** Store::clear_graph — drop quads, keep the graph alive (empty). */
-  def clearGraph(iri: String): GraftStore =
+  /** Store::clear_graph — drop quads, keep the graph alive (empty).
+    * Clearing a graph that never existed must NOT create it.
+    */
+  def clearGraph(iri: String): GraftStore = {
+    val existed = containsNamedGraph(iri)
     new GraftStore(UpdateExec(ClearGraph(Some(iri)), quads),
-      emptyGraphs + iri)
+      if (existed) emptyGraphs + iri else emptyGraphs)
+  }
 
   /** Quad count (Store::len). */
   def size: Long = quads.count()

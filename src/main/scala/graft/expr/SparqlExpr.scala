@@ -802,6 +802,10 @@ object SparqlExpr {
     case "SUBSTR" =>
       if (a.length == 3) strPreserveDyn(a(0), substring3(_, a(1), a(2)))
       else strPreserveDyn(a(0), substring2(_, a(1)))
+    case "CONCAT" if a.isEmpty =>
+      // CONCAT() — grammatical (ExpressionList ::= NIL) — is the empty
+      // simple literal (fn:concat with zero args)
+      Term.strLit(lit(""))
     case "CONCAT" =>
       // §17.4.3.12: a language tag survives only when EVERY argument
       // carries that same tag; any plain/xsd:string argument (or a tag

@@ -16,15 +16,26 @@ object RdfEscapes {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '\\' && i + 5 <= s.length && s.charAt(i + 1) == 'u') {
-          sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+        if (c == '\\' && i + 6 <= s.length && s.charAt(i + 1) == 'u') {
+          sb += hex(s, i + 2, i + 6).toChar
           i += 6
-        } else if (c == '\\' && i + 9 <= s.length && s.charAt(i + 1) == 'U') {
-          sb.appendAll(Character.toChars(
-            Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+        } else if (c == '\\' && i + 10 <= s.length && s.charAt(i + 1) == 'U') {
+          sb.appendAll(Character.toChars(hex(s, i + 2, i + 10)))
           i += 10
+        } else if (c == '\\' && i + 1 < s.length &&
+                   (s.charAt(i + 1) == 'u' || s.charAt(i + 1) == 'U')) {
+          throw new IllegalArgumentException(
+            s"truncated \\${s.charAt(i + 1)} escape in IRI: $s")
         } else { sb += c; i += 1 }
       }
       sb.toString
+    }
+
+  private def hex(s: String, from: Int, until: Int): Int =
+    try Integer.parseInt(s.substring(from, until), 16)
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"invalid hex digits in IRI escape: ${s.substring(from - 2, until)}")
     }
 }

@@ -945,7 +945,8 @@ final class SparqlParser(input: String) {
     */
   private def quadsToPattern(
       qs: Seq[(TermPat, TriplePattern)]): GraphPattern =
-    qs.groupBy(_._1).toSeq.sortBy(_._1.toString).map { case (g, ts) =>
+    if (qs.isEmpty) Bgp() // DELETE WHERE { } — grammatical, a no-op
+    else qs.groupBy(_._1).toSeq.sortBy(_._1.toString).map { case (g, ts) =>
       val bgp = Bgp(ts.map(_._2): _*)
       g match {
         case DefaultGraphPat => bgp: GraphPattern

@@ -42,7 +42,11 @@ object UpdateExec {
         .collect().map(_.getString(0)).toSet
     val g2 = op match {
       case CreateGraph(i) => graphs + i
-      case ClearGraph(Some(i)) => graphs + i // survives, empty
+      case ClearGraph(Some(i)) =>
+        // CLEAR keeps an EXISTING graph alive (empty) but must not
+        // conjure one that never existed — only register the target if
+        // it is already registered or currently holds quads
+        if (graphs(i) || live(i)) graphs + i else graphs
       case ClearNamed | ClearAll => graphs ++ live
       case DropGraph(Some(i)) => graphs - i
       case DropNamed | DropAll => Set.empty[String]

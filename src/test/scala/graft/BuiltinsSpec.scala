@@ -102,6 +102,10 @@ class BuiltinsSpec extends AnyFunSuite {
   test("string edge semantics: §17.4.3 compatibility, CONCAT lang, XPath SUBSTR") {
     def en(x: String) = Term.langLit(lit(x), lit("en"))
     def cy(x: String) = Term.langLit(lit(x), lit("cy"))
+    // CONCAT() with NO args (ExpressionList ::= NIL) is the empty
+    // simple literal, not a plan-build crash
+    val c0 = lex(f("CONCAT"))
+    assert(c0._1 == Some("") && c0._3.isEmpty)
     // CONCAT: common tag survives, any mismatch degrades to simple
     val cc = lex(f("CONCAT", en("a"), en("b")))
     assert(cc._1 == Some("ab") && cc._3 == Some("en"))

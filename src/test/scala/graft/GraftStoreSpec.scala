@@ -116,8 +116,17 @@ class GraftStoreSpec extends AnyFunSuite {
     val st = sampleStore().insertNamedGraph("urn:g:api")
     assert(st.containsNamedGraph("urn:g:api") && st.size == 3)
     assert(st.removeNamedGraph("urn:g:api").namedGraphs.isEmpty)
-    assert(st.clearGraph("urn:g:other").namedGraphs ==
-      Seq("urn:g:api", "urn:g:other"))
+    // clearing a graph that never existed must NOT create it (CLEAR
+    // keeps an existing graph alive; it never conjures one)
+    assert(st.clearGraph("urn:g:other").namedGraphs == Seq("urn:g:api"))
+    // but clearing a registered-empty graph keeps it registered
+    assert(st.clearGraph("urn:g:api").namedGraphs == Seq("urn:g:api"))
+  }
+
+  test("CLEAR SILENT GRAPH of an absent graph does not register it") {
+    val st = sampleStore().update("CLEAR SILENT GRAPH <urn:g:never>")
+    assert(st.namedGraphs.isEmpty)
+    assert(!st.containsNamedGraph("urn:g:never"))
   }
 
   test("save/open round-trips the empty-graph registry") {

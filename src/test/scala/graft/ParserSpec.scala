@@ -266,4 +266,20 @@ class ParserSpec extends AnyFunSuite {
     val Select(Project(OrderBy(_, keys), _)) = q: @unchecked
     assert(keys == Seq(EFn("STRLEN", EVar("y")) -> true, EVar("x") -> false))
   }
+
+  test("IRI UCHAR escapes: valid resolve, truncated/non-hex are clean errors") {
+    import graft.model.RdfEscapes.unescapeIri
+    assert(unescapeIri("http://x/\\u00e9") == "http://x/é")
+    assert(unescapeIri("http://x/\\U0001F600") == "http://x/😀")
+    // trailing truncated escapes must raise a syntax error, not
+    // StringIndexOutOfBoundsException
+    intercept[IllegalArgumentException](unescapeIri("http://x/\\uABC"))
+    intercept[IllegalArgumentException](unescapeIri("http://x/\\U0001F60"))
+    intercept[IllegalArgumentException](unescapeIri("http://x/\\uZZZZ"))
+  }
+
+  test("DELETE WHERE { } parses to a no-op, not a crash") {
+    val ops = SparqlParser.parseUpdateText(pfx + "DELETE WHERE { }")
+    assert(ops.length == 1) // empty template + empty pattern = no-op
+  }
 }
