@@ -113,42 +113,87 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Rounds cap for [[dupClusters]] — alternating large-star/small-star
+    * converges in O(log^2 n) rounds with high probability (O(log n) in
+    * practice), so 64 double-rounds covers any feasible corpus; hitting
+    * the cap raises instead of hanging a 100 TB job silently.
+    */
+  val MaxCcRounds = 64
+
   /** Connected components over near-dup pairs — the clustering step
     * that turns pairwise matches into keep/drop decisions (cluster_id =
     * the smallest doc_id in the component; keep it, drop the rest).
     *
-    * Min-label propagation to fixpoint: each round every vertex takes
-    * the min of its own and its neighbors' labels. Rounds = component
-    * diameter, and near-dup clusters are small by construction, so this
-    * terminates in a handful of shuffles on (id) — no per-vertex state
-    * beyond one long. localCheckpoint cuts lineage per round (the same
-    * discipline as the PathExec fixpoints).
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) instead of min-label
+    * propagation: each round rewires edges toward the minimum neighbor,
+    * halving tree height, so rounds are O(log n) in component DIAMETER —
+    * a templated-spam chain of length n clusters in ~log n shuffles, not
+    * n. Every shuffle carries (u, v) id pairs only; localCheckpoint cuts
+    * lineage per round (the same discipline as the PathExec fixpoints).
+    *
+    *  - large-star: for each node u, connect every neighbor v > u to
+    *    m(u) = min(N(u) ∪ {u});
+    *  - small-star: for each node u, connect every neighbor v <= u
+    *    (and u itself) to m(u).
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame): DataFrame =
+    dupClustersWithRounds(pairs)._1
+
+  /** [[dupClusters]] plus the number of (large-star, small-star) double
+    * rounds it took — exposed so tests can assert the O(log n) bound.
+    */
+  private[graft] def dupClustersWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
     // persist BEFORE the symmetrization union — otherwise the (possibly
     // expensive) pair-generation subtree materializes once per branch
     val p = pairs.select(col("da"), col("db"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = p
-      .unionByName(p.select(col("db").as("da"), col("da").as("db")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var comp = edges.select(col("da").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    val verts = p.select(col("da").as("id"))
+      .unionByName(p.select(col("db").as("id"))).distinct()
       .localCheckpoint()
-    var changed = true
-    while (changed) {
-      val nbrMin = edges.join(comp, edges("db") === comp("id"))
-        .groupBy(edges("da").as("nid")).agg(min("comp").as("nmin"))
-      val next = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left_outer")
-        .select(comp("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.as("a").join(comp.as("b"), "id")
-        .where(col("a.comp") =!= col("b.comp")).limit(1).count() > 0
-      comp = next
+    // One star phase, join-formulated: m(u) = min(N(u) ∪ {u}) computed
+    // by a groupBy — the neighborhood is never materialized as an array
+    // (a giant component's root has component-sized degree; collect_*
+    // there would OOM an executor). large keeps the strictly-larger
+    // neighbors, small the smaller ones; both re-attach u itself.
+    // Every emitted edge is parent < child, within u's closed
+    // neighborhood — connectivity is preserved exactly.
+    def star(es: DataFrame, large: Boolean): DataFrame = {
+      val sym = es.unionByName(es.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("mu"), least(col("mn"), col("u")).as("m"))
+      val side =
+        if (large) sym.where(col("v") > col("u"))
+        else sym.where(col("v") < col("u"))
+      side.join(mins, col("u") === col("mu"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("mu").as("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
     }
-    edges.unpersist(); p.unpersist()
-    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    var edges = p.select(col("da").as("u"), col("db").as("v"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      rounds += 1
+      if (rounds > MaxCcRounds)
+        throw new IllegalStateException(
+          s"dupClusters did not converge in $MaxCcRounds rounds")
+      edges = star(star(edges, large = true), large = false)
+        .localCheckpoint()
+      // all edges point parent < child; the set is a star forest (= the
+      // joint fixpoint, with each center the component min) exactly when
+      // no parent is itself a child — one id-pair join to test
+      converged = edges.as("a").join(edges.as("b"),
+        col("a.v") === col("b.u"), "left_semi").isEmpty
+    }
+    val out = verts.join(edges, verts("id") === edges("u"), "left_outer")
+      .select(verts("id").as("doc_id"),
+        coalesce(col("v"), verts("id")).as("cluster_id"))
+    p.unpersist()
+    (out, rounds)
   }
 
   /** MinHash signatures: numHashes seeded xxhash64 mins, computed in one
@@ -225,19 +270,68 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxDist, candidates
-    * via 8-bit chunk banding (a pair within distance d <= 7 must agree
-    * on at least one of 8 chunks by pigeonhole).
+  /** Bit layout of the 64-bit simhash split into `m` near-equal blocks:
+    * (shift, width) per block, widest blocks first.
+    */
+  private[graft] def simhashBlocks(m: Int): Seq[(Int, Int)] = {
+    val base = 64 / m
+    val extra = 64 % m
+    var shift = 0
+    (0 until m).map { i =>
+      val w = base + (if (i < extra) 1 else 0)
+      val b = (shift, w); shift += w; b
+    }
+  }
+
+  /** Candidate tables for `simhashPairs`: each table keys on the
+    * concatenation of a COMBINATION of blocks (Manku et al., WWW'07
+    * "Detecting near-duplicates for web crawling" — the multi-table
+    * block-permutation design, combinations instead of rotations).
+    *
+    * Pigeonhole exactness: a pair within hamming distance d dirties at
+    * most d of the m blocks, so >= m - d blocks are clean, so some
+    * r-combination (r <= m - d) is entirely clean and the pair collides
+    * in that table. Table choice per maxDist d:
+    *   - d <= 3: m = 4 blocks of 16 bits, r = 1 -> 4 tables, 65,536
+    *     key values each (vs the former 8x8-bit chunks' 256);
+    *   - d > 3:  m = d + 2, r = 2 -> C(m,2) tables keyed on two blocks
+    *     (~14-21 bits). For d = 7: 36 tables, ~15-bit keys — 2^15 >> 2^8
+    *     keeps within-bucket self-join population sub-linear in corpus
+    *     size where the old 2,048-value key space saturated.
+    */
+  private[graft] def simhashTables(maxDist: Int): Seq[Seq[(Int, Int)]] = {
+    val (m, r) = if (maxDist <= 3) (4, 1) else (maxDist + 2, 2)
+    require(r <= m - maxDist, s"table spec broken for d=$maxDist")
+    val blocks = simhashBlocks(m)
+    (0 until m).combinations(r).map(_.map(blocks)).toSeq
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist.
+    * Candidate generation is multi-table block-combination banding
+    * (see [[simhashTables]]) — exact (recall 1.0 over the simhash
+    * space) by pigeonhole, with key spaces of 2^14..2^16 values per
+    * table so bucket population stays bounded as the corpus grows.
+    * Verification computes the true hamming distance per candidate and
+    * filters BEFORE the pair-dedup exchange.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
     val sh = simhash(docs)
-    val chunks = broadcast(docs.sparkSession.range(8).select(col("id").as("c")))
-    val chunked = sh.crossJoin(chunks)
-      .withColumn("chunk",
-        expr("shiftright(simhash, cast(c as int) * 8) & 255"))
-      .select(col("doc_id"), col("simhash"), col("c"), col("chunk"))
-    chunked.as("a").join(chunked.as("b"),
-      col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+    // per-doc array of (table_id, key) built in one codegen'd
+    // projection; explode replaces the former crossJoin
+    val entries = simhashTables(maxDist).zipWithIndex.map {
+      case (blocks, tid) =>
+        val key = blocks.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+          shiftleft(acc, w) +
+            shiftright(col("simhash"), s).bitwiseAND(lit((1L << w) - 1))
+        }
+        struct(lit(tid).as("t"), key.as("k"))
+    }
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+      explode(array(entries: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.t").as("t"), col("e.k").as("k"))
+    keyed.as("a").join(keyed.as("b"),
+      col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))

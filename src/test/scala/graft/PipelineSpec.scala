@@ -50,6 +50,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!cappedPairs.contains((3L, 4L)))
   }
 
+  test("simhash banding tables: wide keys, pigeonhole-complete") {
+    // d <= 3: 4 tables of one 16-bit block — 65,536 key values each
+    val t3 = Dedup.simhashTables(3)
+    assert(t3.length == 4)
+    assert(t3.forall(bs => bs.length == 1 && bs.head._2 == 16))
+    // d = 7: C(9,2) = 36 tables keyed on two blocks, >= 14 bits each —
+    // the bucket-key space is 2^14+ per table, not the old 2^8
+    val t7 = Dedup.simhashTables(7)
+    assert(t7.length == 36)
+    assert(t7.forall(bs => bs.length == 2 && bs.map(_._2).sum >= 14))
+    // block layouts tile the full 64 bits with no overlap
+    for (m <- Seq(4, 9, 12)) {
+      val bs = Dedup.simhashBlocks(m)
+      assert(bs.map(_._2).sum == 64)
+      assert(bs.map { case (s, w) => s until (s + w) }.flatten.toSet
+        == (0 until 64).toSet)
+    }
+  }
+
+  test("simhash candidate generation is exact vs brute-force hamming") {
+    // banding must find EVERY pair within maxDist (pigeonhole), so on a
+    // bounded slice the output equals the all-pairs hamming filter
+    val slice = docs.limit(120)
+    val sh = Dedup.simhash(slice)
+      .select(col("doc_id"), col("simhash")).persist()
+    val brute = sh.as("a").join(sh.as("b"),
+      col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .where(col("dist") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(slice, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
+    assert(banded == brute,
+      s"banding missed ${brute -- banded} / invented ${banded -- brute}")
+  }
+
   test("simhash near-dups recall >= 0.8 of jaccard near-dups") {
     val jacc = Dedup.ngramJaccardPairs(docs, 8, 10)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -141,6 +179,40 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       9L -> 9L, 10L -> 9L))
+  }
+
+  test("dup clustering: O(log n) rounds on a long chain, cap enforced") {
+    import spark.implicits._
+    // a 200-node path — component diameter 199. Min-label propagation
+    // needed ~199 rounds here; large-star/small-star must stay
+    // logarithmic. Also scrambled ids so orientation isn't pre-sorted.
+    val n = 200
+    val ids = new scala.util.Random(42).shuffle((0L until n).toVector)
+    val chain = (0 until n - 1).map(i =>
+      (math.min(ids(i), ids(i + 1)), math.max(ids(i), ids(i + 1))))
+      .toDF("da", "db")
+    val (comp, rounds) = Dedup.dupClustersWithRounds(chain)
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      "every chain node must label to the min id 0")
+    assert(rounds <= 12, s"chain of $n took $rounds double-rounds")
+    assert(rounds <= Dedup.MaxCcRounds)
+  }
+
+  test("dup clustering handles many mixed components with scrambled ids") {
+    import spark.implicits._
+    // stars, triangles, and reversed chains in one edge list
+    val edges = Seq(
+      (5L, 1L), (5L, 9L), (5L, 7L),            // star centered off-min
+      (20L, 21L), (21L, 22L), (20L, 22L),      // triangle
+      (33L, 31L), (31L, 32L), (32L, 30L))      // chain, mixed order
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("da", "db")
+    val got = Dedup.dupClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 7L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L))
   }
 
   test("contamination flags shingle overlap with broadcast probes") {
