@@ -24,7 +24,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    graft.io.TpchRdf.quads(spark, sfDir).count() // store load, untimed below
+    // store load, untimed below; pipeline-only dirs (tools.ScaleUp
+    // output) carry no TPC-H tables — skip the quad warmup there
+    if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
+      graft.io.TpchRdf.quads(spark, sfDir).count()
     spark.range(2).count()
     val warmup = (System.nanoTime() - t0) / 1e9
 

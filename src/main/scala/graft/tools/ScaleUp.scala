@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-test data generator: replicate the pipeline tables
+  * (documents / embeddings / events) `factor`× with DISJOINT replicas,
+  * for measuring how the dedup/ANN/text/events operators scale beyond
+  * the largest driver-generated SF.
+  *
+  * Disjointness is the point: ids are shifted per replica and every
+  * document token is prefixed with a replica tag, so near-dup structure
+  * (dup clusters, shingle postings, simhash buckets) replicates instead
+  * of cross-linking — output sizes then scale linearly by construction
+  * and any super-linear RUNTIME growth is attributable to the operator,
+  * not to a quadratically denser dataset.
+  *
+  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  val IdOffset = 100000000L
+
+  def scaleDocs(docs: DataFrame, factor: Int): DataFrame = {
+    val reps = (0 until factor).map { r =>
+      val shifted =
+        docs.withColumn("doc_id", col("doc_id") + lit(r * IdOffset))
+      if (r == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1"))
+    }
+    val out = reps.reduce(_.unionByName(_))
+    if (out.columns.contains("n_chars"))
+      out.withColumn("n_chars",
+        length(col("text")).cast(docs.schema("n_chars").dataType))
+    else out
+  }
+
+  /** Replicas circular-shift the vector by r positions: norm-preserving
+    * and decorrelating (cosine of a random vector against its own
+    * rotation is ~0), so cross-replica near-dup pairs don't appear and
+    * dd5/ann output sizes scale linearly, like the doc-token prefixes.
+    */
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val shifted =
+        if (r == 0) emb
+        else emb.withColumn("embedding", concat(
+          slice(col("embedding"), lit(r + 1), size(col("embedding"))),
+          slice(col("embedding"), 1, r)))
+      shifted.withColumn("vec_id", col("vec_id") + lit(r * IdOffset))
+    }.reduce(_.unionByName(_))
+
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map(r =>
+      ev.withColumn("event_id", col("event_id") + lit(r * IdOffset))
+        .withColumn("user_id", col("user_id") + lit(r * IdOffset)))
+      .reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val Array(in, out, f) = args.take(3)
+    val factor = f.toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.parquet carries TIMESTAMP(NANOS) — same legacy conf as
+    // ops/Events.scala:24; the scaled copy then holds plain int64
+    // nanos, which the ev queries read identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.repartition(64).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    wr(scaleDocs(rd("documents"), factor), "documents")
+    wr(scaleEmbeddings(rd("embeddings"), factor), "embeddings")
+    wr(scaleEvents(rd("events"), factor), "events")
+    spark.stop()
+  }
+}
