@@ -336,6 +336,72 @@ object Results {
         StructField(v, Term.schema, nullable = true)).toSeq))
   }
 
+  /** Parse W3C SPARQL 1.1 CSV results (plain lexical forms, RFC 4180
+    * framing — the read half of sparesults' csv.rs) into a solution
+    * DataFrame. CSV is lossy by design (spec §4): term kind and
+    * datatype are not recoverable, so every non-empty cell comes back
+    * as a plain xsd:string literal. An unquoted empty cell is unbound;
+    * a quoted `""` is the empty string literal. Quoted cells may span
+    * lines (embedded newlines), so the document is tokenized as a
+    * whole, not line-split.
+    */
+  def fromCsv(spark: org.apache.spark.sql.SparkSession,
+      csv: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // RFC 4180 tokenizer: records of (cellText, wasQuoted)
+    val records = ListBuffer[Vector[(String, Boolean)]]()
+    var cells = Vector.newBuilder[(String, Boolean)]
+    val cell = new StringBuilder
+    var quoted = false
+    var inQuotes = false
+    var sawAny = false
+    def endCell(): Unit = {
+      cells += ((cell.toString, quoted)); cell.clear(); quoted = false
+    }
+    def endRecord(): Unit = {
+      endCell(); records += cells.result(); cells = Vector.newBuilder
+    }
+    var i = 0
+    while (i < csv.length) {
+      val c = csv.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < csv.length && csv.charAt(i + 1) == '"') {
+            cell.append('"'); i += 1
+          } else inQuotes = false
+        } else cell.append(c)
+      } else c match {
+        case '"' => inQuotes = true; quoted = true
+        case ',' => endCell(); sawAny = true
+        case '\r' => // consumed; LF (if any) handled next
+          endRecord(); sawAny = false
+          if (i + 1 < csv.length && csv.charAt(i + 1) == '\n') i += 1
+        case '\n' => endRecord(); sawAny = false
+        case ch => cell.append(ch)
+      }
+      i += 1
+    }
+    if (sawAny || cell.nonEmpty || quoted) endRecord()
+    if (inQuotes)
+      throw new IllegalArgumentException(
+        "CSV results: unterminated quoted cell")
+    val recs = records.toList
+    if (recs.isEmpty)
+      throw new IllegalArgumentException("CSV results: empty document")
+    val vars = recs.head.map(_._1.stripPrefix("?")) // "?" tolerated
+    val rows = recs.tail.map { r =>
+      Row(vars.indices.map { i =>
+        val (text, q) = if (i < r.length) r(i) else ("", false)
+        if (text.isEmpty && !q) null
+        else Row(Term.LiteralKind.toByte, text, Term.XsdString, null)
+      }: _*)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(vars.map(v =>
+        StructField(v, Term.schema, nullable = true)).toSeq))
+  }
+
   /** Parse W3C SPARQL 1.1 TSV results (N-Triples-syntax cells) into a
     * solution DataFrame; empty cells are unbound.
     */

@@ -77,6 +77,39 @@ class ResultsSpec extends AnyFunSuite {
       withNull.except(back).count() == 0)
   }
 
+  test("CSV results roundtrip: toCsv -> fromCsv (lossy to plain literals)") {
+    val back = Results.fromCsv(spark, Results.toCsv(sols))
+    assert(back.columns.toSeq == sols.columns.toSeq)
+    assert(back.count() == sols.count())
+    // CSV keeps lexical forms only — compare against the lexical
+    // projection of the source, as plain literals (spec §4 lossiness)
+    val lex = sols.select(sols.columns.map(c =>
+      struct(lit(Term.LiteralKind).cast("byte").as("kind"),
+        col(c)("lex").as("lex"), lit(Term.XsdString).as("dt"),
+        lit(null).cast("string").as("lang")).as(c)): _*)
+    assert(back.except(lex).count() == 0 && lex.except(back).count() == 0)
+  }
+
+  test("fromCsv: RFC 4180 framing — quotes, embedded newlines, unbound") {
+    val csv = "a,b\r\n" +
+      "plain,\"with,comma\"\r\n" +
+      "\"line1\nline2\",\r\n" +          // multi-line cell; unbound b
+      "\"he said \"\"hi\"\"\",\"\"\r\n"  // escaped quotes; quoted empty
+    val df = Results.fromCsv(spark, csv)
+    val rows = df.orderBy(col("a")("lex")).collect()
+    assert(rows.length == 3)
+    def lex(r: org.apache.spark.sql.Row, i: Int) =
+      Option(r.getAs[org.apache.spark.sql.Row](i)).map(_.getString(1))
+    assert(rows.exists(r => lex(r, 0).contains("with,comma") ||
+      lex(r, 1).contains("with,comma")))
+    assert(lex(rows(1), 0).contains("line1\nline2") && rows(1).isNullAt(1))
+    assert(lex(rows(0), 0).contains("he said \"hi\"") &&
+      lex(rows(0), 1).contains("")) // quoted "" = empty literal, bound
+    intercept[IllegalArgumentException] {
+      Results.fromCsv(spark, "a,b\r\n\"unterminated")
+    }
+  }
+
   test("fromXml handles bnode/typed terms and ASK booleans") {
     val xml = """<?xml version="1.0"?>
       <sparql xmlns="http://www.w3.org/2005/sparql-results#">
