@@ -24,7 +24,11 @@ object Sampling {
     if (rate >= 1.0) "g"
     else f"${math.max(0L, math.min(0xffffffffL, math.round(rate * 4294967296.0)))}%08x"
 
-  private def bucket(key: Column): Column =
+  /** The md5 hash-order key: sampling keeps rows whose bucket sorts
+    * below the rate threshold, so ordering by it gives a deterministic
+    * "first n of the sample" (Similarity's bounded k-means train set).
+    */
+  def bucket(key: Column): Column =
     substring(md5(key.cast("string")), 1, 8)
 
   /** Uniform deterministic sample at `rate` keyed by `key`. */

@@ -88,26 +88,146 @@ object Similarity {
       when(proj > 0, expr(s"shiftleft(cast(1 as bigint), $j)")).otherwise(0L)
     }.reduce(_ + _)
 
-  /** IVF coarse quantizer: `nlist` centroids, every vector assigned to
-    * its nearest list. Centroids are taken deterministically from the
-    * corpus (lowest vec_ids) — at scale you would k-means them; the
-    * harness needs reproducibility more than centroid quality, and the
-    * probe/rerank dataflow is identical either way. Assignment is one
-    * broadcast join + a per-vector argmax (no shuffle of the corpus).
+  /** A centroid held on the driver: centroids are nlist-sized by
+    * definition (they get broadcast/compiled into expressions), never
+    * data-path.
     */
-  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame = {
-    val cents = withNorm(emb).orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("list_id"), col("embedding").as("cent"),
-        col("norm2").as("cnorm2"))
-    val v = withNorm(emb)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("list_id"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("cscore",
-        cosine(col("embedding"), col("cent"), col("norm2"), col("cnorm2")))
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm2"), col("list_id"))
+  final case class Centroid(id: Long, vec: Seq[Float], norm2: Double)
+
+  /** struct() whose field names survive inside higher-order-function
+    * lambdas (plain `.as` aliases are stripped there — they come back
+    * as col1/col2).
+    */
+  private def nstruct(fields: (String, Column)*): Column =
+    call_function("named_struct",
+      fields.flatMap { case (n, c) => Seq(lit(n), c) }: _*)
+
+  /** Per-row centroid scores as an array column: the centroid table is
+    * compiled INTO the expression, so scoring is pure map-side — no
+    * join, no window, nothing shuffles the corpus. Each element is
+    * struct(s = cosine, id = list id).
+    */
+  private def centScores(cents: Seq[Centroid], e: Column,
+      norm2: Column): Column = {
+    val arr = array(cents.map { c =>
+      struct(typedlit(c.vec).as("vec"), lit(c.id).as("id"),
+        lit(c.norm2).as("n2"))
+    }: _*)
+    transform(arr, c => nstruct(
+      "s" -> cosine(e, c("vec"), norm2, c("n2")), "id" -> c("id")))
   }
+
+  /** Argmax list id (highest cosine, ties to lowest id) as a codegen'd
+    * sequential fold — the per-row work replacing the old
+    * crossJoin+Window argmax.
+    */
+  private def nearestList(cents: Seq[Centroid], e: Column,
+      norm2: Column): Column =
+    aggregate(centScores(cents, e, norm2),
+      struct(lit(Double.NegativeInfinity).as("s"),
+        lit(Long.MaxValue).as("id")),
+      (acc, x) => when(x("s") > acc("s") ||
+        (x("s") === acc("s") && x("id") < acc("id")), x).otherwise(acc))
+      .getField("id")
+
+  /** Driver-side sequential double fold — bit-identical to dotSeq's
+    * aggregate over the same element order.
+    */
+  private def norm2Local(v: Seq[Float]): Double =
+    v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+
+  /** IVF centroids: seeded deterministically from the corpus (lowest
+    * vec_ids), then refined with `refineIters` Lloyd iterations of
+    * spherical k-means over a bounded deterministic training sample.
+    *
+    * The training set is collected and iterated DRIVER-side — the same
+    * shape as FAISS's coarse-quantizer train(): at any corpus scale you
+    * train the quantizer on a bounded sample (maxTrain rows, default
+    * 16384 ≈ 1k/list at nlist=16), while corpus ASSIGNMENT stays
+    * distributed and map-side (nearestList). Boundedness is by
+    * construction: deterministicSample picks the hash-order sample and
+    * ordering by the same md5 bucket makes "first maxTrain of it"
+    * reproducible bit-for-bit across runs and partitionings. Local
+    * Lloyd (fixed iteration order, plain double sums) is likewise
+    * deterministic. Lists capturing no train vectors keep their
+    * previous centroid.
+    */
+  def ivfCentroidsLocal(emb: DataFrame, nlist: Int, refineIters: Int = 3,
+      sampleRate: Double = 0.25, maxTrain: Int = 16384): Seq[Centroid] = {
+    val seed = withNorm(emb).orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("embedding"), col("norm2")).collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .toSeq
+    if (refineIters <= 0) return seed
+    val train = withNorm(
+      Sampling.deterministicSample(emb, col("vec_id"), sampleRate))
+      .orderBy(Sampling.bucket(col("vec_id")), col("vec_id"))
+      .limit(maxTrain)
+      .select(col("embedding"), col("norm2")).collect()
+      .map(r => (r.getSeq[Float](0).map(_.toDouble).toArray, r.getDouble(1)))
+    if (train.isEmpty) return seed
+    val dim = train.head._1.length
+    var cents = seed.map(c =>
+      (c.id, c.vec.map(_.toDouble).toArray, c.norm2))
+    for (_ <- 1 to refineIters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      for ((v, n2) <- train) {
+        // argmax cosine, ties to lowest list id (cents are id-ascending)
+        var best = -1; var bestS = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          val (_, cv, cn2) = cents(j)
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cv(i); i += 1 }
+          val s = dot / (math.sqrt(n2) * math.sqrt(cn2))
+          if (s > bestS) { bestS = s; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case ((id, cv, cn2), j) =>
+        if (counts(j) == 0) (id, cv, cn2) // empty: keep previous
+        else {
+          val m = sums(j).map(_ / counts(j))
+          (id, m, m.foldLeft(0.0)((a, x) => a + x * x))
+        }
+      }
+    }
+    // back to float vectors, norm recomputed exactly as dotSeq folds it
+    cents.map { case (id, cv, _) =>
+      val f = cv.map(_.toFloat).toSeq
+      Centroid(id, f, norm2Local(f))
+    }
+  }
+
+  /** DataFrame view of the centroid table (list_id, cent, cnorm2). */
+  def ivfCentroids(emb: DataFrame, nlist: Int, refineIters: Int = 3,
+      sampleRate: Double = 0.25): DataFrame = {
+    val spark = emb.sparkSession
+    val rows = ivfCentroidsLocal(emb, nlist, refineIters, sampleRate)
+      .map(c => org.apache.spark.sql.Row(c.id, c.vec, c.norm2))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("list_id", LongType, nullable = false),
+        StructField("cent", ArrayType(FloatType), nullable = false),
+        StructField("cnorm2", DoubleType, nullable = false))))
+  }
+
+  /** IVF coarse quantizer: every vector assigned to its nearest list.
+    * Pure map-side (nearestList fold) — the corpus is never shuffled
+    * or joined for assignment.
+    */
+  def ivfAssignTo(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
+    withNorm(emb).withColumn("list_id",
+        nearestList(cents, col("embedding"), col("norm2")))
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("list_id"))
+
+  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame =
+    ivfAssignTo(emb, ivfCentroidsLocal(emb, nlist))
 
   /** ANN top-k via IVF: queries probe their `nprobe` nearest centroid
     * lists and rerank exactly within them. The 100 TB shape: candidate
@@ -115,22 +235,22 @@ object Similarity {
     * once for assignment (persist the assignment table in practice).
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(emb, nlist)
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 3): DataFrame = {
+    val cents = ivfCentroidsLocal(emb, nlist, refineIters)
+    val assigned = ivfAssignTo(emb, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = withNorm(emb).orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("list_id"), col("embedding").as("cent"),
-        col("norm2").as("cnorm2"))
     val q = withNorm(emb).where(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm2").as("qn"))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("cscore").desc, col("list_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("cscore", cosine(col("qe"), col("cent"), col("qn"),
-        col("cnorm2")))
-      .withColumn("__rn", row_number().over(wq)).where(col("__rn") <= nprobe)
-      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+    // top-nprobe lists per query, map-side: sort scores desc (ties to
+    // lowest id via negated-id key), slice, explode — no join, no window
+    val scored = transform(centScores(cents, col("qe"), col("qn")),
+      s => nstruct("s" -> s("s"), "nid" -> -s("id")))
+    val probes = q
+      .withColumn("list_id",
+        explode(transform(
+          slice(sort_array(scored, asc = false), 1, nprobe),
+          s => -s("nid"))))
     val cands = probes.join(assigned, Seq("list_id"))
       .where(col("qid") =!= col("vec_id"))
     val w = Window.partitionBy(col("qid"))

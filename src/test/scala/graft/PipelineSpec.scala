@@ -127,6 +127,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall implausibly low")
   }
 
+  test("IVF k-means refinement strictly improves recall over seed centroids") {
+    // queries DISJOINT from the seed-centroid ids (lowest vec_ids):
+    // a query that IS a centroid probes its own list exactly, which
+    // inflates seed recall and hides what refinement buys
+    val qPred = col("vec_id") >= 100 && col("vec_id") < 120
+    val brute = Similarity.bruteTopK(emb, qPred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(iters: Int): Double = {
+      val pairs = Similarity.ivfTopK(emb, qPred, 5, refineIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & pairs).size.toDouble / brute.size
+    }
+    val seedR = recallAt(0)
+    val refinedR = recallAt(3)
+    assert(refinedR > seedR,
+      s"Lloyd refinement should improve recall: seed=$seedR refined=$refinedR")
+    // and refinement must be deterministic: same centroids bit-for-bit
+    val c1 = Similarity.ivfCentroids(emb, 16, 3).orderBy("list_id").collect()
+    val c2 = Similarity.ivfCentroids(emb, 16, 3).orderBy("list_id").collect()
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
+  }
+
   test("repetition stats: known repeats measured exactly") {
     import spark.implicits._
     val d = Seq(
