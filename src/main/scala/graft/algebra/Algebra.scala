@@ -78,7 +78,12 @@ object Algebra {
       fn: String, // COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT | COUNT_STAR
       expr: Option[Expr],
       distinct: Boolean = false,
-      separator: String = " ")
+      separator: String = " ",
+      // GROUP_CONCAT element order (extension syntax `; ORDER BY c...`,
+      // as in ARQ). Empty = the documented default: elements sorted by
+      // SPARQL term order, because "input order" is not well defined
+      // over a distributed bag.
+      orderBy: Seq[(Expr, Boolean)] = Nil)
 
   // ---- graph patterns (spargebra · GraphPattern) ---------------------
   sealed trait GraphPattern

@@ -1035,9 +1035,37 @@ object Translator {
           post += col(n("m")).as(outName)
         case "GROUP_CONCAT" =>
           val x = e.get
-          val lst = if (call.distinct) collect_set(x("lex")) else collect_list(x("lex"))
-          aggCols += array_join(array_sort(lst), call.separator).as(n("g"))
-          post += Term.strLit(col(n("g"))).as(outName)
+          if (call.orderBy.isEmpty) {
+            val lst = if (call.distinct) collect_set(x("lex")) else collect_list(x("lex"))
+            aggCols += array_join(array_sort(lst), call.separator).as(n("g"))
+            post += Term.strLit(col(n("g"))).as(outName)
+          } else {
+            // explicit `; ORDER BY …`: collect (key…, lex) structs and
+            // sort with a comparator honoring per-key ASC/DESC over the
+            // SPARQL term-order keys; lex is the final ascending
+            // tiebreak so the result is deterministic
+            val keyCols = call.orderBy.zipWithIndex.map { case ((oe, _), j) =>
+              sortKey(wrap(SparqlExpr.compile(oe, in.bind))).as(s"__k$j")
+            }
+            val dirs = call.orderBy.map(_._2)
+            val elem = struct((keyCols :+ x("lex").as("__lex")): _*)
+            val cmp = (l: Column, r: Column) => {
+              val lexCmp = when(l("__lex") < r("__lex"), -1)
+                .when(l("__lex") > r("__lex"), 1).otherwise(0)
+              dirs.zipWithIndex.foldRight(lexCmp) { case ((asc, j), tail) =>
+                val (lo, hi) = if (asc) (-1, 1) else (1, -1)
+                // null keys (error/unbound) fall through as equal
+                when(l(s"__k$j") < r(s"__k$j"), lo)
+                  .when(l(s"__k$j") > r(s"__k$j"), hi)
+                  .otherwise(tail)
+              }
+            }
+            val sorted = array_sort(collect_list(elem), cmp)
+            val lexes0 = transform(sorted, s => s("__lex"))
+            val lexes = if (call.distinct) array_distinct(lexes0) else lexes0
+            aggCols += array_join(lexes, call.separator).as(n("g"))
+            post += Term.strLit(col(n("g"))).as(outName)
+          }
         case other => SparqlExpr.customAggregate(other) match {
           case Some(f) =>
             aggCols += f(e.get, call.distinct).as(n("m"))

@@ -666,10 +666,17 @@ final class SparqlParser(input: String) {
       else {
         val e = parseExpression()
         if (word == "GROUP_CONCAT") {
+          // `; SEPARATOR = str` (spec) and `; ORDER BY cond+` (extension,
+          // ARQ-style) in either order
           var sep = " "
-          if (eatSym(";")) { expect("SEPARATOR"); expect("=")
-            sep = parseString() }
-          AggCall("GROUP_CONCAT", Some(e), distinct, sep)
+          var ord: Seq[(Expr, Boolean)] = Nil
+          while (eatSym(";")) {
+            if (peek("SEPARATOR")) { eat("SEPARATOR"); expect("=")
+              sep = parseString() }
+            else { expect("ORDER"); expect("BY")
+              ord = parseOrderConditions() }
+          }
+          AggCall("GROUP_CONCAT", Some(e), distinct, sep, ord)
         } else AggCall(word, Some(e), distinct)
       }
     expect(")")
@@ -810,6 +817,7 @@ final class SparqlParser(input: String) {
     while (go) {
       ws()
       if (pos >= input.length || input(pos) == '}' ||
+        input(pos) == ')' || input(pos) == ';' || // GROUP_CONCAT(…; ORDER BY …)
         peek("LIMIT") || peek("OFFSET") || peek("VALUES")) go = false
       else if (peek("ASC")) { eat("ASC"); expect("(")
         keys += parseExpression() -> true; expect(")") }
