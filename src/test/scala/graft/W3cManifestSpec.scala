@@ -71,9 +71,13 @@ class W3cManifestSpec extends AnyFunSuite {
     val root = new java.io.File(
       getClass.getResource("/sparql").toURI).toPath
     val es = W3cManifest.load(root.resolve("manifest.ttl"))
-    val dirs = root.toFile.listFiles().filter(_.isDirectory)
+    // every dir holding an expected.tsv must be listed as an eval test
+    val dirs = root.toFile.listFiles()
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "expected.tsv").exists())
       .map(_.getName).toSet
-    assert(es.map(_.name).toSet == dirs,
-      s"manifest out of sync with fixture dirs: missing ${dirs -- es.map(_.name).toSet}, stale ${es.map(_.name).toSet -- dirs}")
+    val evals = es.filter(_.kind == "QueryEvaluationTest").map(_.name).toSet
+    assert(evals == dirs,
+      s"manifest out of sync with fixture dirs: missing ${dirs -- evals}, stale ${evals -- dirs}")
   }
 }
