@@ -293,6 +293,19 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "sampling must not shuffle:\n" + plan)
   }
 
+  test("IVF corpus assignment is pure map-side (no exchange, no window)") {
+    val emb = graft.io.Tables(spark, sf, "embeddings")
+    val cents = graft.ops.Similarity.ivfCentroidsLocal(emb, 8, 0)
+    val assigned = graft.ops.Similarity.ivfAssignTo(emb, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "IVF assignment must not shuffle the corpus:\n" + plan)
+    assert(!plan.contains("Window"),
+      "IVF assignment must not window the corpus:\n" + plan)
+    assert(!plan.toLowerCase.contains("join"),
+      "IVF assignment must not join the corpus:\n" + plan)
+  }
+
   test("inferPredicateClasses derives the catalog from data") {
     val inferred = graft.io.QuadSource.inferPredicateClasses(
       TpchRdf.quads(spark, sf))
