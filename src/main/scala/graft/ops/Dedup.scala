@@ -48,53 +48,52 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int,
       k: Int = 3, dfCap: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withSh = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap).select(col("s"))
-    val capped = sh.join(rare, Seq("s"), "left_semi")
-    // Shingle sets are distinct (TextOps.shingles), so aggregating the
-    // inverted-index self-join counts |capped-set intersection| per pair
-    // on the SAME exchange the former pair-dedup used — and that count
-    // IS the exact intersection whenever neither doc lost a shingle to
-    // the df-cap. The array_intersect fallback then runs only for pairs
-    // touching capped docs; with the cap unbound it processes zero rows.
-    val counts = capped.as("a").join(capped.as("b"),
-      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).cast("int").as("ic"))
-    val dropped = sh.join(rare, Seq("s"), "left_anti")
-      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("nd"))
-    val sizes = withSh.select(col("doc_id"), col("n"))
-      .join(dropped, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n"), coalesce(col("nd"), lit(0)).as("nd"))
-    val stats = counts
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na"),
-        col("nd").as("nda")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb"),
-        col("nd").as("ndb")), "db")
-    // true intersection <= ic + dropped_a + dropped_b, and Jaccard is
-    // increasing in the intersection — the upper bound prunes safely
-    // before any array work
-    val ub = col("ic") + col("nda") + col("ndb")
-    val plausible = stats
-      .where(ub * den >= (col("na") + col("nb") - ub) * num)
-    val exact = plausible.where(col("nda") + col("ndb") === 0)
-      .select(col("da"), col("db"), col("ic").as("inter"),
-        col("na"), col("nb"))
-    val fuzzy = plausible.where(col("nda") + col("ndb") > 0)
-      .join(withSh.select(col("doc_id").as("da"), col("sh").as("sa")), "da")
-      .join(withSh.select(col("doc_id").as("db"), col("sh").as("sb")), "db")
+    val sh = withSh.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+    val dfTab = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // Prefix filtering (PPJoin / prefix-filter lemma, Xiao et al.
+    // WWW'08, public): under a GLOBAL total order on shingles, a pair
+    // at Jaccard >= num/den must share a shingle within each side's
+    // first (n - ceil(t*n) + 1) shingles — so only that prefix is
+    // indexed. Ordering rarest-first (df, then lex) makes prefixes
+    // maximally selective AND pushes stop-shingles to the order's tail,
+    // out of every prefix; the df-cap remains as the governor for
+    // pathological distributions (capped shingles leave candidate
+    // generation ONLY — a doc's surviving true-prefix shingles always
+    // sit inside its first prefLen survivors, so the cap's documented
+    // recall caveat is unchanged). Verification below intersects FULL
+    // shingle sets, keeping the reported Jaccard exact.
+    val prefLen = col("n") -
+      expr(s"((n * $num + ${den - 1}) div $den)") + 1
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val pref = sh.join(dfTab.where(col("df") <= dfCap), "s")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= prefLen)
+      .select(col("doc_id"), col("n"), col("s"))
+    // candidates: prefixes intersect AND the length filter holds
+    // (J >= t forces min(n) * den >= max(n) * num)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")) * den >=
+          greatest(col("a.n"), col("b.n")) * num)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // exact verification on the full sets, candidates only
+    cand
+      .join(withSh.select(col("doc_id").as("da"), col("sh").as("sa"),
+        col("n").as("na")), "da")
+      .join(withSh.select(col("doc_id").as("db"), col("sh").as("sb"),
+        col("n").as("nb")), "db")
       .select(col("da"), col("db"),
         size(array_intersect(col("sa"), col("sb"))).as("inter"),
         col("na"), col("nb"))
-    exact.unionByName(fuzzy)
       .where(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
-      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
   }
 
   /** Benchmark decontamination: corpus docs sharing at least
