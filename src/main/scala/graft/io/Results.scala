@@ -55,8 +55,26 @@ object Results {
     }
   }
 
+  /** Boolean (ASK) result detection: QueryExec.ask yields one
+    * BooleanType column; a round-tripped boolean document yields the
+    * single `__ask` term column.
+    */
+  private def askValue(df: DataFrame): Option[Boolean] =
+    df.schema.fields match {
+      case Array(f) if f.dataType ==
+        org.apache.spark.sql.types.BooleanType =>
+        Some(df.head.getBoolean(0))
+      case Array(f) if f.name == "__ask" =>
+        Some(df.head.getAs[Row](0).getString(1) == "true")
+      case _ => None
+    }
+
   /** W3C SPARQL 1.1 Query Results JSON. */
   def toJson(solutions: DataFrame): String = {
+    askValue(solutions) match {
+      case Some(b) => return s"""{"head":{},"boolean":$b}"""
+      case None =>
+    }
     val vars = solutions.columns
     val head = vars.map(v => s""""${jsonEscape(v)}"""").mkString("[", ",", "]")
     val bindings = solutions.toLocalIterator()
@@ -100,8 +118,15 @@ object Results {
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  /** W3C SPARQL 1.1 Query Results CSV / TSV. */
+  /** W3C SPARQL 1.1 Query Results CSV / TSV. Boolean (ASK) results
+    * serialize as a single true/false line (the sparesults convention —
+    * the W3C CSV/TSV spec defines solution sequences only).
+    */
   def toSeparated(solutions: DataFrame, tsv: Boolean): String = {
+    askValue(solutions) match {
+      case Some(b) => return s"$b\r\n"
+      case None =>
+    }
     val vars = solutions.columns
     val sep = if (tsv) "\t" else ","
     val header =
@@ -155,6 +180,12 @@ object Results {
 
   /** W3C SPARQL Query Results XML Format (the sparesults XML writer). */
   def toXml(solutions: DataFrame): String = {
+    askValue(solutions) match {
+      case Some(b) => return """<?xml version="1.0"?><sparql xmlns=""" +
+        s""""http://www.w3.org/2005/sparql-results#"><head/>""" +
+        s"<boolean>$b</boolean></sparql>"
+      case None =>
+    }
     val vars = solutions.columns
     val sb = new StringBuilder(
       """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""")
@@ -213,12 +244,7 @@ object Results {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(json)
     if (root.has("boolean"))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq(Row(Row(Term.LiteralKind.toByte,
-            root.get("boolean").asBoolean.toString,
-            Term.XsdBoolean, null)))),
-        StructType(Seq(StructField("__ask", Term.schema, nullable = true))))
+      return askDf(spark, root.get("boolean").asBoolean)
     val vars = Option(root.get("head")).flatMap(h => Option(h.get("vars")))
       .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
     def term(n: JsonNode): Row =
@@ -282,12 +308,7 @@ object Results {
     }
     val root = doc.getDocumentElement
     children(root, "boolean").headOption match {
-      case Some(b) =>
-        return spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            Seq(Row(Row(Term.LiteralKind.toByte, b.getTextContent.trim,
-              Term.XsdBoolean, null)))),
-          StructType(Seq(StructField("__ask", Term.schema, nullable = true))))
+      case Some(b) => return askDf(spark, b.getTextContent.trim == "true")
       case None =>
     }
     val vars = children(root, "head").headOption
@@ -345,9 +366,27 @@ object Results {
     * lines (embedded newlines), so the document is tokenized as a
     * whole, not line-split.
     */
+  /** Single `__ask` column carrying the boolean, shared by every
+    * boolean-document reader.
+    */
+  private def askDf(spark: org.apache.spark.sql.SparkSession,
+      b: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(Row(Term.LiteralKind.toByte, b.toString,
+          Term.XsdBoolean, null)))),
+      StructType(Seq(StructField("__ask", Term.schema, nullable = true))))
+  }
+
   def fromCsv(spark: org.apache.spark.sql.SparkSession,
       csv: String): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
+    csv.trim match { // boolean (ASK) document: a bare true/false line
+      case "true" => return askDf(spark, true)
+      case "false" => return askDf(spark, false)
+      case _ =>
+    }
     // RFC 4180 tokenizer: records of (cellText, wasQuoted)
     val records = ListBuffer[Vector[(String, Boolean)]]()
     var cells = Vector.newBuilder[(String, Boolean)]
@@ -408,6 +447,11 @@ object Results {
   def fromTsv(spark: org.apache.spark.sql.SparkSession,
       tsv: String): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
+    tsv.trim match { // boolean (ASK) document: a bare true/false line
+      case "true" => return askDf(spark, true)
+      case "false" => return askDf(spark, false)
+      case _ =>
+    }
     val lines = tsv.split("\r?\n").filter(_.nonEmpty)
     val vars = lines.head.split("\t").map(_.stripPrefix("?"))
     val rows = lines.tail.map { ln =>

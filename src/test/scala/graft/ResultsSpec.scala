@@ -110,6 +110,27 @@ class ResultsSpec extends AnyFunSuite {
     }
   }
 
+  test("ASK boolean results: all four formats write and read back") {
+    val ask = SparqlParser.execute(
+      s"PREFIX : <${TpchRdf.ns}> ASK { ?r :name ?rn }",
+      TpchRdf.quads(spark, sf))
+    assert(Results.toJson(ask) == """{"head":{},"boolean":true}""")
+    assert(Results.toXml(ask).contains("<boolean>true</boolean>"))
+    assert(Results.toCsv(ask) == "true\r\n")
+    assert(Results.toTsv(ask) == "true\r\n")
+    for (back <- Seq(
+        Results.fromJson(spark, Results.toJson(ask)),
+        Results.fromXml(spark, Results.toXml(ask)),
+        Results.fromCsv(spark, Results.toCsv(ask)),
+        Results.fromTsv(spark, Results.toTsv(ask)))) {
+      assert(back.columns.toSeq == Seq("__ask"))
+      assert(back.head.getAs[org.apache.spark.sql.Row](0)
+        .getString(1) == "true")
+      // and a round-tripped boolean re-serializes as a boolean document
+      assert(Results.toCsv(back) == "true\r\n")
+    }
+  }
+
   test("fromXml handles bnode/typed terms and ASK booleans") {
     val xml = """<?xml version="1.0"?>
       <sparql xmlns="http://www.w3.org/2005/sparql-results#">
