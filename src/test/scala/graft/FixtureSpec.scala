@@ -69,6 +69,18 @@ class FixtureSpec extends AnyFunSuite {
             read(e.query.getOrElse(fail(s"${e.name}: no query"))))
         }
       }
+    case k if k.startsWith("PositiveUpdateSyntaxTest") =>
+      test(s"fixture: ${e.name} (positive update syntax)") {
+        SparqlParser.parseUpdateText(
+          read(e.query.getOrElse(fail(s"${e.name}: no request"))))
+      }
+    case k if k.startsWith("NegativeUpdateSyntaxTest") =>
+      test(s"fixture: ${e.name} (negative update syntax)") {
+        intercept[Exception] {
+          SparqlParser.parseUpdateText(
+            read(e.query.getOrElse(fail(s"${e.name}: no request"))))
+        }
+      }
     case other =>
       test(s"fixture: ${e.name}") {
         cancel(s"manifest test kind not supported yet: '$other'")
