@@ -287,6 +287,18 @@ object SparqlText {
              FILTER(?b > ?av)
            } ORDER BY ?cname""")
         .select(str("cname").as("c_name"))
+    },
+
+    // ordered GROUP_CONCAT (extension `; ORDER BY`): element order is
+    // DESC balance with name tiebreak — DuckDB mirrors it with
+    // string_agg(... ORDER BY), making the extension oracle-checkable
+    "pq23_groupconcat_order" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?nname (GROUP_CONCAT(?cname; ORDER BY DESC(?b) ?cname; SEPARATOR=",") AS ?names)
+           WHERE { ?c :inNation ?n ; :name ?cname ; :acctbal ?b .
+                   ?n :name ?nname }
+           GROUP BY ?nname ORDER BY ?nname""")
+        .select(str("nname").as("n_name"), str("names").as("names"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +329,11 @@ object SparqlText {
       """SELECT c_name, n_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         ORDER BY c_name""",
+    "pq23_groupconcat_order" ->
+      """SELECT n_name,
+        string_agg(c_name, ',' ORDER BY CAST(c_acctbal AS DECIMAL(38,2)) DESC, c_name) AS names
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
     "pq14_describe" ->
       s"""SELECT s, p, o FROM (
         SELECT '${TpchRdf.ns}customer/' || c_custkey AS s,
