@@ -16,9 +16,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object GoldenGen {
 
+  // q25_kll_quantiles is deliberately ABSENT: DataSketches KLL
+  // compaction flips ThreadLocalRandom coins (not seedable), so its
+  // exact quantile values legitimately vary run-to-run — the golden
+  // net caught this as a flake. Its regression coverage stays the
+  // SketchSpec rank-error bounds, which hold for every coin sequence.
   val names = Seq("dd4_simhash", "ann2_lsh_topk", "ann3_ivf_topk",
-    "q20_approx_distinct", "q23_hll_merge", "q25_kll_quantiles",
-    "q26_theta_overlap")
+    "q20_approx_distinct", "q23_hll_merge", "q26_theta_overlap")
 
   private def canonValue(v: Any): String = v match {
     case null => "NULL"
