@@ -75,15 +75,29 @@ object Dedup {
     val pref = sh.join(dfTab.where(col("df") <= dfCap), "s")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= prefLen)
-      .select(col("doc_id"), col("n"), col("s"))
+      .select(col("doc_id"), col("n"), col("s"), col("__rn"))
     // candidates: prefixes intersect AND the length filter holds
     // (J >= t forces min(n) * den >= max(n) * num)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")) * den >=
           greatest(col("a.n"), col("b.n")) * num)
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+      // Positional filter (PPJoin's second filter), on the same exchange
+      // the pair-dedup needs anyway: let (ra, rb) be the pair's FIRST
+      // shared prefix positions in the global order. Every other
+      // intersection element sorts after that shingle (else it would be
+      // the first match), so it lies past position ra in A and rb in B:
+      //   |A ∩ B| <= 1 + min(na - ra, nb - rb).
+      // Prune when even that bound misses the threshold
+      // (i * (den+num) >= num * (na+nb) is J >= t rearranged). __rn is
+      // the position in the CAPPED order <= full-order position, so the
+      // bound only overestimates — no false negatives.
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(min(col("a.__rn")).as("ra"), min(col("b.__rn")).as("rb"),
+        first(col("a.n")).as("pna"), first(col("b.n")).as("pnb"))
+      .where((lit(1) + least(col("pna") - col("ra"), col("pnb") - col("rb")))
+        * (den + num) >= (col("pna") + col("pnb")) * num)
+      .select(col("da"), col("db"))
     // exact verification on the full sets, candidates only
     cand
       .join(withSh.select(col("doc_id").as("da"), col("sh").as("sa"),
