@@ -35,8 +35,10 @@ class FixtureSpec extends AnyFunSuite {
         val query = read(e.query.getOrElse(fail(s"${e.name}: no query")))
         assert(e.graphData.isEmpty,
           s"${e.name}: qt:graphData not supported by this harness yet")
-        val quads = RdfIO.readNTriples(spark,
-          e.data.getOrElse(fail(s"${e.name}: no data")).toString)
+        // data format by extension (W3C suites ship .ttl/.nq/.trig too)
+        val dataPath = e.data.getOrElse(fail(s"${e.name}: no data")).toString
+        val quads = RdfIO.read(spark, dataPath,
+          dataPath.substring(dataPath.lastIndexOf('.') + 1))
         val sols = SparqlParser.execute(query, quads)
         val resultFile = e.result.getOrElse(fail(s"${e.name}: no result"))
         val ordered = query.toUpperCase.contains("ORDER BY")
