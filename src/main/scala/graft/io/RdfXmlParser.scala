@@ -8,15 +8,19 @@ import graft.model.Term
   * task (RdfIO feeds whole files, same per-FILE parallelism as Turtle —
   * RDF/XML is not line-splittable either).
   *
-  * Covers: rdf:RDF roots, rdf:Description and typed node elements,
-  * rdf:about / rdf:ID / rdf:nodeID / fresh bnodes, property elements
-  * with rdf:resource / rdf:nodeID / rdf:datatype / nested node elements
-  * / text literals, rdf:parseType Resource / Collection / Literal,
+  * Covers the RDF/XML 1.1 grammar as modern parsers implement it:
+  * rdf:RDF roots, rdf:Description and typed node elements, rdf:about /
+  * rdf:ID / rdf:nodeID / fresh bnodes, property elements with
+  * rdf:resource / rdf:nodeID / rdf:datatype / nested node elements /
+  * text literals, rdf:parseType Resource / Collection / Literal,
   * rdf:li container membership renumbering, xml:base inheritance with
   * relative-IRI resolution, xml:lang inheritance, property-element
   * rdf:ID reification, and non-rdf property attributes as string
-  * literals. Not yet: rdf:aboutEach (obsolete), xml:base fragment
-  * edge-cases beyond RFC 3986 basics.
+  * literals; entities/CDATA come free with the DOM. Deliberately
+  * absent, like the reference's oxrdfxml: the RDF 1.0 attributes
+  * removed in 2004 (rdf:aboutEach, rdf:aboutEachPrefix, rdf:bagID).
+  * xml:base fragment edge-cases beyond RFC 3986 basics are the one
+  * honest approximation.
   */
 final class RdfXmlParser(content: String) {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
