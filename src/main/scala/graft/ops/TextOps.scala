@@ -121,6 +121,38 @@ object TextOps {
   /** Quality metrics: all integer-exact (oracle-friendly) plus a derived
     * double ratio (deterministic: int/int division in IEEE doubles).
     */
+  /** PII-style redaction patterns for training corpora. Deliberately
+    * RE2-compatible (no lookaround, no backreferences) so the same
+    * patterns run under Java regex here and RE2-based engines
+    * elsewhere — the ts7 tokenizer's portability rule. Order matters:
+    * URLs before emails (a URL may embed an @), emails before digit
+    * runs.
+    */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ ]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "\\+?[0-9][0-9-]{6,}[0-9]" -> "<PHONE>")
+
+  /** Redacted text: chained codegen'd regexp_replace, no UDF. */
+  def redact(text: Column): Column =
+    RedactionPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Per-row redaction counts (url_n, email_n, phone_n), counted on the
+    * same masking order redact uses so overlaps attribute identically.
+    */
+  def redactionCounts(text: Column): Column = {
+    val masked0 = text
+    val (counts, _) = RedactionPatterns.foldLeft(
+      (Seq.empty[Column], masked0)) { case ((acc, cur), (pat, tag)) =>
+      (acc :+ size(regexp_extract_all(cur, lit(pat), lit(0))),
+        regexp_replace(cur, pat, tag))
+    }
+    struct(counts(0).as("url_n"), counts(1).as("email_n"),
+      counts(2).as("phone_n"))
+  }
+
   def qualityMetrics(doc: DataFrame, textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     doc.select(

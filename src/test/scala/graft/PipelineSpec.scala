@@ -149,6 +149,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
   }
 
+  test("redaction: emails, URLs, phone runs masked with exact counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or call +1-555-123-4567 now"),
+      (2L, "see https://ex.org/a?b=c@d and http://plain.io stop"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.co c.d@e.fg one number 12345678")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.redact(col("text")).as("red"),
+      TextOps.redactionCounts(col("text")).as("rc")).orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "mail me at <EMAIL> or call <PHONE> now")
+    // the URL pattern eats the embedded @ before the email pass runs
+    assert(r(1).getString(1) == "see <URL> and <URL> stop")
+    assert(r(2).getString(1) == "no pii here at all")
+    assert(r(3).getString(1) == "two mails <EMAIL> <EMAIL> one number <PHONE>")
+    def rc(i: Int) = r(i).getStruct(2)
+    assert(rc(0).getInt(0) == 0 && rc(0).getInt(1) == 1 && rc(0).getInt(2) == 1)
+    assert(rc(1).getInt(0) == 2 && rc(1).getInt(1) == 0 && rc(1).getInt(2) == 0)
+    assert(rc(3).getInt(1) == 2 && rc(3).getInt(2) == 1)
+  }
+
   test("repetition stats: known repeats measured exactly") {
     import spark.implicits._
     val d = Seq(
