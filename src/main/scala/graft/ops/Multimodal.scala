@@ -67,4 +67,63 @@ object Multimodal {
         decodeStub(blob).copy(doc_id = id)
       })
   }
+
+  final case class AudioFrame(doc_id: Long, frame_idx: Int, start_ms: Long,
+      n_samples: Int, sum_sq: Long, peak: Int, zero_cross: Int, rms: Double)
+
+  /** Wrap a text corpus as an audio-shaped table: an opaque PCM blob plus
+    * the metadata a real audio column carries (sample rate, sample
+    * count). The "PCM" is the UTF-8 bytes read as unsigned 8-bit samples
+    * centered at 128 — a deterministic stand-in for a decoded waveform
+    * (real codecs aren't in this container), with per-doc sample rates so
+    * frame geometry genuinely varies row to row.
+    */
+  def asAudio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("blob"),
+      (lit(8000) + (col("doc_id") % 3).cast("int") * 4000).as("sample_rate"),
+      length(col("text")).cast("int").as("n_samples"))
+
+  /** Frame/window sampling over an audio blob: split each waveform into
+    * `frameMs`-long frames advanced by `hopMs`, and emit per-frame
+    * signal features (energy, peak, zero-crossing count, RMS). Only full
+    * frames are emitted; frame length is derived from each row's own
+    * sample rate, so the op exercises metadata-driven batch geometry.
+    *
+    * Dataflow: a pure per-partition map (the Arrow-batch decode shape) —
+    * no shuffle, no driver data; output size is input_samples/hop rows.
+    * All integer features are exact; rms is a single sqrt over an exact
+    * integer ratio, so it is bit-deterministic too.
+    */
+  def audioFrames(spark: SparkSession, audio: DataFrame,
+      frameMs: Int, hopMs: Int): Dataset[AudioFrame] = {
+    import spark.implicits._
+    audio.select(col("doc_id"), col("blob"), col("sample_rate"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions(_.flatMap { case (id, blob, rate) =>
+        val frameLen = rate * frameMs / 1000
+        val hop = rate * hopMs / 1000
+        val n = blob.length
+        if (n < frameLen || frameLen <= 0 || hop <= 0) Iterator.empty
+        else (0 to (n - frameLen) / hop).iterator.map { fi =>
+          val from = fi * hop
+          var sumSq = 0L
+          var peak = 0
+          var zc = 0
+          var i = from
+          while (i < from + frameLen) {
+            val s = (blob(i) & 0xff) - 128
+            sumSq += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > from) {
+              val p = (blob(i - 1) & 0xff) - 128
+              if (p * s < 0) zc += 1
+            }
+            i += 1
+          }
+          AudioFrame(id, fi, fi.toLong * hopMs, frameLen, sumSq, peak, zc,
+            math.sqrt(sumSq.toDouble / frameLen))
+        }
+      })
+  }
 }

@@ -197,6 +197,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // multimodal: audio-shaped frame sampling — per-doc sample-rate
+    // metadata drives frame geometry; features are exact ints + one sqrt
+    "mm2_audio_frames" -> { (s, dir) =>
+      Multimodal.audioFrames(s, Multimodal.asAudio(docs(s, dir)), 4, 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("start_ms"),
+          col("n_samples"), col("sum_sq"), col("peak"), col("zero_cross"),
+          col("rms"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // tumbling hourly windows over the event stream (exact ns buckets)
     "ev1_hourly_windows" -> { (s, dir) =>
       Events.tumblingHourly(Events.read(s, dir))
@@ -336,6 +347,25 @@ object Pipeline {
     "mm1_media_features" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         $duckFp AS checksum FROM documents ORDER BY doc_id""",
+    // chars stand in for bytes (corpus is ASCII; mm1's checksum oracle
+    // already proves byte==char here); frame geometry mirrors audioFrames
+    "mm2_audio_frames" ->
+      """WITH d AS (SELECT doc_id, [unicode(c) - 128 for c in string_split(text,'')] s,
+          8000 + (doc_id % 3) * 4000 sr, length(text) n FROM documents),
+        p AS (SELECT doc_id, s, n, sr * 4 // 1000 fl, sr * 2 // 1000 hp FROM d),
+        f AS (SELECT doc_id, unnest(generate_series(0, (n - fl) // hp)) fi, s, fl, hp
+          FROM p WHERE n >= fl),
+        g AS (SELECT doc_id, fi, s[fi*hp+1 : fi*hp+fl] fr, fl FROM f),
+        feat AS (SELECT doc_id, fi, fl,
+            list_sum(list_transform(fr, x -> x*x)) sum_sq,
+            list_max(list_transform(fr, x -> abs(x))) peak,
+            len(list_filter(generate_series(1, fl-1), i -> fr[i]*fr[i+1] < 0)) zc
+          FROM g)
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fi*2 AS BIGINT) AS start_ms,
+          CAST(fl AS INT) AS n_samples, CAST(sum_sq AS BIGINT) AS sum_sq,
+          CAST(peak AS INT) AS peak, CAST(zc AS INT) AS zero_cross,
+          sqrt(CAST(sum_sq AS DOUBLE)/fl) AS rms
+        FROM feat ORDER BY doc_id, frame_idx""",
     "ev1_hourly_windows" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         count(*) AS n_events,

@@ -293,4 +293,26 @@ class PipelineSpec extends AnyFunSuite {
       .where(col("checksum") =!= col("fp")).count()
     assert(joined == 0, "mapPartitions stub and Column fingerprint agree")
   }
+
+  test("audio frame sampling: geometry from metadata, features exact") {
+    import spark.implicits._
+    // "abab" alternates around 128? No: use chars straddling 128 via
+    // explicit bytes — text is ASCII (<128) so samples are all negative;
+    // zero-cross must then be 0 and peak = 128 - min char code.
+    val one = Seq((0L, "aaaabbbbccccdddd")).toDF("doc_id", "text")
+    val fr = Multimodal.audioFrames(spark, Multimodal.asAudio(one), 4, 2)
+      .collect().sortBy(_.frame_idx)
+    // doc_id 0 -> sample_rate 8000 -> frame 32 samples, hop 16; 16 chars
+    // < 32 samples -> no full frame
+    assert(fr.isEmpty)
+    val two = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+    // doc_id 1 -> 12000 Hz -> frame 48, hop 24; frames at 0,24,48 -> 3
+    val fr2 = Multimodal.audioFrames(spark, Multimodal.asAudio(two), 4, 2)
+      .collect().sortBy(_.frame_idx)
+    assert(fr2.length == 3 && fr2.map(_.start_ms).toSeq == Seq(0L, 2L, 4L))
+    val s = 'a'.toInt - 128 // -31
+    assert(fr2.forall(f => f.n_samples == 48 && f.sum_sq == 48L * s * s &&
+      f.peak == 31 && f.zero_cross == 0 &&
+      f.rms == math.sqrt((48L * s * s).toDouble / 48)))
+  }
 }
