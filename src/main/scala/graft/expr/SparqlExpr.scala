@@ -939,14 +939,8 @@ object SparqlExpr {
     // constructor casts xsd:*
     case "xsd:integer" => castNum(a(0), XsdInteger, DecimalType(38, 0))
     case "xsd:decimal" => castNum(a(0), XsdDecimal, DV)
-    case "xsd:double" => when(a(0).isNull, nullTerm)
-      .when(a(0)("lex").isin("INF", "-INF", "NaN"),
-        Term.typedLit(a(0)("lex"), XsdDouble))
-      .otherwise(castOrNull(a(0)("lex"), DoubleType, XsdDouble))
-    case "xsd:float" => when(a(0).isNull, nullTerm)
-      .when(a(0)("lex").isin("INF", "-INF", "NaN"),
-        Term.typedLit(a(0)("lex"), XsdFloat))
-      .otherwise(castOrNull(a(0)("lex"), FloatType, XsdFloat))
+    case "xsd:double" => castFloating(a(0), DoubleType, XsdDouble)
+    case "xsd:float" => castFloating(a(0), FloatType, XsdFloat)
     case "xsd:dateTime" =>
       val lex = trim(a(0)("lex"))
       val tz = tzPart(lex)
@@ -973,7 +967,12 @@ object SparqlExpr {
           Term.typedLit(lex, XsdDate))
         .otherwise(nullTerm)
     case "xsd:boolean" => when(a(0).isNull, nullTerm)
-      .when(a(0)("lex").isin("true", "false", "1", "0"),
+      // numeric source: false iff 0 or NaN (F&O casting rules)
+      .when(Term.isNumericLit(a(0)), Term.boolLit(
+        when(numDbl(a(0)) === 0.0 || isnan(numDbl(a(0))), lit("false"))
+          .otherwise(lit("true"))))
+      .when((isStrTerm(a(0)) || a(0)("dt") === Term.XsdBoolean) &&
+        a(0)("lex").isin("true", "false", "1", "0"),
         Term.boolLit(a(0)("lex").isin("true", "1").cast(StringType)))
       .otherwise(nullTerm)
     case "xsd:string" => fn("STR", a)
@@ -1088,11 +1087,64 @@ object SparqlExpr {
     val v = lex.try_cast(dt)
     when(v.isNull, nullTerm).otherwise(Term.typedLit(v.cast(StringType), dtIri))
   }
-  private def castNum(t: Column, dtIri: String, dt: DecimalType): Column =
-    when(t.isNull, nullTerm).otherwise {
-      val v = t("lex").try_cast(dt)
-      when(v.isNull, nullTerm).otherwise(
-        if (dtIri == XsdInteger) Term.intLit(v.cast(LongType))
-        else Term.decimalLit(decLex(v)))
-    }
+
+  // XSD lexical spaces for the string-source cast paths (F&O casting:
+  // a string casts only via the target's own lexical space — Spark's
+  // looser parsers would admit "12.5" as integer or "inf" as double)
+  private val IntLexRe = "^[+-]?\\d+$"
+  private val DecLexRe = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$"
+  private val FloatLexRe = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$"
+
+  private def isBoolSrc(t: Column): Column =
+    t("kind") === LiteralKind && t("dt") === Term.XsdBoolean
+  private def boolNum(t: Column): Column =
+    when(t("lex").isin("true", "1"), lit(1)).otherwise(lit(0))
+  /** truncate a decimal toward zero (xsd:integer cast semantics) */
+  private def truncDec(v: Column): Column =
+    when(v >= 0, floor(v)).otherwise(ceil(v))
+
+  private def castNum(t: Column, dtIri: String, dt: DecimalType): Column = {
+    val lex = trim(t("lex"))
+    val strRe = if (dtIri == XsdInteger) IntLexRe else DecLexRe
+    // numeric source value in the target space; the integer target
+    // truncates fractional sources toward zero. An integral-rank source
+    // keeps the full 38-digit lexical path (numDec is only (38,12)).
+    val numV =
+      if (dtIri == XsdInteger)
+        when(rank(t) === 0, lex.try_cast(dt))
+          .when(rank(t) === 1, truncDec(numDec(t)).try_cast(dt))
+          .otherwise(truncDec(numDbl(t).try_cast(DV)).try_cast(dt))
+      else
+        when(rank(t) <= 1, lex.try_cast(dt))
+          .otherwise(numDbl(t).try_cast(dt))
+    def out(v: Column): Column =
+      if (dtIri == XsdInteger) Term.intLit(v.cast(LongType))
+      else Term.decimalLit(decLex(v))
+    when(t.isNull, nullTerm)
+      .when(isBoolSrc(t), out(boolNum(t).cast(dt)))
+      .when(Term.isNumericLit(t),
+        when(numV.isNull, nullTerm).otherwise(out(numV)))
+      .when(isStrTerm(t) && regexp_like(lex, lit(strRe)), {
+        val v = lex.try_cast(dt)
+        when(v.isNull, nullTerm).otherwise(out(v))
+      })
+      .otherwise(nullTerm)
+  }
+
+  private def castFloating(t: Column, dt: DataType, dtIri: String): Column = {
+    val lex = trim(t("lex"))
+    val special = when(lex.isin("INF", "+INF"), lit("INF"))
+      .when(lex === "-INF", lit("-INF"))
+      .when(lex === "NaN", lit("NaN"))
+      .otherwise(lit(null).cast(StringType))
+    when(t.isNull, nullTerm)
+      .when(isBoolSrc(t), Term.typedLit(
+        boolNum(t).cast(dt).cast(StringType), dtIri))
+      .when((Term.isNumericLit(t) || isStrTerm(t)) && special.isNotNull,
+        Term.typedLit(special, dtIri))
+      .when(Term.isNumericLit(t), castOrNull(lex, dt, dtIri))
+      .when(isStrTerm(t) && regexp_like(lex, lit(FloatLexRe)),
+        castOrNull(lex, dt, dtIri))
+      .otherwise(nullTerm)
+  }
 }
