@@ -126,6 +126,37 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Winnowed fingerprint rows (doc_id, fp) — the document-sketch
+    * relation partial-overlap detection joins on. See [[TextOps.winnow]]
+    * for selection semantics and the SIGMOD'03 guarantee.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.winnow(TextOps.tokens(col("text")), k, w)).as("fp"))
+
+  /** Partial-overlap pairs by shared winnowed fingerprints: docs sharing
+    * at least `minShared` selected fingerprints. The join shuffles
+    * (doc_id, fp) rows on the 8-byte fp key only — documents never move;
+    * the fingerprint relation is ~2/(w+1) the size of the gram relation
+    * an inverted-index join (dd2) would shuffle, which is the scale
+    * story: same guarantee-bearing overlap signal, ~w/2 times less
+    * exchange volume. `dfCap` drops corpus-hot fingerprints (boilerplate
+    * runs shared by a large corpus fraction) from pair generation, the
+    * same governor as [[ngramJaccardPairs]]'s stop-shingle cap.
+    */
+  def winnowPairs(docs: DataFrame, minShared: Int = 2, k: Int = 3,
+      w: Int = 4, dfCap: Long = 1L << 20): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("fp")
+    val pruned = fps.join(keep, "fp")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Rounds cap for [[dupClusters]] — alternating large-star/small-star
     * converges in O(log^2 n) rounds with high probability (O(log n) in
     * practice), so 64 double-rounds covers any feasible corpus; hitting

@@ -82,6 +82,33 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), size(ws) - (k - 1)),
         i => concat_ws(" ", slice(ws, i, lit(k)))))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — public): hash every word k-gram with the rolling
+    * polynomial [[fingerprint]], slide a w-window over the hash
+    * sequence, keep each window's minimum, dedupe. The winnowing
+    * guarantee: any shared token run of length >= k + w - 1 between two
+    * documents yields at least one shared fingerprint, while the
+    * selected set is ~2/(w+1) of all gram hashes — a tunable sketch of
+    * the document that detects partial overlap (plagiarism-style),
+    * which whole-document hashing ([[fingerprint]]) and set-Jaccard
+    * (which needs the full shingle sets at verify time) don't give at
+    * the same cost.
+    *
+    * Degenerate inputs: fewer grams than one window collapse to the
+    * single overall minimum; no grams give an empty set. Pure Column
+    * expressions — O(grams * w) comparisons per row, all inside
+    * whole-stage codegen, no shuffle.
+    */
+  def winnow(ws: Column, k: Int = 3, w: Int = 4): Column = {
+    val hs = transform(ngrams(ws, k), g => fingerprint(g))
+    when(size(hs) === 0, array().cast(ArrayType(LongType)))
+      .when(size(hs) < w, array(array_min(hs)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w))))))
+  }
+
   /** Repetition signals for quality filtering (the Gopher-rule family:
     * duplicate n-gram fractions, most-frequent-n-gram share). Pure
     * Column math: the mode count is the longest equal run of the SORTED

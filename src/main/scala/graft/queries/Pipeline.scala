@@ -51,6 +51,20 @@ object Pipeline {
       SELECT da, db FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
       WHERE inter * 10 >= 8 * (x.n + y.n - inter)"""
 
+  // DuckDB fragment: winnowed fingerprints (k=3 grams, w=4 windows),
+  // mirrors TextOps.winnow — same rolling polynomial hash as duckFp,
+  // same short-document collapse to the single overall minimum
+  private val duckWinnow =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      g AS (SELECT doc_id, [array_to_string(ws[i:i+2],' ') for i in
+          generate_series(1, len(ws)-2)] gl FROM w WHERE len(ws) >= 3),
+      h AS (SELECT doc_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(unicode(c) AS BIGINT) for c in string_split(gr,'')]),
+          (a,b) -> (a*31+b) % 1000000007) for gr in gl] hl FROM g),
+      f AS (SELECT doc_id, unnest(CASE WHEN len(hl) < 4 THEN [list_min(hl)]
+          ELSE list_distinct([list_min(hl[i:i+3])
+            for i in generate_series(1, len(hl)-3)]) END) fp FROM h)"""
+
   // DuckDB fragments mirroring Similarity.dotSeq: sequential double fold
   // over the zipped arrays — bit-identical to Spark's functions.aggregate
   private def duckDot(a: String, b: String) =
@@ -169,6 +183,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // winnowed document fingerprints (SIGMOD'03 selection): the sketch
+    // relation partial-overlap joins run on — pure codegen per row
+    "ts8_winnow" -> { (s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir))
+        .orderBy(col("doc_id"), col("fp"))
+    },
+
+    // partial-overlap pairs by shared winnowed fingerprints: the
+    // guarantee-bearing plagiarism-style detector; shuffles 8-byte
+    // fingerprints only, never documents
+    "dd8_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), 2)
+        .orderBy(col("da"), col("db"))
+    },
+
     // benchmark decontamination: corpus docs overlapping a broadcast
     // probe set on >= 3 distinct shingles
     "dd6_contamination" -> { (s, dir) =>
@@ -241,6 +270,14 @@ object Pipeline {
         FROM documents GROUP BY text ORDER BY keep_id""",
     "dd2_ngram_jaccard" -> duckShingles,
     "dd3_minhash_lsh" -> duckShingles,
+    "ts8_winnow" ->
+      s"""$duckWinnow SELECT doc_id, fp FROM f ORDER BY doc_id, fp""",
+    "dd8_winnow_pairs" ->
+      s"""$duckWinnow, p AS (SELECT a.doc_id da, b.doc_id db,
+        CAST(count(*) AS INT) n_shared FROM f a
+        JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT da, db, n_shared FROM p WHERE n_shared >= 2
+        ORDER BY da, db""",
     "dd5_embed_sim" ->
       s"""WITH $duckNorms,
         c AS (SELECT a.vec_id va, b.vec_id vb,

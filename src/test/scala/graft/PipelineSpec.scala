@@ -212,6 +212,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.getLong(1) == 3 && counts.getLong(2) == 6)
   }
 
+  test("winnowing: the SIGMOD'03 guarantee and selection density hold") {
+    import spark.implicits._
+    // Build docs from a shared 8-token run (>= k+w-1 = 6: MUST yield a
+    // shared fingerprint) embedded in distinct noise, plus an unrelated
+    // doc; tokens drawn from disjoint vocabularies so no accidental
+    // gram collisions.
+    val shared = (0 until 8).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta $shared theta iota kappa"),
+      (3L, "lone wolf text with no overlap at all here")).toDF(
+      "doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "8-token shared run must survive winnowing in both docs")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint-vocabulary doc must share nothing")
+    // density: winnowing selects ~2/(w+1) of gram hashes; assert the
+    // coarse upper bound (never more than the gram count, and strictly
+    // fewer on these 12+-gram docs)
+    val nGrams = docs.select(col("doc_id"),
+      size(TextOps.ngrams(TextOps.tokens(col("text")), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, s) =>
+      assert(s.size < nGrams(id), s"doc $id selected all grams") }
+    // pair detection end-to-end: only (1,2) at minShared=1
+    val pairs = Dedup.winnowPairs(docs, 1)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("winnowing: short docs collapse to one fingerprint, empty to none") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs).collect()
+    // doc 1: 2 grams < w=4 windows -> single overall min; doc 2: no
+    // 3-grams -> no rows
+    assert(fps.length == 1 && fps.head.getLong(0) == 1L)
+  }
+
   test("dup clustering: chains collapse to one component") {
     import spark.implicits._
     // 1-2-3-4 is a path (diameter 3, needs >1 propagation round); 9-10
