@@ -263,6 +263,145 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("rank"), col("cos"))
   }
 
+  /** Product-quantization codebooks: `m` subspaces of `subDim` dims,
+    * `ksub` sub-centroids each (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public).
+    * Driver-held like [[Centroid]]s: m*ksub*subDim floats total, far
+    * below data scale; they compile into expressions.
+    */
+  final case class PqBooks(m: Int, ksub: Int, subDim: Int,
+      books: Seq[Seq[Seq[Float]]])
+
+  private def pqSub(e: Column, j: Int, subDim: Int): Column =
+    slice(e, j * subDim + 1, subDim)
+
+  /** Train PQ codebooks FAISS-style: bounded deterministic training
+    * sample collected once (same discipline and machinery as
+    * [[ivfCentroidsLocal]]), then per-subspace local Lloyd under L2.
+    * Seeds are the first `ksub` sample subvectors in deterministic
+    * hash order; empty clusters keep their previous centroid. Fully
+    * bit-reproducible across runs and partitionings.
+    */
+  def pqTrainLocal(emb: DataFrame, m: Int = 16, ksub: Int = 16,
+      iters: Int = 5, sampleRate: Double = 0.5,
+      maxTrain: Int = 16384): PqBooks = {
+    val train = Sampling.deterministicSample(emb, col("vec_id"), sampleRate)
+      .orderBy(Sampling.bucket(col("vec_id")), col("vec_id"))
+      .limit(maxTrain)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(train.nonEmpty, "PQ training sample is empty")
+    val dim = train.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { j =>
+      val sub = train.map(v => v.slice(j * subDim, (j + 1) * subDim))
+      var cents = (0 until ksub).map(c => sub(c % sub.length).clone()).toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Long](ksub)
+        for (v <- sub) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = v(i) - cents(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          if (counts(c) == 0) prev else sums(c).map(_ / counts(c))
+        }
+      }
+      cents.map(_.map(_.toFloat).toSeq).toSeq
+    }
+    PqBooks(m, ksub, subDim, books)
+  }
+
+  /** Encode the corpus: per subspace the L2-nearest sub-centroid index,
+    * as one codegen'd fold per subspace with the codebook compiled into
+    * the expression — pure map-side, nothing shuffles. 64 floats
+    * (256 B) become m code bytes + one stored norm (m=16: ~16x): the
+    * 100 TB draw is an order-of-magnitude smaller scan for the
+    * distance pass.
+    */
+  def pqEncode(emb: DataFrame, b: PqBooks): DataFrame = {
+    def codeFor(j: Int): Column = {
+      val scored = array((0 until b.ksub).map { c =>
+        val d2 = aggregate(
+          zip_with(pqSub(col("embedding"), j, b.subDim),
+            typedlit(b.books(j)(c)),
+            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+              (x.cast(DoubleType) - y.cast(DoubleType))),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d2.as("d"), lit(c).as("c"))
+      }: _*)
+      aggregate(scored,
+        struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("c")),
+        (acc, x) => when(x("d") < acc("d") ||
+          (x("d") === acc("d") && x("c") < acc("c")), x).otherwise(acc))
+        .getField("c")
+    }
+    withNorm(emb).select(col("vec_id"),
+      array((0 until b.m).map(codeFor): _*).as("code"), col("norm2"))
+  }
+
+  /** Per-query ADC lookup table: tab[j][c] = dot(q_j, book_j[c]),
+    * computed once per query row (m*ksub sequential-fold dots), so each
+    * (query, code) pair costs O(m) array lookups instead of O(dim)
+    * multiplies.
+    */
+  private def pqQueryTab(qe: Column, b: PqBooks): Column =
+    array((0 until b.m).map { j =>
+      array((0 until b.ksub).map { c =>
+        dotSeq(pqSub(qe, j, b.subDim), typedlit(b.books(j)(c)))
+      }: _*)
+    }: _*)
+
+  /** ANN top-k via product quantization with exact rerank: ADC
+    * approximate cosine (table-looked-up dot over the code scan, exact
+    * stored norms) ranks candidates, the top rerank*k per query are
+    * reranked with exact cosine against the true vectors. The corpus
+    * rides the distance pass as (vec_id, m-byte code, norm2) — vectors
+    * are touched only for the candidate set.
+    */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int = 16,
+      ksub: Int = 16, iters: Int = 5, rerank: Int = 8): DataFrame = {
+    val b = pqTrainLocal(emb, m, ksub, iters)
+    val codes = pqEncode(emb, b)
+    val q = withNorm(emb).where(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm2").as("qn"))
+      .withColumn("tab", pqQueryTab(col("qe"), b))
+    val approx = (0 until b.m).map { j =>
+      element_at(element_at(col("tab"), j + 1),
+        element_at(col("code"), j + 1) + 1)
+    }.reduce(_ + _) / (sqrt(col("qn")) * sqrt(col("norm2")))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+    val cands = q.join(codes, col("qid") =!= col("vec_id"))
+      .withColumn("acos", approx)
+      .withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= k * rerank)
+      .select(col("qid"), col("qe"), col("qn"), col("vec_id").as("cid"))
+    val full = withNorm(emb)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("norm2").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    cands.join(full, "cid")
+      .withColumn("cos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
   /** ANN top-k via SRP-LSH: exact rerank within matching buckets.
     * Recall < 1 by construction; pair with bruteTopK to measure.
     */

@@ -183,6 +183,15 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // product-quantization ANN: codebook-compressed ADC distance pass
+    // + exact rerank (no_oracle: Lloyd internals; GoldenSpec + recall)
+    "ann4_pq_topk" -> { (s, dir) =>
+      Similarity.pqTopK(emb(s, dir), col("vec_id") < 10, 5)
+        .select(col("qid"), col("cid"), col("rank").cast(LongType).as("rank"),
+          col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // winnowed document fingerprints (SIGMOD'03 selection): the sketch
     // relation partial-overlap joins run on — pure codegen per row
     "ts8_winnow" -> { (s, dir) =>

@@ -127,6 +127,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall implausibly low")
   }
 
+  test("PQ ANN: rerank cosines exact, recall sane, codes well-formed") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteTop1 = Similarity.bruteTopK(emb, col("vec_id") < 10, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val pq = Similarity.pqTopK(emb, col("vec_id") < 10, 5).collect()
+    assert(pq.nonEmpty)
+    // rerank is exact within candidates: nothing can beat brute top-1
+    pq.foreach { r =>
+      assert(r.getDouble(3) <= bruteTop1(r.getLong(0)) + 1e-12)
+    }
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pqPairs).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall implausibly low")
+    // codes: m entries, all within [0, ksub)
+    val b = Similarity.pqTrainLocal(emb)
+    val codes = Similarity.pqEncode(emb, b).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == b.m && cs.forall(c => c >= 0 && c < b.ksub))
+    }
+  }
+
   test("IVF k-means refinement strictly improves recall over seed centroids") {
     // queries DISJOINT from the seed-centroid ids (lowest vec_ids):
     // a query that IS a centroid probes its own list exactly, which
