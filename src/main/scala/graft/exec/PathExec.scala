@@ -110,20 +110,25 @@ object PathExec {
           .select(col("ps"), col("po")).distinct()
       }
 
+    // §18.4: alt is MULTISET union (a pair connected by both arms
+    // appears once per arm) — closures dedupe for themselves
     case PAlt(a, b) =>
       eval(a, src, ctx, sSeed, oSeed)
-        .union(eval(b, src, ctx, sSeed, oSeed)).distinct()
+        .union(eval(b, src, ctx, sSeed, oSeed))
 
     case PNeg(iris, invIris) =>
       def nps(excl: Seq[String]): DataFrame =
         src.all.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
           !col("p")("lex").isin(excl: _*))
           .select(col("s").as("ps"), col("o").as("po"))
+      // §9.3: !(fwd…|^inv…) ≡ !(fwd…) | ^(!(inv…)) — and alt is a
+      // multiset union, so a pair matched by an edge in each direction
+      // appears twice (no distinct here; closures dedupe upstream)
       val fwd = if (iris.nonEmpty) Some(nps(iris)) else None
       val inv = if (invIris.nonEmpty)
         Some(nps(invIris).select(col("po").as("ps"), col("ps").as("po")))
       else None
-      (fwd.toSeq ++ inv.toSeq).reduce(_ union _).distinct()
+      (fwd.toSeq ++ inv.toSeq).reduce(_ union _)
 
     case PZeroOrOne(p) =>
       eval(p, src, ctx, sSeed, oSeed)

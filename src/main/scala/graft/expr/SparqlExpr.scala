@@ -836,7 +836,16 @@ object SparqlExpr {
           concat(when(length(flags) > 0, concat(lit("(?"), flags, lit(")")))
             .otherwise(lit("")), a(1)("lex")))))
     case "REPLACE" =>
-      strPreserveDyn(a(0), x => regexp_replace(x, a(1)("lex"), a(2)("lex")))
+      val flags = if (a.length > 3) a(3)("lex") else lit("")
+      val pat = concat(
+        when(length(flags) > 0, concat(lit("(?"), flags, lit(")")))
+          .otherwise(lit("")), a(1)("lex"))
+      // fn:replace FORX0003: a pattern that matches the zero-length
+      // string is an error (Java regex would instead interleave the
+      // replacement at every position)
+      when(regexp_like(lit(""), pat), nullTerm)
+        .otherwise(strPreserveDyn(a(0),
+          x => regexp_replace(x, pat, a(2)("lex"))))
     case "LANGMATCHES" =>
       boolTerm(when(!isStrTerm(a(0)) || !isStrTerm(a(1)),
         lit(null).cast(BooleanType))
@@ -859,7 +868,14 @@ object SparqlExpr {
     case "ABS" => numFn1(a(0))(abs, abs)
     case "CEIL" => numFn1(a(0))(x => ceil(x).cast(DV), x => ceil(x).cast(DoubleType))
     case "FLOOR" => numFn1(a(0))(x => floor(x).cast(DV), x => floor(x).cast(DoubleType))
-    case "ROUND" => numFn1(a(0))(x => round(x, 0), x => round(x, 0))
+    // fn:round: ties go toward POSITIVE INFINITY (round(-2.5) = -2) —
+    // floor(x + 0.5), not Spark round's half-away-from-zero. Doubles at
+    // |x| >= 2^52 are already integral (and floor()'s long return would
+    // overflow), so they pass through.
+    case "ROUND" => numFn1(a(0))(
+      x => floor(x + lit(new java.math.BigDecimal("0.5"))).cast(DV),
+      x => when(abs(x) >= lit(4.503599627370496e15), x)
+        .otherwise(floor(x + lit(0.5)).cast(DoubleType)))
     case "RAND" => Term.doubleLit(rand())
     // date/time
     case "YEAR" => tsFn1(a(0))(x => Term.intLit(year(x)))
