@@ -131,8 +131,14 @@ object Dedup {
     * for selection semantics and the SIGMOD'03 guarantee.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    // gram hashes land in their own projection so the window-min lambda
+    // reads a computed array, not a re-evaluated subtree (see
+    // TextOps.winnowHashes) — CollapseProject leaves the stage split
+    // because the array is non-cheap and referenced more than once
     docs.select(col("doc_id"),
-      explode(TextOps.winnow(TextOps.tokens(col("text")), k, w)).as("fp"))
+      TextOps.gramHashes(TextOps.tokens(col("text")), k).as("hs"))
+      .select(col("doc_id"),
+        explode(TextOps.winnowHashes(col("hs"), w)).as("fp"))
 
   /** Partial-overlap pairs by shared winnowed fingerprints: docs sharing
     * at least `minShared` selected fingerprints. The join shuffles
@@ -146,7 +152,11 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, minShared: Int = 2, k: Int = 3,
       w: Int = 4, dfCap: Long = 1L << 20): DataFrame = {
+    // persist: the fingerprint relation feeds the df-cap aggregate AND
+    // both sides of the self-join — without it the winnow projection
+    // re-runs once per consumer (the dd2/dd3 persist discipline)
     val fps = winnowFingerprints(docs, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("fp")
     val pruned = fps.join(keep, "fp")

@@ -100,14 +100,23 @@ object TextOps {
     * expressions — O(grams * w) comparisons per row, all inside
     * whole-stage codegen, no shuffle.
     */
-  def winnow(ws: Column, k: Int = 3, w: Int = 4): Column = {
-    val hs = transform(ngrams(ws, k), g => fingerprint(g))
+  def gramHashes(ws: Column, k: Int = 3): Column =
+    transform(ngrams(ws, k), g => fingerprint(g))
+
+  /** Window-min selection over a PRECOMPUTED gram-hash array column.
+    *
+    * `hs` must be a materialized column (a bound reference), not an
+    * inline expression: this expression references `hs` inside the
+    * per-window lambda, and an inline hash-array subtree would be
+    * re-evaluated once per window — O(grams² · gram-length) per row
+    * (measured 134 s on 5k docs before the split; ~1 s after).
+    */
+  def winnowHashes(hs: Column, w: Int = 4): Column =
     when(size(hs) === 0, array().cast(ArrayType(LongType)))
       .when(size(hs) < w, array(array_min(hs)))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(hs) - (w - 1)),
         i => array_min(slice(hs, i, lit(w))))))
-  }
 
   /** Repetition signals for quality filtering (the Gopher-rule family:
     * duplicate n-gram fractions, most-frequent-n-gram share). Pure
