@@ -22,11 +22,21 @@ object W3cManifest {
   private val Qt =
     "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
   private val Ut = "http://www.w3.org/2009/sparql/tests/test-update#"
+  private val Rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+
+  /** A named-graph constituent of a test dataset: the file plus the
+    * graph name (rdfs:label in the W3C update vocabulary; when absent
+    * the harness falls back to the file's IRI, the query-suite
+    * convention).
+    */
+  final case class GraphRef(file: Path, label: Option[String])
 
   /** One test case. `kind` is the local name of the rdf:type
     * (QueryEvaluationTest, PositiveSyntaxTest11, NegativeSyntaxTest11,
     * UpdateEvaluationTest, …). Paths are resolved against the manifest's
     * directory; `query` is the action file itself for syntax tests.
+    * For UpdateEvaluationTest the expected RESULT is a dataset, not a
+    * results file: `resultData` (default graph) + `resultGraphs`.
     */
   final case class Entry(
       id: String,
@@ -34,8 +44,10 @@ object W3cManifest {
       name: String,
       query: Option[Path],
       data: Option[Path],
-      graphData: Seq[Path],
-      result: Option[Path])
+      graphData: Seq[GraphRef],
+      result: Option[Path],
+      resultData: Option[Path] = None,
+      resultGraphs: Seq[GraphRef] = Nil)
 
   def load(manifest: Path): Seq[Entry] = {
     val dir = manifest.toAbsolutePath.getParent
@@ -98,14 +110,25 @@ object W3cManifest {
       val data = action.filter(_.kind != Term.IriKind.toByte).flatMap { a =>
         (obj(a, Qt + "data") orElse obj(a, Ut + "data")).flatMap(filePath)
       }
+      def graphRef(g: TermRow): Option[GraphRef] =
+        if (g.kind == Term.IriKind.toByte)
+          filePath(g).map(GraphRef(_, None))
+        else obj(g, Ut + "graph").flatMap(filePath).map(
+          GraphRef(_, obj(g, Rdfs + "label").map(_.lex)))
       val graphData = action.toSeq
         .filter(_.kind != Term.IriKind.toByte)
         .flatMap(a => objs(a, Qt + "graphData") ++ objs(a, Ut + "graphData"))
-        .flatMap(g =>
-          if (g.kind == Term.IriKind.toByte) filePath(g)
-          else obj(g, Ut + "graph").flatMap(filePath))
-      val result = obj(e, Mf + "result").flatMap(filePath)
-      Entry(e.lex, kind, name, query, data, graphData, result)
+        .flatMap(graphRef)
+      val resultNode = obj(e, Mf + "result")
+      val result = resultNode.flatMap(filePath)
+      val resultData = resultNode
+        .filter(_.kind != Term.IriKind.toByte)
+        .flatMap(r => obj(r, Ut + "data").flatMap(filePath))
+      val resultGraphs = resultNode.toSeq
+        .filter(_.kind != Term.IriKind.toByte)
+        .flatMap(r => objs(r, Ut + "graphData")).flatMap(graphRef)
+      Entry(e.lex, kind, name, query, data, graphData, result,
+        resultData, resultGraphs)
     }
 
     val manifests = quads.collect {

@@ -30,6 +30,44 @@ class FixtureSpec extends AnyFunSuite {
   private def read(p: Path): String = Files.readString(p)
 
   for (e <- entries.sortBy(_.name)) e.kind match {
+    case "UpdateEvaluationTest" =>
+      test(s"fixture: ${e.name} (update eval)") {
+        import org.apache.spark.sql.functions.{col, concat, lit, when}
+        import graft.model.Term
+        def fmt(p: Path): String = {
+          val n = p.toString; n.substring(n.lastIndexOf('.') + 1)
+        }
+        def dataset(default: Option[Path],
+            graphs: Seq[W3cManifest.GraphRef]) = {
+          val base = default
+            .map(p => RdfIO.read(spark, p.toString, fmt(p)))
+            .getOrElse(GraftStore.empty(spark).quads)
+          graphs.foldLeft(base) { (acc, g) =>
+            val label = g.label.getOrElse(g.file.toUri.toString)
+            acc.unionByName(RdfIO.read(spark, g.file.toString, fmt(g.file))
+              .withColumn("g", Term.iri(label)))
+          }
+        }
+        // canonical N-Quads lines (sorted): dataset equality for
+        // bnode-free fixtures — the W3C compare is graph isomorphism,
+        // which coincides on ground data
+        def canon(quads: org.apache.spark.sql.DataFrame): Seq[String] =
+          quads.select(concat(
+            RdfIO.formatTerm(col("s")), lit(" "),
+            RdfIO.formatTerm(col("p")), lit(" "),
+            RdfIO.formatTerm(col("o")),
+            when(col("g")("kind") === Term.DefaultGraphKind, lit(""))
+              .otherwise(concat(lit(" "), RdfIO.formatTerm(col("g")))),
+            lit(" .")).as("v"))
+            .collect().map(_.getString(0)).sorted.toSeq
+        val req = read(e.query.getOrElse(fail(s"${e.name}: no request")))
+        val got = GraftStore(dataset(e.data, e.graphData))
+          .update(req).quads
+        val want = dataset(e.resultData, e.resultGraphs)
+        assert(canon(got) == canon(want),
+          s"update result dataset differs:\ngot  ${canon(got)}\n" +
+            s"want ${canon(want)}")
+      }
     case "QueryEvaluationTest" =>
       test(s"fixture: ${e.name}") {
         val query = read(e.query.getOrElse(fail(s"${e.name}: no query")))

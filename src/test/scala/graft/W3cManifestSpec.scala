@@ -38,7 +38,8 @@ class W3cManifestSpec extends AnyFunSuite {
     assert(e1.kind == "QueryEvaluationTest")
     assert(e1.query.get == dir.resolve("q/one.rq"))
     assert(e1.data.get == dir.resolve("d/one.nt"))
-    assert(e1.graphData == Seq(dir.resolve("d/g1.nt")))
+    assert(e1.graphData ==
+      Seq(W3cManifest.GraphRef(dir.resolve("d/g1.nt"), None)))
     assert(e1.result.get == dir.resolve("r/one.srx"))
     // syntax tests: action IS the query file, no data/result
     assert(es(1).kind == "PositiveSyntaxTest11" &&
