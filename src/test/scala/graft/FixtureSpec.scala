@@ -29,37 +29,47 @@ class FixtureSpec extends AnyFunSuite {
 
   private def read(p: Path): String = Files.readString(p)
 
+  private def fmt(p: Path): String = {
+    val n = p.toString; n.substring(n.lastIndexOf('.') + 1)
+  }
+
+  /** Assemble a test dataset: default-graph file + labeled named-graph
+    * files (rdfs:label, or the file IRI when unlabeled — the W3C
+    * query-suite convention).
+    */
+  private def dataset(default: Option[Path],
+      graphs: Seq[W3cManifest.GraphRef]) = {
+    import org.apache.spark.sql.functions.col
+    val base = default
+      .map(p => RdfIO.read(spark, p.toString, fmt(p)))
+      .getOrElse(GraftStore.empty(spark).quads)
+    graphs.foldLeft(base) { (acc, g) =>
+      val label = g.label.getOrElse(g.file.toUri.toString)
+      acc.unionByName(RdfIO.read(spark, g.file.toString, fmt(g.file))
+        .withColumn("g", graft.model.Term.iri(label)))
+    }
+  }
+
+  /** Canonical N-Quads lines (sorted): dataset equality for bnode-free
+    * fixtures — the W3C compare is graph isomorphism, which coincides
+    * on ground data.
+    */
+  private def canon(quads: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    import graft.model.Term
+    quads.select(concat(
+      RdfIO.formatTerm(col("s")), lit(" "),
+      RdfIO.formatTerm(col("p")), lit(" "),
+      RdfIO.formatTerm(col("o")),
+      when(col("g")("kind") === Term.DefaultGraphKind, lit(""))
+        .otherwise(concat(lit(" "), RdfIO.formatTerm(col("g")))),
+      lit(" .")).as("v"))
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
   for (e <- entries.sortBy(_.name)) e.kind match {
     case "UpdateEvaluationTest" =>
       test(s"fixture: ${e.name} (update eval)") {
-        import org.apache.spark.sql.functions.{col, concat, lit, when}
-        import graft.model.Term
-        def fmt(p: Path): String = {
-          val n = p.toString; n.substring(n.lastIndexOf('.') + 1)
-        }
-        def dataset(default: Option[Path],
-            graphs: Seq[W3cManifest.GraphRef]) = {
-          val base = default
-            .map(p => RdfIO.read(spark, p.toString, fmt(p)))
-            .getOrElse(GraftStore.empty(spark).quads)
-          graphs.foldLeft(base) { (acc, g) =>
-            val label = g.label.getOrElse(g.file.toUri.toString)
-            acc.unionByName(RdfIO.read(spark, g.file.toString, fmt(g.file))
-              .withColumn("g", Term.iri(label)))
-          }
-        }
-        // canonical N-Quads lines (sorted): dataset equality for
-        // bnode-free fixtures — the W3C compare is graph isomorphism,
-        // which coincides on ground data
-        def canon(quads: org.apache.spark.sql.DataFrame): Seq[String] =
-          quads.select(concat(
-            RdfIO.formatTerm(col("s")), lit(" "),
-            RdfIO.formatTerm(col("p")), lit(" "),
-            RdfIO.formatTerm(col("o")),
-            when(col("g")("kind") === Term.DefaultGraphKind, lit(""))
-              .otherwise(concat(lit(" "), RdfIO.formatTerm(col("g")))),
-            lit(" .")).as("v"))
-            .collect().map(_.getString(0)).sorted.toSeq
         val req = read(e.query.getOrElse(fail(s"${e.name}: no request")))
         val got = GraftStore(dataset(e.data, e.graphData))
           .update(req).quads
@@ -71,12 +81,11 @@ class FixtureSpec extends AnyFunSuite {
     case "QueryEvaluationTest" =>
       test(s"fixture: ${e.name}") {
         val query = read(e.query.getOrElse(fail(s"${e.name}: no query")))
-        assert(e.graphData.isEmpty,
-          s"${e.name}: qt:graphData not supported by this harness yet")
-        // data format by extension (W3C suites ship .ttl/.nq/.trig too)
-        val dataPath = e.data.getOrElse(fail(s"${e.name}: no data")).toString
-        val quads = RdfIO.read(spark, dataPath,
-          dataPath.substring(dataPath.lastIndexOf('.') + 1))
+        // dataset: default-graph file (any RDF format by extension) +
+        // qt:graphData named graphs
+        assert(e.data.nonEmpty || e.graphData.nonEmpty,
+          s"${e.name}: no data")
+        val quads = dataset(e.data, e.graphData)
         val sols = SparqlParser.execute(query, quads)
         val resultFile = e.result.getOrElse(fail(s"${e.name}: no result"))
         val ordered = query.toUpperCase.contains("ORDER BY")
