@@ -126,6 +126,45 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-gated exact decontamination: the CLEAN corpus — every doc
+    * whose exact text fingerprint does NOT appear in the benchmark set.
+    *
+    * Scale story (the reason this exists next to [[contamination]]'s
+    * broadcast join): a benchmark set too large to broadcast as a join
+    * relation (1 B fingerprints ≈ 8 GB of longs + hashmap overhead)
+    * still broadcasts as a Bloom filter (~10 bits/element at 1% fpp
+    * ≈ 1.2 GB). The filter is built distributed (`stat.bloomFilter`
+    * tree-aggregates; the driver only holds the final bits), broadcast
+    * once, and applied map-side:
+    *   - bloom-negative rows (the overwhelming majority of a 100 TB
+    *     corpus) are emitted directly — they never shuffle;
+    *   - bloom-positive rows (true hits + ~fpp false positives) go
+    *     through an exact fingerprint anti-join, so the result is
+    *     EXACT — the bloom only prunes definite negatives.
+    * The shuffle therefore carries ~(hit-rate + fpp) of the corpus
+    * instead of all of it. The corpus source is scanned twice (once
+    * per branch), but the second scan's rows die at the bloom filter —
+    * two map-only passes beat one full-data exchange.
+    */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val fpCorpus = corpus.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val fpBench = bench.select(TextOps.fingerprint(col("text")).as("fp"))
+    val expected = math.max(fpBench.count(), 1L)
+    val bloom = fpBench.stat.bloomFilter("fp", expected, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    // No public Column-level bloom probe exists (BloomFilterMightContain
+    // is internal to runtime filtering), so this is the one UDF in the
+    // dedup stack: a row-local long probe against a broadcast bitset.
+    val might = udf((fp: Long) => bloomB.value.mightContainLong(fp))
+    val clean = fpCorpus.where(!might(col("fp")))
+    val verified = fpCorpus.where(might(col("fp")))
+      .join(fpBench, Seq("fp"), "left_anti")
+    clean.unionByName(verified).select(col("doc_id"), col("fp"))
+  }
+
   /** Winnowed fingerprint rows (doc_id, fp) — the document-sketch
     * relation partial-overlap detection joins on. See [[TextOps.winnow]]
     * for selection semantics and the SIGMOD'03 guarantee.

@@ -74,6 +74,19 @@ object TextOps {
       size(bpeTokens(col(textCol))).cast(LongType).as("n_bpe_tokens"),
       length(col(textCol)).cast(LongType).as("n_chars"))
 
+  /** Markup-strip + whitespace-normalize + Unicode-NFC text cleaning —
+    * the first pass of a web-corpus training pipeline. Tag removal is a
+    * deliberately simple regex (angle-bracket runs without '>'
+    * inside) — real HTML needs a parser; this is the cheap pre-filter
+    * shape. Whitespace runs (incl. tabs/newlines) collapse to single
+    * spaces and the result is trimmed. NFC is the codegen'd native
+    * expression [[graft.expr.NfcNormalize]], not a UDF — the whole
+    * clean is one whole-stage-codegen'd projection, no shuffle.
+    */
+  def cleanText(text: Column): Column =
+    graft.expr.NfcNormalize.nfc(trim(regexp_replace(
+      regexp_replace(text, "<[^>]*>", " "), "\\s+", " ")))
+
   /** Non-distinct word k-grams — repetition analysis needs multiplicity
     * (contrast `shingles`, which dedupes for set-Jaccard).
     */

@@ -216,6 +216,26 @@ object Pipeline {
         .orderBy(col("doc_id"), col("probe_id"))
     },
 
+    // bloom-gated exact decontamination: clean corpus via a broadcast
+    // Bloom prefilter + exact anti-join on survivors only — the path
+    // for benchmark sets too big to broadcast as a join relation
+    "dd9_bloom_clean" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.bloomDecontaminate(d.where(col("doc_id") >= 20),
+        d.where(col("doc_id") < 20))
+        .orderBy(col("doc_id"))
+    },
+
+    // markup-strip + whitespace + NFC text cleaning (codegen'd native
+    // expression, no shuffle); input wrapped in deterministic markup +
+    // a combining-accent tail so every stage of the clean is exercised
+    "ts9_clean_normalize" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.cleanText(concat(lit("<p class=\"x\">"), col("text"),
+          lit("</p>\n\t e\u0301 <br/>"))).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
     // per-domain cap: top-5 docs per source by length (total order via
     // doc_id tiebreak) — the standard hot-domain downweighting pass
     "ts6_domain_cap" -> { (s, dir) =>
@@ -384,6 +404,19 @@ object Pipeline {
         WHERE c.doc_id >= 20 AND p.doc_id < 20
         GROUP BY 1, 2 HAVING count(*) >= 3
         ORDER BY doc_id, probe_id""",
+    "dd9_bloom_clean" ->
+      s"""WITH fps AS (SELECT doc_id, $duckFp AS fp FROM documents)
+        SELECT c.doc_id AS doc_id, c.fp AS fp
+        FROM fps c
+        WHERE c.doc_id >= 20 AND NOT EXISTS (
+          SELECT 1 FROM fps b WHERE b.doc_id < 20 AND b.fp = c.fp)
+        ORDER BY c.doc_id""",
+    "ts9_clean_normalize" ->
+      """SELECT doc_id, nfc_normalize(trim(regexp_replace(regexp_replace(
+          concat('<p class="x">', text, '</p>', chr(10), chr(9),
+            ' e', chr(769), ' <br/>'),
+          '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_text
+        FROM documents ORDER BY doc_id""",
     "ts6_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
           row_number() OVER (PARTITION BY source

@@ -338,6 +338,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq((100L, 1L, 3)))
   }
 
+  test("bloom decontamination is exact: equals the plain anti-join") {
+    import spark.implicits._
+    // corpus with exact copies of two benchmark docs + clean docs
+    val bench = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "alpha beta gamma"),         // contaminated (== bench 1)
+      (101L, "delta epsilon zeta"),       // contaminated (== bench 2)
+      (102L, "totally clean document"),
+      (103L, "another clean one here"),
+      (104L, "alpha beta gamma extra"))   // near but not exact: clean
+      .toDF("doc_id", "text")
+    val clean = Dedup.bloomDecontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(102L, 103L, 104L))
+    // differential vs the no-bloom exact anti-join, on real corpus data
+    val c = docs.where(col("doc_id") >= 20)
+    val b = docs.where(col("doc_id") < 20)
+    val viaBloom = Dedup.bloomDecontaminate(c, b)
+    val viaAnti = c.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .join(b.select(TextOps.fingerprint(col("text")).as("fp")),
+        Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    assert(viaBloom.except(viaAnti).isEmpty && viaAnti.except(viaBloom).isEmpty)
+  }
+
+  test("cleanText strips markup, collapses whitespace, composes NFC") {
+    import spark.implicits._
+    val in = Seq(
+      "<p class=\"x\">hello   <b>world</b></p>",
+      "tabs\t\tand\nnewlines",
+      "accent: e\u0301 composed",     // NFC: e + U+0301 -> U+00E9
+      "plain ascii untouched",
+      "\u00e9 already composed").toDF("t")
+    val out = in.select(TextOps.cleanText(col("t")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "hello world",
+      "tabs and newlines",
+      "accent: \u00e9 composed",
+      "plain ascii untouched",
+      "\u00e9 already composed"))
+  }
+
   test("per-domain cap keeps exactly k rows per stratum, longest first") {
     val capped = Sampling.perStratumTopK(docs, col("source"),
       Seq(col("n_chars").desc, col("doc_id").asc), 2)
