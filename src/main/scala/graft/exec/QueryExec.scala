@@ -64,7 +64,16 @@ object QueryExec {
       case Some(l) => Term.langLit(lit(lex), lit(l))
       case None => Term.typedLit(lit(lex), dt)
     }
-    case B(id) => if (sol.vars("_bnode_" + id)) col("_bnode_" + id) else nullTerm
+    // Template bnode labels are scoped to the template and mint a FRESH
+    // bnode per solution (§16.2.1 / Update §3.1.3.2) — even when the
+    // pattern binds a like-named label (separate scopes; DELETE WHERE,
+    // the one form whose template bnodes would have to mean matched
+    // values, rejects them at parse per §19.6 note 8). Same label +
+    // same solution => same bnode across the whole template, via the
+    // __brow row id withBnodeRows pins.
+    case B(id) =>
+      Term.bnode(concat(lit("tb"),
+        md5(concat(lit(id), lit("#"), col("__brow").cast("string")))))
     // CONSTRUCT-star: build the quoted term from its (possibly
     // variable) components via the canonical token renderer
     case Q(s, p, o) =>
@@ -78,7 +87,31 @@ object QueryExec {
     case DefaultGraphPat => nullTerm
   }
 
-  def instantiate(template: Seq[TriplePattern], sol: Translator.Sol): DataFrame = {
+  /** Does the template mention a bnode label (each mints fresh per
+    * solution and needs the row id attached)?
+    */
+  private def hasFreshBnodes(ts: Seq[TriplePattern]): Boolean = {
+    def in(tp: TermPat): Boolean = tp match {
+      case B(_) => true
+      case Q(s, p, o) => in(s) || in(p) || in(o)
+      case _ => false
+    }
+    ts.exists(t => in(t.s) || in(t.p) || in(t.o))
+  }
+
+  /** Attach the per-solution row id fresh template bnodes hash on.
+    * localCheckpoint pins the ids: every template branch of the union
+    * reads the SAME materialized rows, so one solution keeps one id
+    * across all its instantiated triples.
+    */
+  private def withBnodeRows(sol: Translator.Sol): Translator.Sol =
+    sol.copy(df = sol.df
+      .withColumn("__brow", monotonically_increasing_id())
+      .localCheckpoint())
+
+  def instantiate(template: Seq[TriplePattern], sol0: Translator.Sol): DataFrame = {
+    val sol =
+      if (hasFreshBnodes(template)) withBnodeRows(sol0) else sol0
     val tc = termCol(sol) _
     template.map { t =>
       sol.df.select(tc(t.s).as("s"), tc(t.p).as("p"), tc(t.o).as("o"))
@@ -94,7 +127,10 @@ object QueryExec {
     * unbound triple components.
     */
   def instantiateQuads(template: Seq[(TermPat, TriplePattern)],
-      sol: Translator.Sol): DataFrame = {
+      sol0: Translator.Sol): DataFrame = {
+    val sol =
+      if (hasFreshBnodes(template.map(_._2))) withBnodeRows(sol0)
+      else sol0
     val tc = termCol(sol) _
     template.map { case (g, t) =>
       val gc = g match {

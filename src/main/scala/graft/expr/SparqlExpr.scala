@@ -991,7 +991,33 @@ object SparqlExpr {
         a(0)("lex").isin("true", "false", "1", "0"),
         Term.boolLit(a(0)("lex").isin("true", "1").cast(StringType)))
       .otherwise(nullTerm)
-    case "xsd:string" => fn("STR", a)
+    // F&O §19.1.2: casting a NUMERIC/BOOLEAN to string goes through the
+    // VALUE, not the source lexical — xsd:string(0.5e1) is "5", not
+    // "0.5e1". Integral float/double values print without a point or
+    // exponent (the XPath integer-range rule); non-integral ones keep
+    // the platform double rendering (documented corner: XPath switches
+    // to scientific at 1e6, Java at 1e7). IRIs and other literals keep
+    // STR semantics (lexical / IRI string).
+    case "xsd:string" => {
+      val t = a(0)
+      val v = numDbl(t)
+      val intish = !isnan(v) && v === floor(v) && abs(v) < 1e15
+      when(t.isNull || t("kind") === BlankKind, nullTerm)
+        .when(Term.isNumericLit(t), Term.strLit(
+          when(rank(t) === 0, trim(t("lex")).try_cast(LongType)
+            .cast(StringType))
+          .when(rank(t) === 1, decLex(numDec(t)))
+          .otherwise(when(isnan(v), lit("NaN"))
+            .when(v === Double.PositiveInfinity, lit("INF"))
+            .when(v === Double.NegativeInfinity, lit("-INF"))
+            .when(intish, v.cast(LongType).cast(StringType))
+            .otherwise(when(rank(t) === 2, v.cast(FloatType)
+              .cast(StringType)).otherwise(v.cast(StringType))))))
+        .when(t("kind") === LiteralKind && t("dt") === Term.XsdBoolean,
+          Term.strLit(when(t("lex").isin("true", "1"), "true")
+            .otherwise("false")))
+        .otherwise(Term.strLit(t("lex")))
+    }
     case "xsd:time" => {
       val lex = trim(a(0)("lex"))
       when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)

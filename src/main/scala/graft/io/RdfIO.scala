@@ -165,7 +165,11 @@ object RdfIO {
   def readRdfXml(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) => new RdfXmlParser(content).parse() }
+      // blank files appear in written directories (one per empty
+      // partition) — an empty document is an empty graph, not an error
+      .flatMap { case (_, content) =>
+        if (content.trim.isEmpty) Nil
+        else new RdfXmlParser(content).parse() }
       .toDF()
       .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
         col("p").cast(Term.schema), col("o").cast(Term.schema))
@@ -212,8 +216,32 @@ object RdfIO {
           "(supported: nt, nq, ttl, trig, rdf, jsonld, n3)")
     }
 
+  /** Serializer facade, the write direction of [[read]] (oxigraph:
+    * lib/oxrdfio · RdfSerializer). Triple formats (nt/ttl/rdf) take the
+    * default-graph slice view of a quad frame; quad formats keep graphs.
+    */
+  def write(quads: DataFrame, path: String, format: String): Unit = {
+    def triples =
+      (if (quads.columns.contains("g"))
+        quads.where(col("g")("kind") === Term.DefaultGraphKind)
+      else quads).select("s", "p", "o")
+    format.toLowerCase match {
+      case "nt" | "ntriples" | "application/n-triples" =>
+        writeNTriples(triples, path)
+      case "nq" | "nquads" | "application/n-quads" => writeNQuads(quads, path)
+      case "ttl" | "turtle" | "text/turtle" =>
+        TurtleWriter.writeTurtle(triples, path)
+      case "trig" | "application/trig" => TurtleWriter.writeTriG(quads, path)
+      case "rdf" | "rdfxml" | "application/rdf+xml" =>
+        RdfXmlWriter.write(triples, path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported RDF output format: $other " +
+          "(supported: nt, nq, ttl, trig, rdf)")
+    }
+  }
+
   // ---------------- serialization (pure Column ops) -------------------
-  private def escape(c: Column): Column =
+  private[io] def escape(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
 

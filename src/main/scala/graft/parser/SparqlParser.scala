@@ -948,6 +948,22 @@ final class SparqlParser(input: String) {
     out
   }
 
+  /** Grammar notes 8/9 (§19.6): blank nodes are disallowed in DELETE
+    * DATA, DELETE WHERE, and the DELETE template of DELETE/INSERT.
+    */
+  private def noBnodes(qs: Seq[(TermPat, TriplePattern)],
+      ctx: String): Seq[(TermPat, TriplePattern)] = {
+    def has(tp: TermPat): Boolean = tp match {
+      case B(_) => true
+      case Q(s, p, o) => has(s) || has(p) || has(o)
+      case _ => false
+    }
+    for ((g, t) <- qs)
+      if (has(g) || has(t.s) || has(t.p) || has(t.o))
+        fail(s"blank nodes are not allowed in $ctx")
+    qs
+  }
+
   /** DELETE WHERE shorthand: the quad template doubles as the pattern —
     * per-graph groups become GRAPH-scoped BGPs.
     */
@@ -1007,13 +1023,15 @@ final class SparqlParser(input: String) {
           eat("DELETE")
           if (peek("DATA")) {
             if (withG.isDefined) fail("WITH is not allowed on DELETE DATA")
-            eat("DATA"); ops += DeleteData(parseQuadData())
+            eat("DATA")
+            ops += DeleteData(noBnodes(parseQuadData(), "DELETE DATA"))
           } else if (peek("WHERE")) { // DELETE WHERE { quad tmpl }
             eat("WHERE")
-            val tmpl = parseQuadBlock(defaultG)
+            val tmpl = noBnodes(parseQuadBlock(defaultG), "DELETE WHERE")
             ops += DeleteInsert(tmpl, Nil, quadsToPattern(tmpl))
           } else {
-            val del = parseQuadBlock(defaultG)
+            val del =
+              noBnodes(parseQuadBlock(defaultG), "a DELETE template")
             val ins =
               if (peek("INSERT")) { eat("INSERT"); parseQuadBlock(defaultG) }
               else Nil

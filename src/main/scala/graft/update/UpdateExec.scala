@@ -129,6 +129,11 @@ object UpdateExec {
   private def constQuads(quads: DataFrame,
       qs: Seq[(TermPat, TriplePattern)]): DataFrame = {
     import graft.model.QuotedTriple
+    // request-scoped bnode freshness: a new salt per execution
+    val bnodeSalt = java.util.UUID.randomUUID().toString
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def qt(tp: TermPat): QuotedTriple.QTerm = tp match {
       case I(iri) => QuotedTriple.QTerm(Term.IriKind.toByte, iri, null, null)
       case L(lex, dt, lang) => QuotedTriple.QTerm(
@@ -147,6 +152,11 @@ object UpdateExec {
         case None => Term.typedLit(lit(lex), dt)
       }
       case Q(s, p, o) => Term.quoted(lit(enc(s, p, o)))
+      // INSERT DATA bnode labels are request-scoped (§3.1.1): each
+      // execution mints fresh bnodes, same label => same bnode within
+      // the request. The parser rejects bnodes in DELETE DATA, so this
+      // branch only ever fires on the insert side.
+      case B(id) => Term.bnode(lit("db" + md5Hex(bnodeSalt + "#" + id)))
       case other => throw new IllegalArgumentException(
         s"ground term required in data block, got $other")
     }

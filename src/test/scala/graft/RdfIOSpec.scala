@@ -529,4 +529,90 @@ class RdfIOSpec extends AnyFunSuite {
   test("format facade dispatches and rejects unknown formats") {
     intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "xyz"))
   }
+
+  test("quads -> TriG -> quads roundtrip is lossless (TPC-H graph)") {
+    import graft.io.TurtleWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_trigw").toString
+    val quads = TpchRdf.quads(spark, sf)
+    TurtleWriter.writeTriG(quads, dir)
+    val back = RdfIO.readTurtle(spark, dir + "/part-*")
+    assert(back.count() == quads.count())
+    assert(back.except(quads).count() == 0 &&
+      quads.except(back).count() == 0, "TriG roundtrip must be lossless")
+  }
+
+  test("Turtle writer: prefixes, `a`, `;`/`,` runs, langs, graphs, bnodes") {
+    import graft.io.TurtleWriter
+    import graft.model.Term
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttlw")
+    // a dataset exercising every grouping shape, written then re-read
+    val src = dir.resolve("src.trig")
+    java.nio.file.Files.writeString(src,
+      """@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        |<http://x/s1> rdf:type <http://x/T> ;
+        |  <http://x/p> "a" , "b"@en , "3"^^xsd:integer .
+        |_:b1 <http://x/p> "blank subject" .
+        |<http://x/s1> <http://x/q> _:b1 .
+        |GRAPH <http://x/g1> { <http://x/s2> <http://x/p> "in g1" . }
+        |""".stripMargin)
+    val quads = RdfIO.readTurtle(spark, src.toString)
+    val out = dir.resolve("out").toString
+    TurtleWriter.writeTriG(quads, out)
+    val text = RdfIO.readTurtle(spark, out + "/part-*")
+    assert(text.count() == quads.count())
+    assert(text.except(quads).count() == 0 &&
+      quads.except(text).count() == 0)
+    // written form actually uses the compact syntax
+    val rendered = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .toArray.map(_.toString).filter(_.contains("part-"))
+      .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      .mkString("\n")
+    assert(rendered.contains("@prefix xsd:"))
+    assert(rendered.contains(" a "), "rdf:type must render as `a`")
+    assert(rendered.contains("^^xsd:integer"), "datatype must compact")
+    assert(rendered.contains("GRAPH <http://x/g1> {"))
+    assert(rendered.contains(" ;"), "shared-subject runs must use ;")
+    assert(rendered.contains(" , "), "shared-predicate runs must use ,")
+    // triples-only writer: default graph slice, same losslessness
+    val tdir = dir.resolve("ttl").toString
+    TurtleWriter.writeTurtle(
+      quads.where(col("g")("kind") === Term.DefaultGraphKind)
+        .select("s", "p", "o"), tdir)
+    val t = RdfIO.readTurtle(spark, tdir + "/part-*")
+    assert(t.count() ==
+      quads.where(col("g")("kind") === Term.DefaultGraphKind).count())
+  }
+
+  test("triples -> RDF/XML -> triples roundtrip; refuses bad predicates") {
+    import graft.io.RdfXmlWriter
+    import graft.model.Term
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rxw")
+    val src = dir.resolve("src.ttl")
+    java.nio.file.Files.writeString(src,
+      """@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |<http://x/s1> <http://x/name> "Ada <&> \"q\"" ;
+        |  <http://x/age> "36"^^xsd:integer ;
+        |  <http://x/note> "salut"@fr ;
+        |  <http://x/knows> _:b7 .
+        |_:b7 <http://x/name> "Grace" .
+        |""".stripMargin)
+    val triples = RdfIO.readTurtle(spark, src.toString).select("s", "p", "o")
+    val out = dir.resolve("out").toString
+    RdfXmlWriter.write(triples, out)
+    val back = RdfIO.readRdfXml(spark, out + "/part-*").select("s", "p", "o")
+    assert(back.count() == triples.count())
+    assert(back.except(triples).count() == 0 &&
+      triples.except(back).count() == 0, "RDF/XML roundtrip must be lossless")
+    // a predicate with no NCName tail must fail loudly, like oxrdfxml
+    val bad = spark.range(1).select(
+      Term.iri("http://x/s").as("s"),
+      Term.iri("http://x/p#123").as("p"),
+      Term.iri("http://x/o").as("o"))
+    val err = intercept[Exception](
+      RdfXmlWriter.write(bad, dir.resolve("bad").toString))
+    assert(err.getMessage != null)
+  }
 }
