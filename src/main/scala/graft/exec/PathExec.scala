@@ -65,49 +65,56 @@ object PathExec {
   def eval(path: Path, src: QuadSource, ctx: GraphCtx): DataFrame =
     eval(path, src, ctx, None, None)
 
-  /** Evaluate a path over the quad table -> DataFrame("ps", "po") of
-    * connected term pairs. SET semantics (distinct pairs). Seeds restrict
-    * closures/zero-length steps only; plain links rely on Catalyst filter
-    * pushdown (constants) and the enclosing equi-join (variables), which
-    * already reach the scans.
+  /** Evaluate a path over the quad table -> DataFrame("pg", "ps", "po")
+    * of (graph, connected term pair) rows. SET semantics per graph
+    * (distinct rows). Path semantics are PER GRAPH (§18.1.7: GRAPH ?g
+    * evaluates the pattern in each named graph separately), so every
+    * composition join and closure fixpoint keys on the graph column —
+    * for the constant-graph contexts pg is single-valued and the extra
+    * key is a no-op. Seeds restrict closures/zero-length steps only;
+    * plain links rely on Catalyst filter pushdown (constants) and the
+    * enclosing equi-join (variables), which already reach the scans.
     */
   def eval(path: Path, src: QuadSource, ctx: GraphCtx,
       sSeed: Option[Seed], oSeed: Option[Seed]): DataFrame = path match {
     case PLink(iri) =>
       src.byPredicate(iri).where(gFilter(ctx))
-        .select(col("s").as("ps"), col("o").as("po"))
+        .select(col("g").as("pg"), col("s").as("ps"), col("o").as("po"))
 
     case PInv(p) =>
       eval(p, src, ctx, oSeed, sSeed)
-        .select(col("po").as("ps"), col("ps").as("po"))
+        .select(col("pg"), col("po").as("ps"), col("ps").as("po"))
 
     case PSeq(a, b) =>
       if (sSeed.isDefined || oSeed.isEmpty) {
-        // left-to-right: a's outputs seed a closure in b (dataflow ALP)
+        // left-to-right: a's outputs seed a closure in b (dataflow ALP).
+        // Seeds carry VALUES only (not graphs): a value reachable in one
+        // graph may seed another graph's closure too — harmless, the
+        // composition join below enforces same-graph.
         val l = eval(a, src, ctx, sSeed, None)
-          .select(col("ps"), col("po").as("mid"))
+          .select(col("pg"), col("ps"), col("po").as("mid"))
         val rSeed =
           if (hasClosure(b))
             Some(Seed(l.select(col("mid").as("n")).distinct(),
               zeroIncludesSeed = false))
           else None
         val r = eval(b, src, ctx, rSeed, oSeed)
-          .select(col("ps").as("mid2"), col("po"))
-        l.join(r, col("mid") === col("mid2"))
-          .select(col("ps"), col("po")).distinct()
+          .select(col("pg").as("pg2"), col("ps").as("mid2"), col("po"))
+        l.join(r, col("mid") === col("mid2") && col("pg") === col("pg2"))
+          .select(col("pg"), col("ps"), col("po")).distinct()
       } else {
         // right-to-left when only the object end is bound
         val r = eval(b, src, ctx, None, oSeed)
-          .select(col("ps").as("mid2"), col("po"))
+          .select(col("pg").as("pg2"), col("ps").as("mid2"), col("po"))
         val lSeed =
           if (hasClosure(a))
             Some(Seed(r.select(col("mid2").as("n")).distinct(),
               zeroIncludesSeed = false))
           else None
         val l = eval(a, src, ctx, None, lSeed)
-          .select(col("ps"), col("po").as("mid"))
-        l.join(r, col("mid") === col("mid2"))
-          .select(col("ps"), col("po")).distinct()
+          .select(col("pg"), col("ps"), col("po").as("mid"))
+        l.join(r, col("mid") === col("mid2") && col("pg") === col("pg2"))
+          .select(col("pg"), col("ps"), col("po")).distinct()
       }
 
     // §18.4: alt is MULTISET union (a pair connected by both arms
@@ -120,13 +127,14 @@ object PathExec {
       def nps(excl: Seq[String]): DataFrame =
         src.all.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
           !col("p")("lex").isin(excl: _*))
-          .select(col("s").as("ps"), col("o").as("po"))
+          .select(col("g").as("pg"), col("s").as("ps"), col("o").as("po"))
       // §9.3: !(fwd…|^inv…) ≡ !(fwd…) | ^(!(inv…)) — and alt is a
       // multiset union, so a pair matched by an edge in each direction
       // appears twice (no distinct here; closures dedupe upstream)
       val fwd = if (iris.nonEmpty) Some(nps(iris)) else None
       val inv = if (invIris.nonEmpty)
-        Some(nps(invIris).select(col("po").as("ps"), col("ps").as("po")))
+        Some(nps(invIris).select(col("pg"),
+          col("po").as("ps"), col("ps").as("po")))
       else None
       (fwd.toSeq ++ inv.toSeq).reduce(_ union _)
 
@@ -141,33 +149,59 @@ object PathExec {
         .union(zeroPairs(src, ctx, sSeed.orElse(oSeed))).distinct()
   }
 
-  /** Zero-length path: (n, n) for every matching term. With a seed only
-    * the seed terms matter (intersected with graph terms unless the seed
-    * is a query constant — see Seed.zeroIncludesSeed); unseeded, every
-    * term appearing as subject or object.
+  /** The graphs a zero-length step ranges over: the ctx's constant graph
+    * term, or (GRAPH ?g) every named graph present in the quad table —
+    * a graph-catalog-sized relation, broadcast by size. Registered-but-
+    * empty named graphs are not iterated (documented corner: a
+    * zero-length path can bind nothing in a graph with no quads to
+    * anchor other patterns anyway, except the constant-endpoint form,
+    * where the reference iterates live graphs all the same).
+    */
+  private def ctxGraphs(src: QuadSource, ctx: GraphCtx): DataFrame =
+    ctx match {
+      case DefaultG =>
+        src.all.sparkSession.range(1).select(Term.defaultGraph.as("pg"))
+      case FixedG(iri) =>
+        src.all.sparkSession.range(1).select(Term.iri(iri).as("pg"))
+      case VarG(_) =>
+        src.all.where(gFilter(ctx)).select(col("g").as("pg")).distinct()
+    }
+
+  /** Zero-length path: (g, n, n) for every matching term, per graph of
+    * the scope. With a seed only the seed terms matter (intersected with
+    * each graph's terms unless the seed is a query constant — see
+    * Seed.zeroIncludesSeed); unseeded, every term appearing as subject
+    * or object in the graph.
     */
   private def zeroPairs(src: QuadSource, ctx: GraphCtx,
       seed: Option[Seed]): DataFrame = seed match {
     case Some(Seed(nodes, true)) =>
-      nodes.select(col("n").as("ps"), col("n").as("po")).distinct()
+      // a query constant is included in EVERY graph of the scope,
+      // whether or not it occurs there (§18.4 ALP from the term)
+      nodes.distinct().crossJoin(broadcast(ctxGraphs(src, ctx)))
+        .select(col("pg"), col("n").as("ps"), col("n").as("po"))
     case Some(Seed(nodes, false)) =>
-      nodes.join(graphTerms(src, ctx), Seq("n"), "left_semi")
-        .select(col("n").as("ps"), col("n").as("po")).distinct()
+      nodes.distinct().join(graphTerms(src, ctx), Seq("n"))
+        .select(col("pg"), col("n").as("ps"), col("n").as("po")).distinct()
     case None =>
-      graphTerms(src, ctx).select(col("n").as("ps"), col("n").as("po"))
+      graphTerms(src, ctx)
+        .select(col("pg"), col("n").as("ps"), col("n").as("po"))
   }
 
-  /** Every term appearing as subject or object in the scoped graph. */
+  /** Every (graph, term) with the term appearing as subject or object of
+    * the graph, within the scope.
+    */
   private def graphTerms(src: QuadSource, ctx: GraphCtx): DataFrame = {
     val g = src.all.where(gFilter(ctx))
-    g.select(col("s").as("n"))
-      .union(g.select(col("o").as("n"))).distinct()
+    g.select(col("g").as("pg"), col("s").as("n"))
+      .union(g.select(col("g").as("pg"), col("o").as("n"))).distinct()
   }
 
-  /** One-or-more closure of the inner path, seeded when an endpoint is
-    * known. The edge relation itself stays unrestricted (multi-hop walks
-    * may traverse anywhere), but the fixpoint only ever visits nodes
-    * reachable from (or reaching, for object seeds) the seed set.
+  /** One-or-more closure of the inner path, per graph, seeded when an
+    * endpoint is known. The edge relation itself stays unrestricted
+    * (multi-hop walks may traverse anywhere within their graph), but the
+    * fixpoint only ever visits nodes reachable from (or reaching, for
+    * object seeds) the seed set.
     */
   private def plusClosure(p: Path, src: QuadSource, ctx: GraphCtx,
       sSeed: Option[Seed], oSeed: Option[Seed]): DataFrame = {
@@ -176,28 +210,29 @@ object PathExec {
       case (Some(sd), _) => closureFrom(edges, sd.nodes)
       case (None, Some(od)) =>
         closureFrom(
-          edges.select(col("po").as("ps"), col("ps").as("po")), od.nodes)
-          .select(col("po").as("ps"), col("ps").as("po"))
+          edges.select(col("pg"), col("po").as("ps"), col("ps").as("po")),
+          od.nodes)
+          .select(col("pg"), col("po").as("ps"), col("ps").as("po"))
       case _ => closure(edges)
     }
   }
 
-  /** Seeded semi-naive closure: pairs (s, t) with s in seed and t
-    * reachable from s in >= 1 step. Frontier and result carry only
-    * seed-reachable pairs — O(reachable), not O(V·E).
+  /** Seeded semi-naive closure: rows (g, s, t) with s in seed and t
+    * reachable from s in >= 1 step within graph g. Frontier and result
+    * carry only seed-reachable pairs — O(reachable), not O(V·E).
     */
   private def closureFrom(edges0: DataFrame, seed: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint(true)
     var result = seed.select(col("n").as("ps")).distinct()
       .join(edges, Seq("ps"))
-      .select(col("ps"), col("po")).distinct().localCheckpoint(true)
+      .select(col("pg"), col("ps"), col("po")).distinct().localCheckpoint(true)
     var frontier = result
     var i = 1
     while (i < MaxIterations && !frontier.isEmpty) {
-      val stepped = frontier.select(col("ps"), col("po").as("mid"))
-        .join(edges.select(col("ps").as("mid2"), col("po")),
-          col("mid") === col("mid2"))
-        .select(col("ps"), col("po")).distinct()
+      val stepped = frontier.select(col("pg"), col("ps"), col("po").as("mid"))
+        .join(edges.select(col("pg").as("pg2"), col("ps").as("mid2"),
+          col("po")), col("mid") === col("mid2") && col("pg") === col("pg2"))
+        .select(col("pg"), col("ps"), col("po")).distinct()
       frontier = stepped.except(result).localCheckpoint(true)
       result = result.union(frontier).localCheckpoint(true)
       i += 1
@@ -205,17 +240,19 @@ object PathExec {
     result
   }
 
-  /** Distributed all-pairs semi-naive closure (both endpoints free). */
+  /** Distributed all-pairs semi-naive closure (both endpoints free),
+    * per graph.
+    */
   private def closure(edges0: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint(true)
     var result = edges
     var frontier = edges
     var i = 0
     while (i < MaxIterations && !frontier.isEmpty) {
-      val stepped = frontier.select(col("ps"), col("po").as("mid"))
-        .join(edges.select(col("ps").as("mid2"), col("po")),
-          col("mid") === col("mid2"))
-        .select(col("ps"), col("po")).distinct()
+      val stepped = frontier.select(col("pg"), col("ps"), col("po").as("mid"))
+        .join(edges.select(col("pg").as("pg2"), col("ps").as("mid2"),
+          col("po")), col("mid") === col("mid2") && col("pg") === col("pg2"))
+        .select(col("pg"), col("ps"), col("po")).distinct()
       frontier = stepped.except(result).localCheckpoint(true)
       result = result.union(frontier).localCheckpoint(true)
       i += 1

@@ -639,15 +639,32 @@ object Translator {
     var df = pairs
     constFilter(col("ps"), s).foreach(f => df = df.where(f))
     constFilter(col("po"), o).foreach(f => df = df.where(f))
+    // GRAPH ?g scope: the per-graph pg column binds the graph variable
+    // (same contract as scanPattern's VarG binding); a graph variable
+    // shared with an endpoint constrains by equality first.
+    val gVar: Option[String] = ctx match {
+      case VarG(v) => Some(v)
+      case _ => None
+    }
+    val gCols: Seq[(String, Column)] = gVar.map(v => v -> col("pg")).toSeq
+    def out(df: DataFrame, cols: Seq[(String, Column)]): Sol = {
+      val all = (cols ++ gCols).distinctBy(_._1)
+      val constrained = gVar match {
+        case Some(v) if cols.exists(_._1 == v) =>
+          df.where(col("pg") === cols.find(_._1 == v).get._2)
+        case _ => df
+      }
+      Sol(constrained.select(all.map { case (n, c) => c.as(n) }: _*),
+        all.map(_._1).toSet, all.map(_._1).toSet)
+    }
     (varName(s), varName(o)) match {
       case (Some(a), Some(b)) if a == b =>
-        val d = df.where(col("ps") === col("po")).select(col("ps").as(a))
-        Sol(d, Set(a), Set(a))
+        out(df.where(col("ps") === col("po")), Seq(a -> col("ps")))
       case (Some(a), Some(b)) =>
-        Sol(df.select(col("ps").as(a), col("po").as(b)), Set(a, b), Set(a, b))
-      case (Some(a), None) => Sol(df.select(col("ps").as(a)), Set(a), Set(a))
-      case (None, Some(b)) => Sol(df.select(col("po").as(b)), Set(b), Set(b))
-      case (None, None) => Sol(df.select(), Set.empty, Set.empty)
+        out(df, Seq(a -> col("ps"), b -> col("po")))
+      case (Some(a), None) => out(df, Seq(a -> col("ps")))
+      case (None, Some(b)) => out(df, Seq(b -> col("po")))
+      case (None, None) => out(df, Nil)
     }
   }
 
@@ -1036,8 +1053,20 @@ object Translator {
         case "GROUP_CONCAT" =>
           val x = e.get
           if (call.orderBy.isEmpty) {
-            val lst = if (call.distinct) collect_set(x("lex")) else collect_list(x("lex"))
-            aggCols += array_join(array_sort(lst), call.separator).as(n("g"))
+            // documented deviation: input order is nondeterministic in a
+            // distributed bag, so elements sort by SPARQL TERM ORDER
+            // (numeric values numerically, not lexicographically), lex
+            // as tiebreak — same comparator family as ORDER BY
+            val elem = struct(sortKey(x).as("__k"), x("lex").as("__lex"))
+            val cmp = (l: Column, r: Column) =>
+              when(l("__k") < r("__k"), -1).when(l("__k") > r("__k"), 1)
+                .otherwise(when(l("__lex") < r("__lex"), -1)
+                  .when(l("__lex") > r("__lex"), 1).otherwise(0))
+            val sorted = array_sort(collect_list(elem), cmp)
+            val lexes0 = transform(sorted, s => s("__lex"))
+            val lexes =
+              if (call.distinct) array_distinct(lexes0) else lexes0
+            aggCols += array_join(lexes, call.separator).as(n("g"))
             post += Term.strLit(col(n("g"))).as(outName)
           } else {
             // explicit `; ORDER BY …`: collect (key…, lex) structs and

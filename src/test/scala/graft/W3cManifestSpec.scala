@@ -72,10 +72,12 @@ class W3cManifestSpec extends AnyFunSuite {
     val root = new java.io.File(
       getClass.getResource("/sparql").toURI).toPath
     val es = W3cManifest.load(root.resolve("manifest.ttl"))
-    // every dir holding an expected.tsv must be listed as an eval test
+    // every dir holding an expected results/graph file must be listed
+    // as an eval test (graph-result tests expect .nt/.ttl — compared by
+    // isomorphism — instead of .tsv)
     val dirs = root.toFile.listFiles()
-      .filter(d => d.isDirectory &&
-        new java.io.File(d, "expected.tsv").exists())
+      .filter(d => d.isDirectory && Seq("expected.tsv", "expected.nt",
+        "expected.ttl").exists(f => new java.io.File(d, f).exists()))
       .map(_.getName).toSet
     val evals = es.filter(_.kind == "QueryEvaluationTest").map(_.name).toSet
     assert(evals == dirs,
