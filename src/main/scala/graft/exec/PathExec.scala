@@ -78,8 +78,11 @@ object PathExec {
   def eval(path: Path, src: QuadSource, ctx: GraphCtx,
       sSeed: Option[Seed], oSeed: Option[Seed]): DataFrame = path match {
     case PLink(iri) =>
+      // constant scopes attach their graph term as a literal: the scan
+      // then materializes only (s, o) — g is filter-only, not read out
       src.byPredicate(iri).where(gFilter(ctx))
-        .select(col("g").as("pg"), col("s").as("ps"), col("o").as("po"))
+        .select(constG(ctx).getOrElse(col("g")).as("pg"),
+          col("s").as("ps"), col("o").as("po"))
 
     case PInv(p) =>
       eval(p, src, ctx, oSeed, sSeed)
@@ -100,8 +103,9 @@ object PathExec {
           else None
         val r = eval(b, src, ctx, rSeed, oSeed)
           .select(col("pg").as("pg2"), col("ps").as("mid2"), col("po"))
-        l.join(r, col("mid") === col("mid2") && col("pg") === col("pg2"))
-          .select(col("pg"), col("ps"), col("po")).distinct()
+        dedup(l.join(r,
+          col("mid") === col("mid2") && col("pg") === col("pg2"))
+          .select(col("pg"), col("ps"), col("po")), ctx)
       } else {
         // right-to-left when only the object end is bound
         val r = eval(b, src, ctx, None, oSeed)
@@ -113,8 +117,9 @@ object PathExec {
           else None
         val l = eval(a, src, ctx, None, lSeed)
           .select(col("pg"), col("ps"), col("po").as("mid"))
-        l.join(r, col("mid") === col("mid2") && col("pg") === col("pg2"))
-          .select(col("pg"), col("ps"), col("po")).distinct()
+        dedup(l.join(r,
+          col("mid") === col("mid2") && col("pg") === col("pg2"))
+          .select(col("pg"), col("ps"), col("po")), ctx)
       }
 
     // §18.4: alt is MULTISET union (a pair connected by both arms
@@ -127,7 +132,8 @@ object PathExec {
       def nps(excl: Seq[String]): DataFrame =
         src.all.where(gFilter(ctx) && col("p")("kind") === Term.IriKind &&
           !col("p")("lex").isin(excl: _*))
-          .select(col("g").as("pg"), col("s").as("ps"), col("o").as("po"))
+          .select(constG(ctx).getOrElse(col("g")).as("pg"),
+            col("s").as("ps"), col("o").as("po"))
       // §9.3: !(fwd…|^inv…) ≡ !(fwd…) | ^(!(inv…)) — and alt is a
       // multiset union, so a pair matched by an edge in each direction
       // appears twice (no distinct here; closures dedupe upstream)
@@ -139,15 +145,25 @@ object PathExec {
       (fwd.toSeq ++ inv.toSeq).reduce(_ union _)
 
     case PZeroOrOne(p) =>
-      eval(p, src, ctx, sSeed, oSeed)
-        .union(zeroPairs(src, ctx, sSeed.orElse(oSeed))).distinct()
+      dedup(eval(p, src, ctx, sSeed, oSeed)
+        .union(zeroPairs(src, ctx, sSeed.orElse(oSeed))), ctx)
 
     case POneOrMore(p) => plusClosure(p, src, ctx, sSeed, oSeed)
 
     case PZeroOrMore(p) =>
-      plusClosure(p, src, ctx, sSeed, oSeed)
-        .union(zeroPairs(src, ctx, sSeed.orElse(oSeed))).distinct()
+      dedup(plusClosure(p, src, ctx, sSeed, oSeed)
+        .union(zeroPairs(src, ctx, sSeed.orElse(oSeed))), ctx)
   }
+
+  /** Distinct rows; a constant-graph scope dedupes on the pair alone
+    * (narrower exchange key) and reattaches its pg afterwards.
+    */
+  private def dedup(df: DataFrame, ctx: GraphCtx): DataFrame =
+    constG(ctx) match {
+      case Some(g) => df.select(col("ps"), col("po")).distinct()
+        .select(g.as("pg"), col("ps"), col("po"))
+      case None => df.distinct()
+    }
 
   /** The graphs a zero-length step ranges over: the ctx's constant graph
     * term, or (GRAPH ?g) every named graph present in the quad table —
@@ -177,24 +193,54 @@ object PathExec {
       seed: Option[Seed]): DataFrame = seed match {
     case Some(Seed(nodes, true)) =>
       // a query constant is included in EVERY graph of the scope,
-      // whether or not it occurs there (§18.4 ALP from the term)
-      nodes.distinct().crossJoin(broadcast(ctxGraphs(src, ctx)))
-        .select(col("pg"), col("n").as("ps"), col("n").as("po"))
-    case Some(Seed(nodes, false)) =>
-      nodes.distinct().join(graphTerms(src, ctx), Seq("n"))
-        .select(col("pg"), col("n").as("ps"), col("n").as("po")).distinct()
+      // whether or not it occurs there (§18.4 ALP from the term);
+      // constant-graph scopes attach their graph term directly — the
+      // broadcast product is only needed when ?g actually ranges
+      ctx match {
+        case DefaultG => nodes.distinct().select(
+          Term.defaultGraph.as("pg"), col("n").as("ps"), col("n").as("po"))
+        case FixedG(iri) => nodes.distinct().select(
+          Term.iri(iri).as("pg"), col("n").as("ps"), col("n").as("po"))
+        case VarG(_) =>
+          nodes.distinct().crossJoin(broadcast(ctxGraphs(src, ctx)))
+            .select(col("pg"), col("n").as("ps"), col("n").as("po"))
+      }
+    case Some(Seed(nodes, false)) => constG(ctx) match {
+      // constant scope: cheap semi-join on the term only, constant pg
+      // attached after — same plan as the pre-pg implementation
+      case Some(g) =>
+        nodes.join(graphTerms(src, ctx).select("n"), Seq("n"), "left_semi")
+          .distinct()
+          .select(g.as("pg"), col("n").as("ps"), col("n").as("po"))
+      case None =>
+        nodes.distinct().join(graphTerms(src, ctx), Seq("n"))
+          .select(col("pg"), col("n").as("ps"), col("n").as("po")).distinct()
+    }
     case None =>
       graphTerms(src, ctx)
         .select(col("pg"), col("n").as("ps"), col("n").as("po"))
   }
 
+  private def constG(ctx: GraphCtx): Option[Column] = ctx match {
+    case DefaultG => Some(Term.defaultGraph)
+    case FixedG(iri) => Some(Term.iri(iri))
+    case VarG(_) => None
+  }
+
   /** Every (graph, term) with the term appearing as subject or object of
-    * the graph, within the scope.
+    * the graph, within the scope. Constant scopes dedupe on the term
+    * alone and attach pg afterwards (narrower exchange).
     */
   private def graphTerms(src: QuadSource, ctx: GraphCtx): DataFrame = {
     val g = src.all.where(gFilter(ctx))
-    g.select(col("g").as("pg"), col("s").as("n"))
-      .union(g.select(col("g").as("pg"), col("o").as("n"))).distinct()
+    constG(ctx) match {
+      case Some(c) =>
+        g.select(col("s").as("n")).union(g.select(col("o").as("n")))
+          .distinct().select(c.as("pg"), col("n"))
+      case None =>
+        g.select(col("g").as("pg"), col("s").as("n"))
+          .union(g.select(col("g").as("pg"), col("o").as("n"))).distinct()
+    }
   }
 
   /** One-or-more closure of the inner path, per graph, seeded when an

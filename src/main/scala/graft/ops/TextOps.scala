@@ -87,6 +87,51 @@ object TextOps {
     graft.expr.NfcNormalize.nfc(trim(regexp_replace(
       regexp_replace(text, "<[^>]*>", " "), "\\s+", " ")))
 
+  // PII patterns chosen from the regex dialect Java and RE2 agree on
+  // (no backrefs/lookaround): the safety-scrub pass every published web
+  // corpus pipeline runs before training. Order matters — emails first
+  // (their local parts contain digits a later pass would mangle), then
+  // IPs (dotted digits would half-match the phone pattern), phones last.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII scrubbing: emails / IPv4s / phone-shaped digit runs replaced by
+    * typed placeholder tokens. Pure codegen'd projection — no shuffle,
+    * no UDF; at 100 TB this is a map-only pass fused into whatever scan
+    * feeds it.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
+  /** Count of PII matches the scrub would redact (audit metric). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+        lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(regexp_replace(regexp_replace(text,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+        lit(PhoneRe), lit(0)))).cast(LongType)
+
+  /** Overlapping character-window chunks — the context-window prep pass
+    * of an embedding/training pipeline: windows of `size` chars every
+    * `stride` chars (size > stride ⇒ overlap = size - stride). Explodes
+    * to one row per (doc, chunk): row count grows as len/stride with no
+    * shuffle — the gate's orderBy is the only exchange.
+    */
+  def chunks(docs: DataFrame, size: Int, stride: Int,
+      textCol: String = "text"): DataFrame = {
+    require(stride > 0 && size >= stride, "need size >= stride > 0")
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)),
+          lit(stride))).as("off"),
+        col(textCol))
+      .select(col("doc_id"), (col("off") / stride).cast(LongType).as("chunk_id"),
+        col(textCol).substr(col("off") + 1, lit(size)).as("chunk"))
+      .where(length(col("chunk")) > 0)
+  }
+
   /** Non-distinct word k-grams — repetition analysis needs multiplicity
     * (contrast `shingles`, which dedupes for set-Jaccard).
     */

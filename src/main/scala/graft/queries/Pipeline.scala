@@ -236,6 +236,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // PII scrub: emails/IPs/phone runs -> typed placeholders, plus the
+    // redaction audit count; input wrapped with deterministic PII so
+    // every pattern fires (map-only pass, no shuffle before the gate
+    // orderBy)
+    "ts10_pii_scrub" -> { (s, dir) =>
+      val salted = concat(col("text"),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel +1 555 000 12"), (col("doc_id") % 89 + 10).cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        TextOps.scrubPii(salted).as("scrubbed"),
+        TextOps.piiCount(salted).as("n_pii"))
+        .orderBy(col("doc_id"))
+    },
+
+    // overlapping char-window chunking: 200-char windows every 150 —
+    // the context-window prep pass; rows grow as len/stride, zero
+    // pre-order exchanges
+    "ts11_chunking" -> { (s, dir) =>
+      TextOps.chunks(docs(s, dir), 200, 150)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // per-domain cap: top-5 docs per source by length (total order via
     // doc_id tiebreak) — the standard hot-domain downweighting pass
     "ts6_domain_cap" -> { (s, dir) =>
@@ -417,6 +440,36 @@ object Pipeline {
             ' e', chr(769), ' <br/>'),
           '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_text
         FROM documents ORDER BY doc_id""",
+    "ts10_pii_scrub" ->
+      """WITH s AS (SELECT doc_id,
+          text || ' contact: user' || doc_id || '@example.com or 10.0.' ||
+            (doc_id % 256) || '.7 tel +1 555 000 12' || (doc_id % 89 + 10)
+            AS t FROM documents),
+        e AS (SELECT doc_id, regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+          AS t, t AS t0 FROM s),
+        i AS (SELECT doc_id, regexp_replace(t,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t,
+          t AS t1, t0 FROM e)
+        SELECT doc_id,
+          regexp_replace(t, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS scrubbed,
+          CAST(len(regexp_extract_all(t0,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+            len(regexp_extract_all(t1,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
+            len(regexp_extract_all(t, '\+?\d[\d -]{7,}\d')) AS BIGINT)
+            AS n_pii
+        FROM i ORDER BY doc_id""",
+    "ts11_chunking" ->
+      """WITH o AS (SELECT doc_id, text,
+          unnest(generate_series(0,
+            CAST(greatest(length(text) - 1, 0) AS BIGINT), 150)) AS off
+        FROM documents)
+        SELECT doc_id, CAST(off // 150 AS BIGINT) AS chunk_id,
+          substring(text, CAST(off + 1 AS INTEGER), 200) AS chunk
+        FROM o
+        WHERE length(substring(text, CAST(off + 1 AS INTEGER), 200)) > 0
+        ORDER BY doc_id, chunk_id""",
     "ts6_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
           row_number() OVER (PARTITION BY source

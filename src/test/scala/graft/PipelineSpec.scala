@@ -383,6 +383,41 @@ class PipelineSpec extends AnyFunSuite {
       "\u00e9 already composed"))
   }
 
+  test("scrubPii redacts emails, IPs, phone runs; counts match") {
+    import spark.implicits._
+    val in = Seq(
+      "write to alice.b+spam@mail.example.org today",
+      "server at 192.168.0.1 responded",
+      "call +44 20 7946 0958 now",
+      "mixed: bob@x.io from 10.0.0.7, dial 555 123 4567",
+      "nothing to hide here").toDF("t")
+    val out = in.select(TextOps.scrubPii(col("t")).as("s"),
+      TextOps.piiCount(col("t")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(
+      ("write to <EMAIL> today", 1L),
+      ("server at <IP> responded", 1L),
+      ("call <PHONE> now", 1L),
+      ("mixed: <EMAIL> from <IP>, dial <PHONE>", 3L),
+      ("nothing to hide here", 0L)))
+  }
+
+  test("chunks: overlapping windows cover the text, ids dense") {
+    import spark.implicits._
+    val in = Seq((1L, "a" * 450), (2L, "xy")).toDF("doc_id", "text")
+    val got = TextOps.chunks(in, 200, 150)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2).length))
+    // doc 1: offsets 0,150,300 -> lens 200,200,150; doc 2: one short chunk
+    assert(got.toSeq == Seq((1L, 0L, 200), (1L, 1L, 200), (1L, 2L, 150),
+      (2L, 0L, 2)))
+    // reconstruction: stride-aligned prefixes concatenate to the source
+    val full = TextOps.chunks(in.where(col("doc_id") === 1), 200, 150)
+      .orderBy("chunk_id").collect()
+      .map(_.getString(2)).map(_.take(150)).mkString
+    assert(full == "a" * 450)
+  }
+
   test("per-domain cap keeps exactly k rows per stratum, longest first") {
     val capped = Sampling.perStratumTopK(docs, col("source"),
       Seq(col("n_chars").desc, col("doc_id").asc), 2)
