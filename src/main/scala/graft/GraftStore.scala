@@ -84,6 +84,27 @@ final class GraftStore private (val quads: DataFrame,
   /** Serialize the full dataset as N-Quads (Store::dump). */
   def dumpNQuads(path: String): Unit = RdfIO.writeNQuads(quads, path)
 
+  /** Serialize in any supported RDF format (Store::dump with RdfFormat —
+    * nt/nq/ttl/trig/rdf; triple formats take the default graph).
+    */
+  def dump(path: String, format: String): Unit =
+    RdfIO.write(quads, path, format)
+
+  /** Blank-node canonicalization of the dataset (oxrdf
+    * Dataset::canonicalize): relabels every bnode to its canonical
+    * color-refinement label, so two isomorphic stores yield identical
+    * quad sets. See [[graft.model.Canon]] for the algorithm and its
+    * documented WL corner.
+    */
+  def canonicalize(): GraftStore =
+    new GraftStore(graft.model.Canon.canonicalize(quads), emptyGraphs)
+
+  /** Dataset isomorphism against another store (bnode-renaming
+    * invariant equality).
+    */
+  def isIsomorphic(other: GraftStore): Boolean =
+    graft.model.Canon.isomorphic(quads, other.quads)
+
   /** Serialize one graph as N-Triples. */
   def dumpNTriples(path: String, graph: Option[String] = None): Unit = {
     val g = graph match {

@@ -132,6 +132,37 @@ object TextOps {
       .where(length(col("chunk")) > 0)
   }
 
+  /** BM25 relevance of every document against a bag of query terms —
+    * the corpus-search/quality-ranking pass (Robertson-Sparck Jones
+    * BM25, public). Distributed shape: the token explode filters to the
+    * query terms IMMEDIATELY (the corpus-wide term stream never
+    * shuffles — only (doc, query-term) counts do), document length and
+    * corpus stats ride along as broadcast 1-row/`|terms|`-row joins,
+    * and the per-(doc, term) score folds map-side into the final
+    * per-doc sum. Scores round to 6 decimals so cross-engine oracle
+    * comparison is ulp-stable.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast(DoubleType).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = tok.where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).cast(DoubleType).as("dft"))
+    tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 6).as("score"))
+  }
+
   /** Non-distinct word k-grams — repetition analysis needs multiplicity
     * (contrast `shingles`, which dedupes for set-Jaccard).
     */

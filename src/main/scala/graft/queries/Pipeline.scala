@@ -259,6 +259,14 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // BM25 corpus search: top-20 docs for a 3-term query — term stream
+    // filtered before any shuffle, stats broadcast, one narrow exchange
+    // on (doc, term)
+    "ts12_bm25" -> { (s, dir) =>
+      TextOps.bm25(docs(s, dir), Seq("spark", "vector", "scan"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
     // per-domain cap: top-5 docs per source by length (total order via
     // doc_id tiebreak) — the standard hot-domain downweighting pass
     "ts6_domain_cap" -> { (s, dir) =>
@@ -470,6 +478,21 @@ object Pipeline {
         FROM o
         WHERE length(substring(text, CAST(off + 1 AS INTEGER), 200)) > 0
         ORDER BY doc_id, chunk_id""",
+    "ts12_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) dl FROM t GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS DOUBLE) n, avg(dl) avgdl FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) tf FROM t
+          WHERE tok IN ('spark', 'vector', 'scan') GROUP BY 1, 2),
+        dft AS (SELECT tok, CAST(count(*) AS DOUBLE) dft FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (st.n - dft.dft + 0.5) / (dft.dft + 0.5)) *
+              (tf.tf * 2.2) /
+              (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+          FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+        SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 20""",
     "ts6_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
           row_number() OVER (PARTITION BY source

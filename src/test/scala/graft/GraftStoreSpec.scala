@@ -194,4 +194,27 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(e.contains("== SPARQL algebra ==") && e.contains("Project"))
     assert(e.contains("== Spark plan ==") && e.contains("Scan"))
   }
+
+  test("canonicalize/isIsomorphic: bnode-relabeled stores compare equal") {
+    val a = sampleStore().update(
+      "INSERT DATA { _:x <http://x/link> _:y . _:y <http://x/v> \"leaf\" }")
+    val b = sampleStore().update(
+      "INSERT DATA { _:m <http://x/link> _:n . _:n <http://x/v> \"leaf\" }")
+    assert(a.isIsomorphic(b))
+    assert(!a.isIsomorphic(sampleStore()))
+    // canonical forms are bit-equal as quad sets
+    val (ca, cb) = (a.canonicalize(), b.canonicalize())
+    assert(ca.quads.exceptAll(cb.quads).isEmpty &&
+      cb.quads.exceptAll(ca.quads).isEmpty)
+    assert(ca.size == a.size)
+  }
+
+  test("dump facade roundtrips through trig") {
+    val st = sampleStore()
+    val dir = java.nio.file.Files.createTempDirectory("graft_dumpf")
+    st.dump(dir.resolve("out").toString, "trig")
+    val back = GraftStore(graft.io.RdfIO.readTurtle(spark,
+      dir.resolve("out").toString + "/part-*"))
+    assert(back.size == st.size)
+  }
 }

@@ -418,6 +418,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(full == "a" * 450)
   }
 
+  test("bm25: term-dense docs rank first, absent terms score nothing") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "nothing relevant in here at all")).toDF("doc_id", "text")
+    val got = TextOps.bm25(in, Seq("spark"))
+      .orderBy(col("score").desc).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "rank by term density")
+    assert(got.forall(_._2 > 0) && got.length == 2,
+      "docs without any query term don't appear")
+  }
+
   test("per-domain cap keeps exactly k rows per stratum, longest first") {
     val capped = Sampling.perStratumTopK(docs, col("source"),
       Seq(col("n_chars").desc, col("doc_id").asc), 2)
