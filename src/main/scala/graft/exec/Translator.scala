@@ -803,18 +803,26 @@ object Translator {
         val sub = translate(p, src, ctx)
         joinSols(sol, sub, if (pos) "left_semi" else "left_anti")
       }
-      scalarConjs.foldLeft(afterExists) { (sol, e) =>
+      // EXISTS nested INSIDE a scalar conjunct (e.g. `?x || EXISTS{…}`)
+      // becomes a mark-join boolean variable first
+      val (marked, scalars2, aux) =
+        markExists(afterExists, scalarConjs, src, ctx)
+      val filtered = scalars2.foldLeft(marked) { (sol, e) =>
         Sol(sol.df.where(coalesce(
           SparqlExpr.compileBool(e, sol.bind, sol.hint),
           lit(false))), sol.vars, sol.sure, sol.cls)
       }
+      Sol(filtered.df.drop(aux: _*), afterExists.vars, afterExists.sure,
+        afterExists.cls)
 
     case Extend(inner, v, expr) =>
-      val in = translate(inner, src, ctx)
-      val c = SparqlExpr.compile(expr, in.bind, in.hint)
-      Sol(in.df.withColumn(v, c), in.vars + v, in.sure,
-        SparqlExpr.exprClass(expr, in.hint)
-          .map(k => in.cls + (v -> k)).getOrElse(in.cls - v))
+      val in0 = translate(inner, src, ctx)
+      // EXISTS as a value (BIND(EXISTS{…} AS ?e)) → mark-join marker
+      val (in, Seq(expr2), aux) = markExists(in0, Seq(expr), src, ctx)
+      val c = SparqlExpr.compile(expr2, in.bind, in.hint)
+      Sol(in.df.withColumn(v, c).drop(aux: _*), in0.vars + v, in0.sure,
+        SparqlExpr.exprClass(expr, in0.hint)
+          .map(k => in0.cls + (v -> k)).getOrElse(in0.cls - v))
 
     case Project(inner, vs) =>
       val in = translate(inner, src, ctx)
@@ -927,6 +935,46 @@ object Translator {
           s"SERVICE with a variable endpoint ($other) requires SILENT " +
             "or a registered handler")
       }
+  }
+
+  /** EXISTS used as a VALUE (BIND(EXISTS{…} AS ?e), FILTER(?x || EXISTS…))
+    * rather than as a filter conjunct: rewrite each nested EExists into a
+    * boolean marker variable computed by a mark join — semi-join the left
+    * solutions (tagged with a per-row id, the lateral `__lid` pattern)
+    * against the subpattern, then equi-join the surviving ids back as a
+    * `true` marker; misses coalesce to `false`. Two equi joins per
+    * EXISTS, no driver work, multiplicity preserved (semi never
+    * duplicates and ids are unique).
+    *
+    * Returns the marked Sol, the rewritten expressions, and the synthetic
+    * columns to drop once the consumer has compiled them.
+    */
+  private def markExists(in0: Sol, exprs: Seq[Expr], src: QuadSource,
+      ctx: GraphCtx): (Sol, Seq[Expr], Seq[String]) = {
+    val markers = scala.collection.mutable.ArrayBuffer[(String, EExists)]()
+    def strip(e: Expr): Expr = e match {
+      case ex: EExists =>
+        val m = s"__ex${markers.length}"; markers += (m -> ex); EVar(m)
+      case EFn(name, args @ _*) => EFn(name, args.map(strip): _*)
+      case other => other
+    }
+    val rewritten = exprs.map(strip)
+    if (markers.isEmpty) return (in0, rewritten, Nil)
+    var df = in0.df.withColumn("__mid", monotonically_increasing_id())
+    markers.foreach { case (m, EExists(p, pos)) =>
+      val cur = Sol(df, in0.vars, in0.sure, in0.cls)
+      val sub = translate(p, src, ctx)
+      val hitIds = joinSols(cur, sub, "left_semi").df.select(col("__mid"))
+        .withColumn(m, Term.boolLit(lit(true)))
+      df = df.join(hitIds, Seq("__mid"), "left_outer")
+        .withColumn(m,
+          if (pos) coalesce(col(m), Term.boolLit(lit(false)))
+          else when(col(m).isNull, Term.boolLit(lit(true)))
+            .otherwise(Term.boolLit(lit(false))))
+    }
+    val names = markers.map(_._1).toSeq
+    (Sol(df, in0.vars ++ names, in0.sure ++ names, in0.cls),
+      rewritten, names :+ "__mid")
   }
 
   private def splitConjuncts(e: Expr): (Seq[EExists], Seq[Expr]) = e match {

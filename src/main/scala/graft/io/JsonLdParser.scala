@@ -90,7 +90,8 @@ final class JsonLdParser(content: String) {
         case ("@base", v) =>
           ctx = ctx.copy(base = if (v.isNull) None else Some(v.asText))
         case ("@language", v) =>
-          ctx = ctx.copy(lang = if (v.isNull) None else Some(v.asText))
+          ctx = ctx.copy(lang =
+            if (v.isNull) None else Some(Term.normLang(v.asText)))
         case ("@version", _) => // 1.1 marker, nothing to do
         case (term, v) if v.isTextual && v.asText.startsWith("@") =>
           ctx = ctx.copy(aliases = ctx.aliases + (term -> v.asText))
@@ -105,7 +106,7 @@ final class JsonLdParser(content: String) {
             .map(t => if (t == "@id" || t == "@vocab") "@id"
                       else ctx.expandRef(t))
           val lang = Option(v.get("@language"))
-            .map(l => if (l.isNull) "" else l.asText)
+            .map(l => if (l.isNull) "" else Term.normLang(l.asText))
           val cont = Option(v.get("@container")).map(_.asText)
           // scoped (term-level) context: raw node kept, parsed against
           // the ACTIVE context at each use site (property or type)
@@ -179,7 +180,7 @@ final class JsonLdParser(content: String) {
             ctx.expandRef(v.get(typeKey.get).asText), null)
         else if (langKey.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText, Term.RdfLangString,
-            v.get(langKey.get).asText)
+            Term.normLang(v.get(langKey.get).asText))
         else scalarLit(lex, None, Ctx()) // explicit @value: no coercion
       } else if (listKey.isDefined) listTerm(
         v.get(listKey.get).elements.asScala.toSeq, g, ctx, td)
@@ -248,7 +249,7 @@ final class JsonLdParser(content: String) {
               asArray(lv.getValue).foreach(v =>
                 out += QuadRow(g, subj, iri(p),
                   TermRow(Term.LiteralKind.toByte, v.asText,
-                    Term.RdfLangString, lv.getKey))))
+                    Term.RdfLangString, Term.normLang(lv.getKey)))))
           } else {
             val vs =
               if (cont.contains("@list") && e.getValue.isArray)

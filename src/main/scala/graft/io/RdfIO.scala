@@ -102,7 +102,7 @@ object RdfIO {
             while (i < line.length && (line(i).isLetterOrDigit || line(i) == '-'))
               i += 1
             TermRow(Term.LiteralKind.toByte, lex, Term.RdfLangString,
-              line.substring(start2, i))
+              Term.normLang(line.substring(start2, i)))
           } else TermRow(Term.LiteralKind.toByte, lex, Term.XsdString, null)
         case c => fail(s"unexpected char '$c'")
       }

@@ -97,7 +97,7 @@ final class RdfXmlParser(content: String) {
   private def nodeElement(e: org.w3c.dom.Element, lang0: Option[String],
       base0: Option[String]): TermRow = {
     val lang = Option(e.getAttributeNS(XmlNs, "lang")).filter(_.nonEmpty)
-      .orElse(lang0)
+      .map(Term.normLang).orElse(lang0)
     val base = Option(e.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
       .orElse(base0)
     val subj =
@@ -139,7 +139,7 @@ final class RdfXmlParser(content: String) {
         if (qname(pe) == RdfNs + "li") { liN += 1; iri(RdfNs + "_" + liN) }
         else iri(qname(pe))
       val plang = Option(pe.getAttributeNS(XmlNs, "lang")).filter(_.nonEmpty)
-        .orElse(lang)
+        .map(Term.normLang).orElse(lang)
       val pbase = Option(pe.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
         .orElse(base)
       val parseType =

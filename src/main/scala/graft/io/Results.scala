@@ -265,7 +265,7 @@ object Results {
             QuotedTriple.encode(q(parts(0)), q(parts(1)), q(parts(2))),
             null, null)
         case _ => // "literal" (and the legacy "typed-literal")
-          val lang = Option(n.get("xml:lang")).map(_.asText)
+          val lang = Option(n.get("xml:lang")).map(n => Term.normLang(n.asText))
           val dt = Option(n.get("datatype")).map(_.asText)
             .getOrElse(lang.map(_ => Term.RdfLangString)
               .getOrElse(Term.XsdString))
@@ -327,6 +327,7 @@ object Results {
         case (_, _, Some(l), _) =>
           val lang = Option(l.getAttributeNS(
             "http://www.w3.org/XML/1998/namespace", "lang")).filter(_.nonEmpty)
+            .map(Term.normLang)
           val dt = Option(l.getAttribute("datatype")).filter(_.nonEmpty)
             .getOrElse(lang.map(_ => Term.RdfLangString).getOrElse(Term.XsdString))
           Row(Term.LiteralKind.toByte, l.getTextContent, dt, lang.orNull)

@@ -221,7 +221,7 @@ final class TurtleParser(input: String, n3: Boolean = false) {
           while (pos < input.length && (input(pos).isLetterOrDigit ||
             input(pos) == '-')) pos += 1
           TermRow(Term.LiteralKind.toByte, lex, Term.RdfLangString,
-            input.substring(s2, pos))
+            Term.normLang(input.substring(s2, pos)))
         } else TermRow(Term.LiteralKind.toByte, lex, Term.XsdString, null)
       case '[' =>
         pos += 1

@@ -94,9 +94,15 @@ object Term {
   /** Simple (xsd:string) literal. */
   def strLit(c: Column): Column = typedLit(c, XsdString)
 
-  /** Language-tagged string. */
+  /** Language-tagged string. Tags are ASCII-lowercased at construction
+    * (RDF 1.1 value space is lowercase; oxrdf does the same), so term
+    * equality, DISTINCT, and LANG() all see the canonical form. */
   def langLit(lex: Column, lang: Column): Column =
-    term(LiteralKind, lex, lit(RdfLangString), lang)
+    term(LiteralKind, lex, lit(RdfLangString), lower(lang))
+
+  /** String-side twin of the langLit lowercasing, for row-based parsers. */
+  def normLang(tag: String): String =
+    if (tag == null) null else tag.toLowerCase(java.util.Locale.ROOT)
 
   def intLit(c: Column): Column = typedLit(c, XsdInteger)
   def decimalLit(c: Column): Column = typedLit(c, XsdDecimal)

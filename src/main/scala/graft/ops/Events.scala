@@ -10,10 +10,13 @@ import org.apache.spark.sql.expressions.Window
   * transforms run under Structured Streaming with `readStream` +
   * `withWatermark` (see StreamingSpec).
   *
-  * The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-  * reader refuses; we read it as raw nanos (legacy conf) and keep all
-  * window arithmetic in exact int64 nanos — no precision loss, and
-  * integer semantics the DuckDB oracle reproduces via epoch_ns().
+  * All window arithmetic runs in exact int64 nanos — no precision loss,
+  * and integer semantics the DuckDB oracle reproduces via epoch_ns().
+  * `read` normalizes whatever the parquet physically carries to that
+  * form: TIMESTAMP(NANOS) is read as raw nanos (legacy conf — Spark's
+  * vectorized reader refuses it otherwise), TIMESTAMP_MICROS converts
+  * via unix_micros * 1000 (exact), and an already-long column (e.g. a
+  * tools.ScaleUp copy) passes through.
   */
 object Events {
 
@@ -22,7 +25,15 @@ object Events {
 
   def read(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      // NTZ reinterprets as UTC instants (sessions here run UTC), which
+      // is exactly how DuckDB's epoch_ns reads the same naive column
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
   }
 
   /** Tumbling hourly windows per event type: exact nanos bucketing. */

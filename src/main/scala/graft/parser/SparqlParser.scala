@@ -160,7 +160,7 @@ final class SparqlParser(input: String) {
       val start = pos
       while (pos < input.length &&
         (input(pos).isLetterOrDigit || input(pos) == '-')) pos += 1
-      L(lex, Term.RdfLangString, Some(input.substring(start, pos)))
+      L(lex, Term.RdfLangString, Some(Term.normLang(input.substring(start, pos))))
     } else L(lex, Term.XsdString)
   }
 

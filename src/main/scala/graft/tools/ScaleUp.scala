@@ -67,17 +67,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.parquet carries TIMESTAMP(NANOS) — same legacy conf as
-    // ops/Events.scala:24; the scaled copy then holds plain int64
-    // nanos, which the ev queries read identically.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events goes through Events.read so any physical ts encoding
+    // (TIMESTAMP(NANOS), TIMESTAMP_MICROS, int64) normalizes to the
+    // plain int64 nanos the ev queries consume.
     def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.repartition(64).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
     wr(scaleDocs(rd("documents"), factor), "documents")
     wr(scaleEmbeddings(rd("embeddings"), factor), "embeddings")
-    wr(scaleEvents(rd("events"), factor), "events")
+    wr(scaleEvents(graft.ops.Events.read(spark, in), factor), "events")
     spark.stop()
   }
 }

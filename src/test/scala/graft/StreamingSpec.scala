@@ -12,17 +12,28 @@ import graft.ops.Events
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("streaming tumbling windows match the batch aggregation") {
+  // The driver's events parquet has carried both TIMESTAMP(NANOS) (read
+  // as raw int64 nanos via the legacy conf) and TIMESTAMP_MICROS across
+  // rounds — probe the physical type once and adapt the stream schema +
+  // the micros conversion, mirroring Events.read's normalization.
+  private lazy val tsType: DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+  }
+  private def eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+  private def tsMicro = tsType match {
+    case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+    case _ => timestamp_micros(expr("ts div 1000"))
+  }
 
-    val stream = spark.readStream.schema(schema)
+  test("streaming tumbling windows match the batch aggregation") {
+    val stream = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
-      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_micro", tsMicro)
       .withWatermark("ts_micro", "1 hour")
       .groupBy(window(col("ts_micro"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -45,6 +56,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("session_window agrees with gap-based sessionization") {
+    // Events.read output is always int64 nanos
     val ev = Events.read(spark, sf)
       .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
     val viaSessionWindow = ev
@@ -60,16 +72,11 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming dedup via dropDuplicatesWithinWatermark") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // duplicate the stream (union with itself) -> exact-dup events
-    val base = spark.readStream.schema(schema)
+    val base = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val doubled = base.union(base)
-      .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_micro", tsMicro)
       .withWatermark("ts_micro", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val q = doubled.writeStream.outputMode("append")
