@@ -74,6 +74,19 @@ object TextOps {
       size(bpeTokens(col(textCol))).cast(LongType).as("n_bpe_tokens"),
       length(col(textCol)).cast(LongType).as("n_chars"))
 
+  /** Corpus-level vocabulary: per token, total occurrences and document
+    * frequency. One explode then a single groupBy(tok) shuffle —
+    * occurrences combine map-side; the doc-frequency half dedups
+    * (tok, doc_id) pairs inside the same aggregate via count(distinct),
+    * which Spark plans as the standard two-phase expand/partial-agg.
+    * Top-k consumers should order by (n_occ desc, tok) for determinism.
+    */
+  def vocab(doc: DataFrame, textCol: String = "text"): DataFrame =
+    doc.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   /** Markup-strip + whitespace-normalize + Unicode-NFC text cleaning —
     * the first pass of a web-corpus training pipeline. Tag removal is a
     * deliberately simple regex (angle-bracket runs without '>'

@@ -267,6 +267,32 @@ object Pipeline {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     },
 
+    // bit-reproducible global training order: two-phase distributed rank
+    // (first key byte buckets the shuffle, exclusive bucket offsets come
+    // back via broadcast) — the only single-partition exchange in the
+    // plan carries <=256 aggregated rows, never document data
+    "ts13_training_order" -> { (s, dir) =>
+      Order.trainingOrder(docs(s, dir), col("doc_id"), "s7")
+        .select(col("doc_id"), col("position")).orderBy(col("position"))
+    },
+
+    // concat-and-chop sequence packing: exclusive token prefix sums in
+    // the shuffled order -> context-window placement (256-token bins)
+    "ts14_pack" -> { (s, dir) =>
+      Order.packOrder(docs(s, dir), col("doc_id"),
+          size(TextOps.tokens(col("text"))), "s7", 256)
+        .select(col("doc_id"), col("n_tokens"), col("tok_off"),
+          col("start_bin"), col("start_off"), col("end_bin"))
+        .orderBy(col("tok_off"))
+    },
+
+    // corpus vocabulary: one groupBy(tok) shuffle (occurrences combine
+    // map-side, doc frequency dedups in the same aggregate), top-100
+    "ts15_vocab" -> { (s, dir) =>
+      TextOps.vocab(docs(s, dir))
+        .orderBy(col("n_occ").desc, col("tok")).limit(100)
+    },
+
     // per-domain cap: top-5 docs per source by length (total order via
     // doc_id tiebreak) — the standard hot-domain downweighting pass
     "ts6_domain_cap" -> { (s, dir) =>
@@ -478,6 +504,32 @@ object Pipeline {
         FROM o
         WHERE length(substring(text, CAST(off + 1 AS INTEGER), 200)) > 0
         ORDER BY doc_id, chunk_id""",
+    "ts13_training_order" ->
+      """SELECT doc_id,
+        CAST(row_number() OVER (
+          ORDER BY md5('s7' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+          AS BIGINT) AS position
+        FROM documents ORDER BY position""",
+    "ts14_pack" ->
+      """WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) n,
+          md5('s7' || CAST(doc_id AS VARCHAR)) sk FROM documents),
+        c AS (SELECT doc_id, n,
+          CAST(COALESCE(sum(n) OVER (ORDER BY sk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) cum FROM t)
+        SELECT doc_id, n AS n_tokens, cum AS tok_off,
+          CAST(cum // 256 AS BIGINT) AS start_bin,
+          CAST(cum % 256 AS BIGINT) AS start_off,
+          CAST(CASE WHEN n > 0 THEN (cum + n - 1) // 256
+            ELSE cum // 256 END AS BIGINT) AS end_bin
+        FROM c ORDER BY tok_off""",
+    "ts15_vocab" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) tok
+          FROM documents)
+        GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 100""",
     "ts12_bm25" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok
           FROM documents),

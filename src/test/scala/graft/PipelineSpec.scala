@@ -475,4 +475,62 @@ class PipelineSpec extends AnyFunSuite {
       f.peak == 31 && f.zero_cross == 0 &&
       f.rms == math.sqrt((48L * s * s).toDouble / 48)))
   }
+
+  test("training order equals the single-partition reference rank") {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Order.trainingOrder(docs, col("doc_id"), "s7")
+      .select(col("doc_id"), col("position"))
+    // reference: the naive global window (fine on a test-sized input)
+    val ref = docs.select(col("doc_id"),
+        md5(concat(lit("s7"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("refpos",
+        row_number().over(Window.orderBy(col("k"), col("doc_id")))
+          .cast("long") - 1)
+    val bad = ord.join(ref, "doc_id")
+      .where(col("position") =!= col("refpos")).count()
+    assert(bad == 0, "bucketed two-phase rank must equal the global rank")
+    // positions are a permutation of 0..n-1
+    val n = docs.count()
+    assert(ord.agg(min("position"), max("position"),
+      countDistinct("position")).head() ==
+      org.apache.spark.sql.Row(0L, n - 1, n))
+  }
+
+  test("pack offsets are the exact prefix sums of the shuffled order") {
+    val p = Order.packOrder(docs, col("doc_id"),
+        size(TextOps.tokens(col("text"))), "s7", 256)
+      .select("doc_id", "n_tokens", "tok_off", "start_bin", "start_off",
+        "end_bin")
+      .collect().sortBy(_.getAs[Long]("tok_off"))
+    var cum = 0L
+    p.foreach { r =>
+      assert(r.getAs[Long]("tok_off") == cum, s"gap at ${r}")
+      assert(r.getAs[Long]("start_bin") == cum / 256)
+      assert(r.getAs[Long]("start_off") == cum % 256)
+      val n = r.getAs[Long]("n_tokens")
+      val endBin = if (n > 0) (cum + n - 1) / 256 else cum / 256
+      assert(r.getAs[Long]("end_bin") == endBin)
+      cum += n
+    }
+    assert(cum > 0, "fixture must contain tokens")
+  }
+
+  test("vocab matches a local word count") {
+    val got = TextOps.vocab(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = docs.select("doc_id", "text").collect()
+    val occ = new scala.collection.mutable.HashMap[String, Long]()
+    val dfq = new scala.collection.mutable.HashMap[String, Set[Long]]()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1).split(" ", -1).foreach { w =>
+        occ(w) = occ.getOrElse(w, 0L) + 1
+        dfq(w) = dfq.getOrElse(w, Set.empty[Long]) + id
+      }
+    }
+    assert(got.size == occ.size)
+    occ.foreach { case (w, c) =>
+      assert(got(w) == ((c, dfq(w).size.toLong)), s"mismatch for '$w'")
+    }
+  }
 }

@@ -285,6 +285,22 @@ class PlansSpec extends AnyFunSuite {
       "only the matched-pair count may shuffle:\n" + plan)
   }
 
+  test("training order: single-partition exchange only on the 256-row " +
+    "offsets side, data path joins by broadcast") {
+    val docs = graft.io.Tables(spark, sf, "documents")
+    val ord = graft.ops.Order.trainingOrder(docs, col("doc_id"), "s7")
+    val plan = ord.queryExecution.executedPlan.toString
+    // the bucket-offset table reaches the data path via broadcast ...
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets must broadcast-join back:\n" + plan)
+    // ... and the only global convergence point is the <=256-row bucket
+    // aggregate feeding the offsets window — never the document stream
+    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1,
+      "exactly one single-partition exchange (the metadata side):\n" + plan)
+    assert(plan.contains("Exchange hashpartitioning(__b"),
+      "per-bucket rank must shuffle on the bucket id:\n" + plan)
+  }
+
   test("stratified sample is a pure scan-time filter (no exchange)") {
     val docs = graft.io.Tables(spark, sf, "documents")
     val s = graft.ops.Sampling.stratifiedSample(docs, col("doc_id"),
