@@ -1072,6 +1072,10 @@ object Translator {
             when(x("dt") === Term.XsdDouble, 3)
               .when(x("dt") === Term.XsdFloat, 2)
               .when(x("dt") === Term.XsdDecimal, 1).otherwise(0))).as(n("r"))
+          // error-input flag: a PRESENT non-numeric term is a type error
+          // for op:numeric-add; an errored/unbound evaluation (NULL) is
+          // NOT — ListEval/Flatten drop evaluation errors before the set
+          // function (cf. agg-sum-promotion vs agg-sum-error fixtures)
           aggCols += max(when(x.isNotNull && !Term.isNumericLit(x), 1)
             .otherwise(0)).as(n("nn"))
           aggCols += count(dv).as(n("cnt"))

@@ -685,6 +685,8 @@ object SparqlExpr {
       case EFn(">", x, y) => ltC(y, x)
       case EFn("<=", x, y) => !ltC(y, x)
       case EFn(">=", x, y) => !ltC(x, y)
+      // `x IN ()` is the empty disjunction: false for every x (§17.4.1.9)
+      case EFn("IN", args @ _*) if args.lengthCompare(1) == 0 => lit(false)
       case EFn("IN", args @ _*) =>
         val h = c(args.head)
         args.tail.map(x => cmpHint(args.head, x, hint) match {
@@ -736,7 +738,8 @@ object SparqlExpr {
     case "!" => boolTerm(!ebv(a(0)))
     case "IF" =>
       when(ebv(a(0)), a(1)).when(!ebv(a(0)), a(2)).otherwise(nullTerm)
-    case "COALESCE" => coalesce(a: _*)
+    // grammatical zero-arg form: no expression produces a value -> error
+    case "COALESCE" => if (a.isEmpty) nullTerm else coalesce(a: _*)
     case "BOUND" => boolTerm(a(0).isNotNull)
     // comparison
     case "=" => boolTerm(valueEq(a(0), a(1)))
@@ -745,8 +748,9 @@ object SparqlExpr {
     case ">" => boolTerm(valueLt(a(1), a(0)))
     case "<=" => boolTerm(!valueLt(a(1), a(0)))
     case ">=" => boolTerm(!valueLt(a(0), a(1)))
-    case "IN" =>
-      boolTerm(a.tail.map(x => valueEq(a(0), x))
+    case "IN" => // `x IN ()`: empty disjunction -> false (§17.4.1.9)
+      if (a.lengthCompare(1) == 0) boolTerm(lit(false))
+      else boolTerm(a.tail.map(x => valueEq(a(0), x))
         .reduce((x, y) => x || y))
     case "sameTerm" => boolTerm(sameTerm(a(0), a(1)))
     // term tests / accessors / constructors

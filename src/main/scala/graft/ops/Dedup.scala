@@ -213,6 +213,17 @@ object Dedup {
     */
   val MaxCcRounds = 64
 
+  /** Apply the keep/drop decision of [[dupClusters]]: drop every
+    * non-canonical cluster member (doc_id != cluster_id), keep canonical
+    * members and all unclustered documents. The drop-list side carries
+    * only ids of near-dup members — a small fraction of the corpus — so
+    * the anti join broadcasts at real scale; documents never reshuffle.
+    */
+  def dedupApply(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Connected components over near-dup pairs — the clustering step
     * that turns pairwise matches into keep/drop decisions (cluster_id =
     * the smallest doc_id in the component; keep it, drop the rest).

@@ -87,6 +87,27 @@ object TextOps {
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Per-document token familiarity against the corpus unigram table:
+    * average / min / max corpus frequency of the document's tokens. The
+    * rare-token density this exposes is the classic OCR-noise / gibberish
+    * signal, and the arithmetic is integer counts plus ONE IEEE double
+    * division — no transcendentals, so any engine reproduces it bit-wise
+    * (a log-based surprisal would differ across libm builds). Two
+    * shuffles: the unigram groupBy and the doc re-aggregation; the vocab
+    * join side is vocabulary-sized (broadcastable after a frequency cap
+    * at real scale).
+    */
+  def tokenFamiliarity(doc: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = doc.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val unigram = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    toks.join(unigram, "tok")
+      .groupBy("doc_id")
+      .agg((sum("freq").cast(DoubleType) / count(lit(1)))
+          .as("avg_tok_freq"),
+        min("freq").as("min_tok_freq"),
+        max("freq").as("max_tok_freq"))
+  }
+
   /** Markup-strip + whitespace-normalize + Unicode-NFC text cleaning —
     * the first pass of a web-corpus training pipeline. Tag removal is a
     * deliberately simple regex (angle-bracket runs without '>'

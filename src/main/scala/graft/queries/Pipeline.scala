@@ -267,6 +267,16 @@ object Pipeline {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     },
 
+    // dedup applied: survivors after dropping non-canonical cluster
+    // members — the drop-list anti join broadcasts (ids only)
+    "dd10_dedup_apply" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.dedupApply(d,
+          Dedup.dupClusters(Dedup.ngramJaccardPairs(d, 8, 10)))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // bit-reproducible global training order: two-phase distributed rank
     // (first key byte buckets the shuffle, exclusive bucket offsets come
     // back via broadcast) — the only single-partition exchange in the
@@ -291,6 +301,12 @@ object Pipeline {
     "ts15_vocab" -> { (s, dir) =>
       TextOps.vocab(docs(s, dir))
         .orderBy(col("n_occ").desc, col("tok")).limit(100)
+    },
+
+    // rare-token density: per-doc avg/min/max corpus unigram frequency
+    // (integer counts + one IEEE division -> bit-reproducible)
+    "ts16_tok_familiarity" -> { (s, dir) =>
+      TextOps.tokenFamiliarity(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // per-domain cap: top-5 docs per source by length (total order via
@@ -504,6 +520,18 @@ object Pipeline {
         FROM o
         WHERE length(substring(text, CAST(off + 1 AS INTEGER), 200)) > 0
         ORDER BY doc_id, chunk_id""",
+    "dd10_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS ($duckShinglePairs),
+        u AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM u)
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
+        ORDER BY d.doc_id""",
     "ts13_training_order" ->
       """SELECT doc_id,
         CAST(row_number() OVER (
@@ -530,6 +558,15 @@ object Pipeline {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) tok
           FROM documents)
         GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 100""",
+    "ts16_tok_familiarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+          FROM documents),
+        v AS (SELECT tok, CAST(count(*) AS BIGINT) freq FROM t GROUP BY tok)
+        SELECT t.doc_id,
+          CAST(sum(v.freq) AS DOUBLE) / count(*) AS avg_tok_freq,
+          CAST(min(v.freq) AS BIGINT) AS min_tok_freq,
+          CAST(max(v.freq) AS BIGINT) AS max_tok_freq
+        FROM t JOIN v USING (tok) GROUP BY t.doc_id ORDER BY doc_id""",
     "ts12_bm25" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok
           FROM documents),

@@ -515,6 +515,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(cum > 0, "fixture must contain tokens")
   }
 
+  test("dedupApply keeps exactly the canonical member of each cluster") {
+    val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(docs, 8, 10))
+    val survivors = Dedup.dedupApply(docs, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cl = clusters.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(cl.nonEmpty, "fixture should produce clusters")
+    cl.foreach { case (d, c) =>
+      assert(survivors.contains(d) == (d == c),
+        s"doc $d (cluster $c) kept=${survivors.contains(d)}")
+    }
+    val clustered = cl.map(_._1).toSet
+    val n = docs.count()
+    assert(survivors.size ==
+      n - clustered.size + cl.count { case (d, c) => d == c })
+  }
+
+  test("token familiarity: counts and single-division average") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a a b"), (2L, "b zz")).toDF("doc_id", "text")
+    val got = TextOps.tokenFamiliarity(tiny).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // freqs: a=2, b=2, zz=1
+    assert(got(1L) == (((2 + 2 + 2) / 3.0, 2L, 2L)))
+    assert(got(2L) == (((2 + 1) / 2.0, 1L, 2L)))
+  }
+
   test("vocab matches a local word count") {
     val got = TextOps.vocab(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
