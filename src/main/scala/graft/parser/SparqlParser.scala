@@ -790,6 +790,20 @@ final class SparqlParser(input: String) {
     val myAggs = hoistedAggs.drop(aggMark).toList
     hoistedAggs.remove(aggMark, hoistedAggs.size - aggMark)
     val hasAggs = myAggs.nonEmpty || groupKeys.isDefined
+    // grammar-level scope rules (§18.2.4.1 / shared W3C syntax tests):
+    // a projection variable may be assigned only once, and with
+    // aggregation in play a bare projected variable must be a group key
+    locally {
+      val names = projections.map(_._1)
+      names.diff(names.distinct).headOption.foreach(v =>
+        fail(s"variable ?$v assigned more than once in SELECT"))
+      if (hasAggs) {
+        val keys = groupKeys.getOrElse(Nil).toSet
+        projections.collectFirst { case (v, None) if !keys(v) => v }
+          .foreach(v => fail(
+            s"variable ?$v projected alongside aggregates but not grouped"))
+      }
+    }
     if (hasAggs) {
       val keys = groupKeys.getOrElse(Nil)
       pattern = Group(pattern, keys, myAggs)
