@@ -68,6 +68,53 @@ object Multimodal {
       })
   }
 
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, ts_ms: Long,
+      byte_off: Long, n_px: Int, sum_luma: Long, min_luma: Int, max_luma: Int)
+
+  /** Wrap a text corpus as a video-shaped table: an opaque raw-frame blob
+    * plus the metadata a real video column carries (fps, frame geometry).
+    * Frames are width×height single-channel "luma" planes over the UTF-8
+    * bytes; per-doc fps and width vary so stride math is genuinely
+    * metadata-driven row to row.
+    */
+  def asVideo(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("blob"),
+      (lit(12) + (col("doc_id") % 3).cast("int") * 6).as("fps"),
+      (lit(8) + (col("doc_id") % 4).cast("int") * 4).as("width"),
+      lit(8).as("height"))
+
+  /** Keyframe-style sampling over a video blob: take every `everyNth`
+    * frame, emit its timeline position (exact integral ms from fps), the
+    * byte offset a real decoder would seek to, and per-frame luma stats.
+    * Same per-partition batch-decode dataflow as the audio op: no
+    * shuffle, no driver data; only whole frames are emitted.
+    */
+  def videoFrames(spark: SparkSession, video: DataFrame,
+      everyNth: Int): Dataset[VideoFrame] = {
+    import spark.implicits._
+    video.select(col("doc_id"), col("blob"), col("fps"), col("width"),
+        col("height"))
+      .as[(Long, Array[Byte], Int, Int, Int)]
+      .mapPartitions(_.flatMap { case (id, blob, fps, w, h) =>
+        val fsz = w * h
+        val nFrames = if (fsz > 0) blob.length / fsz else 0
+        (0 until nFrames by math.max(everyNth, 1)).iterator.map { fi =>
+          val off = fi.toLong * fsz
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = fi * fsz
+          while (i < fi * fsz + fsz) {
+            val v = blob(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          VideoFrame(id, fi, fi.toLong * 1000 / fps, off, fsz, sum, mn, mx)
+        }
+      })
+  }
+
   final case class AudioFrame(doc_id: Long, frame_idx: Int, start_ms: Long,
       n_samples: Int, sum_sq: Long, peak: Int, zero_cross: Int, rms: Double)
 

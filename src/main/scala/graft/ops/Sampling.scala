@@ -62,4 +62,27 @@ object Sampling {
     df.withColumn("__rn",
       row_number().over(Window.partitionBy(stratum).orderBy(order: _*)))
       .where(col("__rn") <= k).drop("__rn")
+
+  /** Exact per-stratum percentiles by nearest-rank arithmetic: the
+    * element at row_number == ceil(p·n) of the stratum's sorted values.
+    * No interpolation and no engine-specific quantile definition — the
+    * same rank formula runs verbatim in any SQL engine, and the picked
+    * value is well-defined under ties (the sorted multiset's r-th
+    * element does not depend on tie order). One per-stratum sort window
+    * + one stratum aggregation; length-style inputs make the sort cheap
+    * and the stratum count bounds the output.
+    */
+  def exactPercentiles(df: DataFrame, stratum: Column, value: Column,
+      ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col("__st"))
+    val ranked = df.select(stratum.as("__st"), value.as("__v"))
+      .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(w))
+    val picks = ps.map { p =>
+      max(when(col("__rn") ===
+        ceil(lit(p) * col("__n")).cast("long"), col("__v")))
+        .as(s"p${(p * 100).round}")
+    }
+    ranked.groupBy(col("__st")).agg(picks.head, picks.tail: _*)
+  }
 }

@@ -339,6 +339,26 @@ object Pipeline {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // multimodal: video-shaped keyframe sampling — per-doc fps/geometry
+    // metadata drives stride math; luma stats are exact ints
+    "mm3_video_frames" -> { (s, dir) =>
+      Multimodal.videoFrames(s, Multimodal.asVideo(docs(s, dir)), 3)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+          col("byte_off"), col("n_px"), col("sum_luma"), col("min_luma"),
+          col("max_luma"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // exact nearest-rank length percentiles per language — rank formula,
+    // not an engine quantile definition, so any engine reproduces it
+    "ts17_length_percentiles" -> { (s, dir) =>
+      Sampling.exactPercentiles(docs(s, dir), col("lang"),
+          col("n_chars").cast(LongType), Seq(0.5, 0.9, 0.99))
+        .select(col("__st").as("lang"), col("p50"), col("p90"), col("p99"))
+        .orderBy(col("lang"))
+    },
+
     // tumbling hourly windows over the event stream (exact ns buckets)
     "ev1_hourly_windows" -> { (s, dir) =>
       Events.tumblingHourly(Events.read(s, dir))
@@ -558,6 +578,34 @@ object Pipeline {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) tok
           FROM documents)
         GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 100""",
+    "mm3_video_frames" ->
+      """WITH d AS (SELECT doc_id,
+          [unicode(c) for c in string_split(text, '')] px,
+          12 + (doc_id % 3) * 6 fps, (8 + (doc_id % 4) * 4) * 8 fsz,
+          length(text) n FROM documents),
+        f AS (SELECT doc_id, unnest(generate_series(0, n // fsz - 1, 3)) fi,
+            px, fsz, fps FROM d WHERE n >= fsz),
+        g AS (SELECT doc_id, fi, fps, fsz,
+            px[fi*fsz + 1 : fi*fsz + fsz] fr FROM f)
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+          CAST(fi * 1000 // fps AS BIGINT) AS ts_ms,
+          CAST(fi * fsz AS BIGINT) AS byte_off, CAST(fsz AS INT) AS n_px,
+          CAST(list_sum(fr) AS BIGINT) AS sum_luma,
+          CAST(list_min(fr) AS INT) AS min_luma,
+          CAST(list_max(fr) AS INT) AS max_luma
+        FROM g ORDER BY doc_id, frame_idx""",
+    "ts17_length_percentiles" ->
+      """WITH r AS (SELECT lang, n_chars v,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars) rn,
+          count(*) OVER (PARTITION BY lang) n FROM documents)
+        SELECT lang,
+          CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END)
+            AS BIGINT) AS p50,
+          CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END)
+            AS BIGINT) AS p90,
+          CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END)
+            AS BIGINT) AS p99
+        FROM r GROUP BY lang ORDER BY lang""",
     "ts16_tok_familiarity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
           FROM documents),

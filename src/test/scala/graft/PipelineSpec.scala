@@ -543,6 +543,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == (((2 + 1) / 2.0, 1L, 2L)))
   }
 
+  test("video keyframe sampling: stride geometry and exact luma stats") {
+    import spark.implicits._
+    // doc_id 1 -> fps 18, width 12, height 8 -> frame 96 bytes;
+    // 200 chars -> 2 full frames, every-3rd sampling keeps frame 0 only
+    val one = Seq((1L, "ab" * 100)).toDF("doc_id", "text")
+    val fr = Multimodal.videoFrames(spark, Multimodal.asVideo(one), 3)
+      .collect()
+    assert(fr.length == 1 && fr.head.frame_idx == 0)
+    val f = fr.head
+    assert(f.n_px == 96 && f.byte_off == 0 && f.ts_ms == 0)
+    assert(f.sum_luma == 48L * ('a'.toInt + 'b'.toInt))
+    assert(f.min_luma == 'a'.toInt && f.max_luma == 'b'.toInt)
+    // 5 frames -> every-3rd keeps 0 and 3; ts of frame 3 at 18fps = 166ms
+    val two = Seq((1L, "x" * 480)).toDF("doc_id", "text")
+    val fr2 = Multimodal.videoFrames(spark, Multimodal.asVideo(two), 3)
+      .collect().sortBy(_.frame_idx)
+    assert(fr2.map(_.frame_idx).toSeq == Seq(0, 3))
+    assert(fr2(1).ts_ms == 3L * 1000 / 18 && fr2(1).byte_off == 288L)
+  }
+
+  test("exact percentiles equal the sorted multiset's nearest-rank picks") {
+    val got = Sampling.exactPercentiles(docs, col("lang"),
+        col("n_chars").cast("long"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val by = docs.select("lang", "n_chars").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    by.foreach { case (lang, vs) =>
+      def pick(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(got(lang) == ((pick(0.5), pick(0.9), pick(0.99))), lang)
+    }
+  }
+
   test("vocab matches a local word count") {
     val got = TextOps.vocab(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
