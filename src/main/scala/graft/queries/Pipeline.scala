@@ -339,6 +339,22 @@ object Pipeline {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // composed cleaning pipeline (the end-to-end "user story" gate):
+    // exact-dedup keep-min per content fingerprint, then length and
+    // word-count floors — one fingerprint window + codegen'd filters
+    "ts18_pipeline_e2e" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .where(col("__rn") === 1 && length(col("text")) >= lit(50) &&
+          size(TextOps.tokens(col("text"))) >= lit(8))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // multimodal: video-shaped keyframe sampling — per-doc fps/geometry
     // metadata drives stride math; luma stats are exact ints
     "mm3_video_frames" -> { (s, dir) =>
@@ -578,6 +594,15 @@ object Pipeline {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) tok
           FROM documents)
         GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 100""",
+    "ts18_pipeline_e2e" ->
+      s"""WITH f AS (SELECT doc_id, lang, n_chars, text, $duckFp fp
+          FROM documents),
+        k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+          rn FROM f)
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM k
+        WHERE rn = 1 AND length(text) >= 50
+          AND len(string_split(text, ' ')) >= 8
+        ORDER BY doc_id""",
     "mm3_video_frames" ->
       """WITH d AS (SELECT doc_id,
           [unicode(c) for c in string_split(text, '')] px,
