@@ -126,6 +126,37 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Fuzzy n-gram-overlap decontamination (the GPT-3 appendix-C shape,
+    * public: mark a training doc contaminated by the FRACTION of its
+    * distinct n-grams that appear anywhere in the benchmark set, not
+    * just by sharing a few shingles with one probe doc). Returns per
+    * corpus doc the distinct-n-gram count, how many of those occur in
+    * the union of benchmark n-grams, and the overlap fraction
+    * (int/int IEEE division — bit-exact cross-engine); filter at
+    * `minFrac` to produce the contaminated list.
+    *
+    * Scale shape: the benchmark n-gram UNION is deduped first and
+    * BROADCAST (benchmark suites are MBs against a 100 TB corpus); the
+    * corpus n-gram stream is left-joined map-side against it, so the
+    * only exchange is the per-doc count aggregation on `doc_id`. The
+    * corpus never shuffles its text, and unlike [[contamination]] the
+    * output is per-doc (not per doc×probe), so hot boilerplate shared
+    * with many probes cannot blow up the row count.
+    */
+  def ngramOverlapContamination(corpus: DataFrame, bench: DataFrame,
+      k: Int = 5, minFrac: Double = 0.0): DataFrame = {
+    val c = shingleRows(corpus, k)
+    val b = shingleRows(bench, k).select(col("s")).distinct()
+      .withColumn("__hit", lit(1))
+    val out = c.join(broadcast(b), Seq("s"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .withColumn("overlap_frac",
+        col("n_contaminated").cast(DoubleType) / col("n_grams"))
+    if (minFrac > 0.0) out.where(col("overlap_frac") >= minFrac) else out
+  }
+
   /** Bloom-gated exact decontamination: the CLEAN corpus — every doc
     * whose exact text fingerprint does NOT appear in the benchmark set.
     *

@@ -263,6 +263,52 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("rank"), col("cos"))
   }
 
+  /** Semantic dedup pairs (the SemDeDup shape — Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", public): k-means-cluster the embedding space with
+    * the trained IVF coarse quantizer, then compare pairs ONLY within a
+    * cluster and report those with cosine >= `tau`. Recall < 1 by
+    * construction (cross-cluster near-dups are unseen — the paper's own
+    * trade); every reported pair's cosine is exact.
+    *
+    * The 100 TB shape is the IVF one: centroids train on a bounded
+    * deterministic sample, assignment is a pure map-side fold (no
+    * corpus shuffle), and the within-cluster self-join shuffles on the
+    * short `list_id` key — quadratic only within a cluster, and nlist
+    * is the knob that bounds cluster population (set nlist ~ corpus/10k
+    * at real scale; 25k clusters over 8M docs in the paper).
+    */
+  def semdedupPairs(emb: DataFrame, tau: Double, nlist: Int = 16,
+      refineIters: Int = 3, assign: Int = 2): DataFrame = {
+    val cents = ivfCentroidsLocal(emb, nlist, refineIters)
+    // soft assignment to the `assign` nearest centroids (the multi-probe
+    // trick from the IVF query path, applied to BOTH sides): a pair
+    // whose members sit just across a cluster boundary still meets in
+    // the boundary cluster. Map-side sort/slice/explode of the compiled
+    // centroid scores — the corpus still never shuffles for assignment;
+    // candidate work scales by assign², the recall knob next to nlist.
+    val scored = transform(centScores(cents, col("embedding"), col("norm2")),
+      s => nstruct("s" -> s("s"), "nid" -> -s("id")))
+    // persist: both self-join sides read the assignment — without it the
+    // nlist-way argmax fold re-runs per branch (dd2/dd3 discipline)
+    val assigned = withNorm(emb)
+      .withColumn("list_id",
+        explode(transform(
+          slice(sort_array(scored, asc = false), 1, assign),
+          s => -s("nid"))))
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("list_id"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("norm2").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("norm2").as("nb"))
+    a.join(b, Seq("list_id")).where(col("va") < col("vb"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .where(col("cos") >= tau)
+      .select(col("va"), col("vb"), col("cos"))
+      .dropDuplicates("va", "vb")
+  }
+
   /** Product-quantization codebooks: `m` subspaces of `subDim` dims,
     * `ksub` sub-centroids each (Jégou, Douze, Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011 — public).

@@ -312,6 +312,35 @@ object TextOps {
       counts(2).as("phone_n"))
   }
 
+  /** Unigram language-model perplexity scoring — the classic LM-based
+    * quality signal (CCNet/KenLM-style, with a unigram model trained on
+    * the corpus itself instead of an external LM): per document the
+    * cross-entropy H = -(1/n) Σ log2 p(tok) under the corpus unigram
+    * distribution p(tok) = freq/total, and perplexity 2^H. High
+    * perplexity = rare-token-dense (OCR noise, gibberish); low = stock
+    * phrases. Distributed shape mirrors [[tokenFamiliarity]]: one
+    * unigram groupBy (vocabulary-sized result, broadcastable at scale
+    * after a frequency floor), a token→frequency join, one per-doc
+    * re-aggregation — the corpus token stream shuffles once on `tok`
+    * and once on `doc_id`, both short-key exchanges. Scores round (6
+    * decimals for bits, 4 for perplexity) so the one transcendental
+    * (log2) is ulp-stable across engines — the ts12 BM25 rule.
+    */
+  def unigramPerplexity(doc: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = doc.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val unigram = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = unigram.agg(sum("freq").as("total"))
+    toks.join(unigram, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(log2(col("freq").cast(DoubleType) / col("total")))
+          / count(lit(1))).as("h"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("h"), 6).as("cross_entropy_bits"),
+        round(pow(lit(2.0), col("h")), 4).as("perplexity"))
+  }
+
   def qualityMetrics(doc: DataFrame, textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     doc.select(

@@ -400,6 +400,31 @@ object Pipeline {
     // JSON property extraction + aggregation
     "ev3_json_agg" -> { (s, dir) =>
       Events.jsonAgg(Events.read(s, dir)).orderBy(col("k_bucket"))
+    },
+
+    // fuzzy n-gram-overlap decontamination (GPT-3 appendix-C shape):
+    // per-doc fraction of distinct 5-grams hitting the broadcast
+    // benchmark n-gram union — int/int division, bit-exact oracle
+    "dd11_ngram_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.ngramOverlapContamination(d.where(col("doc_id") >= 20),
+        d.where(col("doc_id") < 20), 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // SemDeDup: k-means clusters (trained IVF quantizer) + exact
+    // within-cluster cosine pairs (no_oracle: Lloyd internals; golden +
+    // PipelineSpec recall/threshold invariants)
+    "dd12_semdedup" -> { (s, dir) =>
+      Similarity.semdedupPairs(emb(s, dir), 0.4)
+        .orderBy(col("va"), col("vb"))
+    },
+
+    // unigram-LM perplexity quality scoring (CCNet-style signal, corpus
+    // self-trained model): cross-entropy bits + perplexity, rounded so
+    // the one log2 is ulp-stable cross-engine (the ts12 rule)
+    "ts19_perplexity" -> { (s, dir) =>
+      TextOps.unigramPerplexity(docs(s, dir)).orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -725,5 +750,29 @@ object Pipeline {
         CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        FROM events GROUP BY 1 ORDER BY k_bucket""")
+        FROM events GROUP BY 1 ORDER BY k_bucket""",
+    "dd11_ngram_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+          [array_to_string(ws[i:i+4],' ') for i in generate_series(1, len(ws)-4)])) s
+          FROM w WHERE len(ws) >= 5),
+        b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_contaminated,
+          CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) AS overlap_frac
+        FROM sh c LEFT JOIN b ON c.s = b.s
+        WHERE c.doc_id >= 20 GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "ts19_perplexity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+          FROM documents),
+        v AS (SELECT tok, CAST(count(*) AS BIGINT) freq FROM t GROUP BY tok),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) total FROM v),
+        h AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) n_tokens,
+            -sum(log2(CAST(v.freq AS DOUBLE) / tot.total)) / count(*) AS hh
+          FROM t JOIN v USING (tok) CROSS JOIN tot GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens, round(hh, 6) AS cross_entropy_bits,
+          round(pow(2.0, hh), 4) AS perplexity
+        FROM h ORDER BY doc_id""")
 }

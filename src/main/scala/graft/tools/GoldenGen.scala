@@ -21,9 +21,9 @@ object GoldenGen {
   // exact quantile values legitimately vary run-to-run — the golden
   // net caught this as a flake. Its regression coverage stays the
   // SketchSpec rank-error bounds, which hold for every coin sequence.
-  val names = Seq("dd4_simhash", "ann2_lsh_topk", "ann3_ivf_topk",
-    "ann4_pq_topk", "q20_approx_distinct", "q23_hll_merge",
-    "q26_theta_overlap")
+  val names = Seq("dd4_simhash", "dd12_semdedup", "ann2_lsh_topk",
+    "ann3_ivf_topk", "ann4_pq_topk", "q20_approx_distinct",
+    "q23_hll_merge", "q26_theta_overlap")
 
   private def canonValue(v: Any): String = v match {
     case null => "NULL"

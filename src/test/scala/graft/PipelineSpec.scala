@@ -594,4 +594,62 @@ class PipelineSpec extends AnyFunSuite {
       assert(got(w) == ((c, dfq(w).size.toLong)), s"mismatch for '$w'")
     }
   }
+
+  test("semdedup pairs: exact cosines, subset of brute force, sane recall") {
+    val tau = 0.4
+    val got = Similarity.semdedupPairs(emb, tau)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture should contain semantic near-dups")
+    // full-space truth over the same threshold (probe = everything)
+    val brute = Similarity.cosinePairs(emb, tau, lit(true))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // precision 1 with bit-exact cosines: every reported pair is a true
+    // pair with the identical sequential-fold cosine
+    got.foreach { case (k, c) =>
+      assert(brute.contains(k), s"pair $k not in brute-force truth")
+      assert(brute(k) == c, s"cosine drift for $k")
+    }
+    // recall < 1 by construction (cross-cluster pairs unseen) but the
+    // clustering must catch a solid fraction at this nlist
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.5, s"semdedup recall $recall < 0.5")
+  }
+
+  test("ngram-overlap contamination: self-overlap is total, frac exact") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // identical: frac 1
+      (11L, "alpha beta gamma delta epsilon nu xi omicron pi rho"),
+      (12L, "one two three four five six seven")) // disjoint: frac 0
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramOverlapContamination(corpus, bench, 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) == ((2L, 2L, 1.0)))
+    // doc 11: 6 distinct 5-grams, only "alpha..epsilon" in the bench set
+    assert(got(11L) == ((6L, 1L, 1.0 / 6)))
+    assert(got(12L) == ((3L, 0L, 0.0)))
+    // minFrac filter drops clean docs
+    val flagged = Dedup.ngramOverlapContamination(corpus, bench, 5, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L))
+  }
+
+  test("unigram perplexity: tiny-corpus exact cross-entropy") {
+    import spark.implicits._
+    // corpus: 4 tokens total — "a" freq 2, "b" freq 1, "c" freq 1
+    val tiny = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramPerplexity(tiny)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: -(2*log2(2/4) + log2(1/4))/3 = (2*1 + 2)/3 = 4/3 bits
+    val h1 = 4.0 / 3
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - math.rint(h1 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(1L)._3 - math.rint(math.pow(2, h1) * 1e4) / 1e4) < 1e-9)
+    // doc 2: -log2(1/4) = 2 bits, perplexity 4
+    assert(got(2L) == ((1L, 2.0, 4.0)))
+  }
 }
