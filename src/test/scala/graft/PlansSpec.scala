@@ -322,6 +322,32 @@ class PlansSpec extends AnyFunSuite {
       "IVF assignment must not join the corpus:\n" + plan)
   }
 
+  test("semdedup joins on list_id only; pair join reads the persisted " +
+      "assignment") {
+    val emb = graft.io.Tables(spark, sf, "embeddings")
+    val df = graft.ops.Similarity.semdedupPairs(emb, 0.4)
+    val plan = df.queryExecution.executedPlan.toString
+    // both self-join sides must come from the InMemory assignment table
+    // (the nlist-way soft-assign fold would otherwise run once per side)
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      "semdedup pair join must read the persisted assignment:\n" + plan)
+    // the candidate join keys on the short list_id, not on vectors
+    assert(plan.contains("list_id"),
+      "semdedup join must key on list_id:\n" + plan)
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("ngram decontamination broadcasts the benchmark n-gram union") {
+    val docs = graft.io.Tables(spark, sf, "documents")
+    val df = graft.ops.Dedup.ngramOverlapContamination(
+      docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark n-grams must broadcast (corpus never shuffles):\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-side n-grams must not sort-merge:\n" + plan)
+  }
+
   test("inferPredicateClasses derives the catalog from data") {
     val inferred = graft.io.QuadSource.inferPredicateClasses(
       TpchRdf.quads(spark, sf))
