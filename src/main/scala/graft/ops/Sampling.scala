@@ -63,6 +63,63 @@ object Sampling {
       row_number().over(Window.partitionBy(stratum).orderBy(order: _*)))
       .where(col("__rn") <= k).drop("__rn")
 
+  /** Training-mix plan: per stratum (source/domain/language), the
+    * current token inventory and the sampling rate that hits a target
+    * token budget under the given mixture weights (the Pile-style data
+    * mixing table every multi-source training run starts from).
+    * `target_tokens` = floor(budget · weight); `sample_rate` =
+    * target/current (> 1 means the stratum must be UPSAMPLED — fed to
+    * [[resampleToMix]] as epochs-with-fraction). Strata missing from
+    * `weights` get weight 0. One stratum-keyed aggregation; the weight
+    * table compiles into the projection (mix-config scale). All
+    * arithmetic is integer counts + one IEEE multiply/floor and one
+    * division — bit-exact cross-engine.
+    */
+  def mixPlan(df: DataFrame, tokenCount: Column, stratum: Column,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.select(stratum.as("stratum"), tokenCount.as("__tc"), w.as("__w"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tc")).as("n_tokens"),
+        min(col("__w")).as("__w"))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        floor(lit(budgetTokens.toDouble) * col("__w")).cast("long")
+          .as("target_tokens"))
+      .withColumn("sample_rate",
+        col("target_tokens").cast("double") / col("n_tokens"))
+  }
+
+  /** Apply a mixture: emit each row `floor(rate)` times plus one more
+    * iff its md5 bucket sorts under the fractional remainder — exact
+    * deterministic up/down-sampling in one scan (rate 2.5 = every row
+    * twice, half the rows — hash-chosen — a third time; rate 0.4 = the
+    * deterministic 40%). No shuffle, no RNG state: the same properties
+    * as [[deterministicSample]], extended to rates above 1 for the
+    * upsampling half of a mix plan. Output rows carry `copy` in
+    * 1..n_copies; rows with zero copies vanish at the filter.
+    */
+  def resampleToMix(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    def whole(r: Double): Long = math.floor(r).toLong
+    val base = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(whole(defaultRate))) { case (acc, (s, r)) =>
+        when(stratum === s, lit(whole(r))).otherwise(acc)
+      }
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultRate - whole(defaultRate)))) {
+      case (acc, (s, r)) =>
+        when(stratum === s, lit(hexThreshold(r - whole(r)))).otherwise(acc)
+    }
+    df.withColumn("n_copies",
+        base + when(bucket(key) < thr, 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+  }
+
   /** Exact per-stratum percentiles by nearest-rank arithmetic: the
     * element at row_number == ceil(p·n) of the stratum's sorted values.
     * No interpolation and no engine-specific quantile definition — the

@@ -425,6 +425,25 @@ object Pipeline {
     // the one log2 is ulp-stable cross-engine (the ts12 rule)
     "ts19_perplexity" -> { (s, dir) =>
       TextOps.unigramPerplexity(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // training-mix plan: per-source token inventory -> sampling rates
+    // for a token budget under mixture weights (one stratum aggregate)
+    "ts20_mix_plan" -> { (s, dir) =>
+      Sampling.mixPlan(docs(s, dir), size(TextOps.tokens(col("text"))),
+        col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 100000L)
+        .orderBy(col("stratum"))
+    },
+
+    // mix apply: deterministic fractional up/down-sampling (floor(rate)
+    // copies + one more under the md5 fraction threshold) — scan-time,
+    // no shuffle before the gate orderBy
+    "ts21_mix_apply" -> { (s, dir) =>
+      Sampling.resampleToMix(docs(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.4))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -774,5 +793,28 @@ object Pipeline {
           FROM t JOIN v USING (tok) CROSS JOIN tot GROUP BY t.doc_id)
         SELECT doc_id, n_tokens, round(hh, 6) AS cross_entropy_bits,
           round(pow(2.0, hh), 4) AS perplexity
-        FROM h ORDER BY doc_id""")
+        FROM h ORDER BY doc_id""",
+    "ts20_mix_plan" ->
+      """WITH t AS (SELECT source AS stratum,
+          CAST(len(string_split(text,' ')) AS BIGINT) tc,
+          CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+            WHEN 'src2' THEN 0.2 ELSE 0.0 END w FROM documents),
+        g AS (SELECT stratum, CAST(count(*) AS BIGINT) n_docs,
+          CAST(sum(tc) AS BIGINT) n_tokens, min(w) w FROM t GROUP BY stratum)
+        SELECT stratum, n_docs, n_tokens,
+          CAST(floor(100000.0 * w) AS BIGINT) AS target_tokens,
+          CAST(CAST(floor(100000.0 * w) AS BIGINT) AS DOUBLE) / n_tokens
+            AS sample_rate
+        FROM g ORDER BY stratum""",
+    "ts21_mix_apply" ->
+      """WITH r AS (SELECT doc_id, source,
+          CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END base,
+          CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '66666666'
+            ELSE '00000000' END thr FROM documents),
+        n AS (SELECT doc_id, source, base + CASE
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr
+            THEN 1 ELSE 0 END nc FROM r)
+        SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        FROM n, unnest(generate_series(1, nc)) AS t(copy)
+        WHERE nc >= 1 ORDER BY doc_id, copy""")
 }

@@ -595,6 +595,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mix plan: targets floor the budget split, rates exact") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c d", "s1"), (2L, "e f", "s1"),
+      (3L, "g h i", "s2"), (4L, "j", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.mixPlan(tiny, size(TextOps.tokens(col("text"))),
+      col("source"), Map("s1" -> 0.5, "s2" -> 0.3), 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("s1") == ((2L, 6L, 500L, 500.0 / 6)))
+    assert(got("s2") == ((1L, 3L, math.floor(1000 * 0.3).toLong,
+      math.floor(1000 * 0.3) / 3)))
+    assert(got("s3") == ((1L, 1L, 0L, 0.0))) // unlisted stratum: weight 0
+  }
+
+  test("mix apply: copy counts are floor(rate) + hash fraction, exact") {
+    val applied = Sampling.resampleToMix(docs, col("doc_id"), col("source"),
+      Map("src0" -> 2.5, "src1" -> 0.4))
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(applied.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    applied.foreach { case (id, src, n) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val expected = src match {
+        case "src0" => 2L + (if (hex < "80000000") 1 else 0)
+        case "src1" => if (hex < "66666666") 1L else 0L
+        case _ => 1L
+      }
+      assert(n == expected, s"doc $id ($src): $n copies, expected $expected")
+    }
+    // downsampled stratum loses its over-threshold rows entirely
+    val src1Kept = applied.count(_._2 == "src1")
+    val src1All = docs.where(col("source") === "src1").count()
+    assert(src1Kept < src1All)
+  }
+
   test("semdedup pairs: exact cosines, subset of brute force, sane recall") {
     val tau = 0.4
     val got = Similarity.semdedupPairs(emb, tau)
