@@ -658,7 +658,13 @@ final class SparqlParser(input: String) {
     }
   }
 
-  private def parseAggregate(word: String): Expr = {
+  // SPARQL 1.1 §18.2.4.1: aggregates cannot nest — SUM(COUNT(?x)) is a
+  // syntax error, caught here while parsing the outer aggregate's arg
+  private var inAggregate = false
+
+  private def parseAggregate(word: String): Expr = try {
+    if (inAggregate) fail(s"aggregate $word nested inside another aggregate")
+    inAggregate = true
     expect("(")
     val distinct = eat("DISTINCT")
     val call =
@@ -683,7 +689,7 @@ final class SparqlParser(input: String) {
     val v = s"__agg${hoistedAggs.size}"
     hoistedAggs += v -> call
     EVar(v)
-  }
+  } finally inAggregate = false
 
   // ---------------- query forms ----------------
   private def parsePrologue(): Unit = {

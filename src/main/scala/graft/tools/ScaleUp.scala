@@ -57,6 +57,21 @@ object ScaleUp {
         .withColumn("user_id", col("user_id") + lit(r * IdOffset)))
       .reduce(_.unionByName(_))
 
+  /** Replicate a TPC-H fact table with shifted surrogate keys: every
+    * key in `keys` moves by r·IdOffset per replica, so replicas are
+    * entity-DISJOINT subgraphs over the same fixed dimension tables
+    * (region/nation stay shared, like scaling the fact side of a real
+    * warehouse). Filter-bearing value columns (names, segments, dates)
+    * replicate unchanged, so constant-filter selectivities — and
+    * therefore result sizes — scale linearly by construction.
+    */
+  def scaleKeyed(df: DataFrame, keys: Seq[String], factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      keys.foldLeft(df) { (d, k) =>
+        d.withColumn(k, col(k) + lit(r * IdOffset))
+      }
+    }.reduce(_.unionByName(_))
+
   def main(args: Array[String]): Unit = {
     val Array(in, out, f) = args.take(3)
     val factor = f.toInt
@@ -77,6 +92,19 @@ object ScaleUp {
     wr(scaleDocs(rd("documents"), factor), "documents")
     wr(scaleEmbeddings(rd("embeddings"), factor), "embeddings")
     wr(scaleEvents(graft.ops.Events.read(spark, in), factor), "events")
+    // TPC-H side (for the sp/pq/q families + the quad store): facts
+    // replicate with disjoint keys, dims stay shared
+    if (new java.io.File(s"$in/lineitem.parquet").exists()) {
+      wr(rd("region"), "region")
+      wr(rd("nation"), "nation")
+      wr(scaleKeyed(rd("customer"), Seq("c_custkey"), factor), "customer")
+      wr(scaleKeyed(rd("supplier"), Seq("s_suppkey"), factor), "supplier")
+      wr(scaleKeyed(rd("part"), Seq("p_partkey"), factor), "part")
+      wr(scaleKeyed(rd("orders"), Seq("o_orderkey", "o_custkey"), factor),
+        "orders")
+      wr(scaleKeyed(rd("lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), factor), "lineitem")
+    }
     spark.stop()
   }
 }
