@@ -255,6 +255,30 @@ object Dedup {
       clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** [[dedupApply]] with a POLICY: within each near-dup cluster keep
+    * the member minimizing (priority, doc_id) instead of blindly the
+    * lowest id — the real-pipeline shape where a cleaner source (e.g.
+    * curated > crawl) should win the dedup, regardless of id order.
+    *
+    * Scale shape: priorities are looked up by joining the cluster
+    * member list (near-dup ids only — a small fraction of the corpus)
+    * against an (id, priority) projection of the docs; the canonical
+    * pick is a window over that members-sized table, and the final
+    * drop-list anti join broadcasts ids exactly like [[dedupApply]].
+    * Documents never reshuffle.
+    */
+  def dedupApplyByPriority(docs: DataFrame, clusters: DataFrame,
+      priority: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prio = docs.select(col("doc_id"), priority.as("__prio"))
+    val members = clusters.join(prio, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__prio"), col("doc_id"))
+    val drop = members.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1).select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Connected components over near-dup pairs — the clustering step
     * that turns pairwise matches into keep/drop decisions (cluster_id =
     * the smallest doc_id in the component; keep it, drop the rest).

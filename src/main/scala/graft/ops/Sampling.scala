@@ -120,6 +120,23 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Statistics-driven cleaning: keep rows whose `value` is at least
+    * their stratum's p-th percentile (nearest-rank, [[exactPercentiles]])
+    * — the adaptive version of a fixed length floor: each language/
+    * source sets its own threshold from its own distribution. The
+    * threshold table is stratum-count-sized and BROADCAST; the filter
+    * itself is then map-side — the corpus never shuffles.
+    */
+  def percentileFloorFilter(df: DataFrame, stratum: Column, value: Column,
+      p: Double): DataFrame = {
+    val pcol = s"p${(p * 100).round}"
+    val thr = exactPercentiles(df, stratum, value, Seq(p))
+      .withColumnRenamed("__st", "__thr_st")
+    df.join(broadcast(thr), stratum === col("__thr_st"))
+      .where(value >= col(pcol))
+      .drop("__thr_st", pcol)
+  }
+
   /** Exact per-stratum percentiles by nearest-rank arithmetic: the
     * element at row_number == ceil(p·n) of the stratum's sorted values.
     * No interpolation and no engine-specific quantile definition — the

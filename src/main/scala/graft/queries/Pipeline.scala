@@ -444,6 +444,30 @@ object Pipeline {
         Map("src0" -> 2.5, "src1" -> 0.4))
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))
+    },
+
+    // policy dedup: within each near-dup cluster keep the LONGEST doc
+    // (curated-source-wins shape), ties to lowest id; drop-list anti
+    // join broadcasts like dd10
+    "dd13_priority_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.dedupApplyByPriority(d,
+          Dedup.dupClusters(Dedup.ngramJaccardPairs(d, 8, 10)),
+          -col("n_chars"))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // statistics-driven cleaning: per-language p10 length floor from
+    // the corpus's own distribution (broadcast threshold, map-side
+    // filter)
+    "ts22_adaptive_filter" -> { (s, dir) =>
+      Sampling.percentileFloorFilter(docs(s, dir), col("lang"),
+          col("n_chars").cast(LongType), 0.1)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -816,5 +840,30 @@ object Pipeline {
             THEN 1 ELSE 0 END nc FROM r)
         SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
         FROM n, unnest(generate_series(1, nc)) AS t(copy)
-        WHERE nc >= 1 ORDER BY doc_id, copy""")
+        WHERE nc >= 1 ORDER BY doc_id, copy""",
+    "dd13_priority_dedup" ->
+      s"""WITH RECURSIVE pairs AS ($duckShinglePairs),
+        u AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM u)
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a),
+        cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        m AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars FROM cl
+          JOIN documents d ON cl.doc_id = d.doc_id),
+        r AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY -n_chars, doc_id) rn FROM m)
+        SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1)
+        ORDER BY d.doc_id""",
+    "ts22_adaptive_filter" ->
+      """WITH r AS (SELECT lang, n_chars v,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars) rn,
+          count(*) OVER (PARTITION BY lang) n FROM documents),
+        t AS (SELECT lang, max(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT)
+          THEN v END) p10 FROM r GROUP BY lang)
+        SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d JOIN t ON d.lang = t.lang
+        WHERE d.n_chars >= t.p10 ORDER BY d.doc_id""")
 }
