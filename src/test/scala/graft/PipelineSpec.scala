@@ -595,6 +595,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("priority dedup keeps the longest cluster member; singletons stay") {
+    val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(docs, 8, 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    val kept = Dedup.dedupApplyByPriority(docs, Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs, 8, 10)), -col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lens = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly one survivor per cluster: the max-length (min-id tiebreak)
+    clusters.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1)
+      val want = ids.minBy(id => (-lens(id), id))
+      assert(ids.filter(kept).toSeq == Seq(want))
+    }
+    // docs in no cluster survive
+    val clustered = clusters.map(_._1).toSet
+    docs.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(clustered).foreach(id => assert(kept(id)))
+  }
+
+  test("percentile floor filter: threshold equals the stratum's p10") {
+    val got = Sampling.percentileFloorFilter(docs, col("lang"),
+      col("n_chars").cast("long"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.map(_._3).sorted
+      val thr = sorted(math.ceil(0.1 * g.length).toInt - 1)
+      g.foreach { case (id, _, v) =>
+        assert(got(id) == (v >= thr), s"doc $id: v=$v thr=$thr")
+      }
+    }
+  }
+
   test("mix plan: targets floor the budget split, rates exact") {
     import spark.implicits._
     val tiny = Seq((1L, "a b c d", "s1"), (2L, "e f", "s1"),
