@@ -255,6 +255,56 @@ object Dedup {
       clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** Incremental near-dup detection — the production shape for a
+    * growing corpus: a new batch (daily crawl) is checked against the
+    * EXISTING corpus and against itself, without re-running the corpus
+    * self-join. Emits (da, db, inter, na, nb) like [[ngramJaccardPairs]],
+    * where at least one side is an incoming doc; corpus-internal pairs
+    * are assumed already handled by previous runs.
+    *
+    * Scale shape: the corpus side contributes only its inverted shingle
+    * index rows (at real scale a materialized table updated per batch —
+    * here derived, the derivation is one map pass); the join probes it
+    * with the INCOMING side's shingles, so candidate work is
+    * O(|incoming| · avg-df), proportional to the batch, not the corpus.
+    * New-vs-new pairs reuse the full prefix-filtered
+    * [[ngramJaccardPairs]] on the batch alone. Both legs verify on full
+    * shingle sets (exact Jaccard); `dfCap` governs hot postings as
+    * everywhere.
+    */
+  def incrementalJaccardPairs(corpus: DataFrame, incoming: DataFrame,
+      num: Int, den: Int, k: Int = 3, dfCap: Long = 1L << 20): DataFrame = {
+    def withSh(d: DataFrame) = d.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = withSh(corpus)
+    val ns = withSh(incoming)
+    val cIdx = cs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val nIdx = ns.select(col("doc_id"), explode(col("sh")).as("s"))
+    // df-cap over the combined index (a stop-shingle is hot globally)
+    val df = cIdx.unionByName(nIdx).groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("s")
+    val cand = nIdx.join(df, "s").as("a")
+      .join(cIdx.join(df, "s").as("b"), Seq("s"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .dropDuplicates("da", "db")
+    val newVsCorpus = cand
+      .join(ns.select(col("doc_id").as("da"), col("sh").as("sa"),
+        col("n").as("na")), "da")
+      .join(cs.select(col("doc_id").as("db"), col("sh").as("sb"),
+        col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        col("na"), col("nb"))
+      .where(col("inter") * den >=
+        (col("na") + col("nb") - col("inter")) * num)
+    newVsCorpus.unionByName(
+      ngramJaccardPairs(incoming, num, den, k, dfCap))
+  }
+
   /** [[dedupApply]] with a POLICY: within each near-dup cluster keep
     * the member minimizing (priority, doc_id) instead of blindly the
     * lowest id — the real-pipeline shape where a cleaner source (e.g.

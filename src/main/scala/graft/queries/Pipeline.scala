@@ -468,6 +468,16 @@ object Pipeline {
         .select(col("doc_id"), col("lang"),
           col("n_chars").cast(LongType).as("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // incremental dedup: a new batch (doc_id >= 400) probed against the
+    // existing corpus index + itself — batch-proportional work, the
+    // production daily-crawl shape
+    "dd14_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalJaccardPairs(d.where(col("doc_id") < 400),
+        d.where(col("doc_id") >= 400), 8, 10)
+        .orderBy(col("da"), col("db"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -865,5 +875,25 @@ object Pipeline {
           THEN v END) p10 FROM r GROUP BY lang)
         SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
         FROM documents d JOIN t ON d.lang = t.lang
-        WHERE d.n_chars >= t.p10 ORDER BY d.doc_id""")
+        WHERE d.n_chars >= t.p10 ORDER BY d.doc_id""",
+    // all J>=0.8 pairs touching the incoming batch (db >= 400 after the
+    // a<b ordering means "at least one new"); incoming side first in the
+    // output like the Spark op (new-vs-corpus emits (new, corpus))
+    "dd14_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+          [array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) s
+          FROM w WHERE len(ws) >= 3),
+        sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        p AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM sh a
+          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        v AS (SELECT da, db, inter, x.n AS na, y.n AS nb
+          FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+          WHERE inter * 10 >= 8 * (x.n + y.n - inter) AND db >= 400)
+        SELECT CASE WHEN da >= 400 THEN da ELSE db END AS da,
+          CASE WHEN da >= 400 THEN db ELSE da END AS db,
+          inter,
+          CASE WHEN da >= 400 THEN na ELSE nb END AS na,
+          CASE WHEN da >= 400 THEN nb ELSE na END AS nb
+        FROM v ORDER BY da, db""")
 }

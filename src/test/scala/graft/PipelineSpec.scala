@@ -595,6 +595,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup equals the full self-join restricted to new docs") {
+    val full = Dedup.ngramJaccardPairs(docs, 8, 10)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touchingNew = full.filter { case (a, b) => a >= 400 || b >= 400 }
+      // the op reports (new, corpus) for cross pairs
+      .map { case (a, b) => if (a >= 400) (a, b) else if (b >= 400) (b, a)
+        else (a, b) }
+    val inc = Dedup.incrementalJaccardPairs(
+      docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+      8, 10)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == touchingNew,
+      s"incremental pairs diverge: extra ${inc -- touchingNew}, " +
+        s"missing ${touchingNew -- inc}")
+  }
+
   test("priority dedup keeps the longest cluster member; singletons stay") {
     val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(docs, 8, 10))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
