@@ -116,8 +116,12 @@ object QueryExec {
     template.map { t =>
       sol.df.select(tc(t.s).as("s"), tc(t.p).as("p"), tc(t.o).as("o"))
     }.reduce(_ unionByName _)
-      // triples with unbound components are skipped (SPARQL §16.2.1)
+      // triples with unbound components are skipped (SPARQL §16.2.1),
+      // as are ill-formed instantiations — a literal subject or a
+      // non-IRI predicate is silently dropped, not an error (§16.2.3)
       .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      .where(col("s")("kind") =!= Term.LiteralKind &&
+        col("p")("kind") === Term.IriKind)
       .distinct()
   }
 
@@ -147,6 +151,9 @@ object QueryExec {
     }.reduce(_ unionByName _)
       .where(col("g").isNotNull && col("s").isNotNull &&
         col("p").isNotNull && col("o").isNotNull)
+      // ill-formed instantiations skipped, as in `instantiate` (§16.2.3)
+      .where(col("s")("kind") =!= Term.LiteralKind &&
+        col("p")("kind") === Term.IriKind)
       .distinct()
   }
 

@@ -550,4 +550,139 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .dropDuplicates("da", "db")
   }
+
+  // -------------------------------------------------------------------
+  // Exact duplicated-substring (span) dedup — the ExactSubstr family of
+  // Lee et al. ACL'22, "Deduplicating Training Data Makes Language
+  // Models Better" — re-expressed as a distributed k-gram dataflow
+  // instead of the paper's single-node suffix array.
+  // -------------------------------------------------------------------
+
+  /** Per-start-position k-gram key rows (doc_id, n_tok, pos, g): `pos`
+    * is 0-based, the window covers tokens [pos, pos+k-1], and `g` is
+    * xxhash64 over the k token hashes so every downstream exchange
+    * carries an 8-byte key instead of gram text. Hashing tokens once
+    * and combining longs halves the gram-build cost vs slicing and
+    * re-concatenating gram strings (measured).
+    *
+    * The gram array is PERSISTED before the explode — Generate
+    * re-evaluates a non-trivial generator expression once per OUTPUT
+    * row, so exploding the HOF-built array inline costs O(grams) per
+    * gram (measured 26 s vs 0.9 s at sf0.1; the Generate-side sibling
+    * of the ts8/dd8 window-lambda lesson, see [[TextOps.winnowHashes]]).
+    * A projection split is NOT enough here — only a materialization
+    * barrier stops the collapse. The persist also feeds both consumers
+    * in [[duplicateSpans]]/[[removeDuplicateSpans]] (df aggregate +
+    * join back) without recompute, the dd2/dd3 persist discipline.
+    */
+  private[graft] def gramKeyRows(docs: DataFrame, k: Int): DataFrame = {
+    val th = docs.select(col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
+    val arr = th.select(col("doc_id"), size(col("th")).as("n_tok"),
+      when(size(col("th")) < k, array().cast(ArrayType(LongType)))
+        .otherwise(transform(sequence(lit(0), size(col("th")) - k),
+          i => xxhash64((0 until k).map(j =>
+            element_at(col("th"), i + j + 1)): _*)))
+        .as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    arr.select(col("doc_id"), col("n_tok"),
+      posexplode(col("gs")).as(Seq("pos", "g")))
+  }
+
+  /** Island-merge marked k-gram windows into maximal spans per document:
+    * windows at `prev` and `pos` produce contiguous token coverage when
+    * pos <= prev + k, so that is the merge rule (gaps-and-islands, one
+    * doc_id window shuffle over the MARKED positions only). Output is
+    * 0-based inclusive token indices.
+    */
+  private def spansFromHits(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    hits
+      .withColumn("__brk",
+        when(prev.isNull || col("pos") > prev + k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tok"), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_tok"))
+  }
+
+  /** Maximal cross-document duplicated spans: mark every k-token window
+    * whose gram occurs in >= 2 distinct documents, then merge
+    * overlapping/adjacent marked windows per document. Guarantee: any
+    * substring of >= k tokens shared verbatim by two documents has all
+    * its windows marked, so it lands fully inside one reported span
+    * (the k-gram approximation of the paper's suffix-array pass).
+    *
+    * Scale shape: there is NO pairwise join anywhere — the gram-df
+    * aggregate and the hits join shuffle 8-byte gram keys (volume
+    * linear in corpus token count), and the island merge shuffles only
+    * marked positions on doc_id. Unlike the inverted-index self-join of
+    * [[ngramJaccardPairs]], a corpus-hot duplicated gram costs linear,
+    * not quadratic, work — no df-cap needed.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = gramKeyRows(docs, k)
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("__ddf"))
+      .where(col("__ddf") >= 2).select("g")
+    spansFromHits(
+      grams.join(dup, "g").select(col("doc_id"), col("n_tok"), col("pos")),
+      k)
+  }
+
+  /** Per-document duplicated-span statistics (doc_id, n_spans,
+    * dup_tokens, n_tok) for documents carrying at least one span.
+    */
+  def spanStats(docs: DataFrame, k: Int = 8): DataFrame =
+    duplicateSpans(docs, k)
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tok"))
+
+  /** Remove duplicated spans keeping the earliest copy: for every
+    * duplicated gram, the minimum doc_id containing it keeps its text;
+    * every other document drops the tokens covered by that gram's
+    * windows (island-merged first, so removals are maximal contiguous
+    * spans). Returns every input document with `text` rebuilt and a
+    * `kept_tokens` count appended; other columns pass through
+    * (char-length metadata is the caller's to refresh).
+    *
+    * Deterministic by construction (min-doc_id ownership) and linear at
+    * scale: the ownership aggregate and hits join shuffle 8-byte gram
+    * keys, the span list per doc is spans-sized (broadcastable), and
+    * the rebuild is a map-side (token, index) lambda.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = gramKeyRows(docs, k)
+    val own = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("__ddf"),
+        min(col("doc_id")).as("__keep"))
+      .where(col("__ddf") >= 2).select("g", "__keep")
+    val hits = grams.join(own, "g")
+      .where(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id"), col("n_tok"), col("pos"))
+    val spans = spansFromHits(hits, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))))
+        .as("__spans"))
+    val emptySpans = array().cast(ArrayType(StructType(Seq(
+      StructField("s", IntegerType), StructField("e", IntegerType)))))
+    val rebuilt = docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("__sp", coalesce(col("__spans"), emptySpans))
+      .withColumn("__ws", TextOps.tokens(col("text")))
+      .withColumn("__kept", filter(col("__ws"), (_, i) =>
+        !exists(col("__sp"), sp => i >= sp("s") && i <= sp("e"))))
+    val outCols = docs.columns.map {
+      case "text" => concat_ws(" ", col("__kept")).as("text")
+      case c      => col(c)
+    } :+ size(col("__kept")).as("kept_tokens")
+    rebuilt.select(outCols.toIndexedSeq: _*)
+  }
 }

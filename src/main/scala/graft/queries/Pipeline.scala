@@ -478,6 +478,21 @@ object Pipeline {
       Dedup.incrementalJaccardPairs(d.where(col("doc_id") < 400),
         d.where(col("doc_id") >= 400), 8, 10)
         .orderBy(col("da"), col("db"))
+    },
+
+    // exact duplicated-substring detection (ExactSubstr, Lee et al.
+    // ACL'22): per-doc maximal cross-doc duplicated 8-token spans
+    "dd15_span_stats" -> { (s, dir) =>
+      Dedup.spanStats(docs(s, dir), 8).orderBy(col("doc_id"))
+    },
+
+    // duplicated-span REMOVAL, earliest-copy-wins: every doc back with
+    // covered tokens cut; md5 proves byte-identical rebuilt text
+    "dd16_span_removal" -> { (s, dir) =>
+      Dedup.removeDuplicateSpans(docs(s, dir), 8)
+        .select(col("doc_id"), col("kept_tokens"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -895,5 +910,81 @@ object Pipeline {
           inter,
           CASE WHEN da >= 400 THEN na ELSE nb END AS na,
           CASE WHEN da >= 400 THEN nb ELSE na END AS nb
-        FROM v ORDER BY da, db""")
+        FROM v ORDER BY da, db""",
+    // duplicated 8-gram windows with cross-doc df >= 2, island-merged
+    // per doc (merge when pos <= prev + 8); counts per doc. Mirrors
+    // Dedup.spanStats modulo 1-based positions (counts are offset-free).
+    "dd15_span_stats" ->
+      """WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, len(t) AS n_tok, t,
+            unnest(generate_series(1, len(t) - 7)) AS p
+          FROM toks WHERE len(t) >= 8),
+        grams AS (
+          SELECT doc_id, n_tok, p, array_to_string(t[p:p+7], ' ') AS g
+          FROM pos),
+        dup AS (SELECT g FROM grams GROUP BY g
+          HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, n_tok, p FROM grams JOIN dup USING (g)),
+        isl AS (
+          SELECT doc_id, n_tok, p,
+            CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+          FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        isl2 AS (
+          SELECT doc_id, n_tok, p,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+          FROM isl),
+        spans AS (
+          SELECT doc_id, n_tok, island, min(p) AS s, max(p) + 7 AS e
+          FROM isl2 GROUP BY doc_id, n_tok, island)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+          CAST(n_tok AS INT) AS n_tok
+        FROM spans GROUP BY doc_id, n_tok ORDER BY doc_id""",
+    // earliest-copy-wins span removal: min(doc_id) per duplicated gram
+    // keeps its text, others cut the island-merged covered tokens;
+    // md5 of the rebuilt single-space text must match Spark's rebuild
+    "dd16_span_removal" ->
+      """WITH toks AS (
+          SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS p
+          FROM toks WHERE len(t) >= 8),
+        grams AS (
+          SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS g FROM pos),
+        dupkeep AS (
+          SELECT g, min(doc_id) AS keep FROM grams GROUP BY g
+          HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (
+          SELECT doc_id, p FROM grams JOIN dupkeep USING (g)
+          WHERE doc_id <> keep),
+        isl AS (
+          SELECT doc_id, p,
+            CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+              THEN 1 ELSE 0 END AS brk
+          FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        isl2 AS (
+          SELECT doc_id, p,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+          FROM isl),
+        spans AS (
+          SELECT doc_id, island, min(p) AS s, max(p) + 7 AS e
+          FROM isl2 GROUP BY doc_id, island),
+        tokpos AS (
+          SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS tp
+          FROM toks),
+        kept AS (
+          SELECT tk.doc_id, tk.tok, tk.tp FROM tokpos tk
+          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+            WHERE sp.doc_id = tk.doc_id AND tk.tp BETWEEN sp.s AND sp.e)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS ntext,
+            count(*) AS kept_tokens
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(r.kept_tokens, 0) AS INT) AS kept_tokens,
+          md5(coalesce(r.ntext, '')) AS text_md5
+        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        ORDER BY d.doc_id""")
 }

@@ -744,4 +744,52 @@ class PipelineSpec extends AnyFunSuite {
     // doc 2: -log2(1/4) = 2 bits, perplexity 4
     assert(got(2L) == ((1L, 2.0, 4.0)))
   }
+
+  test("duplicated spans: overlap-merge, disjoint islands, exact bounds") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d e f g h"),             // fully covered via overlap
+      (2L, "z1 a b c d e z2 z3"),          // one 5-token span [1,5]
+      (3L, "p1 p2 e f g h p3 p4"),         // one 4-token span [2,5]
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"),     // unique — no spans
+      (5L, "a b c d m1 m2 m3 m4 m5 e f g h")) // two DISJOINT islands
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(tiny, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 0, 7), (2L, 1, 5), (3L, 2, 5),
+      (5L, 0, 3), (5L, 9, 12)))
+    val stats = Dedup.spanStats(tiny, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(stats == Map(1L -> ((1L, 8L, 8)), 2L -> ((1L, 5L, 8)),
+      3L -> ((1L, 4L, 8)), 5L -> ((2L, 8L, 13))))
+  }
+
+  test("span removal: earliest copy keeps text, later copies cut exactly") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z1 a b c d e z2 z3"),
+      (3L, "p1 p2 e f g h p3 p4"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (5L, "a b c d m1 m2 m3 m4 m5 e f g h"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(tiny, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(got(1L) == (("a b c d e f g h", 8)))       // owner: untouched
+    assert(got(2L) == (("z1 z2 z3", 3)))
+    assert(got(3L) == (("p1 p2 p3 p4", 4)))
+    assert(got(4L) == (("u1 u2 u3 u4 u5 u6 u7 u8", 8)))
+    assert(got(5L) == (("m1 m2 m3 m4 m5", 5)))        // both islands cut
+  }
+
+  test("span invariants hold on the real corpus") {
+    val st = Dedup.spanStats(docs, 8).collect()
+    assert(st.forall(r => r.getLong(2) <= r.getInt(3)),
+      "dup_tokens must never exceed n_tok")
+    val sp = Dedup.duplicateSpans(docs, 8).collect()
+    assert(sp.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= r.getInt(2) &&
+      r.getInt(2) < r.getInt(4)), "span bounds inside the document")
+  }
 }
