@@ -95,6 +95,67 @@ final class PartitionedQuadStore(spark: SparkSession, path: String)
       .select(col("g"), col("s"), col("p"), col("o"))
 }
 
+/** Predicate-partitioned AND subject-bucketed table store: the 100 TB
+  * co-location layout. `p_key` partition directories give the same
+  * planning-time pruning as [[PartitionedQuadStore]]; `CLUSTERED BY
+  * (s_key) SORTED BY (s_key) INTO n BUCKETS` makes every scan of the
+  * store hash-distributed AND sorted on the subject key, so a star BGP
+  * (many patterns sharing ?s) sort-merge-joins its pattern scans with
+  * ZERO exchanges and ZERO sorts — the join that dominates SPARQL at
+  * warehouse scale stops shuffling the data entirely (locked by
+  * PlansSpec). `s_key` = kind|lex is injective over subject terms
+  * (subjects are never literals, so dt/lang never discriminate), making
+  * an s_key equi-join equivalent to the s struct equi-join.
+  *
+  * Needs a session catalog (`saveAsTable`) — the standard deployment on
+  * a real cluster; the directory stores remain the catalog-free path.
+  */
+final class BucketedQuadStore(spark: SparkSession, table: String,
+    classes: Map[String, Term.VClass] = Map.empty) extends QuadSource {
+  def all: DataFrame =
+    spark.table(table).select(col("g"), col("s"), col("p"), col("o"))
+  def byPredicate(iri: String): DataFrame = keyed(iri)
+    .select(col("g"), col("s"), col("p"), col("o"))
+  /** Pruned scan keeping the bucket key — join two of these on `s_key`
+    * and the bucketed layout serves distribution + order directly.
+    */
+  def keyed(iri: String): DataFrame =
+    spark.table(table)
+      .where(col("p_key") === PartitionedQuadStore.key(iri) &&
+        col("p")("kind") === Term.IriKind && col("p")("lex") === iri)
+      .select(col("s_key"), col("g"), col("s"), col("p"), col("o"))
+  override def predClass(iri: String): Option[Term.VClass] =
+    classes.get(iri)
+}
+
+object BucketedQuadStore {
+  /** Injective subject key (kind|lex); a plain string so bucket pruning
+    * and bucketed joins stay inside Spark's native bucketing support.
+    */
+  private val sKey: Column =
+    concat_ws("|", col("s")("kind").cast("string"), col("s")("lex"))
+
+  /** Write quads as a predicate-partitioned, subject-bucketed table.
+    * `path` makes it an external table at that location (otherwise the
+    * session warehouse dir).
+    */
+  def write(quads: DataFrame, table: String, buckets: Int = 64,
+      path: Option[String] = None): Unit = {
+    val w = quads
+      .withColumn("p_key", when(col("p")("kind") === Term.IriKind,
+        PartitionedQuadStore.keyCol).otherwise("_other"))
+      .withColumn("s_key", sKey)
+      .write.mode("overwrite")
+      .partitionBy("p_key")
+      .bucketBy(buckets, "s_key").sortBy("s_key")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  def apply(spark: SparkSession, table: String,
+      classes: Map[String, Term.VClass] = Map.empty): BucketedQuadStore =
+    new BucketedQuadStore(spark, table, classes)
+}
+
 object PartitionedQuadStore {
   /** Partition key: predicate local name (readable dirs); the full
     * predicate filter stays on top, so collisions are only a pruning
@@ -103,7 +164,7 @@ object PartitionedQuadStore {
   def key(iri: String): String =
     iri.substring(math.max(iri.lastIndexOf('/'), iri.lastIndexOf('#')) + 1)
 
-  private val keyCol: Column =
+  private[io] val keyCol: Column =
     element_at(split(regexp_replace(col("p")("lex"), "#", "/"), "/"), -1)
 
   /** Write a quad DataFrame as a predicate-partitioned store. */

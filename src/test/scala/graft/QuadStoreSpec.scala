@@ -53,4 +53,44 @@ class QuadStoreSpec extends AnyFunSuite {
     assert(PartitionedQuadStore.key(
       "http://www.w3.org/1999/02/22-rdf-syntax-ns#type") == "type")
   }
+
+  test("bucketed store: star join on s_key runs with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString
+    graft.io.BucketedQuadStore.write(TpchRdf.quads(spark, sf),
+      "graft_bucketed_test", buckets = 8, path = Some(loc))
+    val store = graft.io.BucketedQuadStore(spark, "graft_bucketed_test")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = store.keyed(P("acctbal"))
+        .select(col("s_key"), col("o").as("bal"))
+      val b = store.keyed(P("name"))
+        .select(col("s_key"), col("o").as("nm"))
+      val j = a.join(b, "s_key")
+      j.count() // materialize so AQE settles the final plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        "expected a sort-merge join over bucketed scans:\n" + plan)
+      assert(!plan.contains("Exchange"),
+        "bucketed star join must not shuffle either side:\n" + plan)
+      assert(plan.contains("SelectedBucketsCount") ||
+        plan.toLowerCase.contains("bucket"),
+        "scan must be bucketed:\n" + plan)
+      // correctness: same pairs as the plain struct-keyed join
+      val quads = TpchRdf.quads(spark, sf)
+      def side(p: String) = quads
+        .where(col("p")("kind") === graft.model.Term.IriKind &&
+          col("p")("lex") === p)
+        .select(col("s"), col("o"))
+      val expect = side(P("acctbal")).as("x")
+        .join(side(P("name")).as("y"), col("x.s") === col("y.s"))
+      assert(j.count() == expect.count(),
+        "bucketed s_key join must equal the struct equi-join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+    }
+  }
 }
