@@ -341,6 +341,34 @@ object TextOps {
         round(pow(lit(2.0), col("h")), 4).as("perplexity"))
   }
 
+  /** Linear quality classifier (the CCNet / GPT-3 quality-filter shape,
+    * public): a fixed-weight logistic model over interpretable document
+    * features. The linear score uses one fixed left-to-right evaluation
+    * order so the IEEE double arithmetic is bit-identical to an oracle
+    * writing the same formula (verified at the bit level); outputs are
+    * RAW doubles — quantize with exact integer ops (floor(x*1e6+0.5)),
+    * never engine round(), when comparing across engines: round()'s
+    * double→decimal conversion differs between engines at half-way
+    * boundaries (hit in testing). Weights compile into the projection —
+    * scoring is pure map-side, zero shuffles, and swapping in trained
+    * weights is a parameter change, not a new dataflow.
+    */
+  def qualityClassifier(doc: DataFrame,
+      wTtr: Double = 2.0, wStop: Double = 3.0, wLen: Double = 0.004,
+      wTokLen: Double = -0.5, bias: Double = -2.0,
+      textCol: String = "text"): DataFrame = {
+    val m = qualityMetrics(doc, textCol)
+    val avgTokLen =
+      col("sum_token_len").cast(DoubleType) / col("n_tokens")
+    val score = lit(bias) +
+      lit(wTtr) * col("type_token_ratio") +
+      lit(wStop) * col("stopword_ratio") +
+      lit(wLen) * col("n_tokens").cast(DoubleType) +
+      lit(wTokLen) * avgTokLen
+    m.select(col("doc_id"), score.as("score"),
+      (lit(1.0) / (lit(1.0) + exp(-score))).as("prob"))
+  }
+
   def qualityMetrics(doc: DataFrame, textCol: String = "text"): DataFrame = {
     val ws = tokens(col(textCol))
     doc.select(

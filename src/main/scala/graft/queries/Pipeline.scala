@@ -493,6 +493,18 @@ object Pipeline {
         .select(col("doc_id"), col("kept_tokens"),
           md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // model-based quality filtering: fixed-weight logistic over
+    // interpretable features (CCNet / GPT-3 quality-filter shape).
+    // Quantized via exact integer floor(x*1e6+0.5) — engine round()
+    // diverges at decimal half-way boundaries (measured)
+    "ts23_quality_classifier" -> { (s, dir) =>
+      TextOps.qualityClassifier(docs(s, dir))
+        .select(col("doc_id"),
+          floor(col("score") * 1e6 + 0.5).cast("long").as("score_u6"),
+          floor(col("prob") * 1e4 + 0.5).cast("long").as("prob_u4"))
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -986,5 +998,22 @@ object Pipeline {
         SELECT d.doc_id, CAST(coalesce(r.kept_tokens, 0) AS INT) AS kept_tokens,
           md5(coalesce(r.ntext, '')) AS text_md5
         FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-        ORDER BY d.doc_id""")
+        ORDER BY d.doc_id""",
+    // same left-to-right IEEE formula as TextOps.qualityClassifier;
+    // floor(x*1e6+0.5) quantization — exact IEEE ops, no engine round()
+    "ts23_quality_classifier" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') ws FROM documents),
+        f AS (SELECT doc_id,
+          CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+          CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(ws) AS stop,
+          CAST(len(ws) AS DOUBLE) AS ntok,
+          CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws) AS atl
+          FROM w),
+        sc AS (SELECT doc_id,
+          -2.0 + 2.0 * ttr + 3.0 * stop + 0.004 * ntok + -0.5 * atl AS score
+          FROM f)
+        SELECT doc_id,
+          CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_u6,
+          CAST(floor((1.0 / (1.0 + exp(-score))) * 10000.0 + 0.5) AS BIGINT) AS prob_u4
+        FROM sc ORDER BY doc_id""")
 }

@@ -784,6 +784,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L) == (("m1 m2 m3 m4 m5", 5)))        // both islands cut
   }
 
+  test("quality classifier: exact linear score, sigmoid in bounds") {
+    import spark.implicits._
+    val tiny = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    // ttr = 1, stop = 1/3, ntok = 3, avg token len = 3
+    val score = -2.0 + 2.0 * 1.0 + 3.0 * (1.0 / 3) + 0.004 * 3 + -0.5 * 3.0
+    val r = TextOps.qualityClassifier(tiny).head
+    assert(r.getDouble(1) == score, "bit-identical same-order IEEE sum")
+    assert(math.abs(r.getDouble(2) - 1.0 / (1.0 + math.exp(-score))) < 1e-3)
+    val all = TextOps.qualityClassifier(docs).collect()
+    assert(all.forall(x => x.getDouble(2) > 0 && x.getDouble(2) < 1))
+  }
+
   test("span invariants hold on the real corpus") {
     val st = Dedup.spanStats(docs, 8).collect()
     assert(st.forall(r => r.getLong(2) <= r.getInt(3)),
