@@ -1,0 +1,84 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Term
+
+/** Expanded JSON-LD serializer sink — the write direction of
+  * [[RdfIO.readJsonLd]] (reference surface, SURVEY.md `path · symbol`
+  * convention: lib/oxjsonld · JsonLdSerializer).
+  *
+  * Spark-first split: ONE expanded node object per QUAD, rendered with
+  * pure codegen'd Column string ops — JSON-LD merges repeated `@id`s at
+  * parse time, so no grouping pass is needed at all (contrast
+  * [[TurtleWriter]], whose syntax forces per-subject runs and therefore
+  * a clustering exchange). Named-graph quads wrap themselves in
+  * `{"@id": g, "@graph": [...]}`. The only non-Column work is the
+  * per-partition array framing (a narrow mapPartitions emitting "[",
+  * ","-separated objects, "]"), so the hot path stays in whole-stage
+  * codegen and nothing shuffles.
+  *
+  * Each part file is a self-contained expanded JSON-LD document — the
+  * read side (`wholeTextFiles` + JsonLdParser per file) parses parts
+  * independently; empty partitions emit `[]`.
+  *
+  * Literal values are escaped by `to_json` (full JSON escaping
+  * including control characters); IRI / blank-node tokens are emitted
+  * verbatim because the RDF grammars this engine parses forbid quotes,
+  * backslashes, and control characters in them. RDF-star quoted terms
+  * have no standard JSON-LD mapping (JSON-LD-star is a draft), so quads
+  * carrying them fail loudly instead of being silently mangled.
+  */
+object JsonLdWriter {
+
+  /** JSON token of an OBJECT-position term: literals through to_json
+    * (null fields dropped, so plain / typed / lang forms emerge from
+    * one struct), IRIs and bnodes as `{"@id": tok}`.
+    */
+  private def objToken(t: Column): Column = {
+    val dt = when(t("lang").isNull && t("dt").isNotNull &&
+      t("dt") =!= Term.XsdString, t("dt"))
+    val literal = to_json(struct(
+      t("lex").as("@value"), dt.as("@type"), t("lang").as("@language")))
+    when(t("kind") === Term.LiteralKind, literal)
+      .when(t("kind") === Term.QuotedKind, raise_error(concat(
+        lit("JSON-LD has no quoted-triple form (JSON-LD-star is a " +
+          "draft); cannot serialize "), t("lex"))))
+      .otherwise(concat(lit("{\"@id\":\""), idToken(t), lit("\"}")))
+  }
+
+  /** `@id` token: IRI lexical, or `_:label` for blank nodes. */
+  private def idToken(t: Column): Column =
+    when(t("kind") === Term.QuotedKind, raise_error(concat(
+      lit("JSON-LD has no quoted-triple form (JSON-LD-star is a " +
+        "draft); cannot serialize "), t("lex"))))
+      .otherwise(when(t("kind") === Term.BlankKind,
+        concat(lit("_:"), t("lex"))).otherwise(t("lex")))
+
+  /** One expanded node object for one quad (graph wrap when named). */
+  private[io] def quadObject(g: Column, s: Column, p: Column,
+      o: Column): Column = {
+    val node = concat(lit("{\"@id\":\""), idToken(s), lit("\",\""),
+      p("lex"), lit("\":["), objToken(o), lit("]}"))
+    when(g("kind") === Term.DefaultGraphKind, node)
+      .otherwise(concat(lit("{\"@id\":\""), idToken(g),
+        lit("\",\"@graph\":["), node, lit("]}")))
+  }
+
+  /** Write quads as per-part expanded JSON-LD documents. */
+  def write(quads: DataFrame, path: String): Unit = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    quads
+      .select(quadObject(col("g"), col("s"), col("p"), col("o"))
+        .as("value"))
+      .as[String]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator("[]")
+        else Iterator("[") ++
+          it.zipWithIndex.map { case (s, i) => if (i == 0) s else "," + s } ++
+          Iterator("]")
+      }
+      .write.mode("overwrite").text(path)
+  }
+}

@@ -234,9 +234,15 @@ object RdfIO {
       case "trig" | "application/trig" => TurtleWriter.writeTriG(quads, path)
       case "rdf" | "rdfxml" | "application/rdf+xml" =>
         RdfXmlWriter.write(triples, path)
+      case "jsonld" | "application/ld+json" => JsonLdWriter.write(
+        if (quads.columns.contains("g")) quads
+        else quads.withColumn("g", graft.model.Term.defaultGraph), path)
+      // every Turtle document is a valid N3 document (N3 is a strict
+      // superset), so the N3 sink is the Turtle serializer
+      case "n3" | "text/n3" => TurtleWriter.writeTurtle(triples, path)
       case other => throw new IllegalArgumentException(
         s"unsupported RDF output format: $other " +
-          "(supported: nt, nq, ttl, trig, rdf)")
+          "(supported: nt, nq, ttl, trig, rdf, jsonld, n3)")
     }
   }
 

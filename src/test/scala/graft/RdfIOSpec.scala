@@ -530,6 +530,34 @@ class RdfIOSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RdfIO.read(spark, "/tmp/x", "xyz"))
   }
 
+  test("quads -> JSON-LD -> quads roundtrip is lossless") {
+    import graft.io.JsonLdWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonldw").toString
+    // cover: IRIs, bnodes, plain / typed / lang literals with JSON-hostile
+    // characters, default AND named graphs
+    val nq = Seq(
+      """<http://x/a> <http://x/p> <http://x/b> .""",
+      """_:b1 <http://x/p> "he said \"hi\"\n" .""",
+      """<http://x/a> <http://x/n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .""",
+      """<http://x/a> <http://x/l> "bonjour"@fr .""",
+      """<http://x/a> <http://x/p> _:b1 <http://x/g1> .""").mkString("\n")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonld_in")
+    java.nio.file.Files.writeString(tmp.resolve("d.nq"), nq)
+    val quads = RdfIO.readNQuads(spark, tmp.resolve("d.nq").toString)
+    JsonLdWriter.write(quads, dir)
+    val back = RdfIO.readJsonLd(spark, dir + "/part-*")
+    assert(back.count() == quads.count())
+    assert(back.except(quads).count() == 0 &&
+      quads.except(back).count() == 0, "JSON-LD roundtrip must be lossless")
+    // TPC-H scale sanity through the format facade
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_jsonldw2").toString
+    val tq = TpchRdf.quads(spark, sf)
+    RdfIO.write(tq, dir2, "jsonld")
+    val back2 = RdfIO.read(spark, dir2 + "/part-*", "jsonld")
+    assert(back2.count() == tq.count())
+    assert(back2.except(tq).count() == 0 && tq.except(back2).count() == 0)
+  }
+
   test("quads -> TriG -> quads roundtrip is lossless (TPC-H graph)") {
     import graft.io.TurtleWriter
     val dir = java.nio.file.Files.createTempDirectory("graft_trigw").toString
