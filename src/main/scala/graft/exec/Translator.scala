@@ -826,9 +826,18 @@ object Translator {
 
     case Project(inner, vs) =>
       val in = translate(inner, src, ctx)
-      Sol(in.df.select(vs.map(v =>
+      // Under GRAPH ?g the graph variable joins OUTSIDE the subselect
+      // (§18.2.2.3: Graph(var, P) = Join(eval(P, D[g]), {(var, g)})), so
+      // a projection that hides it must still carry it upward.
+      val keep = ctx match {
+        case VarG(gv) if !vs.contains(gv) && in.vars(gv) => Seq(gv)
+        case _ => Nil
+      }
+      val outVs = vs ++ keep
+      Sol(in.df.select(outVs.map(v =>
         (if (in.vars(v)) col(v) else nullTerm).as(v)): _*),
-        vs.toSet, in.sure & vs.toSet, in.cls.filter(kv => vs.contains(kv._1)))
+        outVs.toSet, in.sure & outVs.toSet,
+        in.cls.filter(kv => outVs.contains(kv._1)))
 
     case Distinct(inner) =>
       val in = translate(inner, src, ctx)
@@ -839,35 +848,58 @@ object Translator {
       Sol(in.df.distinct(), in.vars, in.sure, in.cls)
 
     case Slice(inner, offset, limit) =>
-      val in = translate(inner, src, ctx)
-      var df = in.df
-      if (offset > 0) df = df.offset(offset.toInt)
-      if (limit >= 0) df = df.limit(limit.toInt)
-      Sol(df, in.vars, in.sure, in.cls)
+      // Inside GRAPH ?g the subselect evaluates per named graph
+      // (§18.2.2.3), so OFFSET/LIMIT apply PER GRAPH — a row_number
+      // window over the graph variable, ordered by the subselect's own
+      // sort keys (arbitrary-but-valid pick when it has none), replaces
+      // the global slice.
+      val perGraph = ctx match {
+        case VarG(gv) => Some(gv)
+        case _ => None
+      }
+      val (sortKeys, core) = inner match {
+        case OrderBy(i, ks) => (ks, i)
+        case i => (Nil, i)
+      }
+      perGraph match {
+        case Some(gv) =>
+          val in = translate(core, src, ctx)
+          if (!in.vars(gv)) {
+            // graph var never bound below (pattern-free body) — the
+            // global slice is the status-quo fallback
+            val ordered =
+              if (sortKeys.nonEmpty)
+                in.df.orderBy(sortColumns(in, core, sortKeys): _*)
+              else in.df
+            var df = ordered
+            if (offset > 0) df = df.offset(offset.toInt)
+            if (limit >= 0) df = df.limit(limit.toInt)
+            Sol(df, in.vars, in.sure, in.cls)
+          } else {
+            import org.apache.spark.sql.expressions.Window
+            val w0 = Window.partitionBy(col(gv))
+            val w =
+              if (sortKeys.nonEmpty)
+                w0.orderBy(sortColumns(in, core, sortKeys): _*)
+              else w0.orderBy(lit(1))
+            val hi =
+              if (limit >= 0) col("__rn") <= lit(offset + limit) else lit(true)
+            Sol(in.df.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") > lit(offset) && hi).drop("__rn"),
+              in.vars, in.sure, in.cls)
+          }
+        case None =>
+          val in = translate(inner, src, ctx)
+          var df = in.df
+          if (offset > 0) df = df.offset(offset.toInt)
+          if (limit >= 0) df = df.limit(limit.toInt)
+          Sol(df, in.vars, in.sure, in.cls)
+      }
 
     case OrderBy(inner, keys) =>
       val in = translate(inner, src, ctx)
-      val sortCols = keys.map { case (e, asc) =>
-        val k = e match {
-          // static term-class shortcut (sparopt type-inference spirit):
-          // a var bound only in subject/predicate/graph positions can
-          // never be a literal, so the numeric/temporal/datatype ranks
-          // are dead code — order by (class, lex) alone
-          case EVar(v) if in.vars(v) && iriOnly(inner, v) =>
-            struct(
-              when(col(v).isNull, 0)
-                .when(col(v)("kind") === Term.BlankKind, 1)
-                .otherwise(2).as("cls"),
-              coalesce(col(v)("lex"), lit("")).as("lex"))
-          // inferred value class prunes the dead rank branches (VNum
-          // drops the temporal regex tree from measure sorts)
-          case EVar(v) if in.vars(v) && in.cls.contains(v) =>
-            sortKey(col(v), in.cls.get(v))
-          case _ => sortKey(SparqlExpr.compile(e, in.bind, in.hint))
-        }
-        if (asc) k.asc else k.desc
-      }
-      Sol(in.df.orderBy(sortCols: _*), in.vars, in.sure, in.cls)
+      Sol(in.df.orderBy(sortColumns(in, inner, keys): _*),
+        in.vars, in.sure, in.cls)
 
     case Group(inner, keys, aggs) =>
       translateGroup(inner, keys, aggs, src, ctx)
@@ -1029,9 +1061,44 @@ object Translator {
     sortKey(t).getField("dt").as("dt"),
     sortKey(t).getField("lang").as("lang"))
 
+  /** ORDER BY key columns for a translated solution (shared by the
+    * OrderBy case and the per-graph Slice window).
+    */
+  private def sortColumns(in: Sol, inner: GraphPattern,
+      keys: Seq[(Expr, Boolean)]): Seq[Column] =
+    keys.map { case (e, asc) =>
+      val k = e match {
+        // static term-class shortcut (sparopt type-inference spirit):
+        // a var bound only in subject/predicate/graph positions can
+        // never be a literal, so the numeric/temporal/datatype ranks
+        // are dead code — order by (class, lex) alone
+        case EVar(v) if in.vars(v) && iriOnly(inner, v) =>
+          struct(
+            when(col(v).isNull, 0)
+              .when(col(v)("kind") === Term.BlankKind, 1)
+              .otherwise(2).as("cls"),
+            coalesce(col(v)("lex"), lit("")).as("lex"))
+        // inferred value class prunes the dead rank branches (VNum
+        // drops the temporal regex tree from measure sorts)
+        case EVar(v) if in.vars(v) && in.cls.contains(v) =>
+          sortKey(col(v), in.cls.get(v))
+        case _ => sortKey(SparqlExpr.compile(e, in.bind, in.hint))
+      }
+      if (asc) k.asc else k.desc
+    }
+
   private def translateGroup(inner: GraphPattern, keys: Seq[String],
-      aggs: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol =
-    groupAggregate(translate(inner, src, ctx), keys, aggs)
+      aggs: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol = {
+    val in = translate(inner, src, ctx)
+    // Inside GRAPH ?g the pattern evaluates once PER named graph
+    // (§18.2.2.3), so an aggregate written there groups per graph — the
+    // graph variable joins the keys implicitly.
+    val keys2 = ctx match {
+      case VarG(gv) if !keys.contains(gv) && in.vars(gv) => keys :+ gv
+      case _ => keys
+    }
+    groupAggregate(in, keys2, aggs)
+  }
 
   /** Aggregation core over an existing solution. `wrap` guards each
     * aggregate input (and the COUNT(*) row marker) — the per-binding

@@ -89,6 +89,84 @@ object Events {
         max("duration_sec").as("max_duration_sec"))
   }
 
+  /** One closed session, as emitted by [[sessionsStateful]]. */
+  final case class SessionRow(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Int)
+
+  /** Per-user sessionizer state: current-session bounds + count. */
+  final case class SessState(start: Long, last: Long, n: Int)
+
+  /** Custom stateful sessionization through
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` — the custom-state
+    * streaming surface (same 30-min gap rule as [[sessions]], emitting
+    * one row PER closed session instead of per-user summaries).
+    *
+    * Streaming: state carries the open session per user; an
+    * EventTimeTimeout at (last event + gap) flushes idle sessions once
+    * the watermark passes them, so output is append-mode and exactly
+    * the gap-closed sessions. Batch: Spark invokes the function once
+    * per group with all rows and timeouts never fire, so
+    * `flushAtEnd = true` emits the residual open session, making the
+    * batch run EQUAL to the window-based [[sessions]] decomposition
+    * (asserted in StreamingSpec).
+    *
+    * State size is O(1) per active user — the scale story for
+    * sessionizing an unbounded stream that a window-function pass
+    * (which needs the whole history per user) cannot give.
+    */
+  def sessionsStateful(events: DataFrame, flushAtEnd: Boolean = false,
+      watermarkDelay: String = "1 second")
+      : org.apache.spark.sql.Dataset[SessionRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gap = SessionGapNs
+    def fn(uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[SessState]): Iterator[SessionRow] = {
+      var out = List.empty[SessionRow]
+      var st = state.getOption
+      if (state.hasTimedOut) {
+        st.foreach(s => out ::= SessionRow(uid, s.start, s.last, s.n))
+        state.remove()
+        st = None
+      } else {
+        val sorted = rows.map(_._2).toArray.sorted
+        for (t <- sorted) st match {
+          case Some(s) if t - s.last <= gap =>
+            st = Some(SessState(s.start, t, s.n + 1))
+          case Some(s) =>
+            out ::= SessionRow(uid, s.start, s.last, s.n)
+            st = Some(SessState(t, t, 1))
+          case None => st = Some(SessState(t, t, 1))
+        }
+        if (flushAtEnd) {
+          st.foreach(s => out ::= SessionRow(uid, s.start, s.last, s.n))
+        } else st.foreach { s =>
+          state.update(s)
+          // event-time timeout in ms: fires once the watermark passes
+          // the session's gap horizon
+          state.setTimeoutTimestamp((s.last + gap) / 1000000L)
+        }
+      }
+      out.reverse.iterator
+    }
+    // the event-time column must be attached (withWatermark) AND kept
+    // through the stateful operator's input for EventTimeTimeout; batch
+    // runs skip the watermark (no-op there)
+    val withEvt = events
+      .select(col("user_id").cast(LongType).as("user_id"),
+        col("ts").cast(LongType).as("ts"),
+        timestamp_micros(expr("ts div 1000")).as("__evt"))
+    val marked =
+      if (events.isStreaming) withEvt.withWatermark("__evt", watermarkDelay)
+      else withEvt
+    marked.as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Funnel analysis: signup -> purchase conversion within one hour,
     * computed with a single user-partitioned window pass (next-purchase
     * timestamp via a forward-looking min), not per-row subqueries.

@@ -87,6 +87,38 @@ object TextOps {
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Corpus collocations by PMI (Church & Hanks, CL 1990 — public):
+    * adjacent-token bigram counts against unigram counts. All counting
+    * is integer-exact; `lift` = p(ab) / (p(a)·p(b)) is pure IEEE
+    * arithmetic in ONE fixed evaluation order (bit-reproducible across
+    * engines — quantize it, not the log), `pmi` = log2(lift) for
+    * callers. Exchanges carry tokens and bigrams, never documents; the
+    * corpus-total factors join in as broadcast 1-row aggregates, not
+    * driver-side collects. `minCount` drops hapax pairs (standard —
+    * keeps the PMI tail stable).
+    */
+  def collocations(doc: DataFrame, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val toks = doc.select(explode(tokens(col(textCol))).as("t"))
+    val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val bg = doc
+      .select(explode(ngrams(tokens(col(textCol)), 2)).as("bg"))
+      .select(split(col("bg"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("a"),
+        element_at(col("p"), 2).as("b"))
+    val nBg = bg.agg(count(lit(1)).as("n_bg"))
+    val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val lift = (col("n_ab").cast(DoubleType) * col("n_tok") * col("n_tok")) /
+      (col("n_bg").cast(DoubleType) * col("n_a") * col("n_b"))
+    bc.join(uni.select(col("t").as("a"), col("c").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("n_b")), "b")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        lift.as("lift"), log2(lift).as("pmi"))
+  }
+
   /** Per-document token familiarity against the corpus unigram table:
     * average / min / max corpus frequency of the document's tokens. The
     * rare-token density this exposes is the classic OCR-noise / gibberish

@@ -505,6 +505,16 @@ object Pipeline {
           floor(col("score") * 1e6 + 0.5).cast("long").as("score_u6"),
           floor(col("prob") * 1e4 + 0.5).cast("long").as("prob_u4"))
         .orderBy(col("doc_id"))
+    },
+
+    // PMI collocations: top bigrams by count; lift is pure IEEE
+    // arithmetic so the quantization carries no transcendental
+    "ts24_collocations" -> { (s, dir) =>
+      TextOps.collocations(docs(s, dir), 5)
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          floor(col("lift") * 1e6 + 0.5).cast("long").as("lift_u6"))
+        .orderBy(col("n_ab").desc, col("a"), col("b"))
+        .limit(100)
     })
 
   val oracle: Map[String, String] = Map(
@@ -1015,5 +1025,22 @@ object Pipeline {
         SELECT doc_id,
           CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_u6,
           CAST(floor((1.0 / (1.0 + exp(-score))) * 10000.0 + 0.5) AS BIGINT) AS prob_u4
-        FROM sc ORDER BY doc_id""")
+        FROM sc ORDER BY doc_id""",
+    // lift in the same fixed multiply/divide order as the Spark column
+    "ts24_collocations" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+        tok AS (SELECT unnest(ws) t FROM w),
+        uni AS (SELECT t, count(*) c FROM tok GROUP BY t),
+        n AS (SELECT count(*) AS n_tok FROM tok),
+        bg AS (SELECT ws[i] AS a, ws[i+1] AS b
+               FROM w, unnest(generate_series(1, len(ws)-1)) AS u(i)),
+        nb AS (SELECT count(*) AS n_bg FROM bg),
+        bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b
+               HAVING count(*) >= 5)
+        SELECT a, b, n_ab, ua.c AS n_a, ub.c AS n_b,
+          CAST(floor((CAST(n_ab AS DOUBLE) * n.n_tok * n.n_tok) /
+            (CAST(nb.n_bg AS DOUBLE) * ua.c * ub.c) * 1000000.0 + 0.5)
+            AS BIGINT) AS lift_u6
+        FROM bc JOIN uni ua ON bc.a = ua.t JOIN uni ub ON bc.b = ub.t, n, nb
+        ORDER BY n_ab DESC, a, b LIMIT 100""")
 }

@@ -796,6 +796,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.forall(x => x.getDouble(2) > 0 && x.getDouble(2) < 1))
   }
 
+  test("collocations: exact counts, IEEE-exact lift, PMI consistent") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // n_tok = 7, n_bg = 5; c(a) = c(b) = 3; c(ab) = 3
+    val r = TextOps.collocations(tiny, minCount = 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) == (("a", "b")))
+    assert(row.getLong(2) == 3 && row.getLong(3) == 3 && row.getLong(4) == 3)
+    val lift = (3.0 * 7 * 7) / (5.0 * 3 * 3)
+    assert(row.getDouble(5) == lift, "lift must be IEEE-exact")
+    assert(math.abs(row.getDouble(6) - math.log(lift) / math.log(2)) < 1e-12)
+  }
+
   test("span invariants hold on the real corpus") {
     val st = Dedup.spanStats(docs, 8).collect()
     assert(st.forall(r => r.getLong(2) <= r.getInt(3)),

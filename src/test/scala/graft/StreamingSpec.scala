@@ -89,4 +89,38 @@ class StreamingSpec extends AnyFunSuite {
         s"stream dedup should restore unique events: got $got, want $expected")
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionizer: batch parity + streaming close") {
+    import org.apache.spark.sql.functions._
+    // batch leg: flushAtEnd makes the stateful fold equal the
+    // window-function decomposition exactly
+    val ev = Events.read(spark, sf)
+    val statefulSumm = Events.sessionsStateful(ev, flushAtEnd = true)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val viaWindows = Events.sessions(ev)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assert(statefulSumm.except(viaWindows).count() == 0 &&
+      viaWindows.except(statefulSumm).count() == 0,
+      "stateful fold must equal window sessionization")
+
+    // streaming leg: event-time timeouts close idle sessions as the
+    // watermark passes them; emitted sessions are a nonempty subset of
+    // the batch result over the SAME micro-truncated timestamps
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", unix_micros(tsMicro) * lit(1000L))
+    val q = Events.sessionsStateful(stream.toDF(), flushAtEnd = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_sessions_state").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("ev_sessions_state")
+      val evMicro = ev.withColumn("ts", expr("(ts div 1000) * 1000"))
+      val batchAll = Events.sessionsStateful(evMicro, flushAtEnd = true).toDF()
+      assert(emitted.count() > 0, "watermark must close some sessions")
+      assert(emitted.except(batchAll).count() == 0,
+        "every emitted session must be a batch gap-session")
+    } finally q.stop()
+  }
 }
