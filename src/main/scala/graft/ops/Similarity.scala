@@ -305,15 +305,19 @@ object Similarity {
     // candidate work scales by assign², the recall knob next to nlist.
     val scored = transform(centScores(cents, col("embedding"), col("norm2")),
       s => nstruct("s" -> s("s"), "nid" -> -s("id")))
-    // persist: both self-join sides read the assignment — without it the
-    // nlist-way argmax fold re-runs per branch (dd2/dd3 discipline)
-    val assigned = withNorm(emb)
-      .withColumn("list_id",
-        explode(transform(
-          slice(sort_array(scored, asc = false), 1, assign),
-          s => -s("nid"))))
-      .select(col("vec_id"), col("embedding"), col("norm2"), col("list_id"))
+    // persist BEFORE the explode: Generate re-evaluates a non-trivial
+    // generator once per OUTPUT row (the dd15 lesson), so the nlist-way
+    // scoring fold must land in the cache as an `assign`-element array
+    // and the explode read the stored column; both self-join sides then
+    // share the materialized assignment (dd2/dd3 discipline)
+    val assignedArr = withNorm(emb)
+      .withColumn("__lists", transform(
+        slice(sort_array(scored, asc = false), 1, assign),
+        s => -s("nid")))
+      .select(col("vec_id"), col("embedding"), col("norm2"), col("__lists"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignedArr.select(col("vec_id"), col("embedding"),
+      col("norm2"), explode(col("__lists")).as("list_id"))
     val a = assigned.select(col("list_id"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("norm2").as("na"))
     val b = assigned.select(col("list_id"), col("vec_id").as("vb"),
