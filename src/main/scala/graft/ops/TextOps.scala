@@ -358,6 +358,37 @@ object TextOps {
     * decimals for bits, 4 for perplexity) so the one transcendental
     * (log2) is ulp-stable across engines — the ts12 BM25 rule.
     */
+  /** Cross-corpus perplexity (the CCNet wiki-LM quality signal —
+    * Wenzek et al., LREC 2020, public): per-document perplexity under a
+    * unigram LM trained on a REFERENCE corpus, add-one smoothed over
+    * the reference vocabulary (every unseen token shares one OOV
+    * bucket, so the measure is total). Low = in-domain. Same dataflow
+    * as [[unigramPerplexity]], but the distribution joins in from
+    * `ref`: a vocabulary-sized count table (broadcastable at scale) +
+    * one broadcast 1-row total — documents themselves never shuffle,
+    * the per-doc aggregation is the only corpus-side exchange.
+    */
+  def crossPerplexity(doc: DataFrame, ref: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toks =
+      doc.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val counts = ref.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val stats = counts.agg(sum("freq").as("n_ref"),
+      count(lit(1)).as("v_ref"))
+    toks.join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__p",
+        (coalesce(col("freq"), lit(0L)) + 1).cast(DoubleType) /
+          (col("n_ref") + col("v_ref") + 1).cast(DoubleType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(log2(col("__p"))) / count(lit(1))).as("h"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("h").as("cross_entropy_bits"),
+        pow(lit(2.0), col("h")).as("perplexity"))
+  }
+
   def unigramPerplexity(doc: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = doc.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val unigram = toks.groupBy("tok").agg(count(lit(1)).as("freq"))

@@ -507,6 +507,18 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // cross-corpus perplexity: every doc scored under a unigram LM
+    // trained on the English slice (CCNet wiki-LM signal shape)
+    "ts25_cross_perplexity" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextOps.crossPerplexity(d, d.where(col("lang") === "en"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("cross_entropy_bits") * 1e6 + 0.5).cast("long")
+            .as("h_u6"),
+          floor(col("perplexity") * 1e4 + 0.5).cast("long").as("ppl_u4"))
+        .orderBy(col("doc_id"))
+    },
+
     // PMI collocations: top bigrams by count; lift is pure IEEE
     // arithmetic so the quantization carries no transcendental
     "ts24_collocations" -> { (s, dir) =>
@@ -1042,5 +1054,23 @@ object Pipeline {
             (CAST(nb.n_bg AS DOUBLE) * ua.c * ub.c) * 1000000.0 + 0.5)
             AS BIGINT) AS lift_u6
         FROM bc JOIN uni ua ON bc.a = ua.t JOIN uni ub ON bc.b = ub.t, n, nb
-        ORDER BY n_ab DESC, a, b LIMIT 100""")
+        ORDER BY n_ab DESC, a, b LIMIT 100""",
+    // same add-one-smoothed unigram LM; floor-quantized like ts23
+    "ts25_cross_perplexity" ->
+      """WITH rt AS (SELECT unnest(string_split(text,' ')) t FROM documents
+          WHERE lang = 'en'),
+        c AS (SELECT t, count(*) f FROM rt GROUP BY t),
+        st AS (SELECT CAST(sum(f) AS BIGINT) AS n_ref,
+               CAST(count(*) AS BIGINT) AS v_ref FROM c),
+        dt AS (SELECT doc_id, unnest(string_split(text,' ')) t FROM documents),
+        j AS (SELECT doc_id,
+          CAST(coalesce(c.f, 0) + 1 AS DOUBLE) /
+            CAST(st.n_ref + st.v_ref + 1 AS DOUBLE) AS p
+          FROM dt LEFT JOIN c ON dt.t = c.t, st)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(floor((-sum(log2(p)) / count(*)) * 1000000.0 + 0.5)
+            AS BIGINT) AS h_u6,
+          CAST(floor(pow(2.0, -sum(log2(p)) / count(*)) * 10000.0 + 0.5)
+            AS BIGINT) AS ppl_u4
+        FROM j GROUP BY doc_id ORDER BY doc_id""")
 }

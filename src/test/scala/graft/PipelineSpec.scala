@@ -796,6 +796,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.forall(x => x.getDouble(2) > 0 && x.getDouble(2) < 1))
   }
 
+  test("cross perplexity: exact smoothed entropy on a tiny corpus") {
+    import spark.implicits._
+    val ref = Seq((10L, "a a b")).toDF("doc_id", "text")
+    val d = Seq((1L, "a c")).toDF("doc_id", "text")
+    // n_ref = 3, v_ref = 2, denom = 6; p(a) = 3/6, p(c OOV) = 1/6
+    val h = -(math.log(3.0 / 6) / math.log(2) +
+      math.log(1.0 / 6) / math.log(2)) / 2
+    val r = TextOps.crossPerplexity(d, ref).head
+    assert(r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - h) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.pow(2, h)) < 1e-12)
+  }
+
   test("collocations: exact counts, IEEE-exact lift, PMI consistent") {
     import spark.implicits._
     val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
