@@ -17,11 +17,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Deterministic (ordered-fold) double dot product of two float arrays. */
+  /** Deterministic (ordered-fold) double dot product of two float
+    * arrays. Native codegen'd expression — the HOF formulation
+    * (aggregate over zip_with) is CodegenFallback and ran interpreted
+    * at 12–28 µs per 64-dim product; [[graft.expr.DotSeq]] does the
+    * bit-identical arithmetic in a primitive loop (GoldenSpec locks
+    * byte-exact outputs across the swap).
+    */
   def dotSeq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expr.DotSeq.dotCol(a, b)
 
   /** Cosine similarity as a deterministic double. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
@@ -116,6 +120,33 @@ object Similarity {
     transform(arr, c => nstruct(
       "s" -> cosine(e, c("vec"), norm2, c("n2")), "id" -> c("id")))
   }
+
+  /** Top-`k` list ids per row (highest cosine first, ties to lowest
+    * id), CHUNKED so centroid counts past a few hundred don't build one
+    * giant compiled expression: each 256-centroid chunk scores and
+    * keeps its own top-k in its own subtree, then the per-chunk winners
+    * merge with one small sort — still pure map-side, nothing shuffles
+    * the corpus, and per-chunk top-k == global top-k because k is at
+    * most the chunk size. Raises the practical nlist ceiling ~16×
+    * (the 100× scale leg caught the old 1024 cap letting cluster sizes
+    * — and therefore quadratic within-cluster pair work — grow past
+    * the linear-work target).
+    */
+  private[graft] def topStructs(cents: Seq[Centroid], e: Column, norm2: Column,
+      k: Int): Column = {
+    require(k <= 256, s"topStructs: k=$k exceeds the chunk size")
+    val chunks = cents.grouped(256).toSeq.map { c =>
+      slice(sort_array(transform(centScores(c, e, norm2),
+        s => nstruct("s" -> s("s"), "nid" -> -s("id"))), asc = false),
+        1, k)
+    }
+    if (chunks.length == 1) chunks.head
+    else slice(sort_array(concat(chunks: _*), asc = false), 1, k)
+  }
+
+  private[graft] def topLists(cents: Seq[Centroid], e: Column, norm2: Column,
+      k: Int): Column =
+    transform(topStructs(cents, e, norm2, k), s => -s("nid"))
 
   /** Argmax list id (highest cosine, ties to lowest id) as a codegen'd
     * sequential fold — the per-row work replacing the old
@@ -290,30 +321,29 @@ object Similarity {
     // n · targetClusterSize · assign², linear in n (default 256 ≈ the
     // paper's ~320 docs/cluster). The count() here is
     // a cheap metadata-scale action against the (columnar) source.
-    // Ceiling 1024: centroids compile into the assignment expression
-    // (nlist · dim literals); past a few thousand the codegen unit gets
-    // too large — at that scale switch to a broadcast centroid table.
+    // Ceiling 4096: centroids compile into the assignment expression
+    // in 256-centroid CHUNKS (see topLists), so the per-subtree codegen
+    // stays bounded; past this, switch to a broadcast centroid table
+    // (or the PQ path) — the ceiling exists so cluster sizes, and with
+    // them the quadratic within-cluster pair work, stay near target.
     val n = emb.count()
-    val effNlist = math.min(1024L,
+    val effNlist = math.min(4096L,
       math.max(nlist.toLong, n / targetClusterSize)).toInt
     val cents = ivfCentroidsLocal(emb, effNlist, refineIters)
-    // soft assignment to the `assign` nearest centroids (the multi-probe
-    // trick from the IVF query path, applied to BOTH sides): a pair
-    // whose members sit just across a cluster boundary still meets in
-    // the boundary cluster. Map-side sort/slice/explode of the compiled
-    // centroid scores — the corpus still never shuffles for assignment;
-    // candidate work scales by assign², the recall knob next to nlist.
-    val scored = transform(centScores(cents, col("embedding"), col("norm2")),
-      s => nstruct("s" -> s("s"), "nid" -> -s("id")))
     // persist BEFORE the explode: Generate re-evaluates a non-trivial
     // generator once per OUTPUT row (the dd15 lesson), so the nlist-way
     // scoring fold must land in the cache as an `assign`-element array
     // and the explode read the stored column; both self-join sides then
     // share the materialized assignment (dd2/dd3 discipline)
+    // soft assignment to the `assign` nearest centroids (the multi-probe
+    // trick from the IVF query path, applied to BOTH sides): a pair
+    // whose members sit just across a cluster boundary still meets in
+    // the boundary cluster. Chunked map-side top-k — the corpus still
+    // never shuffles for assignment; candidate work scales by assign²,
+    // the recall knob next to nlist.
     val assignedArr = withNorm(emb)
-      .withColumn("__lists", transform(
-        slice(sort_array(scored, asc = false), 1, assign),
-        s => -s("nid")))
+      .withColumn("__lists",
+        topLists(cents, col("embedding"), col("norm2"), assign))
       .select(col("vec_id"), col("embedding"), col("norm2"), col("__lists"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = assignedArr.select(col("vec_id"), col("embedding"),

@@ -796,6 +796,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.forall(x => x.getDouble(2) > 0 && x.getDouble(2) < 1))
   }
 
+  test("DotSeq native expression: value, length, null, empty contract") {
+    import spark.implicits._
+    val one = Seq(1).toDF("x")
+    def d(a: String, b: String) = one.select(Similarity.dotSeq(
+      expr(a).cast("array<float>"), expr(b).cast("array<float>")))
+    assert(d("array(1.0, 2.0)", "array(3.0, 4.0)").head.getDouble(0) == 11.0)
+    assert(d("array(1.0)", "array(1.0, 2.0)").head.isNullAt(0),
+      "length mismatch must be NULL (zip_with padding semantics)")
+    assert(d("array(1.0, cast(null as float))", "array(1.0, 2.0)")
+      .head.isNullAt(0), "null element must be NULL")
+    assert(d("array()", "array()").head.getDouble(0) == 0.0)
+    // bit-identical to the legacy HOF fold it replaced
+    val legacy = aggregate(zip_with(
+      expr("array(0.1, -2.3, 7.7)").cast("array<float>"),
+      expr("array(1.5, 0.33, -9.1)").cast("array<float>"),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val row = one.select(Similarity.dotSeq(
+      expr("array(0.1, -2.3, 7.7)").cast("array<float>"),
+      expr("array(1.5, 0.33, -9.1)").cast("array<float>")).as("n"),
+      legacy.as("l")).head
+    assert(row.getDouble(0) == row.getDouble(1), "must match the HOF fold bit-for-bit")
+  }
+
   test("cross perplexity: exact smoothed entropy on a tiny corpus") {
     import spark.implicits._
     val ref = Seq((10L, "a a b")).toDF("doc_id", "text")
