@@ -645,6 +645,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
       .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tok"))
 
+  /** Containment dedup (full-document substring containment — the
+    * news-wire / syndication case): pairs (inner_id, outer_id) where
+    * inner's whole token sequence appears verbatim, token-aligned,
+    * inside outer. Candidate rule: inner's FIRST k-gram key must occur
+    * among outer's gram keys — exact whenever inner has >= k tokens
+    * (the documented minimum inner length); verification is ONE
+    * boundary-padded substring test per candidate pair. Equal texts
+    * contain each other, so exact dups emit both directions.
+    *
+    * Scale shape: candidate generation joins one head gram per doc
+    * against the gram relation on 8-byte keys; full texts move only for
+    * verified-candidate pairs.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = gramKeyRows(docs, k)
+    val heads = grams.where(col("pos") === 0)
+      .select(col("g"), col("doc_id").as("inner_id"),
+        col("n_tok").as("__ni"))
+    val cands = heads
+      .join(grams.select(col("g"), col("doc_id").as("outer_id"),
+        col("n_tok").as("__no")), "g")
+      .where(col("inner_id") =!= col("outer_id") &&
+        col("__ni") <= col("__no"))
+      .select("inner_id", "outer_id").distinct()
+    val t = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(t.select(col("doc_id").as("inner_id"), col("text").as("__ti")),
+        "inner_id")
+      .join(t.select(col("doc_id").as("outer_id"), col("text").as("__to")),
+        "outer_id")
+      .where(contains(concat(lit(" "), col("__to"), lit(" ")),
+        concat(lit(" "), col("__ti"), lit(" "))))
+      .select(col("inner_id"), col("outer_id"))
+  }
+
   /** Remove duplicated spans keeping the earliest copy: for every
     * duplicated gram, the minimum doc_id containing it keeps its text;
     * every other document drops the tokens covered by that gram's

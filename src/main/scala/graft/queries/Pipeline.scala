@@ -495,6 +495,12 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // containment dedup: docs fully (token-aligned) inside another doc
+    "dd17_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), 8)
+        .orderBy(col("inner_id"), col("outer_id"))
+    },
+
     // model-based quality filtering: fixed-weight logistic over
     // interpretable features (CCNet / GPT-3 quality-filter shape).
     // Quantized via exact integer floor(x*1e6+0.5) — engine round()
@@ -1055,6 +1061,14 @@ object Pipeline {
             AS BIGINT) AS lift_u6
         FROM bc JOIN uni ua ON bc.a = ua.t JOIN uni ub ON bc.b = ub.t, n, nb
         ORDER BY n_ab DESC, a, b LIMIT 100""",
+    // token-boundary containment: boundary padding rejects char-level
+    // mid-token matches; equal texts emit both directions
+    "dd17_containment" ->
+      """SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+        FROM documents a JOIN documents b
+        ON a.doc_id != b.doc_id
+        AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0
+        ORDER BY inner_id, outer_id""",
     // same add-one-smoothed unigram LM; floor-quantized like ts23
     "ts25_cross_perplexity" ->
       """WITH rt AS (SELECT unnest(string_split(text,' ')) t FROM documents

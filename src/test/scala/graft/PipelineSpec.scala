@@ -796,6 +796,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.forall(x => x.getDouble(2) > 0 && x.getDouble(2) < 1))
   }
 
+  test("containment: token-aligned only, both directions for equals") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "pre w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 post"),   // contains 1
+      (3L, "xw1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),           // char-level trap
+      (4L, "a1 a2 a3 a4 a5"),
+      (5L, "a1 a2 a3 a4 a5"))                             // equal: both ways
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(tiny, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (4L, 5L), (5L, 4L)),
+      s"boundary padding must reject the mid-token match; got $got")
+  }
+
   test("DotSeq native expression: value, length, null, empty contract") {
     import spark.implicits._
     val one = Seq(1).toDF("x")
