@@ -29,9 +29,22 @@ object PathExec {
 
   /** Max fixpoint iterations (graph diameter bound); matches the spirit of
     * the reference's recursion limits without changing semantics for any
-    * graph with diameter below the cap.
+    * graph with diameter below the cap. Overridable per session via
+    * `graft.path.maxIterations`. Hitting the cap with a non-empty
+    * frontier RAISES — an incomplete closure is a silent wrong answer,
+    * never an acceptable truncation (same discipline as the connected-
+    * components cap in [[graft.ops.Dedup]]).
     */
   val MaxIterations = 64
+
+  private def maxIters(df: DataFrame): Int =
+    df.sparkSession.conf
+      .get("graft.path.maxIterations", MaxIterations.toString).toInt
+
+  private def raiseCap(cap: Int): Nothing =
+    throw new IllegalStateException(
+      s"property-path fixpoint did not converge in $cap iterations — " +
+        "graph diameter exceeds the cap; raise graft.path.maxIterations")
 
   /** A set of known endpoint terms restricting a path evaluation.
     *
@@ -274,7 +287,8 @@ object PathExec {
       .select(col("pg"), col("ps"), col("po")).distinct().localCheckpoint(true)
     var frontier = result
     var i = 1
-    while (i < MaxIterations && !frontier.isEmpty) {
+    val cap = maxIters(edges)
+    while (i < cap && !frontier.isEmpty) {
       val stepped = frontier.select(col("pg"), col("ps"), col("po").as("mid"))
         .join(edges.select(col("pg").as("pg2"), col("ps").as("mid2"),
           col("po")), col("mid") === col("mid2") && col("pg") === col("pg2"))
@@ -283,6 +297,7 @@ object PathExec {
       result = result.union(frontier).localCheckpoint(true)
       i += 1
     }
+    if (i >= cap && !frontier.isEmpty) raiseCap(cap)
     result
   }
 
@@ -294,7 +309,8 @@ object PathExec {
     var result = edges
     var frontier = edges
     var i = 0
-    while (i < MaxIterations && !frontier.isEmpty) {
+    val cap = maxIters(edges)
+    while (i < cap && !frontier.isEmpty) {
       val stepped = frontier.select(col("pg"), col("ps"), col("po").as("mid"))
         .join(edges.select(col("pg").as("pg2"), col("ps").as("mid2"),
           col("po")), col("mid") === col("mid2") && col("pg") === col("pg2"))
@@ -303,6 +319,7 @@ object PathExec {
       result = result.union(frontier).localCheckpoint(true)
       i += 1
     }
+    if (i >= cap && !frontier.isEmpty) raiseCap(cap)
     result
   }
 }

@@ -151,9 +151,15 @@ object QueryExec {
     }.reduce(_ unionByName _)
       .where(col("g").isNotNull && col("s").isNotNull &&
         col("p").isNotNull && col("o").isNotNull)
-      // ill-formed instantiations skipped, as in `instantiate` (§16.2.3)
+      // ill-formed instantiations skipped, as in `instantiate` (§16.2.3).
+      // The GRAPH slot is filtered too: the V(…) branch above already
+      // nulls non-IRI bindings, but the kind check here keeps a
+      // literal/quoted-triple graph term from ever emitting an invalid
+      // quad through any template branch.
       .where(col("s")("kind") =!= Term.LiteralKind &&
-        col("p")("kind") === Term.IriKind)
+        col("p")("kind") === Term.IriKind &&
+        col("g")("kind") =!= Term.LiteralKind &&
+        col("g")("kind") =!= Term.QuotedKind)
       .distinct()
   }
 

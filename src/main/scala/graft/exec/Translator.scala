@@ -853,47 +853,64 @@ object Translator {
       // window over the graph variable, ordered by the subselect's own
       // sort keys (arbitrary-but-valid pick when it has none), replaces
       // the global slice.
-      val perGraph = ctx match {
-        case VarG(gv) => Some(gv)
-        case _ => None
+      def globalSlice(): Sol = {
+        val in = translate(inner, src, ctx)
+        var df = in.df
+        if (offset > 0) df = df.offset(offset.toInt)
+        if (limit >= 0) df = df.limit(limit.toInt)
+        Sol(df, in.vars, in.sure, in.cls)
       }
-      val (sortKeys, core) = inner match {
-        case OrderBy(i, ks) => (ks, i)
-        case i => (Nil, i)
-      }
-      perGraph match {
-        case Some(gv) =>
+      ctx match {
+        case VarG(gv) =>
+          // The parser always builds Slice(Distinct?(Project(OrderBy(…))))
+          // for non-`SELECT *` subselects, so the ORDER BY is NOT Slice's
+          // direct child — peel the Distinct/Project shell down to it
+          // (same discipline as the LATERAL subselect-shell peel).
+          // Matching only a direct OrderBy child would lose the sort keys
+          // and the window below would order by lit(1): a correct-looking
+          // plan locally, but a NONDETERMINISTIC per-graph LIMIT once a
+          // hash exchange destroys the inner sort on a real cluster.
+          val (core, sortKeys, sliceProj, sliceDistinct) =
+            peelSliceShell(inner)
           val in = translate(core, src, ctx)
           if (!in.vars(gv)) {
             // graph var never bound below (pattern-free body) — the
-            // global slice is the status-quo fallback
-            val ordered =
-              if (sortKeys.nonEmpty)
-                in.df.orderBy(sortColumns(in, core, sortKeys): _*)
-              else in.df
-            var df = ordered
-            if (offset > 0) df = df.offset(offset.toInt)
-            if (limit >= 0) df = df.limit(limit.toInt)
-            Sol(df, in.vars, in.sure, in.cls)
+            // global slice over the untouched subtree is the fallback
+            globalSlice()
           } else {
             import org.apache.spark.sql.expressions.Window
+            // DISTINCT dedups BEFORE the slice. SPARQL restricts
+            // SELECT DISTINCT + ORDER BY to projected variables, so with
+            // DISTINCT the projection+dedup run first and the sort keys
+            // compile over the deduped rows; without it the window runs
+            // over the full rows (sort keys may use hidden vars) and the
+            // projection applies after the slice — row-identical.
+            def projectTo(s: Sol, dedup: Boolean): Sol = sliceProj match {
+              case Some(vs0) =>
+                val vs = if (!vs0.contains(gv) && s.vars(gv)) vs0 :+ gv
+                         else vs0
+                val df0 = s.df.select(vs.map(v =>
+                  (if (s.vars(v)) col(v) else nullTerm).as(v)): _*)
+                Sol(if (dedup) df0.distinct() else df0, vs.toSet,
+                  s.sure & vs.toSet, s.cls.filter(kv => vs.contains(kv._1)))
+              case None =>
+                if (dedup) Sol(s.df.distinct(), s.vars, s.sure, s.cls)
+                else s
+            }
+            val pre = if (sliceDistinct) projectTo(in, dedup = true) else in
             val w0 = Window.partitionBy(col(gv))
             val w =
               if (sortKeys.nonEmpty)
-                w0.orderBy(sortColumns(in, core, sortKeys): _*)
+                w0.orderBy(sortColumns(pre, core, sortKeys): _*)
               else w0.orderBy(lit(1))
             val hi =
               if (limit >= 0) col("__rn") <= lit(offset + limit) else lit(true)
-            Sol(in.df.withColumn("__rn", row_number().over(w))
+            val sliced = Sol(pre.df.withColumn("__rn", row_number().over(w))
               .where(col("__rn") > lit(offset) && hi).drop("__rn"),
-              in.vars, in.sure, in.cls)
+              pre.vars, pre.sure, pre.cls)
+            if (sliceDistinct) sliced else projectTo(sliced, dedup = false)
           }
-        case None =>
-          val in = translate(inner, src, ctx)
-          var df = in.df
-          if (offset > 0) df = df.offset(offset.toInt)
-          if (limit >= 0) df = df.limit(limit.toInt)
-          Sol(df, in.vars, in.sure, in.cls)
+        case _ => globalSlice()
       }
 
     case OrderBy(inner, keys) =>
@@ -1064,6 +1081,30 @@ object Translator {
   /** ORDER BY key columns for a translated solution (shared by the
     * OrderBy case and the per-graph Slice window).
     */
+  /** Peel a subselect's modifier shell down to its ORDER BY:
+    * `Slice(Distinct?(Project?(OrderBy(core))))` is the parser's
+    * canonical nesting, so Slice's sort keys live two levels down.
+    * Returns (core below the OrderBy, sort keys, projection vars,
+    * distinct?). Exposed for the plan-lock spec: losing the keys here
+    * silently degrades a per-graph ordered LIMIT to an arbitrary pick.
+    */
+  private[graft] def peelSliceShell(inner: GraphPattern)
+      : (GraphPattern, Seq[(Expr, Boolean)], Option[Seq[String]], Boolean) = {
+    var node = inner
+    var dist = false
+    var proj: Option[Seq[String]] = None
+    var keys: Seq[(Expr, Boolean)] = Nil
+    var peeling = true
+    while (peeling) node match {
+      case Distinct(i) if !dist && proj.isEmpty => dist = true; node = i
+      case Reduced(i) if !dist && proj.isEmpty => dist = true; node = i
+      case Project(i, vs) if proj.isEmpty => proj = Some(vs); node = i
+      case OrderBy(i, ks) => keys = ks; node = i; peeling = false
+      case _ => peeling = false
+    }
+    (node, keys, proj, dist)
+  }
+
   private def sortColumns(in: Sol, inner: GraphPattern,
       keys: Seq[(Expr, Boolean)]): Seq[Column] =
     keys.map { case (e, asc) =>
@@ -1097,7 +1138,31 @@ object Translator {
       case VarG(gv) if !keys.contains(gv) && in.vars(gv) => keys :+ gv
       case _ => keys
     }
-    groupAggregate(in, keys2, aggs)
+    ctx match {
+      case VarG(gv) if keys.isEmpty && in.vars(gv) =>
+        // An IMPLICIT group (no GROUP BY keys) evaluated per named graph
+        // must emit its empty-group row (COUNT=0, SUM=0, GROUP_CONCAT=""
+        // …) for every named graph with ZERO matching rows — grouping
+        // the row-carrying translation by ?g alone silently drops them.
+        // Pad one marked-null row per missing graph from the dataset's
+        // named-graph catalog and blank the aggregate inputs on it (the
+        // same padding-row trick as the per-binding LATERAL rewrite), so
+        // the engine's own empty-group semantics apply unchanged.
+        val catalog = src.all
+          .where(col("g")("kind") =!= Term.DefaultGraphKind)
+          .select(col("g").as(gv)).distinct()
+        val missing = catalog.join(in.df.select(col(gv)).distinct(),
+          Seq(gv), "left_anti")
+        val padCols = in.df.columns.toSeq.map(c =>
+          if (c == gv) col(gv) else nullTerm.as(c))
+        val padded = in.df.withColumn("__gmark", lit(true))
+          .unionByName(missing.select(padCols: _*)
+            .withColumn("__gmark", lit(null).cast("boolean")))
+        groupAggregate(Sol(padded, in.vars, in.sure, in.cls), keys2, aggs,
+          e => when(col("__gmark"), e))
+      case _ =>
+        groupAggregate(in, keys2, aggs)
+    }
   }
 
   /** Aggregation core over an existing solution. `wrap` guards each

@@ -559,11 +559,21 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Per-start-position k-gram key rows (doc_id, n_tok, pos, g): `pos`
-    * is 0-based, the window covers tokens [pos, pos+k-1], and `g` is
-    * xxhash64 over the k token hashes so every downstream exchange
-    * carries an 8-byte key instead of gram text. Hashing tokens once
-    * and combining longs halves the gram-build cost vs slicing and
-    * re-concatenating gram strings (measured).
+    * is 0-based, the window covers tokens [pos, pos+k-1], and `g` is a
+    * 128-BIT key — a struct of two INDEPENDENT 64-bit channels, each an
+    * xxhash64 over its own per-token hash stream (the second stream is
+    * salted at the token level, so a token-level collision must also
+    * hold on both channels to propagate). Every downstream exchange
+    * carries a 16-byte key instead of gram text.
+    *
+    * Why 128 bits: span REMOVAL deletes text on key equality alone, so
+    * a key collision deletes unrelated text. At 64 bits a trillion-gram
+    * corpus makes birthday collisions certain (n²/2⁶⁵ ≈ 2.7·10⁷
+    * expected colliding pairs at n=10¹²); at 128 bits the expectation
+    * is n²/2¹²⁹ ≈ 1.5·10⁻¹⁵ — negligible against hardware error rates.
+    * This keeps the linear no-pairwise-join dataflow intact (the
+    * alternative — verifying gram text per candidate — would shuffle
+    * ~k tokens of text per gram instead of 16 bytes).
     *
     * The gram array is PERSISTED before the explode — Generate
     * re-evaluates a non-trivial generator expression once per OUTPUT
@@ -575,14 +585,29 @@ object Dedup {
     * in [[duplicateSpans]]/[[removeDuplicateSpans]] (df aggregate +
     * join back) without recompute, the dd2/dd3 persist discipline.
     */
+  /** Token-level salt for the second gram-key hash channel — any fixed
+    * odd constant distinct from xxhash64's default seed path works; the
+    * point is that channel 2 is NOT a function of channel 1's output.
+    */
+  private val GramSalt = 0x9E3779B97F4A7C15L
+
+  private[graft] val gramKeyType: StructType = StructType(Seq(
+    StructField("h1", LongType), StructField("h2", LongType)))
+
   private[graft] def gramKeyRows(docs: DataFrame, k: Int): DataFrame = {
-    val th = docs.select(col("doc_id"),
-      transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
-    val arr = th.select(col("doc_id"), size(col("th")).as("n_tok"),
-      when(size(col("th")) < k, array().cast(ArrayType(LongType)))
-        .otherwise(transform(sequence(lit(0), size(col("th")) - k),
-          i => xxhash64((0 until k).map(j =>
-            element_at(col("th"), i + j + 1)): _*)))
+    val toks = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("__t"))
+    val th = toks.select(col("doc_id"),
+      transform(col("__t"), t => xxhash64(t)).as("th1"),
+      transform(col("__t"), t => xxhash64(lit(GramSalt), t)).as("th2"))
+    val arr = th.select(col("doc_id"), size(col("th1")).as("n_tok"),
+      when(size(col("th1")) < k, array().cast(ArrayType(gramKeyType)))
+        .otherwise(transform(sequence(lit(0), size(col("th1")) - k),
+          i => struct(
+            xxhash64((0 until k).map(j =>
+              element_at(col("th1"), i + j + 1)): _*).as("h1"),
+            xxhash64((0 until k).map(j =>
+              element_at(col("th2"), i + j + 1)): _*).as("h2"))))
         .as("gs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     arr.select(col("doc_id"), col("n_tok"),
@@ -648,27 +673,68 @@ object Dedup {
   /** Containment dedup (full-document substring containment — the
     * news-wire / syndication case): pairs (inner_id, outer_id) where
     * inner's whole token sequence appears verbatim, token-aligned,
-    * inside outer. Candidate rule: inner's FIRST k-gram key must occur
-    * among outer's gram keys — exact whenever inner has >= k tokens
-    * (the documented minimum inner length); verification is ONE
-    * boundary-padded substring test per candidate pair. Equal texts
-    * contain each other, so exact dups emit both directions.
+    * inside outer. Verification is ONE boundary-padded substring test
+    * per candidate pair; equal texts contain each other, so exact dups
+    * emit both directions.
     *
-    * Scale shape: candidate generation joins one head gram per doc
-    * against the gram relation on 8-byte keys; full texts move only for
-    * verified-candidate pairs.
+    * Candidate rule — RAREST gram, not head gram: every gram of a
+    * contained doc must occur among its container's grams, so any one
+    * of them is a valid (exact, no recall loss) probe key. Probing with
+    * the doc's globally rarest gram (minimal corpus occurrence count,
+    * earliest position as tiebreak) bounds each doc's candidate list by
+    * its own minimal df — a corpus-hot opening-boilerplate gram would
+    * otherwise carry df-sized candidate lists through the join (the
+    * skew lesson of [[ngramJaccardPairs]]'s df-cap, without the cap's
+    * lossiness).
+    *
+    * Short docs (< k tokens) emit no k-grams, so each short LENGTH that
+    * actually occurs gets its own pass: the whole token sequence is the
+    * inner key, matched against outer windows of that length. The
+    * length set is a metadata-scale driver collect (at most k-1
+    * values); a corpus with a min-length filter pays nothing. Empty
+    * inners (0 tokens) pad to two spaces and are containable only by
+    * outers that are empty or carry adjacent/edge whitespace — a
+    * filtered (output-sized) cross join covers them.
+    *
+    * Scale shape: candidate generation is gram-relation aggregates and
+    * joins on 16-byte keys (volume linear in corpus tokens); full texts
+    * move only for candidate pairs.
     */
   def containmentPairs(docs: DataFrame, k: Int = 8): DataFrame = {
     val grams = gramKeyRows(docs, k)
-    val heads = grams.where(col("pos") === 0)
+    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("__gdf"))
+    val probes = grams.join(dfTab, "g")
+      .groupBy("doc_id", "n_tok")
+      .agg(min_by(col("g"), struct(col("__gdf"), col("pos"))).as("g"))
       .select(col("g"), col("doc_id").as("inner_id"),
         col("n_tok").as("__ni"))
-    val cands = heads
+    val longCands = probes
       .join(grams.select(col("g"), col("doc_id").as("outer_id"),
         col("n_tok").as("__no")), "g")
       .where(col("inner_id") =!= col("outer_id") &&
         col("__ni") <= col("__no"))
-      .select("inner_id", "outer_id").distinct()
+      .select("inner_id", "outer_id")
+    val shortLens = docs
+      .select(size(TextOps.tokens(col("text"))).as("n"))
+      .where(col("n") > 0 && col("n") < k)
+      .distinct().collect().map(_.getInt(0)).sorted
+    val shortCands = shortLens.toSeq.map { n =>
+      val gn = gramKeyRows(docs, n)
+      gn.where(col("n_tok") === n && col("pos") === 0)
+        .select(col("g"), col("doc_id").as("inner_id"))
+        .join(gn.select(col("g"), col("doc_id").as("outer_id")), "g")
+        .where(col("inner_id") =!= col("outer_id"))
+        .select("inner_id", "outer_id")
+    }
+    val emptyCands = docs
+      .where(size(TextOps.tokens(col("text"))) === 0)
+      .select(col("doc_id").as("inner_id"))
+      .crossJoin(docs
+        .where(contains(concat(lit(" "), col("text"), lit(" ")), lit("  ")))
+        .select(col("doc_id").as("outer_id")))
+      .where(col("inner_id") =!= col("outer_id"))
+    val cands = (longCands +: shortCands :+ emptyCands)
+      .reduce(_ unionByName _).distinct()
     val t = docs.select(col("doc_id"), col("text"))
     cands
       .join(t.select(col("doc_id").as("inner_id"), col("text").as("__ti")),

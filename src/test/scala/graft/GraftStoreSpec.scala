@@ -37,6 +37,21 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("http://x/b"))
   }
 
+  test("ill-formed GRAPH slot bindings are skipped, not emitted (§16.2.3)") {
+    val st = sampleStore()
+    // ?g ranges over a literal and an IRI: only the IRI instantiation
+    // may produce a quad — a literal graph term would be an invalid quad
+    val st2 = st.update(
+      """INSERT { GRAPH ?g { <http://x/n> <http://x/p> <http://x/m> } }
+         WHERE { VALUES ?g { "notagraph" <http://x/ok> } }""")
+    assert(st2.size == st.size + 1)
+    val gs = st2.quads
+      .where(col("s")("lex") === "http://x/n")
+      .select(col("g")("kind"), col("g")("lex")).collect()
+    assert(gs.length == 1 && gs(0).getByte(0) == Term.IriKind &&
+      gs(0).getString(1) == "http://x/ok")
+  }
+
   test("update returns a new store; original unchanged") {
     val st = sampleStore()
     val st2 = st.update(

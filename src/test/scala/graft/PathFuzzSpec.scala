@@ -102,6 +102,35 @@ class PathFuzzSpec extends AnyFunSuite {
     assert(result.passed, s"path fuzz failed: ${result.status}")
   }
 
+  test("p+ fixpoint RAISES at the iteration cap instead of truncating") {
+    // diameter > cap: a silent exit here would return an incomplete
+    // closure — a wrong answer with no signal. The cap must be loud.
+    val p = "http://x/p"
+    val chain = (0 until 70).map(i => (node(i), p, node(i + 1)))
+    val quads = quadsDf(chain)
+    val ex = intercept[IllegalStateException] {
+      graft.exec.Translator.translate(
+        PathPattern(V("x"), POneOrMore(PLink(p)), V("y")), quads)
+        .df.count()
+    }
+    assert(ex.getMessage.contains("graft.path.maxIterations"))
+    // seeded variant hits the same cap
+    val ex2 = intercept[IllegalStateException] {
+      graft.exec.Translator.translate(
+        PathPattern(I(node(0)), POneOrMore(PLink(p)), V("y")), quads)
+        .df.count()
+    }
+    assert(ex2.getMessage.contains("did not converge"))
+    // raising the session cap completes the closure exactly
+    spark.conf.set("graft.path.maxIterations", "128")
+    try {
+      val n = graft.exec.Translator.translate(
+        PathPattern(I(node(0)), POneOrMore(PLink(p)), V("y")), quads)
+        .df.count()
+      assert(n == 70, s"expected the full 70-node tail, got $n")
+    } finally spark.conf.unset("graft.path.maxIterations")
+  }
+
   test("seeded evaluation with a bound endpoint equals filtered naive") {
     val prop = Prop.forAllNoShrink(genGraph, genPath(2), Gen.choose(0, 6),
       Gen.oneOf(true, false)) { (edges, path, k, boundSubj) =>

@@ -811,6 +811,61 @@ class PipelineSpec extends AnyFunSuite {
       s"boundary padding must reject the mid-token match; got $got")
   }
 
+  test("containment: short docs (< k tokens) are found, incl. equal pairs") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "x y"),                          // 2 tokens, contained in 3
+      (2L, "solo"),                         // 1 token, contained in 3
+      (3L, "a x y b solo c"),
+      (4L, "m n"), (5L, "m n"),             // equal short: both directions
+      (6L, "q r s"))                        // short but contained nowhere
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(tiny, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (2L, 3L), (4L, 5L), (5L, 4L)),
+      s"short-doc fallback missed/over-matched: $got")
+  }
+
+  test("containment: corpus-hot opening boilerplate does not defeat the probe") {
+    import spark.implicits._
+    // every doc OPENS with the same k tokens (head gram df = n) — the
+    // old head-gram probe made every doc a candidate of every other;
+    // the rarest-gram probe keys each doc on its unique tail instead.
+    // Only doc 1 is genuinely contained (doc 2 embeds it verbatim).
+    val tiny = Seq(
+      (1L, "legal header boiler plate u1 u2"),
+      (2L, "pre legal header boiler plate u1 u2 post"),
+      (3L, "legal header boiler plate v1 v2"),
+      (4L, "legal header boiler plate w1 w2"),
+      (5L, "legal header boiler plate z1 z2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(tiny, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
+  test("gram keys are 128-bit two-channel structs (span-removal safety)") {
+    import spark.implicits._
+    // removeDuplicateSpans deletes text on key equality alone, so the
+    // key MUST stay 128-bit (two independent channels): at 64 bits a
+    // trillion-gram corpus makes birthday collisions — and so wrong
+    // deletions — certain. Lock the schema so a regression to a single
+    // long fails here, not in production.
+    val g = Dedup.gramKeyRows(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), 4)
+    val gf = g.schema("g").dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+      case other => fail(s"gram key must be a struct, got $other")
+    }
+    assert(gf == Seq("h1", "h2"))
+    // the channels are independent hashes, not copies
+    val r = g.collect()
+    assert(r.nonEmpty && r.forall { row =>
+      val k = row.getStruct(row.fieldIndex("g"))
+      k.getLong(0) != k.getLong(1)
+    })
+  }
+
   test("DotSeq native expression: value, length, null, empty contract") {
     import spark.implicits._
     val one = Seq(1).toDF("x")

@@ -105,6 +105,70 @@ class PlansSpec extends AnyFunSuite {
     assert(got == Set("http://x/zzz"), s"got $got")
   }
 
+  test("peelSliceShell finds sort keys under the parser's Project shell") {
+    // The parser builds Slice(Distinct?(Project(OrderBy(…)))) for every
+    // non-`SELECT *` subselect — matching OrderBy only as Slice's direct
+    // child returns Nil sort keys, degrading a per-graph ordered LIMIT
+    // to an arbitrary pick after any exchange.
+    val bgp = Bgp(TriplePattern(V("s"), I("http://x/p"), V("x")))
+    val keys = Seq((EVar("x"): Expr, true))
+    val (core, ks, proj, dist) =
+      Translator.peelSliceShell(Project(OrderBy(bgp, keys), Seq("x")))
+    assert(ks == keys, "sort keys must survive the Project shell")
+    assert(proj == Some(Seq("x")) && !dist && core == bgp)
+    val (core2, ks2, _, dist2) = Translator.peelSliceShell(
+      Distinct(Project(OrderBy(bgp, keys), Seq("x"))))
+    assert(ks2 == keys && dist2 && core2 == bgp)
+  }
+
+  test("per-graph ordered LIMIT: real sort keys in the window, right rows") {
+    val g1 = Row(Term.IriKind.toByte, "http://x/g1", null, null)
+    val g2 = Row(Term.IriKind.toByte, "http://x/g2", null, null)
+    def l(v: String) =
+      Row(Term.LiteralKind.toByte, v, "http://www.w3.org/2001/XMLSchema#string", null)
+    val quads = spark.createDataFrame(
+      spark.sparkContext.parallelize(List(
+        Row(g1, t("http://x/s1"), t("http://x/p"), l("b")),
+        Row(g1, t("http://x/s2"), t("http://x/p"), l("a")),
+        Row(g2, t("http://x/s3"), t("http://x/p"), l("d")),
+        Row(g2, t("http://x/s4"), t("http://x/p"), l("c"))), 4),
+      Term.quadSchema)
+    val df = graft.parser.SparqlParser.execute(
+      """SELECT ?g ?x WHERE { GRAPH ?g {
+           SELECT ?x WHERE { ?s <http://x/p> ?x } ORDER BY ?x LIMIT 1
+         } }""", quads)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number"), s"expected a per-graph window:\n$plan")
+    assert(!plan.contains("1 ASC NULLS FIRST"),
+      s"window must order by the subselect's sort keys, not lit(1):\n$plan")
+    val got = df.collect()
+      .map(r => (r.getAs[Row]("g").getString(1),
+        r.getAs[Row]("x").getString(1))).toSet
+    assert(got == Set(("http://x/g1", "a"), ("http://x/g2", "c")),
+      s"per-graph minimum must be deterministic, got $got")
+  }
+
+  test("GRAPH ?g implicit aggregate emits COUNT=0 rows for empty graphs") {
+    val g1 = Row(Term.IriKind.toByte, "http://x/g1", null, null)
+    val g2 = Row(Term.IriKind.toByte, "http://x/g2", null, null)
+    val quads = spark.createDataFrame(
+      spark.sparkContext.parallelize(List(
+        Row(g1, t("http://x/s1"), t("http://x/p"), t("http://x/o1")),
+        Row(g1, t("http://x/s2"), t("http://x/p"), t("http://x/o2")),
+        // g2 exists but holds no <http://x/p> triples
+        Row(g2, t("http://x/s3"), t("http://x/q"), t("http://x/o3"))), 2),
+      Term.quadSchema)
+    val df = graft.parser.SparqlParser.execute(
+      """SELECT ?g ?c WHERE { GRAPH ?g {
+           SELECT (COUNT(?s) AS ?c) WHERE { ?s <http://x/p> ?o }
+         } }""", quads)
+    val got = df.collect()
+      .map(r => (r.getAs[Row]("g").getString(1),
+        r.getAs[Row]("c").getString(1))).toSet
+    assert(got == Set(("http://x/g1", "2"), ("http://x/g2", "0")),
+      s"empty named graph must report COUNT=0, got $got")
+  }
+
   test("correlated monotone LATERAL equals the equi-join") {
     val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
     val r = Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))
