@@ -16,14 +16,49 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object GoldenGen {
 
-  // q25_kll_quantiles is deliberately ABSENT: DataSketches KLL
-  // compaction flips ThreadLocalRandom coins (not seedable), so its
-  // exact quantile values legitimately vary run-to-run — the golden
-  // net caught this as a flake. Its regression coverage stays the
-  // SketchSpec rank-error bounds, which hold for every coin sequence.
+  // q25_kll_quantiles is absent from the byte-exact list: DataSketches
+  // KLL compaction flips ThreadLocalRandom coins (not seedable), so its
+  // exact quantile values legitimately vary run-to-run — the golden net
+  // caught this as a flake. Its golden is instead a BOUNDS file (below):
+  // exact sorted-input values at rank (q ± KllSlack)·n, which every
+  // correct coin sequence and merge order must land inside, and which a
+  // broken merge/serialization path lands far outside.
   val names = Seq("dd4_simhash", "dd12_semdedup", "ann2_lsh_topk",
     "ann3_ivf_topk", "ann4_pq_topk", "q20_approx_distinct",
     "q23_hll_merge", "q26_theta_overlap")
+
+  /** Rank slack for the q25 bounds golden: 3× the k=200 KLL normalized
+    * rank error (~1.65%), rounded up — wide enough that no legitimate
+    * coin sequence flakes, narrow enough that a real defect escapes it.
+    */
+  val KllSlack = 0.05
+
+  /** Bounds golden for q25: per l_returnflag, exact values at rank
+    * (q − slack)·n and (q + slack)·n of the sorted l_quantity multiset,
+    * for q ∈ {0.5, 0.9} (the query's quantiles). sf0.001 lineitem is
+    * ~6k rows — the driver-side sort is test-scale only.
+    */
+  def kllBoundsCanon(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val groups = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag").cast("string"),
+        col("l_quantity").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val lines = groups.map { case (f, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      def at(p: Double) =
+        sorted(math.max(0, math.min(n - 1, (p * n).toInt)))
+      val cells = Seq(0.5, 0.9).flatMap(q =>
+        Seq(at(q - KllSlack), at(q + KllSlack)))
+      (Seq(f, n.toString) ++
+        cells.map(java.lang.Double.toString)).mkString("\t")
+    }
+    (s"# KLL BOUNDS slack=$KllSlack (see GoldenGen.kllBoundsCanon)" +
+      "\nl_returnflag\tn\tq50_lo\tq50_hi\tq90_lo\tq90_hi\n" +
+      lines.mkString("\n") + "\n")
+  }
 
   private def canonValue(v: Any): String = v match {
     case null => "NULL"
@@ -58,6 +93,9 @@ object GoldenGen {
       Files.writeString(Paths.get(outDir, s"$n.golden"), canon(df))
       println(s"[golden] wrote $n")
     }
+    Files.writeString(Paths.get(outDir, "q25_kll_quantiles.golden"),
+      kllBoundsCanon(spark, sfDir))
+    println("[golden] wrote q25_kll_quantiles (bounds)")
     spark.stop()
   }
 }

@@ -23,4 +23,29 @@ class GoldenSpec extends AnyFunSuite {
           "with graft.tools.GoldenGen and review the diff")
     }
   }
+
+  test("golden: q25_kll_quantiles estimates inside committed rank bounds") {
+    // KLL compaction is irreducibly randomized (DataSketches uses
+    // ThreadLocalRandom), so this golden is a BOUNDS file: exact sorted-
+    // input values at rank (q ± slack)·n. Every legitimate coin sequence
+    // and merge order lands inside; a broken merge/serialization path
+    // lands far outside.
+    val lines = Files.readString(Paths.get(
+      getClass.getResource("/golden/q25_kll_quantiles.golden").toURI))
+      .linesIterator.filterNot(l => l.startsWith("#") || l.isEmpty).toSeq
+    val bounds = lines.drop(1).map { l =>
+      val c = l.split("\t")
+      c(0) -> (c(2).toDouble, c(3).toDouble, c(4).toDouble, c(5).toDouble)
+    }.toMap
+    val got = SparkEntry.queries("q25_kll_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == bounds.keySet, "return-flag set drifted")
+    got.foreach { case (f, q50, q90) =>
+      val (l50, h50, l90, h90) = bounds(f)
+      assert(q50 >= l50 && q50 <= h50,
+        s"$f q50=$q50 outside committed bounds [$l50,$h50]")
+      assert(q90 >= l90 && q90 <= h90,
+        s"$f q90=$q90 outside committed bounds [$l90,$h90]")
+    }
+  }
 }
