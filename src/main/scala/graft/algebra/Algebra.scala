@@ -220,4 +220,34 @@ object Algebra {
     case Lateral(l, r) => inScopeVars(l) ++ inScopeVars(r)
     case Service(_, i, _) => inScopeVars(i)
   }
+
+  /** Static "surely bound": v is bound in EVERY solution of gp. Used by
+    * join-equivalence checks (e.g. the MINUS-in-LATERAL overlap rule)
+    * that need a variable provably non-null without translating first.
+    * Conservative: false when in doubt (BIND may error to unbound,
+    * VALUES may hold UNDEF, OPTIONAL/MINUS right sides don't count).
+    */
+  def sureIn(gp: GraphPattern, v: String): Boolean = gp match {
+    case b: Bgp => inScopeVars(b)(v)
+    case p: PathPattern => inScopeVars(p)(v)
+    case ValuesPat(vs, rows) =>
+      vs.indexOf(v) match {
+        case -1 => false
+        case i => rows.forall(r => r(i).isDefined)
+      }
+    case Join(l, r) => sureIn(l, v) || sureIn(r, v)
+    case Lateral(l, r) => sureIn(l, v) || sureIn(r, v)
+    case Union(l, r) => sureIn(l, v) && sureIn(r, v)
+    case LeftJoin(l, _, _) => sureIn(l, v)
+    case Minus(l, _) => sureIn(l, v)
+    case Filter(_, i) => sureIn(i, v)
+    case Extend(i, _, _) => sureIn(i, v)
+    case Distinct(i) => sureIn(i, v)
+    case Reduced(i) => sureIn(i, v)
+    case Slice(i, _, _) => sureIn(i, v)
+    case OrderBy(i, _) => sureIn(i, v)
+    case Project(i, vs) => vs.contains(v) && sureIn(i, v)
+    case GraphPat(name, i) => sureIn(i, v) || vars(name)(v)
+    case _ => false
+  }
 }

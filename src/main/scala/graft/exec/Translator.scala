@@ -450,8 +450,21 @@ object Translator {
       case LeftJoin(a, b, filt) => joinSafe(a) && joinSafe(b) &&
         (inScopeVars(b) & lVars).subsetOf(inScopeVars(a)) &&
         filt.forall(f => scalarOk(f, inScopeVars(a) ++ inScopeVars(b)))
-      case Minus(a, b) => joinSafe(a) &&
-        (inScopeVars(b) & lVars).subsetOf(inScopeVars(a))
+      case Minus(a, b) => joinSafe(a) && {
+        val bl = inScopeVars(b) & lVars
+        bl.subsetOf(inScopeVars(a)) && {
+          // §18.5 over σ-domains: substituted (outer) vars do not count
+          // toward the MINUS domain-overlap test. Bottom-up Minus DOES
+          // count them, so join-equivalence additionally needs the
+          // overlap decision to coincide: either nothing is substituted,
+          // or some live (non-outer) shared var is provably bound on
+          // both sides. Otherwise the per-binding rewrite below handles
+          // the overlap per row.
+          val live = (inScopeVars(a) & inScopeVars(b)) -- lVars
+          bl.isEmpty ||
+            (live.nonEmpty && live.forall(v => sureIn(a, v) && sureIn(b, v)))
+        }
+      }
       case _ => false
     }
 
@@ -581,10 +594,6 @@ object Translator {
 
     val (nodeH, nUp, nHv) = hoist(node, lVars)
     checkNoDangling(nodeH, nHv)
-    if (!joinSafe(nodeH))
-      throw new UnsupportedOperationException(
-        "correlated LATERAL over this pattern shape is not supported " +
-          s"(core: ${nodeH.getClass.getSimpleName})")
 
     // Tag left rows with a unique id: DISTINCT and the top-k window are
     // per left SOLUTION (multiset semantics), not per left value tuple —
@@ -592,12 +601,80 @@ object Translator {
     val ls0 = translate(l, src, ctx)
     val ls = Sol(ls0.df.withColumn("__lid", monotonically_increasing_id()),
       ls0.vars + "__lid", ls0.sure + "__lid")
-    val rs = translate(nodeH, src, ctx)
-    val joined = applyHoisted(applyExtends(joinSols(ls, rs, "inner")), nUp)
+
+    /** Per-binding evaluation of a join-safe subpattern: hoist its
+      * correlated conjuncts, inner-join the left (substitution = join
+      * for these shapes), re-apply the hoisted ops. Each row carries
+      * __lid, so downstream set ops stay per left solution.
+      */
+    def perBinding(p: GraphPattern): Sol = {
+      val (pH, pUp, pHv) = hoist(p, lVars)
+      checkNoDangling(pH, pHv)
+      if (!joinSafe(pH))
+        throw new UnsupportedOperationException(
+          "correlated LATERAL over this pattern shape is not supported " +
+            s"(core: ${pH.getClass.getSimpleName})")
+      applyHoisted(joinSols(ls, translate(pH, src, ctx), "inner"), pUp)
+    }
+
+    val (joined0, rsVars): (Sol, Set[String]) =
+      if (joinSafe(nodeH)) {
+        val rs = translate(nodeH, src, ctx)
+        (joinSols(ls, rs, "inner"), rs.vars)
+      } else nodeH match {
+        // Cross-correlated OPTIONAL: substitution distributes over
+        // LeftJoin — σ(LeftJoin(A,B,F),μ) = LeftJoin(σA, σB, σF) — so
+        // evaluate BOTH sides per binding (__lid-keyed) and left-outer
+        // join them; the __lid equality keeps every per-binding scope
+        // separate while staying one hash-joinable shuffle.
+        case LeftJoin(a0, b0, filt) =>
+          (joinSols(perBinding(a0), perBinding(b0), "left_outer",
+            filt.map(f => (bind: String => Option[Column]) =>
+              SparqlExpr.compileBool(f, bind))),
+            inScopeVars(nodeH))
+        // Cross-correlated MINUS: σ(Minus(A,B),μ) = Minus(σA,σB), with
+        // the §18.5 disjoint-domain rule over the σ-domains — variables
+        // μ SUBSTITUTED (bound left vars) do not count toward the
+        // domain-overlap test, so the overlap conjunct ranges only over
+        // the non-left shared vars. Left vars shared by both sides must
+        // be provably bound (sure) on the left: a sometimes-unbound one
+        // would flip per row between "substituted" and "live", which
+        // this static rewrite cannot express — throw loudly instead.
+        case Minus(a0, b0) =>
+          val A = perBinding(a0)
+          val B = perBinding(b0)
+          val sharedAB = inScopeVars(a0) & inScopeVars(b0)
+          val leftShared = sharedAB & lVars
+          if (!leftShared.forall(ls0.sure))
+            throw new UnsupportedOperationException(
+              "correlated LATERAL MINUS: outer variable(s) " +
+                (leftShared -- ls0.sure).mkString(", ") +
+                " shared by both MINUS sides may be unbound per row")
+          val live = (sharedAB -- lVars).toSeq.sorted
+          if (live.isEmpty) (A, inScopeVars(a0))
+          else {
+            val rRenamed = B.df.select(B.vars.toSeq.sorted.map(v =>
+              col(v).as("__r_" + v)): _*)
+            def rc(v: String) = col("__r_" + v)
+            val sharedAll = (A.vars & B.vars).toSeq.sorted
+            val compat = sharedAll.map(v =>
+              if (A.sure(v) && B.sure(v)) col(v) === rc(v)
+              else coalesce(col(v) === rc(v), lit(true))).reduce(_ && _)
+            val overlap = live.map(v =>
+              col(v).isNotNull && rc(v).isNotNull).reduce(_ || _)
+            (Sol(A.df.join(rRenamed, compat && overlap, "left_anti"),
+              A.vars, A.sure, A.cls), inScopeVars(a0))
+          }
+        case _ =>
+          throw new UnsupportedOperationException(
+            "correlated LATERAL over this pattern shape is not supported " +
+              s"(core: ${nodeH.getClass.getSimpleName})")
+      }
+    val joined = applyHoisted(applyExtends(joined0), nUp)
     var df = joined.df
     if (distinct) {
       val dCols = ("__lid" +: proj.getOrElse(
-        (rs.vars ++ shellExtends.map(_._1)).toSeq)
+        (rsVars ++ shellExtends.map(_._1)).toSeq)
         .filter(joined.vars)).distinct
       df = df.dropDuplicates(dCols)
     }
@@ -616,7 +693,7 @@ object Translator {
         .drop("__rn")
     }
     val outVars = ls0.vars ++ proj.map(_.toSet)
-      .getOrElse(rs.vars ++ shellExtends.map(_._1))
+      .getOrElse(rsVars ++ shellExtends.map(_._1))
     Sol(df.select(outVars.toSeq.sorted.map(v =>
       (if (joined.vars(v)) col(v) else nullTerm).as(v)): _*),
       outVars, joined.sure & outVars)
@@ -1044,9 +1121,35 @@ object Translator {
     * site (object position, BIND, VALUES, aggregate output) returns
     * false.
     */
+  /** Can the path match with ZERO steps (start node = end node)? */
+  private def zeroable(p: Path): Boolean = p match {
+    case PZeroOrMore(_) | PZeroOrOne(_) => true
+    case PSeq(a, b) => zeroable(a) && zeroable(b)
+    case PAlt(a, b) => zeroable(a) || zeroable(b)
+    case PInv(q) => zeroable(q)
+    case _ => false
+  }
+
+  /** Is the SUBJECT position of this path guaranteed IRI-or-blank?
+    * False whenever the start node can be an object: inverse steps,
+    * inverse negated-property sets, and zero-length-capable paths
+    * (§18.4 zero-length pairs range over ALL graph nodes, literals
+    * included — `?s :p* "lit"` binds ?s to the literal itself).
+    */
+  private def pathSubjIriOnly(p: Path): Boolean = p match {
+    case PLink(_) => true
+    case PNeg(_, inv) => inv.isEmpty
+    case PSeq(a, b) =>
+      pathSubjIriOnly(a) && (!zeroable(a) || pathSubjIriOnly(b))
+    case PAlt(a, b) => pathSubjIriOnly(a) && pathSubjIriOnly(b)
+    case POneOrMore(q) => pathSubjIriOnly(q)
+    case PInv(_) | PZeroOrMore(_) | PZeroOrOne(_) => false
+  }
+
   private def iriOnly(gp: GraphPattern, v: String): Boolean = gp match {
     case Bgp(ps @ _*) => ps.forall(tp => !varName(tp.o).contains(v))
-    case PathPattern(_, _, o) => !varName(o).contains(v)
+    case PathPattern(s, path, o) => !varName(o).contains(v) &&
+      (!varName(s).contains(v) || pathSubjIriOnly(path))
     case Join(l, r) => iriOnly(l, v) && iriOnly(r, v)
     case Lateral(l, r) => iriOnly(l, v) && iriOnly(r, v)
     case LeftJoin(l, r, _) => iriOnly(l, v) && iriOnly(r, v)

@@ -93,6 +93,13 @@ class DifferentialSpec extends AnyFunSuite {
       // monotone right side: lateral substitution coincides with join
       1 -> (for { l <- genPattern(depth - 1); r <- genBgp }
         yield Lateral(l, r)),
+      // cross-correlated OPTIONAL/MINUS right sides: the per-binding
+      // __lid rewrite vs true substitution semantics (σ distributes
+      // over LeftJoin; MINUS domain-overlap excludes substituted vars)
+      1 -> (for { l <- genPattern(depth - 1); a <- genBgp; b <- genBgp }
+        yield Lateral(l, LeftJoin(a, b, None))),
+      1 -> (for { l <- genPattern(depth - 1); a <- genBgp; b <- genBgp }
+        yield Lateral(l, Minus(a, b))),
       // correlated BIND inside LATERAL: the hoisted-Extend rewrite vs
       // true per-binding substitution in the naive evaluator
       1 -> (for {
@@ -182,8 +189,9 @@ class DifferentialSpec extends AnyFunSuite {
             }
           case Some((2, _, Term.XsdString)) =>
             false // int vs string literal: RDFterm-equal type error -> drop
-          case Some((0, _, _)) => op match {
-            case "=" => false // IRI is never the same term as a literal
+          case Some((k, _, _)) if k == 0 || k == 4 => op match {
+            // IRI / quoted-triple term is never RDFterm-equal to a literal
+            case "=" => false
             case "!=" => true // !(RDFterm-equal) = !false = true
             case _ => false // order comparison: error -> drop
           }
@@ -219,6 +227,21 @@ class DifferentialSpec extends AnyFunSuite {
       }
     case Join(l, r) =>
       evalSubst(l, data, b0).flatMap(b => evalSubst(r, data, b))
+    // σ semantics: substituted (left-bound) vars are CONSTANTS, not part
+    // of the solution domains — strip them before the compatibility /
+    // domain-overlap step, re-attach after (§18.5 over σ-domains)
+    case LeftJoin(l, r, None) =>
+      val ls = evalSubst(l, data, b0).map(_ -- b0.keySet)
+      val rs = evalSubst(r, data, b0).map(_ -- b0.keySet)
+      ls.flatMap { a =>
+        val m = rs.filter(compatible(a, _))
+        (if (m.isEmpty) Seq(a) else m.map(a ++ _)).map(b0 ++ _)
+      }
+    case Minus(l, r) =>
+      val ls = evalSubst(l, data, b0).map(_ -- b0.keySet)
+      val rs = evalSubst(r, data, b0).map(_ -- b0.keySet)
+      ls.filter(a => !rs.exists(b => compatible(a, b) &&
+        a.keySet.intersect(b.keySet).nonEmpty)).map(b0 ++ _)
     case Extend(i, v, EFn("+", EVar(x), ELit(lex, _, _))) =>
       evalSubst(i, data, b0).map { b =>
         b.get(x) match {

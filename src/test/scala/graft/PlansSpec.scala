@@ -179,13 +179,54 @@ class PlansSpec extends AnyFunSuite {
     assert(lat.except(join).count() == 0)
   }
 
-  test("unsupported correlated LATERAL shapes still throw") {
-    val l = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
+  test("cross-correlated OPTIONAL in LATERAL evaluates per binding") {
+    val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
     // OPTIONAL whose right side correlates with the outer binding NOT
-    // through its own left part: join-equivalence does not hold
-    val r: GraphPattern = LeftJoin(
-      Bgp(TriplePattern(V("x"), I(P("regionName")), V("y"))),
+    // through its own left part: σ distributes over LeftJoin, so both
+    // sides evaluate per binding and left-outer join on __lid
+    val a = Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y")))
+    val r: GraphPattern = LeftJoin(a,
       Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))))
+    val quads = TpchRdf.quads(spark, sf)
+    val lat = Translator.translate(Lateral(l, r), quads)
+    val nCust = Translator.translate(l, quads).df.count()
+    val nNat = Translator.translate(a, quads).df.count()
+    // every customer has an acctbal, so the OPTIONAL always extends:
+    // (customer × nation-in-region) rows, b bound everywhere
+    assert(lat.df.count() == nCust * nNat && nCust > 0 && nNat > 0)
+    assert(lat.df.where(col("b").isNull).count() == 0)
+  }
+
+  test("cross-correlated MINUS in LATERAL honors σ-domain disjointness") {
+    val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
+    val a = Bgp(TriplePattern(V("c"), I(P("acctbal")), V("av")))
+    val quads = TpchRdf.quads(spark, sf)
+    // b shares only the SUBSTITUTED outer var ?c with a: σ-domains are
+    // disjoint ({av} vs {b0}), so MINUS must remove NOTHING — a naive
+    // join on the carried ?c column would remove every row
+    val bDisjoint = Bgp(TriplePattern(V("c"), I(P("name")), V("b0")))
+    val kept = Translator.translate(Lateral(l, Minus(a, bDisjoint)), quads)
+      .df.count()
+    val base = Translator.translate(Lateral(l, a), quads).df.count()
+    assert(kept == base && base > 0,
+      s"disjoint σ-domains must keep all $base rows, kept $kept")
+    // b re-binds the same live var ?av: every per-binding evaluation
+    // matches itself, so MINUS removes everything
+    val bSame = Bgp(TriplePattern(V("c"), I(P("acctbal")), V("av")))
+    assert(Translator.translate(Lateral(l, Minus(a, bSame)), quads)
+      .df.count() == 0)
+  }
+
+  test("unsupported correlated LATERAL shapes still throw") {
+    val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
+    // a NESTED cross-correlated OPTIONAL inside the OPTIONAL's own left
+    // part is beyond the per-binding rewrite — must throw, not
+    // silently decorrelate
+    val r: GraphPattern = LeftJoin(
+      LeftJoin(
+        Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
+        Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))),
+      Bgp(TriplePattern(V("x"), I(P("label")), V("cm"))))
     intercept[UnsupportedOperationException] {
       Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
     }
