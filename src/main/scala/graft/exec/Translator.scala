@@ -602,74 +602,93 @@ object Translator {
     val ls = Sol(ls0.df.withColumn("__lid", monotonically_increasing_id()),
       ls0.vars + "__lid", ls0.sure + "__lid")
 
-    /** Per-binding evaluation of a join-safe subpattern: hoist its
-      * correlated conjuncts, inner-join the left (substitution = join
-      * for these shapes), re-apply the hoisted ops. Each row carries
-      * __lid, so downstream set ops stay per left solution.
+    /** Per-binding evaluation of a subpattern under substitution
+      * semantics. Join-safe cores hoist their correlated conjuncts and
+      * inner-join the left (substitution = join for those shapes);
+      * σ distributes over LeftJoin / Minus / Union, so cross-correlated
+      * shapes RECURSE on both sides and recombine __lid-keyed — every
+      * per-binding scope stays separate while each combine is one
+      * hash-joinable shuffle. Anything else (e.g. re-binding an outer
+      * var) throws rather than silently decorrelating.
       */
     def perBinding(p: GraphPattern): Sol = {
       val (pH, pUp, pHv) = hoist(p, lVars)
       checkNoDangling(pH, pHv)
-      if (!joinSafe(pH))
-        throw new UnsupportedOperationException(
-          "correlated LATERAL over this pattern shape is not supported " +
-            s"(core: ${pH.getClass.getSimpleName})")
-      applyHoisted(joinSols(ls, translate(pH, src, ctx), "inner"), pUp)
+      val core: Sol =
+        if (joinSafe(pH)) joinSols(ls, translate(pH, src, ctx), "inner")
+        else pH match {
+          // Cross-correlated OPTIONAL: σ(LeftJoin(A,B,F),μ) =
+          // LeftJoin(σA, σB, σF) — evaluate BOTH sides per binding and
+          // left-outer join them (shared __lid + left vars + a/b vars).
+          case LeftJoin(a0, b0, filt) =>
+            joinSols(perBinding(a0), perBinding(b0), "left_outer",
+              filt.map(f => (bind: String => Option[Column]) =>
+                SparqlExpr.compileBool(f, bind)))
+          // Cross-correlated MINUS: σ(Minus(A,B),μ) = Minus(σA,σB) with
+          // the §18.5 disjoint-domain rule over the σ-DOMAINS — bound
+          // left vars are substituted constants and do not count toward
+          // the overlap test, so the overlap conjunct ranges only over
+          // the live (non-left) shared vars. Left vars shared by both
+          // sides must be provably bound on the left: a sometimes-
+          // unbound one would flip per row between "substituted" and
+          // "live", which this static rewrite cannot express — throw.
+          case Minus(a0, b0) =>
+            val A = perBinding(a0)
+            val B = perBinding(b0)
+            val sharedAB = inScopeVars(a0) & inScopeVars(b0)
+            val leftShared = sharedAB & lVars
+            if (!leftShared.forall(ls0.sure))
+              throw new UnsupportedOperationException(
+                "correlated LATERAL MINUS: outer variable(s) " +
+                  (leftShared -- ls0.sure).mkString(", ") +
+                  " shared by both MINUS sides may be unbound per row")
+            val live = (sharedAB -- lVars).toSeq.sorted
+            if (live.isEmpty) A
+            else {
+              val rRenamed = B.df.select(B.vars.toSeq.sorted.map(v =>
+                col(v).as("__r_" + v)): _*)
+              def rc(v: String) = col("__r_" + v)
+              val sharedAll = (A.vars & B.vars).toSeq.sorted
+              val compat = sharedAll.map(v =>
+                if (A.sure(v) && B.sure(v)) col(v) === rc(v)
+                else coalesce(col(v) === rc(v), lit(true))).reduce(_ && _)
+              val overlap = live.map(v =>
+                col(v).isNotNull && rc(v).isNotNull).reduce(_ || _)
+              Sol(A.df.join(rRenamed, compat && overlap, "left_anti"),
+                A.vars, A.sure, A.cls)
+            }
+          // σ distributes over Union: evaluate each branch per binding
+          // and bag-union with var padding (translate's Union shape).
+          case Union(a0, b0) =>
+            val A = perBinding(a0)
+            val B = perBinding(b0)
+            val allVars = (A.vars ++ B.vars).toSeq.sorted
+            def pad(s: Sol): DataFrame =
+              s.df.select(allVars.map(v =>
+                (if (s.vars(v)) col(v) else nullTerm).as(v)): _*)
+            val uCls = (A.cls.keySet ++ B.cls.keySet).flatMap { v =>
+              (A.cls.get(v), B.cls.get(v)) match {
+                case (Some(x), Some(y)) => if (x == y) Some(v -> x) else None
+                case (Some(x), None) => if (B.vars(v)) None else Some(v -> x)
+                case (None, Some(y)) => if (A.vars(v)) None else Some(v -> y)
+                case _ => None
+              }
+            }.toMap
+            Sol(pad(A).unionByName(pad(B)), A.vars ++ B.vars,
+              A.sure & B.sure, uCls)
+          case _ =>
+            throw new UnsupportedOperationException(
+              "correlated LATERAL over this pattern shape is not " +
+                s"supported (core: ${pH.getClass.getSimpleName})")
+        }
+      applyHoisted(core, pUp)
     }
 
     val (joined0, rsVars): (Sol, Set[String]) =
       if (joinSafe(nodeH)) {
         val rs = translate(nodeH, src, ctx)
         (joinSols(ls, rs, "inner"), rs.vars)
-      } else nodeH match {
-        // Cross-correlated OPTIONAL: substitution distributes over
-        // LeftJoin — σ(LeftJoin(A,B,F),μ) = LeftJoin(σA, σB, σF) — so
-        // evaluate BOTH sides per binding (__lid-keyed) and left-outer
-        // join them; the __lid equality keeps every per-binding scope
-        // separate while staying one hash-joinable shuffle.
-        case LeftJoin(a0, b0, filt) =>
-          (joinSols(perBinding(a0), perBinding(b0), "left_outer",
-            filt.map(f => (bind: String => Option[Column]) =>
-              SparqlExpr.compileBool(f, bind))),
-            inScopeVars(nodeH))
-        // Cross-correlated MINUS: σ(Minus(A,B),μ) = Minus(σA,σB), with
-        // the §18.5 disjoint-domain rule over the σ-domains — variables
-        // μ SUBSTITUTED (bound left vars) do not count toward the
-        // domain-overlap test, so the overlap conjunct ranges only over
-        // the non-left shared vars. Left vars shared by both sides must
-        // be provably bound (sure) on the left: a sometimes-unbound one
-        // would flip per row between "substituted" and "live", which
-        // this static rewrite cannot express — throw loudly instead.
-        case Minus(a0, b0) =>
-          val A = perBinding(a0)
-          val B = perBinding(b0)
-          val sharedAB = inScopeVars(a0) & inScopeVars(b0)
-          val leftShared = sharedAB & lVars
-          if (!leftShared.forall(ls0.sure))
-            throw new UnsupportedOperationException(
-              "correlated LATERAL MINUS: outer variable(s) " +
-                (leftShared -- ls0.sure).mkString(", ") +
-                " shared by both MINUS sides may be unbound per row")
-          val live = (sharedAB -- lVars).toSeq.sorted
-          if (live.isEmpty) (A, inScopeVars(a0))
-          else {
-            val rRenamed = B.df.select(B.vars.toSeq.sorted.map(v =>
-              col(v).as("__r_" + v)): _*)
-            def rc(v: String) = col("__r_" + v)
-            val sharedAll = (A.vars & B.vars).toSeq.sorted
-            val compat = sharedAll.map(v =>
-              if (A.sure(v) && B.sure(v)) col(v) === rc(v)
-              else coalesce(col(v) === rc(v), lit(true))).reduce(_ && _)
-            val overlap = live.map(v =>
-              col(v).isNotNull && rc(v).isNotNull).reduce(_ || _)
-            (Sol(A.df.join(rRenamed, compat && overlap, "left_anti"),
-              A.vars, A.sure, A.cls), inScopeVars(a0))
-          }
-        case _ =>
-          throw new UnsupportedOperationException(
-            "correlated LATERAL over this pattern shape is not supported " +
-              s"(core: ${nodeH.getClass.getSimpleName})")
-      }
+      } else (perBinding(nodeH), inScopeVars(nodeH))
     val joined = applyHoisted(applyExtends(joined0), nUp)
     var df = joined.df
     if (distinct) {

@@ -100,6 +100,14 @@ class DifferentialSpec extends AnyFunSuite {
         yield Lateral(l, LeftJoin(a, b, None))),
       1 -> (for { l <- genPattern(depth - 1); a <- genBgp; b <- genBgp }
         yield Lateral(l, Minus(a, b))),
+      // nested σ-distribution: OPTIONAL inside an OPTIONAL's left part,
+      // and UNION over a MINUS branch — the recursive per-binding path
+      1 -> (for { l <- genPattern(depth - 1)
+                  a <- genBgp; b <- genBgp; c <- genBgp }
+        yield Lateral(l, LeftJoin(LeftJoin(a, b, None), c, None))),
+      1 -> (for { l <- genPattern(depth - 1)
+                  a <- genBgp; b <- genBgp; c <- genBgp }
+        yield Lateral(l, Union(a, Minus(b, c)))),
       // correlated BIND inside LATERAL: the hoisted-Extend rewrite vs
       // true per-binding substitution in the naive evaluator
       1 -> (for {
@@ -227,6 +235,8 @@ class DifferentialSpec extends AnyFunSuite {
       }
     case Join(l, r) =>
       evalSubst(l, data, b0).flatMap(b => evalSubst(r, data, b))
+    case Union(l, r) =>
+      evalSubst(l, data, b0) ++ evalSubst(r, data, b0)
     // σ semantics: substituted (left-bound) vars are CONSTANTS, not part
     // of the solution domains — strip them before the compatibility /
     // domain-overlap step, re-attach after (§18.5 over σ-domains)

@@ -217,16 +217,50 @@ class PlansSpec extends AnyFunSuite {
       .df.count() == 0)
   }
 
-  test("unsupported correlated LATERAL shapes still throw") {
+  test("NESTED cross-correlated OPTIONAL recurses per binding") {
     val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
-    // a NESTED cross-correlated OPTIONAL inside the OPTIONAL's own left
-    // part is beyond the per-binding rewrite — must throw, not
-    // silently decorrelate
+    // OPTIONAL inside an OPTIONAL's own left part, cross-correlated —
+    // σ distributes recursively, so the per-binding rewrite recurses
     val r: GraphPattern = LeftJoin(
       LeftJoin(
         Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
         Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))),
-      Bgp(TriplePattern(V("x"), I(P("label")), V("cm"))))
+      Bgp(TriplePattern(V("y"), I(P("label")), V("cm"))))
+    val quads = TpchRdf.quads(spark, sf)
+    val lat = Translator.translate(Lateral(l, r), quads)
+    val nCust = Translator.translate(l, quads).df.count()
+    val nNat = Translator.translate(
+      Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))), quads)
+      .df.count()
+    val nLblPerRegion = Translator.translate(
+      Bgp(TriplePattern(V("y"), I(P("label")), V("cm"))), quads)
+      .df.count() / Translator.translate(
+      Bgp(TriplePattern(V("y"), I(P("label")), V("z0"))), quads)
+      .df.select(col("y")).distinct().count()
+    // every nation is in a labeled region, every customer has acctbal:
+    // (customer × nation) rows × labels per region, b and cm bound
+    assert(lat.df.count() == nCust * nNat * nLblPerRegion && nCust > 0)
+    assert(lat.df.where(col("b").isNull || col("cm").isNull).count() == 0)
+  }
+
+  test("cross-correlated UNION in LATERAL evaluates per binding") {
+    val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
+    val r: GraphPattern = Union(
+      Bgp(TriplePattern(V("c"), I(P("acctbal")), V("v"))),
+      Bgp(TriplePattern(V("c"), I(P("name")), V("v"))))
+    val quads = TpchRdf.quads(spark, sf)
+    val lat = Translator.translate(Lateral(l, r), quads)
+    val nCust = Translator.translate(l, quads).df.count()
+    // each customer contributes its own acctbal row and its own name row
+    assert(lat.df.count() == 2 * nCust && nCust > 0)
+  }
+
+  test("unsupported correlated LATERAL shapes still throw") {
+    val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
+    // re-binding an outer variable with BIND cannot be decorrelated
+    val r: GraphPattern = Extend(
+      Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
+      "n", EVar("y"))
     intercept[UnsupportedOperationException] {
       Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
     }
