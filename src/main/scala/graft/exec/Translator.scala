@@ -657,6 +657,36 @@ object Translator {
               Sol(A.df.join(rRenamed, compat && overlap, "left_anti"),
                 A.vars, A.sure, A.cls)
             }
+          // Cross-correlated FILTER (NOT) EXISTS: the EXISTS pattern
+          // evaluates under the current solution substituted (§18.6),
+          // so evaluate it per binding too (recursion) and semi/anti
+          // join __lid-keyed — the same compatible-mapping treatment
+          // the bottom-up Filter case uses, restricted per binding.
+          // Scalar conjuncts compile over the combined row (left vars
+          // present = substitution).
+          case Filter(e, i0) =>
+            val (existsConjs, scalarConjs) = splitConjuncts(e)
+            val base = perBinding(i0)
+            val afterExists = existsConjs.foldLeft(base) {
+              case (sol, EExists(p, pos)) =>
+                joinSols(sol, perBinding(p),
+                  if (pos) "left_semi" else "left_anti")
+            }
+            scalarConjs.foldLeft(afterExists) { (sol, ex) =>
+              Sol(sol.df.where(coalesce(
+                SparqlExpr.compileBool(ex, sol.bind, sol.hint),
+                lit(false))), sol.vars, sol.sure, sol.cls)
+            }
+          // σ distributes over Join and Extend too — recurse so an
+          // unsafe core nested under them still evaluates per binding.
+          case Join(a0, b0) =>
+            joinSols(perBinding(a0), perBinding(b0), "inner")
+          case Extend(i0, v, ex) if !lVars(v) =>
+            val base = perBinding(i0)
+            Sol(base.df.withColumn(v, SparqlExpr.compile(ex, base.bind)),
+              base.vars + v, base.sure,
+              SparqlExpr.exprClass(ex, base.hint)
+                .map(k => base.cls + (v -> k)).getOrElse(base.cls - v))
           // σ distributes over Union: evaluate each branch per binding
           // and bag-union with var padding (translate's Union shape).
           case Union(a0, b0) =>

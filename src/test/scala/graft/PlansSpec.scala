@@ -255,6 +255,22 @@ class PlansSpec extends AnyFunSuite {
     assert(lat.df.count() == 2 * nCust && nCust > 0)
   }
 
+  test("cross-correlated FILTER (NOT) EXISTS in LATERAL is per binding") {
+    val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
+    val body = Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y")))
+    val probe = Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b")))
+    val quads = TpchRdf.quads(spark, sf)
+    val nCust = Translator.translate(l, quads).df.count()
+    val nNat = Translator.translate(body, quads).df.count()
+    // every customer has an acctbal: EXISTS keeps all, NOT EXISTS none
+    val ex = Translator.translate(
+      Lateral(l, Filter(EExists(probe, true), body)), quads).df.count()
+    assert(ex == nCust * nNat && ex > 0)
+    val nex = Translator.translate(
+      Lateral(l, Filter(EExists(probe, false), body)), quads).df.count()
+    assert(nex == 0)
+  }
+
   test("unsupported correlated LATERAL shapes still throw") {
     val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
     // re-binding an outer variable with BIND cannot be decorrelated
