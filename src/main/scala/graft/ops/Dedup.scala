@@ -262,18 +262,23 @@ object Dedup {
     * where at least one side is an incoming doc; corpus-internal pairs
     * are assumed already handled by previous runs.
     *
-    * Scale shape: the corpus side contributes only its inverted shingle
-    * index rows (at real scale a materialized table updated per batch —
-    * here derived, the derivation is one map pass); the join probes it
-    * with the INCOMING side's shingles, so candidate work is
-    * O(|incoming| · avg-df), proportional to the batch, not the corpus.
-    * New-vs-new pairs reuse the full prefix-filtered
-    * [[ngramJaccardPairs]] on the batch alone. Both legs verify on full
-    * shingle sets (exact Jaccard); `dfCap` governs hot postings as
-    * everywhere.
+    * Scale shape: the corpus side contributes only its PREFIX-FILTERED
+    * inverted shingle index rows (at real scale a materialized table
+    * updated per batch — here derived, the derivation is one map pass);
+    * the join probes it with the INCOMING side's prefix shingles, so
+    * candidate work is O(|incoming| · prefix-df), proportional to the
+    * batch, not the corpus. The PPJoin prefix lemma holds across two
+    * sets as long as both prefixes use ONE global order (combined df,
+    * rarest first) — same guarantee as [[ngramJaccardPairs]], with the
+    * length filter in the join and the positional filter on the
+    * pair-dedup exchange. New-vs-new pairs reuse the full
+    * prefix-filtered [[ngramJaccardPairs]] on the batch alone. Both
+    * legs verify on full shingle sets (exact Jaccard); `dfCap` governs
+    * pathological postings as everywhere.
     */
   def incrementalJaccardPairs(corpus: DataFrame, incoming: DataFrame,
       num: Int, den: Int, k: Int = 3, dfCap: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def withSh(d: DataFrame) = d.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .where(size(col("sh")) > 0)
@@ -281,16 +286,32 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cs = withSh(corpus)
     val ns = withSh(incoming)
-    val cIdx = cs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val nIdx = ns.select(col("doc_id"), explode(col("sh")).as("s"))
-    // df-cap over the combined index (a stop-shingle is hot globally)
-    val df = cIdx.unionByName(nIdx).groupBy("s")
+    val cIdx = cs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val nIdx = ns.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    // one GLOBAL order for both prefixes: combined-index df, rarest
+    // first (a stop-shingle is hot globally and falls out of both)
+    val dfTab = cIdx.unionByName(nIdx).groupBy("s")
       .agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap).select("s")
-    val cand = nIdx.join(df, "s").as("a")
-      .join(cIdx.join(df, "s").as("b"), Seq("s"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .dropDuplicates("da", "db")
+    val prefLen = col("n") -
+      expr(s"((n * $num + ${den - 1}) div $den)") + 1
+    def prefix(idx: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      idx.join(dfTab.where(col("df") <= dfCap), "s")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= prefLen)
+        .select(col("doc_id"), col("n"), col("s"), col("__rn"))
+    }
+    val cand = prefix(nIdx).as("a").join(prefix(cIdx).as("b"),
+        col("a.s") === col("b.s") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        least(col("a.n"), col("b.n")) * den >=
+          greatest(col("a.n"), col("b.n")) * num)
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(min(col("a.__rn")).as("ra"), min(col("b.__rn")).as("rb"),
+        first(col("a.n")).as("pna"), first(col("b.n")).as("pnb"))
+      .where((lit(1) + least(col("pna") - col("ra"), col("pnb") - col("rb")))
+        * (den + num) >= (col("pna") + col("pnb")) * num)
+      .select(col("da"), col("db"))
     val newVsCorpus = cand
       .join(ns.select(col("doc_id").as("da"), col("sh").as("sa"),
         col("n").as("na")), "da")
