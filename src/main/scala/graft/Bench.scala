@@ -58,7 +58,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"warmup_sec":${f(warmup)},"runs":$runs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"warmup_sec":${f(warmup)},"runs":$runs,"sf":"$sfDir"}"""
+    println(full)
+    // The full line is ~4 KB for 135 queries; a capture buffer that
+    // keeps only an output TAIL can cut its head and leave nothing
+    // parseable (observed in round-6/7 bench artifacts). Also persist
+    // the full line to a file and re-emit a SHORT total-only line last,
+    // so any tail window ends with valid JSON.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), full + "\n")
+    catch { case _: Throwable => }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","full":"target/bench_last.json"}""")
     spark.stop()
   }
 }
