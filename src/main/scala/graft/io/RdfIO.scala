@@ -146,6 +146,31 @@ object RdfIO {
         col("p").cast(Term.schema), col("o").cast(Term.schema))
   }
 
+  /** STREAMING N-Triples / N-Quads ingestion: a `readStream` over a
+    * line-oriented directory (the Structured Streaming file source —
+    * new files picked up per micro-batch), parsed by the same
+    * [[parseLine]] the batch readers use, so streamed quads are
+    * row-identical to a batch parse of the same files. The continuous
+    * analogue of the reference's bulk loader for an ever-growing crawl
+    * drop directory; compose with `writeStream` into a parquet quad
+    * store (append mode — the source is monotone).
+    */
+  def readNTriplesStream(spark: SparkSession, path: String): DataFrame =
+    readLinesStream(spark, path, allowGraph = false)
+
+  def readNQuadsStream(spark: SparkSession, path: String): DataFrame =
+    readLinesStream(spark, path, allowGraph = true)
+
+  private def readLinesStream(spark: SparkSession, path: String,
+      allowGraph: Boolean): DataFrame = {
+    import spark.implicits._
+    spark.readStream.textFile(path)
+      .flatMap(l => parseLine(l, allowGraph))
+      .toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+  }
+
   /** Read Turtle: prefix-stateful, so one task per FILE (wholeTextFiles)
     * — many files still parse in parallel; single huge documents should
     * convert to N-Triples for split-level parallelism (SURVEY.md §2.1).

@@ -29,6 +29,32 @@ class StreamingSpec extends AnyFunSuite {
     case _ => timestamp_micros(expr("ts div 1000"))
   }
 
+  test("streaming N-Quads ingestion equals the batch parse (two waves)") {
+    import graft.io.RdfIO
+    val dir = java.nio.file.Files.createTempDirectory("ntstream")
+    java.nio.file.Files.writeString(dir.resolve("w1.nq"),
+      """<http://x/a> <http://x/p> "1" .
+        |<http://x/b> <http://x/p> <http://x/c> <http://x/g1> .
+        |""".stripMargin)
+    val stream = RdfIO.readNQuadsStream(spark, dir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("nq_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("nq_stream").count() == 2)
+      // second wave: a later file lands in the drop directory
+      java.nio.file.Files.writeString(dir.resolve("w2.nq"),
+        """<http://x/d> <http://x/p> "x"@en .
+          |""".stripMargin)
+      q.processAllAvailable()
+      val got = spark.table("nq_stream")
+      val want = RdfIO.readNQuads(spark, dir.toString)
+      assert(got.count() == 3)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "streamed quads must be row-identical to the batch parse")
+    } finally q.stop()
+  }
+
   test("streaming tumbling windows match the batch aggregation") {
     val stream = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
