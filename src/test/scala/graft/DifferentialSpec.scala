@@ -301,7 +301,8 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
     val result = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "30").toInt), prop)
     assert(result.passed, s"differential property failed: ${result.status}")
   }
 }

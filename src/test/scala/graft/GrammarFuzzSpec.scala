@@ -173,7 +173,8 @@ class GrammarFuzzSpec extends AnyFunSuite {
       g == e
     }
     val result = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "25").toInt), prop)
     assert(result.passed, s"grammar fuzz failed: ${result.status}")
   }
 }

@@ -98,7 +98,8 @@ class PathFuzzSpec extends AnyFunSuite {
       got == expected
     }
     val result = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "20").toInt), prop)
     assert(result.passed, s"path fuzz failed: ${result.status}")
   }
 
@@ -157,7 +158,8 @@ class PathFuzzSpec extends AnyFunSuite {
       }
     }
     val result = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "20").toInt), prop)
     assert(result.passed, s"seeded path fuzz failed: ${result.status}")
   }
 }
