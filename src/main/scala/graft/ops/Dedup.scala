@@ -615,13 +615,18 @@ object Dedup {
   private[graft] val gramKeyType: StructType = StructType(Seq(
     StructField("h1", LongType), StructField("h2", LongType)))
 
-  private[graft] def gramKeyRows(docs: DataFrame, k: Int): DataFrame = {
+  /** Persisted per-doc gram arrays (doc_id, n_tok, gs) — the
+    * pre-explode form. Exposed so consumers needing per-doc metadata
+    * (short/empty-doc detection in [[containmentPairs]]) read the
+    * persisted table instead of re-tokenizing the corpus.
+    */
+  private[graft] def gramArr(docs: DataFrame, k: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TextOps.tokens(col("text")).as("__t"))
     val th = toks.select(col("doc_id"),
       transform(col("__t"), t => xxhash64(t)).as("th1"),
       transform(col("__t"), t => xxhash64(lit(GramSalt), t)).as("th2"))
-    val arr = th.select(col("doc_id"), size(col("th1")).as("n_tok"),
+    th.select(col("doc_id"), size(col("th1")).as("n_tok"),
       when(size(col("th1")) < k, array().cast(ArrayType(gramKeyType)))
         .otherwise(transform(sequence(lit(0), size(col("th1")) - k),
           i => struct(
@@ -631,9 +636,14 @@ object Dedup {
               element_at(col("th2"), i + j + 1)): _*).as("h2"))))
         .as("gs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private[graft] def gramKeyRows(docs: DataFrame, k: Int): DataFrame =
+    gramKeyRows(gramArr(docs, k))
+
+  private def gramKeyRows(arr: DataFrame): DataFrame =
     arr.select(col("doc_id"), col("n_tok"),
       posexplode(col("gs")).as(Seq("pos", "g")))
-  }
 
   /** Island-merge marked k-gram windows into maximal spans per document:
     * windows at `prev` and `pos` produce contiguous token coverage when
@@ -698,15 +708,19 @@ object Dedup {
     * per candidate pair; equal texts contain each other, so exact dups
     * emit both directions.
     *
-    * Candidate rule — RAREST gram, not head gram: every gram of a
-    * contained doc must occur among its container's grams, so any one
-    * of them is a valid (exact, no recall loss) probe key. Probing with
-    * the doc's globally rarest gram (minimal corpus occurrence count,
-    * earliest position as tiebreak) bounds each doc's candidate list by
-    * its own minimal df — a corpus-hot opening-boilerplate gram would
-    * otherwise carry df-sized candidate lists through the join (the
-    * skew lesson of [[ngramJaccardPairs]]'s df-cap, without the cap's
-    * lossiness).
+    * Candidate rule — RAREST-OF-FIRST-W gram, not head gram: every
+    * gram of a contained doc must occur among its container's grams,
+    * so any one of them is a valid (exact, no recall loss) probe key.
+    * Probing with the rarest gram of the doc's first `HeadWindow`
+    * positions (minimal occurrence count within head windows, earliest
+    * position as tiebreak) avoids the head-gram cliff — a corpus-hot
+    * opening-boilerplate gram would otherwise carry df-sized candidate
+    * lists through the join (the skew lesson of [[ngramJaccardPairs]]'s
+    * df-cap, without the cap's lossiness). Restricting BOTH the df
+    * statistic and the selection to the head window keeps the two
+    * probe-side exchanges at w/⟨doc len⟩ of the gram relation instead
+    * of all of it — the full relation is shuffled only once, by the
+    * candidate join that any probe scheme needs.
     *
     * Short docs (< k tokens) emit no k-grams, so each short LENGTH that
     * actually occurs gets its own pass: the whole token sequence is the
@@ -721,10 +735,17 @@ object Dedup {
     * joins on 16-byte keys (volume linear in corpus tokens); full texts
     * move only for candidate pairs.
     */
+  /** Probe-selection window for [[containmentPairs]]: the probe gram is
+    * chosen among each doc's first `HeadWindow` gram positions.
+    */
+  val HeadWindow = 16
+
   def containmentPairs(docs: DataFrame, k: Int = 8): DataFrame = {
-    val grams = gramKeyRows(docs, k)
-    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("__gdf"))
-    val probes = grams.join(dfTab, "g")
+    val arr = gramArr(docs, k)
+    val grams = gramKeyRows(arr)
+    val win = grams.where(col("pos") < HeadWindow)
+    val dfTab = win.groupBy("g").agg(count(lit(1)).as("__gdf"))
+    val probes = win.join(dfTab, "g")
       .groupBy("doc_id", "n_tok")
       .agg(min_by(col("g"), struct(col("__gdf"), col("pos"))).as("g"))
       .select(col("g"), col("doc_id").as("inner_id"),
@@ -735,10 +756,11 @@ object Dedup {
       .where(col("inner_id") =!= col("outer_id") &&
         col("__ni") <= col("__no"))
       .select("inner_id", "outer_id")
-    val shortLens = docs
-      .select(size(TextOps.tokens(col("text"))).as("n"))
-      .where(col("n") > 0 && col("n") < k)
-      .distinct().collect().map(_.getInt(0)).sorted
+    // short/empty-doc detection reads the PERSISTED gram table's n_tok
+    // (metadata-scale actions), not a fresh corpus tokenization — at
+    // 100× the two avoided re-tokenize scans were ~a third of the op
+    val shortLens = arr.where(col("n_tok") > 0 && col("n_tok") < k)
+      .select("n_tok").distinct().collect().map(_.getInt(0)).sorted
     val shortCands = shortLens.toSeq.map { n =>
       val gn = gramKeyRows(docs, n)
       gn.where(col("n_tok") === n && col("pos") === 0)
@@ -747,14 +769,18 @@ object Dedup {
         .where(col("inner_id") =!= col("outer_id"))
         .select("inner_id", "outer_id")
     }
-    val emptyCands = docs
-      .where(size(TextOps.tokens(col("text"))) === 0)
-      .select(col("doc_id").as("inner_id"))
-      .crossJoin(docs
-        .where(contains(concat(lit(" "), col("text"), lit(" ")), lit("  ")))
-        .select(col("doc_id").as("outer_id")))
-      .where(col("inner_id") =!= col("outer_id"))
-    val cands = (longCands +: shortCands :+ emptyCands)
+    val hasEmpty = !arr.where(col("n_tok") === 0).isEmpty
+    val emptyCands =
+      if (!hasEmpty)
+        Seq.empty[DataFrame]
+      else Seq(arr.where(col("n_tok") === 0)
+        .select(col("doc_id").as("inner_id"))
+        .crossJoin(docs
+          .where(contains(concat(lit(" "), col("text"), lit(" ")),
+            lit("  ")))
+          .select(col("doc_id").as("outer_id")))
+        .where(col("inner_id") =!= col("outer_id")))
+    val cands = ((longCands +: shortCands) ++ emptyCands)
       .reduce(_ unionByName _).distinct()
     val t = docs.select(col("doc_id"), col("text"))
     cands
