@@ -1191,12 +1191,25 @@ object SparqlParser {
 
   /** Parse and execute against a quad table (honoring FROM/FROM NAMED). */
   def execute(query: String, quads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    executeProtocol(query, quads, Nil, Nil)
+
+  /** Execute with a PROTOCOL-specified dataset (SPARQL 1.1 Protocol
+    * §2.1.4: `default-graph-uri`/`named-graph-uri` parameters OVERRIDE
+    * the query's own FROM/FROM NAMED). Empty protocol dataset falls
+    * back to the query's.
+    */
+  def executeProtocol(query: String, quads: org.apache.spark.sql.DataFrame,
+      protoDefault: Seq[String], protoNamed: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     import graft.exec.QueryExec
     val parser = new SparqlParser(query)
     val form = parser.parseQuery()
-    val dataset = QueryExec.applyDataset(quads, parser.fromDefault,
-      parser.fromNamed)
+    val dataset =
+      if (protoDefault.nonEmpty || protoNamed.nonEmpty)
+        QueryExec.applyDataset(quads, protoDefault, protoNamed)
+      else QueryExec.applyDataset(quads, parser.fromDefault,
+        parser.fromNamed)
     form match {
       case Select(p) => QueryExec.select(p, dataset)
       case Ask(p) => QueryExec.ask(p, dataset)

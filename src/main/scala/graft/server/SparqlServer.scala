@@ -1,0 +1,242 @@
+package graft.server
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicReference
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftStore
+import graft.algebra.Algebra._
+import graft.io.{RdfIO, Results}
+import graft.model.Term
+import graft.parser.SparqlParser
+
+/** SPARQL 1.1 Protocol + Graph Store Protocol endpoint over a
+  * [[GraftStore]] (the reference's `serve` surface: /query, /update,
+  * /store with content negotiation), on the JDK's built-in HTTP server
+  * — zero new dependencies, binds loopback by default (the container
+  * has no egress; a cluster deployment would front this with the
+  * usual ingress).
+  *
+  * Protocol documents (result sets, graph payloads) are driver-side
+  * strings BY DESIGN — this surface serves interactive-scale
+  * responses; dataset-scale export goes through the RdfIO sinks.
+  *
+  * - `GET/POST /query` — `query` via query-string, urlencoded form, or
+  *   `application/sparql-query` body; `default-graph-uri` /
+  *   `named-graph-uri` override the query dataset (§2.1.4). SELECT/ASK
+  *   negotiate sparql-results JSON (default) / XML / CSV / TSV;
+  *   CONSTRUCT/DESCRIBE serve N-Triples.
+  * - `POST /update` — urlencoded form or `application/sparql-update`
+  *   body; 204 on success. Updates serialize through one lock (the
+  *   store is immutable; the reference serializes writers too).
+  * - `/store` (GSP): `?graph=<iri>` or default graph. GET dumps
+  *   N-Triples (404 for an absent named graph), PUT replaces, POST
+  *   merges, DELETE drops. Payload formats: N-Triples or Turtle by
+  *   Content-Type.
+  */
+final class SparqlServer(initial: GraftStore, port: Int = 0,
+    host: String = "127.0.0.1") {
+
+  private val ref = new AtomicReference[GraftStore](initial)
+  def store: GraftStore = ref.get
+
+  private val server =
+    HttpServer.create(new InetSocketAddress(host, port), 0)
+  def boundPort: Int = server.getAddress.getPort
+  def uri(path: String): String = s"http://$host:$boundPort$path"
+
+  // ---- wire helpers ---------------------------------------------------
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] = {
+    def parse(s: String): Seq[(String, String)] =
+      if (s == null || s.isEmpty) Nil
+      else s.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+          case Array(k) => URLDecoder.decode(k, UTF_8) -> ""
+        }
+      }
+    val fromQs = parse(ex.getRequestURI.getRawQuery)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("")
+    val fromBody =
+      if (ex.getRequestMethod == "POST" &&
+        ct.startsWith("application/x-www-form-urlencoded"))
+        parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+      else Nil
+    (fromQs ++ fromBody).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def fail(ex: HttpExchange, code: Int, msg: String): Unit =
+    respond(ex, code, msg + "\n", "text/plain; charset=utf-8")
+
+  private def handler(f: HttpExchange => Unit): HttpHandler =
+    (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: SparqlParser#ParseError =>
+          fail(ex, 400, "malformed query/update: " + e.getMessage)
+        case e: IllegalArgumentException =>
+          fail(ex, 400, "bad request: " + e.getMessage)
+        case e: UnsupportedOperationException =>
+          fail(ex, 400, "unsupported: " + e.getMessage)
+        case e: Throwable => fail(ex, 500, "error: " + e.getMessage)
+      }
+
+  private def ntLines(triples: DataFrame): String = {
+    val rows = triples.select(concat(
+      RdfIO.formatTerm(col("s")), lit(" "),
+      RdfIO.formatTerm(col("p")), lit(" "),
+      RdfIO.formatTerm(col("o")), lit(" .")).as("l"))
+      .collect().map(_.getString(0))
+    if (rows.isEmpty) "" else rows.mkString("", "\n", "\n")
+  }
+
+  // ---- /query ---------------------------------------------------------
+
+  private val queryHandler = handler { ex =>
+    val ps = params(ex)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("")
+    val query = ps.get("query").flatMap(_.headOption).getOrElse {
+      if (ex.getRequestMethod == "POST" &&
+        ct.startsWith("application/sparql-query"))
+        new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      else throw new IllegalArgumentException("missing query parameter")
+    }
+    val protoDefault = ps.getOrElse("default-graph-uri", Nil)
+    val protoNamed = ps.getOrElse("named-graph-uri", Nil)
+    val st = ref.get
+    val form = SparqlParser.parse(query)
+    val df = SparqlParser.executeProtocol(query, st.quads,
+      protoDefault, protoNamed)
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
+      .getOrElse("")
+    form match {
+      case _: Construct | _: Describe =>
+        respond(ex, 200, ntLines(df), "application/n-triples")
+      case _ =>
+        // results content negotiation, JSON default
+        if (accept.contains("tab-separated"))
+          respond(ex, 200, Results.toTsv(df),
+            "text/tab-separated-values; charset=utf-8")
+        else if (accept.contains("text/csv"))
+          respond(ex, 200, Results.toCsv(df), "text/csv; charset=utf-8")
+        else if (accept.contains("sparql-results+xml") ||
+          accept.contains("application/xml"))
+          respond(ex, 200, Results.toXml(df),
+            "application/sparql-results+xml")
+        else
+          respond(ex, 200, Results.toJson(df),
+            "application/sparql-results+json")
+    }
+  }
+
+  // ---- /update --------------------------------------------------------
+
+  private val updateLock = new Object
+  private val updateHandler = handler { ex =>
+    if (ex.getRequestMethod != "POST")
+      fail(ex, 405, "update requires POST")
+    else {
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("")
+      val update =
+        if (ct.startsWith("application/sparql-update"))
+          new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        else params(ex).get("update").flatMap(_.headOption).getOrElse(
+          throw new IllegalArgumentException("missing update parameter"))
+      updateLock.synchronized { ref.set(ref.get.update(update)) }
+      respond(ex, 204, "", "text/plain")
+    }
+  }
+
+  // ---- /store (Graph Store Protocol) ----------------------------------
+
+  private def gspFormat(ct: String): String =
+    if (ct.startsWith("text/turtle")) "ttl"
+    else if (ct.startsWith("application/n-triples") ||
+      ct.startsWith("text/plain") || ct.isEmpty) "nt"
+    else throw new IllegalArgumentException(s"unsupported RDF payload: $ct")
+
+  private def parseBody(ex: HttpExchange, graph: Option[String])
+      : DataFrame = {
+    val fmt = gspFormat(Option(
+      ex.getRequestHeaders.getFirst("Content-Type")).getOrElse(""))
+    val tmp = Files.createTempFile("gsp", "." + fmt)
+    Files.write(tmp, ex.getRequestBody.readAllBytes())
+    val spark = ref.get.quads.sparkSession
+    val triples = RdfIO.read(spark, tmp.toString, fmt)
+    val g = graph.map(iri => Term.iri(iri)).getOrElse(Term.defaultGraph)
+    // localCheckpoint pins the rows: the temp file is deleted after
+    triples.select(g.as("g"), col("s"), col("p"), col("o"))
+      .localCheckpoint(true)
+  }
+
+  private val storeHandler = handler { ex =>
+    val ps = params(ex)
+    val graph: Option[String] = ps.get("graph").flatMap(_.headOption)
+    val st = ref.get
+    def graphQuads(q: DataFrame): DataFrame = graph match {
+      case Some(iri) => q.where(col("g")("kind") === Term.IriKind &&
+        col("g")("lex") === iri)
+      case None => q.where(col("g")("kind") === Term.DefaultGraphKind)
+    }
+    def restQuads(q: DataFrame): DataFrame = graph match {
+      case Some(iri) => q.where(!(col("g")("kind") === Term.IriKind &&
+        col("g")("lex") === iri))
+      case None => q.where(col("g")("kind") =!= Term.DefaultGraphKind)
+    }
+    ex.getRequestMethod match {
+      case "GET" =>
+        val existing = graphQuads(st.quads)
+        if (graph.isDefined && existing.isEmpty &&
+          !graph.exists(st.namedGraphs.contains))
+          fail(ex, 404, s"no such graph: ${graph.get}")
+        else respond(ex, 200, ntLines(existing.select("s", "p", "o")),
+          "application/n-triples")
+      case "PUT" =>
+        val triples = parseBody(ex, graph)
+        updateLock.synchronized {
+          ref.set(GraftStore(
+            restQuads(ref.get.quads).unionByName(triples)))
+        }
+        respond(ex, 204, "", "text/plain")
+      case "POST" =>
+        val triples = parseBody(ex, graph)
+        updateLock.synchronized {
+          ref.set(GraftStore(ref.get.quads.unionByName(triples)
+            .distinct()))
+        }
+        respond(ex, 204, "", "text/plain")
+      case "DELETE" =>
+        updateLock.synchronized {
+          ref.set(GraftStore(restQuads(ref.get.quads)))
+        }
+        respond(ex, 204, "", "text/plain")
+      case m => fail(ex, 405, s"unsupported method $m")
+    }
+  }
+
+  server.createContext("/query", queryHandler)
+  server.createContext("/update", updateHandler)
+  server.createContext("/store", storeHandler)
+
+  def start(): SparqlServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.SparqlServer
+
+/** SPARQL 1.1 Protocol + Graph Store Protocol endpoint (SURVEY §2.1 /
+  * §3.2: the reference's `serve` surface) — loopback round-trips with
+  * the JDK HttpClient against a live server over a sample store.
+  */
+class SparqlServerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, UTF_8)
+
+  private lazy val server: SparqlServer = {
+    val d = Files.createTempDirectory("srv")
+    val nt = d.resolve("data.nt")
+    Files.writeString(nt,
+      """<http://x/a> <http://x/p> <http://x/b> .
+        |<http://x/a> <http://x/name> "alpha" .
+        |<http://x/b> <http://x/name> "beta" .
+        |""".stripMargin)
+    new SparqlServer(GraftStore.fromFile(spark, nt.toString, "nt")).start()
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String, accept: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(server.uri(path))).GET()
+    client.send(
+      (if (accept.nonEmpty) b.header("Accept", accept) else b).build(),
+      BodyHandlers.ofString())
+  }
+  private def send(req: HttpRequest): HttpResponse[String] =
+    client.send(req, BodyHandlers.ofString())
+
+  test("GET /query: SELECT negotiates JSON (default) and TSV") {
+    val q = "SELECT ?n WHERE { <http://x/a> <http://x/name> ?n }"
+    val json = get(s"/query?query=${enc(q)}")
+    assert(json.statusCode() == 200)
+    assert(json.headers().firstValue("Content-Type").get
+      .contains("sparql-results+json"))
+    assert(json.body().contains("\"alpha\"") && json.body().contains("\"n\""))
+    val tsv = get(s"/query?query=${enc(q)}", "text/tab-separated-values")
+    assert(tsv.body().startsWith("?n") && tsv.body().contains("\"alpha\""))
+  }
+
+  test("POST /query with application/sparql-query body; ASK boolean") {
+    val req = HttpRequest.newBuilder(URI.create(server.uri("/query")))
+      .header("Content-Type", "application/sparql-query")
+      .POST(BodyPublishers.ofString(
+        "ASK { <http://x/a> <http://x/p> <http://x/b> }")).build()
+    val r = send(req)
+    assert(r.statusCode() == 200 && r.body().contains("\"boolean\":true"),
+      r.body())
+  }
+
+  test("CONSTRUCT serves N-Triples") {
+    val q = "CONSTRUCT { ?s <http://x/q> ?n } WHERE { ?s <http://x/name> ?n }"
+    val r = get(s"/query?query=${enc(q)}")
+    assert(r.headers().firstValue("Content-Type").get
+      .contains("n-triples"))
+    assert(r.body().contains(
+      "<http://x/a> <http://x/q> \"alpha\" ."))
+  }
+
+  test("POST /update mutates the served store (urlencoded form)") {
+    val upd = "INSERT DATA { <http://x/c> <http://x/name> \"gamma\" }"
+    val req = HttpRequest.newBuilder(URI.create(server.uri("/update")))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(BodyPublishers.ofString(s"update=${enc(upd)}")).build()
+    assert(send(req).statusCode() == 204)
+    val r = get(s"/query?query=${enc(
+      "SELECT ?n WHERE { <http://x/c> <http://x/name> ?n }")}")
+    assert(r.body().contains("gamma"))
+  }
+
+  test("query error returns 400, not a hung response") {
+    assert(get(s"/query?query=${enc("SELECT WHERE {")}").statusCode() == 400)
+    assert(get("/query").statusCode() == 400)
+  }
+
+  test("GSP: PUT / GET / POST / DELETE round-trip on a named graph") {
+    val g = enc("http://x/g1")
+    def req(method: String, body: String) =
+      HttpRequest.newBuilder(URI.create(server.uri(s"/store?graph=$g")))
+        .header("Content-Type", "application/n-triples")
+        .method(method, BodyPublishers.ofString(body)).build()
+    assert(send(req("PUT",
+      "<http://x/s1> <http://x/p> \"v1\" .\n")).statusCode() == 204)
+    val got = get(s"/store?graph=$g")
+    assert(got.statusCode() == 200 &&
+      got.body().contains("<http://x/s1> <http://x/p> \"v1\" ."))
+    // POST merges
+    assert(send(req("POST",
+      "<http://x/s2> <http://x/p> \"v2\" .\n")).statusCode() == 204)
+    val merged = get(s"/store?graph=$g").body()
+    assert(merged.contains("\"v1\"") && merged.contains("\"v2\""))
+    // the graph participates in SPARQL over the served store
+    val viaQuery = get(s"/query?query=${enc(
+      "SELECT ?o WHERE { GRAPH <http://x/g1> { ?s <http://x/p> ?o } }")}")
+    assert(viaQuery.body().contains("v1") && viaQuery.body().contains("v2"))
+    // DELETE drops; subsequent GET is 404
+    val del = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=$g"))).DELETE().build()
+    assert(send(del).statusCode() == 204)
+    assert(get(s"/store?graph=$g").statusCode() == 404)
+  }
+
+  test("protocol dataset: default-graph-uri promotes a named graph") {
+    val g = enc("http://x/g2")
+    val put = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=$g")))
+      .header("Content-Type", "application/n-triples")
+      .method("PUT", BodyPublishers.ofString(
+        "<http://x/z> <http://x/p> \"zz\" .\n")).build()
+    assert(send(put).statusCode() == 204)
+    val q = "SELECT ?o WHERE { ?s <http://x/p> ?o }"
+    // without the protocol dataset the default graph holds only x/a-x/b
+    val plain = get(s"/query?query=${enc(q)}").body()
+    assert(!plain.contains("zz"))
+    val promoted = get(
+      s"/query?query=${enc(q)}&default-graph-uri=${enc("http://x/g2")}")
+      .body()
+    assert(promoted.contains("zz") && !promoted.contains("http://x/b"),
+      promoted)
+  }
+}
