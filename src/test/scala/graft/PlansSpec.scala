@@ -139,7 +139,12 @@ class PlansSpec extends AnyFunSuite {
          } }""", quads)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("row_number"), s"expected a per-graph window:\n$plan")
-    assert(!plan.contains("1 ASC NULLS FIRST"),
+    // literal-1 ordering only — an expression id like `_w0#41 ASC NULLS
+    // FIRST` must NOT match (exprIds are a global counter, so a plain
+    // substring check flakes depending on suite order)
+    val lit1Order =
+      java.util.regex.Pattern.compile("[^#0-9]1 ASC NULLS FIRST")
+    assert(!lit1Order.matcher(plan).find(),
       s"window must order by the subselect's sort keys, not lit(1):\n$plan")
     val got = df.collect()
       .map(r => (r.getAs[Row]("g").getString(1),
