@@ -611,17 +611,22 @@ object Translator {
       * hash-joinable shuffle. Anything else (e.g. re-binding an outer
       * var) throws rather than silently decorrelating.
       */
-    def perBinding(p: GraphPattern): Sol = {
+    def perBinding(p: GraphPattern, pctx: GraphCtx): Sol = {
       val (pH, pUp, pHv) = hoist(p, lVars)
       checkNoDangling(pH, pHv)
       val core: Sol =
-        if (joinSafe(pH)) joinSols(ls, translate(pH, src, ctx), "inner")
+        if (joinSafe(pH)) joinSols(ls, translate(pH, src, pctx), "inner")
         else pH match {
+          // a named-graph wrapper around an unsafe core: σ evaluates
+          // the core against that graph — recurse with FixedG. (A
+          // GRAPH ?g wrapper would additionally bind the graph var per
+          // iterated graph; that shape still throws below.)
+          case GraphPat(I(iri), i0) => perBinding(i0, FixedG(iri))
           // Cross-correlated OPTIONAL: σ(LeftJoin(A,B,F),μ) =
           // LeftJoin(σA, σB, σF) — evaluate BOTH sides per binding and
           // left-outer join them (shared __lid + left vars + a/b vars).
           case LeftJoin(a0, b0, filt) =>
-            joinSols(perBinding(a0), perBinding(b0), "left_outer",
+            joinSols(perBinding(a0, pctx), perBinding(b0, pctx), "left_outer",
               filt.map(f => (bind: String => Option[Column]) =>
                 SparqlExpr.compileBool(f, bind)))
           // Cross-correlated MINUS: σ(Minus(A,B),μ) = Minus(σA,σB) with
@@ -633,8 +638,8 @@ object Translator {
           // unbound one would flip per row between "substituted" and
           // "live", which this static rewrite cannot express — throw.
           case Minus(a0, b0) =>
-            val A = perBinding(a0)
-            val B = perBinding(b0)
+            val A = perBinding(a0, pctx)
+            val B = perBinding(b0, pctx)
             val sharedAB = inScopeVars(a0) & inScopeVars(b0)
             val leftShared = sharedAB & lVars
             if (!leftShared.forall(ls0.sure))
@@ -666,10 +671,10 @@ object Translator {
           // present = substitution).
           case Filter(e, i0) =>
             val (existsConjs, scalarConjs) = splitConjuncts(e)
-            val base = perBinding(i0)
+            val base = perBinding(i0, pctx)
             val afterExists = existsConjs.foldLeft(base) {
               case (sol, EExists(p, pos)) =>
-                joinSols(sol, perBinding(p),
+                joinSols(sol, perBinding(p, pctx),
                   if (pos) "left_semi" else "left_anti")
             }
             scalarConjs.foldLeft(afterExists) { (sol, ex) =>
@@ -680,9 +685,9 @@ object Translator {
           // σ distributes over Join and Extend too — recurse so an
           // unsafe core nested under them still evaluates per binding.
           case Join(a0, b0) =>
-            joinSols(perBinding(a0), perBinding(b0), "inner")
+            joinSols(perBinding(a0, pctx), perBinding(b0, pctx), "inner")
           case Extend(i0, v, ex) if !lVars(v) =>
-            val base = perBinding(i0)
+            val base = perBinding(i0, pctx)
             Sol(base.df.withColumn(v, SparqlExpr.compile(ex, base.bind)),
               base.vars + v, base.sure,
               SparqlExpr.exprClass(ex, base.hint)
@@ -690,8 +695,8 @@ object Translator {
           // σ distributes over Union: evaluate each branch per binding
           // and bag-union with var padding (translate's Union shape).
           case Union(a0, b0) =>
-            val A = perBinding(a0)
-            val B = perBinding(b0)
+            val A = perBinding(a0, pctx)
+            val B = perBinding(b0, pctx)
             val allVars = (A.vars ++ B.vars).toSeq.sorted
             def pad(s: Sol): DataFrame =
               s.df.select(allVars.map(v =>
@@ -718,7 +723,7 @@ object Translator {
       if (joinSafe(nodeH)) {
         val rs = translate(nodeH, src, ctx)
         (joinSols(ls, rs, "inner"), rs.vars)
-      } else (perBinding(nodeH), inScopeVars(nodeH))
+      } else (perBinding(nodeH, ctx), inScopeVars(nodeH))
     val joined = applyHoisted(applyExtends(joined0), nUp)
     var df = joined.df
     if (distinct) {

@@ -276,6 +276,29 @@ class PlansSpec extends AnyFunSuite {
     assert(nex == 0)
   }
 
+  test("GRAPH <iri> around a cross-correlated core evaluates in that graph") {
+    val g1 = Row(Term.IriKind.toByte, "http://x/g1", null, null)
+    def l(v: String) = Row(Term.LiteralKind.toByte, v,
+      "http://www.w3.org/2001/XMLSchema#string", null)
+    val quads = spark.createDataFrame(
+      spark.sparkContext.parallelize(List(
+        Row(dg, t("http://x/c1"), t("http://x/k"), l("x")),
+        Row(dg, t("http://x/c2"), t("http://x/k"), l("y")),
+        Row(g1, t("http://x/c1"), t("http://x/bal"), l("5")),
+        Row(g1, t("http://x/r1"), t("http://x/r"), l("v"))), 2),
+      Term.quadSchema)
+    val lat = Translator.translate(Lateral(
+      Bgp(TriplePattern(V("c"), I("http://x/k"), V("x"))),
+      GraphPat(I("http://x/g1"), LeftJoin(
+        Bgp(TriplePattern(V("y"), I("http://x/r"), V("v"))),
+        Bgp(TriplePattern(V("c"), I("http://x/bal"), V("b")))))), quads)
+    val got = lat.df.collect().map(r =>
+      (r.getAs[Row]("c").getString(1),
+        Option(r.getAs[Row]("b")).map(_.getString(1)))).toSet
+    assert(got == Set(("http://x/c1", Some("5")), ("http://x/c2", None)),
+      s"got $got")
+  }
+
   test("unsupported correlated LATERAL shapes still throw") {
     val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
     // re-binding an outer variable with BIND cannot be decorrelated
