@@ -618,10 +618,19 @@ object Translator {
         if (joinSafe(pH)) joinSols(ls, translate(pH, src, pctx), "inner")
         else pH match {
           // a named-graph wrapper around an unsafe core: σ evaluates
-          // the core against that graph — recurse with FixedG. (A
-          // GRAPH ?g wrapper would additionally bind the graph var per
-          // iterated graph; that shape still throws below.)
+          // the core against that graph — recurse with FixedG.
           case GraphPat(I(iri), i0) => perBinding(i0, FixedG(iri))
+          // GRAPH ?g wrapper: σ(Graph(?g,P),μ) = Union over named graphs
+          // gi of Join(σ(P eval'd in D[gi]), {?g→gi}) — the row-carrying
+          // VarG translation realizes the union (leaf scans bind ?g from
+          // the quads), and because the Graph wrapper sits OUTSIDE every
+          // structural operator of the core, ?g acts as a strict equi-key
+          // in each per-binding combine below (both sides bind it sure)
+          // and never counts toward a MINUS overlap domain (sharedAB is
+          // computed from the algebra, where ?g is ctx-bound, not
+          // pattern-bound). An outer-bound ?g degenerates to the
+          // substituted-constant case through the ls-side compat join.
+          case GraphPat(V(gv), i0) => perBinding(i0, VarG(gv))
           // Cross-correlated OPTIONAL: σ(LeftJoin(A,B,F),μ) =
           // LeftJoin(σA, σB, σF) — evaluate BOTH sides per binding and
           // left-outer join them (shared __lid + left vars + a/b vars).

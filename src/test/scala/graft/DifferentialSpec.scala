@@ -128,6 +128,38 @@ class DifferentialSpec extends AnyFunSuite {
         else Join(l, ValuesPat(Seq(v1, v2), rows))),
       1 -> genPattern(depth - 1).map(Distinct))
 
+  // named-graph wave: the same shapes wrapped in GRAPH — the graph name
+  // is usually a fresh var ("g"), sometimes a pattern var ("a", so the
+  // outer-bound / pattern-bound corners get hit), sometimes a constant
+  private val graphTerms = Seq(iri(20), iri(21))
+  private val genGName: Gen[TermPat] = Gen.frequency(
+    4 -> Gen.const(V("g")),
+    1 -> Gen.const(V("a")),
+    2 -> Gen.oneOf(graphTerms).map { case (_, i, _) => I(i) })
+  private def genPatternG(depth: Int): Gen[GraphPattern] = {
+    // base for recursive positions: GRAPH-wrapped or plain subpattern
+    // (depth-bounded so the generator tree stays finite)
+    def genLeft: Gen[GraphPattern] =
+      if (depth == 0) genBgp
+      else Gen.lzy(genPatternG(depth - 1))
+    Gen.frequency(
+      3 -> genPattern(depth),
+      3 -> (for { n <- genGName; i <- genPattern((depth - 1) max 0) }
+        yield GraphPat(n, i)),
+      // GRAPH wrapping cross-correlated LATERAL cores: the per-binding
+      // VarG/FixedG recursion vs the spec's union-over-graphs semantics
+      2 -> (for { l <- genLeft; n <- genGName; a <- genBgp; b <- genBgp }
+        yield Lateral(l, GraphPat(n, LeftJoin(a, b, None)))),
+      2 -> (for { l <- genLeft; n <- genGName; a <- genBgp; b <- genBgp }
+        yield Lateral(l, GraphPat(n, Minus(a, b)))),
+      1 -> (for { l <- genLeft; n <- genGName
+                  a <- genBgp; b <- genBgp; c <- genBgp }
+        yield Lateral(l, GraphPat(n, Union(a, Minus(b, c))))),
+      1 -> (for { l <- genLeft; n <- genGName
+                  a <- genBgp; b <- genBgp; f <- genFilterExpr }
+        yield Lateral(l, GraphPat(n, Filter(f, LeftJoin(a, b, None))))))
+  }
+
   // ---- naive reference evaluator ------------------------------------
   type Binding = Map[String, T]
   private def matchPat(pat: TermPat, t: T, b: Binding): Option[Binding] =
@@ -155,8 +187,11 @@ class DifferentialSpec extends AnyFunSuite {
   private def compatible(a: Binding, b: Binding): Boolean =
     a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
 
-  private def evalNaive(gp: GraphPattern,
-      data: Seq[(T, T, T)]): Seq[Binding] = gp match {
+  /** `data` is the ACTIVE graph's triples; `named` maps each named-graph
+    * term to its triples (GRAPH switches the active set, §18.2.2.3).
+    */
+  private def evalNaive(gp: GraphPattern, data: Seq[(T, T, T)],
+      named: Map[T, Seq[(T, T, T)]] = Map.empty): Seq[Binding] = gp match {
     case Bgp(ps @ _*) =>
       ps.foldLeft(Seq(Map.empty: Binding)) { (sols, tp) =>
         for {
@@ -167,46 +202,41 @@ class DifferentialSpec extends AnyFunSuite {
         } yield b3
       }
     case Join(l, r) =>
-      for { a <- evalNaive(l, data); b <- evalNaive(r, data)
+      for { a <- evalNaive(l, data, named); b <- evalNaive(r, data, named)
         if compatible(a, b) } yield a ++ b
-    case Union(l, r) => evalNaive(l, data) ++ evalNaive(r, data)
+    case Union(l, r) =>
+      evalNaive(l, data, named) ++ evalNaive(r, data, named)
     // true substitution semantics: the right side evaluates once per
     // left solution with its bindings in scope (BIND sees left vars)
     case Lateral(l, r) =>
-      evalNaive(l, data).flatMap(b => evalSubst(r, data, b))
+      evalNaive(l, data, named).flatMap(b => evalSubst(r, data, b, named))
     case LeftJoin(l, r, None) =>
-      val rs = evalNaive(r, data)
-      evalNaive(l, data).flatMap { a =>
+      val rs = evalNaive(r, data, named)
+      evalNaive(l, data, named).flatMap { a =>
         val m = rs.filter(compatible(a, _))
         if (m.isEmpty) Seq(a) else m.map(a ++ _)
       }
     case Minus(l, r) =>
-      val rs = evalNaive(r, data)
-      evalNaive(l, data).filter { a =>
+      val rs = evalNaive(r, data, named)
+      evalNaive(l, data, named).filter { a =>
         !rs.exists(b => compatible(a, b) &&
           a.keySet.intersect(b.keySet).nonEmpty)
       }
-    case Filter(EFn(op, EVar(v), ELit(lex, _, _)), p) =>
-      evalNaive(p, data).filter { b =>
-        b.get(v) match {
-          case Some((2, l, Term.XsdInteger)) =>
-            val x = l.toLong; val y = lex.toLong
-            op match {
-              case "=" => x == y; case "!=" => x != y
-              case "<" => x < y; case ">" => x > y
-            }
-          case Some((2, _, Term.XsdString)) =>
-            false // int vs string literal: RDFterm-equal type error -> drop
-          case Some((k, _, _)) if k == 0 || k == 4 => op match {
-            // IRI / quoted-triple term is never RDFterm-equal to a literal
-            case "=" => false
-            case "!=" => true // !(RDFterm-equal) = !false = true
-            case _ => false // order comparison: error -> drop
-          }
-          case _ => false // unbound: comparison error
+    // spec-exact join-OUTSIDE shape: Graph(g,P) = ⋃ over named graphs gi
+    // of Join(eval(P, D[gi]), {g→gi}) — the graph binding joins after
+    // the core evaluates, so a core that pattern-binds the same var
+    // constrains by compatibility, exactly like the engine's VarG scan
+    case GraphPat(np, i) =>
+      named.toSeq.sortBy(_._1._2).flatMap { case (g, gdata) =>
+        val sols = evalNaive(i, gdata, named)
+        np match {
+          case V(v) => sols.flatMap(b => matchPat(V(v), g, b).toSeq)
+          case pat => sols.filter(_ => matchPat(pat, g, Map.empty).isDefined)
         }
       }
-    case Distinct(p) => evalNaive(p, data).distinct
+    case Filter(EFn(op, EVar(v), ELit(lex, _, _)), p) =>
+      evalNaive(p, data, named).filter(filterPasses(_, op, v, lex))
+    case Distinct(p) => evalNaive(p, data, named).distinct
     case ValuesPat(vs, rows) =>
       rows.map { row =>
         vs.zip(row).collect {
@@ -217,13 +247,36 @@ class DifferentialSpec extends AnyFunSuite {
     case other => fail(s"naive evaluator: unexpected $other")
   }
 
+  /** The differential filter semantics (`?v op intLiteral`): typed
+    * comparison with error→drop, shared by both evaluators.
+    */
+  private def filterPasses(b: Binding, op: String, v: String,
+      lex: String): Boolean = b.get(v) match {
+    case Some((2, l, Term.XsdInteger)) =>
+      val x = l.toLong; val y = lex.toLong
+      op match {
+        case "=" => x == y; case "!=" => x != y
+        case "<" => x < y; case ">" => x > y
+      }
+    case Some((2, _, Term.XsdString)) =>
+      false // int vs string literal: RDFterm-equal type error -> drop
+    case Some((k, _, _)) if k == 0 || k == 4 => op match {
+      // IRI / quoted-triple term is never RDFterm-equal to a literal
+      case "=" => false
+      case "!=" => true // !(RDFterm-equal) = !false = true
+      case _ => false // order comparison: error -> drop
+    }
+    case _ => false // unbound: comparison error
+  }
+
   /** Substitution evaluation of a LATERAL right side: every pattern
     * match starts from the left binding `b0`; BIND evaluates with the
     * left vars in scope (error leaves the variable unbound, matching
     * SPARQL error-as-unbound for Extend).
     */
   private def evalSubst(gp: GraphPattern, data: Seq[(T, T, T)],
-      b0: Binding): Seq[Binding] = gp match {
+      b0: Binding, named: Map[T, Seq[(T, T, T)]] = Map.empty)
+      : Seq[Binding] = gp match {
     case Bgp(ps @ _*) =>
       ps.foldLeft(Seq(b0)) { (sols, tp) =>
         for {
@@ -234,26 +287,41 @@ class DifferentialSpec extends AnyFunSuite {
         } yield b3
       }
     case Join(l, r) =>
-      evalSubst(l, data, b0).flatMap(b => evalSubst(r, data, b))
+      evalSubst(l, data, b0, named).flatMap(b => evalSubst(r, data, b, named))
     case Union(l, r) =>
-      evalSubst(l, data, b0) ++ evalSubst(r, data, b0)
+      evalSubst(l, data, b0, named) ++ evalSubst(r, data, b0, named)
     // σ semantics: substituted (left-bound) vars are CONSTANTS, not part
     // of the solution domains — strip them before the compatibility /
     // domain-overlap step, re-attach after (§18.5 over σ-domains)
     case LeftJoin(l, r, None) =>
-      val ls = evalSubst(l, data, b0).map(_ -- b0.keySet)
-      val rs = evalSubst(r, data, b0).map(_ -- b0.keySet)
+      val ls = evalSubst(l, data, b0, named).map(_ -- b0.keySet)
+      val rs = evalSubst(r, data, b0, named).map(_ -- b0.keySet)
       ls.flatMap { a =>
         val m = rs.filter(compatible(a, _))
         (if (m.isEmpty) Seq(a) else m.map(a ++ _)).map(b0 ++ _)
       }
     case Minus(l, r) =>
-      val ls = evalSubst(l, data, b0).map(_ -- b0.keySet)
-      val rs = evalSubst(r, data, b0).map(_ -- b0.keySet)
+      val ls = evalSubst(l, data, b0, named).map(_ -- b0.keySet)
+      val rs = evalSubst(r, data, b0, named).map(_ -- b0.keySet)
       ls.filter(a => !rs.exists(b => compatible(a, b) &&
         a.keySet.intersect(b.keySet).nonEmpty)).map(b0 ++ _)
+    // σ(Graph(g,P),μ): the Graph union-and-join stays OUTSIDE the core —
+    // evaluate the core per named graph under σ, then join the graph
+    // binding against μ (an outer-bound g degenerates to one graph)
+    case GraphPat(np, i) =>
+      named.toSeq.sortBy(_._1._2).flatMap { case (g, gdata) =>
+        val sols = evalSubst(i, gdata, b0, named)
+        np match {
+          case V(v) => sols.flatMap(b => matchPat(V(v), g, b).toSeq)
+          case pat => sols.filter(_ => matchPat(pat, g, Map.empty).isDefined)
+        }
+      }
+    // σ(Filter(F,P),μ) = Filter(σF, σP): the binding flows into both the
+    // pattern and the expression (left vars visible = substitution)
+    case Filter(EFn(op, EVar(v), ELit(lex, _, _)), p) =>
+      evalSubst(p, data, b0, named).filter(filterPasses(_, op, v, lex))
     case Extend(i, v, EFn("+", EVar(x), ELit(lex, _, _))) =>
-      evalSubst(i, data, b0).map { b =>
+      evalSubst(i, data, b0, named).map { b =>
         b.get(x) match {
           case Some((2, l, Term.XsdInteger)) =>
             b + (v -> int((l.toLong + lex.toLong).toInt))
@@ -272,7 +340,27 @@ class DifferentialSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows.toList, 2), Term.quadSchema)
   }
 
-  private val cmpVars = varNames ++ Seq("x", "y")
+  // quads spread over the default graph and two named graphs
+  private val genDataG: Gen[(Seq[(T, T, T)], Map[T, Seq[(T, T, T)]])] =
+    for {
+      d <- Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, genQuad))
+      g0 <- Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, genQuad))
+      g1 <- Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, genQuad))
+    } yield (d, Map(graphTerms(0) -> g0, graphTerms(1) -> g1))
+
+  private def quadsDfG(data: Seq[(T, T, T)],
+      named: Map[T, Seq[(T, T, T)]]) = {
+    def row(t: T): Row = Row(t._1.toByte, t._2, t._3, null)
+    val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
+    val rows =
+      data.map { case (s, p, o) => Row(dg, row(s), row(p), row(o)) } ++
+      named.toSeq.flatMap { case (g, ts) =>
+        ts.map { case (s, p, o) => Row(row(g), row(s), row(p), row(o)) } }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 2), Term.quadSchema)
+  }
+
+  private val cmpVars = varNames ++ Seq("x", "y", "g")
   private def canon(b: Binding): String =
     cmpVars.flatMap(v => b.get(v).map(t => s"$v=${t._1}:${t._2}:${t._3}"))
       .mkString("|")
@@ -299,6 +387,36 @@ class DifferentialSpec extends AnyFunSuite {
         // re-binding of an outer var)
         case _: UnsupportedOperationException => true
       }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "30").toInt), prop)
+    assert(result.passed, s"differential property failed: ${result.status}")
+  }
+
+  test("translator matches the naive evaluator on named-graph algebra") {
+    val prop = Prop.forAllNoShrink(genDataG, genPatternG(2)) {
+      case ((data, named), gp) =>
+        val expected = evalNaive(gp, data, named).map(canon).sorted
+        try {
+          val df = graft.exec.Translator.translate(gp,
+            quadsDfG(data, named)).df
+          val got = df.collect().toSeq.map { r =>
+            cmpVars.flatMap { v =>
+              if (!df.columns.contains(v)) None
+              else Option(r.getAs[Row](v)).map(t =>
+                s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+            }.mkString("|")
+          }.sorted
+          if (got != expected) {
+            println(
+              s"MISMATCH for $gp\ndata=$data named=$named\n" +
+                s"expected=$expected\ngot=$got")
+          }
+          got == expected
+        } catch {
+          case _: UnsupportedOperationException => true
+        }
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(
