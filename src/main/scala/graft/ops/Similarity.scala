@@ -421,22 +421,25 @@ object Similarity {
   }
 
   /** Encode the corpus: per subspace the L2-nearest sub-centroid index,
-    * as one codegen'd fold per subspace with the codebook compiled into
-    * the expression — pure map-side, nothing shuffles. 64 floats
-    * (256 B) become m code bytes + one stored norm (m=16: ~16x): the
-    * 100 TB draw is an order-of-magnitude smaller scan for the
-    * distance pass.
+    * as one map-side fold per subspace with the codebook compiled into
+    * the expression — nothing shuffles. The per-centroid L2 rides the
+    * native DotSeq through ‖x−c‖² = ‖x‖² − 2·x·c + ‖c‖² with the
+    * row-constant ‖x‖² dropped (argmin-invariant: a per-row constant
+    * shift preserves both the order and the tie set); ‖c‖² folds in as
+    * a driver-side literal. This replaced an interpreted zip_with +
+    * aggregate square-difference per (subspace, centroid) — the same
+    * interpreted-HOF hot spot DotSeq removed from the similarity
+    * family. 64 floats (256 B) become m code bytes + one stored norm
+    * (m=16: ~16x): the 100 TB draw is an order-of-magnitude smaller
+    * scan for the distance pass.
     */
   def pqEncode(emb: DataFrame, b: PqBooks): DataFrame = {
     def codeFor(j: Int): Column = {
       val scored = array((0 until b.ksub).map { c =>
-        val d2 = aggregate(
-          zip_with(pqSub(col("embedding"), j, b.subDim),
-            typedlit(b.books(j)(c)),
-            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
-              (x.cast(DoubleType) - y.cast(DoubleType))),
-          lit(0.0), (acc, v) => acc + v)
-        struct(d2.as("d"), lit(c).as("c"))
+        val book = b.books(j)(c)
+        val d = lit(norm2Local(book)) - lit(2.0) *
+          dotSeq(pqSub(col("embedding"), j, b.subDim), typedlit(book))
+        struct(d.as("d"), lit(c).as("c"))
       }: _*)
       aggregate(scored,
         struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("c")),
