@@ -65,6 +65,15 @@ object JsonLdWriter {
         lit("\",\"@graph\":["), node, lit("]}")))
   }
 
+  /** Quads as ONE expanded JSON-LD document string — protocol
+    * responses only (interactive scale, driver-side by design);
+    * dataset-scale export goes through [[write]].
+    */
+  def jsonLdString(quads: DataFrame): String =
+    quads.select(quadObject(col("g"), col("s"), col("p"), col("o"))
+      .as("value"))
+      .collect().map(_.getString(0)).mkString("[", ",", "]")
+
   /** Write quads as per-part expanded JSON-LD documents. */
   def write(quads: DataFrame, path: String): Unit = {
     val spark = quads.sparkSession

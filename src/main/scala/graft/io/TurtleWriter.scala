@@ -82,12 +82,21 @@ object TurtleWriter {
     * is contiguous within its partition.
     */
   private def emit(tok: DataFrame, prefixes: Seq[(String, String)],
-      path: String): Unit = {
+      path: String): Unit =
+    lineset(tok.repartition(col("gt"), col("st")), prefixes)
+      .write.mode("overwrite").text(path)
+
+  /** Tokenized rows -> serialized lines. The caller picks the
+    * partitioning: subject-clustered for the distributed sink (each
+    * partition is a self-contained document), a single partition for
+    * the string form (one document, globally subject-grouped).
+    */
+  private def lineset(tok: DataFrame,
+      prefixes: Seq[(String, String)]) = {
     val spark = tok.sparkSession
     import spark.implicits._
     val hdr = header(prefixes)
-    val lines = tok
-      .repartition(col("gt"), col("st"))
+    tok
       .sortWithinPartitions("gt", "st", "pt", "ot")
       .as[(String, String, String, String)]
       .mapPartitions { it =>
@@ -136,7 +145,6 @@ object TurtleWriter {
           def next(): String = out.dequeue()
         }
       }
-    lines.write.mode("overwrite").text(path)
   }
 
   /** Serialize triples (s, p, o) as Turtle. */
@@ -146,6 +154,21 @@ object TurtleWriter {
       ttlTerm(col("s"), prefixes).as("st"),
       ttlTerm(col("p"), prefixes, predicatePos = true).as("pt"),
       ttlTerm(col("o"), prefixes).as("ot")), prefixes, path)
+
+  /** Triples as ONE Turtle document string — protocol responses only
+    * (interactive scale, driver-side by design); dataset-scale export
+    * goes through [[writeTurtle]].
+    */
+  def turtleString(triples: DataFrame,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): String = {
+    val lines = lineset(triples.select(lit("").as("gt"),
+      ttlTerm(col("s"), prefixes).as("st"),
+      ttlTerm(col("p"), prefixes, predicatePos = true).as("pt"),
+      ttlTerm(col("o"), prefixes).as("ot")).repartition(1), prefixes)
+      .collect()
+    if (lines.isEmpty) header(prefixes).mkString("", "\n", "\n")
+    else lines.mkString("", "\n", "\n")
+  }
 
   /** Serialize quads (g, s, p, o) as TriG — default-graph rows become
     * bare triples, named graphs GRAPH blocks.

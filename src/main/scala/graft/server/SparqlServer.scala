@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftStore
 import graft.algebra.Algebra._
-import graft.io.{RdfIO, Results}
+import graft.io.{JsonLdWriter, RdfIO, Results, TurtleWriter}
 import graft.model.Term
 import graft.parser.SparqlParser
 
@@ -30,14 +30,19 @@ import graft.parser.SparqlParser
   *   `application/sparql-query` body; `default-graph-uri` /
   *   `named-graph-uri` override the query dataset (§2.1.4). SELECT/ASK
   *   negotiate sparql-results JSON (default) / XML / CSV / TSV;
-  *   CONSTRUCT/DESCRIBE serve N-Triples.
+  *   CONSTRUCT/DESCRIBE negotiate N-Triples (default) / Turtle /
+  *   expanded JSON-LD.
   * - `POST /update` — urlencoded form or `application/sparql-update`
   *   body; 204 on success. Updates serialize through one lock (the
   *   store is immutable; the reference serializes writers too).
-  * - `/store` (GSP): `?graph=<iri>` or default graph. GET dumps
-  *   N-Triples (404 for an absent named graph), PUT replaces, POST
-  *   merges, DELETE drops. Payload formats: N-Triples or Turtle by
-  *   Content-Type.
+  * - `/store` (GSP): `?graph=<iri>` or default graph. GET/HEAD dump
+  *   N-Triples / Turtle / JSON-LD by Accept (404 for an absent named
+  *   graph), PUT replaces, POST merges, DELETE drops. Payload formats:
+  *   N-Triples, Turtle, or JSON-LD by Content-Type.
+  *
+  * All contexts answer OPTIONS with their Allow set; HEAD mirrors the
+  * GET headers without a body; any response gzips when the client
+  * sends `Accept-Encoding: gzip`.
   */
 final class SparqlServer(initial: GraftStore, port: Int = 0,
     host: String = "127.0.0.1") {
@@ -75,12 +80,39 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String): Unit = {
-    val bytes = body.getBytes(UTF_8)
+    var bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
-    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    // transparent gzip when the client advertises it (RFC 9110 §12.5.3)
+    val acceptsGzip = Option(
+      ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    if (acceptsGzip && bytes.nonEmpty) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(bytes); gz.close()
+      bytes = bos.toByteArray
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+    }
+    // HEAD: identical headers (incl. the length the GET would carry),
+    // no body (RFC 9110 §9.3.2)
+    if (ex.getRequestMethod == "HEAD") {
+      if (bytes.nonEmpty)
+        ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
+      ex.sendResponseHeaders(code, -1)
+    } else {
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    }
     ex.close()
   }
+
+  private def preflight(ex: HttpExchange, allow: String): Boolean =
+    if (ex.getRequestMethod == "OPTIONS") {
+      ex.getResponseHeaders.set("Allow", allow)
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+      true
+    } else false
 
   private def fail(ex: HttpExchange, code: Int, msg: String): Unit =
     respond(ex, code, msg + "\n", "text/plain; charset=utf-8")
@@ -110,40 +142,51 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
   // ---- /query ---------------------------------------------------------
 
   private val queryHandler = handler { ex =>
-    val ps = params(ex)
-    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
-      .getOrElse("")
-    val query = ps.get("query").flatMap(_.headOption).getOrElse {
-      if (ex.getRequestMethod == "POST" &&
-        ct.startsWith("application/sparql-query"))
-        new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      else throw new IllegalArgumentException("missing query parameter")
-    }
-    val protoDefault = ps.getOrElse("default-graph-uri", Nil)
-    val protoNamed = ps.getOrElse("named-graph-uri", Nil)
-    val st = ref.get
-    val form = SparqlParser.parse(query)
-    val df = SparqlParser.executeProtocol(query, st.quads,
-      protoDefault, protoNamed)
-    val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
-      .getOrElse("")
-    form match {
-      case _: Construct | _: Describe =>
-        respond(ex, 200, ntLines(df), "application/n-triples")
-      case _ =>
-        // results content negotiation, JSON default
-        if (accept.contains("tab-separated"))
-          respond(ex, 200, Results.toTsv(df),
-            "text/tab-separated-values; charset=utf-8")
-        else if (accept.contains("text/csv"))
-          respond(ex, 200, Results.toCsv(df), "text/csv; charset=utf-8")
-        else if (accept.contains("sparql-results+xml") ||
-          accept.contains("application/xml"))
-          respond(ex, 200, Results.toXml(df),
-            "application/sparql-results+xml")
-        else
-          respond(ex, 200, Results.toJson(df),
-            "application/sparql-results+json")
+    if (!preflight(ex, "GET, POST, HEAD, OPTIONS")) {
+      val ps = params(ex)
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("")
+      val query = ps.get("query").flatMap(_.headOption).getOrElse {
+        if (ex.getRequestMethod == "POST" &&
+          ct.startsWith("application/sparql-query"))
+          new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        else throw new IllegalArgumentException("missing query parameter")
+      }
+      val protoDefault = ps.getOrElse("default-graph-uri", Nil)
+      val protoNamed = ps.getOrElse("named-graph-uri", Nil)
+      val st = ref.get
+      val form = SparqlParser.parse(query)
+      val df = SparqlParser.executeProtocol(query, st.quads,
+        protoDefault, protoNamed)
+      val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
+        .getOrElse("")
+      form match {
+        case _: Construct | _: Describe =>
+          // graph content negotiation, N-Triples default
+          if (accept.contains("text/turtle"))
+            respond(ex, 200, TurtleWriter.turtleString(df),
+              "text/turtle; charset=utf-8")
+          else if (accept.contains("application/ld+json"))
+            respond(ex, 200, JsonLdWriter.jsonLdString(
+              df.select(Term.defaultGraph.as("g"),
+                col("s"), col("p"), col("o"))),
+              "application/ld+json")
+          else respond(ex, 200, ntLines(df), "application/n-triples")
+        case _ =>
+          // results content negotiation, JSON default
+          if (accept.contains("tab-separated"))
+            respond(ex, 200, Results.toTsv(df),
+              "text/tab-separated-values; charset=utf-8")
+          else if (accept.contains("text/csv"))
+            respond(ex, 200, Results.toCsv(df), "text/csv; charset=utf-8")
+          else if (accept.contains("sparql-results+xml") ||
+            accept.contains("application/xml"))
+            respond(ex, 200, Results.toXml(df),
+              "application/sparql-results+xml")
+          else
+            respond(ex, 200, Results.toJson(df),
+              "application/sparql-results+json")
+      }
     }
   }
 
@@ -151,7 +194,8 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
 
   private val updateLock = new Object
   private val updateHandler = handler { ex =>
-    if (ex.getRequestMethod != "POST")
+    if (preflight(ex, "POST, OPTIONS")) ()
+    else if (ex.getRequestMethod != "POST")
       fail(ex, 405, "update requires POST")
     else {
       val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
@@ -170,6 +214,7 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
 
   private def gspFormat(ct: String): String =
     if (ct.startsWith("text/turtle")) "ttl"
+    else if (ct.startsWith("application/ld+json")) "jsonld"
     else if (ct.startsWith("application/n-triples") ||
       ct.startsWith("text/plain") || ct.isEmpty) "nt"
     else throw new IllegalArgumentException(s"unsupported RDF payload: $ct")
@@ -189,6 +234,11 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
   }
 
   private val storeHandler = handler { ex =>
+    if (preflight(ex, "GET, PUT, POST, DELETE, HEAD, OPTIONS")) ()
+    else storeRequest(ex)
+  }
+
+  private def storeRequest(ex: HttpExchange): Unit = {
     val ps = params(ex)
     val graph: Option[String] = ps.get("graph").flatMap(_.headOption)
     val st = ref.get
@@ -203,13 +253,25 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
       case None => q.where(col("g")("kind") =!= Term.DefaultGraphKind)
     }
     ex.getRequestMethod match {
-      case "GET" =>
+      case "GET" | "HEAD" =>
         val existing = graphQuads(st.quads)
         if (graph.isDefined && existing.isEmpty &&
           !graph.exists(st.namedGraphs.contains))
           fail(ex, 404, s"no such graph: ${graph.get}")
-        else respond(ex, 200, ntLines(existing.select("s", "p", "o")),
-          "application/n-triples")
+        else {
+          val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
+            .getOrElse("")
+          val triples = existing.select("s", "p", "o")
+          if (accept.contains("text/turtle"))
+            respond(ex, 200, TurtleWriter.turtleString(triples),
+              "text/turtle; charset=utf-8")
+          else if (accept.contains("application/ld+json"))
+            respond(ex, 200, JsonLdWriter.jsonLdString(
+              triples.select(Term.defaultGraph.as("g"),
+                col("s"), col("p"), col("o"))),
+              "application/ld+json")
+          else respond(ex, 200, ntLines(triples), "application/n-triples")
+        }
       case "PUT" =>
         val triples = parseBody(ex, graph)
         updateLock.synchronized {

@@ -114,6 +114,76 @@ class SparqlServerSpec extends AnyFunSuite {
     assert(get(s"/store?graph=$g").statusCode() == 404)
   }
 
+  test("CONSTRUCT negotiates Turtle and expanded JSON-LD") {
+    // subjects pinned: the shared server accretes triples from the
+    // update/GSP tests, so an open ?s would make counts order-dependent
+    val q = "CONSTRUCT { ?s <http://x/q> ?n } WHERE { " +
+      "VALUES ?s { <http://x/a> <http://x/b> } ?s <http://x/name> ?n }"
+    val ttl = get(s"/query?query=${enc(q)}", "text/turtle")
+    assert(ttl.headers().firstValue("Content-Type").get
+      .contains("text/turtle"))
+    assert(ttl.body().contains("\"alpha\""), ttl.body())
+    // the Turtle body parses back to the same graph
+    val d = Files.createTempDirectory("neg")
+    val f = d.resolve("got.ttl")
+    Files.writeString(f, ttl.body())
+    val parsed = graft.io.RdfIO.read(spark, f.toString, "ttl")
+    assert(parsed.count() == 2)
+    val ld = get(s"/query?query=${enc(q)}", "application/ld+json")
+    assert(ld.headers().firstValue("Content-Type").get
+      .contains("application/ld+json"))
+    assert(ld.body().startsWith("[") && ld.body().contains("@id"), ld.body())
+    val f2 = d.resolve("got.jsonld")
+    Files.writeString(f2, ld.body())
+    assert(graft.io.RdfIO.read(spark, f2.toString, "jsonld").count() == 2)
+  }
+
+  test("GSP GET negotiates Turtle; PUT accepts JSON-LD payloads") {
+    val g = enc("http://x/gneg")
+    val put = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=$g")))
+      .header("Content-Type", "application/ld+json")
+      .method("PUT", BodyPublishers.ofString(
+        """[{"@id":"http://x/j1","http://x/p":[{"@value":"jv"}]}]"""))
+      .build()
+    assert(send(put).statusCode() == 204)
+    val ttl = get(s"/store?graph=$g", "text/turtle")
+    assert(ttl.headers().firstValue("Content-Type").get
+      .contains("text/turtle"))
+    assert(ttl.body().contains("\"jv\""), ttl.body())
+  }
+
+  test("OPTIONS lists allowed methods; HEAD mirrors GET without a body") {
+    val opts = send(HttpRequest.newBuilder(URI.create(server.uri("/query")))
+      .method("OPTIONS", BodyPublishers.noBody()).build())
+    assert(opts.statusCode() == 204)
+    assert(opts.headers().firstValue("Allow").get.contains("POST"))
+    val optsU = send(HttpRequest.newBuilder(URI.create(server.uri("/update")))
+      .method("OPTIONS", BodyPublishers.noBody()).build())
+    assert(optsU.headers().firstValue("Allow").get == "POST, OPTIONS")
+    val q = "SELECT ?n WHERE { <http://x/a> <http://x/name> ?n }"
+    val head = send(HttpRequest.newBuilder(
+      URI.create(server.uri(s"/query?query=${enc(q)}")))
+      .method("HEAD", BodyPublishers.noBody()).build())
+    assert(head.statusCode() == 200 && head.body().isEmpty)
+    assert(head.headers().firstValue("Content-Type").get
+      .contains("sparql-results+json"))
+  }
+
+  test("gzip response when the client advertises Accept-Encoding") {
+    val q = "SELECT ?n WHERE { <http://x/a> <http://x/name> ?n }"
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(server.uri(s"/query?query=${enc(q)}")))
+        .header("Accept-Encoding", "gzip").GET().build(),
+      BodyHandlers.ofByteArray())
+    assert(r.headers().firstValue("Content-Encoding")
+      .orElse("") == "gzip")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(r.body()))
+    val body = new String(in.readAllBytes(), UTF_8)
+    assert(body.contains("\"alpha\""), body)
+  }
+
   test("protocol dataset: default-graph-uri promotes a named graph") {
     val g = enc("http://x/g2")
     val put = HttpRequest.newBuilder(
