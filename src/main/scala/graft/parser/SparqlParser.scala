@@ -749,17 +749,28 @@ final class SparqlParser(input: String) {
       var gk = true
       while (gk) {
         ws()
+        // GroupCondition ::= BuiltInCall | FunctionCall
+        //   | '(' Expression ('AS' Var)? ')' | Var          (rule [20])
+        // Expression keys always bind-and-group-on a variable; without
+        // AS the variable is synthesized (internal, never projected).
+        def bindKey(e: Expr, asVar: Option[String]): Unit = {
+          val v = asVar.getOrElse(s"__gk${keys.length}")
+          pattern = Extend(pattern, v, e)
+          keys += v
+        }
         if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
           keys += parseVarName()
         else if (peekSym("(")) {
-          // GROUP BY (expr AS ?v): bind the key expression, group on it
           expect("(")
           val e = parseExpression()
-          expect("AS")
-          val v = parseVarName()
+          val asVar = if (eat("AS")) Some(parseVarName()) else None
           expect(")")
-          pattern = Extend(pattern, v, e)
-          keys += v
+          bindKey(e, asVar)
+        } else if (!peek("HAVING") && !peek("ORDER") && !peek("LIMIT") &&
+          !peek("OFFSET") && !peek("VALUES") && pos < input.length &&
+          (input(pos).isLetter || input(pos) == '<')) {
+          // bare BuiltInCall / FunctionCall key, e.g. GROUP BY STR(?x)
+          bindKey(parseExpression(), None)
         } else gk = false
       }
       groupKeys = Some(keys.toSeq)
