@@ -619,7 +619,8 @@ object Translator {
         else pH match {
           // a named-graph wrapper around an unsafe core: σ evaluates
           // the core against that graph — recurse with FixedG.
-          case GraphPat(I(iri), i0) => perBinding(i0, FixedG(iri))
+          case GraphPat(I(iri), i0) =>
+            completeGraphName(perBinding(i0, FixedG(iri)), i0, I(iri), src)
           // GRAPH ?g wrapper: σ(Graph(?g,P),μ) = Union over named graphs
           // gi of Join(σ(P eval'd in D[gi]), {?g→gi}) — the row-carrying
           // VarG translation realizes the union (leaf scans bind ?g from
@@ -630,7 +631,8 @@ object Translator {
           // computed from the algebra, where ?g is ctx-bound, not
           // pattern-bound). An outer-bound ?g degenerates to the
           // substituted-constant case through the ls-side compat join.
-          case GraphPat(V(gv), i0) => perBinding(i0, VarG(gv))
+          case GraphPat(V(gv), i0) =>
+            completeGraphName(perBinding(i0, VarG(gv)), i0, V(gv), src)
           // Cross-correlated OPTIONAL: σ(LeftJoin(A,B,F),μ) =
           // LeftJoin(σA, σB, σF) — evaluate BOTH sides per binding and
           // left-outer join them (shared __lid + left vars + a/b vars).
@@ -1090,8 +1092,11 @@ object Translator {
         spark.sparkContext.parallelize(data.toList), schema), vs.toSet, sure)
 
     case GraphPat(name, inner) => name match {
-      case I(iri) => translate(inner, src, FixedG(iri))
-      case V(v) => translate(inner, src, VarG(v))
+      case I(iri) =>
+        completeGraphName(translate(inner, src, FixedG(iri)),
+          inner, name, src)
+      case V(v) =>
+        completeGraphName(translate(inner, src, VarG(v)), inner, name, src)
       case other =>
         throw new IllegalArgumentException(s"GRAPH name pattern: $other")
     }
@@ -1293,6 +1298,82 @@ object Translator {
       }
       if (asc) k.asc else k.desc
     }
+
+  private def hasExists(e: Expr): Boolean = e match {
+    case _: EExists => true
+    case EFn(_, args @ _*) => args.exists(hasExists)
+    case _ => false
+  }
+
+  /** Does any pattern leaf of `gp` evaluate against the ACTIVE graph —
+    * i.e. is there a Bgp/Path leaf (or an EXISTS, which evaluates its
+    * pattern in the active graph) not shadowed by a nested GRAPH?
+    * Conservative toward `true`: `true` keeps the row-carrying
+    * translation as-is, `false` enables the catalog completion below.
+    */
+  private def consultsActiveGraph(gp: GraphPattern): Boolean = gp match {
+    case Bgp(ps @ _*) => ps.nonEmpty
+    case _: PathPattern => true
+    case _: ValuesPat => false
+    case GraphPat(_, _) => false // nested GRAPH overrides the active graph
+    case Join(a, b) => consultsActiveGraph(a) || consultsActiveGraph(b)
+    case Union(a, b) => consultsActiveGraph(a) || consultsActiveGraph(b)
+    case Lateral(a, b) => consultsActiveGraph(a) || consultsActiveGraph(b)
+    case LeftJoin(a, b, f) => consultsActiveGraph(a) ||
+      consultsActiveGraph(b) || f.exists(hasExists)
+    case Minus(a, b) => consultsActiveGraph(a) || consultsActiveGraph(b)
+    case Filter(e, i) => hasExists(e) || consultsActiveGraph(i)
+    case Extend(i, _, ex) => hasExists(ex) || consultsActiveGraph(i)
+    case Project(i, _) => consultsActiveGraph(i)
+    case Distinct(i) => consultsActiveGraph(i)
+    case Reduced(i) => consultsActiveGraph(i)
+    case Slice(i, _, _) => consultsActiveGraph(i)
+    case OrderBy(i, ks) => ks.exists(k => hasExists(k._1)) ||
+      consultsActiveGraph(i)
+    case Group(i, _, aggs) => consultsActiveGraph(i) ||
+      aggs.exists(_._2.expr.exists(hasExists))
+    case _ => true // unknown shape: be conservative, change nothing
+  }
+
+  /** §18.2.2.3 completion for GRAPH over a pattern that never consults
+    * the active graph (empty group `GRAPH ?g {}`, a nested GRAPH, pure
+    * VALUES) — there the row-carrying translation's leaf scans never
+    * touch the wrapper's graph name, so the spec's union-over-graphs
+    * Join must be applied explicitly:
+    *  - Graph(var, P) = ⋃ over named gi of Join(eval(P, D[gi]), {var→gi}):
+    *    eval(P, D[gi]) is identical per gi, so cross-join the catalog
+    *    when the var is fresh (the standard "enumerate named graphs"
+    *    idiom), semi-join it when the pattern bound the var itself
+    *    (sure) — the Join keeps exactly the values that ARE graph
+    *    names. A sometimes-unbound self-bound var (VALUES with UNDEF)
+    *    keeps the uncompleted translation — documented corner.
+    *  - Graph(iri, P) is the EMPTY multiset when iri is not a graph
+    *    name in the dataset — gate the rows on catalog membership
+    *    (in a quad table, absent ⟺ zero quads).
+    */
+  private def completeGraphName(sol: Sol, inner: GraphPattern,
+      name: TermPat, src: QuadSource): Sol = {
+    if (consultsActiveGraph(inner)) sol
+    else {
+      def catalog = src.all
+        .where(col("g")("kind") =!= Term.DefaultGraphKind)
+      name match {
+        case V(v) =>
+          val cat = catalog.select(col("g").as(v)).distinct()
+          if (!sol.vars(v))
+            Sol(sol.df.crossJoin(cat), sol.vars + v, sol.sure + v, sol.cls)
+          else if (sol.sure(v))
+            Sol(sol.df.join(cat, Seq(v), "left_semi"),
+              sol.vars, sol.sure, sol.cls)
+          else sol
+        case I(iri) =>
+          val gate = catalog.where(col("g")("kind") === Term.IriKind &&
+            col("g")("lex") === iri).limit(1).select()
+          Sol(sol.df.crossJoin(gate), sol.vars, sol.sure, sol.cls)
+        case _ => sol
+      }
+    }
+  }
 
   private def translateGroup(inner: GraphPattern, keys: Seq[String],
       aggs: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol = {

@@ -146,6 +146,21 @@ class DifferentialSpec extends AnyFunSuite {
       3 -> genPattern(depth),
       3 -> (for { n <- genGName; i <- genPattern((depth - 1) max 0) }
         yield GraphPat(n, i)),
+      // the §18.2.2.3 catalog-completion shapes: GRAPH ?g {} (graph
+      // enumeration), nested GRAPH (inner overrides the active graph,
+      // outer var ranges over the catalog), GRAPH over pure VALUES
+      1 -> genGName.map(n => GraphPat(n, Bgp())),
+      1 -> (for { n <- genGName; n2 <- genGName; i <- genBgp }
+        yield GraphPat(n, GraphPat(n2, i))),
+      1 -> (for {
+        n <- genGName; v1 <- Gen.oneOf(varNames)
+        // include graph IRIs so GRAPH ?g over VALUES ?g sometimes KEEPS
+        // rows through the catalog semi-join, not only drops them
+        rows <- Gen.chooseNum(1, 2).flatMap(k => Gen.listOfN(k,
+          Gen.frequency(2 -> genConstPat,
+            1 -> Gen.oneOf(graphTerms).map { case (_, i, _) => I(i) })
+            .map(c => Seq(Option(c)))))
+      } yield GraphPat(n, ValuesPat(Seq(v1), rows))),
       // GRAPH wrapping cross-correlated LATERAL cores: the per-binding
       // VarG/FixedG recursion vs the spec's union-over-graphs semantics
       2 -> (for { l <- genLeft; n <- genGName; a <- genBgp; b <- genBgp }
@@ -346,7 +361,11 @@ class DifferentialSpec extends AnyFunSuite {
       d <- Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, genQuad))
       g0 <- Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, genQuad))
       g1 <- Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, genQuad))
-    } yield (d, Map(graphTerms(0) -> g0, graphTerms(1) -> g1))
+      // a named graph with zero quads is unrepresentable in a quad
+      // table (and therefore absent from the engine's catalog) — keep
+      // the naive model's named-graph map consistent with that
+    } yield (d, Map(graphTerms(0) -> g0, graphTerms(1) -> g1)
+      .filter(_._2.nonEmpty))
 
   private def quadsDfG(data: Seq[(T, T, T)],
       named: Map[T, Seq[(T, T, T)]]) = {
