@@ -531,6 +531,20 @@ class PlansSpec extends AnyFunSuite {
       "corpus-side n-grams must not sort-merge:\n" + plan)
   }
 
+  test("sessionization is ONE exchange end-to-end") {
+    // lag window, session-id window, per-session agg, per-user agg all
+    // reuse the user_id hash partitioning (HashPartitioning(user)
+    // satisfies every later ClusteredDistribution whose keys include
+    // user_id) — the 10x growth of ev2 is the per-partition sort
+    // floor, not shuffle width. Lock the single-exchange shape.
+    val ev = graft.ops.Events.read(spark, sf)
+    val plan = graft.ops.Events.sessions(ev)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"sessions must shuffle exactly once (got $exchanges):\n$plan")
+  }
+
   test("inferPredicateClasses derives the catalog from data") {
     val inferred = graft.io.QuadSource.inferPredicateClasses(
       TpchRdf.quads(spark, sf))
