@@ -427,7 +427,9 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes seeded xxhash64 mins, computed in one
-    * codegen'd projection (no explode, no shuffle).
+    * map-side projection (no explode, no shuffle) through the native
+    * [[graft.expr.MinHashSig]] primitive loop (bit-identical to the
+    * interpreted HOF nest it replaced — parity-locked in PipelineSpec).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
       k: Int = 3): DataFrame =
@@ -435,8 +437,7 @@ object Dedup {
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(col("sh"), s => xxhash64(i, s)))).as("sig"))
+        graft.expr.MinHashSig.sigCol(col("sh"), numHashes).as("sig"))
 
   /** LSH banding: candidates = pairs agreeing on at least one band
     * (bandRows hashes per band). Shuffle key is (band, bandSig) — short

@@ -20,6 +20,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH verified output must equal exact pairs")
   }
 
+  test("native MinHashSig is bit-identical to the HOF formulation") {
+    // the contract the native expression must keep: per (i, s) the
+    // Spark hash chain xxhash64(i, s) (seed 42, children in order),
+    // NULL shingles skipped by the chain, empty arrays -> all-null sig
+    val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+    val hof = transform(sequence(lit(0), lit(64 - 1)),
+      i => array_min(transform(col("sh"), s => xxhash64(i, s))))
+    val both = docs.select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+        graft.expr.MinHashSig.sigCol(col("sh"), 64).as("native"),
+        hof.as("hof"))
+    assert(both.where(not(col("native") <=> col("hof"))).isEmpty,
+      "native minhash signature diverged from the HOF formulation")
+    // null-shingle and empty-array corners (filtered out upstream in
+    // minhashSignatures, but the expression must still match)
+    import spark.implicits._
+    val corner = Seq(
+      (1L, Seq("a b c", null, "d e f")),
+      (2L, Seq.empty[String])).toDF("doc_id", "sh")
+    val c2 = corner.select(
+      graft.expr.MinHashSig.sigCol(col("sh"), 8).as("native"),
+      transform(sequence(lit(0), lit(7)),
+        i => array_min(transform(col("sh"), s => xxhash64(i, s))))
+        .as("hof"))
+    assert(c2.where(not(col("native") <=> col("hof"))).isEmpty,
+      "corner-case minhash parity failed")
+  }
+
   test("df-cap drops stop-shingle-only candidates but keeps exact Jaccard") {
     import spark.implicits._
     // docs 1/2 are near-dups; 3/4 share ONLY the stop shingle, which
