@@ -1468,7 +1468,10 @@ object Translator {
                 .cast(LongType)))
               .otherwise(Term.decimalLit(SparqlExpr.decLex(sd))).as(outName)
           else
-            post += when(bad || col(n("cnt")) === 0, nullTerm)
+            // §18.5.1.5: Avg(M) = 0 when Count(M) = 0 (defined via
+            // Sum/Count — same integer 0 as the empty Sum)
+            post += when(bad, nullTerm)
+              .when(col(n("cnt")) === 0, Term.intLit(lit(0L)))
               .when(r >= 2, Term.doubleLit(sb / col(n("cnt"))))
               .otherwise(Term.decimalLit(SparqlExpr.decLex(
                 (sd / col(n("cnt"))).cast(DV)))).as(outName)
