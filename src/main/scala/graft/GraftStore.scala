@@ -25,8 +25,12 @@ final class GraftStore private (val quads: DataFrame,
     val emptyGraphs: Set[String] = Set.empty) {
   private def spark: SparkSession = quads.sparkSession
 
-  /** SELECT/ASK/CONSTRUCT/DESCRIBE over this store (Store::query). */
-  def query(sparql: String): DataFrame = SparqlParser.execute(sparql, quads)
+  /** SELECT/ASK/CONSTRUCT/DESCRIBE over this store (Store::query).
+    * Threads the empty-graph registry so the GRAPH catalog (graph
+    * enumeration, absent-graph gating) sees CREATEd zero-quad graphs.
+    */
+  def query(sparql: String): DataFrame =
+    SparqlParser.execute(sparql, quads, emptyGraphs.toSeq.sorted)
 
   /** SPARQL Update (possibly `;`-chained) → the updated store
     * (Store::update; evaluation in update/UpdateExec). CREATE/DROP/CLEAR
@@ -48,7 +52,7 @@ final class GraftStore private (val quads: DataFrame,
     */
   def explain(sparql: String): String = {
     val form = SparqlParser.parse(sparql)
-    val df = SparqlParser.execute(sparql, quads)
+    val df = SparqlParser.execute(sparql, quads, emptyGraphs.toSeq.sorted)
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     s"== SPARQL algebra ==\n$form\n\n== Spark plan ==\n" +
       df.queryExecution.explainString(mode)

@@ -22,6 +22,35 @@ object QueryExec {
       classes: Map[String, Term.VClass]): DataFrame =
     Translator.translate(gp, quads, classes).df
 
+  private def src(quads: DataFrame, registry: Seq[String]) =
+    graft.io.DfQuadSource(quads, Map.empty, registry)
+
+  /** SELECT with the store's empty-graph registry (GRAPH catalog
+    * completion sees CREATEd/CLEARed zero-quad graphs).
+    */
+  def select(gp: GraphPattern, quads: DataFrame,
+      registry: Seq[String]): DataFrame =
+    Translator.translate(gp, src(quads, registry), Translator.DefaultG).df
+
+  def ask(gp: GraphPattern, quads: DataFrame,
+      registry: Seq[String]): DataFrame = {
+    val sol = Translator.translate(gp, src(quads, registry),
+      Translator.DefaultG)
+    sol.df.limit(1)
+      .agg(count(lit(1)).as("n"))
+      .select((col("n") > 0).as("result"))
+  }
+
+  def construct(template: Seq[TriplePattern], gp: GraphPattern,
+      quads: DataFrame, registry: Seq[String]): DataFrame =
+    instantiate(template, Translator.translate(gp, src(quads, registry),
+      Translator.DefaultG))
+
+  def describe(gp: GraphPattern, vs: Seq[String], quads: DataFrame,
+      registry: Seq[String]): DataFrame =
+    describeSol(Translator.translate(gp, src(quads, registry),
+      Translator.DefaultG), vs, quads)
+
   /** FROM / FROM NAMED dataset construction (SPARQL §13.2; oxigraph:
     * spargebra/src/query.rs · QueryDataset, spareval/src/dataset.rs):
     * when either clause is present the active dataset is exactly the
@@ -178,8 +207,11 @@ object QueryExec {
     * only the NEW bnodes, localCheckpoint cuts lineage).
     */
   def describe(gp: GraphPattern, vs: Seq[String], quads: DataFrame)
-      : DataFrame = {
-    val sol = Translator.translate(gp, quads)
+      : DataFrame =
+    describeSol(Translator.translate(gp, quads), vs, quads)
+
+  private def describeSol(sol: Translator.Sol, vs: Seq[String],
+      quads: DataFrame): DataFrame = {
     val dg = quads.where(col("g")("kind") === Term.DefaultGraphKind)
     val subjects = vs.map(v => sol.df.select(col(v).as("__subj")))
       .reduce(_ unionByName _).distinct()

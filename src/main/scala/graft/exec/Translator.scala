@@ -1351,27 +1351,41 @@ object Translator {
     *    name in the dataset — gate the rows on catalog membership
     *    (in a quad table, absent ⟺ zero quads).
     */
+  /** The dataset's named-graph catalog as single-column `g` term rows:
+    * graphs holding quads, plus the source's empty-graph registry
+    * (CREATEd/CLEARed graphs a quad table cannot represent).
+    */
+  private def namedGraphCatalog(src: QuadSource): DataFrame = {
+    val fromQuads = src.all
+      .where(col("g")("kind") =!= Term.DefaultGraphKind)
+      .select(col("g"))
+    val extra = src.extraNamedGraphs
+    val all0 =
+      if (extra.isEmpty) fromQuads
+      else extra.map(i =>
+        fromQuads.sparkSession.range(1).select(Term.iri(i).as("g")))
+        .foldLeft(fromQuads)(_ unionByName _)
+    all0.distinct()
+  }
+
   private def completeGraphName(sol: Sol, inner: GraphPattern,
       name: TermPat, src: QuadSource): Sol = {
     if (consultsActiveGraph(inner)) sol
-    else {
-      def catalog = src.all
-        .where(col("g")("kind") =!= Term.DefaultGraphKind)
-      name match {
-        case V(v) =>
-          val cat = catalog.select(col("g").as(v)).distinct()
-          if (!sol.vars(v))
-            Sol(sol.df.crossJoin(cat), sol.vars + v, sol.sure + v, sol.cls)
-          else if (sol.sure(v))
-            Sol(sol.df.join(cat, Seq(v), "left_semi"),
-              sol.vars, sol.sure, sol.cls)
-          else sol
-        case I(iri) =>
-          val gate = catalog.where(col("g")("kind") === Term.IriKind &&
+    else name match {
+      case V(v) =>
+        val cat = namedGraphCatalog(src).select(col("g").as(v))
+        if (!sol.vars(v))
+          Sol(sol.df.crossJoin(cat), sol.vars + v, sol.sure + v, sol.cls)
+        else if (sol.sure(v))
+          Sol(sol.df.join(cat, Seq(v), "left_semi"),
+            sol.vars, sol.sure, sol.cls)
+        else sol
+      case I(iri) if !src.extraNamedGraphs.contains(iri) =>
+        val gate = src.all
+          .where(col("g")("kind") === Term.IriKind &&
             col("g")("lex") === iri).limit(1).select()
-          Sol(sol.df.crossJoin(gate), sol.vars, sol.sure, sol.cls)
-        case _ => sol
-      }
+        Sol(sol.df.crossJoin(gate), sol.vars, sol.sure, sol.cls)
+      case _ => sol // registry-known iri: exists, no gate needed
     }
   }
 
@@ -1395,9 +1409,7 @@ object Translator {
         // named-graph catalog and blank the aggregate inputs on it (the
         // same padding-row trick as the per-binding LATERAL rewrite), so
         // the engine's own empty-group semantics apply unchanged.
-        val catalog = src.all
-          .where(col("g")("kind") =!= Term.DefaultGraphKind)
-          .select(col("g").as(gv)).distinct()
+        val catalog = namedGraphCatalog(src).select(col("g").as(gv))
         val missing = catalog.join(in.df.select(col(gv)).distinct(),
           Seq(gv), "left_anti")
         val padCols = in.df.columns.toSeq.map(c =>

@@ -28,6 +28,13 @@ trait QuadSource {
     * translation-time type-inference lattice; None = no pruning.
     */
   def predClass(iri: String): Option[Term.VClass] = None
+  /** Named graphs that EXIST while holding zero quads (CREATEd or
+    * CLEARed — GraftStore's empty-graph registry). A quad table cannot
+    * represent them, so the GRAPH catalog (graph enumeration, absent-
+    * graph gating, empty-graph aggregate padding) unions these names
+    * in. Metadata-scale by construction.
+    */
+  def extraNamedGraphs: Seq[String] = Nil
 }
 
 object QuadSource {
@@ -72,8 +79,10 @@ object QuadSource {
   * QuadSource.predClass).
   */
 final case class DfQuadSource(df: DataFrame,
-    classes: Map[String, Term.VClass] = Map.empty) extends QuadSource {
+    classes: Map[String, Term.VClass] = Map.empty,
+    registry: Seq[String] = Nil) extends QuadSource {
   def all: DataFrame = df
+  override def extraNamedGraphs: Seq[String] = registry
   def byPredicate(iri: String): DataFrame =
     df.where(col("p")("kind") === Term.IriKind && col("p")("lex") === iri)
   override def predClass(iri: String): Option[Term.VClass] =

@@ -1205,27 +1205,41 @@ object SparqlParser {
       : org.apache.spark.sql.DataFrame =
     executeProtocol(query, quads, Nil, Nil)
 
+  def execute(query: String, quads: org.apache.spark.sql.DataFrame,
+      registry: Seq[String]): org.apache.spark.sql.DataFrame =
+    executeProtocol(query, quads, Nil, Nil, registry)
+
   /** Execute with a PROTOCOL-specified dataset (SPARQL 1.1 Protocol
     * §2.1.4: `default-graph-uri`/`named-graph-uri` parameters OVERRIDE
     * the query's own FROM/FROM NAMED). Empty protocol dataset falls
-    * back to the query's.
+    * back to the query's. `registry` is the store's empty-graph list;
+    * under an explicit dataset the named graphs are EXACTLY the listed
+    * ones (§13.2) — each listed graph exists as a dataset graph even
+    * when it holds no quads, so the list itself becomes the registry.
     */
   def executeProtocol(query: String, quads: org.apache.spark.sql.DataFrame,
-      protoDefault: Seq[String], protoNamed: Seq[String])
+      protoDefault: Seq[String], protoNamed: Seq[String],
+      registry: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import graft.exec.QueryExec
     val parser = new SparqlParser(query)
     val form = parser.parseQuery()
+    val explicit = protoDefault.nonEmpty || protoNamed.nonEmpty ||
+      parser.fromDefault.nonEmpty || parser.fromNamed.nonEmpty
     val dataset =
       if (protoDefault.nonEmpty || protoNamed.nonEmpty)
         QueryExec.applyDataset(quads, protoDefault, protoNamed)
       else QueryExec.applyDataset(quads, parser.fromDefault,
         parser.fromNamed)
+    val reg =
+      if (!explicit) registry
+      else if (protoDefault.nonEmpty || protoNamed.nonEmpty) protoNamed
+      else parser.fromNamed
     form match {
-      case Select(p) => QueryExec.select(p, dataset)
-      case Ask(p) => QueryExec.ask(p, dataset)
-      case Construct(t, p) => QueryExec.construct(t, p, dataset)
-      case Describe(p, vs) => QueryExec.describe(p, vs, dataset)
+      case Select(p) => QueryExec.select(p, dataset, reg)
+      case Ask(p) => QueryExec.ask(p, dataset, reg)
+      case Construct(t, p) => QueryExec.construct(t, p, dataset, reg)
+      case Describe(p, vs) => QueryExec.describe(p, vs, dataset, reg)
     }
   }
 }

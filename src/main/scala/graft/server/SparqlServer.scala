@@ -157,7 +157,7 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
       val st = ref.get
       val form = SparqlParser.parse(query)
       val df = SparqlParser.executeProtocol(query, st.quads,
-        protoDefault, protoNamed)
+        protoDefault, protoNamed, st.emptyGraphs.toSeq.sorted)
       val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
         .getOrElse("")
       form match {

@@ -99,6 +99,21 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(st.quadsForPattern().count() == 3)
   }
 
+  test("GRAPH ?g {} enumeration sees CREATEd zero-quad graphs") {
+    val st = sampleStore()
+      .update("INSERT DATA { GRAPH <urn:g:full> { <http://x/s> <http://x/p> \"v\" } }")
+      .update("CREATE GRAPH <urn:g:empty>")
+    val gs = st.query("SELECT ?g WHERE { GRAPH ?g {} } ORDER BY ?g")
+      .collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(gs == Seq("urn:g:empty", "urn:g:full"), gs.toString)
+    // fixed-name gating: a registered-but-empty graph EXISTS (unit
+    // row), an absent one is the empty multiset (§18.2.2.3)
+    assert(st.query("ASK { GRAPH <urn:g:empty> {} }")
+      .collect().head.getBoolean(0))
+    assert(!st.query("ASK { GRAPH <urn:g:absent> {} }")
+      .collect().head.getBoolean(0))
+  }
+
   test("CREATE registers an empty graph; CLEAR keeps it; DROP removes it") {
     val st = sampleStore().update("CREATE GRAPH <urn:g:e>")
     assert(st.namedGraphs == Seq("urn:g:e"))
