@@ -160,7 +160,11 @@ final class SparqlParser(input: String) {
       val start = pos
       while (pos < input.length &&
         (input(pos).isLetterOrDigit || input(pos) == '-')) pos += 1
-      L(lex, Term.RdfLangString, Some(Term.normLang(input.substring(start, pos))))
+      val tag = input.substring(start, pos)
+      // LANGTAG ::= '@' [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* (rule [145])
+      if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*"))
+        fail(s"malformed language tag '@$tag'")
+      L(lex, Term.RdfLangString, Some(Term.normLang(tag)))
     } else L(lex, Term.XsdString)
   }
 
@@ -792,8 +796,9 @@ final class SparqlParser(input: String) {
     var limit = -1L; var offset = 0L
     var lo = true
     while (lo) {
-      if (peek("LIMIT")) { eat("LIMIT"); limit = parseNumber().lex.toLong }
-      else if (peek("OFFSET")) { eat("OFFSET"); offset = parseNumber().lex.toLong }
+      if (peek("LIMIT")) { eat("LIMIT"); limit = parseSliceCount("LIMIT") }
+      else if (peek("OFFSET")) { eat("OFFSET")
+        offset = parseSliceCount("OFFSET") }
       else lo = false
     }
     // trailing ValuesClause (grammar rule [28]); joins the solutions
@@ -873,12 +878,25 @@ final class SparqlParser(input: String) {
     var limit = -1L; var offset = 0L
     var lo = true
     while (lo) {
-      if (peek("LIMIT")) { eat("LIMIT"); limit = parseNumber().lex.toLong }
-      else if (peek("OFFSET")) { eat("OFFSET"); offset = parseNumber().lex.toLong }
+      if (peek("LIMIT")) { eat("LIMIT"); limit = parseSliceCount("LIMIT") }
+      else if (peek("OFFSET")) { eat("OFFSET")
+        offset = parseSliceCount("OFFSET") }
       else lo = false
     }
     if (limit >= 0 || offset > 0) pattern = Slice(pattern, offset, limit)
     pattern
+  }
+
+  /** LIMIT/OFFSET argument: the grammar takes an UNSIGNED INTEGER
+    * (rules [26]/[27] use INTEGER, which has no sign).
+    */
+  private def parseSliceCount(kw: String): Long = {
+    ws()
+    if (pos < input.length && (input(pos) == '-' || input(pos) == '+'))
+      fail(s"$kw takes an unsigned integer")
+    val n = parseNumber()
+    if (n.dt != Term.XsdInteger) fail(s"$kw takes an integer")
+    n.lex.toLong
   }
 
   private def parseConstructTemplate(): Seq[TriplePattern] = {
