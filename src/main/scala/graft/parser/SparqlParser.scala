@@ -84,7 +84,17 @@ final class SparqlParser(input: String) {
   private def parseIriRef(): String = {
     ws(); expect("<")
     val start = pos
-    while (pos < input.length && input(pos) != '>') pos += 1
+    while (pos < input.length && input(pos) != '>') {
+      // IRIREF (rule [139]) excludes control chars, space, and
+      // <>"{}|^` — a raw '\' is only legal as a UCHAR escape
+      val c = input(pos)
+      if (c <= ' ' || "<\"{}|^`".indexOf(c) >= 0)
+        fail(s"illegal character '$c' in IRI")
+      if (c == '\\' && !(pos + 1 < input.length &&
+        (input(pos + 1) == 'u' || input(pos + 1) == 'U')))
+        fail("illegal '\\' in IRI (only \\u/\\U escapes)")
+      pos += 1
+    }
     val iri = graft.model.RdfEscapes.unescapeIri(input.substring(start, pos))
     expect(">")
     if (iri.contains(":")) iri else base + iri
@@ -141,7 +151,10 @@ final class SparqlParser(input: String) {
           case c => sb += (c match {
             case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
             case 'b' => '\b'; case 'f' => '\f'
-            case other => other // incl. \\ \" \'
+            case '\\' | '"' | '\'' => c
+            // ECHAR (rule [160]) allows exactly tbnrf"'\ — anything
+            // else after '\' is a syntax error, not a passthrough
+            case other => fail(s"illegal string escape '\\$other'")
           })
         }
       } else sb += input(pos)
@@ -865,6 +878,8 @@ final class SparqlParser(input: String) {
         keys += parseExpression() -> true; expect(")") }
       else keys += parsePrimaryExpression() -> true // bare Constraint
     }
+    // OrderClause (rule [23]) requires at LEAST one condition
+    if (keys.isEmpty) fail("ORDER BY requires at least one condition")
     keys.toSeq
   }
 
