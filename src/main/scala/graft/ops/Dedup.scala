@@ -546,7 +546,12 @@ object Dedup {
     * filters BEFORE the pair-dedup exchange.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
+    // persist: the banding self-join consumes the signature table on
+    // BOTH sides and Catalyst does not reuse the aggregation exchange
+    // across the join aliases (verified: 0 ReusedExchange, the 64-vote
+    // aggregation ran twice) — the dd3 persist discipline applies
     val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc array of (table_id, key) built in one codegen'd
     // projection; explode replaces the former crossJoin
     val entries = simhashTables(maxDist).zipWithIndex.map {
