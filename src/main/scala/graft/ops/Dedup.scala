@@ -72,10 +72,14 @@ object Dedup {
     val prefLen = col("n") -
       expr(s"((n * $num + ${den - 1}) div $den)") + 1
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // persist: the candidate self-join consumes the prefix relation on
+    // both sides, and the df-join + ranking window above it would run
+    // twice (no ReusedExchange across join aliases — the dd4 lesson)
     val pref = sh.join(dfTab.where(col("df") <= dfCap), "s")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= prefLen)
       .select(col("doc_id"), col("n"), col("s"), col("__rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates: prefixes intersect AND the length filter holds
     // (J >= t forces min(n) * den >= max(n) * num)
     val cand = pref.as("a").join(pref.as("b"),

@@ -506,8 +506,12 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       planes: Int = 8): DataFrame = {
+    // persist: query and corpus sides both consume the bucketed view —
+    // without it the interpreted srpBucket fold runs once per side
+    // (no ReusedExchange across join aliases; the dd4 lesson)
     val v = withNorm(emb).withColumn("bucket",
       srpBucket(col("embedding"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = v.where(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm2").as("qn"), col("bucket"))
