@@ -293,9 +293,12 @@ object Dedup {
     val cIdx = cs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     val nIdx = ns.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     // one GLOBAL order for both prefixes: combined-index df, rarest
-    // first (a stop-shingle is hot globally and falls out of both)
+    // first (a stop-shingle is hot globally and falls out of both).
+    // persist: BOTH prefix() calls join against this aggregate — the
+    // self-join persist discipline (no exchange reuse across aliases)
     val dfTab = cIdx.unionByName(nIdx).groupBy("s")
       .agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = col("n") -
       expr(s"((n * $num + ${den - 1}) div $den)") + 1
     def prefix(idx: DataFrame): DataFrame = {
