@@ -458,11 +458,16 @@ object Translator {
           // count them, so join-equivalence additionally needs the
           // overlap decision to coincide: either nothing is substituted,
           // or some live (non-outer) shared var is provably bound on
-          // both sides. Otherwise the per-binding rewrite below handles
-          // the overlap per row.
+          // both sides AND every substituted var is surely bound in `a`
+          // (a sometimes-unbound substituted var in `a` is vacuously
+          // compatible with ANY `b` value bottom-up, where substitution
+          // pins it to the outer constant). Otherwise the per-binding
+          // rewrite below handles the overlap per row.
           val live = (inScopeVars(a) & inScopeVars(b)) -- lVars
           bl.isEmpty ||
-            (live.nonEmpty && live.forall(v => sureIn(a, v) && sureIn(b, v)))
+            (live.nonEmpty &&
+              live.forall(v => sureIn(a, v) && sureIn(b, v)) &&
+              bl.forall(v => sureIn(a, v)))
         }
       }
       case _ => false

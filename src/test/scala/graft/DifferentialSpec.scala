@@ -100,6 +100,13 @@ class DifferentialSpec extends AnyFunSuite {
         yield Lateral(l, LeftJoin(a, b, None))),
       1 -> (for { l <- genPattern(depth - 1); a <- genBgp; b <- genBgp }
         yield Lateral(l, Minus(a, b))),
+      // sometimes-unbound MINUS-left vars: a Union inside the MINUS
+      // left can leave an outer var unbound per row — bottom-up compat
+      // is then vacuous where substitution pins the outer constant, so
+      // joinSafe must route these to the per-binding rewrite
+      1 -> (for { l <- genPattern(depth - 1)
+                  a <- genBgp; b <- genBgp; c <- genBgp }
+        yield Lateral(l, Minus(Union(a, b), c))),
       // nested σ-distribution: OPTIONAL inside an OPTIONAL's left part,
       // and UNION over a MINUS branch — the recursive per-binding path
       1 -> (for { l <- genPattern(depth - 1)
@@ -411,6 +418,39 @@ class DifferentialSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(
         sys.env.getOrElse("GRAFT_FUZZ_N", "30").toInt), prop)
     assert(result.passed, s"differential property failed: ${result.status}")
+  }
+
+  test("LATERAL MINUS with a sometimes-unbound substituted var uses " +
+      "substitution semantics (joinSafe sureIn guard)") {
+    // σ = {a→i0} from the left. MINUS left is a Union whose second
+    // branch does NOT bind ?a; MINUS right binds ?a=i4 only. Under
+    // substitution, ?a is pinned to i0 in the right side, which then
+    // matches nothing → both Union rows survive. A bottom-up Minus
+    // instead sees the branch-2 row's unbound ?a as compatible with
+    // the right row (overlap on ?b) and wrongly removes it.
+    def p(n: Int) = s"http://x/p$n"
+    val gp = Lateral(
+      Bgp(TriplePattern(V("a"), I(p(0)), I("http://x/i1"))),
+      Minus(
+        Union(Bgp(TriplePattern(V("a"), I(p(1)), V("b"))),
+              Bgp(TriplePattern(V("c"), I(p(2)), V("b")))),
+        Bgp(TriplePattern(V("a"), I(p(3)), V("b")))))
+    val data: Seq[(T, T, T)] = Seq(
+      (iri(0), (0, p(0), null), iri(1)), // left: a→i0
+      (iri(0), (0, p(1), null), iri(5)), // branch 1: {a→i0, b→i5}
+      (iri(3), (0, p(2), null), iri(2)), // branch 2: {c→i3, b→i2}
+      (iri(4), (0, p(3), null), iri(2))) // right: {a→i4, b→i2}
+    val expected = evalNaive(gp, data).map(canon).sorted
+    assert(expected.size == 2) // the model keeps both Union rows
+    val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+    val got = df.collect().toSeq.map { r =>
+      cmpVars.flatMap { v =>
+        if (!df.columns.contains(v)) None
+        else Option(r.getAs[Row](v)).map(t =>
+          s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+      }.mkString("|")
+    }.sorted
+    assert(got == expected)
   }
 
   test("translator matches the naive evaluator on named-graph algebra") {
