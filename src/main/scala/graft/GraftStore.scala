@@ -176,6 +176,13 @@ object GraftStore {
   /** Wrap an existing quad DataFrame (g/s/p/o term structs). */
   def apply(quads: DataFrame): GraftStore = new GraftStore(quads)
 
+  /** Wrap a quad DataFrame, carrying an existing empty-graph registry
+    * (stores rebuilt from a transformed quad table — e.g. Graph Store
+    * Protocol writes — must NOT lose CREATEd/CLEARed graphs).
+    */
+  def apply(quads: DataFrame, emptyGraphs: Set[String]): GraftStore =
+    new GraftStore(quads, emptyGraphs)
+
   /** Empty store. */
   def empty(spark: SparkSession): GraftStore =
     new GraftStore(spark.createDataFrame(

@@ -69,10 +69,31 @@ object JsonLdWriter {
     * responses only (interactive scale, driver-side by design);
     * dataset-scale export goes through [[write]].
     */
-  def jsonLdString(quads: DataFrame): String =
-    quads.select(quadObject(col("g"), col("s"), col("p"), col("o"))
-      .as("value"))
-      .collect().map(_.getString(0)).mkString("[", ",", "]")
+  def jsonLdString(quads: DataFrame): String = {
+    val sb = new java.lang.StringBuilder
+    writeJsonLd(quads, sb)
+    sb.toString
+  }
+
+  /** Stream quads as ONE expanded JSON-LD document into `out` —
+    * node objects are independent, so the document streams one
+    * partition at a time through `toLocalIterator` (the protocol dump
+    * path for datasets too large to hold driver-side).
+    */
+  def writeJsonLd(quads: DataFrame, out: Appendable): Unit = {
+    import scala.jdk.CollectionConverters._
+    val it = quads.select(
+      quadObject(col("g"), col("s"), col("p"), col("o")).as("value"))
+      .toLocalIterator().asScala
+    out.append('[')
+    var first = true
+    it.foreach { r =>
+      if (!first) out.append(',')
+      first = false
+      out.append(r.getString(0))
+    }
+    out.append(']')
+  }
 
   /** Write quads as per-part expanded JSON-LD documents. */
   def write(quads: DataFrame, path: String): Unit = {

@@ -71,24 +71,31 @@ object Results {
 
   /** W3C SPARQL 1.1 Query Results JSON. */
   def toJson(solutions: DataFrame): String = {
+    val sb = new java.lang.StringBuilder; writeJson(solutions, sb); sb.toString
+  }
+
+  /** JSON results streamed into `out` one partition at a time —
+    * the endpoint path never holds the whole document driver-side.
+    */
+  def writeJson(solutions: DataFrame, out: Appendable): Unit = {
     askValue(solutions) match {
-      case Some(b) => return s"""{"head":{},"boolean":$b}"""
+      case Some(b) =>
+        out.append(s"""{"head":{},"boolean":$b}"""); return
       case None =>
     }
     val vars = solutions.columns
     val head = vars.map(v => s""""${jsonEscape(v)}"""").mkString("[", ",", "]")
-    val bindings = solutions.toLocalIterator()
-    val sb = new StringBuilder(s"""{"head":{"vars":$head},"results":{"bindings":[""")
+    out.append(s"""{"head":{"vars":$head},"results":{"bindings":[""")
     var first = true
-    bindings.forEachRemaining { row =>
+    solutions.toLocalIterator().forEachRemaining { row =>
       val entries = vars.zipWithIndex.flatMap { case (v, i) =>
         Option(row.getAs[Row](i)).map(t => s""""${jsonEscape(v)}":${termJson(t)}""")
       }
-      if (!first) sb.append(",")
+      if (!first) out.append(",")
       first = false
-      sb.append(entries.mkString("{", ",", "}"))
+      out.append(entries.mkString("{", ",", "}"))
     }
-    sb.append("]}}").toString
+    out.append("]}}")
   }
 
   private def termText(t: Row, tsv: Boolean): String = {
@@ -123,15 +130,24 @@ object Results {
     * the W3C CSV/TSV spec defines solution sequences only).
     */
   def toSeparated(solutions: DataFrame, tsv: Boolean): String = {
+    val sb = new java.lang.StringBuilder
+    writeSeparated(solutions, tsv, sb)
+    sb.toString
+  }
+
+  /** CSV/TSV results streamed into `out` (line-oriented — the natural
+    * endpoint streaming form).
+    */
+  def writeSeparated(solutions: DataFrame, tsv: Boolean,
+      out: Appendable): Unit = {
     askValue(solutions) match {
-      case Some(b) => return s"$b\r\n"
+      case Some(b) => out.append(s"$b\r\n"); return
       case None =>
     }
     val vars = solutions.columns
     val sep = if (tsv) "\t" else ","
-    val header =
-      (if (tsv) vars.map("?" + _) else vars).mkString(sep) + "\r\n"
-    val sb = new StringBuilder(header)
+    out.append(
+      (if (tsv) vars.map("?" + _) else vars).mkString(sep)).append("\r\n")
     solutions.toLocalIterator().forEachRemaining { row =>
       val cells = vars.indices.map { i =>
         Option(row.getAs[Row](i)) match {
@@ -141,9 +157,8 @@ object Results {
             if (tsv) s else csvEscape(s)
         }
       }
-      sb.append(cells.mkString(sep)).append("\r\n")
+      out.append(cells.mkString(sep)).append("\r\n")
     }
-    sb.toString
   }
 
   def toCsv(solutions: DataFrame): String = toSeparated(solutions, tsv = false)
@@ -180,49 +195,56 @@ object Results {
 
   /** W3C SPARQL Query Results XML Format (the sparesults XML writer). */
   def toXml(solutions: DataFrame): String = {
+    val sb = new java.lang.StringBuilder; writeXml(solutions, sb); sb.toString
+  }
+
+  /** XML results streamed into `out` one partition at a time. */
+  def writeXml(solutions: DataFrame, out: Appendable): Unit = {
     askValue(solutions) match {
-      case Some(b) => return """<?xml version="1.0"?><sparql xmlns=""" +
-        s""""http://www.w3.org/2005/sparql-results#"><head/>""" +
-        s"<boolean>$b</boolean></sparql>"
+      case Some(b) =>
+        out.append("""<?xml version="1.0"?><sparql xmlns=""" +
+          s""""http://www.w3.org/2005/sparql-results#"><head/>""" +
+          s"<boolean>$b</boolean></sparql>")
+        return
       case None =>
     }
     val vars = solutions.columns
-    val sb = new StringBuilder(
+    out.append(
       """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""")
-    vars.foreach(v => sb.append(s"""<variable name="${xmlEscape(v)}"/>"""))
-    sb.append("</head><results>")
+    vars.foreach(v => out.append(s"""<variable name="${xmlEscape(v)}"/>"""))
+    out.append("</head><results>")
     solutions.toLocalIterator().forEachRemaining { row =>
-      sb.append("<result>")
+      out.append("<result>")
       vars.zipWithIndex.foreach { case (v, i) =>
         Option(row.getAs[Row](i)).foreach { t =>
-          sb.append(s"""<binding name="${xmlEscape(v)}">""")
+          out.append(s"""<binding name="${xmlEscape(v)}">""")
           val lex = xmlEscape(Option(t.getString(1)).getOrElse(""))
           t.getByte(0) match {
             case k if k == Term.IriKind.toByte =>
-              sb.append(s"<uri>$lex</uri>")
+              out.append(s"<uri>$lex</uri>")
             case k if k == Term.BlankKind.toByte =>
-              sb.append(s"<bnode>$lex</bnode>")
+              out.append(s"<bnode>$lex</bnode>")
             case k if k == Term.QuotedKind.toByte =>
-              sb.append(termXml(t.getByte(0), t.getString(1),
+              out.append(termXml(t.getByte(0), t.getString(1),
                 t.getString(2), t.getString(3)))
             case _ =>
               (Option(t.getString(3)), Option(t.getString(2))) match {
                 case (Some(lang), _) =>
-                  sb.append(
+                  out.append(
                     s"""<literal xml:lang="${xmlEscape(lang)}">$lex</literal>""")
                 case (None, Some(Term.XsdString)) | (None, None) =>
-                  sb.append(s"<literal>$lex</literal>")
+                  out.append(s"<literal>$lex</literal>")
                 case (None, Some(dt)) =>
-                  sb.append(
+                  out.append(
                     s"""<literal datatype="${xmlEscape(dt)}">$lex</literal>""")
               }
           }
-          sb.append("</binding>")
+          out.append("</binding>")
         }
       }
-      sb.append("</result>")
+      out.append("</result>")
     }
-    sb.append("</results></sparql>").toString
+    out.append("</results></sparql>")
   }
 
   // ---- parse direction (oxigraph: lib/sparesults readers) ------------

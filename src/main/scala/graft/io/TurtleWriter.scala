@@ -92,10 +92,10 @@ object TurtleWriter {
     * the string form (one document, globally subject-grouped).
     */
   private def lineset(tok: DataFrame,
-      prefixes: Seq[(String, String)]) = {
+      prefixes: Seq[(String, String)], withHeader: Boolean = true) = {
     val spark = tok.sparkSession
     import spark.implicits._
-    val hdr = header(prefixes)
+    val hdr = if (withHeader) header(prefixes) else Nil
     tok
       .sortWithinPartitions("gt", "st", "pt", "ot")
       .as[(String, String, String, String)]
@@ -168,6 +168,27 @@ object TurtleWriter {
       .collect()
     if (lines.isEmpty) header(prefixes).mkString("", "\n", "\n")
     else lines.mkString("", "\n", "\n")
+  }
+
+  /** Triples as ONE Turtle document streamed line by line — the
+    * protocol dump path for graphs too large to hold driver-side.
+    * Range-partitioning on the subject token keeps every subject's run
+    * inside one partition with partitions globally ordered, so
+    * `toLocalIterator` pulls ONE partition at a time and the
+    * concatenation is a single subject-grouped document (the header is
+    * emitted once, driver-side).
+    */
+  def turtleLines(triples: DataFrame,
+      prefixes: Seq[(String, String)] = DefaultPrefixes)
+      : Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val tok = triples.select(lit("").as("gt"),
+      ttlTerm(col("s"), prefixes).as("st"),
+      ttlTerm(col("p"), prefixes, predicatePos = true).as("pt"),
+      ttlTerm(col("o"), prefixes).as("ot"))
+      .repartitionByRange(col("st"))
+    header(prefixes).iterator ++
+      lineset(tok, prefixes, withHeader = false).toLocalIterator().asScala
   }
 
   /** Serialize quads (g, s, p, o) as TriG — default-graph rows become

@@ -22,9 +22,12 @@ import graft.parser.SparqlParser
   * has no egress; a cluster deployment would front this with the
   * usual ingress).
   *
-  * Protocol documents (result sets, graph payloads) are driver-side
-  * strings BY DESIGN — this surface serves interactive-scale
-  * responses; dataset-scale export goes through the RdfIO sinks.
+  * Every response body STREAMS: results and graph documents are
+  * written chunk by chunk from `toLocalIterator`-backed writers, one
+  * Spark partition resident driver-side at a time — a `GET /store` of
+  * an arbitrarily large graph never materializes the document (the
+  * reference streams its dumps the same way). Dataset-scale export to
+  * files still goes through the RdfIO sinks.
   *
   * - `GET/POST /query` — `query` via query-string, urlencoded form, or
   *   `application/sparql-query` body; `default-graph-uri` /
@@ -115,7 +118,11 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
     } else false
 
   private def fail(ex: HttpExchange, code: Int, msg: String): Unit =
-    respond(ex, code, msg + "\n", "text/plain; charset=utf-8")
+    // a streamed response may already have sent its headers — then the
+    // only honest signal left is the truncated chunked body the closed
+    // connection produces
+    try respond(ex, code, msg + "\n", "text/plain; charset=utf-8")
+    catch { case _: java.io.IOException => ex.close() }
 
   private def handler(f: HttpExchange => Unit): HttpHandler =
     (ex: HttpExchange) =>
@@ -130,13 +137,49 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
         case e: Throwable => fail(ex, 500, "error: " + e.getMessage)
       }
 
-  private def ntLines(triples: DataFrame): String = {
-    val rows = triples.select(concat(
+  /** Chunked streaming response: `write` appends into a buffered
+    * (optionally gzip) writer over the open exchange, so the document
+    * is never whole in driver memory. HEAD short-circuits to headers
+    * only (chunked bodies carry no Content-Length to mirror).
+    */
+  private def respondStream(ex: HttpExchange, code: Int,
+      contentType: String)(write: Appendable => Unit): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    val acceptsGzip = Option(
+      ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    if (acceptsGzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
+    if (ex.getRequestMethod == "HEAD") {
+      ex.sendResponseHeaders(code, -1); ex.close(); return
+    }
+    ex.sendResponseHeaders(code, 0) // 0 = chunked transfer
+    try {
+      val raw: java.io.OutputStream =
+        if (acceptsGzip) new java.util.zip.GZIPOutputStream(
+          ex.getResponseBody)
+        else ex.getResponseBody
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(raw, UTF_8), 1 << 16)
+      write(w)
+      w.flush()
+      raw match {
+        case gz: java.util.zip.GZIPOutputStream => gz.finish()
+        case _ =>
+      }
+    } finally ex.close()
+  }
+
+  /** Stream triples as N-Triples lines (formatting stays distributed —
+    * the concat runs in executors; the driver only relays lines).
+    */
+  private def ntStream(triples: DataFrame, out: Appendable): Unit = {
+    import scala.jdk.CollectionConverters._
+    triples.select(concat(
       RdfIO.formatTerm(col("s")), lit(" "),
       RdfIO.formatTerm(col("p")), lit(" "),
       RdfIO.formatTerm(col("o")), lit(" .")).as("l"))
-      .collect().map(_.getString(0))
-    if (rows.isEmpty) "" else rows.mkString("", "\n", "\n")
+      .toLocalIterator().asScala
+      .foreach(r => out.append(r.getString(0)).append('\n'))
   }
 
   // ---- /query ---------------------------------------------------------
@@ -161,34 +204,45 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
       val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
         .getOrElse("")
       form match {
-        case _: Construct | _: Describe =>
-          // graph content negotiation, N-Triples default
-          if (accept.contains("text/turtle"))
-            respond(ex, 200, TurtleWriter.turtleString(df),
-              "text/turtle; charset=utf-8")
-          else if (accept.contains("application/ld+json"))
-            respond(ex, 200, JsonLdWriter.jsonLdString(
-              df.select(Term.defaultGraph.as("g"),
-                col("s"), col("p"), col("o"))),
-              "application/ld+json")
-          else respond(ex, 200, ntLines(df), "application/n-triples")
+        case _: Construct | _: Describe => respondGraph(ex, accept, df)
         case _ =>
           // results content negotiation, JSON default
           if (accept.contains("tab-separated"))
-            respond(ex, 200, Results.toTsv(df),
-              "text/tab-separated-values; charset=utf-8")
+            respondStream(ex, 200,
+              "text/tab-separated-values; charset=utf-8")(
+              Results.writeSeparated(df, tsv = true, _))
           else if (accept.contains("text/csv"))
-            respond(ex, 200, Results.toCsv(df), "text/csv; charset=utf-8")
+            respondStream(ex, 200, "text/csv; charset=utf-8")(
+              Results.writeSeparated(df, tsv = false, _))
           else if (accept.contains("sparql-results+xml") ||
             accept.contains("application/xml"))
-            respond(ex, 200, Results.toXml(df),
-              "application/sparql-results+xml")
+            respondStream(ex, 200, "application/sparql-results+xml")(
+              Results.writeXml(df, _))
           else
-            respond(ex, 200, Results.toJson(df),
-              "application/sparql-results+json")
+            respondStream(ex, 200, "application/sparql-results+json")(
+              Results.writeJson(df, _))
       }
     }
   }
+
+  /** Content-negotiated graph document (CONSTRUCT/DESCRIBE results and
+    * GSP dumps): N-Triples default, Turtle, or expanded JSON-LD — all
+    * three stream.
+    */
+  private def respondGraph(ex: HttpExchange, accept: String,
+      triples: DataFrame): Unit =
+    if (accept.contains("text/turtle"))
+      respondStream(ex, 200, "text/turtle; charset=utf-8") { out =>
+        TurtleWriter.turtleLines(triples)
+          .foreach(l => out.append(l).append('\n'))
+      }
+    else if (accept.contains("application/ld+json"))
+      respondStream(ex, 200, "application/ld+json")(
+        JsonLdWriter.writeJsonLd(
+          triples.select(Term.defaultGraph.as("g"),
+            col("s"), col("p"), col("o")), _))
+    else respondStream(ex, 200, "application/n-triples")(
+      ntStream(triples, _))
 
   // ---- /update --------------------------------------------------------
 
@@ -224,13 +278,15 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
     val fmt = gspFormat(Option(
       ex.getRequestHeaders.getFirst("Content-Type")).getOrElse(""))
     val tmp = Files.createTempFile("gsp", "." + fmt)
-    Files.write(tmp, ex.getRequestBody.readAllBytes())
-    val spark = ref.get.quads.sparkSession
-    val triples = RdfIO.read(spark, tmp.toString, fmt)
-    val g = graph.map(iri => Term.iri(iri)).getOrElse(Term.defaultGraph)
-    // localCheckpoint pins the rows: the temp file is deleted after
-    triples.select(g.as("g"), col("s"), col("p"), col("o"))
-      .localCheckpoint(true)
+    try {
+      Files.write(tmp, ex.getRequestBody.readAllBytes())
+      val spark = ref.get.quads.sparkSession
+      val triples = RdfIO.read(spark, tmp.toString, fmt)
+      val g = graph.map(iri => Term.iri(iri)).getOrElse(Term.defaultGraph)
+      // localCheckpoint(eager) pins the rows so the temp file can go
+      triples.select(g.as("g"), col("s"), col("p"), col("o"))
+        .localCheckpoint(true)
+    } finally Files.deleteIfExists(tmp)
   }
 
   private val storeHandler = handler { ex =>
@@ -261,36 +317,43 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
         else {
           val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
             .getOrElse("")
-          val triples = existing.select("s", "p", "o")
-          if (accept.contains("text/turtle"))
-            respond(ex, 200, TurtleWriter.turtleString(triples),
-              "text/turtle; charset=utf-8")
-          else if (accept.contains("application/ld+json"))
-            respond(ex, 200, JsonLdWriter.jsonLdString(
-              triples.select(Term.defaultGraph.as("g"),
-                col("s"), col("p"), col("o"))),
-              "application/ld+json")
-          else respond(ex, 200, ntLines(triples), "application/n-triples")
+          respondGraph(ex, accept, existing.select("s", "p", "o"))
         }
+      // writes rebuild the store around the transformed quad table;
+      // the empty-graph registry rides along (a GSP write must not
+      // wipe CREATEd/CLEARed graphs), PUT/POST register their target
+      // graph (GSP §5.3/§5.5: a request to a non-existent graph
+      // creates it — including a zero-triple PUT), DELETE drops only
+      // its own registry entry (§5.7: absent graph → 404).
       case "PUT" =>
         val triples = parseBody(ex, graph)
         updateLock.synchronized {
+          val cur = ref.get
           ref.set(GraftStore(
-            restQuads(ref.get.quads).unionByName(triples)))
+            restQuads(cur.quads).unionByName(triples),
+            cur.emptyGraphs ++ graph))
         }
         respond(ex, 204, "", "text/plain")
       case "POST" =>
         val triples = parseBody(ex, graph)
         updateLock.synchronized {
-          ref.set(GraftStore(ref.get.quads.unionByName(triples)
-            .distinct()))
+          val cur = ref.get
+          ref.set(GraftStore(
+            cur.quads.unionByName(triples).distinct(),
+            cur.emptyGraphs ++ graph))
         }
         respond(ex, 204, "", "text/plain")
       case "DELETE" =>
-        updateLock.synchronized {
-          ref.set(GraftStore(restQuads(ref.get.quads)))
+        if (graph.isDefined && !graph.exists(st.containsNamedGraph))
+          fail(ex, 404, s"no such graph: ${graph.get}")
+        else {
+          updateLock.synchronized {
+            val cur = ref.get
+            ref.set(GraftStore(restQuads(cur.quads),
+              cur.emptyGraphs -- graph))
+          }
+          respond(ex, 204, "", "text/plain")
         }
-        respond(ex, 204, "", "text/plain")
       case m => fail(ex, 405, s"unsupported method $m")
     }
   }

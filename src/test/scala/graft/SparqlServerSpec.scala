@@ -184,6 +184,83 @@ class SparqlServerSpec extends AnyFunSuite {
     assert(body.contains("\"alpha\""), body)
   }
 
+  test("GSP writes preserve the empty-graph registry; zero-triple PUT " +
+    "creates its graph; DELETE of an absent graph is 404") {
+    // CREATE an empty graph through /update, then do an unrelated GSP
+    // write: the rebuilt store must keep the registry entry
+    val mk = HttpRequest.newBuilder(URI.create(server.uri("/update")))
+      .header("Content-Type", "application/sparql-update")
+      .POST(BodyPublishers.ofString("CREATE GRAPH <http://x/created>"))
+      .build()
+    assert(send(mk).statusCode() == 204)
+    assert(server.store.namedGraphs.contains("http://x/created"))
+    val put = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=${enc("http://x/gother")}")))
+      .header("Content-Type", "application/n-triples")
+      .method("PUT", BodyPublishers.ofString(
+        "<http://x/o1> <http://x/p> \"ov\" .\n")).build()
+    assert(send(put).statusCode() == 204)
+    assert(server.store.namedGraphs.contains("http://x/created"),
+      "GSP PUT wiped the CREATEd-graph registry")
+    assert(get(s"/store?graph=${enc("http://x/created")}")
+      .statusCode() == 200) // exists, empty
+    // zero-triple PUT creates its target graph (GSP §5.3)
+    val mkEmpty = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=${enc("http://x/viaput")}")))
+      .header("Content-Type", "application/n-triples")
+      .method("PUT", BodyPublishers.ofString("")).build()
+    assert(send(mkEmpty).statusCode() == 204)
+    assert(get(s"/store?graph=${enc("http://x/viaput")}")
+      .statusCode() == 200)
+    // DELETE removes graph + registry entry; absent graph -> 404
+    val del = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=${enc("http://x/viaput")}")))
+      .DELETE().build()
+    assert(send(del).statusCode() == 204)
+    assert(get(s"/store?graph=${enc("http://x/viaput")}")
+      .statusCode() == 404)
+    val delAbsent = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=${enc("http://x/never")}")))
+      .DELETE().build()
+    assert(send(delAbsent).statusCode() == 404)
+  }
+
+  test("graph dumps stream: a multi-partition graph round-trips " +
+    "chunked (no Content-Length) in NT and Turtle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20k triples over 8 partitions — the dump path must never hold
+    // the document driver-side (toLocalIterator pulls one partition
+    // at a time; chunked transfer carries it out)
+    val quads = spark.range(20000).repartition(8).select(
+      graft.model.Term.defaultGraph.as("g"),
+      graft.model.Term.iri(concat(lit("http://x/s"), col("id"))).as("s"),
+      graft.model.Term.iri(lit("http://x/p")).as("p"),
+      graft.model.Term.strLit(concat(lit("v"), col("id"))).as("o"))
+    val big = new SparqlServer(GraftStore(quads)).start()
+    try {
+      val nt = client.send(HttpRequest.newBuilder(
+        URI.create(big.uri("/store"))).GET().build(),
+        BodyHandlers.ofString())
+      assert(nt.statusCode() == 200)
+      assert(nt.headers().firstValue("Content-Length").isEmpty,
+        "dump was not chunked")
+      val lines = nt.body().linesIterator.toSeq
+      assert(lines.size == 20000)
+      assert(lines.forall(_.endsWith(" .")))
+      val ttl = client.send(HttpRequest.newBuilder(
+        URI.create(big.uri("/store"))).header("Accept", "text/turtle")
+        .GET().build(), BodyHandlers.ofString())
+      assert(ttl.statusCode() == 200)
+      assert(ttl.headers().firstValue("Content-Length").isEmpty)
+      val d = Files.createTempDirectory("big")
+      val f = d.resolve("dump.ttl")
+      Files.writeString(f, ttl.body())
+      assert(graft.io.RdfIO.read(spark, f.toString, "ttl")
+        .count() == 20000)
+    } finally big.stop()
+  }
+
   test("protocol dataset: default-graph-uri promotes a named graph") {
     val g = enc("http://x/g2")
     val put = HttpRequest.newBuilder(
