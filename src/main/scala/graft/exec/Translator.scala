@@ -708,6 +708,20 @@ object Translator {
               base.vars + v, base.sure,
               SparqlExpr.exprClass(ex, base.hint)
                 .map(k => base.cls + (v -> k)).getOrElse(base.cls - v))
+          // Extend RE-BINDING an outer var: substitution cannot touch
+          // the AS position, so σμ(Extend(P,v,e)) = Extend(σμ(P),v,σμ(e))
+          // binds v in a σ-domain that never contains it; LATERAL's
+          // final merge with μ then requires term-equal values — the
+          // re-bound value JOINS compatibly rather than replacing. An
+          // erroring e leaves v unbound in the σ-solution, which merges
+          // freely, keeping the outer value (error-as-unbound).
+          case Extend(i0, v, ex) =>
+            val base = perBinding(i0, pctx)
+            val value = SparqlExpr.compile(ex, base.bind)
+            Sol(base.df
+              .where(col(v).isNull || value.isNull || value === col(v))
+              .withColumn(v, coalesce(col(v), value)),
+              base.vars, base.sure, base.cls - v)
           // σ distributes over Union: evaluate each branch per binding
           // and bag-union with var padding (translate's Union shape).
           case Union(a0, b0) =>

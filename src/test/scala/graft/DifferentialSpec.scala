@@ -123,6 +123,20 @@ class DifferentialSpec extends AnyFunSuite {
         n <- Gen.choose(0, 3)
       } yield Lateral(l,
         Extend(r, nv, EFn("+", EVar(v), ELit(n.toString, Term.XsdInteger))))),
+      // BIND RE-BINDING an outer var (nv drawn from the left's names):
+      // σ cannot substitute the AS position, so the computed value must
+      // merge compatibly with the outer binding — drop on mismatch,
+      // keep the outer value when the expression errors. nv must stay
+      // out of the inner pattern's scope (Extend's in-scope rule).
+      1 -> (for {
+        l <- genPattern(depth - 1); r <- genBgp
+        v <- Gen.oneOf(varNames); nv0 <- Gen.oneOf(varNames)
+        n <- Gen.choose(0, 3)
+      } yield {
+        val nv = if (inScopeVars(r).contains(nv0)) "x" else nv0
+        Lateral(l,
+          Extend(r, nv, EFn("+", EVar(v), ELit(n.toString, Term.XsdInteger))))
+      }),
       // VALUES joined in (incl. UNDEF cells -> compat-join semantics)
       1 -> (for {
         l <- genPattern(depth - 1)
@@ -342,12 +356,25 @@ class DifferentialSpec extends AnyFunSuite {
     // pattern and the expression (left vars visible = substitution)
     case Filter(EFn(op, EVar(v), ELit(lex, _, _)), p) =>
       evalSubst(p, data, b0, named).filter(filterPasses(_, op, v, lex))
+    // BIND under σ: substitution never touches the AS position, so the
+    // expression sees outer values but v binds in a σ-domain without
+    // them; when v IS an outer var, LATERAL's final merge demands
+    // term-equal values (compatible join, not replacement), and an
+    // erroring expression leaves v unbound in the σ-solution — merges
+    // freely, outer value kept.
     case Extend(i, v, EFn("+", EVar(x), ELit(lex, _, _))) =>
-      evalSubst(i, data, b0, named).map { b =>
-        b.get(x) match {
+      evalSubst(i, data, b0, named).flatMap { b =>
+        val computed: Option[T] = b.get(x) match {
           case Some((2, l, Term.XsdInteger)) =>
-            b + (v -> int((l.toLong + lex.toLong).toInt))
-          case _ => b // type error / unbound -> BIND leaves v unbound
+            Some(int((l.toLong + lex.toLong).toInt))
+          case _ => None // type error / unbound -> v unbound in μ'
+        }
+        (b.get(v), computed) match {
+          case (Some(old), Some(nw)) =>
+            if (old == nw) Seq(b) else Seq.empty
+          case (Some(_), None) => Seq(b)
+          case (None, Some(nw)) => Seq(b + (v -> nw))
+          case (None, None) => Seq(b)
         }
       }
     case other => fail(s"substitution evaluator: unexpected $other")
@@ -442,6 +469,37 @@ class DifferentialSpec extends AnyFunSuite {
       (iri(4), (0, p(3), null), iri(2))) // right: {a→i4, b→i2}
     val expected = evalNaive(gp, data).map(canon).sorted
     assert(expected.size == 2) // the model keeps both Union rows
+    val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+    val got = df.collect().toSeq.map { r =>
+      cmpVars.flatMap { v =>
+        if (!df.columns.contains(v)) None
+        else Option(r.getAs[Row](v)).map(t =>
+          s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+      }.mkString("|")
+    }.sorted
+    assert(got == expected)
+  }
+
+  test("LATERAL BIND re-binding an outer var joins compatibly: " +
+      "mismatching values drop, erroring expressions keep the outer value") {
+    // left binds {a→int, b→2}; right BINDs ?b = ?a + 1. Substitution
+    // can't touch the AS position, so the computed value must merge
+    // with the outer ?b: a=1 computes 2 = outer → survives; a=3
+    // computes 4 ≠ 2 → drops; a=i0 (an IRI) errors → ?b unbound in the
+    // σ-solution → merges freely, outer ?b kept.
+    def p(n: Int) = s"http://x/p$n"
+    val gp = Lateral(
+      Join(Bgp(TriplePattern(V("a"), I(p(0)), V("c"))),
+        ValuesPat(Seq("b"), Seq(Seq(Some(L("2", Term.XsdInteger)))))),
+      Extend(Bgp(TriplePattern(V("c"), I(p(1)), V("d"))), "b",
+        EFn("+", EVar("a"), ELit("1", Term.XsdInteger))))
+    val data: Seq[(T, T, T)] = Seq(
+      (int(1), (0, p(0), null), iri(1)), // a=1 → 1+1=2 = outer b: keep
+      (int(3), (0, p(0), null), iri(1)), // a=3 → 4 ≠ 2: drop
+      (iri(0), (0, p(0), null), iri(1)), // a=i0 → error: keep outer b
+      (iri(1), (0, p(1), null), iri(2))) // right-side match for ?c
+    val expected = evalNaive(gp, data).map(canon).sorted
+    assert(expected.size == 2, expected) // a=1 and a=i0 survive
     val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
     val got = df.collect().toSeq.map { r =>
       cmpVars.flatMap { v =>
