@@ -624,6 +624,10 @@ object Translator {
         else pH match {
           // a named-graph wrapper around an unsafe core: σ evaluates
           // the core against that graph — recurse with FixedG.
+          // Graph distributes over Union (§18.2.2.3) — same rewrite as
+          // the bottom-up arm, so mixed unions complete per branch.
+          case GraphPat(n, Union(a0, b0)) =>
+            perBinding(Union(GraphPat(n, a0), GraphPat(n, b0)), pctx)
           case GraphPat(I(iri), i0) =>
             completeGraphName(perBinding(i0, FixedG(iri)), i0, I(iri), src)
           // GRAPH ?g wrapper: σ(Graph(?g,P),μ) = Union over named graphs
@@ -1110,6 +1114,13 @@ object Translator {
       Sol(spark.createDataFrame(
         spark.sparkContext.parallelize(data.toList), schema), vs.toSet, sure)
 
+    // §18.2.2.3: Graph distributes over Union — ⋃gi Join(eval(P1 ∪ P2,
+    // D[gi]), {g→gi}) = Graph(g,P1) ∪ Graph(g,P2) — so a MIXED union
+    // (one branch consults the active graph, one doesn't) gets its
+    // catalog completion decided per branch. Plan-neutral otherwise.
+    case GraphPat(name, Union(a, b)) =>
+      translate(Union(GraphPat(name, a), GraphPat(name, b)), src, ctx)
+
     case GraphPat(name, inner) => name match {
       case I(iri) =>
         completeGraphName(translate(inner, src, FixedG(iri)),
@@ -1398,7 +1409,19 @@ object Translator {
         else if (sol.sure(v))
           Sol(sol.df.join(cat, Seq(v), "left_semi"),
             sol.vars, sol.sure, sol.cls)
-        else sol
+        else {
+          // sometimes-unbound self-bound var (VALUES with UNDEF): the
+          // spec's Join with {var→gi} is a COMPATIBLE join — unbound
+          // rows fan out over the whole catalog, bound rows gate on
+          // membership, and the var is surely a graph name afterwards.
+          // The catalog is metadata-scale: broadcast.
+          val cg = "__cat_" + v
+          val cat2 = namedGraphCatalog(src).select(col("g").as(cg))
+          Sol(sol.df.join(broadcast(cat2),
+              col(v).isNull || col(v) === col(cg), "inner")
+            .withColumn(v, coalesce(col(v), col(cg))).drop(cg),
+            sol.vars, sol.sure + v, sol.cls - v)
+        }
       case I(iri) if !src.extraNamedGraphs.contains(iri) =>
         val gate = src.all
           .where(col("g")("kind") === Term.IriKind &&

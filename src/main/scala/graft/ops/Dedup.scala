@@ -53,7 +53,7 @@ object Dedup {
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val sh = withSh.select(col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
     val dfTab = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -79,7 +79,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= prefLen)
       .select(col("doc_id"), col("n"), col("s"), col("__rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     // candidates: prefixes intersect AND the length filter holds
     // (J >= t forces min(n) * den >= max(n) * num)
     val cand = pref.as("a").join(pref.as("b"),
@@ -230,7 +230,7 @@ object Dedup {
     // both sides of the self-join — without it the winnow projection
     // re-runs once per consumer (the dd2/dd3 persist discipline)
     val fps = winnowFingerprints(docs, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("fp")
     val pruned = fps.join(keep, "fp")
@@ -287,7 +287,7 @@ object Dedup {
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val cs = withSh(corpus)
     val ns = withSh(incoming)
     val cIdx = cs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
@@ -298,7 +298,7 @@ object Dedup {
     // self-join persist discipline (no exchange reuse across aliases)
     val dfTab = cIdx.unionByName(nIdx).groupBy("s")
       .agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val prefLen = col("n") -
       expr(s"((n * $num + ${den - 1}) div $den)") + 1
     def prefix(idx: DataFrame): DataFrame = {
@@ -385,7 +385,7 @@ object Dedup {
     // persist BEFORE the symmetrization union — otherwise the (possibly
     // expensive) pair-generation subtree materializes once per branch
     val p = pairs.select(col("da"), col("db"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val verts = p.select(col("da").as("id"))
       .unionByName(p.select(col("db").as("id"))).distinct()
       .localCheckpoint()
@@ -462,7 +462,7 @@ object Dedup {
       num: Int = 8, den: Int = 10, k: Int = 3): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val banded = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -558,7 +558,7 @@ object Dedup {
     // across the join aliases (verified: 0 ReusedExchange, the 64-vote
     // aggregation ran twice) — the dd3 persist discipline applies
     val sh = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     // per-doc array of (table_id, key) built in one codegen'd
     // projection; explode replaces the former crossJoin
     val entries = simhashTables(maxDist).zipWithIndex.map {
@@ -633,12 +633,19 @@ object Dedup {
     * (short/empty-doc detection in [[containmentPairs]]) read the
     * persisted table instead of re-tokenizing the corpus.
     */
-  private[graft] def gramArr(docs: DataFrame, k: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      TextOps.tokens(col("text")).as("__t"))
-    val th = toks.select(col("doc_id"),
-      transform(col("__t"), t => xxhash64(t)).as("th1"),
-      transform(col("__t"), t => xxhash64(lit(GramSalt), t)).as("th2"))
+  /** Per-doc token-hash channels (doc_id, th1, th2) — ONE tokenization
+    * from which gram tables of ANY width derive ([[gramsOfWidth]]), so
+    * multi-width consumers ([[containmentPairs]]'s short-length passes)
+    * never re-tokenize the corpus.
+    */
+  private def tokenHashArr(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        transform(col("__t"), t => xxhash64(t)).as("th1"),
+        transform(col("__t"), t => xxhash64(lit(GramSalt), t)).as("th2"))
+
+  /** Width-`k` gram structs (doc_id, n_tok, gs) from token hashes. */
+  private def gramsOfWidth(th: DataFrame, k: Int): DataFrame =
     th.select(col("doc_id"), size(col("th1")).as("n_tok"),
       when(size(col("th1")) < k, array().cast(ArrayType(gramKeyType)))
         .otherwise(transform(sequence(lit(0), size(col("th1")) - k),
@@ -648,8 +655,10 @@ object Dedup {
             xxhash64((0 until k).map(j =>
               element_at(col("th2"), i + j + 1)): _*).as("h2"))))
         .as("gs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+
+  private[graft] def gramArr(docs: DataFrame, k: Int): DataFrame =
+    gramsOfWidth(tokenHashArr(docs), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
 
   private[graft] def gramKeyRows(docs: DataFrame, k: Int): DataFrame =
     gramKeyRows(gramArr(docs, k))
@@ -754,7 +763,16 @@ object Dedup {
   val HeadWindow = 16
 
   def containmentPairs(docs: DataFrame, k: Int = 8): DataFrame = {
-    val arr = gramArr(docs, k)
+    // ONE tokenization, persisted: the k-gram table AND every
+    // short-length pass derive from it (re-tokenizing per occurring
+    // short length was a third of the op at 100×, and each pass leaked
+    // its own persisted gram table)
+    val th = tokenHashArr(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCaches.track)
+    val arr = gramsOfWidth(th, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCaches.track)
     val grams = gramKeyRows(arr)
     val win = grams.where(col("pos") < HeadWindow)
     val dfTab = win.groupBy("g").agg(count(lit(1)).as("__gdf"))
@@ -775,7 +793,7 @@ object Dedup {
     val shortLens = arr.where(col("n_tok") > 0 && col("n_tok") < k)
       .select("n_tok").distinct().collect().map(_.getInt(0)).sorted
     val shortCands = shortLens.toSeq.map { n =>
-      val gn = gramKeyRows(docs, n)
+      val gn = gramKeyRows(gramsOfWidth(th, n))
       gn.where(col("n_tok") === n && col("pos") === 0)
         .select(col("g"), col("doc_id").as("inner_id"))
         .join(gn.select(col("g"), col("doc_id").as("outer_id")), "g")

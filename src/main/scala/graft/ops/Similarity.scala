@@ -269,7 +269,7 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 3): DataFrame = {
     val cents = ivfCentroidsLocal(emb, nlist, refineIters)
     val assigned = ivfAssignTo(emb, cents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val q = withNorm(emb).where(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm2").as("qn"))
@@ -345,7 +345,7 @@ object Similarity {
       .withColumn("__lists",
         topLists(cents, col("embedding"), col("norm2"), assign))
       .select(col("vec_id"), col("embedding"), col("norm2"), col("__lists"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val assigned = assignedArr.select(col("vec_id"), col("embedding"),
       col("norm2"), explode(col("__lists")).as("list_id"))
     val a = assigned.select(col("list_id"), col("vec_id").as("va"),
@@ -511,7 +511,7 @@ object Similarity {
     // (no ReusedExchange across join aliases; the dd4 lesson)
     val v = withNorm(emb).withColumn("bucket",
       srpBucket(col("embedding"), planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
     val q = v.where(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm2").as("qn"), col("bucket"))

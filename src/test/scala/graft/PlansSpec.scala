@@ -299,14 +299,27 @@ class PlansSpec extends AnyFunSuite {
       s"got $got")
   }
 
-  test("unsupported correlated LATERAL shapes still throw") {
+  test("unsupported correlated LATERAL shapes still throw; BIND " +
+      "re-binding an outer var now translates (compatible merge)") {
     val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
-    // re-binding an outer variable with BIND cannot be decorrelated
-    val r: GraphPattern = Extend(
+    // re-binding an outer variable: supported since r9 — the computed
+    // value merges compatibly with the outer binding (semantics locked
+    // in DifferentialSpec); here just lock that it translates
+    val rebind: GraphPattern = Extend(
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
       "n", EVar("y"))
+    Translator.translate(Lateral(l, rebind), TpchRdf.quads(spark, sf))
+    // a correlated Distinct NESTED under OPTIONAL has no per-binding
+    // distribution rule (top-level Distinct peels; nested does not) —
+    // must throw loudly, never silently decorrelate
+    val nestedDistinct: GraphPattern = LeftJoin(
+      Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
+      Distinct(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
+        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z"))))),
+      None)
     intercept[UnsupportedOperationException] {
-      Translator.translate(Lateral(l, r), TpchRdf.quads(spark, sf))
+      Translator.translate(Lateral(l, nestedDistinct),
+        TpchRdf.quads(spark, sf))
     }
   }
 

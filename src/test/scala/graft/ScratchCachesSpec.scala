@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, ScratchCaches}
+
+/** Persist lifecycle hygiene (VERDICT r8 "what's wrong" #2): the ops
+  * that persist shared subtrees internally register them with
+  * [[ScratchCaches]], and a long-lived session releases them after
+  * materializing — the cache manager must return to baseline, or
+  * repeated pipeline calls accumulate orphans until LRU eviction
+  * thrashes real working sets.
+  */
+class ScratchCachesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three"), // short (< k tokens)
+      (4L, "one two three"),
+      (5L, "")) // empty
+      .toDF("doc_id", "text")
+  }
+
+  test("soak: repeated pairs ops + releaseAll return the cache manager " +
+    "to baseline") {
+    ScratchCaches.releaseAll()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Dedup.ngramJaccardPairs(docs, 8, 10).count()
+      Dedup.minhashLshPairs(docs).count()
+      Dedup.simhashPairs(docs).count()
+      assert(ScratchCaches.activeCount > 0,
+        "ops stopped registering their scratch persists")
+      ScratchCaches.releaseAll()
+      assert(ScratchCaches.activeCount == 0)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      "scratch caches leaked past releaseAll")
+  }
+
+  test("containmentPairs persists exactly two scratch tables — one " +
+    "tokenization feeds the k-gram table AND every short-length pass") {
+    ScratchCaches.releaseAll()
+    val pairs = Dedup.containmentPairs(docs, k = 8).collect()
+    // equal long texts contain each other (both directions); equal
+    // short texts likewise; the empty doc is contained by nothing here
+    assert(pairs.length == 4, pairs.mkString(", "))
+    assert(ScratchCaches.activeCount == 2,
+      s"expected th + gram table only, got ${ScratchCaches.activeCount}")
+    ScratchCaches.releaseAll()
+  }
+}
