@@ -171,18 +171,14 @@ object RdfIO {
         col("p").cast(Term.schema), col("o").cast(Term.schema))
   }
 
-  /** Read Turtle: prefix-stateful, so one task per FILE (wholeTextFiles)
-    * — many files still parse in parallel; single huge documents should
-    * convert to N-Triples for split-level parallelism (SURVEY.md §2.1).
+  /** Read Turtle: small files parse task-per-FILE (parallel across
+    * files); files above the split threshold go through
+    * [[TurtleSplit]]'s two-pass chunked parser for split-level
+    * parallelism on single huge documents (SURVEY.md §2.1 v2), falling
+    * back per file when the safety scan disqualifies it.
     */
-  def readTurtle(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) => new TurtleParser(content).parse() }
-      .toDF()
-      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
-        col("p").cast(Term.schema), col("o").cast(Term.schema))
-  }
+  def readTurtle(spark: SparkSession, path: String): DataFrame =
+    TurtleSplit.read(spark, path)
 
   /** Read RDF/XML: DOM parse per FILE (not line-splittable), parallel
     * across files like Turtle.

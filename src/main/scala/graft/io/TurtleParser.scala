@@ -26,7 +26,13 @@ import graft.model.Term
   * quoting), and paths `t!p` / `t^p` (each step materializes a fresh
   * bnode plus its step triple).
   */
-final class TurtleParser(input: String, n3: Boolean = false) {
+final class TurtleParser(input: String, n3: Boolean = false,
+    /** Disambiguates GENERATED (anonymous) blank-node labels across
+      * parallel parses of one document's chunks ([[TurtleSplit]]) —
+      * labeled `_:x` bnodes keep their document-scoped labels, so they
+      * unify across chunks; generated ones must NOT collide.
+      */
+    bnodeTag: String = "") {
   private var pos = 0
   private var base = ""
   private val prefixes = scala.collection.mutable.Map[String, String]()
@@ -124,7 +130,7 @@ final class TurtleParser(input: String, n3: Boolean = false) {
 
   private def freshBnode(): TermRow = {
     bnodeN += 1
-    TermRow(Term.BlankKind.toByte, s"tb$bnodeN", null, null)
+    TermRow(Term.BlankKind.toByte, s"tb$bnodeTag$bnodeN", null, null)
   }
 
   // ---- N3 state ------------------------------------------------------
