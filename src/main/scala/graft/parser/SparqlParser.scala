@@ -186,8 +186,17 @@ final class SparqlParser(input: String) {
     val start = pos
     if (pos < input.length && (input(pos) == '+' || input(pos) == '-')) pos += 1
     var isDec = false; var isDouble = false
-    while (pos < input.length && (input(pos).isDigit || input(pos) == '.' ||
-      input(pos) == 'e' || input(pos) == 'E' ||
+    // numeric grammar (rules [146-148]): at most ONE '.', and only when
+    // digits follow (DECIMAL requires [0-9]+ after the dot — `1.` is
+    // INTEGER then the statement dot, `1..5` is a syntax error, not one
+    // token); exponents need digits (optionally signed) after e/E
+    def digitAt(i: Int) = i < input.length && input(i).isDigit
+    while (pos < input.length && (input(pos).isDigit ||
+      (input(pos) == '.' && !isDec && !isDouble && digitAt(pos + 1)) ||
+      ((input(pos) == 'e' || input(pos) == 'E') && !isDouble &&
+        (digitAt(pos + 1) ||
+          ((pos + 1 < input.length && (input(pos + 1) == '+' ||
+            input(pos + 1) == '-')) && digitAt(pos + 2)))) ||
       ((input(pos) == '+' || input(pos) == '-') &&
         (input(pos - 1) == 'e' || input(pos - 1) == 'E')))) {
       if (input(pos) == '.') isDec = true
@@ -205,11 +214,20 @@ final class SparqlParser(input: String) {
     if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
       V(parseVarName())
     else if (peekSym("<<")) {
-      // RDF-star quoted-triple pattern (SPARQL-star)
+      // RDF-star quoted-triple pattern (SPARQL-star grammar: subject is
+      // var/iri/bnode/quotedTP — never a literal; predicate var/iri only)
       expect("<<")
       val qs = parseVarOrTerm(); val qp = parseVarOrTerm()
       val qo = parseVarOrTerm()
       ws(); expect(">>")
+      qs match {
+        case _: L => fail("literal subject in quoted triple")
+        case _ =>
+      }
+      qp match {
+        case _: V | _: I =>
+        case _ => fail("quoted-triple predicate must be a variable or IRI")
+      }
       Q(qs, qp, qo)
     }
     else if (peekSym("<")) I(parseIriRef())
@@ -807,12 +825,17 @@ final class SparqlParser(input: String) {
     if (peek("ORDER")) { eat("ORDER"); expect("BY")
       orderKeys = parseOrderConditions() }
     var limit = -1L; var offset = 0L
+    var sawLimit = false; var sawOffset = false
     var lo = true
     while (lo) {
-      if (peek("LIMIT")) { eat("LIMIT"); limit = parseSliceCount("LIMIT") }
-      else if (peek("OFFSET")) { eat("OFFSET")
-        offset = parseSliceCount("OFFSET") }
-      else lo = false
+      // LimitOffsetClauses (rule [25]): each clause at most ONCE
+      if (peek("LIMIT")) {
+        if (sawLimit) fail("duplicate LIMIT clause")
+        sawLimit = true; eat("LIMIT"); limit = parseSliceCount("LIMIT")
+      } else if (peek("OFFSET")) {
+        if (sawOffset) fail("duplicate OFFSET clause")
+        sawOffset = true; eat("OFFSET"); offset = parseSliceCount("OFFSET")
+      } else lo = false
     }
     // trailing ValuesClause (grammar rule [28]); joins the solutions
     // after HAVING, before SELECT expressions (§18.2.4.6)
@@ -832,6 +855,12 @@ final class SparqlParser(input: String) {
       val names = projections.map(_._1)
       names.diff(names.distinct).headOption.foreach(v =>
         fail(s"variable ?$v assigned more than once in SELECT"))
+      // §18.2.4.1 / §19.8: (expr AS ?v) may not re-bind a variable
+      // already in scope of the WHERE pattern
+      val patVars = inScopeVars(pattern)
+      projections.collectFirst { case (v, Some(_)) if patVars(v) => v }
+        .foreach(v => fail(
+          s"SELECT alias ?$v is already in scope of the WHERE pattern"))
       if (hasAggs) {
         val keys = groupKeys.getOrElse(Nil).toSet
         projections.collectFirst { case (v, None) if !keys(v) => v }
@@ -891,12 +920,16 @@ final class SparqlParser(input: String) {
       pattern = OrderBy(pattern, parseOrderConditions())
     }
     var limit = -1L; var offset = 0L
+    var sawLimit = false; var sawOffset = false
     var lo = true
     while (lo) {
-      if (peek("LIMIT")) { eat("LIMIT"); limit = parseSliceCount("LIMIT") }
-      else if (peek("OFFSET")) { eat("OFFSET")
-        offset = parseSliceCount("OFFSET") }
-      else lo = false
+      if (peek("LIMIT")) {
+        if (sawLimit) fail("duplicate LIMIT clause")
+        sawLimit = true; eat("LIMIT"); limit = parseSliceCount("LIMIT")
+      } else if (peek("OFFSET")) {
+        if (sawOffset) fail("duplicate OFFSET clause")
+        sawOffset = true; eat("OFFSET"); offset = parseSliceCount("OFFSET")
+      } else lo = false
     }
     if (limit >= 0 || offset > 0) pattern = Slice(pattern, offset, limit)
     pattern
