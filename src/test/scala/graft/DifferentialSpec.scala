@@ -72,10 +72,19 @@ class DifferentialSpec extends AnyFunSuite {
   private val genBgp: Gen[GraphPattern] =
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, genTriple))
       .map(ps => Bgp(ps: _*))
-  private val genFilterExpr: Gen[Expr] = for {
-    v <- Gen.oneOf(varNames); op <- Gen.oneOf("=", "<", ">", "!=")
-    n <- Gen.choose(0, 5)
-  } yield EFn(op, EVar(v), ELit(n.toString, Term.XsdInteger))
+  private val genFilterExpr: Gen[Expr] = Gen.frequency(
+    4 -> (for {
+      v <- Gen.oneOf(varNames); op <- Gen.oneOf("=", "<", ">", "!=")
+      n <- Gen.choose(0, 5)
+    } yield EFn(op, EVar(v), ELit(n.toString, Term.XsdInteger))),
+    // var-var comparison: operator mapping over mixed kinds — numeric
+    // and string value compares, RDFterm-equal corners, error→drop
+    3 -> (for {
+      v1 <- Gen.oneOf(varNames); v2 <- Gen.oneOf(varNames)
+      op <- Gen.oneOf("=", "<", ">", "!=")
+    } yield EFn(op, EVar(v1), EVar(v2))),
+    1 -> Gen.oneOf(varNames).map(v => EFn("BOUND", EVar(v))),
+    1 -> Gen.oneOf(varNames).map(v => EFn("!", EFn("BOUND", EVar(v)))))
   private def genPattern(depth: Int): Gen[GraphPattern] =
     if (depth == 0) genBgp
     else Gen.frequency(
@@ -270,8 +279,8 @@ class DifferentialSpec extends AnyFunSuite {
           case pat => sols.filter(_ => matchPat(pat, g, Map.empty).isDefined)
         }
       }
-    case Filter(EFn(op, EVar(v), ELit(lex, _, _)), p) =>
-      evalNaive(p, data, named).filter(filterPasses(_, op, v, lex))
+    case Filter(e: EFn, p) =>
+      evalNaive(p, data, named).filter(evalFilterBool(e, _))
     case Distinct(p) => evalNaive(p, data, named).distinct
     case ValuesPat(vs, rows) =>
       rows.map { row =>
@@ -283,9 +292,52 @@ class DifferentialSpec extends AnyFunSuite {
     case other => fail(s"naive evaluator: unexpected $other")
   }
 
-  /** The differential filter semantics (`?v op intLiteral`): typed
-    * comparison with error→drop, shared by both evaluators.
+  /** Naive FILTER semantics over the generated shapes — var-lit and
+    * var-var comparisons (operator mapping + RDFterm-equal, error→drop)
+    * and BOUND / !BOUND — shared by both evaluators.
     */
+  private def evalFilterBool(e: Expr, b: Binding): Boolean = e match {
+    case EFn("BOUND", EVar(v)) => b.contains(v)
+    case EFn("!", EFn("BOUND", EVar(v))) => !b.contains(v)
+    case EFn(op, EVar(v), ELit(lex, _, _)) => filterPasses(b, op, v, lex)
+    case EFn(op, EVar(v1), EVar(v2)) =>
+      (b.get(v1), b.get(v2)) match {
+        case (Some(x), Some(y)) => cmpTerms(op, x, y)
+        case _ => false // unbound operand: comparison error → drop
+      }
+    case other => fail(s"filter evaluator: unexpected $other")
+  }
+
+  /** Operator mapping between two BOUND terms (§17.3 table +
+    * RDFterm-equal §17.4.1.7): numeric/string value compares; IRIs and
+    * quoted triples are term-equal comparable but not order-comparable
+    * (error→drop); literals of incomparable types error on every op;
+    * mixed kinds are never RDFterm-equal (`=` false, `!=` true).
+    */
+  private def cmpTerms(op: String, x: T, y: T): Boolean = (x, y) match {
+    case ((2, lx, Term.XsdInteger), (2, ly, Term.XsdInteger)) =>
+      val a = lx.toLong; val c = ly.toLong
+      op match {
+        case "=" => a == c; case "!=" => a != c
+        case "<" => a < c; case ">" => a > c
+      }
+    case ((2, lx, Term.XsdString), (2, ly, Term.XsdString)) =>
+      op match {
+        case "=" => lx == ly; case "!=" => lx != ly
+        case "<" => lx < ly; case ">" => lx > ly
+      }
+    case ((2, _, _), (2, _, _)) => false // int vs string: type error
+    case ((kx, lx, _), (ky, ly, _)) if kx == ky && (kx == 0 || kx == 4) =>
+      op match {
+        case "=" => lx == ly; case "!=" => lx != ly
+        case _ => false // IRI/quoted order compare: type error
+      }
+    case _ => op match { // mixed kinds: never RDFterm-equal, no order
+      case "=" => false; case "!=" => true; case _ => false
+    }
+  }
+
+  /** The var-lit leg (`?v op intLiteral`), kept as-is from r6. */
   private def filterPasses(b: Binding, op: String, v: String,
       lex: String): Boolean = b.get(v) match {
     case Some((2, l, Term.XsdInteger)) =>
@@ -354,8 +406,8 @@ class DifferentialSpec extends AnyFunSuite {
       }
     // σ(Filter(F,P),μ) = Filter(σF, σP): the binding flows into both the
     // pattern and the expression (left vars visible = substitution)
-    case Filter(EFn(op, EVar(v), ELit(lex, _, _)), p) =>
-      evalSubst(p, data, b0, named).filter(filterPasses(_, op, v, lex))
+    case Filter(e: EFn, p) =>
+      evalSubst(p, data, b0, named).filter(evalFilterBool(e, _))
     // BIND under σ: substitution never touches the AS position, so the
     // expression sees outer values but v binds in a σ-domain without
     // them; when v IS an outer var, LATERAL's final merge demands
