@@ -653,23 +653,26 @@ object Translator {
           // the §18.5 disjoint-domain rule over the σ-DOMAINS — bound
           // left vars are substituted constants and do not count toward
           // the overlap test, so the overlap conjunct ranges only over
-          // the live (non-left) shared vars. Left vars shared by both
-          // sides must be provably bound on the left: a sometimes-
-          // unbound one would flip per row between "substituted" and
-          // "live", which this static rewrite cannot express — throw.
+          // the live (non-left) shared vars. A SOMETIMES-unbound left
+          // var flips per row between "substituted" (outer bound — a
+          // constant, outside the σ-domain) and "live" (outer unbound —
+          // a pattern var, counts toward the overlap) — decided per
+          // __lid by an outer-boundedness marker joined from the tagged
+          // left, so the overlap conjunct is row-dynamic.
           case Minus(a0, b0) =>
             val A = perBinding(a0, pctx)
             val B = perBinding(b0, pctx)
             val sharedAB = inScopeVars(a0) & inScopeVars(b0)
             val leftShared = sharedAB & lVars
-            if (!leftShared.forall(ls0.sure))
-              throw new UnsupportedOperationException(
-                "correlated LATERAL MINUS: outer variable(s) " +
-                  (leftShared -- ls0.sure).mkString(", ") +
-                  " shared by both MINUS sides may be unbound per row")
+            val maybe = (leftShared -- ls0.sure).toSeq.sorted
             val live = (sharedAB -- lVars).toSeq.sorted
-            if (live.isEmpty) A
+            if (live.isEmpty && maybe.isEmpty) A
             else {
+              val aDf =
+                if (maybe.isEmpty) A.df
+                else A.df.join(ls.df.select(col("__lid") +:
+                  maybe.map(v => col(v).isNull.as("__ob_" + v)): _*),
+                  "__lid")
               val rRenamed = B.df.select(B.vars.toSeq.sorted.map(v =>
                 col(v).as("__r_" + v)): _*)
               def rc(v: String) = col("__r_" + v)
@@ -677,9 +680,12 @@ object Translator {
               val compat = sharedAll.map(v =>
                 if (A.sure(v) && B.sure(v)) col(v) === rc(v)
                 else coalesce(col(v) === rc(v), lit(true))).reduce(_ && _)
-              val overlap = live.map(v =>
-                col(v).isNotNull && rc(v).isNotNull).reduce(_ || _)
-              Sol(A.df.join(rRenamed, compat && overlap, "left_anti"),
+              val overlap = (live.map(v =>
+                col(v).isNotNull && rc(v).isNotNull) ++
+                maybe.map(v => col("__ob_" + v) &&
+                  col(v).isNotNull && rc(v).isNotNull)).reduce(_ || _)
+              Sol(aDf.join(rRenamed, compat && overlap, "left_anti")
+                .drop(maybe.map("__ob_" + _): _*),
                 A.vars, A.sure, A.cls)
             }
           // Cross-correlated FILTER (NOT) EXISTS: the EXISTS pattern

@@ -532,6 +532,39 @@ class DifferentialSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("LATERAL MINUS sometimes-unbound substituted var: the overlap " +
+      "domain flips per row (substituted rows exclude it, live rows " +
+      "count it)") {
+    // left: Union binds ?a in one branch only. MINUS sides share ONLY
+    // ?a. Row {a→i0}: ?a is a substituted constant → σ-domains {b} vs
+    // {d} are DISJOINT → nothing removed. Row {c→i5} (?a unbound): ?a
+    // is live → domains {a,b} vs {a,d} overlap on ?a → the compatible
+    // A-row is removed. Always-live would wrongly empty row 1;
+    // always-substituted would wrongly keep row 2.
+    def p(n: Int) = s"http://x/p$n"
+    val gp = Lateral(
+      Union(Bgp(TriplePattern(V("a"), I(p(0)), I("http://x/i1"))),
+            Bgp(TriplePattern(V("c"), I(p(4)), I("http://x/i1")))),
+      Minus(Bgp(TriplePattern(V("a"), I(p(1)), V("b"))),
+            Bgp(TriplePattern(V("a"), I(p(3)), V("d")))))
+    val data: Seq[(T, T, T)] = Seq(
+      (iri(0), (0, p(0), null), iri(1)), // left branch 1: a→i0
+      (iri(5), (0, p(4), null), iri(1)), // left branch 2: a unbound
+      (iri(0), (0, p(1), null), int(2)), // A: {a→i0, b→2}
+      (iri(0), (0, p(3), null), int(3))) // B: {a→i0, d→3}
+    val expected = evalNaive(gp, data).map(canon).sorted
+    assert(expected.size == 1, expected) // only row 1's A-row survives
+    val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+    val got = df.collect().toSeq.map { r =>
+      cmpVars.flatMap { v =>
+        if (!df.columns.contains(v)) None
+        else Option(r.getAs[Row](v)).map(t =>
+          s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+      }.mkString("|")
+    }.sorted
+    assert(got == expected)
+  }
+
   test("LATERAL BIND re-binding an outer var joins compatibly: " +
       "mismatching values drop, erroring expressions keep the outer value") {
     // left binds {a→int, b→2}; right BINDs ?b = ?a + 1. Substitution
