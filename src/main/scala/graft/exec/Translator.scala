@@ -708,6 +708,18 @@ object Translator {
                 SparqlExpr.compileBool(ex, sol.bind, sol.hint),
                 lit(false))), sol.vars, sol.sure, sol.cls)
             }
+          // σ distributes over Distinct/Reduced: a per-binding DISTINCT
+          // is a global dedup over the __lid-tagged row (the left vars
+          // are functionally dependent on __lid, so deduping the full
+          // extension IS per-left-solution dedup over the σ-domain).
+          case Distinct(i0) =>
+            val base = perBinding(i0, pctx)
+            Sol(base.df.dropDuplicates(base.vars.toSeq.sorted),
+              base.vars, base.sure, base.cls)
+          case Reduced(i0) =>
+            val base = perBinding(i0, pctx)
+            Sol(base.df.dropDuplicates(base.vars.toSeq.sorted),
+              base.vars, base.sure, base.cls)
           // σ distributes over Join and Extend too — recurse so an
           // unsafe core nested under them still evaluates per binding.
           case Join(a0, b0) =>

@@ -124,6 +124,10 @@ class DifferentialSpec extends AnyFunSuite {
       1 -> (for { l <- genPattern(depth - 1)
                   a <- genBgp; b <- genBgp; c <- genBgp }
         yield Lateral(l, Union(a, Minus(b, c)))),
+      // nested DISTINCT under a correlated union branch: σ distributes
+      // over Distinct (per-binding dedup via the __lid tag)
+      1 -> (for { l <- genPattern(depth - 1); a <- genBgp; b <- genBgp }
+        yield Lateral(l, Union(a, Distinct(b)))),
       // correlated BIND inside LATERAL: the hoisted-Extend rewrite vs
       // true per-binding substitution in the naive evaluator
       1 -> (for {
@@ -408,6 +412,9 @@ class DifferentialSpec extends AnyFunSuite {
     // pattern and the expression (left vars visible = substitution)
     case Filter(e: EFn, p) =>
       evalSubst(p, data, b0, named).filter(evalFilterBool(e, _))
+    // σ distributes over Distinct: dedup per binding over the full
+    // extension (b0 rides along, so distinct is per left solution)
+    case Distinct(p) => evalSubst(p, data, b0, named).distinct
     // BIND under σ: substitution never touches the AS position, so the
     // expression sees outer values but v binds in a σ-domain without
     // them; when v IS an outer var, LATERAL's final merge demands

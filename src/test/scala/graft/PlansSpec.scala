@@ -309,16 +309,16 @@ class PlansSpec extends AnyFunSuite {
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
       "n", EVar("y"))
     Translator.translate(Lateral(l, rebind), TpchRdf.quads(spark, sf))
-    // a correlated Distinct NESTED under OPTIONAL has no per-binding
-    // distribution rule (top-level Distinct peels; nested does not) —
-    // must throw loudly, never silently decorrelate
-    val nestedDistinct: GraphPattern = LeftJoin(
+    // a correlated PROJECT nested under OPTIONAL has no per-binding
+    // distribution rule (top-level subselect shells peel; nested ones
+    // do not) — must throw loudly, never silently decorrelate
+    val nestedProject: GraphPattern = LeftJoin(
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
-      Distinct(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
-        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z"))))),
+      Project(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
+        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z")))), Seq("x")),
       None)
     intercept[UnsupportedOperationException] {
-      Translator.translate(Lateral(l, nestedDistinct),
+      Translator.translate(Lateral(l, nestedProject),
         TpchRdf.quads(spark, sf))
     }
   }

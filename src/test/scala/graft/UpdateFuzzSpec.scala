@@ -53,7 +53,12 @@ class UpdateFuzzSpec extends AnyFunSuite {
   private case class DelData(qs: Seq[Q]) extends Op
   private case class DelWhere(g: String, tp: TP) extends Op
   private case class Modify(g: String, del: Option[TP], ins: Option[TP],
-      where: TP) extends Op
+      where: TP,
+      /** render as `WITH <g> …` with BARE templates/WHERE instead of
+        * explicit GRAPH wrapping — same semantics, different surface
+        * syntax (only meaningful for a named graph context)
+        */
+      useWith: Boolean = false) extends Op
   private case class ClearG(g: String) extends Op
   private case class CreateG(g: String) extends Op
   private case class DropG(g: String) extends Op
@@ -87,7 +92,8 @@ class UpdateFuzzSpec extends AnyFunSuite {
       g <- genG; w <- genTP
       d <- Gen.option(genTemplate(w)); i <- Gen.option(genTemplate(w))
       if d.nonEmpty || i.nonEmpty
-    } yield Modify(g, d, i, w)),
+      useWith <- Gen.oneOf(true, false)
+    } yield Modify(g, d, i, w, useWith = useWith && g.nonEmpty)),
     1 -> Gen.oneOf(graphs.tail).map(ClearG(_)),
     1 -> Gen.oneOf(graphs.tail).map(CreateG(_)),
     1 -> Gen.oneOf(graphs.tail).map(DropG(_)))
@@ -116,12 +122,18 @@ class UpdateFuzzSpec extends AnyFunSuite {
     case InsData(qs) => s"INSERT DATA { ${quadBlock(qs)} }"
     case DelData(qs) => s"DELETE DATA { ${quadBlock(qs)} }"
     case DelWhere(g, tp) => s"DELETE WHERE { ${wrapped(g, tpText(tp))} }"
-    case Modify(g, d, i, w) =>
-      val del = d.map(t => s"DELETE { ${wrapped(g, tpText(t))} } ")
-        .getOrElse("")
-      val ins = i.map(t => s"INSERT { ${wrapped(g, tpText(t))} } ")
-        .getOrElse("")
-      s"${del}${ins}WHERE { ${wrapped(g, tpText(w))} }"
+    case Modify(g, d, i, w, useWith) =>
+      if (useWith) {
+        val del = d.map(t => s"DELETE { ${tpText(t)} } ").getOrElse("")
+        val ins = i.map(t => s"INSERT { ${tpText(t)} } ").getOrElse("")
+        s"WITH <$g> ${del}${ins}WHERE { ${tpText(w)} }"
+      } else {
+        val del = d.map(t => s"DELETE { ${wrapped(g, tpText(t))} } ")
+          .getOrElse("")
+        val ins = i.map(t => s"INSERT { ${wrapped(g, tpText(t))} } ")
+          .getOrElse("")
+        s"${del}${ins}WHERE { ${wrapped(g, tpText(w))} }"
+      }
     case ClearG(g) => s"CLEAR GRAPH <$g>"
     case CreateG(g) => s"CREATE SILENT GRAPH <$g>"
     case DropG(g) => s"DROP SILENT GRAPH <$g>"
@@ -172,7 +184,7 @@ class UpdateFuzzSpec extends AnyFunSuite {
       val bs = bindingsIn(m, g, tp)
       val dels = bs.flatMap(b => instantiate(tp, b, g))
       m.copy(quads = m.quads -- dels)
-    case Modify(g, d, i, w) =>
+    case Modify(g, d, i, w, _) =>
       val bs = bindingsIn(m, g, w)
       val dels = d.toSeq.flatMap(t => bs.flatMap(b => instantiate(t, b, g)))
       val inss = i.toSeq.flatMap(t => bs.flatMap(b => instantiate(t, b, g)))
