@@ -85,6 +85,28 @@ class DifferentialSpec extends AnyFunSuite {
     } yield EFn(op, EVar(v1), EVar(v2))),
     1 -> Gen.oneOf(varNames).map(v => EFn("BOUND", EVar(v))),
     1 -> Gen.oneOf(varNames).map(v => EFn("!", EFn("BOUND", EVar(v)))))
+
+  /** Filter trees exercising 3-valued logic: leaves from
+    * [[genFilterExpr]] composed with !, &&, || (error propagation:
+    * error && false = false, error || true = true), plus IN lists.
+    */
+  private val genFilterTree: Gen[Expr] = {
+    val leaf = genFilterExpr
+    Gen.frequency(
+      3 -> leaf,
+      2 -> leaf.map(EFn("!", _)),
+      2 -> (for { a <- leaf; b <- leaf; op <- Gen.oneOf("&&", "||") }
+        yield EFn(op, a, b)),
+      1 -> (for { a <- leaf; b <- leaf; c <- leaf
+                  o1 <- Gen.oneOf("&&", "||"); o2 <- Gen.oneOf("&&", "||") }
+        yield EFn(o2, EFn(o1, a, b), c)),
+      1 -> (for {
+        v <- Gen.oneOf(varNames)
+        ns <- Gen.chooseNum(0, 3).flatMap(n =>
+          Gen.listOfN(n, Gen.choose(0, 5)))
+      } yield EFn("IN", EVar(v) +:
+        ns.map(n => ELit(n.toString, Term.XsdInteger): Expr): _*)))
+  }
   private def genPattern(depth: Int): Gen[GraphPattern] =
     if (depth == 0) genBgp
     else Gen.frequency(
@@ -97,7 +119,7 @@ class DifferentialSpec extends AnyFunSuite {
         yield LeftJoin(l, r, None)),
       1 -> (for { l <- genPattern(depth - 1); r <- genPattern(depth - 1) }
         yield Minus(l, r)),
-      1 -> (for { p <- genPattern(depth - 1); f <- genFilterExpr }
+      1 -> (for { p <- genPattern(depth - 1); f <- genFilterTree }
         yield Filter(f, p)),
       // monotone right side: lateral substitution coincides with join
       1 -> (for { l <- genPattern(depth - 1); r <- genBgp }
@@ -205,7 +227,7 @@ class DifferentialSpec extends AnyFunSuite {
                   a <- genBgp; b <- genBgp; c <- genBgp }
         yield Lateral(l, GraphPat(n, Union(a, Minus(b, c))))),
       1 -> (for { l <- genLeft; n <- genGName
-                  a <- genBgp; b <- genBgp; f <- genFilterExpr }
+                  a <- genBgp; b <- genBgp; f <- genFilterTree }
         yield Lateral(l, GraphPat(n, Filter(f, LeftJoin(a, b, None))))))
   }
 
@@ -296,70 +318,79 @@ class DifferentialSpec extends AnyFunSuite {
     case other => fail(s"naive evaluator: unexpected $other")
   }
 
-  /** Naive FILTER semantics over the generated shapes — var-lit and
-    * var-var comparisons (operator mapping + RDFterm-equal, error→drop)
-    * and BOUND / !BOUND — shared by both evaluators.
+  /** Naive FILTER semantics over the generated shapes, THREE-valued
+    * (None = type error, §17.2): comparisons, BOUND, !, &&, || (error
+    * && false = false, error || true = true — SQL-null 3VL, which is
+    * what compileBool maps them to), IN as the equality disjunction
+    * (§17.4.1.9). FILTER keeps a row iff the EBV is Some(true).
     */
-  private def evalFilterBool(e: Expr, b: Binding): Boolean = e match {
-    case EFn("BOUND", EVar(v)) => b.contains(v)
-    case EFn("!", EFn("BOUND", EVar(v))) => !b.contains(v)
-    case EFn(op, EVar(v), ELit(lex, _, _)) => filterPasses(b, op, v, lex)
-    case EFn(op, EVar(v1), EVar(v2)) =>
-      (b.get(v1), b.get(v2)) match {
-        case (Some(x), Some(y)) => cmpTerms(op, x, y)
-        case _ => false // unbound operand: comparison error → drop
+  private def evalFilterBool(e: Expr, b: Binding): Boolean =
+    evalFilter3(e, b).contains(true)
+
+  private def evalFilter3(e: Expr, b: Binding): Option[Boolean] = e match {
+    case EFn("BOUND", EVar(v)) => Some(b.contains(v))
+    case EFn("!", x) => evalFilter3(x, b).map(!_)
+    case EFn("&&", x, y) =>
+      (evalFilter3(x, b), evalFilter3(y, b)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case EFn("||", x, y) =>
+      (evalFilter3(x, b), evalFilter3(y, b)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case EFn("IN", args @ _*) =>
+      val eqs = args.tail.map(rhs =>
+        evalFilter3(EFn("=", args.head, rhs), b))
+      if (eqs.exists(_.contains(true))) Some(true)
+      else if (eqs.exists(_.isEmpty)) None
+      else Some(false) // incl. the empty list: false for every lhs
+    case EFn(op, l, r) if Seq("=", "!=", "<", ">").contains(op) =>
+      def termOf(x: Expr): Option[T] = x match {
+        case EVar(v) => b.get(v)
+        case ELit(lex, dt, _) => Some((2, lex, dt))
+        case other => fail(s"filter operand: unexpected $other")
+      }
+      (termOf(l), termOf(r)) match {
+        case (Some(x), Some(y)) => cmpTerms3(op, x, y)
+        case _ => None // unbound operand: comparison error
       }
     case other => fail(s"filter evaluator: unexpected $other")
   }
 
   /** Operator mapping between two BOUND terms (§17.3 table +
-    * RDFterm-equal §17.4.1.7): numeric/string value compares; IRIs and
-    * quoted triples are term-equal comparable but not order-comparable
-    * (error→drop); literals of incomparable types error on every op;
-    * mixed kinds are never RDFterm-equal (`=` false, `!=` true).
+    * RDFterm-equal §17.4.1.7), three-valued: numeric/string value
+    * compares; IRIs and quoted triples are term-equal comparable but
+    * not order-comparable (error); literals of incomparable types
+    * error on every op; mixed kinds are never RDFterm-equal (`=`
+    * false, `!=` true, order error).
     */
-  private def cmpTerms(op: String, x: T, y: T): Boolean = (x, y) match {
-    case ((2, lx, Term.XsdInteger), (2, ly, Term.XsdInteger)) =>
-      val a = lx.toLong; val c = ly.toLong
-      op match {
-        case "=" => a == c; case "!=" => a != c
-        case "<" => a < c; case ">" => a > c
+  private def cmpTerms3(op: String, x: T, y: T): Option[Boolean] =
+    (x, y) match {
+      case ((2, lx, Term.XsdInteger), (2, ly, Term.XsdInteger)) =>
+        val a = lx.toLong; val c = ly.toLong
+        Some(op match {
+          case "=" => a == c; case "!=" => a != c
+          case "<" => a < c; case ">" => a > c
+        })
+      case ((2, lx, Term.XsdString), (2, ly, Term.XsdString)) =>
+        Some(op match {
+          case "=" => lx == ly; case "!=" => lx != ly
+          case "<" => lx < ly; case ">" => lx > ly
+        })
+      case ((2, _, _), (2, _, _)) => None // int vs string: type error
+      case ((kx, lx, _), (ky, ly, _)) if kx == ky && (kx == 0 || kx == 4) =>
+        op match {
+          case "=" => Some(lx == ly); case "!=" => Some(lx != ly)
+          case _ => None // IRI/quoted order compare: type error
+        }
+      case _ => op match { // mixed kinds: never RDFterm-equal, no order
+        case "=" => Some(false); case "!=" => Some(true); case _ => None
       }
-    case ((2, lx, Term.XsdString), (2, ly, Term.XsdString)) =>
-      op match {
-        case "=" => lx == ly; case "!=" => lx != ly
-        case "<" => lx < ly; case ">" => lx > ly
-      }
-    case ((2, _, _), (2, _, _)) => false // int vs string: type error
-    case ((kx, lx, _), (ky, ly, _)) if kx == ky && (kx == 0 || kx == 4) =>
-      op match {
-        case "=" => lx == ly; case "!=" => lx != ly
-        case _ => false // IRI/quoted order compare: type error
-      }
-    case _ => op match { // mixed kinds: never RDFterm-equal, no order
-      case "=" => false; case "!=" => true; case _ => false
     }
-  }
-
-  /** The var-lit leg (`?v op intLiteral`), kept as-is from r6. */
-  private def filterPasses(b: Binding, op: String, v: String,
-      lex: String): Boolean = b.get(v) match {
-    case Some((2, l, Term.XsdInteger)) =>
-      val x = l.toLong; val y = lex.toLong
-      op match {
-        case "=" => x == y; case "!=" => x != y
-        case "<" => x < y; case ">" => x > y
-      }
-    case Some((2, _, Term.XsdString)) =>
-      false // int vs string literal: RDFterm-equal type error -> drop
-    case Some((k, _, _)) if k == 0 || k == 4 => op match {
-      // IRI / quoted-triple term is never RDFterm-equal to a literal
-      case "=" => false
-      case "!=" => true // !(RDFterm-equal) = !false = true
-      case _ => false // order comparison: error -> drop
-    }
-    case _ => false // unbound: comparison error
-  }
 
   /** Substitution evaluation of a LATERAL right side: every pattern
     * match starts from the left binding `b0`; BIND evaluates with the
