@@ -607,6 +607,23 @@ object Translator {
     val ls = Sol(ls0.df.withColumn("__lid", monotonically_increasing_id()),
       ls0.vars + "__lid", ls0.sure + "__lid")
 
+    /** Projection-hidden vars that the right side binds and the left
+      * sometimes does NOT bind: the projection hides the PATTERN
+      * binding, so the merged solution reverts to the OUTER value
+      * (unbound where the left row is unbound) — restore per __lid.
+      * Surely-outer-bound vars need no restore: substitution pinned the
+      * pattern value to the outer constant already.
+      */
+    def restoreOuter(df: DataFrame, hidden: Seq[String]): DataFrame =
+      if (hidden.isEmpty) df
+      else {
+        val outers = ls.df.select(col("__lid") +:
+          hidden.map(v => col(v).as("__out_" + v)): _*)
+        hidden.foldLeft(df.join(outers, "__lid")) { (d, v) =>
+          d.withColumn(v, col("__out_" + v)).drop("__out_" + v)
+        }
+      }
+
     /** Per-binding evaluation of a subpattern under substitution
       * semantics. Join-safe cores hoist their correlated conjuncts and
       * inner-join the left (substitution = join for those shapes);
@@ -708,6 +725,23 @@ object Translator {
                 SparqlExpr.compileBool(ex, sol.bind, sol.hint),
                 lit(false))), sol.vars, sol.sure, sol.cls)
             }
+          // σ over a nested PROJECT: substitution descends through the
+          // projection (the same rule the top-level subselect shell
+          // peel applies — correlation vars hidden by the projection
+          // still correlate, because the per-binding join happens
+          // before the projection applies); the projection then hides
+          // the non-projected pattern vars, with the outer vars and
+          // the __lid tag riding along for the merge. Bag semantics:
+          // a column drop never changes multiplicity.
+          case Project(i0, vs) =>
+            val base = perBinding(i0, pctx)
+            val hidden = ((lVars & inScopeVars(i0)) -- vs.toSet)
+              .filterNot(ls0.sure).toSeq.sorted
+            val keepSet = base.vars & (vs.toSet ++ lVars + "__lid")
+            val keep = keepSet.toSeq.sorted
+            Sol(restoreOuter(base.df, hidden).select(keep.map(col): _*),
+              keepSet, (base.sure & keepSet) -- hidden,
+              (base.cls -- hidden).view.filterKeys(keepSet).toMap)
           // σ distributes over Distinct/Reduced: a per-binding DISTINCT
           // is a global dedup over the __lid-tagged row (the left vars
           // are functionally dependent on __lid, so deduping the full
@@ -798,11 +832,16 @@ object Translator {
           (if (limit >= 0) col("__rn") <= offset + limit else lit(true)))
         .drop("__rn")
     }
+    // the peeled projection hides pattern vars; ones the left binds
+    // only SOMETIMES revert to the outer value in the merged solution
+    val hidden = proj.map(p => ((ls0.vars & rsVars) -- p.toSet)
+      .filterNot(ls0.sure).toSeq.sorted).getOrElse(Nil)
+    val df2 = restoreOuter(df, hidden)
     val outVars = ls0.vars ++ proj.map(_.toSet)
       .getOrElse(rsVars ++ shellExtends.map(_._1))
-    Sol(df.select(outVars.toSeq.sorted.map(v =>
+    Sol(df2.select(outVars.toSeq.sorted.map(v =>
       (if (joined.vars(v)) col(v) else nullTerm).as(v)): _*),
-      outVars, joined.sure & outVars)
+      outVars, (joined.sure & outVars) -- hidden)
   }
 
   /** Path pattern -> solution. Constant endpoints become closure seeds

@@ -150,6 +150,22 @@ class DifferentialSpec extends AnyFunSuite {
       // over Distinct (per-binding dedup via the __lid tag)
       1 -> (for { l <- genPattern(depth - 1); a <- genBgp; b <- genBgp }
         yield Lateral(l, Union(a, Distinct(b)))),
+      // TOP-LEVEL correlated subselect projection (the shell-peel
+      // path): hidden sometimes-unbound outer vars must revert to the
+      // outer value after the merge
+      1 -> (for {
+        l <- genPattern(depth - 1); b <- genBgp
+        vs <- Gen.someOf(varNames)
+      } yield Lateral(l, Project(b, vs.toSeq.sorted))),
+      // nested PROJECT under a correlated OPTIONAL/UNION: substitution
+      // descends through the projection, hidden vars drop after
+      1 -> (for {
+        l <- genPattern(depth - 1); a <- genBgp; b <- genBgp
+        vs <- Gen.someOf(varNames)
+        shape <- Gen.oneOf(true, false)
+      } yield Lateral(l,
+        if (shape) Union(a, Project(b, vs.toSeq.sorted))
+        else LeftJoin(a, Project(b, vs.toSeq.sorted), None))),
       // correlated BIND inside LATERAL: the hoisted-Extend rewrite vs
       // true per-binding substitution in the naive evaluator
       1 -> (for {
@@ -446,6 +462,12 @@ class DifferentialSpec extends AnyFunSuite {
     // σ distributes over Distinct: dedup per binding over the full
     // extension (b0 rides along, so distinct is per left solution)
     case Distinct(p) => evalSubst(p, data, b0, named).distinct
+    // σ through a nested PROJECT: substitution descends (hidden vars
+    // still correlate — the engine's subselect-shell rule); projection
+    // then hides non-projected pattern vars, outer vars ride along
+    case Project(p, vs) =>
+      evalSubst(p, data, b0, named).map(b =>
+        b.view.filterKeys(k => vs.contains(k) || b0.contains(k)).toMap)
     // BIND under σ: substitution never touches the AS position, so the
     // expression sees outer values but v binds in a σ-domain without
     // them; when v IS an outer var, LATERAL's final merge demands

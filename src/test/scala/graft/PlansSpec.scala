@@ -309,16 +309,17 @@ class PlansSpec extends AnyFunSuite {
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
       "n", EVar("y"))
     Translator.translate(Lateral(l, rebind), TpchRdf.quads(spark, sf))
-    // a correlated PROJECT nested under OPTIONAL has no per-binding
-    // distribution rule (top-level subselect shells peel; nested ones
-    // do not) — must throw loudly, never silently decorrelate
-    val nestedProject: GraphPattern = LeftJoin(
+    // a correlated SLICE (LIMIT subselect) nested under OPTIONAL has no
+    // per-binding distribution rule (top-level subselect shells peel
+    // into the windowed top-k; nested ones do not) — must throw
+    // loudly, never silently decorrelate
+    val nestedSlice: GraphPattern = LeftJoin(
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
-      Project(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
-        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z")))), Seq("x")),
+      Slice(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
+        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z")))), 0, 1),
       None)
     intercept[UnsupportedOperationException] {
-      Translator.translate(Lateral(l, nestedProject),
+      Translator.translate(Lateral(l, nestedSlice),
         TpchRdf.quads(spark, sf))
     }
   }
