@@ -725,6 +725,43 @@ object Translator {
                 SparqlExpr.compileBool(ex, sol.bind, sol.hint),
                 lit(false))), sol.vars, sol.sure, sol.cls)
             }
+          // Nested correlated subselect with LIMIT/OFFSET: peel the
+          // parser's Slice(Distinct?(Project?(OrderBy?))) shell and
+          // realize the slice as a per-__lid row_number window — the
+          // same construction the top-level shell peel uses, applied
+          // inside the recursion (e.g. a LIMIT subselect under a
+          // correlated OPTIONAL branch).
+          case Slice(inner0, off, lim) =>
+            val (core, keys, proj2, dist) = peelSliceShell(inner0)
+            val base = perBinding(core, pctx)
+            import org.apache.spark.sql.expressions.Window
+            var df = base.df
+            if (dist) {
+              val dCols = ("__lid" +: proj2.getOrElse(
+                (base.vars -- ls.vars).toSeq.sorted)
+                .filter(base.vars)).distinct
+              df = df.dropDuplicates(dCols)
+            }
+            val sortCols =
+              if (keys.nonEmpty) sortColumns(base, core, keys)
+              else (base.vars -- ls.vars).toSeq.sorted
+                .map(v => sortKey(col(v)).asc)
+            val w = Window.partitionBy(col("__lid")).orderBy(sortCols: _*)
+            df = df.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") > off &&
+                (if (lim >= 0) col("__rn") <= off + lim else lit(true)))
+              .drop("__rn")
+            proj2 match {
+              case Some(vs) =>
+                val hidden = ((lVars & inScopeVars(core)) -- vs.toSet)
+                  .filterNot(ls0.sure).toSeq.sorted
+                val keepSet = base.vars & (vs.toSet ++ lVars + "__lid")
+                Sol(restoreOuter(df, hidden)
+                  .select(keepSet.toSeq.sorted.map(col): _*),
+                  keepSet, (base.sure & keepSet) -- hidden,
+                  (base.cls -- hidden).view.filterKeys(keepSet).toMap)
+              case None => Sol(df, base.vars, base.sure, base.cls)
+            }
           // σ over a nested PROJECT: substitution descends through the
           // projection (the same rule the top-level subselect shell
           // peel applies — correlation vars hidden by the projection

@@ -309,17 +309,18 @@ class PlansSpec extends AnyFunSuite {
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
       "n", EVar("y"))
     Translator.translate(Lateral(l, rebind), TpchRdf.quads(spark, sf))
-    // a correlated SLICE (LIMIT subselect) nested under OPTIONAL has no
-    // per-binding distribution rule (top-level subselect shells peel
-    // into the windowed top-k; nested ones do not) — must throw
-    // loudly, never silently decorrelate
-    val nestedSlice: GraphPattern = LeftJoin(
+    // a correlated AGGREGATE nested under OPTIONAL has no per-binding
+    // distribution rule (top-level per-binding aggregation handles the
+    // direct Group core; nested ones do not) — must throw loudly,
+    // never silently decorrelate
+    val nestedGroup: GraphPattern = LeftJoin(
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
-      Slice(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
-        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z")))), 0, 1),
+      Group(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
+        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z")))),
+        Seq("x"), Seq("cnt" -> AggCall("COUNT", None))),
       None)
     intercept[UnsupportedOperationException] {
-      Translator.translate(Lateral(l, nestedSlice),
+      Translator.translate(Lateral(l, nestedGroup),
         TpchRdf.quads(spark, sf))
     }
   }
