@@ -725,6 +725,39 @@ object Translator {
                 SparqlExpr.compileBool(ex, sol.bind, sol.hint),
                 lit(false))), sol.vars, sol.sure, sol.cls)
             }
+          // Nested correlated AGGREGATE (a grouped subselect under a
+          // correlated OPTIONAL/UNION branch): aggregate the
+          // per-binding input per (__lid, left vars, group keys).
+          // Keys-empty groups yield exactly ONE row per binding — pad
+          // match-less bindings with a blanked row so COUNT=0 / SUM=0
+          // emerge from the engine's own empty-group semantics; keyed
+          // groups drop match-less bindings (SPARQL), and the
+          // surrounding branch combine (e.g. OPTIONAL's left-outer)
+          // reinstates them unbound.
+          case Group(ginner0, gkeys, gaggs) =>
+            val base = perBinding(ginner0, pctx)
+            val marked = Sol(base.df.withColumn("__rmark", lit(true)),
+              base.vars, base.sure, base.cls)
+            val input =
+              if (gkeys.nonEmpty) marked
+              else {
+                val missing = ls.df.join(
+                  base.df.select(col("__lid")).distinct(),
+                  Seq("__lid"), "left_anti")
+                val padCols = marked.df.columns.toSeq.map(c =>
+                  if (ls.vars(c)) col(c)
+                  else if (c == "__rmark")
+                    lit(null).cast("boolean").as(c)
+                  else nullTerm.as(c))
+                Sol(marked.df.unionByName(missing.select(padCols: _*)),
+                  marked.vars,
+                  marked.sure -- (marked.vars -- ls.vars), marked.cls)
+              }
+            val allKeys =
+              ("__lid" +: (ls.vars.toSeq.sorted ++ gkeys)).distinct
+            groupAggregate(input, allKeys, gaggs,
+              e => when(col("__rmark").isNotNull, e))
+
           // Nested correlated subselect with LIMIT/OFFSET: peel the
           // parser's Slice(Distinct?(Project?(OrderBy?))) shell and
           // realize the slice as a per-__lid row_number window — the

@@ -309,18 +309,17 @@ class PlansSpec extends AnyFunSuite {
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
       "n", EVar("y"))
     Translator.translate(Lateral(l, rebind), TpchRdf.quads(spark, sf))
-    // a correlated AGGREGATE nested under OPTIONAL has no per-binding
-    // distribution rule (top-level per-binding aggregation handles the
-    // direct Group core; nested ones do not) — must throw loudly,
-    // never silently decorrelate
-    val nestedGroup: GraphPattern = LeftJoin(
+    // a correlated BARE OrderBy nested under OPTIONAL (no enclosing
+    // Slice — order without a slice has no per-binding meaning) has no
+    // distribution rule — must throw loudly, never silently decorrelate
+    val nestedOrder: GraphPattern = LeftJoin(
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
-      Group(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
+      OrderBy(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
         Bgp(TriplePattern(V("x"), I(P("partOf")), V("z")))),
-        Seq("x"), Seq("cnt" -> AggCall("COUNT", None))),
+        Seq((EVar("z"), true))),
       None)
     intercept[UnsupportedOperationException] {
-      Translator.translate(Lateral(l, nestedGroup),
+      Translator.translate(Lateral(l, nestedOrder),
         TpchRdf.quads(spark, sf))
     }
   }
