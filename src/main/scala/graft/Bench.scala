@@ -44,7 +44,14 @@ object Bench {
       selected.map { case (name, fn) =>
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t) / 1e9
+        val sec = (System.nanoTime() - t) / 1e9
+        // the bench session IS the long-lived session ScratchCaches
+        // exists for: release each query's scratch persists after its
+        // action, or 14 tracked sites × 135 queries × runs accumulate
+        // and pressure the cache manager for the whole run
+        graft.ops.ScratchCaches.releaseAll()
+        assert(graft.ops.ScratchCaches.activeCount == 0)
+        name -> sec
       }
     }
     def median(xs: Seq[Double]): Double = {

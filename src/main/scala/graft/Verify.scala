@@ -27,6 +27,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // long-lived looping session: drop each op's scratch persists
+        // once its write has materialized
+        graft.ops.ScratchCaches.releaseAll()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -135,7 +135,12 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
         case e: UnsupportedOperationException =>
           fail(ex, 400, "unsupported: " + e.getMessage)
         case e: Throwable => fail(ex, 500, "error: " + e.getMessage)
-      }
+      } finally
+        // the server is the canonical long-lived session: today's
+        // endpoints don't invoke pipeline ops, but the first one that
+        // does (a dedup-backed service) would otherwise leak scratch
+        // persists per request — release after every response
+        graft.ops.ScratchCaches.releaseAll()
 
   /** Chunked streaming response: `write` appends into a buffered
     * (optionally gzip) writer over the open exchange, so the document
@@ -344,16 +349,21 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
         }
         respond(ex, 204, "", "text/plain")
       case "DELETE" =>
-        if (graph.isDefined && !graph.exists(st.containsNamedGraph))
-          fail(ex, 404, s"no such graph: ${graph.get}")
-        else {
-          updateLock.synchronized {
-            val cur = ref.get
+        // §5.7 existence check runs INSIDE the lock against the store
+        // being mutated: two racing DELETEs must not both pass (second
+        // → 404), and a DELETE racing a PUT must see the PUT's graph
+        val deleted = updateLock.synchronized {
+          val cur = ref.get
+          if (graph.isDefined && !graph.exists(cur.containsNamedGraph))
+            false
+          else {
             ref.set(GraftStore(restQuads(cur.quads),
               cur.emptyGraphs -- graph))
+            true
           }
-          respond(ex, 204, "", "text/plain")
         }
+        if (deleted) respond(ex, 204, "", "text/plain")
+        else fail(ex, 404, s"no such graph: ${graph.get}")
       case m => fail(ex, 405, s"unsupported method $m")
     }
   }
