@@ -111,12 +111,32 @@ final class SparqlParser(input: String) {
       prefixes.get(pfx) match {
         case Some(ns) =>
           pos = p + 1
-          val ls = pos
-          while (pos < input.length && (input(pos).isLetterOrDigit ||
-            input(pos) == '_' || input(pos) == '-' || input(pos) == '.')) pos += 1
-          // a trailing '.' is a triple terminator, not part of the name
-          while (pos > ls && input(pos - 1) == '.') pos -= 1
-          Some(ns + input.substring(ls, pos))
+          // PN_LOCAL (rule [169]): name chars incl. mid ':'; PLX =
+          // PN_LOCAL_ESC ('\'+punct, contributing the RAW char to the
+          // IRI) or PERCENT ('%'HEX HEX, kept VERBATIM — §19.2 note:
+          // %-encoding in local names is not decoded)
+          def isHex(c: Char) = c.isDigit ||
+            (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+          val toks = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+          var cont = true
+          while (cont && pos < input.length) {
+            val c = input(pos)
+            if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.' ||
+              c == ':') { toks += ((c.toString, false)); pos += 1 }
+            else if (c == '\\' && pos + 1 < input.length &&
+              "_~.-!$&'()*+,;=/?#@%".indexOf(input(pos + 1)) >= 0) {
+              toks += ((input(pos + 1).toString, true)); pos += 2
+            } else if (c == '%' && pos + 2 < input.length &&
+              isHex(input(pos + 1)) && isHex(input(pos + 2))) {
+              toks += ((input.substring(pos, pos + 3), true)); pos += 3
+            } else cont = false
+          }
+          // a trailing UNESCAPED '.' is a triple terminator, not part
+          // of the name (an escaped `\.` stays)
+          while (toks.nonEmpty && toks.last == ((".", false))) {
+            toks.remove(toks.length - 1); pos -= 1
+          }
+          Some(ns + toks.map(_._1).mkString)
         case None => None
       }
     } else None
@@ -189,10 +209,17 @@ final class SparqlParser(input: String) {
     // numeric grammar (rules [146-148]): at most ONE '.', and only when
     // digits follow (DECIMAL requires [0-9]+ after the dot — `1.` is
     // INTEGER then the statement dot, `1..5` is a syntax error, not one
-    // token); exponents need digits (optionally signed) after e/E
+    // token) OR an exponent follows (DOUBLE [148] allows an empty
+    // fraction: `1.e5`); exponents need digits (optionally signed)
     def digitAt(i: Int) = i < input.length && input(i).isDigit
+    def expAt(i: Int) = i < input.length &&
+      (input(i) == 'e' || input(i) == 'E') &&
+      (digitAt(i + 1) ||
+        (i + 1 < input.length && (input(i + 1) == '+' ||
+          input(i + 1) == '-') && digitAt(i + 2)))
     while (pos < input.length && (input(pos).isDigit ||
-      (input(pos) == '.' && !isDec && !isDouble && digitAt(pos + 1)) ||
+      (input(pos) == '.' && !isDec && !isDouble &&
+        (digitAt(pos + 1) || expAt(pos + 1))) ||
       ((input(pos) == 'e' || input(pos) == 'E') && !isDouble &&
         (digitAt(pos + 1) ||
           ((pos + 1 < input.length && (input(pos + 1) == '+' ||
@@ -768,11 +795,7 @@ final class SparqlParser(input: String) {
         } else go = false
       }
     }
-    while (peek("FROM")) {
-      eat("FROM")
-      if (eat("NAMED")) fromNamed :+= parseIri()
-      else fromDefault :+= parseIri()
-    }
+    parseDatasetClauses()
     eat("WHERE")
     var pattern = parseGroupGraphPattern()
 
@@ -1189,26 +1212,39 @@ final class SparqlParser(input: String) {
     ops.toSeq
   }
 
+  /** DatasetClause* — every query form takes FROM / FROM NAMED between
+    * its head and WHERE (rules [10]–[13]).
+    */
+  private def parseDatasetClauses(): Unit =
+    while (peek("FROM")) {
+      eat("FROM")
+      if (eat("NAMED")) fromNamed :+= parseIri()
+      else fromDefault :+= parseIri()
+    }
+
   def parseQuery(): QueryForm = {
     parsePrologue()
     ws()
     val form =
       if (peek("SELECT")) Select(parseSelect())
-      else if (peek("ASK")) { eat("ASK"); eat("WHERE")
-        Ask(parseGroupGraphPattern()) }
+      else if (peek("ASK")) { eat("ASK"); parseDatasetClauses()
+        eat("WHERE"); Ask(parseGroupGraphPattern()) }
       else if (peek("CONSTRUCT")) {
         eat("CONSTRUCT")
         ws()
-        if (peek("WHERE")) {
+        if (peek("FROM") || peek("WHERE")) {
           // CONSTRUCT WHERE { bgp } shorthand (§10.2.2): the template IS
           // the pattern; only triple patterns allowed, which is exactly
-          // what the template parser accepts
+          // what the template parser accepts. Dataset clauses precede
+          // the WHERE in this form (rule [10]).
+          parseDatasetClauses()
           eat("WHERE")
           val tmpl = parseConstructTemplate()
           val where = parseSolutionModifiers(Bgp(tmpl: _*))
           Construct(tmpl, where)
         } else {
           val tmpl = parseConstructTemplate()
+          parseDatasetClauses()
           eat("WHERE")
           var where = parseGroupGraphPattern()
           // solution modifiers apply to the WHERE solutions before the
@@ -1237,6 +1273,7 @@ final class SparqlParser(input: String) {
         }
         if (!star && vars.isEmpty && iris.isEmpty)
           fail("DESCRIBE needs a resource")
+        parseDatasetClauses()
         var pattern: GraphPattern =
           if (peek("WHERE")) { eat("WHERE"); parseGroupGraphPattern() }
           else Bgp()

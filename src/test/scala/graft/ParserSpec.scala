@@ -223,10 +223,45 @@ class ParserSpec extends AnyFunSuite {
     intercept[RuntimeException](SparqlParser.parse("SELECT ?x WHERE"))
     intercept[RuntimeException](SparqlParser.parse(pfx +
       "SELECT ?x WHERE { ?x :p ?y } trailing"))
+    // NB `:undefinedprefix:p` would be ONE valid pname since r10 —
+    // PN_LOCAL allows ':' (rule [169]) — so use an undeclared prefix
     intercept[RuntimeException](SparqlParser.parse(pfx +
-      "SELECT ?x WHERE { ?x :undefinedprefix:p ?y }"))
+      "SELECT ?x WHERE { ?x undefinedprefix:p ?y }"))
     intercept[RuntimeException](SparqlParser.parseUpdateText(pfx +
       "INSERT DATA { :a :p :b } trailing"))
+  }
+
+  test("probe wave 4 positives: path bracketing, GROUP_CONCAT " +
+      "separators, PN_LOCAL escapes, dataset clauses all parse") {
+    val probes = Seq(
+      "SELECT ?x WHERE { ?x (:p/:q)+ ?y }",
+      "SELECT ?x WHERE { ?x ^(:p/:q) ?y }",
+      "SELECT ?x WHERE { ?x ^:p* ?y }",
+      "SELECT ?x WHERE { ?x :p/(:q|:r)*/:s ?y }",
+      "SELECT ?x WHERE { ?x ((:p)) ?y }",
+      "SELECT ?x WHERE { ?x !(:p|^:q) ?y }",
+      "SELECT ?x WHERE { ?x !^:p ?y }",
+      "SELECT ?x WHERE { ?x a? ?y }",
+      "SELECT ?x WHERE { ?x (:p+)? ?y }",
+      "SELECT ?x WHERE { ?x !a ?y }",
+      "SELECT ?x WHERE { ?x (:p|:q)/(:r|:s) ?y }",
+      "SELECT (GROUP_CONCAT(?n; SEPARATOR='') AS ?c) WHERE { ?x :n ?n }",
+      "SELECT (GROUP_CONCAT(?n; separator=\"-\") AS ?c) WHERE { ?x :n ?n }",
+      "SELECT (GROUP_CONCAT(DISTINCT ?n; SEPARATOR=\", \") AS ?c) " +
+        "WHERE { ?x :n ?n }",
+      "SELECT (GROUP_CONCAT(?n ; SEPARATOR = \"\\t\") AS ?c) " +
+        "WHERE { ?x :n ?n }",
+      "SELECT ?y WHERE { :x\\~\\!\\$\\&\\'\\*\\+\\,\\;\\=\\/\\?\\- :p ?y }",
+      "SELECT ?y WHERE { ?y :p :o\\.k }",
+      "SELECT ?y WHERE { :a.b.c :p ?y }",
+      "DESCRIBE ?x FROM <http://g/1> FROM NAMED <http://g/2> " +
+        "WHERE { GRAPH ?g { ?x :p ?o } }",
+      "DESCRIBE :a FROM <http://g/1>",
+      "DESCRIBE * FROM <http://g/1> WHERE { ?x :p ?o }",
+      "ASK FROM <http://g/1> WHERE { ?x :p ?o }",
+      "CONSTRUCT { ?x :p ?o } FROM <http://g/1> WHERE { ?x :p ?o }",
+      "CONSTRUCT FROM <http://g/1> WHERE { ?x :p ?o }")
+    probes.foreach(q => SparqlParser.parse(pfx + q))
   }
 
   test("CONSTRUCT WHERE shorthand equals the explicit form") {
