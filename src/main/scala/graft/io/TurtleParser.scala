@@ -57,8 +57,23 @@ final class TurtleParser(input: String, n3: Boolean = false,
       } else go = false
     }
   }
+  /** Case-insensitive keyword peek with a TOKEN BOUNDARY: the char
+    * after the keyword must not continue a prefixed name (letters,
+    * digits, `_`, `-`, `:`) — otherwise `base:a`/`trueblood:x`
+    * statements would misparse as a BASE directive / boolean. A `.`
+    * counts as a boundary (it terminates `true.` statements; pname
+    * prefixes with mid-dots starting in a keyword are ambiguous and
+    * resolve to the keyword, as in other Turtle parsers).
+    */
   private def peekKeyword(s: String): Boolean = {
-    ws(); input.regionMatches(true, pos, s, 0, s.length)
+    ws()
+    input.regionMatches(true, pos, s, 0, s.length) && {
+      val j = pos + s.length
+      j >= input.length || {
+        val c = input(j)
+        !c.isLetterOrDigit && c != '_' && c != '-' && c != ':'
+      }
+    }
   }
   private def eatSym(s: String): Boolean = {
     ws()

@@ -108,7 +108,131 @@ class TurtleSplitSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.turtle.splitThreshold")
   }
 
-  test("safety fallback: long strings, TriG braces, mid-file directives " +
+  test("isDirectiveLine: keyword needs a token boundary") {
+    assert(TurtleSplit.isDirectiveLine("@prefix ex: <http://x#> ."))
+    assert(TurtleSplit.isDirectiveLine("  PREFIX ex: <http://x#>"))
+    assert(TurtleSplit.isDirectiveLine("base <http://x/>"))
+    assert(TurtleSplit.isDirectiveLine("BASE <http://x/>"))
+    assert(TurtleSplit.isDirectiveLine("BASE<http://x/>")) // adjacent IRI
+    // subjects that merely START with the keyword chars are content
+    assert(!TurtleSplit.isDirectiveLine("base:a :p :o ."))
+    assert(!TurtleSplit.isDirectiveLine("baseline:x :p :o ."))
+    assert(!TurtleSplit.isDirectiveLine("prefix:x :p :o ."))
+    assert(!TurtleSplit.isDirectiveLine("prefixes:x :p :o ."))
+  }
+
+  test("keyword-prefixed subjects split-parse without duplication") {
+    val d = Files.createTempDirectory("tsplit4")
+    val sb = new StringBuilder
+    sb.append("@prefix base: <http://example.org/b#> .\n")
+    sb.append("@prefix baseline: <http://example.org/l#> .\n")
+    sb.append("@prefix prefix: <http://example.org/p#> .\n")
+    (0 until 9000).foreach { i =>
+      sb.append(s"base:a$i base:p base:o$i .\n")
+      sb.append(s"baseline:x$i baseline:p $i .\n")
+      sb.append(s"prefix:y$i prefix:p prefix:z$i .\n")
+    }
+    val f = d.resolve("kw.ttl")
+    Files.writeString(f, sb.result())
+    val split = TurtleSplit.readSplit(spark, f.toString)
+    assert(split.isDefined)
+    val seq = {
+      import spark.implicits._
+      spark.sparkContext.wholeTextFiles(f.toString)
+        .flatMap { case (_, c) => new TurtleParser(c).parse() }.toDF()
+    }
+    assert(split.get.count() == 27000)
+    assert(canon(split.get) == canon(seq))
+  }
+
+  test("anonymous bnodes from different files never unify") {
+    import org.apache.spark.sql.functions._
+    def doc(n: Int) = {
+      val sb = new StringBuilder("@prefix ex: <http://x#> .\n")
+      (0 until n).foreach(i => sb.append(s"ex:s$i ex:anon [ ex:v $i ] .\n"))
+      sb.result()
+    }
+    def anonLabels(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("s")("kind") === graft.model.Term.BlankKind)
+        .select(col("s")("lex")).collect().map(_.getString(0)).toSet
+    // small pair (whole-file path) and big pair (split path)
+    for ((n, thr) <- Seq((40, "1048576"), (9000, "65536"))) {
+      val d = Files.createTempDirectory("tsplit5")
+      Files.writeString(d.resolve("one.ttl"), doc(n))
+      Files.writeString(d.resolve("two.ttl"), doc(n))
+      spark.conf.set("graft.turtle.splitThreshold", thr)
+      try {
+        val got = TurtleSplit.read(spark, d.toString)
+        val labels = anonLabels(got)
+        assert(labels.size == 2 * n,
+          s"expected ${2 * n} distinct anonymous bnodes, got ${labels.size}")
+      } finally spark.conf.unset("graft.turtle.splitThreshold")
+    }
+  }
+
+  /** A multi-MB TriG document: named-graph blocks (IRI, pname, GRAPH
+    * keyword, default `{` block), bare default-graph statements between
+    * blocks, blocks large enough to span many partitions.
+    */
+  private def bigTrig(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append("@prefix ex: <http://example.org/v#> .\n")
+    sb.append("ex:pre ex:p ex:o0 .\n") // bare default-graph statement
+    sb.append("ex:g1 {\n") // pname-labeled block spanning partitions
+    (0 until n).foreach(i => sb.append(s"ex:a$i ex:p ex:b$i .\n"))
+    sb.append("}\n")
+    sb.append("<http://example.org/g2> {\n")
+    (0 until n).foreach(i =>
+      sb.append(s"ex:c$i ex:q ${"\"" + s"v{$i}" + "\""} .\n"))
+    sb.append("}\n")
+    sb.append("GRAPH ex:g3 {\n")
+    (0 until n / 2).foreach(i => sb.append(s"ex:d$i ex:r $i .\n"))
+    sb.append("}\n")
+    sb.append("{\n") // anonymous default-graph block
+    (0 until n / 4).foreach(i => sb.append(s"ex:e$i ex:s ex:f$i .\n"))
+    sb.append("}\n")
+    sb.append("ex:post ex:p ex:o1 .\n")
+    sb.result()
+  }
+
+  test("TriG chunked parse parity: graph context survives partition " +
+    "splits (blocks larger than one partition)") {
+    val d = Files.createTempDirectory("tsplit-trig")
+    val f = d.resolve("big.trig")
+    Files.writeString(f, bigTrig(20000))
+    assert(Files.size(f) > (1L << 20))
+    val split = TurtleSplit.readSplit(spark, f.toString)
+    assert(split.isDefined, "safety scan wrongly disqualified the TriG doc")
+    val seq = {
+      import spark.implicits._
+      spark.sparkContext.wholeTextFiles(f.toString)
+        .flatMap { case (_, c) => new TurtleParser(c).parse() }.toDF()
+    }
+    import org.apache.spark.sql.functions._
+    def canonQ(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(concat_ws("|", col("g")("kind"),
+        coalesce(col("g")("lex"), lit("")), col("s")("lex"),
+        col("p")("lex"), col("o")("kind"), col("o")("lex"))
+        .as("v")).collect().map(_.getString(0)).sorted.toSeq
+    val (a, b) = (canonQ(split.get), canonQ(seq))
+    assert(a.size == b.size, s"row counts differ: ${a.size} vs ${b.size}")
+    assert(a == b, "TriG chunked parse diverged from the sequential parse")
+  }
+
+  test("TriG safety fallback: inline one-liner blocks and unclosed " +
+    "blocks disqualify; read() still parses via whole-file") {
+    val d = Files.createTempDirectory("tsplit-trig2")
+    val inline = d.resolve("inline.trig")
+    Files.writeString(inline,
+      "@prefix ex: <http://x#> .\nex:g { ex:a ex:b ex:c . }\n" +
+        "ex:g2 {\nex:d ex:e ex:f .\n}\n")
+    assert(TurtleSplit.readSplit(spark, inline.toString).isEmpty)
+    spark.conf.set("graft.turtle.splitThreshold", "1")
+    try assert(TurtleSplit.read(spark, inline.toString).count() == 2)
+    finally spark.conf.unset("graft.turtle.splitThreshold")
+  }
+
+  test("safety fallback: long strings, mid-file directives " +
     "disqualify; read() still parses correctly via whole-file") {
     val d = Files.createTempDirectory("tsplit3")
     val longStr = d.resolve("long.ttl")
