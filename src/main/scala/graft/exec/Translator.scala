@@ -867,6 +867,14 @@ object Translator {
             }.toMap
             Sol(pad(A).unionByName(pad(B)), A.vars ++ B.vars,
               A.sure & B.sure, uCls)
+          // a BARE correlated ORDER BY (no enclosing Slice): the inner
+          // order is unobservable after the per-binding join — a
+          // SPARQL solution sequence loses its order through Join/
+          // LeftJoin — so evaluate the child ignoring the sort
+          // (§18.5 ToList only matters under a slice, which the Slice
+          // arms above handle with real per-__lid windows). This is
+          // what the reference does: such queries run, order-less.
+          case OrderBy(i0, _) => perBinding(i0, pctx)
           case _ =>
             throw new UnsupportedOperationException(
               "correlated LATERAL over this pattern shape is not " +

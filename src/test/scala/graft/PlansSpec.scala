@@ -299,8 +299,8 @@ class PlansSpec extends AnyFunSuite {
       s"got $got")
   }
 
-  test("unsupported correlated LATERAL shapes still throw; BIND " +
-      "re-binding an outer var now translates (compatible merge)") {
+  test("correlated LATERAL: BIND re-binding an outer var translates " +
+      "(compatible merge); bare correlated OrderBy evaluates order-less") {
     val l = Bgp(TriplePattern(V("c"), I(P("mktsegment")), V("n")))
     // re-binding an outer variable: supported since r9 — the computed
     // value merges compatibly with the outer binding (semantics locked
@@ -310,18 +310,20 @@ class PlansSpec extends AnyFunSuite {
       "n", EVar("y"))
     Translator.translate(Lateral(l, rebind), TpchRdf.quads(spark, sf))
     // a correlated BARE OrderBy nested under OPTIONAL (no enclosing
-    // Slice — order without a slice has no per-binding meaning) has no
-    // distribution rule — must throw loudly, never silently decorrelate
-    val nestedOrder: GraphPattern = LeftJoin(
+    // Slice): the inner order cannot survive the join, so since r10 it
+    // evaluates IGNORING the sort — same rows as the order-less shape
+    def shape(wrap: GraphPattern => GraphPattern): GraphPattern = LeftJoin(
       Bgp(TriplePattern(V("x"), I(P("inRegion")), V("y"))),
-      OrderBy(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
-        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z")))),
-        Seq((EVar("z"), true))),
+      wrap(Filter(EFn("=", EVar("n"), ELit("1", Term.XsdInteger)),
+        Bgp(TriplePattern(V("x"), I(P("partOf")), V("z"))))),
       None)
-    intercept[UnsupportedOperationException] {
-      Translator.translate(Lateral(l, nestedOrder),
-        TpchRdf.quads(spark, sf))
-    }
+    def rows(g: GraphPattern): Set[String] =
+      Translator.translate(Lateral(l, g), TpchRdf.quads(spark, sf))
+        .df.collect().map(_.toString).toSet
+    val ordered = rows(shape(i =>
+      OrderBy(i, Seq((EVar("z"), true)))))
+    assert(ordered == rows(shape(identity)),
+      "bare correlated OrderBy must evaluate as its order-less child")
   }
 
   test("LATERAL sliced aggregation: top segment per nation") {
