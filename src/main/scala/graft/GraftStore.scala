@@ -190,6 +190,16 @@ object GraftStore {
       org.apache.spark.sql.types.StructType(Seq("g", "s", "p", "o").map(
         n => org.apache.spark.sql.types.StructField(n, Term.schema, true)))))
 
+  /** Apply a SPARQL update to a store saved at `path` IN PLACE:
+    * delta-shaped ops (DATA, DELETE/INSERT WHERE, LOAD, ADD) rewrite
+    * only the predicate partitions they touch — O(changed partitions),
+    * not O(store) — while graph management falls back to the full
+    * rebuild. See [[graft.update.DeltaUpdate]].
+    */
+  def updateInPlace(spark: SparkSession, path: String,
+      sparql: String): Unit =
+    graft.update.DeltaUpdate.updateInPlace(spark, path, sparql)
+
   /** Open a store saved with `save` (predicate-partitioned Parquet). */
   def open(spark: SparkSession, path: String): GraftStore = {
     val empties =

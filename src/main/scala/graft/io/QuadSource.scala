@@ -173,7 +173,7 @@ object PartitionedQuadStore {
   def key(iri: String): String =
     iri.substring(math.max(iri.lastIndexOf('/'), iri.lastIndexOf('#')) + 1)
 
-  private[io] val keyCol: Column =
+  private[graft] val keyCol: Column =
     element_at(split(regexp_replace(col("p")("lex"), "#", "/"), "/"), -1)
 
   /** Write a quad DataFrame as a predicate-partitioned store. */

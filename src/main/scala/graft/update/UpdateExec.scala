@@ -14,7 +14,7 @@ import graft.exec.{QueryExec, Translator}
   */
 object UpdateExec {
 
-  private def templQuads(template: Seq[(TermPat, TriplePattern)],
+  private[update] def templQuads(template: Seq[(TermPat, TriplePattern)],
       where: GraphPattern, quads: DataFrame): DataFrame =
     QueryExec.instantiateQuads(template,
       Translator.translate(where, quads))
@@ -35,12 +35,20 @@ object UpdateExec {
     * CLEAR/DROP of an absent one are no-ops, not errors.
     */
   def applyWithGraphs(op: UpdateOp, quads: DataFrame,
-      graphs: Set[String]): (DataFrame, Set[String]) = {
+      graphs: Set[String]): (DataFrame, Set[String]) =
+    (apply(op, quads), graphsAfter(op, quads, graphs))
+
+  /** The registry effect alone (shared by the full-rebuild path above
+    * and the partition-delta path in [[DeltaUpdate]], which must not
+    * materialize the transformed quad table just to learn it).
+    */
+  def graphsAfter(op: UpdateOp, quads: DataFrame,
+      graphs: Set[String]): Set[String] = {
     def live: Set[String] = // non-empty named graphs, collected on demand
       quads.where(col("g")("kind") === Term.IriKind)
         .select(col("g")("lex")).distinct()
         .collect().map(_.getString(0)).toSet
-    val g2 = op match {
+    op match {
       case CreateGraph(i) => graphs + i
       case ClearGraph(Some(i)) =>
         // CLEAR keeps an EXISTING graph alive (empty) but must not
@@ -56,7 +64,6 @@ object UpdateExec {
       case LoadGraph(_, Some(t)) => graphs + t
       case _ => graphs
     }
-    (apply(op, quads), g2)
   }
 
   def apply(op: UpdateOp, quads: DataFrame): DataFrame = op match {
@@ -126,7 +133,7 @@ object UpdateExec {
     quads.where(graphFilter(f))
       .select(graphCol(t).as("g"), col("s"), col("p"), col("o"))
 
-  private def constQuads(quads: DataFrame,
+  private[update] def constQuads(quads: DataFrame,
       qs: Seq[(TermPat, TriplePattern)]): DataFrame = {
     import graft.model.QuotedTriple
     // request-scoped bnode freshness: a new salt per execution

@@ -91,6 +91,56 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("alpha"))
   }
 
+  test("updateInPlace: partition-delta parity with the full rebuild; " +
+      "untouched partitions not rewritten; emptied partitions removed") {
+    val d = tmpDir()
+    val nt = d.resolve("data.nt")
+    Files.writeString(nt,
+      """<http://x/a> <http://x/p> <http://x/b> .
+        |<http://x/b> <http://x/p> <http://x/c> .
+        |<http://x/a> <http://x/name> "alpha" .
+        |<http://x/a> <http://x/q> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<http://x/b> <http://x/q> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |""".stripMargin)
+    val st = GraftStore.fromFile(spark, nt.toString, "nt")
+    val path = d.resolve("store").toString
+    st.save(path)
+    def partFiles(key: String): Set[String] = {
+      val dir = new java.io.File(s"$path/p_key=$key")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().map(f => f.getName + ":" + f.lastModified())
+        .toSet
+    }
+    val nameBefore = partFiles("name")
+    val deltaOps =
+      """INSERT DATA { <http://x/n1> <http://x/p> <http://x/n2> .
+        |              <http://x/n1> <http://x/fresh> "v" } ;
+        |DELETE { ?s <http://x/q> ?o } INSERT { ?s <http://x/q2> ?o }
+        |WHERE { ?s <http://x/q> ?o } ;
+        |CREATE GRAPH <http://x/g9>""".stripMargin
+    GraftStore.updateInPlace(spark, path, deltaOps)
+    // untouched partition: byte-for-byte the same files
+    assert(partFiles("name") == nameBefore,
+      "delta update rewrote an untouched partition")
+    // emptied partition directory is gone; new predicates appeared
+    assert(partFiles("q").isEmpty, "emptied partition left behind")
+    assert(partFiles("q2").nonEmpty && partFiles("fresh").nonEmpty)
+    // a non-delta op (COPY) falls back to the full rebuild
+    GraftStore.updateInPlace(spark, path, "COPY DEFAULT TO <urn:two>")
+    // parity: the same chain through the in-memory full-rebuild path
+    val want = st.update(deltaOps).update("COPY DEFAULT TO <urn:two>")
+    val got = GraftStore.open(spark, path)
+    def canon(s: GraftStore): Seq[String] =
+      s.quads.select(concat_ws("|",
+        col("g")("kind"), col("g")("lex"), col("s")("lex"),
+        col("p")("lex"), col("o")("kind"), col("o")("lex"),
+        coalesce(col("o")("dt"), lit("")))
+        .as("v")).collect().map(_.getString(0)).sorted.toSeq
+    assert(canon(got) == canon(want))
+    assert(got.emptyGraphs == want.emptyGraphs &&
+      got.emptyGraphs("http://x/g9"))
+  }
+
   test("quadsForPattern bound-prefix scan") {
     val st = sampleStore()
     assert(st.quadsForPattern(s = Some(I("http://x/a"))).count() == 2)
