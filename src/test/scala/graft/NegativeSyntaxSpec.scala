@@ -42,7 +42,29 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "SERVICE without group" ->
       (pfx + "SELECT ?x WHERE { SERVICE <http://e/> ?x :p ?y }"),
     "BIND rebinding an in-scope variable" ->
-      (pfx + "SELECT ?y WHERE { ?x :p ?y . BIND(1 AS ?y) }"))
+      (pfx + "SELECT ?y WHERE { ?x :p ?y . BIND(1 AS ?y) }"),
+    // --- probe wave 4 (r10): grammar corners ---
+    "negated property set over a sequence" ->
+      (pfx + "SELECT ?x WHERE { ?x !(:p/:q) ?y }"),
+    "negated property set with modifier inside" ->
+      (pfx + "SELECT ?x WHERE { ?x !(:p*) ?y }"),
+    "double path inverse" -> (pfx + "SELECT ?x WHERE { ?x ^^:p ?y }"),
+    "empty path group" -> (pfx + "SELECT ?x WHERE { ?x () ?y }"),
+    "GROUP_CONCAT unknown modifier keyword" ->
+      (pfx + "SELECT (GROUP_CONCAT(?n; FOO=\"|\") AS ?c) WHERE { ?x :n ?n }"),
+    "GROUP_CONCAT separator without semicolon" ->
+      (pfx + "SELECT (GROUP_CONCAT(?n SEPARATOR=\"|\") AS ?c) WHERE { ?x :n ?n }"),
+    "GROUP_CONCAT non-string separator" ->
+      (pfx + "SELECT (GROUP_CONCAT(?n; SEPARATOR=5) AS ?c) WHERE { ?x :n ?n }"),
+    "GROUP_CONCAT two expressions" ->
+      (pfx + "SELECT (GROUP_CONCAT(?n, ?m) AS ?c) WHERE { ?x :n ?n }"),
+    "invalid PN_LOCAL_ESC char" ->
+      (pfx + "SELECT ?y WHERE { :a\\xb :p ?y }"),
+    "invalid percent in local name" ->
+      (pfx + "SELECT ?y WHERE { :a%2zb :p ?y }"),
+    "DESCRIBE with no resource" -> (pfx + "DESCRIBE FROM <http://g/1>"),
+    "dataset clause after WHERE" ->
+      (pfx + "DESCRIBE ?x WHERE { ?x :p ?o } FROM <http://g/1>"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->

@@ -223,6 +223,19 @@ class SparqlServerSpec extends AnyFunSuite {
       URI.create(server.uri(s"/store?graph=${enc("http://x/never")}")))
       .DELETE().build()
     assert(send(delAbsent).statusCode() == 404)
+    // repeated DELETE of the same graph: the existence check runs
+    // against the store AT MUTATION TIME (inside the write lock), so
+    // the second request 404s even back-to-back (§5.7)
+    val again = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=${enc("http://x/twice")}")))
+      .DELETE().build()
+    val mkTwice = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=${enc("http://x/twice")}")))
+      .header("Content-Type", "application/n-triples")
+      .method("PUT", BodyPublishers.ofString("")).build()
+    assert(send(mkTwice).statusCode() == 204)
+    assert(send(again).statusCode() == 204)
+    assert(send(again).statusCode() == 404)
   }
 
   test("graph dumps stream: a multi-partition graph round-trips " +
