@@ -48,9 +48,15 @@ object Bench {
         // the bench session IS the long-lived session ScratchCaches
         // exists for: release each query's scratch persists after its
         // action, or 14 tracked sites × 135 queries × runs accumulate
-        // and pressure the cache manager for the whole run
-        graft.ops.ScratchCaches.releaseAll()
-        assert(graft.ops.ScratchCaches.activeCount == 0)
+        // and pressure the cache manager for the whole run. NB this
+        // makes per-query numbers the honest COLD cost — pre-r10
+        // medians let dd2's persisted pairs warm dd7/dd10/dd13 and
+        // repeat runs (see BASELINE.md r10 methodology note).
+        // SPARK_GRAFT_RELEASE=0 restores the old retention (A/B only).
+        if (sys.env.getOrElse("SPARK_GRAFT_RELEASE", "1") != "0") {
+          graft.ops.ScratchCaches.releaseAll()
+          assert(graft.ops.ScratchCaches.activeCount == 0)
+        }
         name -> sec
       }
     }

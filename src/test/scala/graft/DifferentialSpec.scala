@@ -72,6 +72,24 @@ class DifferentialSpec extends AnyFunSuite {
   private val genBgp: Gen[GraphPattern] =
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, genTriple))
       .map(ps => Bgp(ps: _*))
+  // value-expression leaves/trees (r10): arithmetic + string fns with
+  // §17 error propagation — errors bubble to the comparison, which the
+  // 3VL naive evaluator mirrors as None
+  private val genValLeaf: Gen[Expr] = Gen.frequency(
+    4 -> Gen.oneOf(varNames).map(EVar),
+    2 -> Gen.choose(0, 5).map(n => ELit(n.toString, Term.XsdInteger)),
+    1 -> Gen.oneOf("a", "b", "c").map(s => ELit(s, Term.XsdString)))
+  private val genValExpr: Gen[Expr] = Gen.frequency(
+    3 -> genValLeaf,
+    3 -> (for { a <- genValLeaf; b <- genValLeaf
+                op <- Gen.oneOf("+", "-", "*", "+", "/") }
+      yield EFn(op, a, b)),
+    1 -> genValLeaf.map(x => EFn("STRLEN", x)),
+    1 -> (for { f <- Gen.oneOf("UCASE", "LCASE", "STR")
+                x <- genValLeaf } yield EFn(f, x)),
+    1 -> (for { a <- genValLeaf; b <- genValLeaf }
+      yield EFn("CONCAT", a, b)))
+
   private val genFilterExpr: Gen[Expr] = Gen.frequency(
     4 -> (for {
       v <- Gen.oneOf(varNames); op <- Gen.oneOf("=", "<", ">", "!=")
@@ -83,6 +101,12 @@ class DifferentialSpec extends AnyFunSuite {
       v1 <- Gen.oneOf(varNames); v2 <- Gen.oneOf(varNames)
       op <- Gen.oneOf("=", "<", ">", "!=")
     } yield EFn(op, EVar(v1), EVar(v2))),
+    // value-expression comparisons: arithmetic type/zero errors and
+    // string-fn argument errors propagate into the 3VL filter
+    3 -> (for {
+      a <- genValExpr; b <- genValExpr
+      op <- Gen.oneOf("=", "<", ">", "!=")
+    } yield EFn(op, a, b)),
     1 -> Gen.oneOf(varNames).map(v => EFn("BOUND", EVar(v))),
     1 -> Gen.oneOf(varNames).map(v => EFn("!", EFn("BOUND", EVar(v)))))
 
@@ -365,16 +389,111 @@ class DifferentialSpec extends AnyFunSuite {
       else if (eqs.exists(_.isEmpty)) None
       else Some(false) // incl. the empty list: false for every lhs
     case EFn(op, l, r) if Seq("=", "!=", "<", ">").contains(op) =>
-      def termOf(x: Expr): Option[T] = x match {
-        case EVar(v) => b.get(v)
-        case ELit(lex, dt, _) => Some((2, lex, dt))
-        case other => fail(s"filter operand: unexpected $other")
-      }
-      (termOf(l), termOf(r)) match {
-        case (Some(x), Some(y)) => cmpTerms3(op, x, y)
-        case _ => None // unbound operand: comparison error
+      (evalVal3(l, b), evalVal3(r, b)) match {
+        case (Some(x), Some(y)) => cmpVal3(op, x, y)
+        case _ => None // unbound operand / value error: comparison error
       }
     case other => fail(s"filter evaluator: unexpected $other")
+  }
+
+  /** Naive VALUE evaluation (r10): Left = a computed numeric (exact
+    * BigDecimal — integer ops stay exact, `/` is decimal division,
+    * division by zero errors), Right = an RDF term. None = type error /
+    * unbound, which the engine maps to NULL (§17.2 error propagation):
+    * arithmetic needs numeric operands; STRLEN/UCASE/LCASE/CONCAT need
+    * string literals (§17.4.3.1 argument compatibility); STR works on
+    * any IRI or literal (and on quoted triples both sides agree on the
+    * canonical encoding as the lexical form).
+    */
+  private def evalVal3(e: Expr, b: Binding)
+      : Option[Either[BigDecimal, T]] = {
+    def num(v: Either[BigDecimal, T]): Option[BigDecimal] = v match {
+      case Left(n) => Some(n)
+      case Right((2, l, Term.XsdInteger)) => Some(BigDecimal(l))
+      case _ => None
+    }
+    def strOf(v: Either[BigDecimal, T]): Option[String] = v match {
+      case Right((2, l, Term.XsdString)) => Some(l)
+      case _ => None
+    }
+    e match {
+      case EVar(v) => b.get(v).map(Right(_))
+      case ELit(lex, dt, _) => Some(Right((2, lex, dt)))
+      case EFn(op, x, y) if Seq("+", "-", "*", "/").contains(op) =>
+        for {
+          a <- evalVal3(x, b).flatMap(num)
+          c <- evalVal3(y, b).flatMap(num)
+          r <- op match {
+            case "+" => Some(a + c)
+            case "-" => Some(a - c)
+            case "*" => Some(a * c)
+            case "/" =>
+              if (c == 0) None // op:numeric-divide exact: error
+              else Some(BigDecimal(a.bigDecimal.divide(c.bigDecimal,
+                java.math.MathContext.DECIMAL128)))
+          }
+        } yield Left(r)
+      case EFn("STRLEN", x) => evalVal3(x, b).flatMap(strOf)
+        .map(s => Left(BigDecimal(s.length)))
+      case EFn("UCASE", x) => evalVal3(x, b).flatMap(strOf)
+        .map(s => Right(str(s.toUpperCase)))
+      case EFn("LCASE", x) => evalVal3(x, b).flatMap(strOf)
+        .map(s => Right(str(s.toLowerCase)))
+      case EFn("STR", x) => evalVal3(x, b).flatMap {
+        case Right((k, l, _)) if k == 0 || k == 2 || k == 4 =>
+          Some(Right(str(l)))
+        case _ => None
+      }
+      case EFn("CONCAT", x, y) =>
+        for {
+          a <- evalVal3(x, b).flatMap(strOf)
+          c <- evalVal3(y, b).flatMap(strOf)
+        } yield Right(str(a + c))
+      case other => fail(s"value evaluator: unexpected $other")
+    }
+  }
+
+  /** Comparison over evaluated values: computed numerics compare in
+    * value space against other numerics; against a non-numeric literal
+    * the operator mapping has no entry (error); against an IRI/quoted
+    * RDFterm-equal decides `=`/`!=` (mixed kinds: false/true) and
+    * order errors. Term-term comparisons keep [[cmpTerms3]].
+    */
+  private def cmpVal3(op: String, x: Either[BigDecimal, T],
+      y: Either[BigDecimal, T]): Option[Boolean] = {
+    def asNum(t: T): Option[BigDecimal] = t match {
+      case (2, l, Term.XsdInteger) => Some(BigDecimal(l))
+      case _ => None
+    }
+    def numCmp(a: BigDecimal, c: BigDecimal): Option[Boolean] =
+      Some(op match {
+        case "=" => a == c; case "!=" => a != c
+        case "<" => a < c; case ">" => a > c
+      })
+    (x, y) match {
+      case (Left(a), Left(c)) => numCmp(a, c)
+      case (Left(a), Right(t)) => asNum(t) match {
+        case Some(c) => numCmp(a, c)
+        case None => t match {
+          case (2, _, _) => None // number vs non-numeric literal
+          case _ => op match { // number vs IRI/quoted: never term-equal
+            case "=" => Some(false); case "!=" => Some(true)
+            case _ => None
+          }
+        }
+      }
+      case (Right(t), Left(c)) => asNum(t) match {
+        case Some(a) => numCmp(a, c)
+        case None => t match {
+          case (2, _, _) => None
+          case _ => op match {
+            case "=" => Some(false); case "!=" => Some(true)
+            case _ => None
+          }
+        }
+      }
+      case (Right(a), Right(c)) => cmpTerms3(op, a, c)
+    }
   }
 
   /** Operator mapping between two BOUND terms (§17.3 table +
