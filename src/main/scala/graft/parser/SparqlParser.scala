@@ -29,6 +29,19 @@ final class SparqlParser(input: String) {
   private var base = ""
   private val prefixes = scala.collection.mutable.Map[String, String]()
   private var anonVar = 0
+  /** §19.6: a blank node label may be used in only ONE basic graph
+    * pattern. Labels of the BGP being parsed live in `curBgpLabels`;
+    * any non-FILTER group element or group close moves them to
+    * `closedBgpLabels`, where a reuse is a syntax error. Tracking is
+    * on only inside WHERE-pattern triples blocks (CONSTRUCT templates
+    * and update quad blocks have their own bnode scoping rules).
+    */
+  private val closedBgpLabels = scala.collection.mutable.Set[String]()
+  private val curBgpLabels = scala.collection.mutable.Set[String]()
+  private var trackBnodeLabels = false
+  private def flushBgpLabels(): Unit = {
+    closedBgpLabels ++= curBgpLabels; curBgpLabels.clear()
+  }
   /** FROM / FROM NAMED graphs of the outermost query (SPARQL §13.2). */
   var fromDefault: Seq[String] = Nil
   var fromNamed: Seq[String] = Nil
@@ -49,12 +62,28 @@ final class SparqlParser(input: String) {
   private def peek(s: String): Boolean = {
     ws()
     input.regionMatches(true, pos, s, 0, s.length) && {
-      // keywords must not run into a name character
+      // keywords must not run into a name character — including ':',
+      // where longest-match lexing makes the whole token a PNAME
+      // (`a:p`, `GRAPH:g` are prefixed names, never keyword + name)
       val after = pos + s.length
       !s.head.isLetter || after >= input.length ||
-        !(input(after).isLetterOrDigit || input(after) == '_')
+        !(input(after).isLetterOrDigit || input(after) == '_' ||
+          input(after) == ':')
     }
   }
+  /** The rdf:type keyword `a` — unlike every other keyword it is
+    * case-SENSITIVE (grammar rule [9] quotes a lowercase terminal).
+    */
+  private def peekTypeKw(): Boolean = {
+    ws()
+    pos < input.length && input(pos) == 'a' && {
+      val after = pos + 1
+      after >= input.length || !(input(after).isLetterOrDigit ||
+        input(after) == '_' || input(after) == ':')
+    }
+  }
+  private def eatTypeKw(): Boolean =
+    if (peekTypeKw()) { pos += 1; true } else false
   private def peekSym(s: String): Boolean = {
     ws(); input.regionMatches(false, pos, s, 0, s.length)
   }
@@ -268,7 +297,14 @@ final class SparqlParser(input: String) {
       val start = pos
       while (pos < input.length && (input(pos).isLetterOrDigit ||
         input(pos) == '_')) pos += 1
-      B(input.substring(start, pos))
+      val lbl = input.substring(start, pos)
+      if (trackBnodeLabels) {
+        if (closedBgpLabels(lbl) && !curBgpLabels(lbl))
+          fail(s"blank node label _:$lbl used in more than one basic " +
+            "graph pattern (§19.6)")
+        curBgpLabels += lbl
+      }
+      B(lbl)
     }
     else tryPrefixedName().map(I).getOrElse(fail("expected term"))
   }
@@ -314,7 +350,7 @@ final class SparqlParser(input: String) {
       PNeg(fwd.toSeq, inv.toSeq)
     } else if (eatSym("(")) {
       val p = parsePath(); expect(")"); p
-    } else if (peek("a")) { eat("a")
+    } else if (eatTypeKw()) {
       PLink("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
     } else PLink(parseIri())
   }
@@ -322,8 +358,7 @@ final class SparqlParser(input: String) {
   private def parsePathNegElt(): (Boolean, String) = {
     val isInv = eatSym("^")
     val iri =
-      if (peek("a")) { eat("a")
-        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" }
+      if (eatTypeKw()) "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
       else parseIri()
     (isInv, iri)
   }
@@ -336,6 +371,12 @@ final class SparqlParser(input: String) {
 
   // ---------------- triples block ----------------
   private def parseTriplesBlock(): Seq[GraphPattern] = {
+    val wasTracking = trackBnodeLabels
+    trackBnodeLabels = true
+    try parseTriplesBlock0()
+    finally trackBnodeLabels = wasTracking
+  }
+  private def parseTriplesBlock0(): Seq[GraphPattern] = {
     val out = scala.collection.mutable.ListBuffer[GraphPattern]()
 
     /** subject/object position: plain term or `[ props ]` blank-node
@@ -446,6 +487,11 @@ final class SparqlParser(input: String) {
       var done = false
       while (!done) {
         ws()
+        // any group element other than a FILTER ends the current BGP
+        // for the §19.6 blank-node-label rule (filters are collected
+        // without splitting the surrounding triples)
+        if (peekSym("}") || (startsGraphPatternNotTriples &&
+          !peek("FILTER"))) flushBgpLabels()
         if (peekSym("}")) done = true
         else if (peek("OPTIONAL")) {
           eat("OPTIONAL")
@@ -514,6 +560,19 @@ final class SparqlParser(input: String) {
     if (multi) { while (!eatSym(")")) vars += parseVarName() }
     else vars += parseVarName()
     expect("{")
+    // DataBlockValue (rule [65]): iri, literal, or UNDEF — variables
+    // and blank nodes are a syntax error; quoted triples (SPARQL-star
+    // extension) are allowed when ground
+    def dataValue(): TermPat = {
+      val t = parseVarOrTerm()
+      def ok(tp: TermPat): Boolean = tp match {
+        case _: V | _: B => false
+        case Q(s, p, o) => ok(s) && ok(p) && ok(o)
+        case _ => true
+      }
+      if (!ok(t)) fail("VALUES data must be an IRI, literal, or UNDEF")
+      t
+    }
     val rows = scala.collection.mutable.ListBuffer[Seq[Option[TermPat]]]()
     while (!eatSym("}")) {
       if (multi) {
@@ -521,7 +580,7 @@ final class SparqlParser(input: String) {
         val row = scala.collection.mutable.ListBuffer[Option[TermPat]]()
         while (!eatSym(")")) {
           if (peek("UNDEF")) { eat("UNDEF"); row += None }
-          else row += Some(parseVarOrTerm())
+          else row += Some(dataValue())
         }
         if (row.length != vars.length)
           fail(s"VALUES row has ${row.length} terms for ${vars.length} " +
@@ -529,7 +588,7 @@ final class SparqlParser(input: String) {
         rows += row.toSeq
       } else {
         if (peek("UNDEF")) { eat("UNDEF"); rows += Seq(None) }
-        else rows += Seq(Some(parseVarOrTerm()))
+        else rows += Seq(Some(dataValue()))
       }
     }
     ValuesPat(vars.toSeq, rows.toSeq)
@@ -889,6 +948,22 @@ final class SparqlParser(input: String) {
         projections.collectFirst { case (v, None) if !keys(v) => v }
           .foreach(v => fail(
             s"variable ?$v projected alongside aggregates but not grouped"))
+        // same scope rule for HAVING and ORDER BY: after grouping only
+        // group keys, aggregates (already hoisted to __agg vars), and
+        // projection aliases are visible. EXISTS subpatterns are their
+        // own scope — only plain variable references count here.
+        def plainVars(e: Expr): Set[String] = e match {
+          case EVar(n) => Set(n)
+          case EFn(_, args @ _*) => args.flatMap(plainVars).toSet
+          case _ => Set.empty
+        }
+        val visible = keys ++ projections.collect { case (v, Some(_)) => v }
+        def checkScope(e: Expr, where: String): Unit =
+          plainVars(e).find(v => !visible(v) && !v.startsWith("__agg"))
+            .foreach(v => fail(
+              s"ungrouped variable ?$v in $where of an aggregate query"))
+        having.foreach(checkScope(_, "HAVING"))
+        orderKeys.foreach { case (e, _) => checkScope(e, "ORDER BY") }
       }
     }
     if (hasAggs) {
@@ -928,7 +1003,19 @@ final class SparqlParser(input: String) {
         keys += EVar(parseVarName()) -> true
       else if (peekSym("(")) { expect("(")
         keys += parseExpression() -> true; expect(")") }
-      else keys += parsePrimaryExpression() -> true // bare Constraint
+      else {
+        // a bare OrderCondition is a Constraint: BuiltInCall or
+        // FunctionCall only (rule [24]) — a literal (`ORDER BY 1`) or
+        // plain IRI must be rejected, not folded into the key list
+        val e = parsePrimaryExpression()
+        e match {
+          case _: EFn | _: EExists => keys += e -> true
+          // aggregate calls were hoisted to an __agg var during parse
+          case EVar(n) if n.startsWith("__agg") => keys += e -> true
+          case _ => fail("ORDER BY condition must be a variable, " +
+            "bracketted expression, or function call")
+        }
+      }
     }
     // OrderClause (rule [23]) requires at LEAST one condition
     if (keys.isEmpty) fail("ORDER BY requires at least one condition")
@@ -970,30 +1057,71 @@ final class SparqlParser(input: String) {
     n.lex.toLong
   }
 
+  /** ConstructTemplate (rule [73]): triples with the full TriplesNode
+    * surface — labeled and anonymous blank nodes (`[ props ]`, `[]`)
+    * and RDF collections. Template blank nodes instantiate FRESH per
+    * solution downstream (QueryExec.instantiate hashes label × row).
+    */
   private def parseConstructTemplate(): Seq[TriplePattern] = {
     expect("{")
     val out = scala.collection.mutable.ListBuffer[TriplePattern]()
-    while (!peekSym("}")) {
-      val s = parseVarOrTerm()
+    def verb(): TermPat = {
+      ws()
+      if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+        V(parseVarName())
+      else if (eatTypeKw())
+        I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+      else I(parseIri())
+    }
+    def node(): TermPat = {
+      ws()
+      if (peekSym("[")) {
+        expect("["); anonVar += 1
+        val b = B(s"anon$anonVar")
+        ws()
+        if (!peekSym("]")) props(b)
+        expect("]"); b
+      } else if (peekSym("(") ) {
+        expect("(")
+        val items = scala.collection.mutable.ListBuffer[TermPat]()
+        while (!eatSym(")")) items += node()
+        if (items.isEmpty) I(RdfNil)
+        else {
+          val nodes = items.map { _ => anonVar += 1; B(s"anon$anonVar") }
+          for (((n0, item), idx) <- nodes.zip(items).zipWithIndex) {
+            out += TriplePattern(n0, I(RdfFirst), item)
+            val rest: TermPat =
+              if (idx == items.size - 1) I(RdfNil) else nodes(idx + 1)
+            out += TriplePattern(n0, I(RdfRest), rest)
+          }
+          nodes.head
+        }
+      } else parseVarOrTerm()
+    }
+    def props(s: TermPat): Unit = {
       var moreProps = true
       while (moreProps) {
         ws()
-        val p: TermPat =
-          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
-            V(parseVarName())
-          else if (peek("a")) { eat("a")
-            I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type") }
-          else I(parseIri())
+        val p = verb()
         var moreObjs = true
         while (moreObjs) {
-          out += TriplePattern(s, p, parseVarOrTerm())
+          out += TriplePattern(s, p, node())
           moreObjs = eatSym(",")
         }
         moreProps = eatSym(";")
         ws()
-        if (moreProps && (input(pos) == '.' || input(pos) == '}'))
-          moreProps = false
+        if (moreProps && (pos >= input.length || input(pos) == '.' ||
+          input(pos) == '}' || input(pos) == ']')) moreProps = false
       }
+    }
+    while (!peekSym("}")) {
+      ws()
+      val wasBnodeList = peekSym("[")
+      val s = node()
+      ws()
+      if (!wasBnodeList ||
+        (pos < input.length && input(pos) != '.' && input(pos) != '}'))
+        props(s)
       eatSym(".")
     }
     expect("}")
@@ -1010,26 +1138,48 @@ final class SparqlParser(input: String) {
     expect("{")
     val out = scala.collection.mutable.ListBuffer[(TermPat, TriplePattern)]()
     def subjectBlock(g: TermPat): Unit = {
-      val s = parseVarOrTerm()
-      var moreProps = true
-      while (moreProps) {
+      def node(): TermPat = {
         ws()
-        val p: TermPat =
-          if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
-            V(parseVarName())
-          else if (peek("a")) { eat("a")
-            I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type") }
-          else I(parseIri())
-        var moreObjs = true
-        while (moreObjs) {
-          out += g -> TriplePattern(s, p, parseVarOrTerm())
-          moreObjs = eatSym(",")
-        }
-        moreProps = eatSym(";")
-        ws()
-        if (moreProps && (input(pos) == '.' || input(pos) == '}'))
-          moreProps = false
+        if (peekSym("[")) {
+          // TriplesTemplate admits TriplesNode (rule [52]); the
+          // DELETE-side bnode prohibitions are enforced downstream
+          // (noBnodes / the QuadData ground check)
+          expect("["); anonVar += 1
+          val b = B(s"anon$anonVar")
+          ws()
+          if (!peekSym("]")) props(b)
+          expect("]"); b
+        } else parseVarOrTerm()
       }
+      def props(s: TermPat): Unit = {
+        var moreProps = true
+        while (moreProps) {
+          ws()
+          val p: TermPat =
+            if (pos < input.length &&
+              (input(pos) == '?' || input(pos) == '$'))
+              V(parseVarName())
+            else if (eatTypeKw())
+              I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+            else I(parseIri())
+          var moreObjs = true
+          while (moreObjs) {
+            out += g -> TriplePattern(s, p, node())
+            moreObjs = eatSym(",")
+          }
+          moreProps = eatSym(";")
+          ws()
+          if (moreProps && (pos >= input.length || input(pos) == '.' ||
+            input(pos) == '}' || input(pos) == ']')) moreProps = false
+        }
+      }
+      ws()
+      val wasBnodeList = peekSym("[")
+      val s = node()
+      ws()
+      if (!wasBnodeList ||
+        (pos < input.length && input(pos) != '.' && input(pos) != '}'))
+        props(s)
       eatSym(".")
     }
     var done = false

@@ -64,7 +64,28 @@ class NegativeSyntaxSpec extends AnyFunSuite {
       (pfx + "SELECT ?y WHERE { :a%2zb :p ?y }"),
     "DESCRIBE with no resource" -> (pfx + "DESCRIBE FROM <http://g/1>"),
     "dataset clause after WHERE" ->
-      (pfx + "DESCRIBE ?x WHERE { ?x :p ?o } FROM <http://g/1>"))
+      (pfx + "DESCRIBE ?x WHERE { ?x :p ?o } FROM <http://g/1>"),
+    // --- probe wave 5 (r10): aggregate scope, ORDER BY conditions,
+    // §19.6 bnode labels, case-sensitive `a`, VALUES data terms ---
+    "ungrouped variable in HAVING" ->
+      (pfx + "SELECT ?x (SUM(?y) AS ?s) WHERE { ?x :p ?y . ?x :q ?z } " +
+        "GROUP BY ?x HAVING(?z > 1)"),
+    "ungrouped variable in ORDER BY under GROUP BY" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y } GROUP BY ?x ORDER BY ?y"),
+    "ORDER BY bare integer" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y } ORDER BY 1"),
+    "ORDER BY boolean literal" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y } ORDER BY true"),
+    "blank node label reused across sibling groups" ->
+      (pfx + "SELECT ?v WHERE { { _:b :p ?v } { _:b :q ?v } }"),
+    "blank node label reused across OPTIONAL" ->
+      (pfx + "SELECT ?v WHERE { _:b :p ?v OPTIONAL { ?v :q ?w } _:b :r ?z }"),
+    "uppercase A as the type keyword" ->
+      (pfx + "SELECT ?x WHERE { ?x A ?y }"),
+    "VALUES with variable in data row" ->
+      (pfx + "SELECT * WHERE { VALUES ?a { ?b } }"),
+    "VALUES with blank node in data row" ->
+      (pfx + "SELECT * WHERE { VALUES ?a { _:b } }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->
