@@ -388,9 +388,23 @@ object SparqlExpr {
       case Some(VTemporal) => coalesce(
         when(tsVal(t).isNotNull, unix_timestamp(tsVal(t)).cast(DoubleType)),
         lit(Double.MaxValue))
+      // booleans order by VALUE (false < true): the lex tiebreak alone
+      // inverts non-canonical lexicals ("1"^^xsd:boolean before "false")
+      case Some(VBool) => coalesce(
+        when(t("dt") === XsdBoolean,
+          when(t("lex").isin("true", "1"), 1.0d).otherwise(0.0d)),
+        lit(Double.MaxValue))
       case Some(_) => lit(Double.MaxValue)
       case None => coalesce(
         when(Term.isNumericLit(t), numDbl(t)),
+        when(t("dt") === XsdBoolean,
+          when(t("lex").isin("true", "1"), 1.0d).otherwise(0.0d)),
+        // duration subtypes order by value within their space, like
+        // valueLt (PT10H after PT2H; the lex tiebreak would invert)
+        when(t("dt") === XsdDayTimeDuration,
+          durDtSecs(t("lex")).cast(DoubleType)),
+        when(t("dt") === XsdYearMonthDuration,
+          durMonths(t("lex")).cast(DoubleType)),
         when(tsVal(t).isNotNull, unix_timestamp(tsVal(t)).cast(DoubleType)),
         lit(Double.MaxValue))
     }).as("num"),

@@ -804,4 +804,114 @@ class DifferentialSpec extends AnyFunSuite {
         sys.env.getOrElse("GRAFT_FUZZ_N", "30").toInt), prop)
     assert(result.passed, s"differential property failed: ${result.status}")
   }
+
+  // ---- ORDER BY total-order differential (r10) ----------------------
+  // §15.1 fixes: kind buckets (blank < IRI < literal), IRI codepoint
+  // order, and value order within each comparable literal space
+  // (numeric incl. ±INF, string, boolean, dateTime/date, duration
+  // subtypes). Pairs the spec leaves open (cross-space literals, NaN,
+  // lang tags, bnode-vs-bnode) may fall anywhere, but the engine's
+  // output must never INVERT a spec-fixed pair. Checked pairwise over
+  // the full output — adjacent checks miss inversions bridged by an
+  // incomparable middle element.
+  private type OT = (Int, String, String, String) // kind, lex, dt, lang
+  private val genOrdTerm: Gen[OT] = Gen.frequency[OT](
+    2 -> Gen.choose(0, 5).map(n => (0, s"http://x/i$n", null, null)),
+    1 -> Gen.choose(0, 3).map(n => (1, s"b$n", null, null)),
+    3 -> Gen.choose(-6, 6).map(n => (2, n.toString, Term.XsdInteger, null)),
+    2 -> Gen.choose(-30, 30).map(n =>
+      (2, (BigDecimal(n) / 4).toString, Term.XsdDecimal, null)),
+    2 -> Gen.oneOf("-2.5E0", "0.0E0", "1.5E0", "NaN", "INF", "-INF")
+      .map(l => (2, l, Term.XsdDouble, null)),
+    2 -> Gen.oneOf("true", "false", "1", "0")
+      .map(l => (2, l, Term.XsdBoolean, null)),
+    2 -> Gen.oneOf("a", "b", "ab", "B", "").map(l =>
+      (2, l, Term.XsdString, null)),
+    1 -> Gen.oneOf(("a", "en"), ("a", "de"), ("c", "en")).map { case (l, g) =>
+      (2, l, Term.RdfLangString, g) },
+    2 -> (for { d <- Gen.choose(1, 28); h <- Gen.choose(0, 23) } yield
+      (2, f"2020-03-$d%02dT$h%02d:00:00Z", Term.XsdDateTime, null)),
+    1 -> Gen.choose(1, 28).map(d => (2, f"2020-03-$d%02d", Term.XsdDate, null)),
+    1 -> Gen.oneOf("PT2H", "PT10H", "P1DT1H", "-PT30M")
+      .map(l => (2, l, Term.XsdDayTimeDuration, null)),
+    1 -> Gen.oneOf("P1Y", "P14M", "-P2M")
+      .map(l => (2, l, Term.XsdYearMonthDuration, null)))
+
+  /** Spec-fixed strict order a < b; None where §15.1 leaves it open. */
+  private def specLt(a: OT, b: OT): Option[Boolean] = {
+    def bucket(t: OT) = t._1 match {
+      case 1 => 1; case 0 => 2; case 2 => 3; case _ => 4
+    }
+    val numTypes =
+      Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble, Term.XsdFloat)
+    def numVal(t: OT): Double = t._2 match {
+      case "NaN" => Double.NaN
+      case "INF" => Double.PositiveInfinity
+      case "-INF" => Double.NegativeInfinity
+      case l => l.toDouble
+    }
+    if (bucket(a) != bucket(b)) Some(bucket(a) < bucket(b))
+    else if (a._1 == 0) Some(a._2 < b._2) // IRIs: simple-literal order
+    else if (a._1 != 2) None // bnode pairs: implementation-defined
+    else if (numTypes(a._3) && numTypes(b._3)) {
+      val (va, vb) = (numVal(a), numVal(b))
+      if (va.isNaN || vb.isNaN) None else Some(va < vb)
+    } else if (a._3 == Term.XsdBoolean && b._3 == Term.XsdBoolean) {
+      def bv(t: OT) = t._2 == "true" || t._2 == "1"
+      Some(!bv(a) && bv(b))
+    } else if (a._3 == Term.XsdString && b._3 == Term.XsdString)
+      Some(a._2 < b._2)
+    else if (a._3 == Term.XsdDateTime && b._3 == Term.XsdDateTime)
+      Some(java.time.Instant.parse(a._2)
+        .isBefore(java.time.Instant.parse(b._2)))
+    else if (a._3 == Term.XsdDate && b._3 == Term.XsdDate)
+      Some(a._2 < b._2) // ISO dates, no TZ: codepoint = chronological
+    else if (a._3 == Term.XsdDayTimeDuration &&
+      b._3 == Term.XsdDayTimeDuration)
+      Some(java.time.Duration.parse(a._2)
+        .compareTo(java.time.Duration.parse(b._2)) < 0)
+    else if (a._3 == Term.XsdYearMonthDuration &&
+      b._3 == Term.XsdYearMonthDuration)
+      Some(java.time.Period.parse(a._2).toTotalMonths <
+        java.time.Period.parse(b._2).toTotalMonths)
+    else None
+  }
+
+  test("ORDER BY output respects every spec-fixed §15.1 order pair") {
+    val genTerms = Gen.chooseNum(2, 30).flatMap(Gen.listOfN(_, genOrdTerm))
+    val prop = Prop.forAllNoShrink(genTerms, Gen.oneOf(true, false)) {
+      (terms, asc) =>
+        val rows = terms.zipWithIndex.map { case (t, i) =>
+          Row(Row(Term.DefaultGraphKind.toByte, null, null, null),
+            Row(0.toByte, s"http://x/s$i", null, null),
+            Row(0.toByte, "http://x/p", null, null),
+            Row(t._1.toByte, t._2, t._3, t._4))
+        }
+        val quads = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), Term.quadSchema)
+        val gp = OrderBy(
+          Bgp(TriplePattern(V("s"), I("http://x/p"), V("o"))),
+          Seq((EVar("o"): Expr) -> asc))
+        val df = graft.exec.Translator.translate(gp, quads).df
+        val got: Seq[OT] = df.select("o").collect().toSeq.map { r =>
+          val t = r.getAs[Row]("o")
+          (t.getByte(0).toInt, t.getString(1), t.getString(2), t.getString(3))
+        }
+        val bad = (for {
+          i <- got.indices; j <- (i + 1) until got.length
+          // ascending: a later element must not be spec-below an
+          // earlier one; descending: the mirror
+          inv = if (asc) specLt(got(j), got(i)) else specLt(got(i), got(j))
+          if inv.contains(true)
+        } yield (got(i), got(j))).headOption
+        bad.foreach { case (x, y) =>
+          println(s"ORDER violation (asc=$asc): $x vs $y in $got")
+        }
+        bad.isEmpty
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "60").toInt), prop)
+    assert(result.passed, s"ORDER BY differential failed: ${result.status}")
+  }
 }
