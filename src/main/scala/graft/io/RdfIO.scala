@@ -80,9 +80,14 @@ object RdfIO {
           if (i + 1 >= line.length || line(i + 1) != ':') fail("bad bnode")
           i += 2
           val start = i
-          while (i < line.length && !line(i).isWhitespace && line(i) != '.')
-            i += 1
-          TermRow(Term.BlankKind.toByte, line.substring(start, i), null, null)
+          // BLANK_NODE_LABEL: interior '.'/'-' are label chars; a
+          // trailing dot run is the statement terminator
+          while (i < line.length && (line(i).isLetterOrDigit ||
+            line(i) == '_' || line(i) == '-' || line(i) == '.')) i += 1
+          var end = i
+          while (end > start && line(end - 1) == '.') end -= 1
+          i = end
+          TermRow(Term.BlankKind.toByte, line.substring(start, end), null, null)
         case '"' =>
           i += 1
           val start = i
@@ -101,8 +106,11 @@ object RdfIO {
             val start2 = i
             while (i < line.length && (line(i).isLetterOrDigit || line(i) == '-'))
               i += 1
+            val tag = line.substring(start2, i)
+            if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*"))
+              fail(s"bad language tag '@$tag'")
             TermRow(Term.LiteralKind.toByte, lex, Term.RdfLangString,
-              Term.normLang(line.substring(start2, i)))
+              Term.normLang(tag))
           } else TermRow(Term.LiteralKind.toByte, lex, Term.XsdString, null)
         case c => fail(s"unexpected char '$c'")
       }

@@ -93,6 +93,13 @@ final class TurtleParser(input: String, n3: Boolean = false,
     if (iri.contains(":")) iri else base + iri
   }
 
+  /** Characters PN_LOCAL_ESC may escape (Turtle rule [172s] — same
+    * set as SPARQL).
+    */
+  private val PnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
+  private def isHex(c: Char) =
+    c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   private def parsePrefixedName(): String = {
     val start = pos
     while (pos < input.length &&
@@ -102,13 +109,30 @@ final class TurtleParser(input: String, n3: Boolean = false,
     if (pos >= input.length || input(pos) != ':') fail(s"bad prefixed name")
     pos += 1
     val ns = prefixes.getOrElse(pfx, fail(s"undefined prefix '$pfx:'"))
-    val ls = pos
-    while (pos < input.length && (input(pos).isLetterOrDigit ||
-      input(pos) == '_' || input(pos) == '-' || input(pos) == '.')) pos += 1
-    var end = pos
-    while (end > ls && input(end - 1) == '.') end -= 1
-    pos = end
-    ns + input.substring(ls, end)
+    // PN_LOCAL (rule [168s]): name chars plus ':', '.', PERCENT-encoded
+    // pairs, and PN_LOCAL_ESC backslash escapes (resolved to the raw
+    // char); a trailing run of bare dots is the statement terminator
+    val sb = new StringBuilder
+    var dots = 0 // bare '.' run pending acceptance (interior only)
+    var go = true
+    while (go && pos < input.length) {
+      val c = input(pos)
+      if (c == '.') { dots += 1; pos += 1 }
+      else if (c.isLetterOrDigit || c == '_' || c == '-' || c == ':') {
+        sb.append("." * dots); dots = 0
+        sb += c; pos += 1
+      } else if (c == '\\' && pos + 1 < input.length &&
+        PnLocalEsc.indexOf(input(pos + 1)) >= 0) {
+        sb.append("." * dots); dots = 0
+        sb += input(pos + 1); pos += 2
+      } else if (c == '%' && pos + 2 < input.length &&
+        isHex(input(pos + 1)) && isHex(input(pos + 2))) {
+        sb.append("." * dots); dots = 0
+        sb.append(input.substring(pos, pos + 3)); pos += 3
+      } else go = false
+    }
+    pos -= dots // give trailing dots back (statement terminator)
+    ns + sb.toString
   }
 
   private def parseString(): String = {
@@ -228,9 +252,15 @@ final class TurtleParser(input: String, n3: Boolean = false,
       case '_' =>
         pos += 2 // _:
         val start = pos
+        // BLANK_NODE_LABEL (rule [141s]): interior '.' and '-' are
+        // label chars; a trailing dot run is the statement terminator
         while (pos < input.length && (input(pos).isLetterOrDigit ||
-          input(pos) == '_')) pos += 1
-        TermRow(Term.BlankKind.toByte, input.substring(start, pos), null, null)
+          input(pos) == '_' || input(pos) == '-' || input(pos) == '.'))
+          pos += 1
+        var end = pos
+        while (end > start && input(end - 1) == '.') end -= 1
+        pos = end
+        TermRow(Term.BlankKind.toByte, input.substring(start, end), null, null)
       case '"' | '\'' =>
         val lex = parseString()
         if (eatSym("^^")) {
@@ -241,8 +271,13 @@ final class TurtleParser(input: String, n3: Boolean = false,
           val s2 = pos
           while (pos < input.length && (input(pos).isLetterOrDigit ||
             input(pos) == '-')) pos += 1
+          val tag = input.substring(s2, pos)
+          // LANGTAG (rule [144s]): letters, then '-'-led alnum subtags —
+          // digits in the primary tag or a dangling '-' are errors
+          if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*"))
+            fail(s"bad language tag '@$tag'")
           TermRow(Term.LiteralKind.toByte, lex, Term.RdfLangString,
-            Term.normLang(input.substring(s2, pos)))
+            Term.normLang(tag))
         } else TermRow(Term.LiteralKind.toByte, lex, Term.XsdString, null)
       case '[' =>
         pos += 1
@@ -286,6 +321,12 @@ final class TurtleParser(input: String, n3: Boolean = false,
         // a trailing '.' is the statement terminator, not part of a number
         if (lex.endsWith(".")) { lex = lex.dropRight(1); pos -= 1
           isDec = lex.contains('.') }
+        // INTEGER/DECIMAL/DOUBLE (rules [19]-[21]): one dot at most,
+        // exponents need digits — the scan is greedy, so validate the
+        // token it produced ("1.2.3", "1e" must be rejected, not stored)
+        if (!lex.matches(
+          "[+-]?(\\d+\\.?\\d*([eE][+-]?\\d+)?|\\.\\d+([eE][+-]?\\d+)?)"))
+          fail(s"bad numeric literal '$lex'")
         TermRow(Term.LiteralKind.toByte, lex,
           if (isDbl) Term.XsdDouble
           else if (isDec) Term.XsdDecimal else Term.XsdInteger, null)
@@ -341,9 +382,12 @@ final class TurtleParser(input: String, n3: Boolean = false,
         moreObjs = eatSym(",")
       }
       moreProps = eatSym(";")
+      // rule [7]: the ';' separator repeats with nothing between
+      // (`:s :p 1 ; ; :q 2 .`), and may dangle before the terminator
+      while (moreProps && eatSym(";")) ()
       ws()
       if (moreProps && (pos >= input.length || input(pos) == '.' ||
-        input(pos) == ']')) moreProps = false
+        input(pos) == ']' || input(pos) == '}')) moreProps = false
     }
   }
 
@@ -361,21 +405,33 @@ final class TurtleParser(input: String, n3: Boolean = false,
   }
 
   def parse(): Seq[QuadRow] = {
-    ws()
-    while (pos < input.length) {
-      if (peekKeyword("@prefix") || peekKeyword("PREFIX")) {
-        if (!eatSym("@prefix")) { expect("PREFIX") }
+    while ({ ws(); pos < input.length }) {
+      // '@prefix'/'@base' are case-SENSITIVE terminals and END with
+      // '.'; the SPARQL-style forms are case-insensitive and take NO
+      // dot (rules [4]-[6s]). The '@' forms can't collide with a
+      // prefixed name, so ':' right after the keyword is fine
+      // (`@prefix: <u> .` declares the empty prefix).
+      def atDirective(kw: String): Boolean =
+        input.startsWith(kw, pos) && {
+          val j = pos + kw.length
+          j >= input.length || { val c = input(j)
+            !c.isLetterOrDigit && c != '_' && c != '-' }
+        }
+      if (atDirective("@prefix") || peekKeyword("PREFIX")) {
+        val atForm = atDirective("@prefix")
+        pos += (if (atForm) 7 else 6)
         ws()
         val start = pos
         while (pos < input.length && input(pos) != ':') pos += 1
         val name = input.substring(start, pos).trim
         pos += 1
         prefixes(name) = parseIriRef()
-        eatSym(".")
-      } else if (peekKeyword("@base") || peekKeyword("BASE")) {
-        if (!eatSym("@base")) { expect("BASE") }
+        if (atForm) expect(".")
+      } else if (atDirective("@base") || peekKeyword("BASE")) {
+        val atForm = atDirective("@base")
+        pos += (if (atForm) 5 else 4)
         base = parseIriRef()
-        eatSym(".")
+        if (atForm) expect(".")
       } else if (n3 && (peekKeyword("@forAll") || peekKeyword("@forSome"))) {
         // quantifier declaration: map each symbol to a variable bnode
         if (!eatSym("@forAll")) expect("@forSome")
@@ -396,13 +452,21 @@ final class TurtleParser(input: String, n3: Boolean = false,
         expect("{")
         parseBlock(g)
       } else {
+        val wasBnodeList = !n3 && pos < input.length && input(pos) == '['
         val s = parseTerm()
         ws()
+        // Turtle subjects are IRIs, bnodes, collections, or (star)
+        // quoted triples — never literals (N3 is more permissive)
+        if (!n3 && s.kind == Term.LiteralKind.toByte)
+          fail("literal subject")
         if (!n3 && pos < input.length && input(pos) == '{') { // TriG: <g> { }
           pos += 1
           parseBlock(s)
         } else {
           if (pos < input.length && input(pos) != '.') predicateObjectList(s)
+          // only a '[ props ]' subject may omit its predicate list
+          // (rule [6]: triples ::= subject predicateObjectList | ...)
+          else if (!wasBnodeList) fail("statement with no predicate")
           expect(".")
         }
       }
@@ -417,10 +481,13 @@ final class TurtleParser(input: String, n3: Boolean = false,
     graph = g
     ws()
     while (pos < input.length && input(pos) != '}') {
+      val wasBnodeList = input(pos) == '['
       val s = parseTerm()
       ws()
+      if (s.kind == Term.LiteralKind.toByte) fail("literal subject")
       if (pos < input.length && input(pos) != '.' && input(pos) != '}')
         predicateObjectList(s)
+      else if (!wasBnodeList) fail("statement with no predicate")
       eatSym(".")
       ws()
     }

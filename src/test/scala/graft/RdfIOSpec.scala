@@ -643,4 +643,58 @@ class RdfIOSpec extends AnyFunSuite {
       RdfXmlWriter.write(bad, dir.resolve("bad").toString))
     assert(err.getMessage != null)
   }
+
+  // --- probe wave 6 (r10): Turtle/N-Triples grammar corners ---------
+  private def ttl(doc: String) =
+    new graft.io.TurtleParser(doc).parse()
+  private val p = "@prefix : <http://x/> .\n"
+
+  test("Turtle positives: labels/locals with dots+escapes, ';;', " +
+      "directive case rules") {
+    // BLANK_NODE_LABEL interior dot; trailing dot terminates
+    assert(ttl(p + "_:a.b :p 1 .").head.s.lex == "a.b")
+    assert(ttl(p + "_:a.b :p _:c.").head.o.lex == "c")
+    // PN_LOCAL: escapes resolve, PERCENT kept verbatim, ':' allowed
+    assert(ttl(p + ":a\\~b :p 1 .").head.s.lex == "http://x/a~b")
+    assert(ttl(p + ":a%41b :p 1 .").head.s.lex == "http://x/a%41b")
+    assert(ttl(p + ":a:b :p 1 .").head.s.lex == "http://x/a:b")
+    // empty ';' repetitions and a dangling ';'
+    assert(ttl(p + ":s :p 1 ; ; :q 2 .").size == 2)
+    assert(ttl(p + ":s :p 1 ; .").size == 1)
+    // SPARQL-style directives: case-insensitive, no dot
+    assert(ttl("pReFiX pp: <http://x/>\npp:s pp:p 1 .").size == 1)
+    // '@prefix' with the empty prefix name, no space before ':'
+    assert(ttl("@prefix: <http://x/> .\n:s :p 1 .").size == 1)
+    // numbers: leading-dot decimals, integer+terminator, doubles
+    assert(ttl(p + ":s :p .5 , +.5 , 1.5e0 , 1.").size == 4)
+  }
+
+  test("Turtle negatives: malformed numbers/tags/directives/subjects") {
+    val bads = Seq(
+      ":s :p 1.2.3 .",            // two dots in one numeric token
+      ":s :p \"x\"@en- .",        // dangling langtag subtag
+      ":s :p \"x\"@7up .",        // digit-led primary tag
+      "3 :p 1 .",                 // literal subject
+      ":s .",                     // statement with no predicate
+      ":s :p 1e .")               // exponent without digits
+    for (b <- bads)
+      assert(
+        try { ttl(p + b); false } catch { case _: Exception => true },
+        s"should reject: $b")
+    // '@PREFIX' is not '@prefix' (case-sensitive terminal)
+    intercept[Exception](ttl("@PREFIX q: <http://x/> .\nq:s q:p 1 ."))
+    // '@prefix' REQUIRES its dot, SPARQL-style PREFIX forbids one
+    intercept[Exception](ttl("@prefix q: <http://x/>\nq:s q:p 1 ."))
+    intercept[Exception](ttl("PREFIX q: <http://x/> .\nq:s q:p 1 ."))
+  }
+
+  test("N-Triples: bnode labels with interior dots, bad langtag") {
+    val q = RdfIO.parseLine("_:a.b <http://e/p> _:c.d .",
+      allowGraph = false).get
+    assert(q.s.lex == "a.b" && q.o.lex == "c.d")
+    assert(RdfIO.parseLine("_:x <http://e/p> _:y.", // trailing dot = '.'
+      allowGraph = false).get.o.lex == "y")
+    intercept[Exception](RdfIO.parseLine(
+      "<http://e/s> <http://e/p> \"v\"@en- .", allowGraph = false))
+  }
 }
