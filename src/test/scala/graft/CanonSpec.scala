@@ -94,4 +94,43 @@ class CanonSpec extends AnyFunSuite {
     assert(Canon.isomorphic(chain2, chain2r))
     assert(!Canon.isomorphic(chain2, chain3))
   }
+
+  test("fuzz: canonicalization is invariant under random bnode " +
+      "relabelings (incl. bnode graph names)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val labels = Vector("b0", "b1", "b2", "b3", "b4", "b5")
+    val genTerm: Gen[String] = Gen.frequency(
+      2 -> Gen.choose(0, 3).map(n => s"<http://x/i$n>"),
+      4 -> Gen.oneOf(labels).map("_:" + _),
+      1 -> Gen.choose(0, 2).map(n => "\"v" + n + "\""))
+    val genQuad: Gen[String] = for {
+      s <- genTerm.suchThat(!_.startsWith("\""))
+      p <- Gen.choose(0, 2).map(n => s"<http://x/p$n>")
+      o <- genTerm
+      g <- Gen.frequency(3 -> Gen.const(""),
+        1 -> Gen.oneOf(labels).map(" _:" + _),
+        1 -> Gen.const(" <http://x/g>"))
+    } yield s"$s $p $o$g"
+    val genDoc: Gen[List[String]] =
+      Gen.chooseNum(1, 14).flatMap(Gen.listOfN(_, genQuad))
+    val prop = Prop.forAllNoShrink(
+      genDoc, Gen.const(()).flatMap(_ => Gen.oneOf(
+        labels.permutations.toSeq.take(720)))) { (doc, perm) =>
+      val mapping = labels.zip(perm).toMap
+      val relabeled = doc.map(q => labels.foldLeft(q)((acc, l) =>
+        acc.replace("_:" + l + " ", "_:" + mapping(l) + "X ")
+          .replaceAll("_:" + l + "$", "_:" + mapping(l) + "X")))
+      val (ca, cb) =
+        (lines(Canon.canonicalize(nq(doc: _*))),
+          lines(Canon.canonicalize(nq(relabeled: _*))))
+      if (ca != cb)
+        println(s"CANON MISMATCH\ndoc=$doc\nrelabeled=$relabeled\n" +
+          s"ca=$ca\ncb=$cb")
+      ca == cb
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "25").toInt), prop)
+    assert(result.passed, s"canon fuzz failed: ${result.status}")
+  }
 }

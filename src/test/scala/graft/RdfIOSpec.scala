@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.io.{RdfIO, TpchRdf}
+import graft.model.Term
 
 class RdfIOSpec extends AnyFunSuite {
   import TestSpark._
@@ -686,6 +687,38 @@ class RdfIOSpec extends AnyFunSuite {
     // '@prefix' REQUIRES its dot, SPARQL-style PREFIX forbids one
     intercept[Exception](ttl("@prefix q: <http://x/>\nq:s q:p 1 ."))
     intercept[Exception](ttl("PREFIX q: <http://x/> .\nq:s q:p 1 ."))
+  }
+
+  test("formatTerm -> line parser roundtrip is the identity over the " +
+      "term-shape cross product") {
+    import graft.io.RdfIO.TermRow
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val L = Term.LiteralKind.toByte
+    val lexes = Seq("v", "", "a\"b", "a\\b", "l1\nl2", "cr\rx", "t\tt",
+      "é", "🙂", "x y z", "-1.5")
+    val terms: Seq[TermRow] =
+      lexes.flatMap(lex => Seq(
+        TermRow(L, lex, Term.XsdString, null),
+        TermRow(L, lex, "http://x/dt", null),
+        TermRow(L, lex, Term.RdfLangString, "en"),
+        TermRow(L, lex, Term.RdfLangString, "es-419"))) ++ Seq(
+        TermRow(Term.IriKind.toByte, "http://x/a#frag?q=1", null, null),
+        TermRow(Term.BlankKind.toByte, "b1.c-d", null, null),
+        TermRow(Term.QuotedKind.toByte, graft.model.QuotedTriple.encode(
+          graft.model.QuotedTriple.QTerm(Term.IriKind.toByte, "http://x/s",
+            null, null),
+          graft.model.QuotedTriple.QTerm(Term.IriKind.toByte, "http://x/p",
+            null, null),
+          graft.model.QuotedTriple.QTerm(L, "o\"v", Term.XsdString, null)),
+          null, null))
+    import spark.implicits._
+    val df = terms.map(Tuple1(_)).toDF("o").select(concat(
+      lit("<http://x/s> <http://x/p> "), RdfIO.formatTerm(col("o")),
+      lit(" .")).as("line"))
+    val back = df.collect().map(r =>
+      RdfIO.parseLine(r.getString(0), allowGraph = false).get.o)
+    for ((orig, got) <- terms.zip(back))
+      assert(got == orig, s"roundtrip mangled $orig -> $got")
   }
 
   test("N-Triples: bnode labels with interior dots, bad langtag") {
