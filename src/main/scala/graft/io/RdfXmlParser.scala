@@ -35,6 +35,26 @@ final class RdfXmlParser(content: String) {
   }
   private def iri(v: String) = TermRow(Term.IriKind.toByte, v, null, null)
 
+  private def err(msg: String): Nothing =
+    throw new IllegalArgumentException(s"RDF/XML: $msg")
+  /** rdf:ID / rdf:nodeID values are NCNames (ASCII approximation). */
+  private def ncName(s: String): Boolean =
+    s.nonEmpty && (s.head.isLetter || s.head == '_') &&
+      s.tail.forall(c => c.isLetterOrDigit || c == '.' || c == '-' ||
+        c == '_')
+  /** constraint-id: each rdf:ID is unique per document+base. */
+  private val usedIds = scala.collection.mutable.Set[String]()
+  private def registerId(resolved: String): Unit =
+    if (!usedIds.add(resolved)) err(s"duplicate rdf:ID <$resolved>")
+  /** RDF 1.0 attributes removed in 2004 — an error, never data. */
+  private val RemovedAttrs = Seq("aboutEach", "aboutEachPrefix", "bagID")
+  /** rdf:* locals that are pure syntax — forbidden as node element
+    * names and as property attributes.
+    */
+  private val SyntaxTerms = Set("RDF", "ID", "about", "parseType",
+    "resource", "nodeID", "li", "aboutEach", "aboutEachPrefix", "bagID",
+    "datatype")
+
   /** RFC 3986-style resolution, scoped to what RDF/XML needs. */
   private def resolve(base: Option[String], v: String): String =
     if (v.contains("://") || base.isEmpty) v
@@ -100,23 +120,44 @@ final class RdfXmlParser(content: String) {
       .map(Term.normLang).orElse(lang0)
     val base = Option(e.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
       .orElse(base0)
+    RemovedAttrs.find(e.hasAttributeNS(RdfNs, _))
+      .foreach(a => err(s"rdf:$a was removed from RDF in 2004"))
+    // node element names must not be syntax terms (rdf:li, rdf:RDF, …)
+    if (qname(e).startsWith(RdfNs) &&
+      SyntaxTerms(qname(e).stripPrefix(RdfNs)))
+      err(s"<${qname(e)}> is not a node element")
+    // grammar: at most ONE of rdf:about / rdf:ID / rdf:nodeID
+    val idAttrs =
+      Seq("about", "ID", "nodeID").filter(e.hasAttributeNS(RdfNs, _))
+    if (idAttrs.length > 1)
+      err(s"node element carries ${idAttrs.map("rdf:" + _).mkString(" and ")}")
     val subj =
       if (e.hasAttributeNS(RdfNs, "about"))
         iri(resolve(base, e.getAttributeNS(RdfNs, "about")))
-      else if (e.hasAttributeNS(RdfNs, "ID"))
-        iri(resolve(base, "#" + e.getAttributeNS(RdfNs, "ID")))
-      else if (e.hasAttributeNS(RdfNs, "nodeID"))
-        TermRow(Term.BlankKind.toByte, e.getAttributeNS(RdfNs, "nodeID"),
-          null, null)
-      else fresh()
+      else if (e.hasAttributeNS(RdfNs, "ID")) {
+        val id = e.getAttributeNS(RdfNs, "ID")
+        if (!ncName(id)) err(s"rdf:ID '$id' is not an NCName")
+        val r = resolve(base, "#" + id); registerId(r); iri(r)
+      } else if (e.hasAttributeNS(RdfNs, "nodeID")) {
+        val nid = e.getAttributeNS(RdfNs, "nodeID")
+        if (!ncName(nid)) err(s"rdf:nodeID '$nid' is not an NCName")
+        TermRow(Term.BlankKind.toByte, nid, null, null)
+      } else fresh()
     if (qname(e) != RdfNs + "Description")
       out += QuadRow(DG, subj, iri(RdfNs + "type"), iri(qname(e)))
-    // property attributes (non-rdf, non-xmlns, non-xml:lang/base)
+    // property attributes: non-syntax attrs from any namespace;
+    // rdf:type as an attribute takes a resolved IRI object (grammar
+    // propertyAttr), other rdf:* non-syntax locals (rdf:value…) are
+    // ordinary string-literal properties
     val attrs = e.getAttributes
     (0 until attrs.getLength).map(attrs.item).foreach { a =>
       val ns = Option(a.getNamespaceURI).getOrElse("")
-      if (ns != RdfNs && ns != XmlNs &&
+      if (ns == RdfNs && a.getLocalName == "type")
+        out += QuadRow(DG, subj, iri(RdfNs + "type"),
+          iri(resolve(base, a.getNodeValue)))
+      else if (ns != XmlNs &&
         ns != "http://www.w3.org/2000/xmlns/" && a.getLocalName != null &&
+        !(ns == RdfNs && SyntaxTerms(a.getLocalName)) &&
         !(ns.isEmpty && a.getLocalName == "xmlns"))
         out += QuadRow(DG, subj, iri(qname(a)),
           TermRow(Term.LiteralKind.toByte, a.getNodeValue,
@@ -135,6 +176,13 @@ final class RdfXmlParser(content: String) {
       base: Option[String]): Unit = {
     var liN = 0
     pes.foreach { pe =>
+      RemovedAttrs.find(pe.hasAttributeNS(RdfNs, _))
+        .foreach(a => err(s"rdf:$a was removed from RDF in 2004"))
+      // property element names must not be syntax terms (rdf:li aside)
+      if (qname(pe).startsWith(RdfNs) && {
+        val l = qname(pe).stripPrefix(RdfNs)
+        l == "Description" || (l != "li" && SyntaxTerms(l))
+      }) err(s"<${qname(pe)}> is not a property element")
       val pred =
         if (qname(pe) == RdfNs + "li") { liN += 1; iri(RdfNs + "_" + liN) }
         else iri(qname(pe))
@@ -144,6 +192,20 @@ final class RdfXmlParser(content: String) {
         .orElse(base)
       val parseType =
         Option(pe.getAttributeNS(RdfNs, "parseType")).filter(_.nonEmpty)
+      // conflicting object forms on one property element
+      val objAttrs = Seq("resource", "nodeID", "datatype")
+        .filter(pe.hasAttributeNS(RdfNs, _))
+      if (objAttrs.length > 1) err(s"property element carries " +
+        objAttrs.map("rdf:" + _).mkString(" and "))
+      if (parseType.isDefined && objAttrs.nonEmpty)
+        err(s"rdf:parseType with rdf:${objAttrs.head}")
+      if ((pe.hasAttributeNS(RdfNs, "resource") ||
+        pe.hasAttributeNS(RdfNs, "nodeID")) && childElements(pe).nonEmpty)
+        err(s"<${qname(pe)}> with rdf:${objAttrs.head} must be empty")
+      if (pe.hasAttributeNS(RdfNs, "nodeID") &&
+        !ncName(pe.getAttributeNS(RdfNs, "nodeID")))
+        err(s"rdf:nodeID '${pe.getAttributeNS(RdfNs, "nodeID")}' " +
+          "is not an NCName")
       val obj: TermRow = parseType match {
         case Some("Resource") =>
           // implicit blank node whose property elements are pe's children
@@ -192,7 +254,10 @@ final class RdfXmlParser(content: String) {
       out += QuadRow(DG, subj, pred, obj)
       // rdf:ID on a property element reifies the statement
       if (pe.hasAttributeNS(RdfNs, "ID")) {
-        val st = iri(resolve(pbase, "#" + pe.getAttributeNS(RdfNs, "ID")))
+        val id = pe.getAttributeNS(RdfNs, "ID")
+        if (!ncName(id)) err(s"rdf:ID '$id' is not an NCName")
+        val st = iri(resolve(pbase, "#" + id))
+        registerId(st.lex)
         out += QuadRow(DG, st, iri(RdfNs + "type"), iri(RdfNs + "Statement"))
         out += QuadRow(DG, st, iri(RdfNs + "subject"), subj)
         out += QuadRow(DG, st, iri(RdfNs + "predicate"), pred)

@@ -721,6 +721,40 @@ class RdfIOSpec extends AnyFunSuite {
       assert(got == orig, s"roundtrip mangled $orig -> $got")
   }
 
+  test("RDF/XML wave 7: rdf:type attribute, rdf:* property attrs, " +
+      "malformed-document rejection") {
+    import graft.io.RdfXmlParser
+    val R = "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" " +
+      "xmlns:ex=\"http://x/\""
+    def doc(body: String, extra: String = "") =
+      s"""<?xml version="1.0"?><rdf:RDF $R $extra>$body</rdf:RDF>"""
+    // rdf:type ATTRIBUTE takes an IRI object (was silently dropped)
+    val typed = new RdfXmlParser(doc(
+      """<rdf:Description rdf:about="http://x/s" rdf:type="http://x/T"/>"""))
+      .parse()
+    assert(typed.size == 1 && typed.head.o.kind == 0 &&
+      typed.head.o.lex == "http://x/T")
+    // rdf:value is a legal property attribute (non-syntax rdf:* local)
+    val rv = new RdfXmlParser(doc(
+      """<rdf:Description rdf:about="http://x/s" rdf:value="v"/>""")).parse()
+    assert(rv.size == 1 && rv.head.p.lex.endsWith("#value"))
+    val bads = Seq(
+      """<rdf:Description rdf:about="http://x/s" rdf:nodeID="a"/>""",
+      """<rdf:Description rdf:about="http://x/s"><ex:p rdf:resource="http://x/o" rdf:nodeID="a"/></rdf:Description>""",
+      """<rdf:Description rdf:ID="1bad" xml:base="http://b/"><ex:p>v</ex:p></rdf:Description>""",
+      """<rdf:Description rdf:aboutEach="#x"><ex:p>v</ex:p></rdf:Description>""",
+      """<rdf:Description rdf:ID="n" xml:base="http://b/"/><rdf:Description rdf:ID="n" xml:base="http://b/"/>""",
+      """<rdf:li rdf:about="http://x/s"/>""",
+      """<rdf:Description rdf:about="http://x/s"><ex:p rdf:parseType="Literal" rdf:resource="http://x/o"/></rdf:Description>""",
+      """<rdf:Description rdf:about="http://x/s"><ex:p rdf:resource="http://x/o"><ex:q/></ex:p></rdf:Description>""",
+      """<rdf:Description rdf:about="http://x/s"><rdf:Description>v</rdf:Description></rdf:Description>""")
+    for (b <- bads)
+      assert(
+        try { new RdfXmlParser(doc(b)).parse(); false }
+        catch { case _: Exception => true },
+        s"should reject: $b")
+  }
+
   test("N-Triples: bnode labels with interior dots, bad langtag") {
     val q = RdfIO.parseLine("_:a.b <http://e/p> _:c.d .",
       allowGraph = false).get
