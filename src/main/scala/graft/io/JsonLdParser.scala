@@ -119,6 +119,9 @@ final class JsonLdParser(content: String) {
     ctx
   }
 
+  private def err(msg: String): Nothing =
+    throw new IllegalArgumentException(s"JSON-LD: $msg")
+
   private def fresh(): TermRow = {
     bn += 1
     TermRow(Term.BlankKind.toByte, s"jb$bn", null, null)
@@ -175,7 +178,19 @@ final class JsonLdParser(content: String) {
         val lex = v.get(valueKey.get)
         val typeKey = v.fieldNames.asScala.find(k => vk(k) == "@type")
         val langKey = v.fieldNames.asScala.find(k => vk(k) == "@language")
-        if (typeKey.isDefined)
+        // value object validity (JSON-LD 1.1 §9.5): only @value/@type/
+        // @language/@direction/@index keys; @type and @language are
+        // exclusive; @value must be a scalar (null = drop the entry)
+        val allowed = Set("@value", "@type", "@language", "@direction",
+          "@index")
+        v.fieldNames.asScala.find(k => !allowed(vk(k)))
+          .foreach(k => err(s"invalid value object key '$k'"))
+        if (typeKey.isDefined && langKey.isDefined)
+          err("@value with both @type and @language")
+        if (lex.isContainerNode)
+          err("@value must be a scalar or null")
+        if (lex.isNull) null
+        else if (typeKey.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText,
             ctx.expandRef(v.get(typeKey.get).asText), null)
         else if (langKey.isDefined)
@@ -191,18 +206,19 @@ final class JsonLdParser(content: String) {
 
   private def listTerm(items: Seq[JsonNode], g: TermRow, ctx: Ctx,
       td: Option[TermDef]): TermRow =
-    if (items.isEmpty) iri(RdfNs + "nil")
-    else {
-      val nodes = items.map(_ => fresh())
-      val itemTd = td.map(_.copy(container = None))
-      for (((n, item), idx) <- nodes.zip(items).zipWithIndex) {
-        out += QuadRow(g, n, iri(RdfNs + "first"),
-          valueTerm(item, g, ctx, itemTd))
-        out += QuadRow(g, n, iri(RdfNs + "rest"),
-          if (idx == items.size - 1) iri(RdfNs + "nil")
-          else nodes(idx + 1))
-      }
-      nodes.head
+    items.filterNot(_.isNull) match { // nulls drop out of lists too
+      case Seq() => iri(RdfNs + "nil")
+      case live =>
+        val nodes = live.map(_ => fresh())
+        val itemTd = td.map(_.copy(container = None))
+        for (((n, item), idx) <- nodes.zip(live).zipWithIndex) {
+          out += QuadRow(g, n, iri(RdfNs + "first"),
+            valueTerm(item, g, ctx, itemTd))
+          out += QuadRow(g, n, iri(RdfNs + "rest"),
+            if (idx == live.size - 1) iri(RdfNs + "nil")
+            else nodes(idx + 1))
+        }
+        nodes.head
     }
 
   /** A node object: emits its triples into graph `g`, returns subject. */
@@ -214,7 +230,9 @@ final class JsonLdParser(content: String) {
     def field(keyword: String): Option[JsonNode] =
       n.fields.asScala.find(e => kw(e.getKey) == keyword).map(_.getValue)
     val subj = field("@id") match {
-      case Some(id) => ref(ctx0.expandRef(id.asText))
+      case Some(id) =>
+        if (!id.isTextual) err(s"@id must be a string, got $id")
+        ref(ctx0.expandRef(id.asText))
       case None => fresh()
     }
     val typeVals = field("@type").toSeq.flatMap(asArray).map(_.asText)
@@ -241,8 +259,10 @@ final class JsonLdParser(content: String) {
           if (cont.contains("@index") && e.getValue.isObject) {
             // index map: keys are opaque indexes, values are the data
             e.getValue.fields.asScala.foreach(ix =>
-              asArray(ix.getValue).foreach(v =>
-                out += QuadRow(g, subj, iri(p), valueTerm(v, g, vctx, td))))
+              asArray(ix.getValue).foreach { v =>
+                val t = valueTerm(v, g, vctx, td)
+                if (t != null) out += QuadRow(g, subj, iri(p), t)
+              })
           } else if (cont.contains("@language") && e.getValue.isObject) {
             // language map: keys are BCP47 tags, values the strings
             e.getValue.fields.asScala.foreach(lv =>
@@ -256,7 +276,12 @@ final class JsonLdParser(content: String) {
                 Seq(e.getValue) // one list, not n values
               else asArray(e.getValue) // @set and no-container: n values
             vs.foreach { v =>
-              out += QuadRow(g, subj, iri(p), valueTerm(v, g, vctx, td))
+              // null values mean "no value" in JSON-LD: dropped, and
+              // {"@value": null} drops the same way
+              if (!v.isNull) {
+                val t = valueTerm(v, g, vctx, td)
+                if (t != null) out += QuadRow(g, subj, iri(p), t)
+              }
             }
           }
         }

@@ -755,6 +755,25 @@ class RdfIOSpec extends AnyFunSuite {
         s"should reject: $b")
   }
 
+  test("JSON-LD wave 8: value-object validity, null handling") {
+    import graft.io.JsonLdParser
+    def ld(doc: String) = new JsonLdParser(doc).parse()
+    // nulls mean "no value": dropped from properties and lists
+    assert(ld("""{"@id":"http://x/s","http://x/p":null}""").isEmpty)
+    assert(ld("""{"@id":"http://x/s","http://x/p":{"@value":null}}""")
+      .isEmpty)
+    assert(ld("""{"@context":{"p":{"@id":"http://x/p","@container":"@list"}},
+      "@id":"http://x/s","p":["a",null,"b"]}""".stripMargin).size == 5)
+    val bads = Seq(
+      """{"@id":"http://x/s","http://x/p":{"@value":"v","http://x/q":"w"}}""",
+      """{"@id":"http://x/s","http://x/p":{"@value":"v","@type":"http://x/dt","@language":"en"}}""",
+      """{"@id":"http://x/s","http://x/p":{"@value":{"k":1}}}""",
+      """{"@id":42,"http://x/p":"v"}""")
+    for (b <- bads)
+      assert(try { ld(b); false } catch { case _: Exception => true },
+        s"should reject: $b")
+  }
+
   test("N-Triples: bnode labels with interior dots, bad langtag") {
     val q = RdfIO.parseLine("_:a.b <http://e/p> _:c.d .",
       allowGraph = false).get
