@@ -286,17 +286,24 @@ object Results {
           else Row(Term.QuotedKind.toByte,
             QuotedTriple.encode(q(parts(0)), q(parts(1)), q(parts(2))),
             null, null)
-        case _ => // "literal" (and the legacy "typed-literal")
+        case "literal" | "typed-literal" => // typed-literal is legacy
           val lang = Option(n.get("xml:lang")).map(n => Term.normLang(n.asText))
           val dt = Option(n.get("datatype")).map(_.asText)
             .getOrElse(lang.map(_ => Term.RdfLangString)
               .getOrElse(Term.XsdString))
           Row(Term.LiteralKind.toByte, n.get("value").asText, dt,
             lang.orNull)
+        case other => throw new IllegalArgumentException(
+          s"SPARQL JSON results: unknown term type '$other'")
       }
+    // a SELECT document REQUIRES results.bindings (an ASK's `boolean`
+    // returned above) — treating its absence as zero solutions would
+    // turn a malformed response into a silent empty result
     val bindings = Option(root.get("results"))
       .flatMap(r => Option(r.get("bindings")))
-      .map(_.elements.asScala.toSeq).getOrElse(Nil)
+      .getOrElse(throw new IllegalArgumentException(
+        "SPARQL JSON results: missing results.bindings"))
+      .elements.asScala.toSeq
     val rows = bindings.map(b =>
       Row(vars.map(v => Option(b.get(v)).map(term).orNull): _*))
     spark.createDataFrame(

@@ -54,6 +54,15 @@ class ResultsSpec extends AnyFunSuite {
       sols.except(back).count() == 0)
   }
 
+  test("fromJson rejects malformed SELECT documents (wave 9)") {
+    // missing results.bindings is a malformed response, not 0 rows
+    intercept[Exception](
+      Results.fromJson(spark, """{"head":{"vars":["x"]}}"""))
+    intercept[Exception](Results.fromJson(spark,
+      """{"head":{"vars":["x"]},"results":{"bindings":[
+        {"x":{"type":"wat","value":"v"}}]}}"""))
+  }
+
   test("TSV results roundtrip: toTsv -> fromTsv is lossless") {
     // include an unbound cell via a query with OPTIONAL-shaped nulls
     val withNull = sols.unionByName(
