@@ -62,16 +62,7 @@ final class JsonLdParser(content: String) {
       }
 
     private def resolve(b: String, rel: String): String =
-      if (rel.isEmpty) b
-      else if (rel.startsWith("#") || rel.startsWith("?")) b + rel
-      else if (rel.startsWith("/")) {
-        val schemeEnd = b.indexOf("://")
-        if (schemeEnd < 0) b + rel
-        else {
-          val authEnd = b.indexOf('/', schemeEnd + 3)
-          (if (authEnd < 0) b else b.substring(0, authEnd)) + rel
-        }
-      } else b.substring(0, b.lastIndexOf('/') + 1) + rel
+      graft.model.IriResolve.resolve(b, rel) // shared RFC 3986 resolver
   }
 
   private def parseContext(node: JsonNode, parent: Ctx): Ctx = {

@@ -55,22 +55,12 @@ final class RdfXmlParser(content: String) {
     "resource", "nodeID", "li", "aboutEach", "aboutEachPrefix", "bagID",
     "datatype")
 
-  /** RFC 3986-style resolution, scoped to what RDF/XML needs. */
+  /** RFC 3986 resolution (shared resolver; full merge + dot-segment
+    * handling — the old per-parser approximation also misread
+    * schemes without authority, e.g. urn:, as relative).
+    */
   private def resolve(base: Option[String], v: String): String =
-    if (v.contains("://") || base.isEmpty) v
-    else {
-      val b = base.get
-      if (v.isEmpty) b
-      else if (v.startsWith("#")) b.takeWhile(_ != '#') + v
-      else if (v.startsWith("/")) {
-        val schemeEnd = b.indexOf("://")
-        if (schemeEnd < 0) v
-        else {
-          val authEnd = b.indexOf('/', schemeEnd + 3)
-          (if (authEnd < 0) b else b.substring(0, authEnd)) + v
-        }
-      } else b.substring(0, b.lastIndexOf('/') + 1) + v
-    }
+    graft.model.IriResolve.resolve(base.getOrElse(""), v)
 
   private def childElements(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
     val nl = e.getChildNodes

@@ -90,7 +90,7 @@ final class TurtleParser(input: String, n3: Boolean = false,
     while (pos < input.length && input(pos) != '>') pos += 1
     val iri = graft.model.RdfEscapes.unescapeIri(input.substring(start, pos))
     expect(">")
-    if (iri.contains(":")) iri else base + iri
+    graft.model.IriResolve.resolve(base, iri)
   }
 
   /** Characters PN_LOCAL_ESC may escape (Turtle rule [172s] — same

@@ -126,7 +126,7 @@ final class SparqlParser(input: String) {
     }
     val iri = graft.model.RdfEscapes.unescapeIri(input.substring(start, pos))
     expect(">")
-    if (iri.contains(":")) iri else base + iri
+    graft.model.IriResolve.resolve(base, iri)
   }
 
   private def tryPrefixedName(): Option[String] = {
