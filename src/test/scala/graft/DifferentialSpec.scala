@@ -877,6 +877,113 @@ class DifferentialSpec extends AnyFunSuite {
     else None
   }
 
+  // ---- Group/aggregate differential (r10) ----------------------------
+  // Mirrors the engine's documented §18.5 semantics: evaluation errors
+  // (unbound vars) drop from the multiset, a PRESENT non-numeric term
+  // errors SUM (-> unbound), empty SUM/AVG = integer 0, MIN/SAMPLE skip
+  // unbound via nulls-last keys, MAX via the plain sort key, and
+  // GROUP_CONCAT without ORDER BY sorts by term order with lex tiebreak
+  // (the documented distributed-bag deviation).
+  test("Group/aggregates match the naive §18.5 model") {
+    // term order on the quoted-free universe: (cls, num, lex)
+    def ordKey(t: T): (Int, Double, String) = t match {
+      case (1, lex, _) => (1, Double.MaxValue, lex)
+      case (0, lex, _) => (2, Double.MaxValue, lex)
+      case (2, lex, dt) if dt == Term.XsdInteger => (3, lex.toDouble, lex)
+      case (2, lex, _) => (3, Double.MaxValue, lex)
+      case (k, lex, _) => (4 + k, Double.MaxValue, lex)
+    }
+    implicit val ordT: Ordering[T] = Ordering.by(ordKey)
+    def naiveAgg(group: Seq[Binding], call: AggCall,
+        scope: Seq[String]): Option[T] = {
+      val terms: Seq[T] = call.expr match {
+        case Some(EVar(v)) => group.flatMap(_.get(v)) // errors drop
+        case _ => Nil
+      }
+      call.fn match {
+        case "COUNT_STAR" =>
+          val n = if (call.distinct)
+            group.map(b => scope.map(b.get)).distinct.size
+          else group.size
+          Some(int(n))
+        case "COUNT" =>
+          Some(int(if (call.distinct) terms.distinct.size else terms.size))
+        case "SUM" =>
+          if (terms.exists(_._3 != Term.XsdInteger)) None // type error
+          else {
+            val vals =
+              if (call.distinct) terms.distinct.map(_._2.toLong)
+              else terms.map(_._2.toLong)
+            Some(int(vals.sum.toInt))
+          }
+        case "MIN" => terms.minOption
+        case "MAX" => terms.maxOption
+        case "GROUP_CONCAT" =>
+          val lexes = terms.sorted.map(_._2)
+          Some(str(
+            (if (call.distinct) lexes.distinct else lexes)
+              .mkString(call.separator)))
+        case other => fail(s"naiveAgg: $other")
+      }
+    }
+    val genInner: Gen[GraphPattern] = Gen.frequency(
+      3 -> genBgp,
+      1 -> (for { a <- genBgp; b <- genBgp } yield LeftJoin(a, b, None)))
+    val genAgg: Gen[AggCall] = Gen.frequency(
+      2 -> Gen.oneOf(true, false).map(d => AggCall("COUNT_STAR", None, d)),
+      2 -> (for { v <- Gen.oneOf(varNames); d <- Gen.oneOf(true, false) }
+        yield AggCall("COUNT", Some(EVar(v)), d)),
+      2 -> (for { v <- Gen.oneOf(varNames); d <- Gen.oneOf(true, false) }
+        yield AggCall("SUM", Some(EVar(v)), d)),
+      1 -> Gen.oneOf(varNames).map(v => AggCall("MIN", Some(EVar(v)))),
+      1 -> Gen.oneOf(varNames).map(v => AggCall("MAX", Some(EVar(v)))),
+      1 -> (for { v <- Gen.oneOf(varNames); s <- Gen.oneOf(" ", "|")
+                  d <- Gen.oneOf(true, false) }
+        yield AggCall("GROUP_CONCAT", Some(EVar(v)), d, s)))
+    // quoted-free data: the naive term order above stays total
+    val genQuadPlain: Gen[(T, T, T)] = for {
+      s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genTerm
+    } yield (s, p, o)
+    val genDataPlain: Gen[Seq[(T, T, T)]] =
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, genQuadPlain))
+    val prop = Prop.forAllNoShrink(genDataPlain, genInner,
+      Gen.someOf(varNames.take(2)).map(_.take(1).toSeq),
+      Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, genAgg))) {
+      (data, inner, keys0, aggCalls) =>
+        val aggs = aggCalls.zipWithIndex.map { case (c, i) => s"g$i" -> c }
+        val scope = inScopeVars(inner).toSeq.sorted
+        val keys = keys0.filter(scope.contains) // parser guarantees this
+        val gp = Group(inner, keys, aggs)
+        val sols = evalNaive(inner, data)
+        val groups: Seq[(Seq[Option[T]], Seq[Binding])] =
+          if (keys.isEmpty) Seq(Nil -> sols)
+          else sols.groupBy(b => keys.map(b.get)).toSeq
+            .map { case (k, g) => (k, g) }
+        val expected = groups.map { case (kvals, g) =>
+          (keys.zip(kvals).collect { case (k, Some(t)) => k -> t } ++
+            aggs.flatMap { case (out, c) =>
+              naiveAgg(g, c, scope).map(out -> _) }).toMap
+        }.map(m => (keys ++ aggs.map(_._1)).flatMap(v =>
+          m.get(v).map(t => s"$v=${t._1}:${t._2}:${t._3}")).mkString("|"))
+          .sorted
+        val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+        val got = df.collect().toSeq.map { r =>
+          (keys ++ aggs.map(_._1)).flatMap { v =>
+            Option(r.getAs[Row](v)).map(t =>
+              s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+          }.mkString("|")
+        }.sorted
+        if (got != expected)
+          println(s"AGG MISMATCH for $gp\ndata=$data\n" +
+            s"expected=$expected\ngot=$got")
+        got == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed, s"aggregate differential failed: ${result.status}")
+  }
+
   test("ORDER BY output respects every spec-fixed §15.1 order pair") {
     val genTerms = Gen.chooseNum(2, 30).flatMap(Gen.listOfN(_, genOrdTerm))
     val prop = Prop.forAllNoShrink(genTerms, Gen.oneOf(true, false)) {
