@@ -492,7 +492,8 @@ final class TurtleParser(input: String, n3: Boolean = false,
       ws()
     }
     expect("}")
-    eatSym(".")
+    // TriG wrappedGraph takes NO trailing '.' (rule [5g]) — a dot after
+    // '}' is the next statement's problem, i.e. a syntax error
     graph = saved
   }
 }

@@ -877,6 +877,47 @@ class DifferentialSpec extends AnyFunSuite {
     else None
   }
 
+  // ---- FILTER [NOT] EXISTS differential (r10) ------------------------
+  // For monotone (BGP) inners, EXISTS-by-substitution coincides with
+  // "some inner solution is join-compatible with the outer row" — the
+  // semantics the engine's mark-join implements. The naive side
+  // evaluates exactly that, over every generated outer/inner var
+  // sharing pattern.
+  test("FILTER [NOT] EXISTS matches compatibility semantics on BGP " +
+      "inners") {
+    def compatible(a: Binding, b: Binding): Boolean =
+      (a.keySet & b.keySet).forall(v => a(v) == b(v))
+    val prop = Prop.forAllNoShrink(genData, genPattern(1), genBgp,
+      Gen.oneOf(true, false)) { (data, outer, innerB, positive) =>
+      val gp = Filter(EExists(innerB, positive), outer)
+      val innerSols = evalNaive(innerB, data)
+      val expected = evalNaive(outer, data).filter { b =>
+        val ex = innerSols.exists(compatible(b, _))
+        if (positive) ex else !ex
+      }.map(canon).sorted
+      try {
+        val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+        val got = df.collect().toSeq.map { r =>
+          cmpVars.flatMap { v =>
+            if (!df.columns.contains(v)) None
+            else Option(r.getAs[Row](v)).map(t =>
+              s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+          }.mkString("|")
+        }.sorted
+        if (got != expected)
+          println(s"EXISTS MISMATCH for $gp\ndata=$data\n" +
+            s"expected=$expected\ngot=$got")
+        got == expected
+      } catch {
+        case _: UnsupportedOperationException => true // lateral corners
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed, s"EXISTS differential failed: ${result.status}")
+  }
+
   // ---- Group/aggregate differential (r10) ----------------------------
   // Mirrors the engine's documented §18.5 semantics: evaluation errors
   // (unbound vars) drop from the multiset, a PRESENT non-numeric term

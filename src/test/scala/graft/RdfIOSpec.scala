@@ -755,6 +755,38 @@ class RdfIOSpec extends AnyFunSuite {
         s"should reject: $b")
   }
 
+  test("wave 10: TriG block takes no trailing dot; annotation nesting; " +
+      "JSON-LD containers; nested xml:base") {
+    // wrappedGraph (TriG rule [5g]) ends at '}' — a '.' after it is a
+    // new (malformed) statement
+    intercept[Exception](ttl(p + "<http://g/> { :s :p 1 } ."))
+    assert(ttl(p + "<http://g/> { :s :p 1 }").size == 1)
+    assert(ttl(p + ":g { :s :p 1 }").size == 1)
+    assert(ttl(p + "_:g { :s :p 1 }").size == 1)
+    // Turtle-star: nested annotation blocks, annotations in object lists
+    assert(ttl(p + ":a :b :c {| :q :r {| :x 1 |} |} .").size == 3)
+    assert(ttl(p + ":a :b :c {| :q 1 |} , :d .").size == 3)
+    // JSON-LD containers
+    import graft.io.JsonLdParser
+    def ld(doc: String) = new JsonLdParser(doc).parse()
+    assert(ld("""{"@context":{"p":{"@id":"http://x/p","@container":"@set"}},
+      "@id":"http://x/s","p":["a","b"]}""").size == 2)
+    assert(ld("""{"@graph":[{"@id":"http://x/s","http://x/p":"v"}]}""")
+      .size == 1)
+    // RDF/XML: nested xml:base overrides only its own node element
+    val qs = new graft.io.RdfXmlParser(
+      """<?xml version="1.0"?><rdf:RDF
+        | xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        | xmlns:ex="http://x/" xml:base="http://b/">
+        |<rdf:Description rdf:about="a"><ex:p>
+        |  <rdf:Description xml:base="http://c/" rdf:about="z">
+        |    <ex:q>v</ex:q></rdf:Description>
+        |</ex:p></rdf:Description></rdf:RDF>""".stripMargin).parse()
+    assert(qs.exists(q => q.s.lex == "http://b/a" &&
+      q.o.lex == "http://c/z"))
+    assert(qs.exists(q => q.s.lex == "http://c/z" && q.o.lex == "v"))
+  }
+
   test("JSON-LD wave 8: value-object validity, null handling") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
