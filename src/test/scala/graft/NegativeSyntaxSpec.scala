@@ -102,7 +102,15 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "USING before the template" ->
       (pfx + "INSERT USING <urn:g> { :a :p :b } WHERE { ?s :q ?o }"),
     "quad data with variable graph" ->
-      (pfx + "INSERT DATA { GRAPH ?g { :a :p :b } }"))
+      (pfx + "INSERT DATA { GRAPH ?g { :a :p :b } }"),
+    // --- probe wave 11 (r10): quad-block shape, WITH cardinality ---
+    "nested GRAPH blocks in quad data" ->
+      (pfx + "INSERT DATA { GRAPH <urn:g1> { GRAPH <urn:g2> { :a :p 1 } } }"),
+    "GRAPH without braces in quad data" ->
+      (pfx + "INSERT DATA { GRAPH <urn:g1> :a :p 1 }"),
+    "duplicate WITH clause" ->
+      (pfx + "WITH <urn:g1> WITH <urn:g2> DELETE { ?s :p ?o } " +
+        "WHERE { ?s :p ?o }"))
 
   for ((name, q) <- badQueries)
     test(s"negative query syntax: $name") {
