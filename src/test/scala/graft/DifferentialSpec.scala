@@ -957,8 +957,26 @@ class DifferentialSpec extends AnyFunSuite {
               else terms.map(_._2.toLong)
             Some(int(vals.sum.toInt))
           }
+        case "AVG" =>
+          if (terms.exists(_._3 != Term.XsdInteger)) None // type error
+          else {
+            val vals =
+              if (call.distinct) terms.distinct.map(v => BigDecimal(v._2))
+              else terms.map(v => BigDecimal(v._2))
+            if (vals.isEmpty) Some(int(0))
+            else {
+              // engine: (sum / count).cast(Decimal(38,12)) + decLex —
+              // scale-12 HALF_UP, trailing zeros stripped
+              val q = (vals.sum / vals.size)
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+                .bigDecimal.stripTrailingZeros.toPlainString
+              Some((2, if (q == "-0") "0" else q, Term.XsdDecimal))
+            }
+          }
         case "MIN" => terms.minOption
         case "MAX" => terms.maxOption
+        // documented determinism: SAMPLE picks the nulls-last minimum
+        case "SAMPLE" => terms.minOption
         case "GROUP_CONCAT" =>
           val lexes = terms.sorted.map(_._2)
           Some(str(
@@ -978,6 +996,9 @@ class DifferentialSpec extends AnyFunSuite {
         yield AggCall("SUM", Some(EVar(v)), d)),
       1 -> Gen.oneOf(varNames).map(v => AggCall("MIN", Some(EVar(v)))),
       1 -> Gen.oneOf(varNames).map(v => AggCall("MAX", Some(EVar(v)))),
+      1 -> Gen.oneOf(varNames).map(v => AggCall("SAMPLE", Some(EVar(v)))),
+      1 -> (for { v <- Gen.oneOf(varNames); d <- Gen.oneOf(true, false) }
+        yield AggCall("AVG", Some(EVar(v)), d)),
       1 -> (for { v <- Gen.oneOf(varNames); s <- Gen.oneOf(" ", "|")
                   d <- Gen.oneOf(true, false) }
         yield AggCall("GROUP_CONCAT", Some(EVar(v)), d, s)))
