@@ -689,6 +689,33 @@ final class SparqlParser(input: String) {
   private val hoistedAggs =
     scala.collection.mutable.ListBuffer[(String, AggCall)]()
 
+  /** Fixed arities from the §17.4 grammar rules — the generic arg-list
+    * parse would otherwise accept IF(c,t) or STRLEN() and fail (or
+    * worse, misevaluate) only at query time. Variadic builtins
+    * (CONCAT, COALESCE, custom IRIs) are deliberately absent.
+    */
+  private val fnArity: Map[String, (Int, Int)] = Map(
+    "IF" -> (3, 3), "REGEX" -> (2, 3), "SUBSTR" -> (2, 3),
+    "REPLACE" -> (3, 4), "STRDT" -> (2, 2), "STRLANG" -> (2, 2),
+    "STRLEN" -> (1, 1), "UCASE" -> (1, 1), "LCASE" -> (1, 1),
+    "BOUND" -> (1, 1), "DATATYPE" -> (1, 1), "LANG" -> (1, 1),
+    "LANGMATCHES" -> (2, 2), "CONTAINS" -> (2, 2),
+    "STRSTARTS" -> (2, 2), "STRENDS" -> (2, 2),
+    "STRBEFORE" -> (2, 2), "STRAFTER" -> (2, 2),
+    "sameTerm" -> (2, 2), "isIRI" -> (1, 1), "isBlank" -> (1, 1),
+    "isLiteral" -> (1, 1), "isNumeric" -> (1, 1), "isTRIPLE" -> (1, 1),
+    "STR" -> (1, 1), "ABS" -> (1, 1), "CEIL" -> (1, 1),
+    "FLOOR" -> (1, 1), "ROUND" -> (1, 1), "ENCODE_FOR_URI" -> (1, 1),
+    "MD5" -> (1, 1), "SHA1" -> (1, 1), "SHA256" -> (1, 1),
+    "SHA384" -> (1, 1), "SHA512" -> (1, 1),
+    "YEAR" -> (1, 1), "MONTH" -> (1, 1), "DAY" -> (1, 1),
+    "HOURS" -> (1, 1), "MINUTES" -> (1, 1), "SECONDS" -> (1, 1),
+    "TIMEZONE" -> (1, 1), "TZ" -> (1, 1),
+    "NOW" -> (0, 0), "RAND" -> (0, 0), "UUID" -> (0, 0),
+    "STRUUID" -> (0, 0), "BNODE" -> (0, 1),
+    "TRIPLE" -> (3, 3), "SUBJECT" -> (1, 1), "PREDICATE" -> (1, 1),
+    "OBJECT" -> (1, 1))
+
   private def canonicalFn(name: String): String = name.toUpperCase match {
     case "ISIRI" | "ISURI" => "isIRI"
     case "ISBLANK" => "isBlank"
@@ -753,6 +780,11 @@ final class SparqlParser(input: String) {
             while (eatSym(",")) args += parseExpression()
           }
           expect(")")
+          fnArity.get(fn).foreach { case (lo, hi) =>
+            if (args.length < lo || args.length > hi)
+              fail(s"$fn takes ${if (lo == hi) s"$lo" else s"$lo-$hi"} " +
+                s"argument(s), got ${args.length}")
+          }
           EFn(fn, args.toSeq: _*)
         } else EFn(fn) // NOW / RAND / UUID without args? (grammar has ())
       } else {

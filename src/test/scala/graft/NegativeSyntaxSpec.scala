@@ -85,7 +85,16 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "VALUES with variable in data row" ->
       (pfx + "SELECT * WHERE { VALUES ?a { ?b } }"),
     "VALUES with blank node in data row" ->
-      (pfx + "SELECT * WHERE { VALUES ?a { _:b } }"))
+      (pfx + "SELECT * WHERE { VALUES ?a { _:b } }"),
+    // --- probe wave 12 (r10): expression grammar ---
+    "chained relational comparison" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER(1 < 2 < 3) }"),
+    "IF with two arguments" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER(IF(true, 1) = 1) }"),
+    "STRLEN with no arguments" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER(STRLEN() = 0) }"),
+    "REPLACE with two arguments" ->
+      (pfx + "SELECT (REPLACE(?y, \"a\") AS ?r) WHERE { ?x :p ?y }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->
