@@ -977,6 +977,27 @@ class DifferentialSpec extends AnyFunSuite {
         case "MAX" => terms.maxOption
         // documented determinism: SAMPLE picks the nulls-last minimum
         case "SAMPLE" => terms.minOption
+        case "GROUP_CONCAT" if call.orderBy.nonEmpty =>
+          // `; ORDER BY ?w` extension: per-row key terms under the
+          // requested direction (unbound key = (cls 0, MaxValue, ""),
+          // first under ASC, last under DESC), element lex ASC tiebreak
+          val vn = call.expr match {
+            case Some(EVar(x)) => x; case other => fail(s"gc: $other") }
+          val (we, asc) = call.orderBy.head
+          val wn = we match {
+            case EVar(x) => x; case other => fail(s"gc key: $other") }
+          def key(k: Option[T]): (Int, Double, String) =
+            k.map(ordKey).getOrElse((0, Double.MaxValue, ""))
+          val elems = group.flatMap(b => b.get(vn).map(t => (t._2, b.get(wn))))
+          val ord = implicitly[Ordering[(Int, Double, String)]]
+          val sorted = elems.sortWith { case ((l1, k1), (l2, k2)) =>
+            val (a, b2) = (key(k1), key(k2))
+            if (a != b2) { if (asc) ord.lt(a, b2) else ord.gt(a, b2) }
+            else l1 < l2
+          }.map(_._1)
+          Some(str(
+            (if (call.distinct) sorted.distinct else sorted)
+              .mkString(call.separator)))
         case "GROUP_CONCAT" =>
           val lexes = terms.sorted.map(_._2)
           Some(str(
@@ -1001,7 +1022,11 @@ class DifferentialSpec extends AnyFunSuite {
         yield AggCall("AVG", Some(EVar(v)), d)),
       1 -> (for { v <- Gen.oneOf(varNames); s <- Gen.oneOf(" ", "|")
                   d <- Gen.oneOf(true, false) }
-        yield AggCall("GROUP_CONCAT", Some(EVar(v)), d, s)))
+        yield AggCall("GROUP_CONCAT", Some(EVar(v)), d, s)),
+      1 -> (for { v <- Gen.oneOf(varNames); w <- Gen.oneOf(varNames)
+                  asc <- Gen.oneOf(true, false); s <- Gen.oneOf(",", " ") }
+        yield AggCall("GROUP_CONCAT", Some(EVar(v)), false, s,
+          Seq((EVar(w): Expr) -> asc))))
     // quoted-free data: the naive term order above stays total
     val genQuadPlain: Gen[(T, T, T)] = for {
       s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genTerm
