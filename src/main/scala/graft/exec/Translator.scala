@@ -1646,13 +1646,21 @@ object Translator {
           // function (cf. agg-sum-promotion vs agg-sum-error fixtures)
           aggCols += max(when(x.isNotNull && !Term.isNumericLit(x), 1)
             .otherwise(0)).as(n("nn"))
-          aggCols += count(dv).as(n("cnt"))
+          // AVG(DISTINCT) divides the DISTINCT sum by the DISTINCT
+          // count (§18.5.1.5 over Distinct(M)) — a plain count here
+          // silently deflated every duplicate-bearing distinct average
+          aggCols += (if (call.distinct) countDistinct(dv) else count(dv))
+            .as(n("cnt"))
           val sd = col(n("sd")); val sb = col(n("sb")); val r = col(n("r"))
           val bad = col(n("nn")) === 1
           if (call.fn == "SUM")
             post += when(bad, nullTerm)
               .when(col(n("cnt")) === 0, Term.intLit(lit(0L)))
-              .when(r >= 2, Term.doubleLit(sb))
+              .when(r === 3, Term.doubleLit(sb))
+              // float-only input: op:numeric-add stays in float — the
+              // result datatype is xsd:float, value rounded to f32
+              .when(r === 2,
+                Term.typedLit(SparqlExpr.fltLex(sb), Term.XsdFloat))
               .when(r === 0, Term.intLit(sd.cast(DecimalType(38, 0))
                 .cast(LongType)))
               .otherwise(Term.decimalLit(SparqlExpr.decLex(sd))).as(outName)
@@ -1661,7 +1669,9 @@ object Translator {
             // Sum/Count — same integer 0 as the empty Sum)
             post += when(bad, nullTerm)
               .when(col(n("cnt")) === 0, Term.intLit(lit(0L)))
-              .when(r >= 2, Term.doubleLit(sb / col(n("cnt"))))
+              .when(r === 3, Term.doubleLit(sb / col(n("cnt"))))
+              .when(r === 2, Term.typedLit(
+                SparqlExpr.fltLex(sb / col(n("cnt"))), Term.XsdFloat))
               .otherwise(Term.decimalLit(SparqlExpr.decLex(
                 (sd / col(n("cnt"))).cast(DV)))).as(outName)
         case "MIN" =>

@@ -926,13 +926,17 @@ class DifferentialSpec extends AnyFunSuite {
   // GROUP_CONCAT without ORDER BY sorts by term order with lex tiebreak
   // (the documented distributed-bag deviation).
   test("Group/aggregates match the naive §18.5 model") {
-    // term order on the quoted-free universe: (cls, num, lex)
-    def ordKey(t: T): (Int, Double, String) = t match {
-      case (1, lex, _) => (1, Double.MaxValue, lex)
-      case (0, lex, _) => (2, Double.MaxValue, lex)
-      case (2, lex, dt) if dt == Term.XsdInteger => (3, lex.toDouble, lex)
-      case (2, lex, _) => (3, Double.MaxValue, lex)
-      case (k, lex, _) => (4 + k, Double.MaxValue, lex)
+    // term order on the quoted-free universe: (cls, num, lex, dt) —
+    // the dt tail mirrors sortKey's tiebreak for numerically-equal
+    // terms of different datatypes (int 1 vs decimal 1)
+    val numericDts = Set(Term.XsdInteger, Term.XsdDecimal,
+      Term.XsdFloat, Term.XsdDouble)
+    def ordKey(t: T): (Int, Double, String, String) = t match {
+      case (1, lex, _) => (1, Double.MaxValue, lex, "")
+      case (0, lex, _) => (2, Double.MaxValue, lex, "")
+      case (2, lex, dt) if numericDts(dt) => (3, lex.toDouble, lex, dt)
+      case (2, lex, dt) => (3, Double.MaxValue, lex, dt)
+      case (k, lex, _) => (4 + k, Double.MaxValue, lex, "")
     }
     implicit val ordT: Ordering[T] = Ordering.by(ordKey)
     def naiveAgg(group: Seq[Binding], call: AggCall,
@@ -949,28 +953,42 @@ class DifferentialSpec extends AnyFunSuite {
           Some(int(n))
         case "COUNT" =>
           Some(int(if (call.distinct) terms.distinct.size else terms.size))
-        case "SUM" =>
-          if (terms.exists(_._3 != Term.XsdInteger)) None // type error
-          else {
-            val vals =
-              if (call.distinct) terms.distinct.map(_._2.toLong)
-              else terms.map(_._2.toLong)
-            Some(int(vals.sum.toInt))
+        case "SUM" | "AVG" =>
+          val numeric = Set(Term.XsdInteger, Term.XsdDecimal,
+            Term.XsdFloat, Term.XsdDouble)
+          def rank(dt: String) = dt match {
+            case Term.XsdInteger => 0; case Term.XsdDecimal => 1
+            case Term.XsdFloat => 2; case _ => 3
           }
-        case "AVG" =>
-          if (terms.exists(_._3 != Term.XsdInteger)) None // type error
+          def decStr(d: BigDecimal): String = {
+            val q = d.bigDecimal.stripTrailingZeros.toPlainString
+            if (q == "-0") "0" else q
+          }
+          if (terms.exists(t => !numeric(t._3))) None // type error
+          else if (terms.isEmpty) Some(int(0))
           else {
-            val vals =
-              if (call.distinct) terms.distinct.map(v => BigDecimal(v._2))
-              else terms.map(v => BigDecimal(v._2))
-            if (vals.isEmpty) Some(int(0))
-            else {
-              // engine: (sum / count).cast(Decimal(38,12)) + decLex —
-              // scale-12 HALF_UP, trailing zeros stripped
-              val q = (vals.sum / vals.size)
-                .setScale(12, BigDecimal.RoundingMode.HALF_UP)
-                .bigDecimal.stripTrailingZeros.toPlainString
-              Some((2, if (q == "-0") "0" else q, Term.XsdDecimal))
+            // mirror the engine's per-branch DISTINCT: decimal-space
+            // values for the exact branches, double-space for r>=2
+            val decs0 = terms.map(t =>
+              BigDecimal(t._2).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+            val decs = if (call.distinct) decs0.distinct else decs0
+            val dbls0 = terms.map(_._2.toDouble)
+            val dbls = if (call.distinct) dbls0.distinct else dbls0
+            val r = terms.map(t => rank(t._3)).max
+            val cnt = decs.size // count over the decimal branch
+            if (call.fn == "SUM") r match {
+              case 3 => Some((2, dbls.sum.toString, Term.XsdDouble))
+              case 2 => Some((2, dbls.sum.toFloat.toString, Term.XsdFloat))
+              case 1 => Some((2, decStr(decs.sum), Term.XsdDecimal))
+              case _ => Some(int(decs.sum.toInt))
+            } else r match {
+              case 3 => Some((2, (dbls.sum / cnt).toString, Term.XsdDouble))
+              case 2 => Some((2, (dbls.sum / cnt).toFloat.toString,
+                Term.XsdFloat))
+              case _ =>
+                val q = (decs.sum / cnt)
+                  .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+                Some((2, decStr(q), Term.XsdDecimal))
             }
           }
         case "MIN" => terms.minOption
@@ -986,10 +1004,10 @@ class DifferentialSpec extends AnyFunSuite {
           val (we, asc) = call.orderBy.head
           val wn = we match {
             case EVar(x) => x; case other => fail(s"gc key: $other") }
-          def key(k: Option[T]): (Int, Double, String) =
-            k.map(ordKey).getOrElse((0, Double.MaxValue, ""))
+          def key(k: Option[T]): (Int, Double, String, String) =
+            k.map(ordKey).getOrElse((0, Double.MaxValue, "", ""))
           val elems = group.flatMap(b => b.get(vn).map(t => (t._2, b.get(wn))))
-          val ord = implicitly[Ordering[(Int, Double, String)]]
+          val ord = implicitly[Ordering[(Int, Double, String, String)]]
           val sorted = elems.sortWith { case ((l1, k1), (l2, k2)) =>
             val (a, b2) = (key(k1), key(k2))
             if (a != b2) { if (asc) ord.lt(a, b2) else ord.gt(a, b2) }
@@ -1027,9 +1045,20 @@ class DifferentialSpec extends AnyFunSuite {
                   asc <- Gen.oneOf(true, false); s <- Gen.oneOf(",", " ") }
         yield AggCall("GROUP_CONCAT", Some(EVar(v)), false, s,
           Seq((EVar(w): Expr) -> asc))))
-    // quoted-free data: the naive term order above stays total
+    // quoted-free data (the naive term order above stays total), with
+    // the full numeric-type spread so SUM/AVG promotion is exercised:
+    // integer + decimal exact paths, float and double carrier paths
+    val genAggObj: Gen[T] = Gen.frequency[T](
+      3 -> Gen.choose(0, 5).map(int),
+      2 -> Gen.oneOf("a", "b", "c").map(str),
+      2 -> Gen.choose(0, 4).map(iri),
+      2 -> Gen.choose(-10, 10).map(n =>
+        (2, (BigDecimal(n) / 4).toString, Term.XsdDecimal)),
+      1 -> Gen.oneOf("2.5", "-0.5", "4.0").map(l =>
+        (2, l, Term.XsdDouble)),
+      1 -> Gen.oneOf("1.5", "3.0").map(l => (2, l, Term.XsdFloat)))
     val genQuadPlain: Gen[(T, T, T)] = for {
-      s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genTerm
+      s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genAggObj
     } yield (s, p, o)
     val genDataPlain: Gen[Seq[(T, T, T)]] =
       Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, genQuadPlain))
