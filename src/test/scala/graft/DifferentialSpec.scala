@@ -935,6 +935,9 @@ class DifferentialSpec extends AnyFunSuite {
       case (1, lex, _) => (1, Double.MaxValue, lex, "")
       case (0, lex, _) => (2, Double.MaxValue, lex, "")
       case (2, lex, dt) if numericDts(dt) => (3, lex.toDouble, lex, dt)
+      case (2, lex, dt) if dt == Term.XsdDateTime =>
+        // sortKey ranks temporals at unix_timestamp SECOND granularity
+        (3, java.time.Instant.parse(lex).getEpochSecond.toDouble, lex, dt)
       case (2, lex, dt) => (3, Double.MaxValue, lex, dt)
       case (k, lex, _) => (4 + k, Double.MaxValue, lex, "")
     }
@@ -1056,7 +1059,11 @@ class DifferentialSpec extends AnyFunSuite {
         (2, (BigDecimal(n) / 4).toString, Term.XsdDecimal)),
       1 -> Gen.oneOf("2.5", "-0.5", "4.0").map(l =>
         (2, l, Term.XsdDouble)),
-      1 -> Gen.oneOf("1.5", "3.0").map(l => (2, l, Term.XsdFloat)))
+      1 -> Gen.oneOf("1.5", "3.0").map(l => (2, l, Term.XsdFloat)),
+      // temporals: non-numeric for SUM/AVG (error), value-ranked for
+      // MIN/MAX/SAMPLE and GROUP_CONCAT element order
+      1 -> (for { d <- Gen.choose(1, 28); h <- Gen.choose(0, 23) } yield
+        (2, f"2020-03-$d%02dT$h%02d:00:00Z", Term.XsdDateTime): T))
     val genQuadPlain: Gen[(T, T, T)] = for {
       s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genAggObj
     } yield (s, p, o)
