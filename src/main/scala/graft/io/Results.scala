@@ -357,8 +357,13 @@ object Results {
           val lang = Option(l.getAttributeNS(
             "http://www.w3.org/XML/1998/namespace", "lang")).filter(_.nonEmpty)
             .map(Term.normLang)
-          val dt = Option(l.getAttribute("datatype")).filter(_.nonEmpty)
-            .getOrElse(lang.map(_ => Term.RdfLangString).getOrElse(Term.XsdString))
+          val dtAttr = Option(l.getAttribute("datatype")).filter(_.nonEmpty)
+          // an RDF literal carries a language OR a datatype, never both
+          if (lang.isDefined && dtAttr.isDefined)
+            throw new IllegalArgumentException(
+              "SPARQL XML results: literal with both xml:lang and datatype")
+          val dt = dtAttr.getOrElse(
+            lang.map(_ => Term.RdfLangString).getOrElse(Term.XsdString))
           Row(Term.LiteralKind.toByte, l.getTextContent, dt, lang.orNull)
         case (_, _, _, Some(t)) =>
           // SPARQL 1.2 <triple>: recursively re-encode to canonical lex

@@ -54,6 +54,17 @@ class ResultsSpec extends AnyFunSuite {
       sols.except(back).count() == 0)
   }
 
+  test("fromXml rejects a literal with both xml:lang and datatype " +
+      "(wave 13)") {
+    intercept[Exception](Results.fromXml(spark,
+      """<?xml version="1.0"?>
+        |<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+        |<head><variable name="a"/></head><results><result>
+        |<binding name="a"><literal xml:lang="en"
+        |  datatype="http://x/dt">v</literal></binding>
+        |</result></results></sparql>""".stripMargin))
+  }
+
   test("fromJson rejects malformed SELECT documents (wave 9)") {
     // missing results.bindings is a malformed response, not 0 rows
     intercept[Exception](
