@@ -80,10 +80,10 @@ object RdfIO {
           if (i + 1 >= line.length || line(i + 1) != ':') fail("bad bnode")
           i += 2
           val start = i
-          // BLANK_NODE_LABEL: interior '.'/'-' are label chars; a
-          // trailing dot run is the statement terminator
-          while (i < line.length && (line(i).isLetterOrDigit ||
-            line(i) == '_' || line(i) == '-' || line(i) == '.')) i += 1
+          // BLANK_NODE_LABEL: interior '.' and PN_CHARS are label
+          // chars; a trailing dot run is the statement terminator
+          while (i < line.length &&
+            (Term.isPnChar(line(i)) || line(i) == '.')) i += 1
           var end = i
           while (end > start && line(end - 1) == '.') end -= 1
           i = end

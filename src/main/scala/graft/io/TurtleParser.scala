@@ -102,9 +102,10 @@ final class TurtleParser(input: String, n3: Boolean = false,
 
   private def parsePrefixedName(): String = {
     val start = pos
+    // PN_PREFIX: PN_CHARS (incl. combining marks) plus interior dots
     while (pos < input.length &&
-      (input(pos).isLetterOrDigit || input(pos) == '_' || input(pos) == '-'))
-      pos += 1
+      (Term.isPnChar(input(pos)) || input(pos) == '.')) pos += 1
+    while (pos > start && input(pos - 1) == '.') pos -= 1
     val pfx = input.substring(start, pos)
     if (pos >= input.length || input(pos) != ':') fail(s"bad prefixed name")
     pos += 1
@@ -118,7 +119,7 @@ final class TurtleParser(input: String, n3: Boolean = false,
     while (go && pos < input.length) {
       val c = input(pos)
       if (c == '.') { dots += 1; pos += 1 }
-      else if (c.isLetterOrDigit || c == '_' || c == '-' || c == ':') {
+      else if (Term.isPnChar(c) || c == ':') {
         sb.append("." * dots); dots = 0
         sb += c; pos += 1
       } else if (c == '\\' && pos + 1 < input.length &&
@@ -252,11 +253,10 @@ final class TurtleParser(input: String, n3: Boolean = false,
       case '_' =>
         pos += 2 // _:
         val start = pos
-        // BLANK_NODE_LABEL (rule [141s]): interior '.' and '-' are
-        // label chars; a trailing dot run is the statement terminator
-        while (pos < input.length && (input(pos).isLetterOrDigit ||
-          input(pos) == '_' || input(pos) == '-' || input(pos) == '.'))
-          pos += 1
+        // BLANK_NODE_LABEL (rule [141s]): interior '.' and PN_CHARS
+        // are label chars; a trailing dot run is the statement dot
+        while (pos < input.length &&
+          (Term.isPnChar(input(pos)) || input(pos) == '.')) pos += 1
         var end = pos
         while (end > start && input(end - 1) == '.') end -= 1
         pos = end

@@ -81,6 +81,16 @@ object Term {
       lang.cast(StringType).as("lang"))
 
   /** IRI term column from a string column/literal. */
+  /** PN_CHARS continuation character (Turtle [166s] / SPARQL [167]):
+    * name letters/digits plus '_', '-', the middle dot U+00B7,
+    * combining marks U+0300–U+036F, and U+203F/U+2040 — shared by the
+    * SPARQL/Turtle/N-Triples name scanners so decomposed-unicode names
+    * (e + combining acute) parse like their NFC forms.
+    */
+  def isPnChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '-' || c == 0x00B7 ||
+      (c >= 0x0300 && c <= 0x036F) || c == 0x203F || c == 0x2040
+
   def iri(c: Column): Column = term(IriKind, c, lit(null), lit(null))
   def iri(s: String): Column = iri(lit(s))
 

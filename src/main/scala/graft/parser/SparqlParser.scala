@@ -104,8 +104,11 @@ final class SparqlParser(input: String) {
       fail("expected variable")
     pos += 1
     val start = pos
+    // VARNAME (rule [166]): PN_CHARS_U/digits then name chars incl.
+    // the middle dot and combining marks ('-' is NOT a var char)
     while (pos < input.length &&
-      (input(pos).isLetterOrDigit || input(pos) == '_')) pos += 1
+      (input(pos) == '_' || (input(pos) != '-' &&
+        graft.model.Term.isPnChar(input(pos))))) pos += 1
     if (pos == start) fail("empty variable name")
     input.substring(start, pos)
   }
@@ -133,8 +136,10 @@ final class SparqlParser(input: String) {
     ws()
     val start = pos
     var p = pos
+    // PN_PREFIX continuation: PN_CHARS plus interior dots
     while (p < input.length &&
-      (input(p).isLetterOrDigit || input(p) == '_')) p += 1
+      (Term.isPnChar(input(p)) || input(p) == '.')) p += 1
+    while (p > start && input(p - 1) == '.') p -= 1
     if (p < input.length && input(p) == ':') {
       val pfx = input.substring(start, p)
       prefixes.get(pfx) match {
@@ -150,7 +155,7 @@ final class SparqlParser(input: String) {
           var cont = true
           while (cont && pos < input.length) {
             val c = input(pos)
-            if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.' ||
+            if (Term.isPnChar(c) || c == '.' ||
               c == ':') { toks += ((c.toString, false)); pos += 1 }
             else if (c == '\\' && pos + 1 < input.length &&
               "_~.-!$&'()*+,;=/?#@%".indexOf(input(pos + 1)) >= 0) {

@@ -806,6 +806,19 @@ class RdfIOSpec extends AnyFunSuite {
         s"should reject: $b")
   }
 
+  test("PN_CHARS beyond ASCII: combining marks, middle dot, undertie " +
+      "(wave 14)") {
+    // decomposed e + COMBINING ACUTE in locals, labels, prefixes
+    assert(ttl(p + ":éx :p 1 .").head.s.lex == "http://x/éx")
+    assert(ttl(p + ":a·b :p 1 .").head.s.lex == "http://x/a·b")
+    assert(ttl(p + ":a‿b :p 1 .").head.s.lex == "http://x/a‿b")
+    assert(ttl(p + "_:é :p 1 .").head.s.lex == "é")
+    assert(ttl("@prefix p·x: <http://y/> .\np·x:s p·x:p 1 .")
+      .head.s.lex == "http://y/s")
+    assert(RdfIO.parseLine("_:é <http://e/p> \"v\" .",
+      allowGraph = false).get.s.lex == "é")
+  }
+
   test("N-Triples: bnode labels with interior dots, bad langtag") {
     val q = RdfIO.parseLine("_:a.b <http://e/p> _:c.d .",
       allowGraph = false).get
