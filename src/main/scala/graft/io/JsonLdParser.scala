@@ -196,21 +196,25 @@ final class JsonLdParser(content: String) {
     else scalarLit(v, td, ctx)
 
   private def listTerm(items: Seq[JsonNode], g: TermRow, ctx: Ctx,
-      td: Option[TermDef]): TermRow =
-    items.filterNot(_.isNull) match { // nulls drop out of lists too
+      td: Option[TermDef]): TermRow = {
+    val itemTd = td.map(_.copy(container = None))
+    // evaluate items FIRST: a {"@value": null} entry yields a null
+    // term and drops out of the list exactly like a bare JSON null
+    val terms = items.filterNot(_.isNull)
+      .map(valueTerm(_, g, ctx, itemTd)).filter(_ != null)
+    terms match {
       case Seq() => iri(RdfNs + "nil")
       case live =>
         val nodes = live.map(_ => fresh())
-        val itemTd = td.map(_.copy(container = None))
-        for (((n, item), idx) <- nodes.zip(live).zipWithIndex) {
-          out += QuadRow(g, n, iri(RdfNs + "first"),
-            valueTerm(item, g, ctx, itemTd))
+        for (((n, t), idx) <- nodes.zip(live).zipWithIndex) {
+          out += QuadRow(g, n, iri(RdfNs + "first"), t)
           out += QuadRow(g, n, iri(RdfNs + "rest"),
             if (idx == live.size - 1) iri(RdfNs + "nil")
             else nodes(idx + 1))
         }
         nodes.head
     }
+  }
 
   /** A node object: emits its triples into graph `g`, returns subject. */
   private def nodeObject(n: JsonNode, g: TermRow, parentCtx: Ctx): TermRow = {

@@ -80,13 +80,18 @@ object RdfIO {
           if (i + 1 >= line.length || line(i + 1) != ':') fail("bad bnode")
           i += 2
           val start = i
-          // BLANK_NODE_LABEL: interior '.' and PN_CHARS are label
-          // chars; a trailing dot run is the statement terminator
+          // BLANK_NODE_LABEL: first char PN_CHARS_U or [0-9]; interior
+          // '.' and PN_CHARS are label chars; a trailing dot run is
+          // the statement terminator
           while (i < line.length &&
             (Term.isPnChar(line(i)) || line(i) == '.')) i += 1
           var end = i
           while (end > start && line(end - 1) == '.') end -= 1
           i = end
+          if (end == start) fail("empty blank node label")
+          if (!(Term.isPnCharsU(line(start)) ||
+            (line(start) >= '0' && line(start) <= '9')))
+            fail("blank node label must start with PN_CHARS_U or a digit")
           TermRow(Term.BlankKind.toByte, line.substring(start, end), null, null)
         case '"' =>
           i += 1

@@ -37,11 +37,14 @@ final class RdfXmlParser(content: String) {
 
   private def err(msg: String): Nothing =
     throw new IllegalArgumentException(s"RDF/XML: $msg")
-  /** rdf:ID / rdf:nodeID values are NCNames (ASCII approximation). */
+  /** rdf:ID / rdf:nodeID values are NCNames. XML's NameStartChar-minus-
+    * colon is exactly PN_CHARS_U and NameChar is exactly PN_CHARS|'.'
+    * (same codepoint ranges in both grammars), so the shared Term
+    * predicates give the exact unicode classes.
+    */
   private def ncName(s: String): Boolean =
-    s.nonEmpty && (s.head.isLetter || s.head == '_') &&
-      s.tail.forall(c => c.isLetterOrDigit || c == '.' || c == '-' ||
-        c == '_')
+    s.nonEmpty && Term.isPnCharsU(s.head) &&
+      s.tail.forall(c => Term.isPnChar(c) || c == '.')
   /** constraint-id: each rdf:ID is unique per document+base. */
   private val usedIds = scala.collection.mutable.Set[String]()
   private def registerId(resolved: String): Unit =
@@ -135,27 +138,48 @@ final class RdfXmlParser(content: String) {
       } else fresh()
     if (qname(e) != RdfNs + "Description")
       out += QuadRow(DG, subj, iri(RdfNs + "type"), iri(qname(e)))
-    // property attributes: non-syntax attrs from any namespace;
-    // rdf:type as an attribute takes a resolved IRI object (grammar
-    // propertyAttr), other rdf:* non-syntax locals (rdf:value…) are
-    // ordinary string-literal properties
+    emitPropertyAttrs(subj, propertyAttrs(e), lang, base)
+    propertyElements(subj, childElements(e), lang, base)
+    subj
+  }
+
+  /** Attributes of `e` matching propertyAttr (grammar §7.2.25):
+    * non-syntax attrs from any namespace. rdf:Description and rdf:li
+    * are excluded from propertyAttributeURIs — an error in attribute
+    * position, never string-literal properties.
+    */
+  private def propertyAttrs(e: org.w3c.dom.Element): Seq[org.w3c.dom.Node] = {
     val attrs = e.getAttributes
-    (0 until attrs.getLength).map(attrs.item).foreach { a =>
+    (0 until attrs.getLength).map(attrs.item).filter { a =>
+      val ns = Option(a.getNamespaceURI).getOrElse("")
+      if (ns == RdfNs &&
+        (a.getLocalName == "Description" || a.getLocalName == "li"))
+        err(s"rdf:${a.getLocalName} is not allowed as a property attribute")
+      ns != XmlNs && ns != "http://www.w3.org/2000/xmlns/" &&
+        a.getLocalName != null &&
+        !(ns == RdfNs && SyntaxTerms(a.getLocalName)) &&
+        !(ns.isEmpty && a.getLocalName == "xmlns")
+    }
+  }
+
+  /** propertyAttr triples on `subj`: rdf:type takes a resolved IRI
+    * object; any other attribute a plain literal carrying the
+    * in-scope xml:lang (§7.2.11: literal-language = e.language).
+    */
+  private def emitPropertyAttrs(subj: TermRow, as: Seq[org.w3c.dom.Node],
+      lang: Option[String], base: Option[String]): Unit =
+    as.foreach { a =>
       val ns = Option(a.getNamespaceURI).getOrElse("")
       if (ns == RdfNs && a.getLocalName == "type")
         out += QuadRow(DG, subj, iri(RdfNs + "type"),
           iri(resolve(base, a.getNodeValue)))
-      else if (ns != XmlNs &&
-        ns != "http://www.w3.org/2000/xmlns/" && a.getLocalName != null &&
-        !(ns == RdfNs && SyntaxTerms(a.getLocalName)) &&
-        !(ns.isEmpty && a.getLocalName == "xmlns"))
-        out += QuadRow(DG, subj, iri(qname(a)),
-          TermRow(Term.LiteralKind.toByte, a.getNodeValue,
-            Term.XsdString, null))
+      else out += QuadRow(DG, subj, iri(qname(a)), lang match {
+        case Some(l) => TermRow(Term.LiteralKind.toByte, a.getNodeValue,
+          Term.RdfLangString, l)
+        case None => TermRow(Term.LiteralKind.toByte, a.getNodeValue,
+          Term.XsdString, null)
+      })
     }
-    propertyElements(subj, childElements(e), lang, base)
-    subj
-  }
 
   /** Property elements of one subject (shared by node elements and
     * parseType="Resource" implicit nodes). rdf:li renumbers per subject
@@ -189,6 +213,13 @@ final class RdfXmlParser(content: String) {
         objAttrs.map("rdf:" + _).mkString(" and "))
       if (parseType.isDefined && objAttrs.nonEmpty)
         err(s"rdf:parseType with rdf:${objAttrs.head}")
+      // propertyAttr is only in the emptyPropertyElt production —
+      // never with parseType or rdf:datatype (grammar §7.2.21)
+      val pAttrs = propertyAttrs(pe)
+      if (pAttrs.nonEmpty && parseType.isDefined)
+        err(s"rdf:parseType with property attributes on <${qname(pe)}>")
+      if (pAttrs.nonEmpty && pe.hasAttributeNS(RdfNs, "datatype"))
+        err(s"rdf:datatype with property attributes on <${qname(pe)}>")
       if ((pe.hasAttributeNS(RdfNs, "resource") ||
         pe.hasAttributeNS(RdfNs, "nodeID")) && childElements(pe).nonEmpty)
         err(s"<${qname(pe)}> with rdf:${objAttrs.head} must be empty")
@@ -221,14 +252,26 @@ final class RdfXmlParser(content: String) {
         case Some(other) => throw new IllegalArgumentException(
           s"unsupported rdf:parseType: $other")
         case None =>
-          if (pe.hasAttributeNS(RdfNs, "resource"))
-            iri(resolve(pbase, pe.getAttributeNS(RdfNs, "resource")))
-          else if (pe.hasAttributeNS(RdfNs, "nodeID"))
-            TermRow(Term.BlankKind.toByte, pe.getAttributeNS(RdfNs, "nodeID"),
-              null, null)
-          else if (pe.hasAttributeNS(RdfNs, "datatype"))
+          if (pe.hasAttributeNS(RdfNs, "resource")) {
+            val r =
+              iri(resolve(pbase, pe.getAttributeNS(RdfNs, "resource")))
+            emitPropertyAttrs(r, pAttrs, plang, pbase); r
+          } else if (pe.hasAttributeNS(RdfNs, "nodeID")) {
+            val r = TermRow(Term.BlankKind.toByte,
+              pe.getAttributeNS(RdfNs, "nodeID"), null, null)
+            emitPropertyAttrs(r, pAttrs, plang, pbase); r
+          } else if (pe.hasAttributeNS(RdfNs, "datatype"))
             TermRow(Term.LiteralKind.toByte, pe.getTextContent,
               pe.getAttributeNS(RdfNs, "datatype"), null)
+          else if (pAttrs.nonEmpty) {
+            // emptyPropertyElt with propertyAttr*: the object is an
+            // implicit blank node carrying the attribute triples
+            if (childElements(pe).nonEmpty || pe.getTextContent.trim.nonEmpty)
+              err(s"<${qname(pe)}> with property attributes must be empty")
+            val r = fresh()
+            emitPropertyAttrs(r, pAttrs, plang, pbase)
+            r
+          }
           else childElements(pe) match {
             case Seq(nested) => nodeElement(nested, plang, pbase)
             case Seq() => plang match {

@@ -81,14 +81,40 @@ object Term {
       lang.cast(StringType).as("lang"))
 
   /** IRI term column from a string column/literal. */
+  /** PN_CHARS_BASE (Turtle [163s] / SPARQL [164]) — the exact grammar
+    * ranges, NOT Character.isLetter: letters by codepoint block, ZWNJ/
+    * ZWJ, and astral planes 1–14 (#x10000–#xEFFFF). Astral codepoints
+    * are handled char-wise: a high surrogate ≤ U+DB7F is exactly the
+    * first half of a codepoint ≤ #xEFFFF (UTF-8-decoded strings never
+    * carry lone surrogates, so accepting the halves independently is
+    * equivalent to accepting the pair).
+    */
+  def isPnCharsBase(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= 0x00C0 && c <= 0x00D6) || (c >= 0x00D8 && c <= 0x00F6) ||
+      (c >= 0x00F8 && c <= 0x02FF) || (c >= 0x0370 && c <= 0x037D) ||
+      (c >= 0x037F && c <= 0x1FFF) || (c >= 0x200C && c <= 0x200D) ||
+      (c >= 0x2070 && c <= 0x218F) || (c >= 0x2C00 && c <= 0x2FEF) ||
+      (c >= 0x3001 && c <= 0xD7FF) || (c >= 0xF900 && c <= 0xFDCF) ||
+      (c >= 0xFDF0 && c <= 0xFFFD) ||
+      (Character.isHighSurrogate(c) && c <= 0xDB7F) ||
+      Character.isLowSurrogate(c)
+
+  /** PN_CHARS_U: PN_CHARS_BASE | '_'. The legal FIRST character of a
+    * blank-node label or VARNAME (with digits), and of PN_LOCAL (with
+    * digits, ':' and PLX). */
+  def isPnCharsU(c: Char): Boolean = isPnCharsBase(c) || c == '_'
+
   /** PN_CHARS continuation character (Turtle [166s] / SPARQL [167]):
-    * name letters/digits plus '_', '-', the middle dot U+00B7,
-    * combining marks U+0300–U+036F, and U+203F/U+2040 — shared by the
-    * SPARQL/Turtle/N-Triples name scanners so decomposed-unicode names
-    * (e + combining acute) parse like their NFC forms.
+    * PN_CHARS_U plus '-', digits, the middle dot U+00B7, combining
+    * marks U+0300–U+036F, and U+203F/U+2040 — shared by the SPARQL/
+    * Turtle/N-Triples name scanners so decomposed-unicode names
+    * (e + combining acute) parse like their NFC forms. Continuation
+    * ONLY: leading digits/'-'/marks are reserved — scanners must gate
+    * the first char on isPnCharsU/isPnCharsBase per production.
     */
   def isPnChar(c: Char): Boolean =
-    c.isLetterOrDigit || c == '_' || c == '-' || c == 0x00B7 ||
+    isPnCharsU(c) || (c >= '0' && c <= '9') || c == '-' || c == 0x00B7 ||
       (c >= 0x0300 && c <= 0x036F) || c == 0x203F || c == 0x2040
 
   def iri(c: Column): Column = term(IriKind, c, lit(null), lit(null))

@@ -62,25 +62,31 @@ final class SparqlParser(input: String) {
   private def peek(s: String): Boolean = {
     ws()
     input.regionMatches(true, pos, s, 0, s.length) && {
-      // keywords must not run into a name character — including ':',
-      // where longest-match lexing makes the whole token a PNAME
-      // (`a:p`, `GRAPH:g` are prefixed names, never keyword + name)
-      val after = pos + s.length
-      !s.head.isLetter || after >= input.length ||
-        !(input(after).isLetterOrDigit || input(after) == '_' ||
-          input(after) == ':')
+      !s.head.isLetter || nameBoundary(pos + s.length)
     }
+  }
+  /** Longest-match keyword boundary: a keyword candidate ending at
+    * `after` is only a keyword if the name token does not continue —
+    * any PN_CHARS continuation (incl. '-' and unicode marks: `a-b` is
+    * a legal PN_PREFIX, with interior dots) makes it a longer name,
+    * and a PNAME_NS colon makes the whole token a PNAME (`a:p`,
+    * `GRAPH:g` are prefixed names, never keyword + name). A bare DOT
+    * after the keyword is the statement terminator (`?s ?p true.`).
+    */
+  private def nameBoundary(after: Int): Boolean = {
+    if (after >= input.length) return true
+    var p = after
+    while (p < input.length &&
+      (Term.isPnChar(input(p)) || input(p) == '.')) p += 1
+    while (p > after && input(p - 1) == '.') p -= 1
+    p == after && !(p < input.length && input(p) == ':')
   }
   /** The rdf:type keyword `a` — unlike every other keyword it is
     * case-SENSITIVE (grammar rule [9] quotes a lowercase terminal).
     */
   private def peekTypeKw(): Boolean = {
     ws()
-    pos < input.length && input(pos) == 'a' && {
-      val after = pos + 1
-      after >= input.length || !(input(after).isLetterOrDigit ||
-        input(after) == '_' || input(after) == ':')
-    }
+    pos < input.length && input(pos) == 'a' && nameBoundary(pos + 1)
   }
   private def eatTypeKw(): Boolean =
     if (peekTypeKw()) { pos += 1; true } else false
@@ -104,12 +110,16 @@ final class SparqlParser(input: String) {
       fail("expected variable")
     pos += 1
     val start = pos
-    // VARNAME (rule [166]): PN_CHARS_U/digits then name chars incl.
-    // the middle dot and combining marks ('-' is NOT a var char)
+    // VARNAME (rule [166]): first char PN_CHARS_U or [0-9], then name
+    // chars incl. the middle dot and combining marks ('-' is NOT a
+    // var char)
     while (pos < input.length &&
       (input(pos) == '_' || (input(pos) != '-' &&
         graft.model.Term.isPnChar(input(pos))))) pos += 1
     if (pos == start) fail("empty variable name")
+    if (!(Term.isPnCharsU(input(start)) ||
+      (input(start) >= '0' && input(start) <= '9')))
+      fail("variable name must start with PN_CHARS_U or a digit")
     input.substring(start, pos)
   }
 
@@ -136,10 +146,12 @@ final class SparqlParser(input: String) {
     ws()
     val start = pos
     var p = pos
-    // PN_PREFIX continuation: PN_CHARS plus interior dots
+    // PN_PREFIX (rule [168]): first char PN_CHARS_BASE, then PN_CHARS
+    // plus interior dots
     while (p < input.length &&
       (Term.isPnChar(input(p)) || input(p) == '.')) p += 1
     while (p > start && input(p - 1) == '.') p -= 1
+    if (p > start && !Term.isPnCharsBase(input(start))) return None
     if (p < input.length && input(p) == ':') {
       val pfx = input.substring(start, p)
       prefixes.get(pfx) match {
@@ -155,8 +167,14 @@ final class SparqlParser(input: String) {
           var cont = true
           while (cont && pos < input.length) {
             val c = input(pos)
-            if (Term.isPnChar(c) || c == '.' ||
-              c == ':') { toks += ((c.toString, false)); pos += 1 }
+            // first char is PN_CHARS_U | ':' | [0-9] | PLX — a leading
+            // '.', '-', or mark ends the token at the colon (`ex:` is
+            // itself a valid PNAME_NS prefixed name)
+            val bareOk =
+              if (toks.isEmpty) Term.isPnCharsU(c) || c == ':' ||
+                (c >= '0' && c <= '9')
+              else Term.isPnChar(c) || c == '.' || c == ':'
+            if (bareOk) { toks += ((c.toString, false)); pos += 1 }
             else if (c == '\\' && pos + 1 < input.length &&
               "_~.-!$&'()*+,;=/?#@%".indexOf(input(pos + 1)) >= 0) {
               toks += ((input(pos + 1).toString, true)); pos += 2
@@ -300,9 +318,19 @@ final class SparqlParser(input: String) {
         input(pos) == '.')) parseNumber()
     else if (peekSym("_:")) { pos += 2
       val start = pos
-      while (pos < input.length && (input(pos).isLetterOrDigit ||
-        input(pos) == '_')) pos += 1
-      val lbl = input.substring(start, pos)
+      // BLANK_NODE_LABEL (rule [142]): first char PN_CHARS_U or [0-9];
+      // interior '.' and PN_CHARS (incl. '-' and unicode marks) are
+      // label chars; a trailing dot run belongs to the statement
+      while (pos < input.length &&
+        (Term.isPnChar(input(pos)) || input(pos) == '.')) pos += 1
+      var lEnd = pos
+      while (lEnd > start && input(lEnd - 1) == '.') lEnd -= 1
+      pos = lEnd
+      if (lEnd == start) fail("empty blank node label")
+      if (!(Term.isPnCharsU(input(start)) ||
+        (input(start) >= '0' && input(start) <= '9')))
+        fail("blank node label must start with PN_CHARS_U or a digit")
+      val lbl = input.substring(start, lEnd)
       if (trackBnodeLabels) {
         if (closedBgpLabels(lbl) && !curBgpLabels(lbl))
           fail(s"blank node label _:$lbl used in more than one basic " +
@@ -855,9 +883,17 @@ final class SparqlParser(input: String) {
     while (go) {
       if (peek("PREFIX")) {
         eat("PREFIX"); ws()
+        // PNAME_NS (rule [140]): empty, or PN_CHARS_BASE then
+        // PN_CHARS/interior dots — one token, colon attached
         val start = pos
-        while (pos < input.length && input(pos) != ':') pos += 1
-        val name = input.substring(start, pos).trim
+        while (pos < input.length &&
+          (Term.isPnChar(input(pos)) || input(pos) == '.')) pos += 1
+        while (pos > start && input(pos - 1) == '.') pos -= 1
+        val name = input.substring(start, pos)
+        if (name.nonEmpty && !Term.isPnCharsBase(name.head))
+          fail(s"prefix '$name' must start with PN_CHARS_BASE")
+        if (pos >= input.length || input(pos) != ':')
+          fail("expected ':' after PREFIX name")
         pos += 1
         prefixes(name) = parseIriRef()
       } else if (peek("BASE")) { eat("BASE"); base = parseIriRef() }

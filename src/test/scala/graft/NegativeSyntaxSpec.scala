@@ -94,7 +94,20 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "STRLEN with no arguments" ->
       (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER(STRLEN() = 0) }"),
     "REPLACE with two arguments" ->
-      (pfx + "SELECT (REPLACE(?y, \"a\") AS ?r) WHERE { ?x :p ?y }"))
+      (pfx + "SELECT (REPLACE(?y, \"a\") AS ?r) WHERE { ?x :p ?y }"),
+    // --- probe wave 15 (r11): first-char strictness ---
+    "prefix declared starting with a digit" ->
+      ("PREFIX 1a: <http://x/>\nSELECT ?x WHERE { ?x 1a:p 1 }"),
+    "prefix declared starting with an underscore" ->
+      ("PREFIX _a: <http://x/>\nSELECT ?x WHERE { ?x _a:p 1 }"),
+    "prefix name split from its colon" ->
+      ("PREFIX ab : <http://x/>\nSELECT ?x WHERE { ?x ab:p 1 }"),
+    "variable starting with a combining mark" ->
+      (pfx + "SELECT ?̀x WHERE { ?̀x :p 1 }"),
+    "blank node label starting with a dash" ->
+      (pfx + "SELECT ?x WHERE { _:-a :p ?x }"),
+    "local name starting with a dash strands the dash" ->
+      (pfx + "SELECT ?x WHERE { ?x :-p 1 }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->

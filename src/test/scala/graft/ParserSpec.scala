@@ -317,4 +317,24 @@ class ParserSpec extends AnyFunSuite {
     val ops = SparqlParser.parseUpdateText(pfx + "DELETE WHERE { }")
     assert(ops.length == 1) // empty template + empty pattern = no-op
   }
+
+  test("wave 15: keyword boundary uses PN_CHARS — 'a-b' prefixes, " +
+      "'true.' terminator") {
+    // 'a-b' is a legal PN_PREFIX ('-' is a PN_CHARS continuation), so
+    // 'a-b:p' must parse as one PNAME, never the 'a' type keyword
+    val q = SparqlParser.parse("PREFIX a-b: <http://y/>\n" +
+      "SELECT ?x WHERE { ?x a-b:p 1 }")
+    assert(q != null)
+    // interior dots: 'a.b:p' is a PNAME with prefix 'a.b'
+    val qd = SparqlParser.parse("PREFIX a.b: <http://y/>\n" +
+      "SELECT ?x WHERE { ?x a.b:p 1 }")
+    assert(qd != null)
+    // a bare DOT after a keyword is still the statement terminator
+    val qt = SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p true. ?x :q false. }")
+    assert(qt != null)
+    // and 'a' as rdf:type followed by DOT still works
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x a :T. ?x :q 1 }") != null)
+  }
 }

@@ -828,4 +828,130 @@ class RdfIOSpec extends AnyFunSuite {
     intercept[Exception](RdfIO.parseLine(
       "<http://e/s> <http://e/p> \"v\"@en- .", allowGraph = false))
   }
+
+  test("wave 15: PN first-char strictness — prefixes, locals, labels") {
+    // PN_PREFIX must start with PN_CHARS_BASE: no digits/'_'/'-'/marks
+    intercept[Exception](ttl("@prefix 1a: <http://y/> .\n1a:s 1a:p 1 ."))
+    intercept[Exception](ttl("@prefix _a: <http://y/> .\n_a:s _a:p 1 ."))
+    intercept[Exception](ttl("@prefix ·a: <http://y/> .\n·a:s ·a:p 1 ."))
+    // PN_LOCAL first char is PN_CHARS_U | ':' | [0-9] | PLX — a
+    // leading '-' or '.' ends the token at the PNAME_NS colon and the
+    // leftover fails downstream
+    intercept[Exception](ttl(p + ":s :p :-x ."))
+    intercept[Exception](ttl(p + ":s :p :.x ."))
+    assert(ttl(p + ":s :p :9x .").head.o.lex == "http://x/9x")
+    assert(ttl(p + ":s :p :_x .").head.o.lex == "http://x/_x")
+    assert(ttl(p + ":s :p :%41x .").head.o.lex == "http://x/%41x")
+    assert(ttl(p + ":s :p :\\-x .").head.o.lex == "http://x/-x")
+    // BLANK_NODE_LABEL first char is PN_CHARS_U or [0-9]
+    intercept[Exception](ttl(p + "_:-a :p 1 ."))
+    intercept[Exception](ttl(p + "_:·a :p 1 ."))
+    assert(ttl(p + "_:9a :p 1 .").head.s.lex == "9a")
+    intercept[Exception](RdfIO.parseLine(
+      "_:-a <http://e/p> \"v\" .", allowGraph = false))
+    intercept[Exception](RdfIO.parseLine(
+      "_: <http://e/p> \"v\" .", allowGraph = false))
+    assert(RdfIO.parseLine("_:9a <http://e/p> \"v\" .",
+      allowGraph = false).get.s.lex == "9a")
+  }
+
+  test("wave 15: RDF/XML NCName unicode + emptyPropertyElt property " +
+      "attributes") {
+    import graft.io.RdfXmlParser
+    val R = "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" " +
+      "xmlns:ex=\"http://x/\""
+    def doc(body: String, extra: String = "") =
+      s"""<?xml version="1.0"?><rdf:RDF $R $extra>$body</rdf:RDF>"""
+    def parse(body: String, extra: String = "") =
+      new RdfXmlParser(doc(body, extra)).parse()
+    // NCName start/continuation beyond ASCII: é starts, · continues
+    assert(parse("""<rdf:Description rdf:nodeID="éb"><ex:p>v</ex:p></rdf:Description>""")
+      .head.s.lex == "éb")
+    assert(parse("""<rdf:Description rdf:nodeID="a·b"><ex:p>v</ex:p></rdf:Description>""")
+      .head.s.lex == "a·b")
+    intercept[Exception](parse(
+      """<rdf:Description rdf:nodeID="·a"><ex:p>v</ex:p></rdf:Description>"""))
+    intercept[Exception](parse(
+      """<rdf:Description rdf:nodeID="-a"><ex:p>v</ex:p></rdf:Description>"""))
+    // emptyPropertyElt with propertyAttr*: implicit bnode object
+    val b = parse("""<rdf:Description rdf:about="http://x/s"><ex:p ex:q="v" rdf:type="http://x/T"/></rdf:Description>""")
+    assert(b.size == 3)
+    val bn = b.find(_.p.lex == "http://x/p").get.o
+    assert(bn.kind == Term.BlankKind.toByte)
+    assert(b.exists(q => q.s == bn && q.p.lex == "http://x/q" &&
+      q.o.lex == "v"))
+    assert(b.exists(q => q.s == bn && q.p.lex.endsWith("#type") &&
+      q.o.lex == "http://x/T"))
+    // rdf:resource + propertyAttr: attributes attach to the resource
+    val r = parse("""<rdf:Description rdf:about="http://x/s"><ex:p rdf:resource="http://x/o" ex:q="v"/></rdf:Description>""")
+    assert(r.exists(q => q.s.lex == "http://x/o" &&
+      q.p.lex == "http://x/q" && q.o.lex == "v"))
+    // node-element property attributes carry the in-scope xml:lang
+    val l = parse("""<rdf:Description rdf:about="http://x/s" xml:lang="en" ex:n="v"/>""")
+    assert(l.head.o.dt == Term.RdfLangString && l.head.o.lang == "en")
+    val bads = Seq(
+      // propertyAttr never combines with parseType or rdf:datatype
+      """<rdf:Description rdf:about="http://x/s"><ex:p rdf:parseType="Resource" ex:q="v"/></rdf:Description>""",
+      """<rdf:Description rdf:about="http://x/s"><ex:p rdf:datatype="http://x/dt" ex:q="v">t</ex:p></rdf:Description>""",
+      // property element with attributes must be EMPTY
+      """<rdf:Description rdf:about="http://x/s"><ex:p ex:q="v">text</ex:p></rdf:Description>""",
+      // rdf:Description / rdf:li are not property attributes
+      """<rdf:Description rdf:about="http://x/s" rdf:Description="x"/>""",
+      """<rdf:Description rdf:about="http://x/s" rdf:li="x"/>""")
+    for (bad <- bads)
+      assert(
+        try { parse(bad); false } catch { case _: Exception => true },
+        s"should reject: $bad")
+  }
+
+  test("wave 15: N3 quantifiers bind symbols to variables; N3-only " +
+      "syntax is rejected in Turtle mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_n3q")
+    java.nio.file.Files.writeString(dir.resolve("q.n3"),
+      """@prefix ex: <http://e/> .
+        |@forAll ex:u .
+        |@forSome ex:v , ex:w .
+        |ex:u ex:p ex:v .
+        |ex:a ex:q ex:w .
+        |""".stripMargin)
+    val rows = RdfIO.read(spark, dir.toString + "/q.n3", "n3").collect()
+    def part(r: org.apache.spark.sql.Row, f: String) =
+      r.getAs[org.apache.spark.sql.Row](f)
+    val r1 = rows.find(r => part(r, "p").getString(1) == "http://e/p").get
+    val r2 = rows.find(r => part(r, "p").getString(1) == "http://e/q").get
+    val B = graft.model.Term.BlankKind.toByte
+    // quantified symbols become variable blank nodes wherever they occur
+    assert(part(r1, "s").getByte(0) == B && part(r1, "o").getByte(0) == B)
+    assert(part(r2, "s").getString(1) == "http://e/a" &&
+      part(r2, "o").getByte(0) == B)
+    // distinct symbols get distinct variables
+    assert(part(r1, "o").getString(1) != part(r2, "o").getString(1))
+    // Turtle/TriG mode rejects every N3-only form
+    val n3Only = Seq(
+      "?x :p 1 .",              // quick variable
+      ":a!:b :c 1 .",           // forward path
+      ":a^:b :c 1 .",           // reverse path
+      ":x = :y .",              // owl:sameAs operator
+      "{ :a :b :c } => { :d :e :f } .", // implication over formulas
+      "@forAll :x .",
+      "@forSome :x .")
+    for (b <- n3Only)
+      assert(
+        try { ttl(p + b); false } catch { case _: Exception => true },
+        s"Turtle mode should reject: $b")
+  }
+
+  test("wave 15: JSON-LD null-valued value objects drop out of lists") {
+    import graft.io.JsonLdParser
+    def ld(doc: String) = new JsonLdParser(doc).parse()
+    val ctx = """{"p":{"@id":"http://x/p","@container":"@list"}}"""
+    // a {"@value": null} entry drops exactly like a bare null
+    assert(ld(s"""{"@context":$ctx,"@id":"http://x/s",
+      "p":["a",{"@value":null},"b"]}""").size == 5)
+    // all entries null-valued -> rdf:nil, no dangling rdf:first
+    val nil = ld(s"""{"@context":$ctx,"@id":"http://x/s",
+      "p":[{"@value":null}]}""")
+    assert(nil.size == 1 && nil.head.o.lex.endsWith("#nil"))
+    assert(!nil.exists(q => q.o == null))
+  }
 }
