@@ -22,6 +22,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_RELEASE=0 → session-wide scratch retention (the A/B
+    // knob now rides the public ScratchCaches retention mode)
+    graft.ops.ScratchCaches.setRetain(
+      sys.env.getOrElse("SPARK_GRAFT_RELEASE", "1") == "0")
 
     val t0 = System.nanoTime()
     // store load, untimed below; pipeline-only dirs (tools.ScaleUp
@@ -52,11 +56,11 @@ object Bench {
         // makes per-query numbers the honest COLD cost — pre-r10
         // medians let dd2's persisted pairs warm dd7/dd10/dd13 and
         // repeat runs (see BASELINE.md r10 methodology note).
-        // SPARK_GRAFT_RELEASE=0 restores the old retention (A/B only).
-        if (sys.env.getOrElse("SPARK_GRAFT_RELEASE", "1") != "0") {
-          graft.ops.ScratchCaches.releaseAll()
+        // SPARK_GRAFT_RELEASE=0 switches on the public session
+        // retention mode (ScratchCaches.setRetain) for A/B runs.
+        graft.ops.ScratchCaches.releaseAll()
+        if (!graft.ops.ScratchCaches.retain)
           assert(graft.ops.ScratchCaches.activeCount == 0)
-        }
         name -> sec
       }
     }

@@ -41,6 +41,37 @@ class ScratchCachesSpec extends AnyFunSuite {
       "scratch caches leaked past releaseAll")
   }
 
+  test("retention mode: releaseAll is a no-op under retain; retained{} " +
+    "restores the mode and force-releases at exit") {
+    ScratchCaches.releaseAll()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    assert(!ScratchCaches.retain)
+    ScratchCaches.retained {
+      assert(ScratchCaches.retain)
+      Dedup.ngramJaccardPairs(docs, 8, 10).count()
+      val warm = ScratchCaches.activeCount
+      assert(warm > 0)
+      ScratchCaches.releaseAll() // no-op while retaining
+      assert(ScratchCaches.activeCount == warm,
+        "releaseAll dropped scratch despite retention")
+      Dedup.minhashLshPairs(docs).count()
+      assert(ScratchCaches.activeCount > warm)
+    }
+    assert(!ScratchCaches.retain, "retained{} leaked the mode")
+    assert(ScratchCaches.activeCount == 0, "retained{} did not release")
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      "scratch caches leaked past retained{}")
+    // manual toggle path: setRetain(true) + forced release
+    ScratchCaches.setRetain(true)
+    Dedup.simhashPairs(docs).count()
+    ScratchCaches.releaseAll()
+    assert(ScratchCaches.activeCount > 0)
+    ScratchCaches.releaseAll(force = true)
+    assert(ScratchCaches.activeCount == 0)
+    ScratchCaches.setRetain(false)
+    assert(spark.sparkContext.getPersistentRDDs.size == base)
+  }
+
   test("containmentPairs persists exactly two scratch tables — one " +
     "tokenization feeds the k-gram table AND every short-length pass") {
     ScratchCaches.releaseAll()
