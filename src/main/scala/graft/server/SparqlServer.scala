@@ -124,10 +124,18 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
     try respond(ex, code, msg + "\n", "text/plain; charset=utf-8")
     catch { case _: java.io.IOException => ex.close() }
 
+  /** Typed escape for protocol error codes decided deep in a handler
+    * (406 unsatisfiable Accept, 415 unsupported payload, 405): thrown
+    * where detected, mapped to the response in [[handler]].
+    */
+  private final case class HttpError(code: Int, msg: String)
+    extends RuntimeException(msg)
+
   private def handler(f: HttpExchange => Unit): HttpHandler =
     (ex: HttpExchange) =>
       try f(ex)
       catch {
+        case HttpError(code, msg) => fail(ex, code, msg)
         case e: SparqlParser#ParseError =>
           fail(ex, 400, "malformed query/update: " + e.getMessage)
         case e: IllegalArgumentException =>
@@ -191,13 +199,25 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
 
   private val queryHandler = handler { ex =>
     if (!preflight(ex, "GET, POST, HEAD, OPTIONS")) {
+      if (!Set("GET", "POST", "HEAD").contains(ex.getRequestMethod)) {
+        ex.getResponseHeaders.set("Allow", "GET, POST, HEAD, OPTIONS")
+        throw HttpError(405,
+          s"query endpoint does not allow ${ex.getRequestMethod}")
+      }
       val ps = params(ex)
       val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .getOrElse("")
+      // Protocol §2.1: a request with more than one query string is
+      // malformed
+      if (ps.get("query").exists(_.size > 1))
+        throw new IllegalArgumentException("more than one query parameter")
       val query = ps.get("query").flatMap(_.headOption).getOrElse {
         if (ex.getRequestMethod == "POST" &&
           ct.startsWith("application/sparql-query"))
           new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        else if (ex.getRequestMethod == "POST" && ct.nonEmpty &&
+          !ct.startsWith("application/x-www-form-urlencoded"))
+          throw HttpError(415, s"unsupported query media type: $ct")
         else throw new IllegalArgumentException("missing query parameter")
       }
       val protoDefault = ps.getOrElse("default-graph-uri", Nil)
@@ -223,9 +243,12 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
             accept.contains("application/xml"))
             respondStream(ex, 200, "application/sparql-results+xml")(
               Results.writeXml(df, _))
-          else
+          else if (accept.isEmpty || accept.contains("json") ||
+            accept.contains("*/*") || accept.contains("application/*"))
             respondStream(ex, 200, "application/sparql-results+json")(
               Results.writeJson(df, _))
+          else // no supported results format and no wildcard
+            throw HttpError(406, s"no acceptable results format in: $accept")
       }
     }
   }
@@ -246,24 +269,39 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
         JsonLdWriter.writeJsonLd(
           triples.select(Term.defaultGraph.as("g"),
             col("s"), col("p"), col("o")), _))
-    else respondStream(ex, 200, "application/n-triples")(
-      ntStream(triples, _))
+    else if (accept.isEmpty || accept.contains("n-triples") ||
+      accept.contains("text/plain") || accept.contains("*/*") ||
+      accept.contains("application/*") || accept.contains("text/*"))
+      respondStream(ex, 200, "application/n-triples")(
+        ntStream(triples, _))
+    else throw HttpError(406, s"no acceptable graph format in: $accept")
 
   // ---- /update --------------------------------------------------------
 
   private val updateLock = new Object
   private val updateHandler = handler { ex =>
     if (preflight(ex, "POST, OPTIONS")) ()
-    else if (ex.getRequestMethod != "POST")
+    else if (ex.getRequestMethod != "POST") {
+      ex.getResponseHeaders.set("Allow", "POST, OPTIONS")
       fail(ex, 405, "update requires POST")
-    else {
+    } else {
       val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .getOrElse("")
+      if (!ct.startsWith("application/sparql-update") &&
+        !ct.startsWith("application/x-www-form-urlencoded"))
+        throw HttpError(415, s"unsupported update media type: $ct")
       val update =
         if (ct.startsWith("application/sparql-update"))
           new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        else params(ex).get("update").flatMap(_.headOption).getOrElse(
-          throw new IllegalArgumentException("missing update parameter"))
+        else {
+          val ps = params(ex)
+          // Protocol §2.2: more than one update string is malformed
+          if (ps.get("update").exists(_.size > 1))
+            throw new IllegalArgumentException(
+              "more than one update parameter")
+          ps.get("update").flatMap(_.headOption).getOrElse(
+            throw new IllegalArgumentException("missing update parameter"))
+        }
       updateLock.synchronized { ref.set(ref.get.update(update)) }
       respond(ex, 204, "", "text/plain")
     }
@@ -276,7 +314,8 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
     else if (ct.startsWith("application/ld+json")) "jsonld"
     else if (ct.startsWith("application/n-triples") ||
       ct.startsWith("text/plain") || ct.isEmpty) "nt"
-    else throw new IllegalArgumentException(s"unsupported RDF payload: $ct")
+    // GSP §5.6: unsupported payload media type → 415
+    else throw HttpError(415, s"unsupported RDF payload: $ct")
 
   private def parseBody(ex: HttpExchange, graph: Option[String])
       : DataFrame = {
@@ -364,7 +403,10 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
         }
         if (deleted) respond(ex, 204, "", "text/plain")
         else fail(ex, 404, s"no such graph: ${graph.get}")
-      case m => fail(ex, 405, s"unsupported method $m")
+      case m =>
+        ex.getResponseHeaders.set("Allow",
+          "GET, PUT, POST, DELETE, HEAD, OPTIONS")
+        fail(ex, 405, s"unsupported method $m")
     }
   }
 

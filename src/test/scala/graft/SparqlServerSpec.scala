@@ -292,4 +292,52 @@ class SparqlServerSpec extends AnyFunSuite {
     assert(promoted.contains("zz") && !promoted.contains("http://x/b"),
       promoted)
   }
+
+  test("protocol error matrix: 400/405/406/415 with Allow headers") {
+    val q = enc("SELECT ?s WHERE { ?s ?p ?o }")
+    // 400: malformed query, missing query, duplicate query param
+    assert(get(s"/query?query=${enc("SELECT WHERE")}").statusCode() == 400)
+    assert(get("/query").statusCode() == 400)
+    assert(get(s"/query?query=$q&query=$q").statusCode() == 400)
+    // 405: method not allowed carries Allow
+    val del = send(HttpRequest.newBuilder(URI.create(server.uri("/query")))
+      .DELETE().build())
+    assert(del.statusCode() == 405)
+    assert(del.headers().firstValue("Allow").get.contains("POST"))
+    val updGet = get("/update?update=" + enc("CLEAR ALL"))
+    assert(updGet.statusCode() == 405)
+    assert(updGet.headers().firstValue("Allow").get == "POST, OPTIONS")
+    val storePatch = send(HttpRequest.newBuilder(
+      URI.create(server.uri("/store")))
+      .method("PATCH", BodyPublishers.noBody()).build())
+    assert(storePatch.statusCode() == 405)
+    assert(storePatch.headers().firstValue("Allow").get.contains("PUT"))
+    // 406: unsatisfiable Accept on results and on graph documents
+    assert(get(s"/query?query=$q", "image/png").statusCode() == 406)
+    val cq = enc("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    assert(get(s"/query?query=$cq", "image/png").statusCode() == 406)
+    // ...but wildcards still negotiate
+    assert(get(s"/query?query=$q", "text/html, */*;q=0.1")
+      .statusCode() == 200)
+    // 415: wrong media type on POST /query, /update, and GSP payloads
+    val badQ = send(HttpRequest.newBuilder(URI.create(server.uri("/query")))
+      .header("Content-Type", "text/csv")
+      .POST(BodyPublishers.ofString("SELECT ?s WHERE { ?s ?p ?o }"))
+      .build())
+    assert(badQ.statusCode() == 415)
+    val badU = send(HttpRequest.newBuilder(URI.create(server.uri("/update")))
+      .header("Content-Type", "application/sparql-query") // wrong kind
+      .POST(BodyPublishers.ofString("CLEAR ALL")).build())
+    assert(badU.statusCode() == 415)
+    val badG = send(HttpRequest.newBuilder(URI.create(server.uri("/store")))
+      .header("Content-Type", "application/pdf")
+      .method("PUT", BodyPublishers.ofString("x")).build())
+    assert(badG.statusCode() == 415)
+    // 400: duplicate update parameter (urlencoded form)
+    val dupU = send(HttpRequest.newBuilder(URI.create(server.uri("/update")))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(BodyPublishers.ofString(
+        s"update=${enc("CLEAR ALL")}&update=${enc("CLEAR ALL")}")).build())
+    assert(dupU.statusCode() == 400)
+  }
 }
