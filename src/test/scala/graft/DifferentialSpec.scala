@@ -174,6 +174,17 @@ class DifferentialSpec extends AnyFunSuite {
       // over Distinct (per-binding dedup via the __lid tag)
       1 -> (for { l <- genPattern(depth - 1); a <- genBgp; b <- genBgp }
         yield Lateral(l, Union(a, Distinct(b)))),
+      // EXISTS inside a correlated LATERAL body (r11): §18.5
+      // substitution and the per-__lid rewrite interact — outer vars
+      // must pin inside the EXISTS inner as constants, per left row
+      1 -> (for { l <- genPattern(depth - 1); body <- genBgp
+                  inner <- genBgp; pos <- Gen.oneOf(true, false) }
+        yield Lateral(l, Filter(EExists(inner, pos), body))),
+      // ...and the same under a correlated OPTIONAL arm
+      1 -> (for { l <- genPattern(depth - 1); a <- genBgp; body <- genBgp
+                  inner <- genBgp; pos <- Gen.oneOf(true, false) }
+        yield Lateral(l,
+          LeftJoin(a, Filter(EExists(inner, pos), body), None))),
       // TOP-LEVEL correlated subselect projection (the shell-peel
       // path): hidden sometimes-unbound outer vars must revert to the
       // outer value after the merge
@@ -347,6 +358,14 @@ class DifferentialSpec extends AnyFunSuite {
       }
     case Filter(e: EFn, p) =>
       evalNaive(p, data, named).filter(evalFilterBool(e, _))
+    // EXISTS over a BGP inner: substitution == compatibility with the
+    // full current binding (the r10 top-level EXISTS model)
+    case Filter(EExists(inner, positive), p) =>
+      val innerSols = evalNaive(inner, data, named)
+      evalNaive(p, data, named).filter { b =>
+        val ex = innerSols.exists(compatible(b, _))
+        if (positive) ex else !ex
+      }
     case Distinct(p) => evalNaive(p, data, named).distinct
     case ValuesPat(vs, rows) =>
       rows.map { row =>
@@ -578,6 +597,15 @@ class DifferentialSpec extends AnyFunSuite {
     // pattern and the expression (left vars visible = substitution)
     case Filter(e: EFn, p) =>
       evalSubst(p, data, b0, named).filter(evalFilterBool(e, _))
+    // σ(Filter(EXISTS(P),Q),μ): substitution distributes into BOTH the
+    // body and the EXISTS inner — outer vars are constants inside P.
+    // Existence for a σ-solution b (b0 ⊆ b always) over a BGP inner is
+    // "substitute(P, b) has a solution", i.e. evalSubst from b.
+    case Filter(EExists(inner, positive), p) =>
+      evalSubst(p, data, b0, named).filter { b =>
+        val ex = evalSubst(inner, data, b, named).nonEmpty
+        if (positive) ex else !ex
+      }
     // σ distributes over Distinct: dedup per binding over the full
     // extension (b0 rides along, so distinct is per left solution)
     case Distinct(p) => evalSubst(p, data, b0, named).distinct
@@ -775,6 +803,53 @@ class DifferentialSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("EXISTS inside a correlated LATERAL body pins outer vars per " +
+      "left row") {
+    // left binds ?a ∈ {i0, i1}. Body binds {c→i9, b→i2} regardless of
+    // ?a. EXISTS inner {?a p3 ?b} must see ?a as a CONSTANT from the
+    // current left row: only (i0 p3 i2) exists, so a=i0 keeps its body
+    // row and a=i1 drops it. An implementation that correlates only on
+    // the body's shared vars (ignoring the substituted ?a) would keep
+    // both.
+    def p(n: Int) = s"http://x/p$n"
+    val gp = Lateral(
+      Bgp(TriplePattern(V("a"), I(p(0)), I("http://x/i1"))),
+      Filter(EExists(Bgp(TriplePattern(V("a"), I(p(3)), V("b"))), true),
+        Bgp(TriplePattern(V("c"), I(p(1)), V("b")))))
+    val data: Seq[(T, T, T)] = Seq(
+      (iri(0), (0, p(0), null), iri(1)), // left row 1: a→i0
+      (iri(10), (0, p(0), null), iri(1)), // left row 2: a→i10
+      (iri(9), (0, p(1), null), iri(2)), // body: {c→i9, b→i2}
+      (iri(0), (0, p(3), null), iri(2))) // inner witness for a=i0 only
+    val expected = evalNaive(gp, data).map(canon).sorted
+    assert(expected.size == 1, expected)
+    val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+    val got = df.collect().toSeq.map { r =>
+      cmpVars.flatMap { v =>
+        if (!df.columns.contains(v)) None
+        else Option(r.getAs[Row](v)).map(t =>
+          s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+      }.mkString("|")
+    }.sorted
+    assert(got == expected, s"expected=$expected got=$got")
+    // NOT EXISTS flips it: only a=i10's body row survives
+    val gpN = Lateral(
+      Bgp(TriplePattern(V("a"), I(p(0)), I("http://x/i1"))),
+      Filter(EExists(Bgp(TriplePattern(V("a"), I(p(3)), V("b"))), false),
+        Bgp(TriplePattern(V("c"), I(p(1)), V("b")))))
+    val expN = evalNaive(gpN, data).map(canon).sorted
+    assert(expN.size == 1, expN)
+    val dfN = graft.exec.Translator.translate(gpN, quadsDf(data)).df
+    val gotN = dfN.collect().toSeq.map { r =>
+      cmpVars.flatMap { v =>
+        if (!dfN.columns.contains(v)) None
+        else Option(r.getAs[Row](v)).map(t =>
+          s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+      }.mkString("|")
+    }.sorted
+    assert(gotN == expN, s"expected=$expN got=$gotN")
+  }
+
   test("translator matches the naive evaluator on named-graph algebra") {
     val prop = Prop.forAllNoShrink(genDataG, genPatternG(2)) {
       case ((data, named), gp) =>
@@ -936,8 +1011,18 @@ class DifferentialSpec extends AnyFunSuite {
       case (0, lex, _) => (2, Double.MaxValue, lex, "")
       case (2, lex, dt) if numericDts(dt) => (3, lex.toDouble, lex, dt)
       case (2, lex, dt) if dt == Term.XsdDateTime =>
-        // sortKey ranks temporals at unix_timestamp SECOND granularity
-        (3, java.time.Instant.parse(lex).getEpochSecond.toDouble, lex, dt)
+        // sortKey ranks temporals at unix_timestamp SECOND granularity,
+        // offsets normalized to UTC; a NAIVE dateTime reads as UTC (the
+        // engine's session timezone) — the documented total-order
+        // deviation from §17.3.2's ±14h indeterminacy
+        val epoch = try {
+          java.time.OffsetDateTime.parse(lex).toInstant.getEpochSecond
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(lex)
+              .toEpochSecond(java.time.ZoneOffset.UTC)
+        }
+        (3, epoch.toDouble, lex, dt)
       case (2, lex, dt) => (3, Double.MaxValue, lex, dt)
       case (k, lex, _) => (4 + k, Double.MaxValue, lex, "")
     }
@@ -1061,9 +1146,14 @@ class DifferentialSpec extends AnyFunSuite {
         (2, l, Term.XsdDouble)),
       1 -> Gen.oneOf("1.5", "3.0").map(l => (2, l, Term.XsdFloat)),
       // temporals: non-numeric for SUM/AVG (error), value-ranked for
-      // MIN/MAX/SAMPLE and GROUP_CONCAT element order
-      1 -> (for { d <- Gen.choose(1, 28); h <- Gen.choose(0, 23) } yield
-        (2, f"2020-03-$d%02dT$h%02d:00:00Z", Term.XsdDateTime): T))
+      // MIN/MAX/SAMPLE and GROUP_CONCAT element order. Mixed timezone
+      // presence (r11): Z, positive/negative offsets, and NAIVE values
+      // in one multiset — §15.1/§17.3.2 leave zoned-vs-naive within
+      // ±14h indeterminate; the engine totalizes by reading naive as
+      // UTC, and MIN/MAX must agree with that documented order
+      1 -> (for { d <- Gen.choose(1, 28); h <- Gen.choose(0, 23)
+                  tz <- Gen.oneOf("Z", "+05:00", "-03:30", "") } yield
+        (2, f"2020-03-$d%02dT$h%02d:00:00$tz", Term.XsdDateTime): T))
     val genQuadPlain: Gen[(T, T, T)] = for {
       s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genAggObj
     } yield (s, p, o)
