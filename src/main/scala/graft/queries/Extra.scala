@@ -221,6 +221,31 @@ object Extra {
       c.except(sup).orderBy(col("nk"))
     },
 
+    // the rest of the grouping-sets family (r11): CUBE and explicit
+    // GROUPING SETS — one shuffle each (Spark expands the sets map-side
+    // via Expand, partial-aggregates, then exchanges once on the
+    // grouping-id-extended key; no per-set rescan at any scale)
+    "q27_cube" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast(StringType)
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    "q28_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast(StringType)
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // boolean logic + conditionals through the engine (§2.8 EBV)
     "sp26_conditional" -> { (s, dir) =>
       val gp = OrderBy(Filter(
@@ -356,6 +381,17 @@ object Extra {
       """SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
         EXCEPT SELECT CAST(s_nationkey AS INTEGER) FROM supplier
         ORDER BY nk""",
+    "q27_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q28_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "sp26_conditional" ->
       """SELECT c_name,
         CASE WHEN CAST(c_acctbal AS DECIMAL(38,2)) >= 5000

@@ -51,4 +51,48 @@ class RelationalSpec extends AnyFunSuite {
     val prices = rows.map(_.getDouble(1))
     assert(prices.sameElements(prices.sorted.reverse))
   }
+
+  test("grouping-sets family equals the union of its component " +
+      "groupings (naive model)") {
+    // ROLLUP(a,b) = {(a,b),(a),()}, CUBE(a,b) = {(a,b),(a),(b),()},
+    // GROUPING SETS enumerates explicitly. Model each set as its own
+    // groupBy with the absent keys nulled, union, and compare — over
+    // real data (lineitem) so empty-string/NULL corners ride along.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Column, DataFrame}
+    val li = graft.io.Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"),
+        col("l_quantity").cast("decimal(38,6)").as("q"))
+    def grouped(keys: Seq[String]): DataFrame = {
+      val sel: Seq[Column] = Seq(
+        (if (keys.contains("a")) col("a") else lit(null)).as("a"),
+        (if (keys.contains("b")) col("b") else lit(null)).as("b"),
+        col("n"), col("sq"))
+      (if (keys.isEmpty) li.groupBy() else li.groupBy(keys.map(col): _*))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(sel: _*)
+    }
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().toSeq.map(r => (0 until 4).map(i =>
+        String.valueOf(r.get(i))).mkString("|")).sorted
+    val rollup = li.rollup(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("a"), col("b"), col("n"), col("sq"))
+    assert(canon(rollup) ==
+      canon(grouped(Seq("a", "b")).union(grouped(Seq("a")))
+        .union(grouped(Nil))))
+    val cube = li.cube(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("a"), col("b"), col("n"), col("sq"))
+    assert(canon(cube) ==
+      canon(grouped(Seq("a", "b")).union(grouped(Seq("a")))
+        .union(grouped(Seq("b"))).union(grouped(Nil))))
+    val gsets = li.groupingSets(
+      Seq(Seq(col("a")), Seq(col("b")), Seq()), col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("a"), col("b"), col("n"), col("sq"))
+    assert(canon(gsets) ==
+      canon(grouped(Seq("a")).union(grouped(Seq("b")))
+        .union(grouped(Nil))))
+  }
 }
