@@ -592,6 +592,9 @@ final class SparqlParser(input: String) {
     val multi = eatSym("(")
     if (multi) { while (!eatSym(")")) vars += parseVarName() }
     else vars += parseVarName()
+    // rule [62]: a variable may appear at most once in the block
+    vars.groupBy(identity).find(_._2.length > 1).foreach { case (v, _) =>
+      fail(s"variable ?$v repeated in VALUES") }
     expect("{")
     // DataBlockValue (rule [65]): iri, literal, or UNDEF — variables
     // and blank nodes are a syntax error; quoted triples (SPARQL-star
@@ -1429,6 +1432,10 @@ final class SparqlParser(input: String) {
         "COPY, MOVE or ADD")
       ws()
       if (!eatSym(";")) go = false
+      // rule [3]: Update ::= Prologue ( Update1 ( ';' Update )? )? —
+      // each ';' opens a fresh Update with its own Prologue, so
+      // PREFIX/BASE may (re)declare between operations
+      else parsePrologue()
     }
     ws()
     if (pos < input.length) fail("unexpected trailing input")
@@ -1459,9 +1466,9 @@ final class SparqlParser(input: String) {
           // CONSTRUCT WHERE { bgp } shorthand (§10.2.2): the template IS
           // the pattern; only triple patterns allowed, which is exactly
           // what the template parser accepts. Dataset clauses precede
-          // the WHERE in this form (rule [10]).
+          // the WHERE, which is MANDATORY in this form (rule [10]).
           parseDatasetClauses()
-          eat("WHERE")
+          expect("WHERE")
           val tmpl = parseConstructTemplate()
           val where = parseSolutionModifiers(Bgp(tmpl: _*))
           Construct(tmpl, where)

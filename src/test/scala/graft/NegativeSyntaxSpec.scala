@@ -107,7 +107,16 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "blank node label starting with a dash" ->
       (pfx + "SELECT ?x WHERE { _:-a :p ?x }"),
     "local name starting with a dash strands the dash" ->
-      (pfx + "SELECT ?x WHERE { ?x :-p 1 }"))
+      (pfx + "SELECT ?x WHERE { ?x :-p 1 }"),
+    // --- probe waves 16-17 (r11) ---
+    "CONSTRUCT short form without WHERE" ->
+      (pfx + "CONSTRUCT FROM <http://g/> { ?s :p ?o }"),
+    "VALUES with a repeated variable" ->
+      (pfx + "SELECT ?a WHERE { VALUES (?a ?a) { (1 2) } }"),
+    "GRAPH with a literal name" ->
+      (pfx + "SELECT ?x WHERE { GRAPH \"g\" { ?x :p 1 } }"),
+    "property path in a CONSTRUCT template" ->
+      (pfx + "CONSTRUCT { ?s :p/:q ?o } WHERE { ?s :p ?o }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->

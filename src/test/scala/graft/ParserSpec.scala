@@ -318,6 +318,28 @@ class ParserSpec extends AnyFunSuite {
     assert(ops.length == 1) // empty template + empty pattern = no-op
   }
 
+  test("waves 16-17: prologue per update op; keyword-case booleans; " +
+      "COUNT(DISTINCT *); bare-builtin GROUP BY; SERVICE ?var") {
+    // rule [3]: each ';' opens a fresh Update with its own Prologue
+    val ops = SparqlParser.parseUpdateText(pfx +
+      "INSERT DATA { :a :p 1 } ; PREFIX y: <http://y/>\n" +
+      "INSERT DATA { y:a y:p 2 }")
+    assert(ops.length == 2)
+    // SPARQL keywords are case-insensitive — including TRUE/FALSE
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p TRUE . ?x :q FaLsE }") != null)
+    // COUNT(DISTINCT *) is grammatical (rule [127])
+    assert(SparqlParser.parse(pfx +
+      "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?x :p ?y }") != null)
+    // GROUP BY takes a bare BuiltInCall (rule [20])
+    assert(SparqlParser.parse(pfx +
+      "SELECT (COUNT(*) AS ?n) WHERE { ?x :p ?y } GROUP BY STR(?x)")
+      != null)
+    // SERVICE names a variable endpoint (rule [59])
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { SERVICE SILENT ?ep { ?x :p ?y } }") != null)
+  }
+
   test("wave 15: keyword boundary uses PN_CHARS — 'a-b' prefixes, " +
       "'true.' terminator") {
     // 'a-b' is a legal PN_PREFIX ('-' is a PN_CHARS continuation), so

@@ -941,6 +941,25 @@ class RdfIOSpec extends AnyFunSuite {
         s"Turtle mode should reject: $b")
   }
 
+  test("wave 17: Turtle term-position rules — 'a' predicate-only, " +
+      "case-sensitive booleans, collections, langtag-keyword overlap") {
+    // 'a' is a predicate-only terminal; booleans are lowercase-only
+    intercept[Exception](ttl(p + "a :p 1 ."))
+    intercept[Exception](ttl(p + ":s :p a ."))
+    intercept[Exception](ttl(p + ":s :p TRUE ."))
+    assert(ttl(p + ":s :p true .").head.o.lex == "true")
+    // predicates are IRIs only — never bnodes or collections
+    intercept[Exception](ttl(p + ":s _:b 1 ."))
+    intercept[Exception](ttl(p + ":s (1) 1 ."))
+    // '()' is rdf:nil and is a legal subject
+    assert(ttl(p + "() :p 1 .").head.s.lex.endsWith("#nil"))
+    // '@prefix' after a literal is a LANGTAG, not the directive
+    assert(ttl(p + ":s :p \"v\"@prefix .").head.o.lang == "prefix")
+    // nested collections materialize their own rdf:first/rest chains:
+    // 3 outer cells (6 quads) + 2 inner cells (4) + the statement (1)
+    assert(ttl(p + ":s :p (1 (2 3) \"x\") .").size == 11)
+  }
+
   test("wave 15: JSON-LD null-valued value objects drop out of lists") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
