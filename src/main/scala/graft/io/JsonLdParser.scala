@@ -23,11 +23,12 @@ final class JsonLdParser(content: String) {
   private val DG = TermRow(Term.DefaultGraphKind.toByte, null, null, null)
 
   /** One term definition from an @context. `typ` is "@id" or a datatype
-    * IRI; `container` is "@list" when list-coercing.
+    * IRI; `container` is "@list" when list-coercing; `reverse` terms
+    * ({"@reverse": iri}) emit their triples object-to-subject.
     */
   private case class TermDef(iri: String, typ: Option[String] = None,
       lang: Option[String] = None, container: Option[String] = None,
-      scoped: Option[JsonNode] = None)
+      scoped: Option[JsonNode] = None, reverse: Boolean = false)
 
   /** Active context. `aliases` maps user keys to JSON-LD keywords. */
   private case class Ctx(terms: Map[String, TermDef] = Map.empty,
@@ -90,8 +91,12 @@ final class JsonLdParser(content: String) {
           ctx = ctx.copy(terms =
             ctx.terms + (term -> TermDef(ctx.expandRef(v.asText))))
         case (term, v) if v.isObject =>
+          val rev = v.has("@reverse")
+          if (rev && v.has("@id"))
+            err(s"term '$term' has both @reverse and @id")
           val id =
-            if (v.has("@id")) ctx.expandRef(v.get("@id").asText)
+            if (rev) ctx.expandRef(v.get("@reverse").asText)
+            else if (v.has("@id")) ctx.expandRef(v.get("@id").asText)
             else ctx.expandKey(term).getOrElse(term)
           val typ = Option(v.get("@type")).map(_.asText)
             .map(t => if (t == "@id" || t == "@vocab") "@id"
@@ -99,11 +104,13 @@ final class JsonLdParser(content: String) {
           val lang = Option(v.get("@language"))
             .map(l => if (l.isNull) "" else Term.normLang(l.asText))
           val cont = Option(v.get("@container")).map(_.asText)
+          if (rev && (cont.contains("@list") || cont.contains("@language")))
+            err(s"term '$term': @reverse with ${cont.get} container")
           // scoped (term-level) context: raw node kept, parsed against
           // the ACTIVE context at each use site (property or type)
           val scoped = Option(v.get("@context"))
           ctx = ctx.copy(terms = ctx.terms +
-            (term -> TermDef(id, typ, lang, cont, scoped)))
+            (term -> TermDef(id, typ, lang, cont, scoped, rev)))
         case _ =>
       }
     }
@@ -242,6 +249,24 @@ final class JsonLdParser(content: String) {
     }
     field("@graph").foreach(gn =>
       asArray(gn).foreach(child => nodeObject(child, subj, ctx)))
+    // @reverse map: { "prop": node objects } — triples point INTO subj
+    // (values must be node objects; a literal is an error)
+    field("@reverse").foreach { rn =>
+      if (!rn.isObject) err("@reverse must be a map of properties")
+      rn.fields.asScala.foreach { e =>
+        ctx.expandKey(e.getKey).foreach { p =>
+          asArray(e.getValue).filterNot(_.isNull).foreach { v =>
+            val t = valueTerm(v, g, ctx, ctx.terms.get(e.getKey))
+            if (t == null || t.kind == Term.LiteralKind.toByte)
+              err(s"invalid @reverse value for '${e.getKey}' (literal)")
+            out += QuadRow(g, t, iri(p), subj)
+          }
+        }
+      }
+    }
+    // @included (JSON-LD 1.1): sibling node objects in the same graph
+    field("@included").foreach(in =>
+      asArray(in).foreach(child => nodeObject(child, g, ctx)))
     n.fields.asScala.foreach { e =>
       val key = e.getKey
       if (!key.startsWith("@") && !kw(key).startsWith("@"))
@@ -256,7 +281,13 @@ final class JsonLdParser(content: String) {
             e.getValue.fields.asScala.foreach(ix =>
               asArray(ix.getValue).foreach { v =>
                 val t = valueTerm(v, g, vctx, td)
-                if (t != null) out += QuadRow(g, subj, iri(p), t)
+                if (t != null) {
+                  if (td.exists(_.reverse)) {
+                    if (t.kind == Term.LiteralKind.toByte)
+                      err(s"invalid @reverse value for '$key' (literal)")
+                    out += QuadRow(g, t, iri(p), subj)
+                  } else out += QuadRow(g, subj, iri(p), t)
+                }
               })
           } else if (cont.contains("@language") && e.getValue.isObject) {
             // language map: keys are BCP47 tags, values the strings
@@ -275,7 +306,14 @@ final class JsonLdParser(content: String) {
               // {"@value": null} drops the same way
               if (!v.isNull) {
                 val t = valueTerm(v, g, vctx, td)
-                if (t != null) out += QuadRow(g, subj, iri(p), t)
+                if (t != null) {
+                  // {"@reverse": iri} term definitions emit reversed
+                  if (td.exists(_.reverse)) {
+                    if (t.kind == Term.LiteralKind.toByte)
+                      err(s"invalid @reverse value for '$key' (literal)")
+                    out += QuadRow(g, t, iri(p), subj)
+                  } else out += QuadRow(g, subj, iri(p), t)
+                }
               }
             }
           }

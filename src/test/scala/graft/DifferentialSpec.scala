@@ -962,7 +962,12 @@ class DifferentialSpec extends AnyFunSuite {
       "inners") {
     def compatible(a: Binding, b: Binding): Boolean =
       (a.keySet & b.keySet).forall(v => a(v) == b(v))
-    val prop = Prop.forAllNoShrink(genData, genPattern(1), genBgp,
+    // r11: inners widened beyond BGPs to Union/OPTIONAL/MINUS shapes —
+    // the semi/anti join must keep COMPATIBILITY semantics when the
+    // inner leaves shared vars unbound in some solutions
+    val genInnerShape: Gen[GraphPattern] =
+      Gen.frequency(2 -> genBgp, 3 -> genPattern(1))
+    val prop = Prop.forAllNoShrink(genData, genPattern(1), genInnerShape,
       Gen.oneOf(true, false)) { (data, outer, innerB, positive) =>
       val gp = Filter(EExists(innerB, positive), outer)
       val innerSols = evalNaive(innerB, data)

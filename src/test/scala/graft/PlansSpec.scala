@@ -561,6 +561,23 @@ class PlansSpec extends AnyFunSuite {
       s"sessions must shuffle exactly once (got $exchanges):\n$plan")
   }
 
+  test("grouping-sets family is Expand + ONE aggregation exchange") {
+    // rollup/cube/grouping-sets expand the sets map-side (Expand) and
+    // exchange once on the grouping-id-extended key — never one scan
+    // or shuffle per set. At 100 TB this is the difference between
+    // one pass and |sets| passes over lineitem.
+    for (name <- Seq("q17_rollup", "q27_cube", "q28_grouping_sets")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"$name lost its Expand:\n$plan")
+      val aggExchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(aggExchanges == 1,
+        s"$name must aggregate with one hash exchange " +
+          s"(got $aggExchanges):\n$plan")
+    }
+  }
+
   test("inferPredicateClasses derives the catalog from data") {
     val inferred = graft.io.QuadSource.inferPredicateClasses(
       TpchRdf.quads(spark, sf))

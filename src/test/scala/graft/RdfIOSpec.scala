@@ -960,6 +960,43 @@ class RdfIOSpec extends AnyFunSuite {
     assert(ttl(p + ":s :p (1 (2 3) \"x\") .").size == 11)
   }
 
+  test("wave 17: JSON-LD @reverse (map + term definition) and @included") {
+    import graft.io.JsonLdParser
+    def ld(doc: String) = new JsonLdParser(doc).parse()
+    // @reverse map on a node object: triples point INTO the subject
+    val rm = ld("""{"@id":"http://x/s",
+      "@reverse":{"http://x/parent":{"@id":"http://x/c","http://x/n":"v"}}}""")
+    assert(rm.exists(q => q.s.lex == "http://x/c" &&
+      q.p.lex == "http://x/parent" && q.o.lex == "http://x/s"))
+    assert(rm.exists(q => q.s.lex == "http://x/c" &&
+      q.p.lex == "http://x/n" && q.o.lex == "v"))
+    // {"@reverse": iri} term definition: values emit object-to-subject
+    val rt = ld("""{"@context":{"children":{"@reverse":"http://x/parent"}},
+      "@id":"http://x/s","children":[{"@id":"http://x/a"},{"@id":"http://x/b"}]}""")
+    assert(rt.size == 2 && rt.forall(q => q.o.lex == "http://x/s" &&
+      q.p.lex == "http://x/parent"))
+    assert(rt.map(_.s.lex).sorted == Seq("http://x/a", "http://x/b"))
+    // @type:@id coercion applies under reverse terms
+    val rc = ld("""{"@context":{"children":{"@reverse":"http://x/parent",
+      "@type":"@id"}},"@id":"http://x/s","children":"http://x/a"}""")
+    assert(rc.head.s.lex == "http://x/a" && rc.head.o.lex == "http://x/s")
+    // literal values under @reverse are invalid
+    intercept[Exception](ld("""{"@context":{"children":{"@reverse":
+      "http://x/parent"}},"@id":"http://x/s","children":"plain"}"""))
+    intercept[Exception](ld("""{"@id":"http://x/s",
+      "@reverse":{"http://x/parent":"plain"}}"""))
+    // a term with both @reverse and @id, or a @list reverse container
+    intercept[Exception](ld("""{"@context":{"t":{"@reverse":"http://x/p",
+      "@id":"http://x/q"}},"@id":"http://x/s","t":{"@id":"http://x/a"}}"""))
+    intercept[Exception](ld("""{"@context":{"t":{"@reverse":"http://x/p",
+      "@container":"@list"}},"@id":"http://x/s","t":[{"@id":"http://x/a"}]}"""))
+    // @included: sibling node objects land in the same graph
+    val inc = ld("""{"@id":"http://x/s","http://x/p":"v",
+      "@included":[{"@id":"http://x/t","http://x/q":"w"}]}""")
+    assert(inc.size == 2 &&
+      inc.exists(q => q.s.lex == "http://x/t" && q.o.lex == "w"))
+  }
+
   test("wave 15: JSON-LD null-valued value objects drop out of lists") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
