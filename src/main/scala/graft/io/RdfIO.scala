@@ -132,6 +132,10 @@ object RdfIO {
       val g =
         if (allowGraph && i < line.length && line(i) != '.') parseTerm()
         else DefaultG
+      // graph label (N-Quads rule [6]): IRIREF or BLANK_NODE_LABEL only
+      if (g.kind != Term.DefaultGraphKind.toByte &&
+        g.kind != Term.IriKind.toByte && g.kind != Term.BlankKind.toByte)
+        fail("graph label must be an IRI or blank node")
       ws()
       if (i >= line.length || line(i) != '.') fail("missing final '.'")
       QuadRow(g, s, p, o)

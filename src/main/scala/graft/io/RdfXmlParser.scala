@@ -246,11 +246,11 @@ final class RdfXmlParser(content: String) {
             }
             cells.head
           }
-        case Some("Literal") =>
+        // grammar §7.2.20 parseTypeOtherPropertyElt: any parseType
+        // other than Resource/Collection is treated as "Literal"
+        case Some(_) =>
           TermRow(Term.LiteralKind.toByte, innerXml(pe),
             RdfNs + "XMLLiteral", null)
-        case Some(other) => throw new IllegalArgumentException(
-          s"unsupported rdf:parseType: $other")
         case None =>
           if (pe.hasAttributeNS(RdfNs, "resource")) {
             val r =

@@ -960,6 +960,33 @@ class RdfIOSpec extends AnyFunSuite {
     assert(ttl(p + ":s :p (1 (2 3) \"x\") .").size == 11)
   }
 
+  test("wave 18: N-Quads graph labels are IRI/bnode only; RDF/XML " +
+      "parseType corners") {
+    // literal graph label violates N-Quads rule [6]
+    intercept[Exception](RdfIO.parseLine(
+      "<http://s> <http://p> \"o\" \"g\" .", allowGraph = true))
+    assert(RdfIO.parseLine("<http://s> <http://p> \"o\" _:g .",
+      allowGraph = true).get.g.lex == "g")
+    import graft.io.RdfXmlParser
+    val R = "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" " +
+      "xmlns:ex=\"http://x/\""
+    def parse(body: String) = new RdfXmlParser(
+      s"""<?xml version="1.0"?><rdf:RDF $R>$body</rdf:RDF>""").parse()
+    // unknown parseType values are treated as "Literal" (§7.2.20)
+    val other = parse("""<rdf:Description rdf:about="http://x/s"><ex:p rdf:parseType="Bogus"><b>x</b></ex:p></rdf:Description>""")
+    assert(other.head.o.dt.endsWith("#XMLLiteral") &&
+      other.head.o.lex.contains("<b>x</b>"))
+    // parseType="Literal" keeps markup + attributes verbatim
+    val lit = parse("""<rdf:Description rdf:about="http://x/s"><ex:p rdf:parseType="Literal"><b x="1">bold</b> tail</ex:p></rdf:Description>""")
+    assert(lit.head.o.lex == """<b x="1">bold</b> tail""")
+    // rdf:li renumbers per subject ELEMENT (container membership)
+    val li = parse("""<rdf:Description rdf:about="http://x/s"><rdf:li>a</rdf:li></rdf:Description><rdf:Description rdf:about="http://x/t"><rdf:li>b</rdf:li></rdf:Description>""")
+    assert(li.forall(_.p.lex.endsWith("#_1")))
+    // rdf:datatype beats the in-scope xml:lang (typed literal, no tag)
+    val dt = parse("""<rdf:Description rdf:about="http://x/s" xml:lang="en"><ex:p rdf:datatype="http://x/dt">v</ex:p></rdf:Description>""")
+    assert(dt.head.o.dt == "http://x/dt" && dt.head.o.lang == null)
+  }
+
   test("wave 17: JSON-LD @reverse (map + term definition) and @included") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
