@@ -1028,6 +1028,20 @@ class DifferentialSpec extends AnyFunSuite {
               .toEpochSecond(java.time.ZoneOffset.UTC)
         }
         (3, epoch.toDouble, lex, dt)
+      case (2, lex, dt) if dt == Term.XsdDayTimeDuration =>
+        // sortKey ranks dayTimeDurations by signed seconds (durDtSecs:
+        // D from the date part, H/M/S from the time part)
+        val sign = if (lex.startsWith("-")) -1 else 1
+        val (datePart, timePart) = lex.indexOf('T') match {
+          case -1 => (lex, "")
+          case i => (lex.substring(0, i), lex.substring(i + 1))
+        }
+        def comp(src: String, re: String): Long =
+          re.r.findFirstMatchIn(src).map(_.group(1).toLong).getOrElse(0L)
+        val secs = sign * (comp(datePart, "(\\d+)D") * 86400L +
+          comp(timePart, "(\\d+)H") * 3600L +
+          comp(timePart, "(\\d+)M") * 60L + comp(timePart, "(\\d+)S"))
+        (3, secs.toDouble, lex, dt)
       case (2, lex, dt) => (3, Double.MaxValue, lex, dt)
       case (k, lex, _) => (4 + k, Double.MaxValue, lex, "")
     }
@@ -1158,7 +1172,11 @@ class DifferentialSpec extends AnyFunSuite {
       // UTC, and MIN/MAX must agree with that documented order
       1 -> (for { d <- Gen.choose(1, 28); h <- Gen.choose(0, 23)
                   tz <- Gen.oneOf("Z", "+05:00", "-03:30", "") } yield
-        (2, f"2020-03-$d%02dT$h%02d:00:00$tz", Term.XsdDateTime): T))
+        (2, f"2020-03-$d%02dT$h%02d:00:00$tz", Term.XsdDateTime): T),
+      // dayTimeDurations: value-ranked by signed seconds (PT10H after
+      // PT2H despite the lex order), non-numeric for SUM/AVG
+      1 -> Gen.oneOf("PT2H", "PT10H", "PT2H30M", "P1DT1S", "-PT1H",
+        "PT90M").map(l => (2, l, Term.XsdDayTimeDuration): T))
     val genQuadPlain: Gen[(T, T, T)] = for {
       s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genAggObj
     } yield (s, p, o)
