@@ -100,6 +100,7 @@ final class JsonLdParser(content: String) {
             else ctx.expandKey(term).getOrElse(term)
           val typ = Option(v.get("@type")).map(_.asText)
             .map(t => if (t == "@id" || t == "@vocab") "@id"
+                      else if (t == "@json") "@json"
                       else ctx.expandRef(t))
           val lang = Option(v.get("@language"))
             .map(l => if (l.isNull) "" else Term.normLang(l.asText))
@@ -165,10 +166,36 @@ final class JsonLdParser(content: String) {
         }
     }
 
+  /** JCS-style canonical JSON for rdf:JSON literals: object keys
+    * sorted, no whitespace, strings JSON-escaped. Numbers: integrals
+    * minimal, doubles via Double.toString — a documented deviation
+    * from full ES6 shortest-round-trip serialization for exotic
+    * floating values.
+    */
+  private def canonicalJson(n: JsonNode): String =
+    if (n.isObject)
+      n.fields.asScala.toSeq.sortBy(_.getKey).map(e =>
+        com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey)
+          .toString + ":" + canonicalJson(e.getValue))
+        .mkString("{", ",", "}")
+    else if (n.isArray)
+      n.elements.asScala.map(canonicalJson).mkString("[", ",", "]")
+    else if (n.isTextual)
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(n.asText).toString
+    else if (n.isNull) "null"
+    else if (n.isBoolean) n.asBoolean.toString
+    else if (n.isIntegralNumber) n.asLong.toString
+    else n.asDouble.toString
+
   /** One value entry of a property -> term (emitting nested triples). */
   private def valueTerm(v: JsonNode, g: TermRow, ctx: Ctx,
       td: Option[TermDef]): TermRow =
-    if (v.isObject) {
+    // {"@type": "@json"} coercion: the WHOLE value — scalar, array, or
+    // object, even value-object-shaped — is an rdf:JSON literal
+    if (td.exists(_.typ.contains("@json")))
+      TermRow(Term.LiteralKind.toByte, canonicalJson(v),
+        RdfNs + "JSON", null)
+    else if (v.isObject) {
       val vk = ctx.keyword _
       val valueKey = v.fieldNames.asScala.find(k => vk(k) == "@value")
       val listKey = v.fieldNames.asScala.find(k => vk(k) == "@list")
@@ -185,9 +212,16 @@ final class JsonLdParser(content: String) {
           .foreach(k => err(s"invalid value object key '$k'"))
         if (typeKey.isDefined && langKey.isDefined)
           err("@value with both @type and @language")
-        if (lex.isContainerNode)
+        // {"@value": ..., "@type": "@json"}: ANY JSON value is legal
+        // and becomes an rdf:JSON literal in canonical form
+        val jsonTyped = typeKey.exists(k =>
+          v.get(k).isTextual && vk(v.get(k).asText) == "@json")
+        if (lex.isContainerNode && !jsonTyped)
           err("@value must be a scalar or null")
-        if (lex.isNull) null
+        if (jsonTyped)
+          TermRow(Term.LiteralKind.toByte, canonicalJson(lex),
+            RdfNs + "JSON", null)
+        else if (lex.isNull) null
         else if (typeKey.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText,
             ctx.expandRef(v.get(typeKey.get).asText), null)
@@ -267,8 +301,20 @@ final class JsonLdParser(content: String) {
     // @included (JSON-LD 1.1): sibling node objects in the same graph
     field("@included").foreach(in =>
       asArray(in).foreach(child => nodeObject(child, g, ctx)))
-    n.fields.asScala.foreach { e =>
-      val key = e.getKey
+    // @nest (JSON-LD 1.1): a nest key's object(s) contribute their
+    // entries as if they sat directly on this node
+    def propEntries(node: JsonNode): Seq[(String, JsonNode)] =
+      node.fields.asScala.toSeq.map(e => e.getKey -> e.getValue).flatMap {
+        case (k, value) if kw(k) == "@nest" =>
+          asArray(value).flatMap { nv =>
+            if (!nv.isObject) err("@nest value must be a node object")
+            if (nv.fieldNames.asScala.exists(f => kw(f) == "@value"))
+              err("@nest value must not be a value object")
+            propEntries(nv)
+          }
+        case (k, value) => Seq(k -> value)
+      }
+    propEntries(n).foreach { case (key, value) =>
       if (!key.startsWith("@") && !kw(key).startsWith("@"))
         ctx.expandKey(key).foreach { p =>
           val td = ctx.terms.get(key)
@@ -276,9 +322,9 @@ final class JsonLdParser(content: String) {
           val vctx = td.flatMap(_.scoped)
             .map(parseContext(_, ctx)).getOrElse(ctx)
           val cont = td.flatMap(_.container)
-          if (cont.contains("@index") && e.getValue.isObject) {
+          if (cont.contains("@index") && value.isObject) {
             // index map: keys are opaque indexes, values are the data
-            e.getValue.fields.asScala.foreach(ix =>
+            value.fields.asScala.foreach(ix =>
               asArray(ix.getValue).foreach { v =>
                 val t = valueTerm(v, g, vctx, td)
                 if (t != null) {
@@ -289,18 +335,18 @@ final class JsonLdParser(content: String) {
                   } else out += QuadRow(g, subj, iri(p), t)
                 }
               })
-          } else if (cont.contains("@language") && e.getValue.isObject) {
+          } else if (cont.contains("@language") && value.isObject) {
             // language map: keys are BCP47 tags, values the strings
-            e.getValue.fields.asScala.foreach(lv =>
+            value.fields.asScala.foreach(lv =>
               asArray(lv.getValue).foreach(v =>
                 out += QuadRow(g, subj, iri(p),
                   TermRow(Term.LiteralKind.toByte, v.asText,
                     Term.RdfLangString, Term.normLang(lv.getKey)))))
           } else {
             val vs =
-              if (cont.contains("@list") && e.getValue.isArray)
-                Seq(e.getValue) // one list, not n values
-              else asArray(e.getValue) // @set and no-container: n values
+              if (cont.contains("@list") && value.isArray)
+                Seq(value) // one list, not n values
+              else asArray(value) // @set and no-container: n values
             vs.foreach { v =>
               // null values mean "no value" in JSON-LD: dropped, and
               // {"@value": null} drops the same way

@@ -1024,6 +1024,38 @@ class RdfIOSpec extends AnyFunSuite {
       inc.exists(q => q.s.lex == "http://x/t" && q.o.lex == "w"))
   }
 
+  test("wave 19: JSON-LD @json literals and @nest") {
+    import graft.io.JsonLdParser
+    def ld(doc: String) = new JsonLdParser(doc).parse()
+    val J = "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON"
+    // term-coerced @json: the whole value canonicalizes (sorted keys)
+    val t1 = ld("""{"@context":{"p":{"@id":"http://x/p","@type":"@json"}},
+      "@id":"http://x/s","p":{"b":1,"a":[true,null,"x"]}}""")
+    assert(t1.head.o.dt == J &&
+      t1.head.o.lex == """{"a":[true,null,"x"],"b":1}""")
+    // expanded form: {"@value": <any JSON>, "@type": "@json"}
+    val t2 = ld("""{"@id":"http://x/s",
+      "http://x/p":{"@value":{"k":[1,2]},"@type":"@json"}}""")
+    assert(t2.head.o.dt == J && t2.head.o.lex == """{"k":[1,2]}""")
+    // scalars under @json stay JSON (not xsd typing)
+    val t3 = ld("""{"@context":{"p":{"@id":"http://x/p","@type":"@json"}},
+      "@id":"http://x/s","p":3}""")
+    assert(t3.head.o.dt == J && t3.head.o.lex == "3")
+    // @nest entries contribute as if on the parent node
+    val n1 = ld("""{"@id":"http://x/s","http://x/top":"v",
+      "@nest":{"http://x/inner":"w","@nest":{"http://x/deep":"d"}}}""")
+    assert(n1.size == 3 && n1.forall(_.s.lex == "http://x/s"))
+    assert(n1.exists(q => q.p.lex == "http://x/deep" && q.o.lex == "d"))
+    // aliased @nest via the context
+    val n2 = ld("""{"@context":{"meta":"@nest"},"@id":"http://x/s",
+      "meta":{"http://x/inner":"w"}}""")
+    assert(n2.size == 1 && n2.head.p.lex == "http://x/inner")
+    // @nest values must be node objects, never value objects
+    intercept[Exception](ld("""{"@id":"http://x/s","@nest":"x"}"""))
+    intercept[Exception](ld(
+      """{"@id":"http://x/s","@nest":{"@value":"x"}}"""))
+  }
+
   test("wave 15: JSON-LD null-valued value objects drop out of lists") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
