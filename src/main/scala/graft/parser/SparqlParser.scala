@@ -463,9 +463,11 @@ final class SparqlParser(input: String) {
             }
           }
           ws()
-          // SPARQL-star annotation block {| q v ; ... |}: also matches
-          // the quoted form of the triple just parsed
-          if (peekSym("{|")) {
+          // SPARQL-star annotation blocks {| q v ; ... |}: each matches
+          // the quoted form of the triple just parsed; the grammar
+          // allows a CHAIN of blocks on one object (annotation is a
+          // '*' repetition)
+          while (peekSym("{|")) {
             expect("{|")
             val vp: TermPat = verb match {
               case Right(v) => V(v)
@@ -474,6 +476,7 @@ final class SparqlParser(input: String) {
             }
             propertyList(Q(s, vp, o))
             expect("|}")
+            ws()
           }
           moreObjs = eatSym(",")
         }
@@ -1181,7 +1184,17 @@ final class SparqlParser(input: String) {
         val p = verb()
         var moreObjs = true
         while (moreObjs) {
-          out += TriplePattern(s, p, node())
+          val o = node()
+          out += TriplePattern(s, p, o)
+          ws()
+          // SPARQL-star annotation blocks in templates: each block's
+          // props attach to the quoted form of the emitted triple
+          while (peekSym("{|")) {
+            expect("{|")
+            props(Q(s, p, o))
+            expect("|}")
+            ws()
+          }
           moreObjs = eatSym(",")
         }
         moreProps = eatSym(";")

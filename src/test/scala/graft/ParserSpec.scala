@@ -340,6 +340,26 @@ class ParserSpec extends AnyFunSuite {
       "SELECT ?x WHERE { SERVICE SILENT ?ep { ?x :p ?y } }") != null)
   }
 
+  test("wave 20: SPARQL-star annotation chains and template annotations") {
+    // annotation is a '*' repetition: chained blocks all annotate the
+    // same triple
+    val q = SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?s :p ?o {| :q 1 |} {| :r ?x |} }")
+    assert(q != null)
+    // annotations in CONSTRUCT templates attach to the quoted triple
+    val c = SparqlParser.parse(pfx +
+      "CONSTRUCT { ?s :p ?o {| :src :here |} } WHERE { ?s :p ?o }")
+    val Construct(tmpl, _) = c: @unchecked
+    assert(tmpl.size == 2)
+    assert(tmpl.exists(t => t.s.isInstanceOf[Q]),
+      s"expected a quoted-subject annotation triple in $tmpl")
+    // paths and literal subjects stay illegal inside quoted triples
+    intercept[Exception](SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { << ?a :p/:q ?b >> :r ?x }"))
+    intercept[Exception](SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { << 1 :p ?b >> :r ?x }"))
+  }
+
   test("wave 15: keyword boundary uses PN_CHARS — 'a-b' prefixes, " +
       "'true.' terminator") {
     // 'a-b' is a legal PN_PREFIX ('-' is a PN_CHARS continuation), so

@@ -766,6 +766,8 @@ class RdfIOSpec extends AnyFunSuite {
     // Turtle-star: nested annotation blocks, annotations in object lists
     assert(ttl(p + ":a :b :c {| :q :r {| :x 1 |} |} .").size == 3)
     assert(ttl(p + ":a :b :c {| :q 1 |} , :d .").size == 3)
+    // r11: CHAINED annotation blocks each annotate the same triple
+    assert(ttl(p + ":a :b :c {| :q 1 |} {| :r 2 |} .").size == 3)
     // JSON-LD containers
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
