@@ -233,7 +233,30 @@ class DifferentialSpec extends AnyFunSuite {
       } yield
         if (v1 == v2) Join(l, ValuesPat(Seq(v1), rows.map(_.take(1))))
         else Join(l, ValuesPat(Seq(v1, v2), rows))),
+      // path-in-algebra (r11): property paths joined with other
+      // patterns under BAG semantics (PathFuzzSpec covers paths
+      // standalone; this covers the PathExec→Sol join composition)
+      1 -> (for { s <- genPathEnd; p <- genPathExpr(1); o <- genTermPat }
+        yield PathPattern(s, p, o)),
+      1 -> (for { b <- genBgp; s <- genPathEnd
+                  p <- genPathExpr(1); o <- genTermPat }
+        yield Join(b, PathPattern(s, p, o))),
       1 -> genPattern(depth - 1).map(Distinct))
+
+  private val genPathEnd: Gen[TermPat] = Gen.frequency(
+    4 -> genVar, 1 -> Gen.choose(0, 4).map(n => I(s"http://x/i$n")))
+  private def genPathExpr(depth: Int): Gen[Path] = {
+    val link = Gen.choose(10, 12).map(n => PLink(s"http://x/i$n"))
+    if (depth == 0) link
+    else Gen.frequency(
+      3 -> link,
+      1 -> genPathExpr(depth - 1).map(PInv),
+      1 -> (for { a <- genPathExpr(depth - 1); b <- genPathExpr(depth - 1) }
+        yield PSeq(a, b)),
+      1 -> (for { a <- genPathExpr(depth - 1); b <- genPathExpr(depth - 1) }
+        yield PAlt(a, b)),
+      1 -> link.map(POneOrMore(_)))
+  }
 
   // named-graph wave: the same shapes wrapped in GRAPH — the graph name
   // is usually a fresh var ("g"), sometimes a pattern var ("a", so the
@@ -355,6 +378,32 @@ class DifferentialSpec extends AnyFunSuite {
           case V(v) => sols.flatMap(b => matchPat(V(v), g, b).toSeq)
           case pat => sols.filter(_ => matchPat(pat, g, Map.empty).isDefined)
         }
+      }
+    // path-in-algebra (r11): BAG semantics for link/inv/seq/alt (the
+    // spec's eval is multiset there), SET for the ALP closure forms
+    case PathPattern(sp, path, op) =>
+      def bag(p: Path): Seq[(T, T)] = p match {
+        case PLink(iri) =>
+          data.collect { case (s, (0, `iri`, _), o) => (s, o) }
+        case PInv(q) => bag(q).map(_.swap)
+        case PSeq(a, b) =>
+          for { (s, m) <- bag(a); (m2, o) <- bag(b) if m == m2 }
+            yield (s, o)
+        case PAlt(a, b) => bag(a) ++ bag(b)
+        case POneOrMore(q) =>
+          var acc = bag(q).toSet
+          var grew = true
+          while (grew) {
+            val next = for { (s, m) <- acc; (m2, o) <- acc if m == m2 }
+              yield (s, o)
+            val merged = acc ++ next
+            grew = merged.size > acc.size; acc = merged
+          }
+          acc.toSeq
+        case other => fail(s"path model: unexpected $other")
+      }
+      bag(path).flatMap { case (sT, oT) =>
+        matchPat(sp, sT, Map.empty).flatMap(b1 => matchPat(op, oT, b1))
       }
     case Filter(e: EFn, p) =>
       evalNaive(p, data, named).filter(evalFilterBool(e, _))
