@@ -1007,6 +1007,65 @@ class DifferentialSpec extends AnyFunSuite {
   // semantics the engine's mark-join implements. The naive side
   // evaluates exactly that, over every generated outer/inner var
   // sharing pattern.
+  test("FILTER [NOT] EXISTS with GRAPH inners over named-graph data") {
+    def compatible(a: Binding, b: Binding): Boolean =
+      (a.keySet & b.keySet).forall(v => a(v) == b(v))
+    // EXISTS{ GRAPH ?g/<iri> { bgp } }: the semi/anti join must range
+    // over the named graphs (and bind/constrain the graph var) exactly
+    // like a free-standing GRAPH pattern
+    val genInner: Gen[GraphPattern] =
+      for { n <- genGName; b <- genBgp } yield GraphPat(n, b)
+    val prop = Prop.forAllNoShrink(genDataG, genPatternG(1), genInner,
+      Gen.oneOf(true, false)) {
+      case ((data, named), outer, inner, positive) =>
+        val gp = Filter(EExists(inner, positive), outer)
+        val innerSols = evalNaive(inner, data, named)
+        val expected = evalNaive(outer, data, named).filter { b =>
+          val ex = innerSols.exists(compatible(b, _))
+          if (positive) ex else !ex
+        }.map(canon).sorted
+        try {
+          val df = graft.exec.Translator.translate(gp,
+            quadsDfG(data, named)).df
+          val got = df.collect().toSeq.map { r =>
+            cmpVars.flatMap { v =>
+              if (!df.columns.contains(v)) None
+              else Option(r.getAs[Row](v)).map(t =>
+                s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+            }.mkString("|")
+          }.sorted
+          if (got != expected)
+            println(s"GRAPH-EXISTS MISMATCH for $gp\ndata=$data " +
+              s"named=$named\nexpected=$expected\ngot=$got")
+          got == expected
+        } catch {
+          case _: UnsupportedOperationException => true
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed,
+      s"GRAPH-EXISTS differential failed: ${result.status}")
+    // directed witness that the shape truly executes (no USOE bail):
+    // keep default-graph rows whose ?a appears as a subject in SOME
+    // named graph
+    val data: Seq[(T, T, T)] =
+      Seq((iri(0), (0, "http://x/i10", null), int(1)),
+        (iri(1), (0, "http://x/i10", null), int(2)))
+    val named = Map(graphTerms(0) ->
+      Seq((iri(0), (0, "http://x/i11", null), int(3)): (T, T, T)))
+    val gp = Filter(
+      EExists(GraphPat(V("g"), Bgp(
+        TriplePattern(V("a"), I("http://x/i11"), V("c")))), true),
+      Bgp(TriplePattern(V("a"), I("http://x/i10"), V("b"))))
+    val df = graft.exec.Translator.translate(gp, quadsDfG(data, named)).df
+    val rows = df.collect()
+    assert(rows.length == 1 &&
+      rows.head.getAs[Row]("a").getString(1) == "http://x/i0",
+      rows.mkString(", "))
+  }
+
   test("FILTER [NOT] EXISTS matches compatibility semantics on BGP " +
       "inners") {
     def compatible(a: Binding, b: Binding): Boolean =
