@@ -482,8 +482,11 @@ final class SparqlParser(input: String) {
         }
         moreProps = eatSym(";")
         ws()
+        // a ';' may dangle before any terminator, including an
+        // annotation block's '|}'
         if (moreProps && (pos >= input.length || input(pos) == '.' ||
-          input(pos) == '}' || input(pos) == ']')) moreProps = false
+          input(pos) == '}' || input(pos) == ']' ||
+          input(pos) == '|')) moreProps = false
       }
     }
 
@@ -1200,7 +1203,8 @@ final class SparqlParser(input: String) {
         moreProps = eatSym(";")
         ws()
         if (moreProps && (pos >= input.length || input(pos) == '.' ||
-          input(pos) == '}' || input(pos) == ']')) moreProps = false
+          input(pos) == '}' || input(pos) == ']' ||
+          input(pos) == '|')) moreProps = false
       }
     }
     while (!peekSym("}")) {

@@ -353,6 +353,11 @@ class ParserSpec extends AnyFunSuite {
     assert(tmpl.size == 2)
     assert(tmpl.exists(t => t.s.isInstanceOf[Q]),
       s"expected a quoted-subject annotation triple in $tmpl")
+    // a ';' may dangle before '|}'; an empty block stays illegal
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?s :p ?o {| :q ?x ; |} }") != null)
+    intercept[Exception](SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?s :p ?o {| |} }"))
     // paths and literal subjects stay illegal inside quoted triples
     intercept[Exception](SparqlParser.parse(pfx +
       "SELECT ?x WHERE { << ?a :p/:q ?b >> :r ?x }"))

@@ -768,6 +768,18 @@ class RdfIOSpec extends AnyFunSuite {
     assert(ttl(p + ":a :b :c {| :q 1 |} , :d .").size == 3)
     // r11: CHAINED annotation blocks each annotate the same triple
     assert(ttl(p + ":a :b :c {| :q 1 |} {| :r 2 |} .").size == 3)
+    // r11: a ';' may dangle before '|}'; an EMPTY block stays illegal
+    assert(ttl(p + ":a :b :c {| :q 1 ; |} .").size == 2)
+    intercept[Exception](ttl(p + ":a :b :c {| |} ."))
+    // rdf:Bag/Seq/Alt are ordinary typed nodes; rdf:li renumbers
+    val bag = new graft.io.RdfXmlParser(
+      """<?xml version="1.0"?><rdf:RDF
+        | xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |<rdf:Bag rdf:about="http://x/b"><rdf:li>a</rdf:li>
+        |<rdf:li>b</rdf:li></rdf:Bag></rdf:RDF>""".stripMargin).parse()
+    assert(bag.size == 3 && bag.exists(_.p.lex.endsWith("#_2")))
+    assert(bag.find(_.p.lex.endsWith("#type")).get.o.lex ==
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#Bag")
     // JSON-LD containers
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
