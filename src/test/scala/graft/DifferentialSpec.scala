@@ -1136,6 +1136,17 @@ class DifferentialSpec extends AnyFunSuite {
               .toEpochSecond(java.time.ZoneOffset.UTC)
         }
         (3, epoch.toDouble, lex, dt)
+      case (2, lex, dt) if dt == Term.XsdDate =>
+        // tsVal: a date ranks at its midnight instant
+        (3, java.time.LocalDate.parse(lex).atStartOfDay
+          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt)
+      case (2, lex, dt) if dt == Term.XsdTime =>
+        // tsVal anchors times on 1972-12-31 (a leap year's last day)
+        (3, java.time.LocalDateTime.parse(s"1972-12-31T$lex")
+          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt)
+      case (2, lex, dt) if dt == Term.XsdGYear =>
+        (3, java.time.LocalDate.parse(s"$lex-01-01").atStartOfDay
+          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt)
       case (2, lex, dt) if dt == Term.XsdDayTimeDuration =>
         // sortKey ranks dayTimeDurations by signed seconds (durDtSecs:
         // D from the date part, H/M/S from the time part)
@@ -1284,7 +1295,16 @@ class DifferentialSpec extends AnyFunSuite {
       // dayTimeDurations: value-ranked by signed seconds (PT10H after
       // PT2H despite the lex order), non-numeric for SUM/AVG
       1 -> Gen.oneOf("PT2H", "PT10H", "PT2H30M", "P1DT1S", "-PT1H",
-        "PT90M").map(l => (2, l, Term.XsdDayTimeDuration): T))
+        "PT90M").map(l => (2, l, Term.XsdDayTimeDuration): T),
+      // the other temporal primitives (r11): dates at midnight, times
+      // on the 1972-12-31 anchor, gYears at Jan 1 — the engine's
+      // cross-type totalization of §15.1
+      1 -> Gen.choose(1, 28).map(d =>
+        (2, f"2020-03-$d%02d", Term.XsdDate): T),
+      1 -> Gen.choose(0, 23).map(h =>
+        (2, f"$h%02d:15:00", Term.XsdTime): T),
+      1 -> Gen.choose(2010, 2019).map(y =>
+        (2, y.toString, Term.XsdGYear): T))
     val genQuadPlain: Gen[(T, T, T)] = for {
       s <- Gen.choose(0, 4).map(iri); p <- genPred; o <- genAggObj
     } yield (s, p, o)
