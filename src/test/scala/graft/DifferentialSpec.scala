@@ -241,6 +241,11 @@ class DifferentialSpec extends AnyFunSuite {
       1 -> (for { b <- genBgp; s <- genPathEnd
                   p <- genPathExpr(1); o <- genTermPat }
         yield Join(b, PathPattern(s, p, o))),
+      // paths as correlated LATERAL right sides: substituted endpoint
+      // vars pin as constants per left row
+      1 -> (for { l <- genPattern(depth - 1); s <- genPathEnd
+                  p <- genPathExpr(1); o <- genTermPat }
+        yield Lateral(l, PathPattern(s, p, o))),
       1 -> genPattern(depth - 1).map(Distinct))
 
   private val genPathEnd: Gen[TermPat] = Gen.frequency(
@@ -382,27 +387,7 @@ class DifferentialSpec extends AnyFunSuite {
     // path-in-algebra (r11): BAG semantics for link/inv/seq/alt (the
     // spec's eval is multiset there), SET for the ALP closure forms
     case PathPattern(sp, path, op) =>
-      def bag(p: Path): Seq[(T, T)] = p match {
-        case PLink(iri) =>
-          data.collect { case (s, (0, `iri`, _), o) => (s, o) }
-        case PInv(q) => bag(q).map(_.swap)
-        case PSeq(a, b) =>
-          for { (s, m) <- bag(a); (m2, o) <- bag(b) if m == m2 }
-            yield (s, o)
-        case PAlt(a, b) => bag(a) ++ bag(b)
-        case POneOrMore(q) =>
-          var acc = bag(q).toSet
-          var grew = true
-          while (grew) {
-            val next = for { (s, m) <- acc; (m2, o) <- acc if m == m2 }
-              yield (s, o)
-            val merged = acc ++ next
-            grew = merged.size > acc.size; acc = merged
-          }
-          acc.toSeq
-        case other => fail(s"path model: unexpected $other")
-      }
-      bag(path).flatMap { case (sT, oT) =>
+      pathBag(path, data).flatMap { case (sT, oT) =>
         matchPat(sp, sT, Map.empty).flatMap(b1 => matchPat(op, oT, b1))
       }
     case Filter(e: EFn, p) =>
@@ -600,6 +585,31 @@ class DifferentialSpec extends AnyFunSuite {
     * left vars in scope (error leaves the variable unbound, matching
     * SPARQL error-as-unbound for Extend).
     */
+  /** Path pair multiset over the edge data: BAG semantics for link/
+    * inverse/seq/alt (duplicate quads multiply), SET for the + closure.
+    */
+  private def pathBag(p: Path, data: Seq[(T, T, T)]): Seq[(T, T)] =
+    p match {
+      case PLink(iri) =>
+        data.collect { case (s, (0, `iri`, _), o) => (s, o) }
+      case PInv(q) => pathBag(q, data).map(_.swap)
+      case PSeq(a, b) =>
+        for { (s, m) <- pathBag(a, data); (m2, o) <- pathBag(b, data)
+          if m == m2 } yield (s, o)
+      case PAlt(a, b) => pathBag(a, data) ++ pathBag(b, data)
+      case POneOrMore(q) =>
+        var acc = pathBag(q, data).toSet
+        var grew = true
+        while (grew) {
+          val next = for { (s, m) <- acc; (m2, o) <- acc if m == m2 }
+            yield (s, o)
+          val merged = acc ++ next
+          grew = merged.size > acc.size; acc = merged
+        }
+        acc.toSeq
+      case other => fail(s"path model: unexpected $other")
+    }
+
   private def evalSubst(gp: GraphPattern, data: Seq[(T, T, T)],
       b0: Binding, named: Map[T, Seq[(T, T, T)]] = Map.empty)
       : Seq[Binding] = gp match {
@@ -616,6 +626,12 @@ class DifferentialSpec extends AnyFunSuite {
       evalSubst(l, data, b0, named).flatMap(b => evalSubst(r, data, b, named))
     case Union(l, r) =>
       evalSubst(l, data, b0, named) ++ evalSubst(r, data, b0, named)
+    // σ(PathPattern): substituted endpoint vars are constants — the
+    // path pairs filter against the incoming binding
+    case PathPattern(sp, path, op) =>
+      pathBag(path, data).flatMap { case (sT, oT) =>
+        matchPat(sp, sT, b0).flatMap(b1 => matchPat(op, oT, b1))
+      }
     // σ semantics: substituted (left-bound) vars are CONSTANTS, not part
     // of the solution domains — strip them before the compatibility /
     // domain-overlap step, re-attach after (§18.5 over σ-domains)
@@ -850,6 +866,33 @@ class DifferentialSpec extends AnyFunSuite {
       }.mkString("|")
     }.sorted
     assert(got == expected)
+  }
+
+  test("property path as a correlated LATERAL right side pins the " +
+      "substituted endpoint") {
+    // left binds ?a ∈ {i0, i3}; right is ?a (i10)+ ?b — the closure
+    // must seed from EACH left row's ?a: i0 reaches i1,i2; i3 reaches
+    // nothing
+    val P10 = "http://x/i10"
+    val gp = Lateral(
+      Bgp(TriplePattern(V("a"), I("http://x/i11"), V("c"))),
+      PathPattern(V("a"), POneOrMore(PLink(P10)), V("b")))
+    val data: Seq[(T, T, T)] = Seq(
+      (iri(0), (0, "http://x/i11", null), int(1)), // left row: a→i0
+      (iri(3), (0, "http://x/i11", null), int(2)), // left row: a→i3
+      (iri(0), (0, P10, null), iri(1)),
+      (iri(1), (0, P10, null), iri(2)))
+    val expected = evalNaive(gp, data).map(canon).sorted
+    assert(expected.size == 2, expected) // i0→i1, i0→i2; i3 none
+    val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+    val got = df.collect().toSeq.map { r =>
+      cmpVars.flatMap { v =>
+        if (!df.columns.contains(v)) None
+        else Option(r.getAs[Row](v)).map(t =>
+          s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+      }.mkString("|")
+    }.sorted
+    assert(got == expected, s"expected=$expected got=$got")
   }
 
   test("EXISTS inside a correlated LATERAL body pins outer vars per " +
