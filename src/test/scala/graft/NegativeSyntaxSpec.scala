@@ -116,7 +116,20 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "GRAPH with a literal name" ->
       (pfx + "SELECT ?x WHERE { GRAPH \"g\" { ?x :p 1 } }"),
     "property path in a CONSTRUCT template" ->
-      (pfx + "CONSTRUCT { ?s :p/:q ?o } WHERE { ?s :p ?o }"))
+      (pfx + "CONSTRUCT { ?s :p/:q ?o } WHERE { ?s :p ?o }"),
+    // --- probe wave 22 (r11): solution-modifier order is fixed ---
+    "duplicate LIMIT clause" ->
+      (pfx + "SELECT ?x WHERE { ?x :p 1 } LIMIT 3 LIMIT 4"),
+    "negative LIMIT" -> (pfx + "SELECT ?x WHERE { ?x :p 1 } LIMIT -1"),
+    "ORDER BY after LIMIT" ->
+      (pfx + "SELECT ?x WHERE { ?x :p 1 } LIMIT 3 ORDER BY ?x"),
+    "ORDER BY before HAVING" ->
+      (pfx + "SELECT (COUNT(*) AS ?n) WHERE { ?x :p ?y } GROUP BY ?x " +
+        "ORDER BY ?n HAVING (?n > 0)"),
+    "FROM after WHERE" ->
+      (pfx + "SELECT ?x WHERE { ?x :p 1 } FROM <http://g/>"),
+    "IN list with a trailing comma" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER(?y IN (1, 2,)) }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->

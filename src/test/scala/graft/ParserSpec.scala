@@ -318,6 +318,22 @@ class ParserSpec extends AnyFunSuite {
     assert(ops.length == 1) // empty template + empty pattern = no-op
   }
 
+  test("wave 22: LIMIT/OFFSET commute; NOT IN; unary chains; base chain") {
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p 1 } OFFSET 2 LIMIT 3") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p 1 } LIMIT 3 OFFSET 2") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p ?y FILTER(?y NOT IN (1, 2)) }") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p ?y FILTER(!!?y && -?y < 0) }") != null)
+    // Turtle @base chain resolves each base against the previous one
+    val qs = new graft.io.TurtleParser(
+      "@base <http://h/a/> .\n@base <sub/> .\n<x> <http://p/> 1 .")
+      .parse()
+    assert(qs.head.s.lex == "http://h/a/sub/x")
+  }
+
   test("waves 16-17: prologue per update op; keyword-case booleans; " +
       "COUNT(DISTINCT *); bare-builtin GROUP BY; SERVICE ?var") {
     // rule [3]: each ';' opens a fresh Update with its own Prologue
