@@ -131,6 +131,37 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
   private final case class HttpError(code: Int, msg: String)
     extends RuntimeException(msg)
 
+  /** Proper Accept negotiation (RFC 9110 §12.5.1): media ranges sorted
+    * by q (unspecified = 1, q=0 excluded), first supported key wins;
+    * wildcards `*&#47;*` and `type&#47;*` match; table order breaks
+    * wildcard ties (so the server's preferred format answers `*&#47;*`).
+    * Empty Accept → `default`; None → 406.
+    */
+  private def negotiate(accept: String,
+      table: Seq[(String, Seq[String])], default: String): Option[String] =
+    if (accept.trim.isEmpty) Some(default)
+    else {
+      val ranges = accept.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { part =>
+          val bits = part.split(";").map(_.trim)
+          val q = bits.tail.collectFirst {
+            case p if p.toLowerCase.startsWith("q=") =>
+              try p.substring(2).toDouble
+              catch { case _: NumberFormatException => 0.0 }
+          }.getOrElse(1.0)
+          (bits.head.toLowerCase, q)
+        }
+        .filter(_._2 > 0)
+        .sortBy(-_._2)
+      ranges.iterator.flatMap { case (r, _) =>
+        table.collectFirst {
+          case (key, types) if r == "*/*" || types.exists(t =>
+            r == t || (r.endsWith("/*") &&
+              t.startsWith(r.dropRight(1)))) => key
+        }
+      }.nextOption()
+    }
+
   private def handler(f: HttpExchange => Unit): HttpHandler =
     (ex: HttpExchange) =>
       try f(ex)
@@ -231,24 +262,30 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
       form match {
         case _: Construct | _: Describe => respondGraph(ex, accept, df)
         case _ =>
-          // results content negotiation, JSON default
-          if (accept.contains("tab-separated"))
-            respondStream(ex, 200,
+          // results content negotiation by q-preference, JSON default
+          negotiate(accept, Seq(
+            "json" -> Seq("application/sparql-results+json",
+              "application/json"),
+            "xml" -> Seq("application/sparql-results+xml",
+              "application/xml"),
+            "csv" -> Seq("text/csv"),
+            "tsv" -> Seq("text/tab-separated-values")), "json") match {
+            case Some("tsv") => respondStream(ex, 200,
               "text/tab-separated-values; charset=utf-8")(
               Results.writeSeparated(df, tsv = true, _))
-          else if (accept.contains("text/csv"))
-            respondStream(ex, 200, "text/csv; charset=utf-8")(
-              Results.writeSeparated(df, tsv = false, _))
-          else if (accept.contains("sparql-results+xml") ||
-            accept.contains("application/xml"))
-            respondStream(ex, 200, "application/sparql-results+xml")(
-              Results.writeXml(df, _))
-          else if (accept.isEmpty || accept.contains("json") ||
-            accept.contains("*/*") || accept.contains("application/*"))
-            respondStream(ex, 200, "application/sparql-results+json")(
-              Results.writeJson(df, _))
-          else // no supported results format and no wildcard
-            throw HttpError(406, s"no acceptable results format in: $accept")
+            case Some("csv") =>
+              respondStream(ex, 200, "text/csv; charset=utf-8")(
+                Results.writeSeparated(df, tsv = false, _))
+            case Some("xml") =>
+              respondStream(ex, 200, "application/sparql-results+xml")(
+                Results.writeXml(df, _))
+            case Some(_) =>
+              respondStream(ex, 200, "application/sparql-results+json")(
+                Results.writeJson(df, _))
+            case None => // no supported results format and no wildcard
+              throw HttpError(406,
+                s"no acceptable results format in: $accept")
+          }
       }
     }
   }
@@ -259,22 +296,26 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
     */
   private def respondGraph(ex: HttpExchange, accept: String,
       triples: DataFrame): Unit =
-    if (accept.contains("text/turtle"))
-      respondStream(ex, 200, "text/turtle; charset=utf-8") { out =>
-        TurtleWriter.turtleLines(triples)
-          .foreach(l => out.append(l).append('\n'))
-      }
-    else if (accept.contains("application/ld+json"))
-      respondStream(ex, 200, "application/ld+json")(
-        JsonLdWriter.writeJsonLd(
-          triples.select(Term.defaultGraph.as("g"),
-            col("s"), col("p"), col("o")), _))
-    else if (accept.isEmpty || accept.contains("n-triples") ||
-      accept.contains("text/plain") || accept.contains("*/*") ||
-      accept.contains("application/*") || accept.contains("text/*"))
-      respondStream(ex, 200, "application/n-triples")(
-        ntStream(triples, _))
-    else throw HttpError(406, s"no acceptable graph format in: $accept")
+    negotiate(accept, Seq(
+      "nt" -> Seq("application/n-triples", "text/plain"),
+      "ttl" -> Seq("text/turtle"),
+      "jsonld" -> Seq("application/ld+json")), "nt") match {
+      case Some("ttl") =>
+        respondStream(ex, 200, "text/turtle; charset=utf-8") { out =>
+          TurtleWriter.turtleLines(triples)
+            .foreach(l => out.append(l).append('\n'))
+        }
+      case Some("jsonld") =>
+        respondStream(ex, 200, "application/ld+json")(
+          JsonLdWriter.writeJsonLd(
+            triples.select(Term.defaultGraph.as("g"),
+              col("s"), col("p"), col("o")), _))
+      case Some(_) =>
+        respondStream(ex, 200, "application/n-triples")(
+          ntStream(triples, _))
+      case None =>
+        throw HttpError(406, s"no acceptable graph format in: $accept")
+    }
 
   // ---- /update --------------------------------------------------------
 

@@ -333,6 +333,22 @@ class SparqlServerSpec extends AnyFunSuite {
       .header("Content-Type", "application/pdf")
       .method("PUT", BodyPublishers.ofString("x")).build())
     assert(badG.statusCode() == 415)
+    // q-values order the negotiation: highest-q supported type wins
+    // regardless of listing order
+    val qv = get(s"/query?query=$q",
+      "text/csv;q=0.1, application/sparql-results+json;q=0.9")
+    assert(qv.headers().firstValue("Content-Type").get
+      .contains("sparql-results+json"), qv.headers().map())
+    val qv2 = get(s"/query?query=$q",
+      "application/sparql-results+json;q=0.2, text/csv;q=0.8")
+    assert(qv2.headers().firstValue("Content-Type").get
+      .contains("text/csv"))
+    // a q=0 range is an explicit exclusion
+    assert(get(s"/query?query=$q", "text/csv;q=0").statusCode() == 406)
+    val gq = get(s"/query?query=$cq",
+      "application/n-triples;q=0.1, text/turtle;q=0.9")
+    assert(gq.headers().firstValue("Content-Type").get
+      .contains("text/turtle"))
     // 400: duplicate update parameter (urlencoded form)
     val dupU = send(HttpRequest.newBuilder(URI.create(server.uri("/update")))
       .header("Content-Type", "application/x-www-form-urlencoded")
