@@ -381,7 +381,20 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
 
   private def storeRequest(ex: HttpExchange): Unit = {
     val ps = params(ex)
+    // GSP §5.1 indirect identification: `?graph=<absolute-iri>` names a
+    // graph; a valueless `?default` names the default graph. Both at
+    // once is a client error, as is a relative graph IRI. A bare
+    // /store with neither is treated as `?default` (documented; this
+    // server has no direct-identification URI space).
+    if (ps.contains("default") && ps.contains("graph"))
+      throw HttpError(400, "both graph and default parameters given")
+    if (ps.get("graph").exists(_.size > 1))
+      throw HttpError(400, "more than one graph parameter")
     val graph: Option[String] = ps.get("graph").flatMap(_.headOption)
+    graph.foreach { iri =>
+      val c = iri.indexOf(':')
+      if (c <= 0) throw HttpError(400, s"graph IRI must be absolute: $iri")
+    }
     val st = ref.get
     def graphQuads(q: DataFrame): DataFrame = graph match {
       case Some(iri) => q.where(col("g")("kind") === Term.IriKind &&

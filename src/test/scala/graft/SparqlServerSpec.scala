@@ -238,6 +238,49 @@ class SparqlServerSpec extends AnyFunSuite {
     assert(send(again).statusCode() == 404)
   }
 
+  test("GSP indirect identification: ?default names the default graph; " +
+    "graph+default together and relative graph IRIs are 400") {
+    // ?default PUT replaces the default graph of a scratch server
+    val d = Files.createTempDirectory("gspdef")
+    val nt = d.resolve("seed.nt")
+    Files.writeString(nt, "<http://x/s0> <http://x/p> \"seed\" .\n")
+    val srv = new SparqlServer(
+      GraftStore.fromFile(spark, nt.toString, "nt")).start()
+    try {
+      def u(p: String) = URI.create(srv.uri(p))
+      val got = client.send(HttpRequest.newBuilder(u("/store?default"))
+        .GET().build(), BodyHandlers.ofString())
+      assert(got.statusCode() == 200 && got.body().contains("\"seed\""))
+      val put = HttpRequest.newBuilder(u("/store?default"))
+        .header("Content-Type", "application/n-triples")
+        .method("PUT", BodyPublishers.ofString(
+          "<http://x/s1> <http://x/p> \"repl\" .\n")).build()
+      assert(send(put).statusCode() == 204)
+      val after = client.send(HttpRequest.newBuilder(u("/store?default"))
+        .GET().build(), BodyHandlers.ofString()).body()
+      assert(after.contains("\"repl\"") && !after.contains("\"seed\""))
+      // DELETE ?default clears the default graph (never 404: the
+      // default graph always exists)
+      assert(send(HttpRequest.newBuilder(u("/store?default"))
+        .DELETE().build()).statusCode() == 204)
+      assert(client.send(HttpRequest.newBuilder(u("/store?default"))
+        .GET().build(), BodyHandlers.ofString()).body().trim.isEmpty)
+      // both parameters at once: client error
+      assert(client.send(HttpRequest.newBuilder(
+        u(s"/store?default&graph=${enc("http://x/g")}"))
+        .GET().build(), BodyHandlers.ofString()).statusCode() == 400)
+      // relative graph IRI: client error
+      assert(client.send(HttpRequest.newBuilder(
+        u(s"/store?graph=${enc("relative/name")}"))
+        .GET().build(), BodyHandlers.ofString()).statusCode() == 400)
+      // duplicate graph parameter: client error
+      val g2 = enc("http://x/g")
+      assert(client.send(HttpRequest.newBuilder(
+        u(s"/store?graph=$g2&graph=$g2"))
+        .GET().build(), BodyHandlers.ofString()).statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("graph dumps stream: a multi-partition graph round-trips " +
     "chunked (no Content-Length) in NT and Turtle") {
     import spark.implicits._
