@@ -77,8 +77,22 @@ final class RdfXmlParser(content: String) {
   def parse(): Seq[QuadRow] = {
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(true)
-    // no DTDs: entity expansion is an attack surface, not a feature
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    // DOCTYPE with an INTERNAL subset is legal RDF/XML and common in
+    // the wild (<!ENTITY xsd "http://...#"> namespace shorthands), so
+    // internal entities expand. Everything external stays off: no
+    // external general/parameter entities, no external DTD fetch
+    // (zero egress, no XXE), and FEATURE_SECURE_PROCESSING caps total
+    // expansion (billion-laughs).
+    f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities",
+      false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities",
+      false)
+    f.setFeature(
+      "http://apache.org/xml/features/nonvalidating/load-external-dtd",
+      false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(true)
     val doc = f.newDocumentBuilder().parse(
       new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
     val root = doc.getDocumentElement
