@@ -8,34 +8,58 @@ import graft.model.Term
 
 /** JSON-LD parser (oxigraph: lib/oxjsonld): expanded form plus LOCAL
   * `@context` processing — term definitions (string and expanded form
-  * with @id / @type / @language / @container), prefix (compact-IRI)
-  * expansion, @vocab and @base, default @language, keyword aliases,
-  * context arrays and null-resets, nested node-object contexts
-  * (inherit + override), and scoped contexts (property-scoped via a
-  * term definition's @context, type-scoped via a matched @type's term
-  * definition). Remote contexts (a string entry in @context) are
-  * rejected — zero egress; the one documented deviation.
+  * with @id / @type / @language / @direction / @container), prefix
+  * (compact-IRI) expansion, @vocab and @base, default @language and
+  * @direction, keyword aliases, context arrays and null-resets, nested
+  * node-object contexts (inherit + override), scoped contexts
+  * (property-scoped via a term definition's @context, type-scoped via
+  * a matched @type's term definition) with JSON-LD 1.1 propagation
+  * semantics (@propagate; type-scoped contexts revert at nested node
+  * objects by default), and @protected term definitions. Remote
+  * contexts (a string entry in @context) are rejected — zero egress;
+  * the one documented deviation.
+  *
+  * `rdfDirection` selects the toRdf base-direction mode: None (the
+  * default) drops @direction like JSON-LD 1.0 consumers;
+  * "i18n-datatype" mints https://www.w3.org/ns/i18n#{lang}_{dir}
+  * datatypes; "compound-literal" reifies value/language/direction on
+  * a fresh bnode.
   */
-final class JsonLdParser(content: String) {
+final class JsonLdParser(content: String,
+    rdfDirection: Option[String] = None) {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val I18nNs = "https://www.w3.org/ns/i18n#"
   private val out = ListBuffer[QuadRow]()
   private var bn = 0
   private val DG = TermRow(Term.DefaultGraphKind.toByte, null, null, null)
 
   /** One term definition from an @context. `typ` is "@id" or a datatype
     * IRI; `container` is "@list" when list-coercing; `reverse` terms
-    * ({"@reverse": iri}) emit their triples object-to-subject.
+    * ({"@reverse": iri}) emit their triples object-to-subject; `dir` is
+    * "ltr"/"rtl" ("" = explicit null clears the context default);
+    * `prot` marks a @protected definition.
     */
   private case class TermDef(iri: String, typ: Option[String] = None,
       lang: Option[String] = None, container: Option[String] = None,
-      scoped: Option[JsonNode] = None, reverse: Boolean = false)
+      scoped: Option[JsonNode] = None, reverse: Boolean = false,
+      dir: Option[String] = None, prot: Boolean = false)
 
-  /** Active context. `aliases` maps user keys to JSON-LD keywords. */
+  /** Active context. `aliases` maps user keys to JSON-LD keywords;
+    * `prev` is the context to revert to when descending into a nested
+    * node object (set by non-propagating contexts — type-scoped by
+    * default, any context carrying @propagate: false).
+    */
   private case class Ctx(terms: Map[String, TermDef] = Map.empty,
       vocab: Option[String] = None, base: Option[String] = None,
-      lang: Option[String] = None, aliases: Map[String, String] = Map.empty) {
+      lang: Option[String] = None, dir: Option[String] = None,
+      aliases: Map[String, String] = Map.empty, prev: Option[Ctx] = None) {
 
     def keyword(key: String): String = aliases.getOrElse(key, key)
+
+    /** The context a nested node object starts from: non-propagating
+      * layers applied at the parent node drop away.
+      */
+    def descend: Ctx = prev.getOrElse(this)
 
     /** Expand a property key to an absolute IRI (None = drop, per the
       * JSON-LD algorithm for unmapped keys without @vocab).
@@ -66,15 +90,47 @@ final class JsonLdParser(content: String) {
       graft.model.IriResolve.resolve(b, rel) // shared RFC 3986 resolver
   }
 
-  private def parseContext(node: JsonNode, parent: Ctx): Ctx = {
-    if (node.isNull) return Ctx() // null context resets
+  private def checkDir(d: String): String =
+    if (d == "ltr" || d == "rtl") d
+    else err(s"invalid @direction '$d' (must be \"ltr\" or \"rtl\")")
+
+  /** Parse a local context against `parent`. `defaultPropagate` is
+    * false for type-scoped contexts (they revert at nested nodes
+    * unless the context says @propagate: true); `overrideProtected`
+    * is true for property-scoped contexts, which may redefine
+    * protected terms; `clearPrev` makes a propagating application
+    * absorb any pending revert (property-scoped contexts continue to
+    * apply inside nested node objects).
+    */
+  private def parseContext(node: JsonNode, parent: Ctx,
+      defaultPropagate: Boolean = true, overrideProtected: Boolean = false,
+      clearPrev: Boolean = false): Ctx = {
+    if (node.isNull) { // null context resets
+      if (parent.terms.values.exists(_.prot) && !overrideProtected)
+        err("cannot nullify a context holding protected terms")
+      return Ctx()
+    }
     if (node.isArray)
       return node.elements.asScala.foldLeft(parent)((c, n) =>
-        parseContext(n, c))
+        parseContext(n, c, defaultPropagate, overrideProtected, clearPrev))
     if (node.isTextual)
       throw new IllegalArgumentException(
         s"remote @context not supported (zero egress): ${node.asText}")
+    val propagate = Option(node.get("@propagate")).map { p =>
+      if (!p.isBoolean) err("@propagate must be a boolean")
+      p.asBoolean
+    }.getOrElse(defaultPropagate)
+    val protDefault = Option(node.get("@protected")).exists(_.asBoolean)
     var ctx = parent
+    // a @protected term may only be redefined identically, or from a
+    // property-scoped context (overrideProtected)
+    def define(term: String, d: TermDef): Unit = {
+      parent.terms.get(term).foreach { old =>
+        if (old.prot && !overrideProtected && d.copy(prot = old.prot) != old)
+          err(s"protected term redefinition: '$term'")
+      }
+      ctx = ctx.copy(terms = ctx.terms + (term -> d))
+    }
     node.fields.asScala.foreach { e =>
       (e.getKey, e.getValue) match {
         case ("@vocab", v) =>
@@ -84,12 +140,15 @@ final class JsonLdParser(content: String) {
         case ("@language", v) =>
           ctx = ctx.copy(lang =
             if (v.isNull) None else Some(Term.normLang(v.asText)))
-        case ("@version", _) => // 1.1 marker, nothing to do
+        case ("@direction", v) =>
+          ctx = ctx.copy(dir =
+            if (v.isNull) None else Some(checkDir(v.asText)))
+        case ("@version" | "@propagate" | "@protected", _) =>
         case (term, v) if v.isTextual && v.asText.startsWith("@") =>
           ctx = ctx.copy(aliases = ctx.aliases + (term -> v.asText))
         case (term, v) if v.isTextual =>
-          ctx = ctx.copy(terms =
-            ctx.terms + (term -> TermDef(ctx.expandRef(v.asText))))
+          define(term,
+            TermDef(ctx.expandRef(v.asText), prot = protDefault))
         case (term, v) if v.isObject =>
           val rev = v.has("@reverse")
           if (rev && v.has("@id"))
@@ -104,18 +163,22 @@ final class JsonLdParser(content: String) {
                       else ctx.expandRef(t))
           val lang = Option(v.get("@language"))
             .map(l => if (l.isNull) "" else Term.normLang(l.asText))
+          val dir = Option(v.get("@direction"))
+            .map(d => if (d.isNull) "" else checkDir(d.asText))
           val cont = Option(v.get("@container")).map(_.asText)
           if (rev && (cont.contains("@list") || cont.contains("@language")))
             err(s"term '$term': @reverse with ${cont.get} container")
+          val prot = Option(v.get("@protected")).map(_.asBoolean)
+            .getOrElse(protDefault)
           // scoped (term-level) context: raw node kept, parsed against
           // the ACTIVE context at each use site (property or type)
           val scoped = Option(v.get("@context"))
-          ctx = ctx.copy(terms = ctx.terms +
-            (term -> TermDef(id, typ, lang, cont, scoped, rev)))
+          define(term, TermDef(id, typ, lang, cont, scoped, rev, dir, prot))
         case _ =>
       }
     }
-    ctx
+    if (propagate) { if (clearPrev) ctx.copy(prev = None) else ctx }
+    else ctx.copy(prev = Some(parent.descend))
   }
 
   private def err(msg: String): Nothing =
@@ -132,17 +195,49 @@ final class JsonLdParser(content: String) {
   private def iri(v: String) = TermRow(Term.IriKind.toByte, v, null, null)
 
   def parse(): Seq[QuadRow] = {
+    rdfDirection.foreach(m =>
+      if (m != "i18n-datatype" && m != "compound-literal")
+        err(s"unknown rdfDirection mode '$m'"))
     val root = new ObjectMapper().readTree(content)
     val nodes = if (root.isArray) root.elements.asScala.toSeq else Seq(root)
     nodes.foreach(n => nodeObject(n, DG, Ctx()))
     out.toSeq
   }
 
+  /** A directed string under the active rdfDirection mode (§8 of the
+    * JSON-LD-to-RDF algorithm). `g` receives the compound-literal
+    * reification triples when that mode is on.
+    */
+  private def directedLit(text: String, lang: Option[String], dir: String,
+      g: TermRow): TermRow = rdfDirection match {
+    case Some("i18n-datatype") =>
+      TermRow(Term.LiteralKind.toByte, text,
+        I18nNs + lang.getOrElse("").toLowerCase + "_" + dir, null)
+    case Some("compound-literal") =>
+      val b = fresh()
+      out += QuadRow(g, b, iri(RdfNs + "value"),
+        TermRow(Term.LiteralKind.toByte, text, Term.XsdString, null))
+      lang.foreach(l => out += QuadRow(g, b, iri(RdfNs + "language"),
+        TermRow(Term.LiteralKind.toByte, l.toLowerCase, Term.XsdString,
+          null)))
+      out += QuadRow(g, b, iri(RdfNs + "direction"),
+        TermRow(Term.LiteralKind.toByte, dir, Term.XsdString, null))
+      b
+    case _ => // default mode: direction is dropped, like JSON-LD 1.0
+      lang match {
+        case Some(l) =>
+          TermRow(Term.LiteralKind.toByte, text, Term.RdfLangString, l)
+        case None =>
+          TermRow(Term.LiteralKind.toByte, text, Term.XsdString, null)
+      }
+  }
+
   /** Scalar JSON -> RDF literal (JSON-LD value coercion rules), shaped
-    * by the property's term definition / context default language.
+    * by the property's term definition / context default language and
+    * base direction.
     */
   private def scalarLit(v: JsonNode, td: Option[TermDef],
-      ctx: Ctx): TermRow =
+      ctx: Ctx, g: TermRow): TermRow =
     if (v.isBoolean)
       TermRow(Term.LiteralKind.toByte, v.asBoolean.toString,
         Term.XsdBoolean, null)
@@ -156,13 +251,19 @@ final class JsonLdParser(content: String) {
       case Some("@id") => ref(ctx.expandRef(v.asText))
       case Some(dt) => TermRow(Term.LiteralKind.toByte, v.asText, dt, null)
       case None =>
-        // term language ("" clears the default) else context default
+        // term language/direction ("" clears the default) else context
         val lang = td.flatMap(_.lang).orElse(ctx.lang).filter(_.nonEmpty)
-        lang match {
-          case Some(l) =>
-            TermRow(Term.LiteralKind.toByte, v.asText, Term.RdfLangString, l)
-          case None =>
-            TermRow(Term.LiteralKind.toByte, v.asText, Term.XsdString, null)
+        val dir = td.flatMap(_.dir).orElse(ctx.dir).filter(_.nonEmpty)
+        dir match {
+          case Some(d) => directedLit(v.asText, lang, d, g)
+          case None => lang match {
+            case Some(l) =>
+              TermRow(Term.LiteralKind.toByte, v.asText,
+                Term.RdfLangString, l)
+            case None =>
+              TermRow(Term.LiteralKind.toByte, v.asText, Term.XsdString,
+                null)
+          }
         }
     }
 
@@ -203,21 +304,30 @@ final class JsonLdParser(content: String) {
         val lex = v.get(valueKey.get)
         val typeKey = v.fieldNames.asScala.find(k => vk(k) == "@type")
         val langKey = v.fieldNames.asScala.find(k => vk(k) == "@language")
+        val dirKey = v.fieldNames.asScala.find(k => vk(k) == "@direction")
         // value object validity (JSON-LD 1.1 §9.5): only @value/@type/
-        // @language/@direction/@index keys; @type and @language are
-        // exclusive; @value must be a scalar (null = drop the entry)
+        // @language/@direction/@index keys; @type excludes both
+        // @language and @direction; @value must be a scalar (null =
+        // drop the entry)
         val allowed = Set("@value", "@type", "@language", "@direction",
           "@index")
         v.fieldNames.asScala.find(k => !allowed(vk(k)))
           .foreach(k => err(s"invalid value object key '$k'"))
         if (typeKey.isDefined && langKey.isDefined)
           err("@value with both @type and @language")
+        if (typeKey.isDefined && dirKey.isDefined &&
+          !v.get(dirKey.get).isNull)
+          err("@value with both @type and @direction")
         // {"@value": ..., "@type": "@json"}: ANY JSON value is legal
         // and becomes an rdf:JSON literal in canonical form
         val jsonTyped = typeKey.exists(k =>
           v.get(k).isTextual && vk(v.get(k).asText) == "@json")
         if (lex.isContainerNode && !jsonTyped)
           err("@value must be a scalar or null")
+        val dir = dirKey.map(v.get).filterNot(_.isNull)
+          .map(d => checkDir(d.asText))
+        if (dir.isDefined && !lex.isTextual && !lex.isNull)
+          err("@direction on a non-string @value")
         if (jsonTyped)
           TermRow(Term.LiteralKind.toByte, canonicalJson(lex),
             RdfNs + "JSON", null)
@@ -225,16 +335,19 @@ final class JsonLdParser(content: String) {
         else if (typeKey.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText,
             ctx.expandRef(v.get(typeKey.get).asText), null)
+        else if (dir.isDefined)
+          directedLit(lex.asText,
+            langKey.map(k => Term.normLang(v.get(k).asText)), dir.get, g)
         else if (langKey.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText, Term.RdfLangString,
             Term.normLang(v.get(langKey.get).asText))
-        else scalarLit(lex, None, Ctx()) // explicit @value: no coercion
+        else scalarLit(lex, None, Ctx(), g) // explicit @value: no coercion
       } else if (listKey.isDefined) listTerm(
         v.get(listKey.get).elements.asScala.toSeq, g, ctx, td)
       else nodeObject(v, g, ctx) // node object (possibly just {"@id"})
     } else if (td.exists(_.container.contains("@list")) && v.isArray)
       listTerm(v.elements.asScala.toSeq, g, ctx, td)
-    else scalarLit(v, td, ctx)
+    else scalarLit(v, td, ctx, g)
 
   private def listTerm(items: Seq[JsonNode], g: TermRow, ctx: Ctx,
       td: Option[TermDef]): TermRow = {
@@ -258,7 +371,10 @@ final class JsonLdParser(content: String) {
   }
 
   /** A node object: emits its triples into graph `g`, returns subject. */
-  private def nodeObject(n: JsonNode, g: TermRow, parentCtx: Ctx): TermRow = {
+  private def nodeObject(n: JsonNode, g: TermRow, incoming: Ctx): TermRow = {
+    // entering a new node object reverts non-propagating contexts
+    // (type-scoped layers, @propagate: false) applied at the parent
+    val parentCtx = incoming.descend
     val ctx0 =
       if (n.has("@context")) parseContext(n.get("@context"), parentCtx)
       else parentCtx
@@ -276,10 +392,12 @@ final class JsonLdParser(content: String) {
       out += QuadRow(g, subj, iri(RdfNs + "type"),
         ref(ctx0.expandRef(x))))
     // type-scoped contexts: a matched @type whose term definition
-    // carries @context extends the active context for this node
+    // carries @context extends the active context for THIS node (they
+    // do not propagate into nested node objects unless they say
+    // @propagate: true — the descend() above reverts them)
     val ctx = typeVals.foldLeft(ctx0) { (c, t) =>
       c.terms.get(t).flatMap(_.scoped)
-        .map(parseContext(_, c)).getOrElse(c)
+        .map(parseContext(_, c, defaultPropagate = false)).getOrElse(c)
     }
     field("@graph").foreach(gn =>
       asArray(gn).foreach(child => nodeObject(child, subj, ctx)))
@@ -318,9 +436,13 @@ final class JsonLdParser(content: String) {
       if (!key.startsWith("@") && !kw(key).startsWith("@"))
         ctx.expandKey(key).foreach { p =>
           val td = ctx.terms.get(key)
-          // property-scoped context applies while processing the values
+          // property-scoped context applies while processing the
+          // values AND inside nested node objects (clearPrev absorbs
+          // any pending type-scoped revert); it may override
+          // protected terms
           val vctx = td.flatMap(_.scoped)
-            .map(parseContext(_, ctx)).getOrElse(ctx)
+            .map(parseContext(_, ctx, overrideProtected = true,
+              clearPrev = true)).getOrElse(ctx)
           val cont = td.flatMap(_.container)
           if (cont.contains("@index") && value.isObject) {
             // index map: keys are opaque indexes, values are the data

@@ -1083,4 +1083,195 @@ class RdfIOSpec extends AnyFunSuite {
     assert(nil.size == 1 && nil.head.o.lex.endsWith("#nil"))
     assert(!nil.exists(q => q.o == null))
   }
+
+  test("wave 23: RDF/XML internal DTD entities expand; external " +
+      "entities and expansion bombs stay blocked") {
+    import graft.io.RdfXmlParser
+    val R = "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" " +
+      "xmlns:ex=\"http://x/\""
+    // the classic namespace-shorthand DOCTYPE: entities in attribute
+    // values (IRIs) and element text (literals) both expand
+    val withDtd =
+      s"""<?xml version="1.0"?>
+         |<!DOCTYPE rdf:RDF [
+         |  <!ENTITY xsd "http://www.w3.org/2001/XMLSchema#">
+         |  <!ENTITY base "http://x/">
+         |  <!ENTITY word "hello">
+         |]>
+         |<rdf:RDF $R>
+         |  <rdf:Description rdf:about="&base;s">
+         |    <ex:p rdf:datatype="&xsd;int">42</ex:p>
+         |    <ex:q>&word; world</ex:q>
+         |  </rdf:Description>
+         |</rdf:RDF>""".stripMargin
+    val quads = new RdfXmlParser(withDtd).parse()
+    assert(quads.size == 2)
+    assert(quads.forall(_.s.lex == "http://x/s"))
+    assert(quads.exists(q =>
+      q.o.dt == "http://www.w3.org/2001/XMLSchema#int" && q.o.lex == "42"))
+    assert(quads.exists(_.o.lex == "hello world"))
+    // an external (SYSTEM) entity must never be fetched: the parse
+    // either fails or yields content WITHOUT the file's bytes
+    val probe = java.nio.file.Files.createTempFile("xxe", ".txt")
+    java.nio.file.Files.writeString(probe, "SECRET-BYTES")
+    val xxe =
+      s"""<?xml version="1.0"?>
+         |<!DOCTYPE rdf:RDF [
+         |  <!ENTITY leak SYSTEM "${probe.toUri}">
+         |]>
+         |<rdf:RDF $R>
+         |  <rdf:Description rdf:about="http://x/s"><ex:p>&leak;</ex:p>
+         |  </rdf:Description>
+         |</rdf:RDF>""".stripMargin
+    val leaked =
+      try new RdfXmlParser(xxe).parse().exists(_.o.lex.contains("SECRET"))
+      catch { case _: Exception => false }
+    assert(!leaked, "external entity content leaked into the graph")
+    // recursive expansion beyond the secure-processing cap is rejected
+    val bomb =
+      s"""<?xml version="1.0"?>
+         |<!DOCTYPE rdf:RDF [
+         |  <!ENTITY a "aaaaaaaaaa">
+         |  <!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">
+         |  <!ENTITY c "&b;&b;&b;&b;&b;&b;&b;&b;&b;&b;">
+         |  <!ENTITY d "&c;&c;&c;&c;&c;&c;&c;&c;&c;&c;">
+         |  <!ENTITY e "&d;&d;&d;&d;&d;&d;&d;&d;&d;&d;">
+         |  <!ENTITY f "&e;&e;&e;&e;&e;&e;&e;&e;&e;&e;">
+         |]>
+         |<rdf:RDF $R>
+         |  <rdf:Description rdf:about="http://x/s"><ex:p>&f;</ex:p>
+         |  </rdf:Description>
+         |</rdf:RDF>""".stripMargin
+    assertThrows[Exception](new RdfXmlParser(bomb).parse())
+  }
+
+  test("wave 24: JSON-LD @direction under the three rdfDirection modes") {
+    import graft.io.JsonLdParser
+    val doc =
+      """{"@context": {"@language": "AR", "@direction": "rtl",
+        |  "p": "http://x/p"},
+        | "@id": "http://x/s", "p": "text"}""".stripMargin
+    // default mode: direction drops, the language survives (JSON-LD 1.0
+    // consumer behavior)
+    val plain = new JsonLdParser(doc).parse()
+    assert(plain.size == 1 && plain.head.o.lang == "ar" &&
+      plain.head.o.dt == graft.model.Term.RdfLangString)
+    // i18n-datatype: https://www.w3.org/ns/i18n#{lang}_{dir}, no tag
+    val i18n = new JsonLdParser(doc, Some("i18n-datatype")).parse()
+    assert(i18n.size == 1 && i18n.head.o.lang == null &&
+      i18n.head.o.dt == "https://www.w3.org/ns/i18n#ar_rtl", i18n)
+    // ...and with no language the lang slot in the datatype is empty
+    val noLang = new JsonLdParser(
+      """{"@id": "http://x/s",
+        | "http://x/p": {"@value": "t", "@direction": "ltr"}}""".stripMargin,
+      Some("i18n-datatype")).parse()
+    assert(noLang.head.o.dt == "https://www.w3.org/ns/i18n#_ltr")
+    // term-level @direction: null clears the context default
+    val cleared = new JsonLdParser(
+      """{"@context": {"@language": "ar", "@direction": "rtl",
+        |  "q": {"@id": "http://x/q", "@direction": null}},
+        | "@id": "http://x/s", "q": "t"}""".stripMargin,
+      Some("i18n-datatype")).parse()
+    assert(cleared.head.o.lang == "ar" &&
+      cleared.head.o.dt == graft.model.Term.RdfLangString)
+    // compound-literal: a fresh bnode reifies value/language/direction
+    val comp = new JsonLdParser(
+      """{"@id": "http://x/s",
+        | "http://x/p": {"@value": "hello", "@language": "AR",
+        |   "@direction": "rtl"}}""".stripMargin,
+      Some("compound-literal")).parse()
+    assert(comp.size == 4)
+    val main = comp.find(_.p.lex == "http://x/p").get
+    assert(main.o.kind == graft.model.Term.BlankKind.toByte)
+    def reif(local: String) = comp.find(_.p.lex ==
+      s"http://www.w3.org/1999/02/22-rdf-syntax-ns#$local").get.o.lex
+    assert(reif("value") == "hello" && reif("language") == "ar" &&
+      reif("direction") == "rtl")
+    assert(comp.filter(_.p.lex.endsWith("#value"))
+      .forall(_.s.lex == main.o.lex))
+    // validity: bad direction values, @type+@direction, non-string
+    val bads = Seq(
+      """{"@context": {"@direction": "up"}, "http://x/p": "v"}""",
+      """{"http://x/p": {"@value": "v", "@type": "http://x/T",
+        |  "@direction": "ltr"}}""".stripMargin,
+      """{"http://x/p": {"@value": 5, "@direction": "ltr"}}""")
+    for (b <- bads) assertThrows[Exception](new JsonLdParser(b).parse())
+    assertThrows[Exception](
+      new JsonLdParser("""{"http://x/p": "v"}""", Some("bogus")).parse())
+  }
+
+  test("wave 24: JSON-LD scoped-context propagation and @protected") {
+    import graft.io.JsonLdParser
+    // type-scoped contexts apply to the typed node only: the nested
+    // node object reverts to the outer definition of "name"
+    val typeScoped = new JsonLdParser(
+      """{"@context": {"ex": "http://x/",
+        |   "T": {"@id": "http://x/T",
+        |         "@context": {"name": "http://typed/name"}},
+        |   "name": "http://plain/name", "child": "http://x/child"},
+        | "@id": "http://x/top", "@type": "T",
+        | "name": "top", "child": {"@id": "http://x/kid",
+        |   "name": "nested"}}""".stripMargin).parse()
+    def pOf(s: String, o: String) = typeScoped
+      .find(q => q.s.lex == s && q.o.lex == o).get.p.lex
+    assert(pOf("http://x/top", "top") == "http://typed/name")
+    assert(pOf("http://x/kid", "nested") == "http://plain/name")
+    // ...unless the scoped context says @propagate: true
+    val propagated = new JsonLdParser(
+      """{"@context": {"ex": "http://x/",
+        |   "T": {"@id": "http://x/T",
+        |         "@context": {"@propagate": true,
+        |                      "name": "http://typed/name"}},
+        |   "name": "http://plain/name", "child": "http://x/child"},
+        | "@id": "http://x/top", "@type": "T",
+        | "name": "top", "child": {"@id": "http://x/kid",
+        |   "name": "nested"}}""".stripMargin).parse()
+    assert(propagated.find(q => q.s.lex == "http://x/kid" &&
+      q.o.lex == "nested").get.p.lex == "http://typed/name")
+    // property-scoped contexts DO reach nested node objects
+    val propScoped = new JsonLdParser(
+      """{"@context": {"name": "http://plain/name",
+        |   "wrap": {"@id": "http://x/wrap",
+        |            "@context": {"name": "http://inner/name"}}},
+        | "@id": "http://x/top",
+        | "wrap": {"@id": "http://x/a",
+        |   "http://x/child": {"@id": "http://x/b",
+        |     "name": "deep"}}}""".stripMargin).parse()
+    assert(propScoped.find(q => q.s.lex == "http://x/b" &&
+      q.o.lex == "deep").get.p.lex == "http://inner/name")
+    // an embedded context with @propagate: false reverts at the child
+    val embedded = new JsonLdParser(
+      """{"@context": {"q": "http://outer/q", "p": "http://x/p"},
+        | "@id": "http://x/top",
+        | "p": {"@context": {"@propagate": false, "q": "http://over/q"},
+        |   "@id": "http://x/mid", "q": "inner",
+        |   "p": {"@id": "http://x/leaf", "q": "deep"}}}""".stripMargin)
+      .parse()
+    def qOf(s: String, o: String) = embedded
+      .find(q => q.s.lex == s && q.o.lex == o).get.p.lex
+    assert(qOf("http://x/mid", "inner") == "http://over/q")
+    assert(qOf("http://x/leaf", "deep") == "http://outer/q")
+    // @protected: conflicting redefinition errors; identical is fine;
+    // property-scoped contexts may override; null reset is forbidden
+    assertThrows[Exception](new JsonLdParser(
+      """{"@context": [{"@protected": true, "name": "http://a/name"},
+        |  {"name": "http://b/name"}],
+        | "name": "v"}""".stripMargin).parse())
+    val same = new JsonLdParser(
+      """{"@context": [{"@protected": true, "name": "http://a/name"},
+        |  {"name": "http://a/name"}],
+        | "@id": "http://x/s", "name": "v"}""".stripMargin).parse()
+    assert(same.head.p.lex == "http://a/name")
+    val overridden = new JsonLdParser(
+      """{"@context": {"@protected": true, "name": "http://a/name",
+        |   "wrap": {"@id": "http://x/wrap",
+        |            "@context": {"name": "http://b/name"}}},
+        | "@id": "http://x/s", "wrap": {"@id": "http://x/t",
+        |   "name": "v"}}""".stripMargin).parse()
+    assert(overridden.find(_.o.lex == "v").get.p.lex == "http://b/name")
+    assertThrows[Exception](new JsonLdParser(
+      """{"@context": {"@protected": true, "name": "http://a/name"},
+        | "http://x/sub": {"@context": null, "name": "x"}}""".stripMargin)
+      .parse())
+  }
 }
