@@ -246,6 +246,15 @@ class DifferentialSpec extends AnyFunSuite {
       1 -> (for { l <- genPattern(depth - 1); s <- genPathEnd
                   p <- genPathExpr(1); o <- genTermPat }
         yield Lateral(l, PathPattern(s, p, o))),
+      // MINUS under double-nested LATERAL (r11 residue): σ applies
+      // twice — the inner LATERAL's left extends the outer binding,
+      // and the MINUS σ-domain must exclude BOTH substitution layers
+      1 -> (for { l <- genPattern(depth - 1)
+                  a <- genBgp; b <- genBgp; c <- genBgp }
+        yield Lateral(l, Lateral(a, Minus(b, c)))),
+      1 -> (for { l <- genPattern(depth - 1)
+                  a <- genBgp; b <- genBgp; c <- genBgp }
+        yield Lateral(l, Lateral(a, LeftJoin(b, c, None)))),
       1 -> genPattern(depth - 1).map(Distinct))
 
   private val genPathEnd: Gen[TermPat] = Gen.frequency(
@@ -260,7 +269,12 @@ class DifferentialSpec extends AnyFunSuite {
         yield PSeq(a, b)),
       1 -> (for { a <- genPathExpr(depth - 1); b <- genPathExpr(depth - 1) }
         yield PAlt(a, b)),
-      1 -> link.map(POneOrMore(_)))
+      1 -> link.map(POneOrMore(_)),
+      // zero-length forms inside larger algebra (r11 residue): the
+      // all-terms node set, constant-endpoint reflexivity, and their
+      // composition under seq/alt/inv
+      1 -> genPathExpr(depth - 1).map(PZeroOrOne(_)),
+      1 -> link.map(PZeroOrMore(_)))
   }
 
   // named-graph wave: the same shapes wrapped in GRAPH — the graph name
@@ -387,7 +401,8 @@ class DifferentialSpec extends AnyFunSuite {
     // path-in-algebra (r11): BAG semantics for link/inv/seq/alt (the
     // spec's eval is multiset there), SET for the ALP closure forms
     case PathPattern(sp, path, op) =>
-      pathBag(path, data).flatMap { case (sT, oT) =>
+      pathBag(path, data, endpointConst(sp, Map.empty),
+        endpointConst(op, Map.empty)).flatMap { case (sT, oT) =>
         matchPat(sp, sT, Map.empty).flatMap(b1 => matchPat(op, oT, b1))
       }
     case Filter(e: EFn, p) =>
@@ -586,28 +601,57 @@ class DifferentialSpec extends AnyFunSuite {
     * SPARQL error-as-unbound for Extend).
     */
   /** Path pair multiset over the edge data: BAG semantics for link/
-    * inverse/seq/alt (duplicate quads multiply), SET for the + closure.
+    * inverse/seq/alt (duplicate quads multiply), SET for the closure
+    * forms (?, +, *). `lc`/`rc` carry a CONSTANT endpoint facing this
+    * subpath (query constant, or an outer-bound var under σ): §18.4's
+    * ZeroLengthPath cases include a bound term reflexively whether or
+    * not it occurs in the graph, while the var-var case ranges over
+    * the graph's subject/object terms only.
     */
-  private def pathBag(p: Path, data: Seq[(T, T, T)]): Seq[(T, T)] =
+  private def pathBag(p: Path, data: Seq[(T, T, T)],
+      lc: Option[T] = None, rc: Option[T] = None): Seq[(T, T)] = {
+    def closure(edges: Set[(T, T)]): Set[(T, T)] = {
+      var acc = edges
+      var grew = true
+      while (grew) {
+        val next = for { (s, m) <- acc; (m2, o) <- acc if m == m2 }
+          yield (s, o)
+        val merged = acc ++ next
+        grew = merged.size > acc.size; acc = merged
+      }
+      acc
+    }
+    def zeroNodes: Seq[T] =
+      (data.flatMap(t => Seq(t._1, t._3)) ++ lc ++ rc).distinct
     p match {
       case PLink(iri) =>
         data.collect { case (s, (0, `iri`, _), o) => (s, o) }
-      case PInv(q) => pathBag(q, data).map(_.swap)
+      case PInv(q) => pathBag(q, data, rc, lc).map(_.swap)
       case PSeq(a, b) =>
-        for { (s, m) <- pathBag(a, data); (m2, o) <- pathBag(b, data)
+        for { (s, m) <- pathBag(a, data, lc, None)
+              (m2, o) <- pathBag(b, data, None, rc)
           if m == m2 } yield (s, o)
-      case PAlt(a, b) => pathBag(a, data) ++ pathBag(b, data)
-      case POneOrMore(q) =>
-        var acc = pathBag(q, data).toSet
-        var grew = true
-        while (grew) {
-          val next = for { (s, m) <- acc; (m2, o) <- acc if m == m2 }
-            yield (s, o)
-          val merged = acc ++ next
-          grew = merged.size > acc.size; acc = merged
-        }
-        acc.toSeq
+      case PAlt(a, b) =>
+        pathBag(a, data, lc, rc) ++ pathBag(b, data, lc, rc)
+      case POneOrMore(q) => closure(pathBag(q, data).toSet).toSeq
+      case PZeroOrOne(q) =>
+        (pathBag(q, data).toSet ++ zeroNodes.map(n => (n, n))).toSeq
+      case PZeroOrMore(q) =>
+        (closure(pathBag(q, data).toSet) ++
+          zeroNodes.map(n => (n, n))).toSeq
       case other => fail(s"path model: unexpected $other")
+    }
+  }
+
+  /** The constant a pattern endpoint denotes, if any: a query constant
+    * or (under σ) an outer-bound variable.
+    */
+  private def endpointConst(pat: TermPat, b: Binding): Option[T] =
+    pat match {
+      case V(n) => b.get(n)
+      case I(i) => Some((0, i, null))
+      case L(lex, dt, _) => Some((2, lex, dt))
+      case _ => None
     }
 
   private def evalSubst(gp: GraphPattern, data: Seq[(T, T, T)],
@@ -627,11 +671,18 @@ class DifferentialSpec extends AnyFunSuite {
     case Union(l, r) =>
       evalSubst(l, data, b0, named) ++ evalSubst(r, data, b0, named)
     // σ(PathPattern): substituted endpoint vars are constants — the
-    // path pairs filter against the incoming binding
+    // path pairs filter against the incoming binding, and a bound
+    // endpoint seeds zero-length reflexivity like a query constant
     case PathPattern(sp, path, op) =>
-      pathBag(path, data).flatMap { case (sT, oT) =>
-        matchPat(sp, sT, b0).flatMap(b1 => matchPat(op, oT, b1))
-      }
+      pathBag(path, data, endpointConst(sp, b0), endpointConst(op, b0))
+        .flatMap { case (sT, oT) =>
+          matchPat(sp, sT, b0).flatMap(b1 => matchPat(op, oT, b1))
+        }
+    // σ distributes over nested LATERAL: the inner left evaluates
+    // under σ(μ), then the inner right under each extended binding
+    case Lateral(l, r) =>
+      evalSubst(l, data, b0, named)
+        .flatMap(b => evalSubst(r, data, b, named))
     // σ semantics: substituted (left-bound) vars are CONSTANTS, not part
     // of the solution domains — strip them before the compatibility /
     // domain-overlap step, re-attach after (§18.5 over σ-domains)
@@ -1295,7 +1346,20 @@ class DifferentialSpec extends AnyFunSuite {
     }
     val genInner: Gen[GraphPattern] = Gen.frequency(
       3 -> genBgp,
-      1 -> (for { a <- genBgp; b <- genBgp } yield LeftJoin(a, b, None)))
+      1 -> (for { a <- genBgp; b <- genBgp } yield LeftJoin(a, b, None)),
+      // VALUES inside the GROUP body (r11 residue): UNDEF cells make
+      // group keys sometimes-unbound, and the compat join can
+      // multiply rows feeding the aggregate
+      1 -> (for {
+        a <- genBgp; v <- Gen.oneOf(varNames)
+        rows <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n,
+          Gen.option(genConstPat).map(Seq(_))))
+      } yield Join(a, ValuesPat(Seq(v), rows))),
+      // EXISTS inside the GROUP body: the filter prunes the
+      // aggregation input, never the groups that survive
+      1 -> (for { a <- genBgp; inner <- genBgp
+                  pos <- Gen.oneOf(true, false) }
+        yield Filter(EExists(inner, pos), a)))
     val genAgg: Gen[AggCall] = Gen.frequency(
       2 -> Gen.oneOf(true, false).map(d => AggCall("COUNT_STAR", None, d)),
       2 -> (for { v <- Gen.oneOf(varNames); d <- Gen.oneOf(true, false) }
