@@ -129,7 +129,18 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "FROM after WHERE" ->
       (pfx + "SELECT ?x WHERE { ?x :p 1 } FROM <http://g/>"),
     "IN list with a trailing comma" ->
-      (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER(?y IN (1, 2,)) }"))
+      (pfx + "SELECT ?x WHERE { ?x :p ?y FILTER(?y IN (1, 2,)) }"),
+    // --- probe wave 25 (r11): keyword-adjacent unicode positions ---
+    "variable starting with a middle dot" ->
+      (pfx + "SELECT ?·a WHERE { ?·a :p 1 }"),
+    "variable with a dash strands an expression" ->
+      (pfx + "SELECT ?a-b WHERE { ?a-b :p 1 }"),
+    "variable with an interior dot" ->
+      (pfx + "SELECT ?a.b WHERE { ?a.b :p 1 }"),
+    "astral char beyond PN_CHARS_BASE (U+F0000) in a variable" ->
+      (pfx + "SELECT ?󰀀x WHERE { ?󰀀x :p 1 }"),
+    "language tag with a non-ASCII letter" ->
+      (pfx + "SELECT ?x WHERE { ?x :p \"v\"@ab中 }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->

@@ -400,4 +400,37 @@ class ParserSpec extends AnyFunSuite {
     assert(SparqlParser.parse(pfx +
       "SELECT ?x WHERE { ?x a :T. ?x :q 1 }") != null)
   }
+
+  test("wave 25: keyword-adjacent unicode — CJK/astral PN_CHARS block " +
+      "keyword recognition; unicode VARNAME continuations") {
+    // a CJK char is PN_CHARS_BASE: 'a中:p' is one PNAME, never the 'a'
+    // type keyword followed by garbage
+    assert(SparqlParser.parse("PREFIX a中: <http://y/>\n" +
+      "SELECT ?x WHERE { ?x a中:p 1 }") != null)
+    // an astral-plane char (U+10000, via surrogate pair) continues a
+    // prefix the same way
+    assert(SparqlParser.parse("PREFIX a𐀀: <http://y/>\n" +
+      "SELECT ?x WHERE { ?x a𐀀:p 1 }") != null)
+    // 'a:b' itself is a PNAME with prefix 'a' (longest match), not the
+    // type keyword followed by ':b'
+    assert(SparqlParser.parse("PREFIX a: <http://y/>\n" +
+      "SELECT ?x WHERE { ?x a:b 1 }") != null)
+    // 'true' is a legal PN_PREFIX: 'true:p' is a PNAME, not a boolean
+    assert(SparqlParser.parse("PREFIX true: <http://y/>\n" +
+      "SELECT ?x WHERE { ?x true:p true }") != null)
+    // VARNAME continuations: middle dot U+00B7, combining mark U+0300,
+    // and an astral first char
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?a·b WHERE { ?a·b :p 1 }") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?ab̀ WHERE { ?ab̀ :p 1 }") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?𐀀x WHERE { ?𐀀x :p 1 }") != null)
+    // no whitespace needed between a keyword and a following var
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { GRAPH?g { ?x :p 1 } }") != null)
+    // keywords are legal prefix AND local names
+    assert(SparqlParser.parse("PREFIX select: <http://y/>\n" +
+      "SELECT ?x WHERE { ?x select:select 1 }") != null)
+  }
 }
