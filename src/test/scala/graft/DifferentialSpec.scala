@@ -752,6 +752,16 @@ class DifferentialSpec extends AnyFunSuite {
           case (None, None) => Seq(b)
         }
       }
+    // σ(VALUES): the rows are ground — substitution leaves them alone,
+    // they join compatibly with the incoming binding
+    case ValuesPat(vs, rows) =>
+      rows.flatMap { row =>
+        val m = vs.zip(row).collect {
+          case (v, Some(I(i))) => v -> ((0, i, null): T)
+          case (v, Some(L(lex, dt, _))) => v -> ((2, lex, dt): T)
+        }.toMap
+        if (compatible(b0, m)) Some(b0 ++ m) else None
+      }
     case other => fail(s"substitution evaluator: unexpected $other")
   }
 
@@ -1453,6 +1463,54 @@ class DifferentialSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(
         sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
     assert(result.passed, s"aggregate differential failed: ${result.status}")
+
+    // aggregates under a correlated LATERAL (r11 residue): grouping is
+    // per LEFT ROW — σ descends into the group input, keys-empty
+    // groups yield exactly one row per binding (COUNT=0 for
+    // match-less bindings via the engine's padding row), keyed groups
+    // drop match-less bindings; outer vars ride along the output
+    val propLat = Prop.forAllNoShrink(genDataPlain, genBgp, genInner,
+      Gen.someOf(varNames.take(2)).map(_.take(1).toSeq),
+      Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, genAgg))) {
+      (data, left, inner, keys0, aggCalls) =>
+        val aggs = aggCalls.zipWithIndex.map { case (c, i) => s"g$i" -> c }
+        val scope = inScopeVars(inner).toSeq.sorted
+        val keys = keys0.filter(scope.contains)
+        val gp = Lateral(left, Group(inner, keys, aggs))
+        val outVars =
+          (inScopeVars(left).toSeq ++ keys ++ aggs.map(_._1)).distinct.sorted
+        def canonB(m: Binding): String = outVars.flatMap(v =>
+          m.get(v).map(t => s"$v=${t._1}:${t._2}:${t._3}")).mkString("|")
+        val expected = evalNaive(left, data).flatMap { b =>
+          val sols = evalSubst(inner, data, b)
+          if (keys.isEmpty)
+            Seq(b ++ aggs.flatMap { case (out, c) =>
+              naiveAgg(sols, c, scope).map(out -> _) })
+          else
+            sols.groupBy(b2 => keys.map(b2.get)).toSeq.map { case (kv, g) =>
+              b ++ keys.zip(kv).collect { case (k, Some(t)) => k -> t } ++
+                aggs.flatMap { case (out, c) =>
+                  naiveAgg(g, c, scope).map(out -> _) }
+            }
+        }.map(canonB).sorted
+        val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+        val got = df.collect().toSeq.map { r =>
+          outVars.flatMap { v =>
+            if (!df.columns.contains(v)) None
+            else Option(r.getAs[Row](v)).map(t =>
+              s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+          }.mkString("|")
+        }.sorted
+        if (got != expected)
+          println(s"LATERAL-AGG MISMATCH for $gp\ndata=$data\n" +
+            s"expected=$expected\ngot=$got")
+        got == expected
+    }
+    val resultLat = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), propLat)
+    assert(resultLat.passed,
+      s"lateral aggregate differential failed: ${resultLat.status}")
   }
 
   test("ORDER BY output respects every spec-fixed §15.1 order pair") {
