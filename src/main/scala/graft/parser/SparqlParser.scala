@@ -972,6 +972,10 @@ final class SparqlParser(input: String) {
           bindKey(parseExpression(), None)
         } else gk = false
       }
+      // GroupClause requires GroupCondition+ (rule [19]): a bare
+      // 'GROUP BY' with no condition is a syntax error
+      if (keys.isEmpty)
+        fail("GROUP BY requires at least one condition")
       groupKeys = Some(keys.toSeq)
     }
     var having: Option[Expr] = None

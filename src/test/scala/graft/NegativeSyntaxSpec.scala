@@ -140,7 +140,23 @@ class NegativeSyntaxSpec extends AnyFunSuite {
     "astral char beyond PN_CHARS_BASE (U+F0000) in a variable" ->
       (pfx + "SELECT ?󰀀x WHERE { ?󰀀x :p 1 }"),
     "language tag with a non-ASCII letter" ->
-      (pfx + "SELECT ?x WHERE { ?x :p \"v\"@ab中 }"))
+      (pfx + "SELECT ?x WHERE { ?x :p \"v\"@ab中 }"),
+    // --- probe wave 26 (r11): aggregate projection scope, NPS shape,
+    // removed path quantifiers ---
+    "SELECT * under GROUP BY" ->
+      (pfx + "SELECT * WHERE { ?x :p ?y } GROUP BY ?x"),
+    "ungrouped variable projected under GROUP BY" ->
+      (pfx + "SELECT ?y WHERE { ?x :p ?y } GROUP BY ?x"),
+    "path quantifier braces (not in SPARQL 1.1)" ->
+      (pfx + "SELECT ?x WHERE { ?x :p{2} ?y }"),
+    "empty negated property set" ->
+      (pfx + "SELECT ?x WHERE { ?x !() ?y }"),
+    "literal inside a negated property set" ->
+      (pfx + "SELECT ?x WHERE { ?x !(:p|\"v\") ?y }"),
+    "GROUP BY with no condition" ->
+      (pfx + "SELECT (COUNT(*) AS ?n) WHERE { ?x :p ?y } GROUP BY"),
+    "aggregate inside BIND" ->
+      (pfx + "SELECT ?x WHERE { ?x :p ?y BIND(COUNT(*) AS ?n) }"))
 
   private val badUpdates = Seq(
     "INSERT DATA with variable" ->

@@ -433,4 +433,24 @@ class ParserSpec extends AnyFunSuite {
     assert(SparqlParser.parse("PREFIX select: <http://y/>\n" +
       "SELECT ?x WHERE { ?x select:select 1 }") != null)
   }
+
+  test("wave 26: empty groups, filter-only patterns, NPS forms, " +
+      "HAVING under implicit grouping") {
+    assert(SparqlParser.parse(pfx + "SELECT ?x WHERE {}") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { FILTER(true) }") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x :p ?y OPTIONAL { FILTER(?y > 1) } }") != null)
+    // negated property sets: bare, inverse-only, mixed
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x !:p ?y }") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x !(^:p) ?y }") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { ?x !(:p|^:q|:r) ?y }") != null)
+    // HAVING with implicit grouping (no GROUP BY clause)
+    assert(SparqlParser.parse(pfx +
+      "SELECT (COUNT(*) AS ?n) WHERE { ?x :p ?y } " +
+      "HAVING (COUNT(*) > 0)") != null)
+  }
 }
