@@ -227,12 +227,17 @@ object RdfIO {
   }
 
   /** Read expanded-form JSON-LD (one document per FILE, parallel across
-    * files; see JsonLdParser for the supported subset).
+    * files; see JsonLdParser for the supported subset). `rdfDirection`
+    * selects the base-direction mode for @direction strings: None
+    * drops direction (JSON-LD 1.0 behavior), "i18n-datatype" or
+    * "compound-literal" preserve it per the JSON-LD-to-RDF §8 option.
     */
-  def readJsonLd(spark: SparkSession, path: String): DataFrame = {
+  def readJsonLd(spark: SparkSession, path: String,
+      rdfDirection: Option[String] = None): DataFrame = {
     import spark.implicits._
     spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) => new JsonLdParser(content).parse() }
+      .flatMap { case (_, content) =>
+        new JsonLdParser(content, rdfDirection).parse() }
       .toDF()
       .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
         col("p").cast(Term.schema), col("o").cast(Term.schema))

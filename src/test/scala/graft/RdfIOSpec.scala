@@ -1274,4 +1274,22 @@ class RdfIOSpec extends AnyFunSuite {
         | "http://x/sub": {"@context": null, "name": "x"}}""".stripMargin)
       .parse())
   }
+
+  test("RdfIO.readJsonLd threads the rdfDirection option") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dir")
+    java.nio.file.Files.writeString(d.resolve("doc.jsonld"),
+      """{"@id": "http://x/s",
+        | "http://x/p": {"@value": "t", "@language": "ar",
+        |   "@direction": "rtl"}}""".stripMargin)
+    val dropped = RdfIO.readJsonLd(spark, d.toString + "/doc.jsonld")
+      .collect()
+    assert(dropped.length == 1 &&
+      dropped(0).getAs[org.apache.spark.sql.Row]("o")
+        .getAs[String]("lang") == "ar")
+    val kept = RdfIO.readJsonLd(spark, d.toString + "/doc.jsonld",
+      Some("i18n-datatype")).collect()
+    assert(kept.length == 1 &&
+      kept(0).getAs[org.apache.spark.sql.Row]("o")
+        .getAs[String]("dt") == "https://www.w3.org/ns/i18n#ar_rtl")
+  }
 }
