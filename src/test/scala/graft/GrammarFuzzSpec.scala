@@ -97,6 +97,58 @@ class GrammarFuzzSpec extends AnyFunSuite {
   private val genTriple: Gen[Piece] =
     Gen.frequency(6 -> genPlainTriple, 1 -> genStarTriple)
 
+  /** Paired path TEXT + the Path algebra the grammar's precedence
+    * SPECIFIES (rules [88]–[94]): '|' binds loosest, then '/', then
+    * '^', with the ?, +, * mods postfix on a primary; parens and NPS
+    * are primaries. Text is emitted UNPARENTHESIZED (except the
+    * explicit paren arm) so the parser's precedence is what gets
+    * checked.
+    */
+  private def genPathPair(depth: Int): Gen[(String, Path)] = {
+    val prim: Gen[(String, Path)] = Gen.frequency(
+      5 -> Gen.oneOf(preds).map(p => (s":$p", PLink(ns + p): Path)),
+      1 -> (for {
+        fwd <- Gen.someOf(preds); inv <- Gen.someOf(preds)
+        if fwd.nonEmpty || inv.nonEmpty
+        bare <- Gen.oneOf(true, false)
+      } yield {
+        val items = fwd.map(p => s":$p") ++ inv.map(p => s"^:$p")
+        val alg: Path = PNeg(fwd.map(ns + _).toSeq, inv.map(ns + _).toSeq)
+        if (bare && items.size == 1) (s"!${items.head}", alg)
+        else (items.mkString("!(", "|", ")"), alg)
+      }),
+      (if (depth > 0) 1 else 0) -> Gen.lzy(
+        genPathPair(depth - 1).map { case (t, a) => (s"($t)", a) }))
+    val elt: Gen[(String, Path)] = for {
+      (t, a) <- prim; mod <- Gen.frequency(4 -> Gen.const(""),
+        1 -> Gen.oneOf("?", "+", "*"))
+    } yield mod match {
+      case "" => (t, a)
+      case "?" => (t + "?", PZeroOrOne(a))
+      case "+" => (t + "+", POneOrMore(a))
+      case _ => (t + "*", PZeroOrMore(a))
+    }
+    val inv: Gen[(String, Path)] = Gen.frequency(
+      4 -> elt, 1 -> elt.map { case (t, a) => ("^" + t, PInv(a)) })
+    val seq: Gen[(String, Path)] =
+      Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, inv)).map(xs =>
+        (xs.map(_._1).mkString("/"),
+          xs.map(_._2).reduceLeft(PSeq(_, _))))
+    Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, seq)).map(xs =>
+      (xs.map(_._1).mkString("|"),
+        xs.map(_._2).reduceLeft(PAlt(_, _))))
+  }
+
+  private val genPathTriple: Gen[Piece] = for {
+    s <- Gen.oneOf(genVar.map(Left(_)), Gen.choose(0, 5).map(Right(_)))
+    o <- Gen.frequency(3 -> genVar.map(Left(_)),
+      1 -> Gen.choose(0, 5).map(Right(_)))
+    (pt, pa) <- genPathPair(1)
+  } yield {
+    val (st, sa) = term(s); val (ot, oa) = term(o)
+    Piece(s"$st $pt $ot .", PathPattern(sa, pa, oa))
+  }
+
   /** One group graph pattern: mirrors the parser's accumulation rules
     * (triples JOIN in order, OPTIONAL left-joins the accumulated group,
     * UNION groups join in, group-level FILTERs wrap the whole group).
@@ -110,9 +162,15 @@ class GrammarFuzzSpec extends AnyFunSuite {
   private def genGroup(depth: Int): Gen[Piece] = for {
     triples <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, genTriple))
     extras <- if (depth == 0) Gen.const(Seq.empty[Int])
-      else Gen.someOf(Seq(1, 2, 3, 4)).map(_.toSeq)
+      else Gen.someOf(Seq(1, 2, 3, 4, 5, 6, 7, 8)).map(_.toSeq)
     optG <- genTripleGroup
     u1 <- genTripleGroup; u2 <- genTripleGroup
+    minusG <- genTripleGroup
+    existsG <- genTripleGroup
+    existsPos <- Gen.oneOf(true, false)
+    pathT <- genPathTriple
+    subG <- genTripleGroup
+    subVarPick <- Gen.choose(0, 3)
     filtVar <- genVar
     filtN <- Gen.choose(0, 5)
     valVar <- genVar
@@ -142,6 +200,29 @@ class GrammarFuzzSpec extends AnyFunSuite {
       sb.append(s"  BIND(?$filtVar + 1 AS ?$bindVar)\n")
       acc = Extend(acc, bindVar,
         EFn("+", EVar(filtVar), ELit("1", Term.XsdInteger)))
+    }
+    if (extras.contains(5)) { // MINUS applies to the group so far
+      sb.append(s"  MINUS ${minusG.text}\n")
+      acc = Minus(acc, minusG.alg)
+    }
+    if (extras.contains(7)) { // property path in text (precedence)
+      sb.append("  " + pathT.text + "\n")
+      add(pathT.alg)
+    }
+    if (extras.contains(8)) { // subselect joins in by projected vars
+      val scope = inScopeVars(subG.alg).toSeq.sorted
+      if (scope.nonEmpty) {
+        val vs = Seq(scope(subVarPick % scope.size))
+        sb.append(
+          s"  { SELECT ${vs.map("?" + _).mkString(" ")} " +
+            s"WHERE ${subG.text} }\n")
+        add(Project(subG.alg, vs))
+      }
+    }
+    if (extras.contains(6)) { // FILTER [NOT] EXISTS wraps the group
+      val kw = if (existsPos) "EXISTS" else "NOT EXISTS"
+      sb.append(s"  FILTER $kw ${existsG.text}\n")
+      acc = Filter(EExists(existsG.alg, existsPos), acc)
     }
     // group-level FILTER wraps the accumulated group (parser rule)
     val withFilter = if (depth > 0) {
