@@ -27,10 +27,14 @@ object RdfXmlWriter {
 
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-  /** XML attribute/text escaping (amp first). */
+  /** XML attribute/text escaping (amp first). A raw CR would be
+    * NORMALIZED to LF by every conforming XML parser (XML 1.0 §2.11),
+    * so it must leave as a character reference to survive a roundtrip.
+    */
   private def xmlEsc(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+      regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"),
+      "\"", "&quot;"), "\r", "&#13;")
 
   // longest NCName-ish tail of the predicate IRI becomes the element
   // local name; the (non-greedy) head is the per-element namespace

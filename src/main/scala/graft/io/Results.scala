@@ -166,7 +166,12 @@ object Results {
 
   private def xmlEscape(s: String): String = s.flatMap {
     case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
-    case '"' => "&quot;"; case c => c.toString
+    case '"' => "&quot;"
+    // a raw CR in element content is NORMALIZED to LF by every
+    // conforming XML parser (XML 1.0 §2.11) — it only survives a
+    // roundtrip as a character reference
+    case '\r' => "&#13;"
+    case c => c.toString
   }
 
   /** One term as its XML results element (recursive for RDF-star

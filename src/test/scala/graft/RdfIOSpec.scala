@@ -1292,4 +1292,62 @@ class RdfIOSpec extends AnyFunSuite {
       kept(0).getAs[org.apache.spark.sql.Row]("o")
         .getAs[String]("dt") == "https://www.w3.org/ns/i18n#ar_rtl")
   }
+
+  test("RDF serializer roundtrip fuzz: hostile literals survive every " +
+      "format (nt, nq, ttl, trig, rdfxml, jsonld)") {
+    import org.apache.spark.sql.Row
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.model.Term
+    // framing quotes/backslashes, newlines/tabs/CRs (XML CR
+    // normalization!), markup chars, astral unicode, term look-alikes
+    val hostile = Seq("", "\"", "\\", "\n", "\t", "\r\n", "a\"b\\c",
+      "line1\nline2", "col\tcol", "<x>&'y'", "中𐀀", "1", "true",
+      "1.5e3", "\"\"\"", "'''", " padded ", "_:fake", "?var",
+      "end with .", "# not a comment", "@en looks like a tag")
+    val genO: Gen[Row] = Gen.frequency(
+      5 -> (for {
+        lex <- Gen.oneOf(hostile); shape <- Gen.choose(0, 2)
+      } yield shape match {
+        case 0 => Row(Term.LiteralKind.toByte, lex, Term.XsdString, null)
+        case 1 => Row(Term.LiteralKind.toByte, lex, "http://dt/x", null)
+        case _ =>
+          Row(Term.LiteralKind.toByte, lex, Term.RdfLangString, "en-us")
+      }),
+      2 -> Gen.oneOf("http://x/α", "http://x/a?b=c&d=e", "http://x/𐀀")
+        .map(i => Row(Term.IriKind.toByte, i, null, null)))
+    val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
+    val genQuadRow: Gen[Row] = for {
+      s <- Gen.choose(0, 3).map(n =>
+        Row(Term.IriKind.toByte, s"http://x/s$n", null, null))
+      p <- Gen.choose(0, 2).map(n =>
+        Row(Term.IriKind.toByte, s"http://x/p$n", null, null))
+      o <- genO
+    } yield Row(dg, s, p, o)
+    val prop = Prop.forAllNoShrink(
+      Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genQuadRow))) {
+      rows =>
+        // distinct rows: Turtle subject-grouping and JSON-LD node
+        // merging legitimately dedupe repeated identical triples
+        val distinctRows = rows.distinct
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(distinctRows, 2),
+          Term.quadSchema)
+        def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+          d.select("s", "p", "o").collect().map(_.toString).sorted.toSeq
+        val base = canon(df)
+        Seq("nt", "nq", "ttl", "trig", "rdfxml", "jsonld").forall { fmt =>
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_rt").resolve(fmt).toString
+          RdfIO.write(df, dir, fmt)
+          val back = canon(RdfIO.read(spark, dir + "/part-*", fmt))
+          if (back != base)
+            println(s"$fmt roundtrip: $base -> $back")
+          back == base
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_RT_N", "12").toInt), prop)
+    assert(result.passed, s"serializer roundtrip fuzz: ${result.status}")
+  }
 }

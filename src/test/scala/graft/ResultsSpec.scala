@@ -229,4 +229,57 @@ class ResultsSpec extends AnyFunSuite {
     assert(r == "ABC")
     intercept[IllegalArgumentException](SparqlExpr.fn("urn:none", Nil))
   }
+
+  test("results roundtrip fuzz: adversarial terms survive JSON, XML, " +
+      "and TSV byte-exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // escaping-hostile lexical forms: framing quotes, backslashes,
+    // newlines/tabs/CRs (XML line-end normalization!), markup chars,
+    // astral unicode, number/keyword look-alikes, term look-alikes
+    val hostile = Seq("", "\"", "\\", "\n", "\t", "\r\n", "a\"b\\c",
+      "line1\nline2", "col\tcol", "<x>&'y'", "中𐀀", "1", "true",
+      "1.5e3", "\"\"\"", "'''", " padded ", "_:fake", "?var", "a,b")
+    val genLit: Gen[Row] = for {
+      lex <- Gen.oneOf(hostile)
+      shape <- Gen.choose(0, 3)
+    } yield shape match {
+      case 0 => Row(Term.LiteralKind.toByte, lex, Term.XsdString, null)
+      case 1 => Row(Term.LiteralKind.toByte, lex, "http://dt/x", null)
+      case 2 => Row(Term.LiteralKind.toByte, lex, Term.RdfLangString, "en")
+      case _ =>
+        Row(Term.LiteralKind.toByte, lex, Term.RdfLangString, "en-us")
+    }
+    val genIri: Gen[Row] = Gen.oneOf("http://x/α", "http://x/a?b=c&d=e",
+      "urn:uuid:1-2", "http://x/%20esc", "http://x/𐀀")
+      .map(i => Row(Term.IriKind.toByte, i, null, null))
+    val genBnode: Gen[Row] = Gen.oneOf("b0", "b1", "x-1.y")
+      .map(b => Row(Term.BlankKind.toByte, b, null, null))
+    val genTerm: Gen[Row] = Gen.frequency(5 -> genLit, 2 -> genIri,
+      1 -> genBnode, 1 -> Gen.const(null: Row))
+    val schema = StructType(Seq(
+      StructField("a", Term.schema), StructField("b", Term.schema)))
+    val prop = Prop.forAllNoShrink(
+      Gen.chooseNum(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(genTerm, genTerm)))) { rows =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (x, y) => Row(x, y) }, 2), schema)
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.select("a", "b").collect().map(_.toString).sorted.toSeq
+      val base = canon(df)
+      val viaJson = canon(Results.fromJson(spark, Results.toJson(df)))
+      val viaXml = canon(Results.fromXml(spark, Results.toXml(df)))
+      val viaTsv = canon(Results.fromTsv(spark, Results.toTsv(df)))
+      if (viaJson != base) println(s"JSON roundtrip: $base -> $viaJson")
+      if (viaXml != base) println(s"XML roundtrip: $base -> $viaXml")
+      if (viaTsv != base) println(s"TSV roundtrip: $base -> $viaTsv")
+      viaJson == base && viaXml == base && viaTsv == base
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "30").toInt), prop)
+    assert(result.passed, s"results roundtrip fuzz failed: ${result.status}")
+  }
 }
