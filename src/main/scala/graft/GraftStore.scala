@@ -37,11 +37,31 @@ final class GraftStore private (val quads: DataFrame,
     * also maintain the empty-graph registry, so `namedGraphs` sees
     * graphs CREATEd empty and graphs CLEARed down to zero quads.
     */
-  def update(sparql: String): GraftStore = {
-    val (q, g) = SparqlParser.parseUpdateText(sparql)
-      .foldLeft((quads, emptyGraphs)) { case ((q, g), op) =>
-        UpdateExec.applyWithGraphs(op, q, g)
+  def update(sparql: String): GraftStore = update(sparql, Nil, Nil)
+
+  /** Update with a protocol-supplied dataset (SPARQL 1.1 Protocol
+    * §2.2.3): `usingDefault`/`usingNamed` act as USING / USING NAMED
+    * on every pattern-matching operation. Combining them with an
+    * update whose own text carries USING clauses is an error per the
+    * protocol; WITH is accepted (the injected USING overrides it for
+    * matching, exactly like a textual USING — §3.1.3).
+    */
+  def update(sparql: String, usingDefault: Seq[String],
+      usingNamed: Seq[String]): GraftStore = {
+    val ops0 = SparqlParser.parseUpdateText(sparql)
+    val ops =
+      if (usingDefault.isEmpty && usingNamed.isEmpty) ops0
+      else ops0.map {
+        case di: DeleteInsert =>
+          if (di.using.nonEmpty || di.usingNamed.nonEmpty)
+            throw new IllegalArgumentException(
+              "using-graph-uri parameters conflict with USING in the update")
+          di.copy(using = usingDefault, usingNamed = usingNamed)
+        case op => op
       }
+    val (q, g) = ops.foldLeft((quads, emptyGraphs)) { case ((q, g), op) =>
+      UpdateExec.applyWithGraphs(op, q, g)
+    }
     new GraftStore(q, g)
   }
 

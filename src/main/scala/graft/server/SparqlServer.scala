@@ -242,15 +242,30 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
       // malformed
       if (ps.get("query").exists(_.size > 1))
         throw new IllegalArgumentException("more than one query parameter")
-      val query = ps.get("query").flatMap(_.headOption).getOrElse {
+      val queryOpt = ps.get("query").flatMap(_.headOption).orElse {
         if (ex.getRequestMethod == "POST" &&
           ct.startsWith("application/sparql-query"))
-          new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          Some(new String(ex.getRequestBody.readAllBytes(), UTF_8))
         else if (ex.getRequestMethod == "POST" && ct.nonEmpty &&
           !ct.startsWith("application/x-www-form-urlencoded"))
           throw HttpError(415, s"unsupported query media type: $ct")
-        else throw new IllegalArgumentException("missing query parameter")
+        else if (ex.getRequestMethod == "POST")
+          throw new IllegalArgumentException("missing query parameter")
+        else None
       }
+      // dereferencing the bare endpoint (GET/HEAD, no query) returns
+      // its service description (SPARQL 1.1 Service Description §2)
+      // as a content-negotiated RDF graph document
+      if (queryOpt.isEmpty)
+        respondGraph(ex, Option(
+          ex.getRequestHeaders.getFirst("Accept")).getOrElse(""),
+          serviceDescription())
+      else serveQuery(ex, ps, queryOpt.get)
+    }
+  }
+
+  private def serveQuery(ex: HttpExchange, ps: Map[String, Seq[String]],
+      query: String): Unit = {
       val protoDefault = ps.getOrElse("default-graph-uri", Nil)
       val protoNamed = ps.getOrElse("named-graph-uri", Nil)
       val st = ref.get
@@ -287,7 +302,40 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
                 s"no acceptable results format in: $accept")
           }
       }
-    }
+  }
+
+  /** The endpoint's service-description graph (SPARQL 1.1 Service
+    * Description): languages, result formats, input formats, features —
+    * a tiny static triple table built once per request.
+    */
+  private def serviceDescription(): DataFrame = {
+    val spark = ref.get.quads.sparkSession
+    val sd = "http://www.w3.org/ns/sparql-service-description#"
+    val fm = "http://www.w3.org/ns/formats/"
+    val ep = uri("/query")
+    val triples: Seq[(String, String)] =
+      Seq(
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" ->
+          (sd + "Service"),
+        (sd + "endpoint") -> ep,
+        (sd + "supportedLanguage") -> (sd + "SPARQL11Query"),
+        (sd + "supportedLanguage") -> (sd + "SPARQL11Update"),
+        (sd + "feature") -> (sd + "BasicFederatedQuery"),
+        (sd + "feature") -> (sd + "EmptyGraphs")) ++
+      Seq("SPARQL_Results_JSON", "SPARQL_Results_XML",
+        "SPARQL_Results_CSV", "SPARQL_Results_TSV")
+        .map(f => (sd + "resultFormat") -> (fm + f)) ++
+      Seq("N-Triples", "N-Quads", "Turtle", "TriG", "RDF_XML", "JSON-LD")
+        .map(f => (sd + "inputFormat") -> (fm + f))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def iriRow(v: String) = Row(Term.IriKind.toByte, v, null, null)
+    val rows = triples.map { case (p, o) =>
+      Row(iriRow(ep), iriRow(p), iriRow(o)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("s", Term.schema),
+        StructField("p", Term.schema), StructField("o", Term.schema))))
   }
 
   /** Content-negotiated graph document (CONSTRUCT/DESCRIBE results and
@@ -331,11 +379,13 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
       if (!ct.startsWith("application/sparql-update") &&
         !ct.startsWith("application/x-www-form-urlencoded"))
         throw HttpError(415, s"unsupported update media type: $ct")
+      // params() reads the body only for urlencoded posts, so it runs
+      // BEFORE the sparql-update branch drains the stream itself
+      val ps = params(ex)
       val update =
         if (ct.startsWith("application/sparql-update"))
           new String(ex.getRequestBody.readAllBytes(), UTF_8)
         else {
-          val ps = params(ex)
           // Protocol §2.2: more than one update string is malformed
           if (ps.get("update").exists(_.size > 1))
             throw new IllegalArgumentException(
@@ -343,7 +393,13 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
           ps.get("update").flatMap(_.headOption).getOrElse(
             throw new IllegalArgumentException("missing update parameter"))
         }
-      updateLock.synchronized { ref.set(ref.get.update(update)) }
+      // Protocol §2.2.3: using-graph-uri / using-named-graph-uri act
+      // as USING / USING NAMED on the request's operations
+      val usingDefault = ps.getOrElse("using-graph-uri", Nil)
+      val usingNamed = ps.getOrElse("using-named-graph-uri", Nil)
+      updateLock.synchronized {
+        ref.set(ref.get.update(update, usingDefault, usingNamed))
+      }
       respond(ex, 204, "", "text/plain")
     }
   }

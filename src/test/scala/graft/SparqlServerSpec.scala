@@ -84,7 +84,61 @@ class SparqlServerSpec extends AnyFunSuite {
 
   test("query error returns 400, not a hung response") {
     assert(get(s"/query?query=${enc("SELECT WHERE {")}").statusCode() == 400)
-    assert(get("/query").statusCode() == 400)
+  }
+
+  test("bare GET /query returns the service description graph") {
+    val nt = get("/query")
+    assert(nt.statusCode() == 200)
+    assert(nt.headers().firstValue("Content-Type").get
+      .contains("n-triples"))
+    assert(nt.body().contains(
+      "http://www.w3.org/ns/sparql-service-description#Service"))
+    assert(nt.body().contains("#endpoint"))
+    assert(nt.body().contains("SPARQL_Results_JSON"))
+    // negotiates like any graph document and parses back
+    val ttl = get("/query", "text/turtle")
+    assert(ttl.headers().firstValue("Content-Type").get
+      .contains("text/turtle"))
+    val d = Files.createTempDirectory("sd")
+    val f = d.resolve("sd.ttl")
+    Files.writeString(f, ttl.body())
+    assert(graft.io.RdfIO.read(spark, f.toString, "ttl").count() >= 10)
+    // POST without a query is still a client error
+    val post = HttpRequest.newBuilder(URI.create(server.uri("/query")))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(BodyPublishers.ofString("")).build()
+    assert(send(post).statusCode() == 400)
+  }
+
+  test("update protocol dataset: using-graph-uri scopes the WHERE match") {
+    // seed a named graph through GSP
+    val g = enc("http://x/gusing")
+    val put = HttpRequest.newBuilder(
+      URI.create(server.uri(s"/store?graph=$g")))
+      .header("Content-Type", "application/n-triples")
+      .method("PUT", BodyPublishers.ofString(
+        "<http://x/u1> <http://x/up> \"uv\" .\n")).build()
+    assert(send(put).statusCode() == 204)
+    // INSERT ... WHERE matches against the protocol dataset (the named
+    // graph promoted to the WHERE default graph), writes to the store
+    val upd = "INSERT { ?s <http://x/copied> ?o } " +
+      "WHERE { ?s <http://x/up> ?o }"
+    val req = HttpRequest.newBuilder(URI.create(server.uri(
+      s"/update?using-graph-uri=${enc("http://x/gusing")}")))
+      .header("Content-Type", "application/sparql-update")
+      .POST(BodyPublishers.ofString(upd)).build()
+    assert(send(req).statusCode() == 204)
+    val r = get(s"/query?query=${enc(
+      "SELECT ?o WHERE { <http://x/u1> <http://x/copied> ?o }")}")
+    assert(r.body().contains("uv"), r.body())
+    // combining the parameter with a textual USING is a protocol error
+    val conflicted = HttpRequest.newBuilder(URI.create(server.uri(
+      s"/update?using-graph-uri=${enc("http://x/gusing")}")))
+      .header("Content-Type", "application/sparql-update")
+      .POST(BodyPublishers.ofString(
+        "INSERT { ?s <http://x/c2> ?o } USING <http://x/gusing> " +
+          "WHERE { ?s <http://x/up> ?o }")).build()
+    assert(send(conflicted).statusCode() == 400)
   }
 
   test("GSP: PUT / GET / POST / DELETE round-trip on a named graph") {
@@ -338,9 +392,9 @@ class SparqlServerSpec extends AnyFunSuite {
 
   test("protocol error matrix: 400/405/406/415 with Allow headers") {
     val q = enc("SELECT ?s WHERE { ?s ?p ?o }")
-    // 400: malformed query, missing query, duplicate query param
+    // 400: malformed query, duplicate query param (a bare GET serves
+    // the service description instead — see its own test)
     assert(get(s"/query?query=${enc("SELECT WHERE")}").statusCode() == 400)
-    assert(get("/query").statusCode() == 400)
     assert(get(s"/query?query=$q&query=$q").statusCode() == 400)
     // 405: method not allowed carries Allow
     val del = send(HttpRequest.newBuilder(URI.create(server.uri("/query")))
