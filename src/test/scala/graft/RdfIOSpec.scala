@@ -1314,11 +1314,16 @@ class RdfIOSpec extends AnyFunSuite {
           Row(Term.LiteralKind.toByte, lex, Term.RdfLangString, "en-us")
       }),
       2 -> Gen.oneOf("http://x/α", "http://x/a?b=c&d=e", "http://x/𐀀")
-        .map(i => Row(Term.IriKind.toByte, i, null, null)))
+        .map(i => Row(Term.IriKind.toByte, i, null, null)),
+      1 -> Gen.oneOf("b0", "b1", "x.y").map(b =>
+        Row(Term.BlankKind.toByte, b, null, null)))
     val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
     val genQuadRow: Gen[Row] = for {
-      s <- Gen.choose(0, 3).map(n =>
-        Row(Term.IriKind.toByte, s"http://x/s$n", null, null))
+      s <- Gen.frequency(
+        4 -> Gen.choose(0, 3).map(n =>
+          Row(Term.IriKind.toByte, s"http://x/s$n", null, null)),
+        1 -> Gen.oneOf("b0", "b1").map(b =>
+          Row(Term.BlankKind.toByte, b, null, null)))
       p <- Gen.choose(0, 2).map(n =>
         Row(Term.IriKind.toByte, s"http://x/p$n", null, null))
       o <- genO

@@ -335,6 +335,66 @@ class SparqlServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("concurrent soak: parallel updates, GSP writes, and queries " +
+      "stay consistent (writer-serialized, readers on a snapshot)") {
+    val d = Files.createTempDirectory("soak")
+    val nt = d.resolve("seed.nt")
+    Files.writeString(nt, "<http://x/s0> <http://x/p> \"seed\" .\n")
+    val srv = new SparqlServer(
+      GraftStore.fromFile(spark, nt.toString, "nt")).start()
+    try {
+      val threads = 6
+      val iters = 5
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val futures = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val g = s"http://x/soak$t"
+            for (i <- 0 until iters) {
+              // POST /update appends one triple to the thread's graph
+              val upd = s"INSERT DATA { GRAPH <$g> { " +
+                s"<http://x/s$t> <http://x/n> $i } }"
+              val u = client.send(HttpRequest.newBuilder(
+                URI.create(srv.uri("/update")))
+                .header("Content-Type", "application/sparql-update")
+                .POST(BodyPublishers.ofString(upd)).build(),
+                BodyHandlers.ofString())
+              if (u.statusCode() != 204)
+                bad.add(s"t$t update $i -> ${u.statusCode()}")
+              // a read in between must see a consistent snapshot
+              val q = client.send(HttpRequest.newBuilder(URI.create(
+                srv.uri(s"/query?query=${enc(
+                  s"SELECT (COUNT(*) AS ?n) WHERE { GRAPH <$g> { ?s ?p ?o } }")}")))
+                .GET().build(), BodyHandlers.ofString())
+              if (q.statusCode() != 200)
+                bad.add(s"t$t query $i -> ${q.statusCode()}")
+              // GSP GET of another thread's graph: 200 or 404, never 5xx
+              val other = client.send(HttpRequest.newBuilder(URI.create(
+                srv.uri(s"/store?graph=${enc(
+                  s"http://x/soak${(t + 1) % threads}")}")))
+                .GET().build(), BodyHandlers.ofString())
+              if (other.statusCode() >= 500)
+                bad.add(s"t$t gsp $i -> ${other.statusCode()}")
+            }
+          } catch { case e: Exception => bad.add(s"t$t threw: $e") }
+        })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      assert(bad.isEmpty, s"soak failures: ${bad.toArray.mkString(", ")}")
+      // every INSERT survived: each graph holds exactly `iters` triples
+      for (t <- 0 until threads) {
+        val r = client.send(HttpRequest.newBuilder(URI.create(
+          srv.uri(s"/query?query=${enc(
+            s"SELECT ?o WHERE { GRAPH <http://x/soak$t> { ?s ?p ?o } }")}")))
+          .GET().build(), BodyHandlers.ofString())
+        val n = "\"o\":".r.findAllIn(r.body()).length
+        assert(n == iters, s"thread $t graph has $n of $iters triples")
+      }
+    } finally srv.stop()
+  }
+
   test("graph dumps stream: a multi-partition graph round-trips " +
     "chunked (no Content-Length) in NT and Turtle") {
     import spark.implicits._
