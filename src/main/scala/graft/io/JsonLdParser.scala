@@ -34,13 +34,14 @@ final class JsonLdParser(content: String,
   private val DG = TermRow(Term.DefaultGraphKind.toByte, null, null, null)
 
   /** One term definition from an @context. `typ` is "@id" or a datatype
-    * IRI; `container` is "@list" when list-coercing; `reverse` terms
+    * IRI; `container` holds the @container keyword set (JSON-LD 1.1
+    * allows arrays like ["@graph","@id"]); `reverse` terms
     * ({"@reverse": iri}) emit their triples object-to-subject; `dir` is
     * "ltr"/"rtl" ("" = explicit null clears the context default);
     * `prot` marks a @protected definition.
     */
   private case class TermDef(iri: String, typ: Option[String] = None,
-      lang: Option[String] = None, container: Option[String] = None,
+      lang: Option[String] = None, container: Set[String] = Set.empty,
       scoped: Option[JsonNode] = None, reverse: Boolean = false,
       dir: Option[String] = None, prot: Boolean = false)
 
@@ -165,9 +166,19 @@ final class JsonLdParser(content: String,
             .map(l => if (l.isNull) "" else Term.normLang(l.asText))
           val dir = Option(v.get("@direction"))
             .map(d => if (d.isNull) "" else checkDir(d.asText))
-          val cont = Option(v.get("@container")).map(_.asText)
-          if (rev && (cont.contains("@list") || cont.contains("@language")))
-            err(s"term '$term': @reverse with ${cont.get} container")
+          // @container takes a keyword or (1.1) an array of keywords
+          val cont: Set[String] = Option(v.get("@container")).map { c =>
+            if (c.isNull) Set.empty[String]
+            else if (c.isArray) c.elements.asScala.map(_.asText).toSet
+            else Set(c.asText)
+          }.getOrElse(Set.empty)
+          val known = Set("@list", "@set", "@index", "@language", "@id",
+            "@type", "@graph", "@none")
+          cont.find(!known(_)).foreach(c =>
+            err(s"term '$term': unknown @container '$c'"))
+          if (rev && (cont("@list") || cont("@language") || cont("@graph")))
+            err(s"term '$term': @reverse with ${cont.mkString(",")} " +
+              "container")
           val prot = Option(v.get("@protected")).map(_.asBoolean)
             .getOrElse(protDefault)
           // scoped (term-level) context: raw node kept, parsed against
@@ -351,7 +362,7 @@ final class JsonLdParser(content: String,
 
   private def listTerm(items: Seq[JsonNode], g: TermRow, ctx: Ctx,
       td: Option[TermDef]): TermRow = {
-    val itemTd = td.map(_.copy(container = None))
+    val itemTd = td.map(_.copy(container = Set.empty[String]))
     // evaluate items FIRST: a {"@value": null} entry yields a null
     // term and drops out of the list exactly like a bare JSON null
     val terms = items.filterNot(_.isNull)
@@ -443,21 +454,87 @@ final class JsonLdParser(content: String,
           val vctx = td.flatMap(_.scoped)
             .map(parseContext(_, ctx, overrideProtected = true,
               clearPrev = true)).getOrElse(ctx)
-          val cont = td.flatMap(_.container)
-          if (cont.contains("@index") && value.isObject) {
+          val cont = td.map(_.container).getOrElse(Set.empty[String])
+          val vkw = vctx.keyword _
+          // a map entry value evaluates without the container (the map
+          // layer is consumed here)
+          val entryTd = td.map(_.copy(container = Set.empty[String]))
+          def emit(t: TermRow): Unit =
+            if (t != null) {
+              if (td.exists(_.reverse)) {
+                if (t.kind == Term.LiteralKind.toByte)
+                  err(s"invalid @reverse value for '$key' (literal)")
+                out += QuadRow(g, t, iri(p), subj)
+              } else out += QuadRow(g, subj, iri(p), t)
+            }
+          if (cont("@graph")) {
+            // graph container: each entry is graph CONTENT; the graph
+            // name is the map key under @graph+@id (expandRef; @none =
+            // fresh), a fresh bnode otherwise; the property links the
+            // subject to the graph name
+            if (cont("@id") && value.isObject) {
+              value.fields.asScala.foreach { e =>
+                val gName =
+                  if (vkw(e.getKey) == "@none") fresh()
+                  else ref(vctx.expandRef(e.getKey))
+                asArray(e.getValue).foreach { v =>
+                  if (!v.isNull) {
+                    if (!v.isObject) err("@graph map entry must be a " +
+                      "node object")
+                    nodeObject(v, gName, vctx)
+                  }
+                }
+                out += QuadRow(g, subj, iri(p), gName)
+              }
+            } else asArray(value).foreach { v =>
+              if (!v.isNull) {
+                if (!v.isObject)
+                  err("@graph container entry must be a node object")
+                val gName = fresh()
+                nodeObject(v, gName, vctx)
+                out += QuadRow(g, subj, iri(p), gName)
+              }
+            }
+          } else if (cont("@id") && value.isObject) {
+            // id map: keys name the entry nodes (an explicit @id in the
+            // entry wins; "@none" keys add nothing)
+            value.fields.asScala.foreach { e =>
+              asArray(e.getValue).foreach { v =>
+                if (!v.isNull) {
+                  if (!v.isObject) err("@id map entry must be a node object")
+                  val on =
+                    v.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  val hasId =
+                    on.fieldNames.asScala.exists(f => vkw(f) == "@id")
+                  if (!hasId && vkw(e.getKey) != "@none")
+                    on.put("@id", e.getKey)
+                  emit(valueTerm(v, g, vctx, entryTd))
+                }
+              }
+            }
+          } else if (cont("@type") && value.isObject) {
+            // type map: each entry node gains the key as an rdf:type
+            // ("@none" keys add nothing)
+            value.fields.asScala.foreach { e =>
+              asArray(e.getValue).foreach { v =>
+                if (!v.isNull) {
+                  if (!v.isObject)
+                    err("@type map entry must be a node object")
+                  val t = valueTerm(v, g, vctx, entryTd)
+                  if (t != null && vkw(e.getKey) != "@none")
+                    out += QuadRow(g, t, iri(RdfNs + "type"),
+                      ref(vctx.expandRef(e.getKey)))
+                  emit(t)
+                }
+              }
+            }
+          } else if (cont("@index") && value.isObject) {
             // index map: keys are opaque indexes, values are the data
             value.fields.asScala.foreach(ix =>
               asArray(ix.getValue).foreach { v =>
-                val t = valueTerm(v, g, vctx, td)
-                if (t != null) {
-                  if (td.exists(_.reverse)) {
-                    if (t.kind == Term.LiteralKind.toByte)
-                      err(s"invalid @reverse value for '$key' (literal)")
-                    out += QuadRow(g, t, iri(p), subj)
-                  } else out += QuadRow(g, subj, iri(p), t)
-                }
+                emit(valueTerm(v, g, vctx, td))
               })
-          } else if (cont.contains("@language") && value.isObject) {
+          } else if (cont("@language") && value.isObject) {
             // language map: keys are BCP47 tags, values the strings
             value.fields.asScala.foreach(lv =>
               asArray(lv.getValue).foreach(v =>

@@ -1275,6 +1275,73 @@ class RdfIOSpec extends AnyFunSuite {
       .parse())
   }
 
+  test("wave 27: JSON-LD 1.1 @id, @type, and @graph containers") {
+    import graft.io.JsonLdParser
+    val RdfT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    // @id map: keys name the entry nodes; @none = anonymous; an
+    // explicit @id inside the entry wins over the key
+    val idMap = new JsonLdParser(
+      """{"@context": {"p": {"@id": "http://x/p", "@container": "@id"},
+        |   "name": "http://x/name"},
+        | "@id": "http://x/top",
+        | "p": {"http://x/a": {"name": "A"},
+        |       "@none": {"name": "B"},
+        |       "http://x/ignored": {"@id": "http://x/real",
+        |         "name": "C"}}}""".stripMargin).parse()
+    def named(o: String) =
+      idMap.find(q => q.p.lex == "http://x/name" && q.o.lex == o).get.s
+    assert(named("A").lex == "http://x/a")
+    assert(named("B").kind == graft.model.Term.BlankKind.toByte)
+    assert(named("C").lex == "http://x/real")
+    val linked = idMap.filter(q => q.p.lex == "http://x/p" &&
+      q.s.lex == "http://x/top").map(_.o.lex).toSet
+    assert(linked.contains("http://x/a") && linked.contains("http://x/real"))
+    // @type map: each entry node gains the key as rdf:type
+    val tyMap = new JsonLdParser(
+      """{"@context": {"p": {"@id": "http://x/p", "@container": "@type"}},
+        | "@id": "http://x/top",
+        | "p": {"http://x/T": {"@id": "http://x/a"},
+        |       "@none": {"@id": "http://x/b"}}}""".stripMargin).parse()
+    assert(tyMap.exists(q => q.s.lex == "http://x/a" && q.p.lex == RdfT &&
+      q.o.lex == "http://x/T"))
+    assert(!tyMap.exists(q => q.s.lex == "http://x/b" && q.p.lex == RdfT))
+    assert(tyMap.count(q => q.p.lex == "http://x/p") == 2)
+    // @graph container: content lands in a FRESH bnode-named graph,
+    // the property links the subject to that graph name
+    val gr = new JsonLdParser(
+      """{"@context": {"claims": {"@id": "http://x/claims",
+        |   "@container": "@graph"}},
+        | "@id": "http://x/top",
+        | "claims": {"@id": "http://x/s", "http://x/q": "v"}}"""
+        .stripMargin).parse()
+    val link = gr.find(_.p.lex == "http://x/claims").get
+    assert(link.o.kind == graft.model.Term.BlankKind.toByte)
+    val inner = gr.find(_.p.lex == "http://x/q").get
+    assert(inner.g.kind == graft.model.Term.BlankKind.toByte &&
+      inner.g.lex == link.o.lex, "content must sit in the linked graph")
+    assert(link.g.kind == graft.model.Term.DefaultGraphKind.toByte)
+    // @graph + @id: map keys NAME the graphs
+    val grId = new JsonLdParser(
+      """{"@context": {"claims": {"@id": "http://x/claims",
+        |   "@container": ["@graph", "@id"]}},
+        | "@id": "http://x/top",
+        | "claims": {"http://x/g1": {"@id": "http://x/s",
+        |   "http://x/q": "v"}}}""".stripMargin).parse()
+    assert(grId.exists(q => q.p.lex == "http://x/claims" &&
+      q.o.lex == "http://x/g1"))
+    assert(grId.exists(q => q.p.lex == "http://x/q" &&
+      q.g.lex == "http://x/g1"))
+    // @set in an array container form behaves like no container
+    val setC = new JsonLdParser(
+      """{"@context": {"p": {"@id": "http://x/p", "@container": ["@set"]}},
+        | "@id": "http://x/top", "p": ["a", "b"]}""".stripMargin).parse()
+    assert(setC.count(_.p.lex == "http://x/p") == 2)
+    // unknown container keyword is an error
+    assertThrows[Exception](new JsonLdParser(
+      """{"@context": {"p": {"@id": "http://x/p",
+        |   "@container": "@bogus"}}, "p": "v"}""".stripMargin).parse())
+  }
+
   test("RdfIO.readJsonLd threads the rdfDirection option") {
     val d = java.nio.file.Files.createTempDirectory("graft_dir")
     java.nio.file.Files.writeString(d.resolve("doc.jsonld"),
