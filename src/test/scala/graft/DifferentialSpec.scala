@@ -274,7 +274,14 @@ class DifferentialSpec extends AnyFunSuite {
       // all-terms node set, constant-endpoint reflexivity, and their
       // composition under seq/alt/inv
       1 -> genPathExpr(depth - 1).map(PZeroOrOne(_)),
-      1 -> link.map(PZeroOrMore(_)))
+      1 -> link.map(PZeroOrMore(_)),
+      // negated property sets composed in algebra (forward, inverse,
+      // and mixed member sets)
+      1 -> (for {
+        fwd <- Gen.someOf(Seq(10, 11, 12).map(n => s"http://x/i$n"))
+        inv <- Gen.someOf(Seq(10, 11, 12).map(n => s"http://x/i$n"))
+        if fwd.nonEmpty || inv.nonEmpty
+      } yield PNeg(fwd.toSeq, inv.toSeq)))
   }
 
   // named-graph wave: the same shapes wrapped in GRAPH — the graph name
@@ -626,6 +633,18 @@ class DifferentialSpec extends AnyFunSuite {
     p match {
       case PLink(iri) =>
         data.collect { case (s, (0, `iri`, _), o) => (s, o) }
+      // NPS: forward edges with predicate outside the forward set,
+      // plus swapped edges outside the inverse set (§9.3 — each arm
+      // present only when its side lists members)
+      case PNeg(iris, invIris) =>
+        (if (iris.nonEmpty)
+          data.collect { case (s, (0, p, _), o) if !iris.contains(p) =>
+            (s, o) }
+        else Seq.empty) ++
+        (if (invIris.nonEmpty)
+          data.collect { case (s, (0, p, _), o) if !invIris.contains(p) =>
+            (o, s) }
+        else Seq.empty)
       case PInv(q) => pathBag(q, data, rc, lc).map(_.swap)
       case PSeq(a, b) =>
         for { (s, m) <- pathBag(a, data, lc, None)

@@ -1386,6 +1386,10 @@ class RdfIOSpec extends AnyFunSuite {
         Row(Term.BlankKind.toByte, b, null, null)))
     val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
     val genQuadRow: Gen[Row] = for {
+      g <- Gen.frequency(
+        3 -> Gen.const(dg),
+        2 -> Gen.oneOf("http://x/g1", "http://x/g2").map(i =>
+          Row(Term.IriKind.toByte, i, null, null)))
       s <- Gen.frequency(
         4 -> Gen.choose(0, 3).map(n =>
           Row(Term.IriKind.toByte, s"http://x/s$n", null, null)),
@@ -1394,7 +1398,7 @@ class RdfIOSpec extends AnyFunSuite {
       p <- Gen.choose(0, 2).map(n =>
         Row(Term.IriKind.toByte, s"http://x/p$n", null, null))
       o <- genO
-    } yield Row(dg, s, p, o)
+    } yield Row(g, s, p, o)
     val prop = Prop.forAllNoShrink(
       Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genQuadRow))) {
       rows =>
@@ -1405,13 +1409,25 @@ class RdfIOSpec extends AnyFunSuite {
           spark.sparkContext.parallelize(distinctRows, 2),
           Term.quadSchema)
         def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
-          d.select("s", "p", "o").collect().map(_.toString).sorted.toSeq
-        val base = canon(df)
+          d.select("g", "s", "p", "o").collect().map(_.toString)
+            .sorted.toSeq
+        // triple formats carry the default-graph slice only; quad
+        // formats (nq, trig, jsonld) must keep named graphs
+        val baseAll = canon(df)
+        val baseDefault = canon(df.where(
+          org.apache.spark.sql.functions.col("g")("kind") ===
+            Term.DefaultGraphKind))
         Seq("nt", "nq", "ttl", "trig", "rdfxml", "jsonld").forall { fmt =>
+          val quadFmt = Set("nq", "trig", "jsonld")(fmt)
+          val base = if (quadFmt) baseAll else baseDefault
           val dir = java.nio.file.Files
             .createTempDirectory("graft_rt").resolve(fmt).toString
           RdfIO.write(df, dir, fmt)
-          val back = canon(RdfIO.read(spark, dir + "/part-*", fmt))
+          val readBack = RdfIO.read(spark, dir + "/part-*", fmt)
+          val back = canon(
+            if (readBack.columns.contains("g")) readBack
+            else readBack.withColumn("g",
+              graft.model.Term.defaultGraph))
           if (back != base)
             println(s"$fmt roundtrip: $base -> $back")
           back == base
