@@ -1005,9 +1005,11 @@ object SparqlExpr {
       .when(Term.isNumericLit(a(0)), Term.boolLit(
         when(numDbl(a(0)) === 0.0 || isnan(numDbl(a(0))), lit("false"))
           .otherwise(lit("true"))))
+      // string source: XSD whiteSpace=collapse trims around the
+      // boolean lexical ("  true " casts; "TRUE" stays an error)
       .when((isStrTerm(a(0)) || a(0)("dt") === Term.XsdBoolean) &&
-        a(0)("lex").isin("true", "false", "1", "0"),
-        Term.boolLit(a(0)("lex").isin("true", "1").cast(StringType)))
+        trim(a(0)("lex")).isin("true", "false", "1", "0"),
+        Term.boolLit(trim(a(0)("lex")).isin("true", "1").cast(StringType)))
       .otherwise(nullTerm)
     // F&O §19.1.2: casting a NUMERIC/BOOLEAN to string goes through the
     // VALUE, not the source lexical — xsd:string(0.5e1) is "5", not

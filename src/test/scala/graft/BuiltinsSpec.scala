@@ -97,6 +97,15 @@ class BuiltinsSpec extends AnyFunSuite {
     // lang preservation through string ops
     val up = lex(f("UCASE", Term.langLit(lit("ab"), lit("en"))))
     assert(up._1 == Some("AB") && up._3 == Some("en"))
+    // CODEPOINT semantics (XPath/SPARQL count characters, not UTF-16
+    // units): an astral char (U+10000, surrogate pair in the JVM) is
+    // ONE character for STRLEN/SUBSTR, and percent-encodes per UTF-8
+    assert(lex(f("STRLEN", s("a𐀀b")))._1 == Some("3"))
+    assert(lex(f("SUBSTR", s("a𐀀b"), n("2"), n("1")))._1 == Some("𐀀"))
+    assert(lex(f("SUBSTR", s("a𐀀b"), n("3")))._1 == Some("b"))
+    assert(lex(f("UCASE", s("straße")))._1 == Some("STRASSE"))
+    assert(lex(f("ENCODE_FOR_URI", s("𐀀")))._1 == Some("%F0%90%80%80"))
+    assert(lex(f("CONTAINS", s("a𐀀b"), s("𐀀")))._1 == Some("true"))
   }
 
   test("string edge semantics: §17.4.3 compatibility, CONCAT lang, XPath SUBSTR") {
@@ -404,5 +413,19 @@ class BuiltinsSpec extends AnyFunSuite {
     assert(lex(f("xsd:double", s("1.5")))._2 == Some(Term.XsdDouble))
     assert(lex(f("xsd:boolean", s("1")))._1 == Some("true"))
     assert(lex(f("xsd:string", n("9")))._1 == Some("9"))
+    // XSD lexical-space edges: whitespace facet collapses for casts
+    // from string; boolean accepts ONLY true/false/1/0 (case matters);
+    // "+5" integer sign; "1." decimal; signed INF spellings
+    assert(lex(f("xsd:integer", s(" 42 ")))._1 == Some("42"))
+    assert(lex(f("xsd:integer", s("+5")))._1 == Some("5"))
+    assert(lex(f("xsd:boolean", s(" true ")))._1 == Some("true"))
+    assert(lex(f("xsd:boolean", s("TRUE")))._1.isEmpty) // error
+    assert(lex(f("xsd:boolean", s("0")))._1 == Some("false"))
+    assert(lex(f("xsd:decimal", s("1.")))._1.isDefined)
+    assert(lex(f("xsd:double", s("-INF")))._1 == Some("-INF"))
+    assert(lex(f("xsd:double", s("Infinity")))._1.isEmpty) // not XSD
+    assert(lex(f("xsd:double", s(" INF ")))._1 == Some("INF"))
+    val bi = lex(f("xsd:integer", f("xsd:boolean", s("1"))))
+    assert(bi._1 == Some("1") && bi._2 == Some(Term.XsdInteger))
   }
 }
