@@ -42,9 +42,8 @@ final class GraftStore private (val quads: DataFrame,
   /** Update with a protocol-supplied dataset (SPARQL 1.1 Protocol
     * §2.2.3): `usingDefault`/`usingNamed` act as USING / USING NAMED
     * on every pattern-matching operation. Combining them with an
-    * update whose own text carries USING clauses is an error per the
-    * protocol; WITH is accepted (the injected USING overrides it for
-    * matching, exactly like a textual USING — §3.1.3).
+    * update whose own text carries USING, USING NAMED, or WITH is an
+    * error per the protocol.
     */
   def update(sparql: String, usingDefault: Seq[String],
       usingNamed: Seq[String]): GraftStore = {
@@ -53,9 +52,11 @@ final class GraftStore private (val quads: DataFrame,
       if (usingDefault.isEmpty && usingNamed.isEmpty) ops0
       else ops0.map {
         case di: DeleteInsert =>
-          if (di.using.nonEmpty || di.usingNamed.nonEmpty)
+          if (di.using.nonEmpty || di.usingNamed.nonEmpty ||
+            di.withGraph.nonEmpty)
             throw new IllegalArgumentException(
-              "using-graph-uri parameters conflict with USING in the update")
+              "using-graph-uri parameters conflict with USING/WITH " +
+                "in the update")
           di.copy(using = usingDefault, usingNamed = usingNamed)
         case op => op
       }

@@ -153,7 +153,14 @@ object Algebra {
         * hit the full store. USING overrides WITH for matching.
         */
       using: Seq[String] = Nil,
-      usingNamed: Seq[String] = Nil) extends UpdateOp
+      usingNamed: Seq[String] = Nil,
+      /** The WITH graph, when the operation was written with one —
+        * already folded into the templates and (absent USING) the
+        * WHERE; recorded so the protocol layer can enforce §2.2.3's
+        * rule that using-graph-uri parameters may not combine with a
+        * WITH/USING-bearing operation.
+        */
+      withGraph: Option[String] = None) extends UpdateOp
   final case class ClearGraph(graph: Option[String]) extends UpdateOp
   /** DROP removes the graph's quads AND its entry in the store-level
     * named-graph registry (GraftStore tracks empty graphs; the bare

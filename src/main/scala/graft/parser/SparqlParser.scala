@@ -1384,7 +1384,7 @@ final class SparqlParser(input: String) {
             val (u, un) = parseUsing()
             eat("WHERE")
             ops += DeleteInsert(Nil, ins,
-              wrapWhere(parseGroupGraphPattern(), u, un), u, un)
+              wrapWhere(parseGroupGraphPattern(), u, un), u, un, withG)
           }
         } else if (peek("DELETE")) {
           eat("DELETE")
@@ -1393,6 +1393,10 @@ final class SparqlParser(input: String) {
             eat("DATA")
             ops += DeleteData(noBnodes(parseQuadData(), "DELETE DATA"))
           } else if (peek("WHERE")) { // DELETE WHERE { quad tmpl }
+            // rule [40] has no WITH slot; [41] requires a QuadPattern
+            // right after DELETE
+            if (withG.isDefined)
+              fail("WITH is not allowed on DELETE WHERE")
             eat("WHERE")
             val tmpl = noBnodes(parseQuadBlock(defaultG), "DELETE WHERE")
             ops += DeleteInsert(tmpl, Nil, quadsToPattern(tmpl))
@@ -1405,7 +1409,7 @@ final class SparqlParser(input: String) {
             val (u, un) = parseUsing()
             eat("WHERE")
             ops += DeleteInsert(del, ins,
-              wrapWhere(parseGroupGraphPattern(), u, un), u, un)
+              wrapWhere(parseGroupGraphPattern(), u, un), u, un, withG)
           }
         } else fail("WITH must be followed by DELETE or INSERT")
       } else if (peek("CLEAR") || peek("DROP")) {

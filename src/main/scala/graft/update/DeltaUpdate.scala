@@ -50,7 +50,7 @@ object DeltaUpdate {
       Some((None, Some(UpdateExec.constQuads(quads, qs))))
     case DeleteData(qs) =>
       Some((Some(UpdateExec.constQuads(quads, qs)), None))
-    case DeleteInsert(del, ins, where, using, usingNamed) =>
+    case DeleteInsert(del, ins, where, using, usingNamed, _) =>
       val matchQuads =
         if (using.isEmpty && usingNamed.isEmpty) quads
         else graft.exec.QueryExec.applyDataset(quads, using, usingNamed)

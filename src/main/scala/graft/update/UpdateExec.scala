@@ -67,7 +67,7 @@ object UpdateExec {
   }
 
   def apply(op: UpdateOp, quads: DataFrame): DataFrame = op match {
-    case DeleteInsert(del, ins, where, using, usingNamed) =>
+    case DeleteInsert(del, ins, where, using, usingNamed, _) =>
       // USING builds the match dataset like FROM does for queries; the
       // delete/insert effects still apply to the FULL store
       val matchQuads =

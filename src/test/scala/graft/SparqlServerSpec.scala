@@ -131,7 +131,8 @@ class SparqlServerSpec extends AnyFunSuite {
     val r = get(s"/query?query=${enc(
       "SELECT ?o WHERE { <http://x/u1> <http://x/copied> ?o }")}")
     assert(r.body().contains("uv"), r.body())
-    // combining the parameter with a textual USING is a protocol error
+    // combining the parameter with textual USING — or WITH — is a
+    // protocol error (§2.2.3 lists USING, USING NAMED, and WITH)
     val conflicted = HttpRequest.newBuilder(URI.create(server.uri(
       s"/update?using-graph-uri=${enc("http://x/gusing")}")))
       .header("Content-Type", "application/sparql-update")
@@ -139,6 +140,13 @@ class SparqlServerSpec extends AnyFunSuite {
         "INSERT { ?s <http://x/c2> ?o } USING <http://x/gusing> " +
           "WHERE { ?s <http://x/up> ?o }")).build()
     assert(send(conflicted).statusCode() == 400)
+    val withConflict = HttpRequest.newBuilder(URI.create(server.uri(
+      s"/update?using-graph-uri=${enc("http://x/gusing")}")))
+      .header("Content-Type", "application/sparql-update")
+      .POST(BodyPublishers.ofString(
+        "WITH <http://x/gusing> INSERT { ?s <http://x/c3> ?o } " +
+          "WHERE { ?s <http://x/up> ?o }")).build()
+    assert(send(withConflict).statusCode() == 400)
   }
 
   test("GSP: PUT / GET / POST / DELETE round-trip on a named graph") {

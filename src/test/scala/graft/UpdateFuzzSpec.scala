@@ -58,7 +58,12 @@ class UpdateFuzzSpec extends AnyFunSuite {
         * explicit GRAPH wrapping — same semantics, different surface
         * syntax (only meaningful for a named graph context)
         */
-      useWith: Boolean = false) extends Op
+      useWith: Boolean = false,
+      /** render a `USING <g>` clause: the WHERE's default graph becomes
+        * that named graph (§3.1.3); templates stay wherever they are
+        * (bare = the real default graph)
+        */
+      usingG: Option[String] = None) extends Op
   private case class ClearG(g: String) extends Op
   private case class CreateG(g: String) extends Op
   private case class DropG(g: String) extends Op
@@ -94,14 +99,34 @@ class UpdateFuzzSpec extends AnyFunSuite {
       if d.nonEmpty || i.nonEmpty
       useWith <- Gen.oneOf(true, false)
     } yield Modify(g, d, i, w, useWith = useWith && g.nonEmpty)),
+    // textual USING: WHERE matches the named graph as its default
+    // graph, bare templates write to the REAL default graph
+    2 -> (for {
+      ug <- Gen.oneOf(graphs.tail); w <- genTP
+      d <- Gen.option(genTemplate(w)); i <- Gen.option(genTemplate(w))
+      if d.nonEmpty || i.nonEmpty
+    } yield Modify("", d, i, w, usingG = Some(ug))),
     1 -> Gen.oneOf(graphs.tail).map(ClearG(_)),
     1 -> Gen.oneOf(graphs.tail).map(CreateG(_)),
     1 -> Gen.oneOf(graphs.tail).map(DropG(_)))
 
-  private val genSeq: Gen[(Seq[Q], List[Op])] = for {
+  private val genSeq: Gen[(Seq[Q], List[Op], Option[String])] = for {
     init <- Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, genQuad))
     ops <- Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, genOp))
-  } yield (init.distinct, ops)
+    // protocol-injected using-graph-uri: applies to every
+    // pattern-matching op (the injection path rejects textual USING,
+    // so strip those; WITH is accepted — USING overrides it)
+    pu <- Gen.frequency(3 -> Gen.const(None),
+      1 -> Gen.oneOf(graphs.tail).map(Some(_)))
+  } yield (init.distinct,
+    if (pu.isEmpty) ops
+    else ops.map {
+      // the injection path rejects textual USING and WITH (§2.2.3) —
+      // render those ops without the conflicting clause
+      case m: Modify if m.usingG.nonEmpty => m.copy(usingG = None)
+      case m: Modify if m.useWith => m.copy(useWith = false)
+      case op => op
+    }, pu)
 
   // ---- SPARQL text rendering -------------------------------------------
   private def quadBlock(qs: Seq[Q]): String =
@@ -122,8 +147,12 @@ class UpdateFuzzSpec extends AnyFunSuite {
     case InsData(qs) => s"INSERT DATA { ${quadBlock(qs)} }"
     case DelData(qs) => s"DELETE DATA { ${quadBlock(qs)} }"
     case DelWhere(g, tp) => s"DELETE WHERE { ${wrapped(g, tpText(tp))} }"
-    case Modify(g, d, i, w, useWith) =>
-      if (useWith) {
+    case Modify(g, d, i, w, useWith, usingG) =>
+      if (usingG.nonEmpty) {
+        val del = d.map(t => s"DELETE { ${tpText(t)} } ").getOrElse("")
+        val ins = i.map(t => s"INSERT { ${tpText(t)} } ").getOrElse("")
+        s"${del}${ins}USING <${usingG.get}> WHERE { ${tpText(w)} }"
+      } else if (useWith) {
         val del = d.map(t => s"DELETE { ${tpText(t)} } ").getOrElse("")
         val ins = i.map(t => s"INSERT { ${tpText(t)} } ").getOrElse("")
         s"WITH <$g> ${del}${ins}WHERE { ${tpText(w)} }"
@@ -177,15 +206,33 @@ class UpdateFuzzSpec extends AnyFunSuite {
     m.quads.toSeq.filter(_._1 == g)
       .flatMap(q => matchTp(tp, (q._2, q._3, q._4)))
 
-  private def applyOp(m: Model, op: Op): Model = op match {
+  private def applyOp(m: Model, op: Op,
+      pu: Option[String] = None): Model = op match {
     case InsData(qs) => m.copy(quads = m.quads ++ qs)
     case DelData(qs) => m.copy(quads = m.quads -- qs)
     case DelWhere(g, tp) =>
-      val bs = bindingsIn(m, g, tp)
+      // a bare pattern matches the WHERE default graph — replaced by
+      // the injected using graph; a GRAPH-wrapped pattern consults the
+      // dataset's NAMED set, which an injected dataset leaves EMPTY
+      // (using-graph-uri without using-named-graph-uri, like FROM
+      // without FROM NAMED) — so it matches nothing
+      val bs =
+        if (g.isEmpty) bindingsIn(m, pu.getOrElse(""), tp)
+        else if (pu.isDefined) Seq.empty
+        else bindingsIn(m, g, tp)
       val dels = bs.flatMap(b => instantiate(tp, b, g))
       m.copy(quads = m.quads -- dels)
-    case Modify(g, d, i, w, _) =>
-      val bs = bindingsIn(m, g, w)
+    case Modify(g, d, i, w, useWith, usingG) =>
+      // USING (textual or injected) replaces the WHERE dataset:
+      // default graph := the using graph, NAMED set := empty — so a
+      // GRAPH-wrapped WHERE under an injection matches nothing;
+      // templates keep their own target. (The generator never
+      // combines WITH with an injection — the engine rejects that.)
+      val bs =
+        if (usingG.nonEmpty) bindingsIn(m, usingG.get, w)
+        else if (g.isEmpty) bindingsIn(m, pu.getOrElse(""), w)
+        else if (pu.isDefined) Seq.empty
+        else bindingsIn(m, g, w)
       val dels = d.toSeq.flatMap(t => bs.flatMap(b => instantiate(t, b, g)))
       val inss = i.toSeq.flatMap(t => bs.flatMap(b => instantiate(t, b, g)))
       m.copy(quads = m.quads -- dels ++ inss)
@@ -227,10 +274,12 @@ class UpdateFuzzSpec extends AnyFunSuite {
 
   test("random update sequences match the naive quad-set model " +
       "(quads AND named-graph registry)") {
-    val prop = Prop.forAllNoShrink(genSeq) { case (init, ops) =>
+    val prop = Prop.forAllNoShrink(genSeq) { case (init, ops, pu) =>
       val updateText = ops.map(text).mkString(" ;\n")
-      val modelEnd = ops.foldLeft(Model(init.toSet, Set.empty))(applyOp)
-      val st = GraftStore(quadsDf(init)).update(updateText)
+      val modelEnd = ops.foldLeft(Model(init.toSet, Set.empty))(
+        (m, op) => applyOp(m, op, pu))
+      val st = GraftStore(quadsDf(init))
+        .update(updateText, pu.toSeq, Nil)
       val engineQuads = canonStore(st)
       val modelGraphs = modelEnd.registry ++
         modelEnd.quads.map(_._1).filter(_.nonEmpty)
