@@ -63,7 +63,11 @@ class UpdateFuzzSpec extends AnyFunSuite {
         * that named graph (§3.1.3); templates stay wherever they are
         * (bare = the real default graph)
         */
-      usingG: Option[String] = None) extends Op
+      usingG: Option[String] = None,
+      /** render a `USING NAMED <g>` clause: the WHERE dataset's NAMED
+        * set becomes {g} — GRAPH patterns consult it
+        */
+      usingNamedG: Option[String] = None) extends Op
   private case class ClearG(g: String) extends Op
   private case class CreateG(g: String) extends Op
   private case class DropG(g: String) extends Op
@@ -99,13 +103,19 @@ class UpdateFuzzSpec extends AnyFunSuite {
       if d.nonEmpty || i.nonEmpty
       useWith <- Gen.oneOf(true, false)
     } yield Modify(g, d, i, w, useWith = useWith && g.nonEmpty)),
-    // textual USING: WHERE matches the named graph as its default
-    // graph, bare templates write to the REAL default graph
+    // textual USING / USING NAMED: the WHERE dataset becomes
+    // (default := USING graph | empty, named := {USING NAMED} | empty)
+    // — a bare WHERE consults the default side, a GRAPH-wrapped WHERE
+    // the named side; templates keep their own (real) target
     2 -> (for {
-      ug <- Gen.oneOf(graphs.tail); w <- genTP
+      ug <- Gen.option(Gen.oneOf(graphs.tail))
+      un <- Gen.option(Gen.oneOf(graphs.tail))
+      if ug.nonEmpty || un.nonEmpty
+      g <- if (un.isEmpty) Gen.const("") else genG
+      w <- genTP
       d <- Gen.option(genTemplate(w)); i <- Gen.option(genTemplate(w))
       if d.nonEmpty || i.nonEmpty
-    } yield Modify("", d, i, w, usingG = Some(ug))),
+    } yield Modify(g, d, i, w, usingG = ug, usingNamedG = un)),
     1 -> Gen.oneOf(graphs.tail).map(ClearG(_)),
     1 -> Gen.oneOf(graphs.tail).map(CreateG(_)),
     1 -> Gen.oneOf(graphs.tail).map(DropG(_)))
@@ -123,7 +133,8 @@ class UpdateFuzzSpec extends AnyFunSuite {
     else ops.map {
       // the injection path rejects textual USING and WITH (§2.2.3) —
       // render those ops without the conflicting clause
-      case m: Modify if m.usingG.nonEmpty => m.copy(usingG = None)
+      case m: Modify if m.usingG.nonEmpty || m.usingNamedG.nonEmpty =>
+        m.copy(usingG = None, usingNamedG = None)
       case m: Modify if m.useWith => m.copy(useWith = false)
       case op => op
     }, pu)
@@ -147,11 +158,15 @@ class UpdateFuzzSpec extends AnyFunSuite {
     case InsData(qs) => s"INSERT DATA { ${quadBlock(qs)} }"
     case DelData(qs) => s"DELETE DATA { ${quadBlock(qs)} }"
     case DelWhere(g, tp) => s"DELETE WHERE { ${wrapped(g, tpText(tp))} }"
-    case Modify(g, d, i, w, useWith, usingG) =>
-      if (usingG.nonEmpty) {
-        val del = d.map(t => s"DELETE { ${tpText(t)} } ").getOrElse("")
-        val ins = i.map(t => s"INSERT { ${tpText(t)} } ").getOrElse("")
-        s"${del}${ins}USING <${usingG.get}> WHERE { ${tpText(w)} }"
+    case Modify(g, d, i, w, useWith, usingG, usingNamedG) =>
+      if (usingG.nonEmpty || usingNamedG.nonEmpty) {
+        val del = d.map(t => s"DELETE { ${wrapped(g, tpText(t))} } ")
+          .getOrElse("")
+        val ins = i.map(t => s"INSERT { ${wrapped(g, tpText(t))} } ")
+          .getOrElse("")
+        val u = usingG.map(x => s"USING <$x> ").getOrElse("")
+        val un = usingNamedG.map(x => s"USING NAMED <$x> ").getOrElse("")
+        s"${del}${ins}${u}${un}WHERE { ${wrapped(g, tpText(w))} }"
       } else if (useWith) {
         val del = d.map(t => s"DELETE { ${tpText(t)} } ").getOrElse("")
         val ins = i.map(t => s"INSERT { ${tpText(t)} } ").getOrElse("")
@@ -222,17 +237,25 @@ class UpdateFuzzSpec extends AnyFunSuite {
         else bindingsIn(m, g, tp)
       val dels = bs.flatMap(b => instantiate(tp, b, g))
       m.copy(quads = m.quads -- dels)
-    case Modify(g, d, i, w, useWith, usingG) =>
-      // USING (textual or injected) replaces the WHERE dataset:
-      // default graph := the using graph, NAMED set := empty — so a
-      // GRAPH-wrapped WHERE under an injection matches nothing;
-      // templates keep their own target. (The generator never
-      // combines WITH with an injection — the engine rejects that.)
-      val bs =
-        if (usingG.nonEmpty) bindingsIn(m, usingG.get, w)
-        else if (g.isEmpty) bindingsIn(m, pu.getOrElse(""), w)
-        else if (pu.isDefined) Seq.empty
-        else bindingsIn(m, g, w)
+    case Modify(g, d, i, w, useWith, usingG, usingNamedG) =>
+      // USING/USING NAMED (textual or injected) replace the WHERE
+      // dataset: default := USING graphs | EMPTY, named := USING
+      // NAMED set | EMPTY. A bare WHERE consults the default side, a
+      // GRAPH-wrapped one the named side; templates keep their own
+      // target. (The generator never combines WITH with an injection
+      // — the engine rejects that.)
+      val dataset: Option[(Option[String], Set[String])] =
+        if (usingG.nonEmpty || usingNamedG.nonEmpty)
+          Some((usingG, usingNamedG.toSet))
+        else pu.map(p => (Some(p), Set.empty[String]))
+      val bs = dataset match {
+        case Some((dflt, named)) =>
+          if (g.isEmpty)
+            dflt.map(bindingsIn(m, _, w)).getOrElse(Seq.empty)
+          else if (named(g)) bindingsIn(m, g, w)
+          else Seq.empty
+        case None => bindingsIn(m, g, w)
+      }
       val dels = d.toSeq.flatMap(t => bs.flatMap(b => instantiate(t, b, g)))
       val inss = i.toSeq.flatMap(t => bs.flatMap(b => instantiate(t, b, g)))
       m.copy(quads = m.quads -- dels ++ inss)
