@@ -1532,6 +1532,45 @@ class DifferentialSpec extends AnyFunSuite {
       s"lateral aggregate differential failed: ${resultLat.status}")
   }
 
+  test("protocol dataset parameters equal textual FROM / FROM NAMED") {
+    import graft.parser.SparqlParser
+    val gIris = Seq("http://x/i20", "http://x/i21", "http://x/i22")
+    val bodies = Seq(
+      "?a <http://x/i10> ?b .",
+      "GRAPH ?g { ?a <http://x/i10> ?b . }",
+      "GRAPH <http://x/i20> { ?a <http://x/i11> ?b . }",
+      "?a <http://x/i10> ?b . GRAPH ?g { ?b <http://x/i11> ?c . }")
+    val prop = Prop.forAllNoShrink(genDataG, Gen.oneOf(bodies.indices),
+      Gen.someOf(gIris), Gen.someOf(gIris)) {
+      case ((data, named), bi, dSel, nSel) =>
+        if (dSel.isEmpty && nSel.isEmpty) true
+        else {
+          val quads = quadsDfG(data, named)
+          val q = s"SELECT * WHERE { ${bodies(bi)} }"
+          val fromText = (dSel.map(g => s"FROM <$g>") ++
+            nSel.map(g => s"FROM NAMED <$g>")).mkString(" ")
+          val qf = s"SELECT * $fromText WHERE { ${bodies(bi)} }"
+          def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+            val cols = df.columns.sorted
+            if (cols.isEmpty) Seq.fill(df.count().toInt)("[]")
+            else df.select(cols.head, cols.tail: _*).collect()
+              .map(_.toString).sorted.toSeq
+          }
+          val proto = rows(SparqlParser.executeProtocol(q, quads,
+            dSel.toSeq, nSel.toSeq))
+          val textual = rows(SparqlParser.execute(qf, quads))
+          if (proto != textual)
+            println(s"PROTOCOL DATASET MISMATCH body=${bodies(bi)} " +
+              s"D=$dSel N=$nSel\nproto=$proto\ntextual=$textual")
+          proto == textual
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed, s"protocol dataset differential: ${result.status}")
+  }
+
   test("ORDER BY output respects every spec-fixed §15.1 order pair") {
     val genTerms = Gen.chooseNum(2, 30).flatMap(Gen.listOfN(_, genOrdTerm))
     val prop = Prop.forAllNoShrink(genTerms, Gen.oneOf(true, false)) {
