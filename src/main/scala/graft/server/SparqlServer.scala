@@ -81,9 +81,18 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
     (fromQs ++ fromBody).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
+  /** Permissive CORS for cross-origin browser clients (the reference
+    * CLI serves the same `*` policy): emitted only when the request
+    * actually carries an Origin header.
+    */
+  private def cors(ex: HttpExchange): Unit =
+    if (ex.getRequestHeaders.containsKey("Origin"))
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String): Unit = {
     var bytes = body.getBytes(UTF_8)
+    cors(ex)
     ex.getResponseHeaders.set("Content-Type", contentType)
     // transparent gzip when the client advertises it (RFC 9110 §12.5.3)
     val acceptsGzip = Option(
@@ -112,6 +121,15 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
   private def preflight(ex: HttpExchange, allow: String): Boolean =
     if (ex.getRequestMethod == "OPTIONS") {
       ex.getResponseHeaders.set("Allow", allow)
+      if (ex.getRequestHeaders.containsKey("Origin")) {
+        cors(ex)
+        ex.getResponseHeaders.set("Access-Control-Allow-Methods", allow)
+        // echo the requested headers (Content-Type/Accept in practice)
+        Option(ex.getRequestHeaders
+          .getFirst("Access-Control-Request-Headers"))
+          .foreach(h => ex.getResponseHeaders
+            .set("Access-Control-Allow-Headers", h))
+      }
       ex.sendResponseHeaders(204, -1)
       ex.close()
       true
@@ -188,6 +206,7 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
     */
   private def respondStream(ex: HttpExchange, code: Int,
       contentType: String)(write: Appendable => Unit): Unit = {
+    cors(ex)
     ex.getResponseHeaders.set("Content-Type", contentType)
     val acceptsGzip = Option(
       ex.getRequestHeaders.getFirst("Accept-Encoding"))

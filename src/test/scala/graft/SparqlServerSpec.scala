@@ -232,6 +232,34 @@ class SparqlServerSpec extends AnyFunSuite {
       .contains("sparql-results+json"))
   }
 
+  test("CORS: Origin-bearing requests get Allow-Origin; preflight " +
+      "echoes methods and headers; no Origin, no CORS headers") {
+    val q = "SELECT ?n WHERE { <http://x/a> <http://x/name> ?n }"
+    val withOrigin = send(HttpRequest.newBuilder(
+      URI.create(server.uri(s"/query?query=${enc(q)}")))
+      .header("Origin", "http://app.example").GET().build())
+    assert(withOrigin.headers()
+      .firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    val preflight = send(HttpRequest.newBuilder(
+      URI.create(server.uri("/query")))
+      .header("Origin", "http://app.example")
+      .header("Access-Control-Request-Method", "POST")
+      .header("Access-Control-Request-Headers", "Content-Type")
+      .method("OPTIONS", BodyPublishers.noBody()).build())
+    assert(preflight.statusCode() == 204)
+    assert(preflight.headers()
+      .firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    assert(preflight.headers()
+      .firstValue("Access-Control-Allow-Methods").orElse("")
+      .contains("POST"))
+    assert(preflight.headers()
+      .firstValue("Access-Control-Allow-Headers").orElse("")
+      .contains("Content-Type"))
+    val noOrigin = get(s"/query?query=${enc(q)}")
+    assert(noOrigin.headers()
+      .firstValue("Access-Control-Allow-Origin").isEmpty)
+  }
+
   test("gzip response when the client advertises Accept-Encoding") {
     val q = "SELECT ?n WHERE { <http://x/a> <http://x/name> ?n }"
     val r = client.send(
