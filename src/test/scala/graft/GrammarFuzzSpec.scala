@@ -235,6 +235,87 @@ class GrammarFuzzSpec extends AnyFunSuite {
     Piece(sb.toString, withFilter)
   }
 
+  test("CONSTRUCT instantiation matches naive §16.2 semantics " +
+      "(unbound-skip, ill-formed-skip, set dedup)") {
+    // template positions: a body var (sometimes one that can bind a
+    // LITERAL — ill-formed in subject position, skipped), an absent
+    // var (always unbound — the whole triple skips), or constants
+    type TT = (Either[String, String], String, Either[String, String])
+    val genBodyTriple: Gen[(String, String, String)] = for {
+      s <- genVar; p <- Gen.oneOf(preds); o <- genVar
+    } yield (s, p, o)
+    def pos(bodyVars: Seq[String]): Gen[Either[String, String]] =
+      Gen.frequency(
+        4 -> Gen.oneOf(bodyVars).map(Left(_)),
+        1 -> Gen.const(Left("z")), // never bound
+        2 -> Gen.choose(0, 5).map(n => Right(s":n$n")))
+    val gen = for {
+      body <- Gen.chooseNum(1, 2).flatMap(n =>
+        Gen.listOfN(n, genBodyTriple))
+      bodyVars = body.flatMap(t => Seq(t._1, t._3)).distinct
+      tmpl <- Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, for {
+        s <- pos(bodyVars); p <- Gen.oneOf(preds); o <- pos(bodyVars)
+      } yield (s, p, o): TT))
+    } yield (body, tmpl)
+    val prop = Prop.forAllNoShrink(genData, gen) {
+      case (data, (body, tmpl)) =>
+        val quads = quadsDf(data)
+        def tText(x: Either[String, String]) = x.fold("?" + _, identity)
+        val text = s"PREFIX : <$ns>\nCONSTRUCT { " +
+          tmpl.map(t => s"${tText(t._1)} :${t._2} ${tText(t._3)} . ")
+            .mkString +
+          "} WHERE { " +
+          body.map(t => s"?${t._1} :${t._2} ?${t._3} . ").mkString + "}"
+        // naive: BGP solutions over the plain (non-star) triples
+        type B = Map[String, Either[String, Long]]
+        val plain = data.map(_._1)
+        val sols = body.foldLeft(Seq(Map.empty: B)) { case (acc, (sv, p, ov)) =>
+          for {
+            b <- acc
+            (s, pp, o) <- plain
+            if pp == ns + p
+            b1 <- (b.get(sv) match {
+              case Some(x) => if (x == Left(s)) Some(b) else None
+              case None => Some(b + (sv -> (Left(s): Either[String, Long])))
+            }).toSeq
+            b2 <- (b1.get(ov) match {
+              case Some(x) => if (x == o) Some(b1) else None
+              case None => Some(b1 + (ov -> o))
+            }).toSeq
+          } yield b2
+        }
+        def term(x: Either[String, String], b: B)
+            : Option[Either[String, Long]] = x match {
+          case Left(v) => b.get(v)
+          case Right(c) =>
+            if (c.startsWith(":n")) Some(Left(node(c.drop(2).toInt)))
+            else Some(Left(c))
+        }
+        val expected = (for {
+          b <- sols; (sv, p, ov) <- tmpl
+          s <- term(sv, b); o <- term(ov, b)
+          // ill-formed skip: a literal subject never emits
+          if s.isLeft
+        } yield (s, ns + p, o)).toSet
+        val df = SparqlParser.execute(text, quads)
+        val got = df.collect().map { r =>
+          def read(t: Row): Either[String, Long] =
+            if (t.getByte(0) == Term.IriKind.toByte) Left(t.getString(1))
+            else Right(t.getString(1).toLong)
+          (read(r.getAs[Row]("s")), r.getAs[Row]("p").getString(1),
+            read(r.getAs[Row]("o")))
+        }.toSet
+        if (got != expected)
+          println(s"CONSTRUCT MISMATCH\n$text\ndata=$data\n" +
+            s"expected=$expected\ngot=$got")
+        got == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed, s"construct fuzz failed: ${result.status}")
+  }
+
   test("parsed text executes identically to the specified algebra") {
     val prop = Prop.forAllNoShrink(genData, genGroup(1)) { (data, piece) =>
       val quads = quadsDf(data)
