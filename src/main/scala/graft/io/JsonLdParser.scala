@@ -211,7 +211,7 @@ final class JsonLdParser(content: String,
         err(s"unknown rdfDirection mode '$m'"))
     val root = new ObjectMapper().readTree(content)
     val nodes = if (root.isArray) root.elements.asScala.toSeq else Seq(root)
-    nodes.foreach(n => nodeObject(n, DG, Ctx()))
+    nodes.foreach(n => nodeObject(n, DG, Ctx(), docPos = true))
     out.toSeq
   }
 
@@ -381,8 +381,16 @@ final class JsonLdParser(content: String,
     }
   }
 
-  /** A node object: emits its triples into graph `g`, returns subject. */
-  private def nodeObject(n: JsonNode, g: TermRow, incoming: Ctx): TermRow = {
+  /** A node object: emits its triples into graph `g`, returns subject.
+    * `docPos` marks document/graph position (top level, inside another
+    * @graph): there an object carrying ONLY @graph (+@context) is the
+    * transparent document wrapper — its children stay in the CURRENT
+    * graph (JSON-LD expansion drops the @graph-only shell when the
+    * active property is null or @graph); in property position the same
+    * shape is a graph OBJECT naming a fresh bnode graph.
+    */
+  private def nodeObject(n: JsonNode, g: TermRow, incoming: Ctx,
+      docPos: Boolean = false): TermRow = {
     // entering a new node object reverts non-propagating contexts
     // (type-scoped layers, @propagate: false) applied at the parent
     val parentCtx = incoming.descend
@@ -392,6 +400,13 @@ final class JsonLdParser(content: String,
     val kw = ctx0.keyword _
     def field(keyword: String): Option[JsonNode] =
       n.fields.asScala.find(e => kw(e.getKey) == keyword).map(_.getValue)
+    if (docPos && field("@graph").isDefined &&
+      n.fieldNames.asScala.forall(k =>
+        k == "@context" || kw(k) == "@graph")) {
+      asArray(field("@graph").get)
+        .foreach(c => nodeObject(c, g, ctx0, docPos = true))
+      return fresh() // wrapper has no triples; subject never referenced
+    }
     val subj = field("@id") match {
       case Some(id) =>
         if (!id.isTextual) err(s"@id must be a string, got $id")
@@ -411,7 +426,8 @@ final class JsonLdParser(content: String,
         .map(parseContext(_, c, defaultPropagate = false)).getOrElse(c)
     }
     field("@graph").foreach(gn =>
-      asArray(gn).foreach(child => nodeObject(child, subj, ctx)))
+      asArray(gn).foreach(child =>
+        nodeObject(child, subj, ctx, docPos = true)))
     // @reverse map: { "prop": node objects } — triples point INTO subj
     // (values must be node objects; a literal is an error)
     field("@reverse").foreach { rn =>

@@ -1342,6 +1342,43 @@ class RdfIOSpec extends AnyFunSuite {
         |   "@container": "@bogus"}}, "p": "v"}""".stripMargin).parse())
   }
 
+  test("wave 28: the @graph document wrapper is transparent; graph " +
+      "objects in property position name a graph") {
+    import graft.io.JsonLdParser
+    import graft.model.Term
+    // the most common JSON-LD document form: context + @graph wrapper
+    // — triples belong to the DEFAULT graph, not a bnode-named one
+    val wrapped = new JsonLdParser(
+      """{"@context": {"p": "http://x/p"},
+        | "@graph": [{"@id": "http://x/s", "p": "v"}]}""".stripMargin)
+      .parse()
+    assert(wrapped.size == 1 &&
+      wrapped.head.g.kind == Term.DefaultGraphKind.toByte, wrapped)
+    // an @id alongside @graph names the graph
+    val named = new JsonLdParser(
+      """{"@id": "http://x/G",
+        | "@graph": [{"@id": "http://x/s", "http://x/p": "v"}]}"""
+        .stripMargin).parse()
+    assert(named.head.g.lex == "http://x/G")
+    // a nested wrapper inside a named graph's @graph stays there
+    val nested = new JsonLdParser(
+      """{"@id": "http://x/G", "@graph": [
+        |  {"@graph": [{"@id": "http://x/s", "http://x/p": "v"}]}]}"""
+        .stripMargin).parse()
+    assert(nested.size == 1 && nested.head.g.lex == "http://x/G")
+    // in PROPERTY position the same @graph-only shape is a graph
+    // object: fresh bnode graph, property links to it
+    val propPos = new JsonLdParser(
+      """{"@id": "http://x/top",
+        | "http://x/claims": {"@graph": [
+        |   {"@id": "http://x/s", "http://x/q": "v"}]}}""".stripMargin)
+      .parse()
+    val link2 = propPos.find(_.p.lex == "http://x/claims").get
+    assert(link2.o.kind == Term.BlankKind.toByte)
+    val content = propPos.find(_.p.lex == "http://x/q").get
+    assert(content.g.lex == link2.o.lex)
+  }
+
   test("RdfIO.readJsonLd threads the rdfDirection option") {
     val d = java.nio.file.Files.createTempDirectory("graft_dir")
     java.nio.file.Files.writeString(d.resolve("doc.jsonld"),
