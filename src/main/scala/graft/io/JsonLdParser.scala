@@ -413,7 +413,10 @@ final class JsonLdParser(content: String,
         ref(ctx0.expandRef(id.asText))
       case None => fresh()
     }
-    val typeVals = field("@type").toSeq.flatMap(asArray).map(_.asText)
+    val typeVals = field("@type").toSeq.flatMap(asArray).map { t =>
+      if (!t.isTextual) err(s"@type values must be strings, got $t")
+      t.asText
+    }
     typeVals.foreach(x =>
       out += QuadRow(g, subj, iri(RdfNs + "type"),
         ref(ctx0.expandRef(x))))
@@ -444,8 +447,14 @@ final class JsonLdParser(content: String,
       }
     }
     // @included (JSON-LD 1.1): sibling node objects in the same graph
+    // (a value object here is invalid — §9.14)
     field("@included").foreach(in =>
-      asArray(in).foreach(child => nodeObject(child, g, ctx)))
+      asArray(in).foreach { child =>
+        if (!child.isObject || child.fieldNames.asScala.exists(f =>
+          kw(f) == "@value"))
+          err("@included values must be node objects")
+        nodeObject(child, g, ctx)
+      })
     // @nest (JSON-LD 1.1): a nest key's object(s) contribute their
     // entries as if they sat directly on this node
     def propEntries(node: JsonNode): Seq[(String, JsonNode)] =

@@ -1366,6 +1366,10 @@ class RdfIOSpec extends AnyFunSuite {
         |  {"@graph": [{"@id": "http://x/s", "http://x/p": "v"}]}]}"""
         .stripMargin).parse()
     assert(nested.size == 1 && nested.head.g.lex == "http://x/G")
+    // @included blocks must hold node objects, never value objects
+    assertThrows[Exception](new JsonLdParser(
+      """{"@id": "http://x/s", "http://x/p": "v",
+        | "@included": [{"@value": "nope"}]}""".stripMargin).parse())
     // in PROPERTY position the same @graph-only shape is a graph
     // object: fresh bnode graph, property links to it
     val propPos = new JsonLdParser(
