@@ -31,15 +31,40 @@ import graft.model.Term
   */
 object JsonLdWriter {
 
+  private val I18nNs = "https://www.w3.org/ns/i18n#"
+
   /** JSON token of an OBJECT-position term: literals through to_json
     * (null fields dropped, so plain / typed / lang forms emerge from
     * one struct), IRIs and bnodes as `{"@id": tok}`.
+    *
+    * When `rdfDirection` is Some("i18n-datatype"), literals typed
+    * `https://www.w3.org/ns/i18n#{lang}_{dir}` are folded BACK into
+    * `{"@value":…, "@language":…, "@direction":…}` value objects (the
+    * RDF-to-JSON-LD §9 direction option, inverse of the parser's
+    * `directedLit`); an empty lang slot drops `@language`. Other modes
+    * (None, "compound-literal") leave the datatype as-is: compound
+    * literals are plain reification TRIPLES on the RDF side and
+    * round-trip through the default path unchanged.
     */
-  private def objToken(t: Column): Column = {
+  private def objToken(t: Column,
+      rdfDirection: Option[String] = None): Column = {
     val dt = when(t("lang").isNull && t("dt").isNotNull &&
       t("dt") =!= Term.XsdString, t("dt"))
-    val literal = to_json(struct(
+    val plain = to_json(struct(
       t("lex").as("@value"), dt.as("@type"), t("lang").as("@language")))
+    val literal = rdfDirection match {
+      case Some("i18n-datatype") =>
+        val tag = substring(t("dt"), I18nNs.length + 1, 1 << 20)
+        val i18nLang = regexp_extract(tag, "^(.*)_(ltr|rtl)$", 1)
+        val i18nDir = regexp_extract(tag, "^(.*)_(ltr|rtl)$", 2)
+        when(t("lang").isNull && t("dt").isNotNull &&
+          t("dt").startsWith(I18nNs) && i18nDir =!= "",
+          to_json(struct(t("lex").as("@value"),
+            when(i18nLang =!= "", i18nLang).as("@language"),
+            i18nDir.as("@direction"))))
+          .otherwise(plain)
+      case _ => plain
+    }
     when(t("kind") === Term.LiteralKind, literal)
       .when(t("kind") === Term.QuotedKind, raise_error(concat(
         lit("JSON-LD has no quoted-triple form (JSON-LD-star is a " +
@@ -57,9 +82,9 @@ object JsonLdWriter {
 
   /** One expanded node object for one quad (graph wrap when named). */
   private[io] def quadObject(g: Column, s: Column, p: Column,
-      o: Column): Column = {
+      o: Column, rdfDirection: Option[String] = None): Column = {
     val node = concat(lit("{\"@id\":\""), idToken(s), lit("\",\""),
-      p("lex"), lit("\":["), objToken(o), lit("]}"))
+      p("lex"), lit("\":["), objToken(o, rdfDirection), lit("]}"))
     when(g("kind") === Term.DefaultGraphKind, node)
       .otherwise(concat(lit("{\"@id\":\""), idToken(g),
         lit("\",\"@graph\":["), node, lit("]}")))
@@ -69,9 +94,10 @@ object JsonLdWriter {
     * responses only (interactive scale, driver-side by design);
     * dataset-scale export goes through [[write]].
     */
-  def jsonLdString(quads: DataFrame): String = {
+  def jsonLdString(quads: DataFrame,
+      rdfDirection: Option[String] = None): String = {
     val sb = new java.lang.StringBuilder
-    writeJsonLd(quads, sb)
+    writeJsonLd(quads, sb, rdfDirection)
     sb.toString
   }
 
@@ -80,10 +106,12 @@ object JsonLdWriter {
     * partition at a time through `toLocalIterator` (the protocol dump
     * path for datasets too large to hold driver-side).
     */
-  def writeJsonLd(quads: DataFrame, out: Appendable): Unit = {
+  def writeJsonLd(quads: DataFrame, out: Appendable,
+      rdfDirection: Option[String] = None): Unit = {
     import scala.jdk.CollectionConverters._
     val it = quads.select(
-      quadObject(col("g"), col("s"), col("p"), col("o")).as("value"))
+      quadObject(col("g"), col("s"), col("p"), col("o"), rdfDirection)
+        .as("value"))
       .toLocalIterator().asScala
     out.append('[')
     var first = true
@@ -96,12 +124,13 @@ object JsonLdWriter {
   }
 
   /** Write quads as per-part expanded JSON-LD documents. */
-  def write(quads: DataFrame, path: String): Unit = {
+  def write(quads: DataFrame, path: String,
+      rdfDirection: Option[String] = None): Unit = {
     val spark = quads.sparkSession
     import spark.implicits._
     quads
-      .select(quadObject(col("g"), col("s"), col("p"), col("o"))
-        .as("value"))
+      .select(quadObject(col("g"), col("s"), col("p"), col("o"),
+        rdfDirection).as("value"))
       .as[String]
       .mapPartitions { it =>
         if (it.isEmpty) Iterator("[]")

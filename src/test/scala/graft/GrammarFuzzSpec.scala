@@ -316,6 +316,166 @@ class GrammarFuzzSpec extends AnyFunSuite {
     assert(result.passed, s"construct fuzz failed: ${result.status}")
   }
 
+  test("CONSTRUCT template bnodes mint fresh per solution " +
+      "(§16.2.1, isomorphism compare)") {
+    // term of the compared graphs: Left(ground) or Right(bnode label);
+    // expected-side bnodes are keyed (template label, solution index),
+    // got-side bnodes carry whatever lex the engine minted — equality
+    // is up to bnode bijection (RDF graph isomorphism)
+    type G = Either[String, Long]
+    type T = Either[G, String]
+    type Tr = (T, String, T)
+    // template position: body var / constant / template bnode label
+    sealed trait P
+    case class PV(v: String) extends P
+    case class PC(n: Int) extends P
+    case class PB(l: String) extends P
+    val genBodyTriple: Gen[(String, String, String)] = for {
+      s <- genVar; p <- Gen.oneOf(preds); o <- genVar
+    } yield (s, p, o)
+    def pos(bodyVars: Seq[String]): Gen[P] = Gen.frequency(
+      3 -> Gen.oneOf(bodyVars).map(PV),
+      1 -> Gen.choose(0, 5).map(PC),
+      3 -> Gen.oneOf("b0", "b1").map(PB))
+    val gen = for {
+      body <- Gen.chooseNum(1, 2).flatMap(n =>
+        Gen.listOfN(n, genBodyTriple))
+      bodyVars = body.flatMap(t => Seq(t._1, t._3)).distinct
+      tmpl <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, for {
+        s <- pos(bodyVars); p <- Gen.oneOf(preds); o <- pos(bodyVars)
+      } yield (s, p, o)))
+      if tmpl.exists(t => Seq(t._1, t._3).exists(_.isInstanceOf[PB]))
+    } yield (body, tmpl)
+    // small data keeps solution counts (and so bnode counts) testable
+    val genSmallData = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.zip(genQuad, Gen.const(false))))
+    val prop = Prop.forAllNoShrink(genSmallData, gen) {
+      case (data, (body, tmpl)) =>
+        def pText(x: P) = x match {
+          case PV(v) => s"?$v"
+          case PC(n) => s":n$n"
+          case PB(l) => s"_:$l"
+        }
+        val text = s"PREFIX : <$ns>\nCONSTRUCT { " +
+          tmpl.map(t => s"${pText(t._1)} :${t._2} ${pText(t._3)} . ")
+            .mkString +
+          "} WHERE { " +
+          body.map(t => s"?${t._1} :${t._2} ?${t._3} . ").mkString + "}"
+        type B = Map[String, G]
+        val plain = data.map(_._1)
+        val sols = body.foldLeft(Seq(Map.empty: B)) {
+          case (acc, (sv, p, ov)) =>
+            for {
+              b <- acc
+              (s, pp, o) <- plain
+              if pp == ns + p
+              b1 <- (b.get(sv) match {
+                case Some(x) => if (x == Left(s)) Some(b) else None
+                case None => Some(b + (sv -> (Left(s): G)))
+              }).toSeq
+              b2 <- (b1.get(ov) match {
+                case Some(x) => if (x == o) Some(b1) else None
+                case None => Some(b1 + (ov -> o))
+              }).toSeq
+            } yield b2
+        }
+        if (sols.size > 12) true // keep the iso search tractable
+        else {
+          // naive §16.2.1: label ℓ in solution i is the bnode (ℓ, i) —
+          // shared across the template within a solution, fresh across
+          // solutions
+          def term(x: P, b: B, i: Int): Option[T] = x match {
+            case PV(v) => b.get(v).map(Left(_))
+            case PC(n) => Some(Left(Left(node(n))))
+            case PB(l) => Some(Right(s"$l#$i"))
+          }
+          val expected: Set[Tr] = (for {
+            (b, i) <- sols.zipWithIndex; (sv, p, ov) <- tmpl
+            s <- term(sv, b, i); o <- term(ov, b, i)
+            if (s match { // a literal subject is ill-formed: skip
+              case Left(Right(_)) => false
+              case _ => true
+            })
+          } yield (s, ns + p, o)).toSet
+          val df = SparqlParser.execute(text, quadsDf(data))
+          val got: Set[Tr] = df.collect().map { r =>
+            def read(t: Row): T = t.getByte(0) match {
+              case k if k == Term.IriKind.toByte => Left(Left(t.getString(1)))
+              case k if k == Term.BlankKind.toByte => Right(t.getString(1))
+              case _ => Left(Right(t.getString(1).toLong))
+            }
+            (read(r.getAs[Row]("s")), r.getAs[Row]("p").getString(1),
+              read(r.getAs[Row]("o")))
+          }.toSet
+          // graph isomorphism: find a bnode bijection got -> expected.
+          // Backtracking with partial-consistency pruning; graphs here
+          // are small (≤ 12 solutions × 2 labels) and ground anchors
+          // individualize most bnodes, so the search is tiny in practice
+          def labels(ts: Set[Tr]) = ts.toSeq
+            .flatMap(t => Seq(t._1, t._3))
+            .collect { case Right(l) => l }
+          val gl = labels(got)
+          val glOrdered = gl.distinct.sortBy(l => -gl.count(_ == l))
+          val el = labels(expected).distinct
+          def mapT(t: T, m: Map[String, String]): T = t match {
+            case Right(l) => Right(m.getOrElse(l, l)); case x => x
+          }
+          def mapTr(tr: Tr, m: Map[String, String]): Tr =
+            (mapT(tr._1, m), tr._2, mapT(tr._3, m))
+          var steps = 0
+          def search(rem: List[String], avail: Set[String],
+              m: Map[String, String]): Boolean = {
+            steps += 1
+            if (steps > 100000) false
+            else rem match {
+              case Nil => got.map(mapTr(_, m)) == expected
+              case h :: t => avail.exists { e =>
+                val m2 = m + (h -> e)
+                val ok = got.forall { tr =>
+                  val bs = Seq(tr._1, tr._3).collect { case Right(l) => l }
+                  bs.isEmpty || !bs.forall(m2.contains) ||
+                    expected.contains(mapTr(tr, m2))
+                }
+                ok && search(t, avail - e, m2)
+              }
+            }
+          }
+          val isIso = got.size == expected.size &&
+            glOrdered.size == el.size &&
+            search(glOrdered.toList, el.toSet, Map.empty)
+          if (!isIso)
+            println(s"CONSTRUCT BNODE MISMATCH\n$text\ndata=$data\n" +
+              s"expected=$expected\ngot=$got\nsteps=$steps")
+          isIso
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed, s"construct bnode fuzz failed: ${result.status}")
+  }
+
+  test("CONSTRUCT bnode freshness: shared within a solution, " +
+      "distinct across solutions (directed)") {
+    val data = Seq(((node(0), ns + "p0", Left(node(1)): Either[String, Long]), false),
+      ((node(2), ns + "p0", Left(node(3)): Either[String, Long]), false))
+    val df = SparqlParser.execute(
+      s"PREFIX : <$ns>\nCONSTRUCT { _:x :q ?s . _:x :r :n5 . } " +
+        "WHERE { ?s :p0 ?o }", quadsDf(data))
+    val rows = df.collect()
+    assert(rows.length == 4, rows.mkString("\n"))
+    def bn(r: Row) = r.getAs[Row]("s").getString(1)
+    val byPred = rows.groupBy(_.getAs[Row]("p").getString(1))
+    val qRows = byPred(ns + "q"); val rRows = byPred(ns + "r")
+    // two solutions → two DISTINCT bnodes on each template triple
+    assert(qRows.map(bn).distinct.length == 2, "fresh per solution")
+    assert(rRows.map(bn).distinct.length == 2, "fresh per solution")
+    // within a solution the label ?x is ONE bnode: the :q triple for
+    // subject n0 and some :r triple share their bnode, pairwise
+    assert(qRows.map(bn).toSet == rRows.map(bn).toSet,
+      "same label => same bnode within each solution")
+  }
+
   test("parsed text executes identically to the specified algebra") {
     val prop = Prop.forAllNoShrink(genData, genGroup(1)) { (data, piece) =>
       val quads = quadsDf(data)

@@ -559,6 +559,48 @@ class RdfIOSpec extends AnyFunSuite {
     assert(back2.except(tq).count() == 0 && tq.except(back2).count() == 0)
   }
 
+  test("JSON-LD writer folds i18n datatypes back to @direction " +
+      "(rdfDirection round-trip)") {
+    import graft.io.{JsonLdParser, JsonLdWriter}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val doc =
+      """[{"@id": "http://x/s",
+        |  "http://x/p": [{"@value": "نص", "@language": "AR",
+        |                  "@direction": "rtl"},
+        |                 {"@value": "t", "@direction": "ltr"},
+        |                 {"@value": "plain"}]}]""".stripMargin
+    val rows = new JsonLdParser(doc, Some("i18n-datatype")).parse()
+    val quads = spark.createDataset(rows).toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+    // serialized form recovers @language/@direction value objects
+    val out = JsonLdWriter.jsonLdString(quads, Some("i18n-datatype"))
+    assert(out.contains(""""@direction":"rtl"""") &&
+      out.contains(""""@language":"ar""""), out)
+    // the no-language entry drops @language (i18n#_ltr has an empty slot)
+    assert(out.contains(""""@direction":"ltr"""") &&
+      !out.contains(""""@language":"ltr""""), out)
+    assert(!out.contains("i18n#"), out)
+    // full loop: write + re-read under the same mode is lossless
+    val dir = java.nio.file.Files.createTempDirectory("graft_i18nw").toString
+    JsonLdWriter.write(quads, dir, Some("i18n-datatype"))
+    val back = RdfIO.readJsonLd(spark, dir + "/part-*",
+      Some("i18n-datatype"))
+    assert(back.except(quads).count() == 0 &&
+      quads.except(back).count() == 0, "i18n round-trip must be lossless")
+    // default mode leaves the typed-literal form intact (one-way is
+    // still valid JSON-LD), and a NON-direction i18n-ns datatype never
+    // folds even under the option
+    assert(JsonLdWriter.jsonLdString(quads).contains("i18n#ar_rtl"))
+    val odd = spark.createDataset(Seq(rows.head.copy(
+      o = rows.head.o.copy(dt = "https://www.w3.org/ns/i18n#en_up")))).toDF()
+      .select(col("g").cast(Term.schema), col("s").cast(Term.schema),
+        col("p").cast(Term.schema), col("o").cast(Term.schema))
+    assert(JsonLdWriter.jsonLdString(odd, Some("i18n-datatype"))
+      .contains("i18n#en_up"))
+  }
+
   test("quads -> TriG -> quads roundtrip is lossless (TPC-H graph)") {
     import graft.io.TurtleWriter
     val dir = java.nio.file.Files.createTempDirectory("graft_trigw").toString
