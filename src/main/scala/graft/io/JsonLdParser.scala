@@ -115,8 +115,13 @@ final class JsonLdParser(content: String,
       return node.elements.asScala.foldLeft(parent)((c, n) =>
         parseContext(n, c, defaultPropagate, overrideProtected, clearPrev))
     if (node.isTextual)
-      throw new IllegalArgumentException(
-        s"remote @context not supported (zero egress): ${node.asText}")
+      // JSON-LD 1.1 API error code "loading remote context failed":
+      // this engine never dereferences (zero egress), so every remote
+      // context reference fails with the spec's taxonomy name
+      throw new IllegalArgumentException("JSON-LD: loading remote " +
+        s"context failed (zero egress): ${node.asText}")
+    if (!node.isObject) // API error code "invalid local context"
+      err(s"invalid local context: ${node.getNodeType}")
     val propagate = Option(node.get("@propagate")).map { p =>
       if (!p.isBoolean) err("@propagate must be a boolean")
       p.asBoolean
@@ -135,16 +140,25 @@ final class JsonLdParser(content: String,
     node.fields.asScala.foreach { e =>
       (e.getKey, e.getValue) match {
         case ("@vocab", v) =>
+          if (!v.isNull && !v.isTextual) // "invalid vocab mapping"
+            err(s"invalid vocab mapping: $v")
           ctx = ctx.copy(vocab = if (v.isNull) None else Some(v.asText))
         case ("@base", v) =>
+          if (!v.isNull && !v.isTextual) // "invalid base IRI"
+            err(s"invalid base IRI: $v")
           ctx = ctx.copy(base = if (v.isNull) None else Some(v.asText))
         case ("@language", v) =>
+          if (!v.isNull && !v.isTextual) // "invalid default language"
+            err(s"invalid default language: $v")
           ctx = ctx.copy(lang =
             if (v.isNull) None else Some(Term.normLang(v.asText)))
         case ("@direction", v) =>
           ctx = ctx.copy(dir =
             if (v.isNull) None else Some(checkDir(v.asText)))
-        case ("@version" | "@propagate" | "@protected", _) =>
+        case ("@version", v) => // "invalid @version value": only 1.1
+          if (!(v.isNumber && v.asDouble == 1.1))
+            err(s"invalid @version value: $v (must be the number 1.1)")
+        case ("@propagate" | "@protected", _) =>
         case (term, v) if v.isTextual && v.asText.startsWith("@") =>
           ctx = ctx.copy(aliases = ctx.aliases + (term -> v.asText))
         case (term, v) if v.isTextual =>

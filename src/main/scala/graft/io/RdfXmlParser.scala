@@ -19,8 +19,9 @@ import graft.model.Term
   * literals; entities/CDATA come free with the DOM. Deliberately
   * absent, like the reference's oxrdfxml: the RDF 1.0 attributes
   * removed in 2004 (rdf:aboutEach, rdf:aboutEachPrefix, rdf:bagID).
-  * xml:base fragment edge-cases beyond RFC 3986 basics are the one
-  * honest approximation.
+  * xml:base follows XML Base §4.3 (relative values resolve against the
+  * parent's base; fragments are dropped at use time by RFC 3986 §5.3)
+  * and rdf:datatype resolves like every other URI-reference.
   */
 final class RdfXmlParser(content: String) {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -125,8 +126,11 @@ final class RdfXmlParser(content: String) {
       base0: Option[String]): TermRow = {
     val lang = Option(e.getAttributeNS(XmlNs, "lang")).filter(_.nonEmpty)
       .map(Term.normLang).orElse(lang0)
+    // XML Base §4.3: a RELATIVE xml:base resolves against the parent
+    // element's base (it does not replace it verbatim); IriResolve
+    // drops any base fragment at use time per RFC 3986 §5.3
     val base = Option(e.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
-      .orElse(base0)
+      .map(b => resolve(base0, b)).orElse(base0)
     RemovedAttrs.find(e.hasAttributeNS(RdfNs, _))
       .foreach(a => err(s"rdf:$a was removed from RDF in 2004"))
     // node element names must not be syntax terms (rdf:li, rdf:RDF, …)
@@ -217,7 +221,7 @@ final class RdfXmlParser(content: String) {
       val plang = Option(pe.getAttributeNS(XmlNs, "lang")).filter(_.nonEmpty)
         .map(Term.normLang).orElse(lang)
       val pbase = Option(pe.getAttributeNS(XmlNs, "base")).filter(_.nonEmpty)
-        .orElse(base)
+        .map(b => resolve(base, b)).orElse(base) // XML Base §4.3
       val parseType =
         Option(pe.getAttributeNS(RdfNs, "parseType")).filter(_.nonEmpty)
       // conflicting object forms on one property element
@@ -275,8 +279,10 @@ final class RdfXmlParser(content: String) {
               pe.getAttributeNS(RdfNs, "nodeID"), null, null)
             emitPropertyAttrs(r, pAttrs, plang, pbase); r
           } else if (pe.hasAttributeNS(RdfNs, "datatype"))
+            // rdf:datatype is a URI-reference (grammar §7.2.22):
+            // relative values resolve against the in-scope base
             TermRow(Term.LiteralKind.toByte, pe.getTextContent,
-              pe.getAttributeNS(RdfNs, "datatype"), null)
+              resolve(pbase, pe.getAttributeNS(RdfNs, "datatype")), null)
           else if (pAttrs.nonEmpty) {
             // emptyPropertyElt with propertyAttr*: the object is an
             // implicit blank node carrying the attribute triples

@@ -843,6 +843,81 @@ class RdfIOSpec extends AnyFunSuite {
     assert(qs.exists(q => q.s.lex == "http://c/z" && q.o.lex == "v"))
   }
 
+  test("RDF/XML xml:base edges: relative nesting, fragment bases, " +
+      "relative rdf:datatype") {
+    val R = """xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      | xmlns:ex="http://x/"""".stripMargin
+    def p(doc: String) = new graft.io.RdfXmlParser(doc).parse()
+    // a RELATIVE xml:base resolves against the parent's base (XML Base
+    // §4.3) — it is not taken verbatim
+    val rel = p(s"""<?xml version="1.0"?>
+      |<rdf:RDF $R xml:base="http://b/dir/doc">
+      |  <rdf:Description xml:base="sub/" rdf:about="a">
+      |    <ex:p xml:base="deep" rdf:resource="z"/>
+      |  </rdf:Description>
+      |</rdf:RDF>""".stripMargin)
+    assert(rel.exists(_.s.lex == "http://b/dir/sub/a"), rel)
+    assert(rel.exists(_.o.lex == "http://b/dir/sub/z"), rel)
+    // a fragment-bearing base never leaks its fragment: rdf:about=""
+    // is the base minus fragment (RFC 3986 §5.3), rdf:ID replaces it
+    val frag = p(s"""<?xml version="1.0"?>
+      |<rdf:RDF $R xml:base="http://b/doc#top">
+      |  <rdf:Description rdf:about=""><ex:p>v</ex:p></rdf:Description>
+      |  <rdf:Description rdf:ID="part"><ex:p>w</ex:p></rdf:Description>
+      |</rdf:RDF>""".stripMargin)
+    assert(frag.exists(q => q.s.lex == "http://b/doc" && q.o.lex == "v"),
+      frag)
+    assert(frag.exists(q => q.s.lex == "http://b/doc#part" &&
+      q.o.lex == "w"), frag)
+    // rdf:datatype is a URI-reference: relative values resolve
+    val dt = p(s"""<?xml version="1.0"?>
+      |<rdf:RDF $R xml:base="http://types.org/base/">
+      |  <rdf:Description rdf:about="http://x/s">
+      |    <ex:p rdf:datatype="myType">v</ex:p>
+      |  </rdf:Description>
+      |</rdf:RDF>""".stripMargin)
+    assert(dt.exists(_.o.dt == "http://types.org/base/myType"), dt)
+  }
+
+  test("JSON-LD context error taxonomy: remote, @version, typed " +
+      "context entries") {
+    import graft.io.JsonLdParser
+    def bad(doc: String, code: String): Unit = {
+      val ex = intercept[Exception](new JsonLdParser(doc).parse())
+      assert(ex.getMessage.contains(code),
+        s"expected '$code' in: ${ex.getMessage}")
+    }
+    // remote contexts fail with the API's taxonomy name (zero egress)
+    bad("""{"@context": "http://remote/ctx", "http://x/p": "v"}""",
+      "loading remote context failed")
+    bad("""{"@context": ["http://remote/ctx", {}], "http://x/p": "v"}""",
+      "loading remote context failed")
+    // a context must be null / string / map (or array of those)
+    bad("""{"@context": 42, "http://x/p": "v"}""", "invalid local context")
+    bad("""{"@context": [true], "http://x/p": "v"}""",
+      "invalid local context")
+    // @version must be the NUMBER 1.1
+    bad("""{"@context": {"@version": "1.1"}, "http://x/p": "v"}""",
+      "invalid @version value")
+    bad("""{"@context": {"@version": 1.0}, "http://x/p": "v"}""",
+      "invalid @version value")
+    assert(new JsonLdParser(
+      """{"@context": {"@version": 1.1}, "http://x/p": "v"}""")
+      .parse().size == 1)
+    // @vocab / @base / @language take strings or null
+    bad("""{"@context": {"@vocab": 5}, "p": "v"}""",
+      "invalid vocab mapping")
+    bad("""{"@context": {"@base": ["x"]}, "http://x/p": "v"}""",
+      "invalid base IRI")
+    bad("""{"@context": {"@language": 7}, "http://x/p": "v"}""",
+      "invalid default language")
+    // remote SCOPED contexts fail the same way at their use site
+    bad("""{"@context": {"T": {"@id": "http://x/T",
+      |  "@context": "http://remote/c2"}},
+      | "@type": "T", "http://x/p": "v"}""".stripMargin,
+      "loading remote context failed")
+  }
+
   test("JSON-LD wave 8: value-object validity, null handling") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
