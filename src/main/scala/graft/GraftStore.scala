@@ -90,9 +90,10 @@ final class GraftStore private (val quads: DataFrame,
       case Some(I(iri)) =>
         col(c)("kind") === Term.IriKind && col(c)("lex") === iri
       case Some(L(lex, dt, lang)) =>
+        // lang-bearing patterns: the L already carries the right dt
+        // (rdf:langString, or rdf:dirLangString for `@en--ltr` tags)
         col(c)("kind") === Term.LiteralKind && col(c)("lex") === lex &&
-          col(c)("dt") <=> lit(lang.map(_ => Term.RdfLangString)
-            .getOrElse(dt)) && col(c)("lang") <=> lit(lang.orNull)
+          col(c)("dt") <=> lit(dt) && col(c)("lang") <=> lit(lang.orNull)
       case Some(DefaultGraphPat) =>
         col(c)("kind") === Term.DefaultGraphKind
       case Some(other) => throw new IllegalArgumentException(

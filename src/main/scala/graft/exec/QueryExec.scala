@@ -90,7 +90,7 @@ object QueryExec {
     case V(n) => if (sol.vars(n)) col(n) else nullTerm
     case I(iri) => Term.iri(iri)
     case L(lex, dt, lang) => lang match {
-      case Some(l) => Term.langLit(lit(lex), lit(l))
+      case Some(l) => Term.taggedLit(lit(lex), l)
       case None => Term.typedLit(lit(lex), dt)
     }
     // Template bnode labels are scoped to the template and mint a FRESH

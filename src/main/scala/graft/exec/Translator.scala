@@ -106,7 +106,7 @@ object Translator {
   private def constCol(tp: TermPat): Option[Column] = tp match {
     case I(iri) => Some(Term.iri(iri))
     case L(lex, dt, lang) => Some(lang match {
-      case Some(l) => Term.langLit(lit(lex), lit(l))
+      case Some(l) => Term.taggedLit(lit(lex), l)
       case None => Term.typedLit(lit(lex), dt)
     })
     case q: Q => constQLex(q).map(l => Term.quoted(lit(l)))

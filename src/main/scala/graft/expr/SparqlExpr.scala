@@ -269,7 +269,8 @@ object SparqlExpr {
   }
 
   private def isStrTerm(t: Column): Column =
-    t("kind") === LiteralKind && (t("dt") === XsdString || t("dt") === RdfLangString)
+    t("kind") === LiteralKind && t("dt").isin(
+      XsdString, RdfLangString, RdfDirLangString)
 
   /** Canonical N-Triples token of a term column (mirrors
     * QuotedTriple.renderTerm exactly — both sides of the quoted-triple
@@ -303,7 +304,7 @@ object SparqlExpr {
           coalesce(t("lex").try_cast(DoubleType) =!= 0.0, lit(false)))
       .when(t("dt").isin(numericTypes: _*),
         coalesce(t("lex").try_cast(DV) =!= 0, lit(false)))
-      .when(t("dt") === XsdString || t("dt") === RdfLangString,
+      .when(t("dt").isin(XsdString, RdfLangString, RdfDirLangString),
         length(t("lex")) > 0)
       .otherwise(lit(null).cast(BooleanType))
 
@@ -484,7 +485,7 @@ object SparqlExpr {
       case EVar(n) => bind(n).getOrElse(nullTerm)
       case EIri(i) => Term.iri(i)
       case ELit(lex, dt, lang) => lang match {
-        case Some(l) => Term.langLit(lit(lex), lit(l))
+        case Some(l) => Term.taggedLit(lit(lex), l)
         case None => Term.typedLit(lit(lex), dt)
       }
       case EExists(_, _) =>
@@ -517,7 +518,8 @@ object SparqlExpr {
     */
   private def staticDt(e: Expr): Option[String] = e match {
     case ELit(_, dt, None) => Some(dt)
-    case ELit(_, _, Some(_)) => Some(RdfLangString)
+    case ELit(_, _, Some(l)) =>
+      Some(if (l.contains("--")) RdfDirLangString else RdfLangString)
     case EFn("xsd:dateTime", _*) => Some(XsdDateTime)
     case EFn("xsd:date", _*) => Some(XsdDate)
     case EFn("xsd:integer", _*) => Some(XsdInteger)
@@ -549,7 +551,8 @@ object SparqlExpr {
     case _ => staticDt(e).map { dt =>
       if (isNumType(dt)) VNum
       else if (isDtType(dt) || temporalTypes.contains(dt)) VTemporal
-      else if (dt == XsdString || dt == RdfLangString) VStr
+      else if (dt == XsdString || dt == RdfLangString ||
+        dt == RdfDirLangString) VStr
       else if (dt == XsdBoolean) VBool
       else VOther
     }
@@ -790,8 +793,28 @@ object SparqlExpr {
     case "OBJECT" => quotedPart(a(0), "o")
     case "STR" => when(a(0).isNull || a(0)("kind") === BlankKind, nullTerm)
       .otherwise(Term.strLit(a(0)("lex")))
+    // LANG strips a dirLangString's `--dir` suffix: the base language
+    // only ("--" cannot occur inside a plain tag, so substring_index
+    // is exact; with no "--" it returns the whole tag)
     case "LANG" => when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
-      .otherwise(Term.strLit(coalesce(a(0)("lang"), lit(""))))
+      .otherwise(Term.strLit(
+        substring_index(coalesce(a(0)("lang"), lit("")), "--", 1)))
+    // SPARQL 1.2: base direction of a literal — "ltr"/"rtl" for
+    // rdf:dirLangString, "" for every other literal, error otherwise
+    case "LANGDIR" =>
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
+        .otherwise(Term.strLit(
+          when(coalesce(a(0)("lang"), lit("")).contains("--"),
+            substring_index(a(0)("lang"), "--", -1)).otherwise(lit(""))))
+    // SPARQL 1.2: does the literal carry a language tag / a direction?
+    case "hasLANG" => boolTerm(
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind,
+        lit(null).cast(BooleanType))
+        .otherwise(a(0)("lang").isNotNull))
+    case "hasLANGDIR" => boolTerm(
+      when(a(0).isNull || a(0)("kind") =!= LiteralKind,
+        lit(null).cast(BooleanType))
+        .otherwise(coalesce(a(0)("lang"), lit("")).contains("--")))
     case "DATATYPE" => when(a(0).isNull || a(0)("kind") =!= LiteralKind, nullTerm)
       .otherwise(Term.iri(a(0)("dt")))
     case "IRI" => when(a(0).isNull, nullTerm)
@@ -809,8 +832,18 @@ object SparqlExpr {
     case "STRDT" => when(isStrTerm(a(0)) && a(1)("kind") === IriKind,
       Term.typedLit(a(0)("lex"), "")
         .withField("dt", a(1)("lex"))).otherwise(nullTerm)
-    case "STRLANG" => when(isStrTerm(a(0)) && isStrTerm(a(1)),
+    // a tag containing "--" would collide with the dirLangString
+    // encoding (use STRLANGDIR for that) — error like other bad args
+    case "STRLANG" => when(isStrTerm(a(0)) && isStrTerm(a(1)) &&
+      !a(1)("lex").contains("--"),
       Term.langLit(a(0)("lex"), a(1)("lex"))).otherwise(nullTerm)
+    // SPARQL 1.2: directional language-tagged string constructor;
+    // the direction must be exactly "ltr" or "rtl"
+    case "STRLANGDIR" => when(isStrTerm(a(0)) && isStrTerm(a(1)) &&
+      isStrTerm(a(2)) && !a(1)("lex").contains("--") &&
+      a(2)("lex").isin("ltr", "rtl"),
+      Term.dirLangLit(a(0)("lex"), a(1)("lex"), a(2)("lex")))
+      .otherwise(nullTerm)
     case "UUID" => Term.iri(concat(lit("urn:uuid:"), expr("uuid()")))
     case "STRUUID" => Term.strLit(expr("uuid()"))
     // strings (argument-compatibility: both plain or same-lang)
@@ -832,8 +865,10 @@ object SparqlExpr {
       val l0 = a.head("lang")
       val sameLang = l0.isNotNull && a.map(x => x("lang") <=> l0)
         .reduce(_ && _)
+      // taggedLitCol keeps a shared `lang--dir` tag a dirLangString
+      // (direction survives only when every argument carries it)
       when(a.map(isStrTerm).reduce(_ && _),
-        when(sameLang, Term.langLit(clex, l0)).otherwise(Term.strLit(clex)))
+        when(sameLang, Term.taggedLitCol(clex, l0)).otherwise(Term.strLit(clex)))
         .otherwise(nullTerm)
     case "CONTAINS" => str2Bool(a(0), a(1))((x, y) => x.contains(y))
     case "STRSTARTS" => str2Bool(a(0), a(1))((x, y) => x.startsWith(y))

@@ -221,7 +221,7 @@ final class JsonLdParser(content: String,
 
   def parse(): Seq[QuadRow] = {
     rdfDirection.foreach(m =>
-      if (m != "i18n-datatype" && m != "compound-literal")
+      if (m != "i18n-datatype" && m != "compound-literal" && m != "native")
         err(s"unknown rdfDirection mode '$m'"))
     val root = new ObjectMapper().readTree(content)
     val nodes = if (root.isArray) root.elements.asScala.toSeq else Seq(root)
@@ -235,6 +235,15 @@ final class JsonLdParser(content: String,
     */
   private def directedLit(text: String, lang: Option[String], dir: String,
       g: TermRow): TermRow = rdfDirection match {
+    // extension mode beyond the JSON-LD 1.1 pair: RDF 1.2 native
+    // directional literals (rdf:dirLangString, "lang--dir" tag) —
+    // the lossless target when the downstream store speaks RDF 1.2
+    case Some("native") => lang match {
+      case Some(l) => TermRow(Term.LiteralKind.toByte, text,
+        Term.RdfDirLangString, Term.normLang(l) + "--" + dir)
+      case None => err("@direction without @language cannot map to " +
+        "rdf:dirLangString (native mode); use i18n-datatype")
+    }
     case Some("i18n-datatype") =>
       TermRow(Term.LiteralKind.toByte, text,
         I18nNs + lang.getOrElse("").toLowerCase + "_" + dir, null)

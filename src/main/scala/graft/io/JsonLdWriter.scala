@@ -50,8 +50,14 @@ object JsonLdWriter {
       rdfDirection: Option[String] = None): Column = {
     val dt = when(t("lang").isNull && t("dt").isNotNull &&
       t("dt") =!= Term.XsdString, t("dt"))
+    // a native rdf:dirLangString ("lang--dir" tag) splits into
+    // @language + @direction — the combined tag must never leak
+    val hasDir = t("lang").isNotNull && t("lang").contains("--")
     val plain = to_json(struct(
-      t("lex").as("@value"), dt.as("@type"), t("lang").as("@language")))
+      t("lex").as("@value"), dt.as("@type"),
+      when(hasDir, substring_index(t("lang"), "--", 1))
+        .otherwise(t("lang")).as("@language"),
+      when(hasDir, substring_index(t("lang"), "--", -1)).as("@direction")))
     val literal = rdfDirection match {
       case Some("i18n-datatype") =>
         val tag = substring(t("dt"), I18nNs.length + 1, 1 << 20)

@@ -53,7 +53,8 @@ object QuadSource {
       .when(o("dt").isin(Term.XsdDateTime, Term.XsdDate, Term.XsdTime,
         Term.XsdGYear, Term.XsdGYearMonth, Term.XsdGMonth,
         Term.XsdGMonthDay, Term.XsdGDay), "temporal")
-      .when(o("dt").isin(Term.XsdString, Term.RdfLangString), "str")
+      .when(o("dt").isin(Term.XsdString, Term.RdfLangString,
+        Term.RdfDirLangString), "str")
       .when(o("dt") === Term.XsdBoolean, "bool")
       .otherwise("other")
     quads.where(col("p")("kind") === Term.IriKind)

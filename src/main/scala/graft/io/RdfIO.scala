@@ -112,10 +112,13 @@ object RdfIO {
             while (i < line.length && (line(i).isLetterOrDigit || line(i) == '-'))
               i += 1
             val tag = line.substring(start2, i)
-            if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*"))
-              fail(s"bad language tag '@$tag'")
-            TermRow(Term.LiteralKind.toByte, lex, Term.RdfLangString,
-              Term.normLang(tag))
+            // LANG_DIR (N-Triples 1.2): plain LANGTAG, or `--ltr/--rtl`
+            // initial-text-direction -> rdf:dirLangString
+            Term.langTag(tag) match {
+              case Some((l, dt)) =>
+                TermRow(Term.LiteralKind.toByte, lex, dt, l)
+              case None => fail(s"bad language tag '@$tag'")
+            }
           } else TermRow(Term.LiteralKind.toByte, lex, Term.XsdString, null)
         case c => fail(s"unexpected char '$c'")
       }

@@ -55,7 +55,12 @@ object RdfXmlWriter {
       .when(o("kind") === Term.QuotedKind,
         raise_error(lit("RDF/XML cannot serialize quoted triples")))
       .otherwise(concat(open,
-        when(o("lang").isNotNull,
+        // RDF/XML has no directional-literal form (RDF 1.2 does not
+        // extend the XML syntax): fail loudly, like quoted triples
+        when(o("lang").isNotNull && o("lang").contains("--"),
+          raise_error(concat(lit("RDF/XML cannot serialize " +
+            "rdf:dirLangString literals (tag "), o("lang"), lit(")"))))
+        .when(o("lang").isNotNull,
           concat(lit(" xml:lang=\""), o("lang"), lit("\"")))
           .when(o("dt").isNotNull && o("dt") =!= Term.XsdString,
             concat(lit(" rdf:datatype=\""), xmlEsc(o("dt")), lit("\"")))

@@ -46,13 +46,26 @@ object Results {
       case _ =>
         val dt = Option(t.getString(2))
         val lang = Option(t.getString(3))
-        val extra = lang.map(l => s""","xml:lang":"${jsonEscape(l)}"""")
-          .getOrElse(dt match {
+        // SPARQL 1.2 results JSON: a directional literal carries the
+        // base language in "xml:lang" plus a "dir" member
+        val extra = lang.map { l =>
+          splitTag(l) match {
+            case (base, Some(dir)) =>
+              s""","xml:lang":"${jsonEscape(base)}","dir":"$dir""""
+            case (base, None) => s""","xml:lang":"${jsonEscape(base)}""""
+          }
+        }.getOrElse(dt match {
             case Some(Term.XsdString) | None => ""
             case Some(d) => s""","datatype":"${jsonEscape(d)}""""
           })
         s"""{"type":"literal","value":"$lex"$extra}"""
     }
+  }
+
+  /** Split a stored tag into (base language, optional direction). */
+  private def splitTag(l: String): (String, Option[String]) = {
+    val i = l.indexOf("--")
+    if (i < 0) (l, None) else (l.substring(0, i), Some(l.substring(i + 2)))
   }
 
   /** Boolean (ASK) result detection: QueryExec.ask yields one
@@ -190,7 +203,14 @@ object Results {
           s"<object>${r(p(2))}</object></triple>"
       }.getOrElse(s"<literal>$lex</literal>")
     else Option(lang) match {
-      case Some(l) => s"""<literal xml:lang="${xmlEscape(l)}">$lex</literal>"""
+      // SPARQL 1.2 results XML: direction as an its:dir attribute
+      // (ITS 2.0 namespace, declared on the <sparql> root)
+      case Some(l) => splitTag(l) match {
+        case (base, Some(dir)) => s"""<literal xml:lang="${
+          xmlEscape(base)}" its:dir="$dir">$lex</literal>"""
+        case (base, None) =>
+          s"""<literal xml:lang="${xmlEscape(base)}">$lex</literal>"""
+      }
       case None => Option(dt) match {
         case Some(Term.XsdString) | None => s"<literal>$lex</literal>"
         case Some(d) => s"""<literal datatype="${xmlEscape(d)}">$lex</literal>"""
@@ -215,7 +235,7 @@ object Results {
     }
     val vars = solutions.columns
     out.append(
-      """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""")
+      """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#" xmlns:its="http://www.w3.org/2005/11/its"><head>""")
     vars.foreach(v => out.append(s"""<variable name="${xmlEscape(v)}"/>"""))
     out.append("</head><results>")
     solutions.toLocalIterator().forEachRemaining { row =>
@@ -235,8 +255,8 @@ object Results {
             case _ =>
               (Option(t.getString(3)), Option(t.getString(2))) match {
                 case (Some(lang), _) =>
-                  out.append(
-                    s"""<literal xml:lang="${xmlEscape(lang)}">$lex</literal>""")
+                  out.append(termXml(t.getByte(0), t.getString(1),
+                    t.getString(2), lang))
                 case (None, Some(Term.XsdString)) | (None, None) =>
                   out.append(s"<literal>$lex</literal>")
                 case (None, Some(dt)) =>
@@ -292,9 +312,19 @@ object Results {
             QuotedTriple.encode(q(parts(0)), q(parts(1)), q(parts(2))),
             null, null)
         case "literal" | "typed-literal" => // typed-literal is legacy
-          val lang = Option(n.get("xml:lang")).map(n => Term.normLang(n.asText))
+          val base = Option(n.get("xml:lang")).map(n => Term.normLang(n.asText))
+          // SPARQL 1.2: a "dir" member makes it rdf:dirLangString
+          val dir = Option(n.get("dir")).map(_.asText)
+          dir.filter(d => d != "ltr" && d != "rtl").foreach(d =>
+            throw new IllegalArgumentException(
+              s"SPARQL JSON results: invalid dir '$d'"))
+          if (dir.isDefined && base.isEmpty)
+            throw new IllegalArgumentException(
+              "SPARQL JSON results: dir without xml:lang")
+          val lang = base.map(b => dir.map(b + "--" + _).getOrElse(b))
           val dt = Option(n.get("datatype")).map(_.asText)
-            .getOrElse(lang.map(_ => Term.RdfLangString)
+            .getOrElse(lang.map(l => if (dir.isDefined)
+              Term.RdfDirLangString else Term.RdfLangString)
               .getOrElse(Term.XsdString))
           Row(Term.LiteralKind.toByte, n.get("value").asText, dt,
             lang.orNull)
@@ -359,16 +389,28 @@ object Results {
         case (_, Some(b), _, _) =>
           Row(Term.BlankKind.toByte, b.getTextContent, null, null)
         case (_, _, Some(l), _) =>
-          val lang = Option(l.getAttributeNS(
+          val base = Option(l.getAttributeNS(
             "http://www.w3.org/XML/1998/namespace", "lang")).filter(_.nonEmpty)
             .map(Term.normLang)
+          // SPARQL 1.2: its:dir (ITS 2.0 ns; bare dir tolerated)
+          val dir = Option(l.getAttributeNS(
+            "http://www.w3.org/2005/11/its", "dir")).filter(_.nonEmpty)
+            .orElse(Option(l.getAttribute("dir")).filter(_.nonEmpty))
+          dir.filter(d => d != "ltr" && d != "rtl").foreach(d =>
+            throw new IllegalArgumentException(
+              s"SPARQL XML results: invalid its:dir '$d'"))
+          if (dir.isDefined && base.isEmpty)
+            throw new IllegalArgumentException(
+              "SPARQL XML results: its:dir without xml:lang")
+          val lang = base.map(b => dir.map(b + "--" + _).getOrElse(b))
           val dtAttr = Option(l.getAttribute("datatype")).filter(_.nonEmpty)
           // an RDF literal carries a language OR a datatype, never both
           if (lang.isDefined && dtAttr.isDefined)
             throw new IllegalArgumentException(
               "SPARQL XML results: literal with both xml:lang and datatype")
-          val dt = dtAttr.getOrElse(
-            lang.map(_ => Term.RdfLangString).getOrElse(Term.XsdString))
+          val dt = dtAttr.getOrElse(lang.map(l0 => if (dir.isDefined)
+            Term.RdfDirLangString else Term.RdfLangString)
+            .getOrElse(Term.XsdString))
           Row(Term.LiteralKind.toByte, l.getTextContent, dt, lang.orNull)
         case (_, _, _, Some(t)) =>
           // SPARQL 1.2 <triple>: recursively re-encode to canonical lex

@@ -136,8 +136,11 @@ object QuotedTriple {
             pos += 1
             val start2 = pos
             while (pos < s.length && s.charAt(pos) != ' ') pos += 1
-            QTerm(Term.LiteralKind.toByte, lex, Term.RdfLangString,
-              s.substring(start2, pos))
+            val tag = s.substring(start2, pos)
+            // a `--dir` suffix means rdf:dirLangString (RDF 1.2)
+            QTerm(Term.LiteralKind.toByte, lex,
+              if (tag.contains("--")) Term.RdfDirLangString
+              else Term.RdfLangString, tag)
           } else QTerm(Term.LiteralKind.toByte, lex, Term.XsdString, null)
         case _ => fail()
       }

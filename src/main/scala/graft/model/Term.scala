@@ -64,6 +64,7 @@ object Term {
   val XsdDayTimeDuration: String = xsd + "dayTimeDuration"
   val XsdYearMonthDuration: String = xsd + "yearMonthDuration"
   val RdfLangString: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+  val RdfDirLangString: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#dirLangString"
 
   val numericTypes: Seq[String] = Seq(
     XsdInteger, XsdDecimal, XsdFloat, XsdDouble,
@@ -135,6 +136,52 @@ object Term {
     * equality, DISTINCT, and LANG() all see the canonical form. */
   def langLit(lex: Column, lang: Column): Column =
     term(LiteralKind, lex, lit(RdfLangString), lower(lang))
+
+  /** Directional language-tagged string (RDF 1.2
+    * rdf:dirLangString): the lang slot holds the combined
+    * `lang--dir` token — the same shape the N-Triples 1.2 LANG_DIR
+    * production serializes — so writers emit it verbatim and term
+    * equality keeps `"a"@en`, `"a"@en--ltr`, `"a"@en--rtl` distinct.
+    * LANG()/LANGDIR() split on the `--`, which cannot occur inside a
+    * plain tag (every LANGTAG subtag is non-empty). */
+  def dirLangLit(lex: Column, lang: Column, dir: Column): Column =
+    term(LiteralKind, lex, lit(RdfDirLangString),
+      concat(lower(lang), lit("--"), dir))
+
+  /** Lang literal from an already-normalized tag that may carry a
+    * `--dir` suffix (parser output): picks rdf:langString or
+    * rdf:dirLangString from the tag shape. */
+  def taggedLit(lex: Column, tag: String): Column =
+    term(LiteralKind, lex,
+      lit(if (tag.contains("--")) RdfDirLangString else RdfLangString),
+      lit(tag))
+
+  /** Column twin of [[taggedLit]] for dynamic tags (e.g. CONCAT's
+    * surviving-tag rule, where the tag comes from an argument). */
+  def taggedLitCol(lex: Column, tag: Column): Column =
+    term(LiteralKind, lex,
+      when(tag.contains("--"), lit(RdfDirLangString))
+        .otherwise(lit(RdfLangString)), tag)
+
+  /** Parse an RDF 1.2 LANG_DIR token (the text after '@'): a plain
+    * LANGTAG yields rdf:langString, a `--ltr`/`--rtl` suffix yields
+    * rdf:dirLangString with the combined normalized tag; anything else
+    * (bad subtags, unknown/uppercase direction, dangling '--') is None.
+    * Shared by every parser that scans `"lit"@tag`. */
+  def langTag(tag: String): Option[(String, String)] = {
+    val i = tag.indexOf("--")
+    if (i < 0) {
+      if (tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*"))
+        Some((normLang(tag), RdfLangString))
+      else None
+    } else {
+      val (base, dir) = (tag.substring(0, i), tag.substring(i + 2))
+      if (base.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*") &&
+        (dir == "ltr" || dir == "rtl"))
+        Some((normLang(base) + "--" + dir, RdfDirLangString))
+      else None
+    }
+  }
 
   /** String-side twin of the langLit lowercasing, for row-based parsers. */
   def normLang(tag: String): String =

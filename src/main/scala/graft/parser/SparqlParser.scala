@@ -246,10 +246,12 @@ final class SparqlParser(input: String) {
       while (pos < input.length &&
         (input(pos).isLetterOrDigit || input(pos) == '-')) pos += 1
       val tag = input.substring(start, pos)
-      // LANGTAG ::= '@' [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* (rule [145])
-      if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*"))
-        fail(s"malformed language tag '@$tag'")
-      L(lex, Term.RdfLangString, Some(Term.normLang(tag)))
+      // LANGTAG ::= '@' [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* (rule [145]);
+      // SPARQL 1.2 LANG_DIR adds optional '--ltr'/'--rtl'
+      Term.langTag(tag) match {
+        case Some((l, dt)) => L(lex, dt, Some(l))
+        case None => fail(s"malformed language tag '@$tag'")
+      }
     } else L(lex, Term.XsdString)
   }
 
@@ -720,7 +722,8 @@ final class SparqlParser(input: String) {
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "NOW",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ISIRI", "ISURI",
     "ISBLANK", "ISLITERAL", "ISNUMERIC", "SAMETERM", "TZ", "TIMEZONE",
-    "ISTRIPLE", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ADJUST")
+    "ISTRIPLE", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ADJUST",
+    "LANGDIR", "STRLANGDIR", "HASLANG", "HASLANGDIR")
   private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
     "GROUP_CONCAT")
 
@@ -756,7 +759,10 @@ final class SparqlParser(input: String) {
     "NOW" -> (0, 0), "RAND" -> (0, 0), "UUID" -> (0, 0),
     "STRUUID" -> (0, 0), "BNODE" -> (0, 1),
     "TRIPLE" -> (3, 3), "SUBJECT" -> (1, 1), "PREDICATE" -> (1, 1),
-    "OBJECT" -> (1, 1))
+    "OBJECT" -> (1, 1),
+    // SPARQL 1.2 directional language strings
+    "LANGDIR" -> (1, 1), "STRLANGDIR" -> (3, 3),
+    "hasLANG" -> (1, 1), "hasLANGDIR" -> (1, 1))
 
   private def canonicalFn(name: String): String = name.toUpperCase match {
     case "ISIRI" | "ISURI" => "isIRI"
@@ -765,6 +771,8 @@ final class SparqlParser(input: String) {
     case "ISNUMERIC" => "isNumeric"
     case "SAMETERM" => "sameTerm"
     case "ISTRIPLE" => "isTRIPLE"
+    case "HASLANG" => "hasLANG"
+    case "HASLANGDIR" => "hasLANGDIR"
     case "URI" => "IRI"
     case up => up
   }

@@ -299,6 +299,24 @@ object SparqlText {
                    ?n :name ?nname }
            GROUP BY ?nname ORDER BY ?nname""")
         .select(str("nname").as("n_name"), str("names").as("names"))
+    },
+
+    // SPARQL 1.2 directional language strings: STRLANGDIR constructs an
+    // rdf:dirLangString, LANG/LANGDIR/hasLANGDIR take it apart; the @en
+    // region label (plain langString) shows the "" direction contrast
+    "pq24_dirlang" -> { (s, dir) =>
+      run(s, dir,
+        """SELECT ?rname ?tag ?dlbl ?edir WHERE {
+             ?r :name ?rname ; :label ?elbl .
+             FILTER(LANG(?elbl) = "en")
+             BIND(STRLANGDIR(?rname, "AR", "rtl") AS ?d)
+             FILTER(hasLANGDIR(?d) && !hasLANGDIR(?elbl))
+             BIND(CONCAT(LANG(?d), "--", LANGDIR(?d)) AS ?tag)
+             BIND(STR(UCASE(?d)) AS ?dlbl)
+             BIND(LANGDIR(?elbl) AS ?edir)
+           } ORDER BY ?rname""")
+        .select(str("rname").as("r_name"), str("tag").as("tag"),
+          str("dlbl").as("dlbl"), str("edir").as("edir"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -323,6 +341,9 @@ object SparqlText {
     "pq10_subselect" -> Sparql.oracle("sp19_subselect"),
     "pq12_lang" ->
       """SELECT r_name, lower(r_name) AS label FROM region ORDER BY r_name""",
+    "pq24_dirlang" ->
+      """SELECT r_name, 'ar--rtl' AS tag, upper(r_name) AS dlbl,
+        '' AS edir FROM region ORDER BY r_name""",
     "pq13_from" ->
       """SELECT s_name FROM supplier ORDER BY s_name""",
     "pq22_service" ->

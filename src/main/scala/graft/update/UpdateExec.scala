@@ -155,7 +155,7 @@ object UpdateExec {
     def c(tp: TermPat): Column = tp match {
       case I(iri) => Term.iri(iri)
       case L(lex, dt, lang) => lang match {
-        case Some(l) => Term.langLit(lit(lex), lit(l))
+        case Some(l) => Term.taggedLit(lit(lex), l)
         case None => Term.typedLit(lit(lex), dt)
       }
       case Q(s, p, o) => Term.quoted(lit(enc(s, p, o)))

@@ -1076,6 +1076,11 @@ class DifferentialSpec extends AnyFunSuite {
       (2, l, Term.XsdString, null)),
     1 -> Gen.oneOf(("a", "en"), ("a", "de"), ("c", "en")).map { case (l, g) =>
       (2, l, Term.RdfLangString, g) },
+    // RDF 1.2 directional strings: §15.1 leaves lang-tagged order open
+    // (specLt returns None for them) but they must slot into the
+    // literal bucket without inverting any spec-fixed pair
+    1 -> Gen.oneOf(("a", "en--ltr"), ("a", "en--rtl"), ("c", "de--rtl"))
+      .map { case (l, g) => (2, l, Term.RdfDirLangString, g) },
     2 -> (for { d <- Gen.choose(1, 28); h <- Gen.choose(0, 23) } yield
       (2, f"2020-03-$d%02dT$h%02d:00:00Z", Term.XsdDateTime, null)),
     1 -> Gen.choose(1, 28).map(d => (2, f"2020-03-$d%02d", Term.XsdDate, null)),

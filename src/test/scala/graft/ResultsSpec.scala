@@ -37,7 +37,7 @@ class ResultsSpec extends AnyFunSuite {
   test("SPARQL XML results format") {
     val xml = Results.toXml(sols)
     assert(xml.startsWith(
-      """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">"""))
+      """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#""""))
     assert(xml.contains("""<variable name="rn"/>"""))
     assert(xml.contains("""<literal xml:lang="de">africa</literal>"""))
     assert("<result>".r.findAllIn(xml).length == 5)
