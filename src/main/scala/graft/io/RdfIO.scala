@@ -56,14 +56,34 @@ object RdfIO {
       sb.toString
     }
 
-    def parseTerm(): TermRow = {
+    def parseTerm(objPos: Boolean = false): TermRow = {
       ws()
       if (i >= line.length) fail("unexpected end")
       line(i) match {
+        // RDF 1.2 triple term <<( s p o )>> — object position only by
+        // grammar; same QuotedKind encoding as the star form below
+        case '<' if i + 2 < line.length && line(i + 1) == '<' &&
+            line(i + 2) == '(' =>
+          if (!objPos)
+            fail("triple terms <<( ... )>> may only appear as objects")
+          i += 3
+          val s = parseTerm(); val p = parseTerm()
+          val o = parseTerm(objPos = true)
+          validateSP(s, p)
+          ws()
+          if (i + 2 >= line.length || line(i) != ')' ||
+            line(i + 1) != '>' || line(i + 2) != '>')
+            fail("unterminated triple term")
+          i += 3
+          def q(t: TermRow) = QuotedTriple.QTerm(t.kind, t.lex, t.dt, t.lang)
+          TermRow(Term.QuotedKind.toByte,
+            QuotedTriple.encode(q(s), q(p), q(o)), null, null)
         // RDF-star quoted triple << s p o >> (N-Triples-star)
         case '<' if i + 1 < line.length && line(i + 1) == '<' =>
           i += 2
-          val s = parseTerm(); val p = parseTerm(); val o = parseTerm()
+          val s = parseTerm(); val p = parseTerm()
+          val o = parseTerm(objPos = true)
+          validateSP(s, p)
           ws()
           if (i + 1 >= line.length || line(i) != '>' || line(i + 1) != '>')
             fail("unterminated quoted triple")
@@ -124,13 +144,23 @@ object RdfIO {
       }
     }
 
+    /** Grammar position checks shared by statements and quoted inners:
+      * subject ::= IRIREF | BLANK_NODE_LABEL (| quoted triple, star),
+      * predicate ::= IRIREF.
+      */
+    def validateSP(s: TermRow, p: TermRow): Unit = {
+      if (s.kind == Term.LiteralKind.toByte) fail("literal subject")
+      if (p.kind != Term.IriKind.toByte) fail("predicate must be an IRI")
+    }
+
     /** triple or quad; returns null for blank/comment lines */
     def parseStatement(allowGraph: Boolean): QuadRow = {
       ws()
       if (i >= line.length || line(i) == '#') return null
       val s = parseTerm()
       val p = parseTerm()
-      val o = parseTerm()
+      val o = parseTerm(objPos = true)
+      validateSP(s, p)
       ws()
       val g =
         if (allowGraph && i < line.length && line(i) != '.') parseTerm()

@@ -290,16 +290,48 @@ final class SparqlParser(input: String) {
     else if (isDec) Term.XsdDecimal else Term.XsdInteger)
   }
 
+  /** Object-position flag: RDF 1.2 triple terms `<<( s p o )>>` are
+    * grammatically restricted to object positions (triple objects,
+    * collection items, VALUES data, nested triple-term objects). */
+  private var objCtx = false
+  private def inObj[A](body: => A): A = {
+    val saved = objCtx; objCtx = true
+    try body finally objCtx = saved
+  }
+  private def nonObj[A](body: => A): A = {
+    val saved = objCtx; objCtx = false
+    try body finally objCtx = saved
+  }
+
   private def parseVarOrTerm(): TermPat = {
     ws()
     if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
       V(parseVarName())
+    else if (peekSym("<<(")) {
+      // RDF 1.2 triple term: same term model as the quoted-triple
+      // pattern, but the `<<( )>>` spelling is object-only by grammar
+      if (!objCtx)
+        fail("triple terms <<( ... )>> may only appear in object position")
+      expect("<<(")
+      val qs = nonObj(parseVarOrTerm()); val qp = nonObj(parseVarOrTerm())
+      val qo = inObj(parseVarOrTerm())
+      ws(); expect(")>>")
+      qs match {
+        case _: L => fail("literal subject in triple term")
+        case _ =>
+      }
+      qp match {
+        case _: V | _: I =>
+        case _ => fail("triple-term predicate must be a variable or IRI")
+      }
+      Q(qs, qp, qo)
+    }
     else if (peekSym("<<")) {
       // RDF-star quoted-triple pattern (SPARQL-star grammar: subject is
       // var/iri/bnode/quotedTP — never a literal; predicate var/iri only)
       expect("<<")
-      val qs = parseVarOrTerm(); val qp = parseVarOrTerm()
-      val qo = parseVarOrTerm()
+      val qs = nonObj(parseVarOrTerm()); val qp = nonObj(parseVarOrTerm())
+      val qo = inObj(parseVarOrTerm())
       ws(); expect(">>")
       qs match {
         case _: L => fail("literal subject in quoted triple")
@@ -431,7 +463,8 @@ final class SparqlParser(input: String) {
         // RDF collection ( e1 e2 ... ) -> rdf:first/rdf:rest chain
         expect("(")
         val items = scala.collection.mutable.ListBuffer[TermPat]()
-        while (!eatSym(")")) items += termOrBnodeList()
+        // collection items are object positions (rdf:first objects)
+        while (!eatSym(")")) items += inObj(termOrBnodeList())
         if (items.isEmpty) I(RdfNil)
         else {
           val nodes = items.map { _ => anonVar += 1; B(s"anon$anonVar") }
@@ -456,7 +489,7 @@ final class SparqlParser(input: String) {
           else Left(parsePath())
         var moreObjs = true
         while (moreObjs) {
-          val o = termOrBnodeList()
+          val o = inObj(termOrBnodeList())
           verb match {
             case Right(v) => out += Bgp(TriplePattern(s, V(v), o))
             case Left(p) => pathAsIri(p) match {
@@ -608,7 +641,7 @@ final class SparqlParser(input: String) {
     // and blank nodes are a syntax error; quoted triples (SPARQL-star
     // extension) are allowed when ground
     def dataValue(): TermPat = {
-      val t = parseVarOrTerm()
+      val t = inObj(parseVarOrTerm()) // triple terms are data values
       def ok(tp: TermPat): Boolean = tp match {
         case _: V | _: B => false
         case Q(s, p, o) => ok(s) && ok(p) && ok(o)
@@ -791,8 +824,8 @@ final class SparqlParser(input: String) {
         case Q(s2, p2, o2) => EFn("TRIPLE", toExpr(s2), toExpr(p2), toExpr(o2))
         case other => fail(s"unsupported term in embedded triple: $other")
       }
-      val s = parseVarOrTerm(); val p = parseVarOrTerm()
-      val o = parseVarOrTerm()
+      val s = nonObj(parseVarOrTerm()); val p = nonObj(parseVarOrTerm())
+      val o = inObj(parseVarOrTerm())
       ws(); expect(">>")
       EFn("TRIPLE", toExpr(s), toExpr(p), toExpr(o))
     }
@@ -1178,7 +1211,7 @@ final class SparqlParser(input: String) {
       } else if (peekSym("(") ) {
         expect("(")
         val items = scala.collection.mutable.ListBuffer[TermPat]()
-        while (!eatSym(")")) items += node()
+        while (!eatSym(")")) items += inObj(node())
         if (items.isEmpty) I(RdfNil)
         else {
           val nodes = items.map { _ => anonVar += 1; B(s"anon$anonVar") }
@@ -1199,7 +1232,7 @@ final class SparqlParser(input: String) {
         val p = verb()
         var moreObjs = true
         while (moreObjs) {
-          val o = node()
+          val o = inObj(node())
           out += TriplePattern(s, p, o)
           ws()
           // SPARQL-star annotation blocks in templates: each block's
@@ -1269,7 +1302,7 @@ final class SparqlParser(input: String) {
             else I(parseIri())
           var moreObjs = true
           while (moreObjs) {
-            out += g -> TriplePattern(s, p, node())
+            out += g -> TriplePattern(s, p, inObj(node()))
             moreObjs = eatSym(",")
           }
           moreProps = eatSym(";")

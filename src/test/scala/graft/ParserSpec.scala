@@ -453,4 +453,35 @@ class ParserSpec extends AnyFunSuite {
       "SELECT (COUNT(*) AS ?n) WHERE { ?x :p ?y } " +
       "HAVING (COUNT(*) > 0)") != null)
   }
+
+  test("RDF 1.2 triple terms in SPARQL: object positions only") {
+    // object of a triple pattern, with variables inside
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?r :reifies <<( ?s :p ?o )>> }") != null)
+    // collection item, VALUES data (ground), CONSTRUCT template object
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?r :q ( <<( :s :p :o )>> ) }") != null)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?x WHERE { VALUES ?x { <<( :s :p 1 )>> } }") != null)
+    assert(SparqlParser.parse(pfx +
+      "CONSTRUCT { ?r :reifies <<( ?s :p ?o )>> } " +
+      "WHERE { ?r :src ?s . ?s :p ?o }") != null)
+    // nested in the object slot of another triple term
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?r :q <<( ?s :p <<( :a :b :c )>> )>> }") != null)
+    // both spellings denote the same pattern
+    val a = SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?r :reifies <<( ?s :p ?o )>> }")
+    val b = SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?r :reifies << ?s :p ?o >> }")
+    assert(a == b)
+    // subject / predicate / triple-term-subject positions are errors
+    for (bad <- Seq(
+      "SELECT ?x WHERE { <<( :s :p :o )>> :q ?x }",
+      "SELECT ?x WHERE { ?x <<( :s :p :o )>> ?y }",
+      "SELECT ?r WHERE { ?r :q <<( <<( :a :b :c )>> :p ?o )>> }",
+      "SELECT ?r WHERE { ?r :q <<( \"lit\" :p ?o )>> }",
+      "SELECT ?r WHERE { ?r :q <<( :s :p :o >> }"))
+      assertThrows[Exception](SparqlParser.parse(pfx + bad))
+  }
 }

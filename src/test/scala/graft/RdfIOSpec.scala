@@ -918,6 +918,51 @@ class RdfIOSpec extends AnyFunSuite {
       "loading remote context failed")
   }
 
+  test("RDF 1.2 triple terms <<( s p o )>>: object-only, same term as " +
+      "the star form; NT position validation") {
+    // N-Triples 1.2: <<( )>> in object position === the CG << >> term
+    val tt = RdfIO.parseLine(
+      """<http://x/r> <http://x/reifies> <<( <http://x/s> <http://x/p> "v" )>> .""",
+      allowGraph = false).get
+    val cg = RdfIO.parseLine(
+      """<http://x/r> <http://x/reifies> << <http://x/s> <http://x/p> "v" >> .""",
+      allowGraph = false).get
+    assert(tt.o == cg.o, "both spellings denote the same term")
+    // nested triple term in the OBJECT slot of a triple term is legal
+    assert(RdfIO.parseLine(
+      """<http://x/r> <http://x/q> <<( <http://x/s> <http://x/p> <<( <http://x/a> <http://x/b> <http://x/c> )>> )>> .""",
+      allowGraph = false).isDefined)
+    val bads = Seq(
+      // subject position (both at statement level and inside)
+      """<<( <http://x/s> <http://x/p> "v" )>> <http://x/q> <http://x/o> .""",
+      """<http://x/r> <http://x/q> <<( <<( <http://x/a> <http://x/b> <http://x/c> )>> <http://x/p> "v" )>> .""",
+      // predicate / graph-label positions, unterminated
+      """<http://x/s> <<( <http://x/a> <http://x/b> <http://x/c> )>> <http://x/o> .""",
+      """<http://x/s> <http://x/p> <http://x/o> <<( <http://x/a> <http://x/b> <http://x/c> )>> .""",
+      """<http://x/r> <http://x/q> <<( <http://x/s> <http://x/p> "v" >> .""",
+      // plain-NT position rules (previously unchecked): literal
+      // subject, non-IRI predicate
+      """"lit" <http://x/p> <http://x/o> .""",
+      """<http://x/s> _:b <http://x/o> .""",
+      """<http://x/s> "p" <http://x/o> .""")
+    for (b <- bads)
+      assertThrows[Exception](RdfIO.parseLine(b, allowGraph = true))
+    // Turtle: object + collection-item positions parse; subject errors
+    def ttl(doc: String) =
+      new graft.io.TurtleParser("@prefix : <http://x/> . " + doc).parse()
+    val t1 = ttl(""":r :reifies <<( :s :p "v" )>> .""")
+    assert(t1.size == 1 && t1.head.o.kind == Term.QuotedKind.toByte)
+    assert(t1.head.o == ttl(""":r :reifies << :s :p "v" >> .""").head.o)
+    val coll = ttl(""":r :q ( <<( :s :p :o )>> ) .""")
+    assert(coll.exists(q => q.p.lex.endsWith("#first") &&
+      q.o.kind == Term.QuotedKind.toByte))
+    assertThrows[Exception](ttl("""<<( :s :p :o )>> :q :z ."""))
+    assertThrows[Exception](ttl(""":a <<( :s :p :o )>> :z ."""))
+    // star grammars: literal subject inside ANY quoted form rejected
+    assertThrows[Exception](ttl(""":r :q << "l" :p :o >> ."""))
+    assertThrows[Exception](ttl(""":r :q <<( "l" :p :o )>> ."""))
+  }
+
   test("JSON-LD wave 8: value-object validity, null handling") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()
