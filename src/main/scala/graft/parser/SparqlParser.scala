@@ -498,20 +498,53 @@ final class SparqlParser(input: String) {
             }
           }
           ws()
-          // SPARQL-star annotation blocks {| q v ; ... |}: each matches
-          // the quoted form of the triple just parsed; the grammar
-          // allows a CHAIN of blocks on one object (annotation is a
-          // '*' repetition)
-          while (peekSym("{|")) {
-            expect("{|")
+          // Annotation run (SPARQL 1.2 `(reifier | annotationBlock)*`
+          // over the star chain): `{| q v |}` without a reifier matches
+          // the QUOTED form of the triple (CG semantics); `~r` (r a
+          // var/iri/bnode, or fresh when bare) adds the pattern
+          // `r rdf:reifies <<(s p o)>>` and retargets later blocks
+          def quotedPat(): TermPat = {
             val vp: TermPat = verb match {
               case Right(v) => V(v)
               case Left(p) => pathAsIri(p).map(I)
-                .getOrElse(fail("annotation on a property path"))
+                .getOrElse(fail("annotation/reifier on a property path"))
             }
-            propertyList(Q(s, vp, o))
-            expect("|}")
-            ws()
+            Q(s, vp, o)
+          }
+          var annTarget: TermPat = null
+          var run = true
+          while (run) {
+            if (peekSym("{|")) {
+              expect("{|")
+              propertyList(
+                if (annTarget == null) quotedPat() else annTarget)
+              expect("|}")
+              ws()
+            } else if (peekSym("~")) {
+              expect("~")
+              ws()
+              val r: TermPat =
+                if (pos < input.length &&
+                  (input(pos) == '?' || input(pos) == '$'))
+                  V(parseVarName())
+                else if (pos < input.length && (input(pos) == '<' ||
+                  input(pos) == '_' || input(pos) == ':' ||
+                  graft.model.Term.isPnCharsBase(input(pos)) ||
+                  input(pos) == '[')) {
+                  if (input(pos) == '[') {
+                    expect("["); expect("]")
+                    anonVar += 1; B(s"anon$anonVar")
+                  } else nonObj(parseVarOrTerm())
+                } else { anonVar += 1; B(s"anon$anonVar") }
+              r match {
+                case _: V | _: I | _: B =>
+                case _ => fail("a reifier must be a variable, IRI, or " +
+                  "blank node")
+              }
+              out += Bgp(TriplePattern(r, I(RdfNs + "reifies"), quotedPat()))
+              annTarget = r
+              ws()
+            } else run = false
           }
           moreObjs = eatSym(",")
         }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 import graft.io.{RdfIO, TpchRdf}
 import graft.model.Term
@@ -961,6 +962,62 @@ class RdfIOSpec extends AnyFunSuite {
     // star grammars: literal subject inside ANY quoted form rejected
     assertThrows[Exception](ttl(""":r :q << "l" :p :o >> ."""))
     assertThrows[Exception](ttl(""":r :q <<( "l" :p :o )>> ."""))
+  }
+
+  test("RDF 1.2 reifiers: ~r asserts the triple plus rdf:reifies; " +
+      "blocks retarget") {
+    val Reifies = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+    def ttl(doc: String) =
+      new graft.io.TurtleParser("@prefix : <http://x/> . " + doc).parse()
+    // named reifier: triple asserted + r reifies <<(s p o)>>
+    val named = ttl(""":s :p :o ~:r .""")
+    assert(named.size == 2)
+    assert(named.exists(q => q.s.lex == "http://x/s" && q.o.lex == "http://x/o"))
+    val rq = named.find(_.p.lex == Reifies).get
+    assert(rq.s.lex == "http://x/r" &&
+      rq.o.kind == Term.QuotedKind.toByte)
+    // bare ~ mints a fresh bnode reifier; [] form too
+    assert(ttl(""":s :p :o ~ .""").find(_.p.lex == Reifies).get
+      .s.kind == Term.BlankKind.toByte)
+    assert(ttl(""":s :p :o ~[] .""").find(_.p.lex == Reifies).get
+      .s.kind == Term.BlankKind.toByte)
+    // a block after ~r annotates the REIFIER, not the quoted term
+    val ann = ttl(""":s :p :o ~:r {| :note "n" |} .""")
+    assert(ann.exists(q => q.s.lex == "http://x/r" &&
+      q.p.lex == "http://x/note"))
+    // without ~, the CG semantics stands: block annotates the quoted term
+    val cg = ttl(""":s :p :o {| :note "n" |} .""")
+    assert(cg.find(_.p.lex == "http://x/note").get
+      .s.kind == Term.QuotedKind.toByte)
+    // a run can mix: ~r1 {| |} ~r2 {| |} targets each reifier in turn
+    val run = ttl(""":s :p :o ~:r1 {| :n 1 |} ~:r2 {| :n 2 |} .""")
+    def noteOf(r: String) = run.find(q =>
+      q.s.lex == s"http://x/$r" && q.p.lex == "http://x/n").get.o.lex
+    assert(noteOf("r1") == "1" && noteOf("r2") == "2")
+    assert(run.count(_.p.lex == Reifies) == 2)
+    // reifier must be an IRI or blank node
+    assertThrows[Exception](ttl(""":s :p :o ~"lit" ."""))
+    // SPARQL side: ~?r pattern binds the reifier over Turtle-1.2 data
+    val dir = java.nio.file.Files.createTempDirectory("graft_reif")
+    java.nio.file.Files.writeString(dir.resolve("d.ttl"),
+      """@prefix : <http://x/> .
+        |:s :p :o ~:r {| :note "hello" |} .""".stripMargin)
+    val quads = RdfIO.readTurtle(spark, dir.resolve("d.ttl").toString)
+    val hit = graft.parser.SparqlParser.execute(
+      """PREFIX : <http://x/>
+        |SELECT ?r ?n WHERE { ?s :p ?o ~?r . ?r :note ?n }""".stripMargin,
+      quads)
+    val row = hit.head()
+    assert(hit.count() == 1 &&
+      row.getAs[Row]("r").getString(1) == "http://x/r" &&
+      row.getAs[Row]("n").getString(1) == "hello")
+    // SPARQL block-after-reifier also retargets
+    val hit2 = graft.parser.SparqlParser.execute(
+      """PREFIX : <http://x/>
+        |SELECT ?r WHERE { ?s :p ?o ~?r {| :note "hello" |} }""".stripMargin,
+      quads)
+    assert(hit2.count() == 1 &&
+      hit2.head().getAs[Row]("r").getString(1) == "http://x/r")
   }
 
   test("JSON-LD wave 8: value-object validity, null handling") {
