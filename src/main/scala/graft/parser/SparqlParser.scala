@@ -980,6 +980,18 @@ final class SparqlParser(input: String) {
         pos += 1
         prefixes(name) = parseIriRef()
       } else if (peek("BASE")) { eat("BASE"); base = parseIriRef() }
+      else if (peek("VERSION")) {
+        // SPARQL 1.2 VersionDecl: VERSION then a plain string literal.
+        // "1.1" and "1.2" are the language versions this engine speaks;
+        // an unknown version is a loud error, not a silent downgrade
+        eat("VERSION"); ws()
+        if (pos >= input.length ||
+          (input(pos) != '"' && input(pos) != '\'')) fail(
+          "VERSION takes a string literal")
+        val v = parseString()
+        if (v != "1.1" && v != "1.2")
+          fail(s"unsupported SPARQL VERSION \"$v\"")
+      }
       else go = false
     }
   }

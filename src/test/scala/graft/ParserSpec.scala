@@ -454,6 +454,24 @@ class ParserSpec extends AnyFunSuite {
       "HAVING (COUNT(*) > 0)") != null)
   }
 
+  test("SPARQL 1.2 / Turtle 1.2 VERSION declarations") {
+    assert(SparqlParser.parse("VERSION \"1.2\"\n" + pfx +
+      "SELECT ?x WHERE { ?x :p ?y }") != null)
+    assert(SparqlParser.parse(pfx + "VERSION '1.1'\n" +
+      "SELECT ?x WHERE { ?x :p ?y }") != null)
+    assertThrows[Exception](SparqlParser.parse(
+      "VERSION \"2.0\"\nSELECT ?x WHERE { ?x ?p ?y }"))
+    assertThrows[Exception](SparqlParser.parse(
+      "VERSION 1.2\nSELECT ?x WHERE { ?x ?p ?y }"))
+    def ttl(doc: String) = new graft.io.TurtleParser(doc).parse()
+    assert(ttl("""@version "1.2" . @prefix : <http://x/> . :s :p :o .""")
+      .size == 1)
+    assert(ttl("""VERSION "1.2" @prefix : <http://x/> . :s :p :o .""")
+      .size == 1)
+    assertThrows[Exception](ttl("""@version "3" . """))
+    assertThrows[Exception](ttl("""@version "1.2"  """)) // missing dot
+  }
+
   test("RDF 1.2 triple terms in SPARQL: object positions only") {
     // object of a triple pattern, with variables inside
     assert(SparqlParser.parse(pfx +
