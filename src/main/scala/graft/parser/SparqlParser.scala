@@ -1282,11 +1282,39 @@ final class SparqlParser(input: String) {
           ws()
           // SPARQL-star annotation blocks in templates: each block's
           // props attach to the quoted form of the emitted triple
-          while (peekSym("{|")) {
-            expect("{|")
-            props(Q(s, p, o))
-            expect("|}")
-            ws()
+          var annTarget: TermPat = null
+          var run = true
+          while (run) {
+            if (peekSym("{|")) {
+              expect("{|")
+              props(if (annTarget == null) Q(s, p, o) else annTarget)
+              expect("|}")
+              ws()
+            } else if (peekSym("~")) {
+              // template reifier: same 1.2 sugar as the pattern side
+              expect("~")
+              ws()
+              val r: TermPat =
+                if (pos < input.length &&
+                  (input(pos) == '?' || input(pos) == '$'))
+                  V(parseVarName())
+                else if (pos < input.length && input(pos) == '[') {
+                  expect("["); expect("]")
+                  anonVar += 1; B(s"anon$anonVar")
+                } else if (pos < input.length && (input(pos) == '<' ||
+                  input(pos) == '_' || input(pos) == ':' ||
+                  graft.model.Term.isPnCharsBase(input(pos))))
+                  nonObj(parseVarOrTerm())
+                else { anonVar += 1; B(s"anon$anonVar") }
+              r match {
+                case _: V | _: I | _: B =>
+                case _ => fail("a reifier must be a variable, IRI, or " +
+                  "blank node")
+              }
+              out += TriplePattern(r, I(RdfNs + "reifies"), Q(s, p, o))
+              annTarget = r
+              ws()
+            } else run = false
           }
           moreObjs = eatSym(",")
         }
@@ -1347,7 +1375,34 @@ final class SparqlParser(input: String) {
             else I(parseIri())
           var moreObjs = true
           while (moreObjs) {
-            out += g -> TriplePattern(s, p, inObj(node()))
+            val o = inObj(node())
+            out += g -> TriplePattern(s, p, o)
+            ws()
+            // 1.2 reifier sugar in quad data: `~r` adds the
+            // r rdf:reifies <<(s p o)>> quad in the same graph
+            while (peekSym("~")) {
+              expect("~")
+              ws()
+              val r: TermPat =
+                if (pos < input.length &&
+                  (input(pos) == '?' || input(pos) == '$'))
+                  V(parseVarName())
+                else if (pos < input.length && input(pos) == '[') {
+                  expect("["); expect("]")
+                  anonVar += 1; B(s"anon$anonVar")
+                } else if (pos < input.length && (input(pos) == '<' ||
+                  input(pos) == '_' || input(pos) == ':' ||
+                  graft.model.Term.isPnCharsBase(input(pos))))
+                  nonObj(parseVarOrTerm())
+                else { anonVar += 1; B(s"anon$anonVar") }
+              r match {
+                case _: V | _: I | _: B =>
+                case _ => fail("a reifier must be a variable, IRI, or " +
+                  "blank node")
+              }
+              out += g -> TriplePattern(r, I(RdfNs + "reifies"), Q(s, p, o))
+              ws()
+            }
             moreObjs = eatSym(",")
           }
           moreProps = eatSym(";")

@@ -472,6 +472,19 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](ttl("""@version "1.2"  """)) // missing dot
   }
 
+  test("RDF 1.2 reifiers in CONSTRUCT templates and update quad data") {
+    assert(SparqlParser.parse(pfx +
+      "CONSTRUCT { ?s :p ?o ~?r } WHERE { ?s :p ?o . ?r :src ?s }") != null)
+    assert(SparqlParser.parse(pfx +
+      "CONSTRUCT { ?s :p ?o ~:r {| :conf 0.9 |} } WHERE { ?s :p ?o }")
+      != null)
+    // update data: reifier quad lands in the same graph
+    assert(SparqlParser.parseUpdateText(pfx +
+      "INSERT DATA { :s :p :o ~:r }") != null)
+    assert(SparqlParser.parseUpdateText(pfx +
+      "INSERT DATA { GRAPH :g { :s :p :o ~ } }") != null)
+  }
+
   test("RDF 1.2 triple terms in SPARQL: object positions only") {
     // object of a triple pattern, with variables inside
     assert(SparqlParser.parse(pfx +
