@@ -109,9 +109,14 @@ object TurtleSplit {
     val t = line.dropWhile(_.isWhitespace)
     def boundary(k: Int) =
       t.length > k && (t(k).isWhitespace || t(k) == '<')
+    // VERSION takes a string literal, so its boundary set is ws/quote
+    def strBoundary(k: Int) =
+      t.length > k && (t(k).isWhitespace || t(k) == '"' || t(k) == '\'')
     t.startsWith("@prefix") || t.startsWith("@base") ||
+      t.startsWith("@version") ||
       (t.regionMatches(true, 0, "PREFIX", 0, 6) && boundary(6)) ||
-      (t.regionMatches(true, 0, "BASE", 0, 4) && boundary(4))
+      (t.regionMatches(true, 0, "BASE", 0, 4) && boundary(4)) ||
+      (t.regionMatches(true, 0, "VERSION", 0, 7) && strBoundary(7))
   }
 
   // ---- line classification (pass 1 + pass 2 share it) -----------------

@@ -86,6 +86,28 @@ class SparqlServerSpec extends AnyFunSuite {
     assert(get(s"/query?query=${enc("SELECT WHERE {")}").statusCode() == 400)
   }
 
+  test("directional literals ride the protocol: JSON dir, XML its:dir, " +
+      "update round-trip") {
+    val upd = """INSERT DATA { <http://x/d> <http://x/lbl> "نص"@ar--rtl }"""
+    val req = HttpRequest.newBuilder(URI.create(server.uri("/update")))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(BodyPublishers.ofString(s"update=${enc(upd)}")).build()
+    assert(send(req).statusCode() == 204)
+    val q = "SELECT ?l WHERE { <http://x/d> <http://x/lbl> ?l }"
+    val json = get(s"/query?query=${enc(q)}")
+    assert(json.body().contains(""""xml:lang":"ar","dir":"rtl""""),
+      json.body())
+    val xml = get(s"/query?query=${enc(q)}",
+      "application/sparql-results+xml")
+    assert(xml.body().contains("""its:dir="rtl""""), xml.body())
+    val tsv = get(s"/query?query=${enc(q)}", "text/tab-separated-values")
+    assert(tsv.body().contains("@ar--rtl"), tsv.body())
+    // LANGDIR filters work over protocol-inserted data
+    val f = get(s"/query?query=${enc(
+      "SELECT ?l WHERE { ?s <http://x/lbl> ?l FILTER(LANGDIR(?l) = \"rtl\") }")}")
+    assert(f.body().contains("dir"), f.body())
+  }
+
   test("bare GET /query returns the service description graph") {
     val nt = get("/query")
     assert(nt.statusCode() == 200)

@@ -114,11 +114,17 @@ class TurtleSplitSpec extends AnyFunSuite {
     assert(TurtleSplit.isDirectiveLine("base <http://x/>"))
     assert(TurtleSplit.isDirectiveLine("BASE <http://x/>"))
     assert(TurtleSplit.isDirectiveLine("BASE<http://x/>")) // adjacent IRI
+    // Turtle 1.2 version directives
+    assert(TurtleSplit.isDirectiveLine("""@version "1.2" ."""))
+    assert(TurtleSplit.isDirectiveLine("""VERSION "1.2""""))
+    assert(TurtleSplit.isDirectiveLine("""version"1.2""""))
     // subjects that merely START with the keyword chars are content
     assert(!TurtleSplit.isDirectiveLine("base:a :p :o ."))
     assert(!TurtleSplit.isDirectiveLine("baseline:x :p :o ."))
     assert(!TurtleSplit.isDirectiveLine("prefix:x :p :o ."))
     assert(!TurtleSplit.isDirectiveLine("prefixes:x :p :o ."))
+    assert(!TurtleSplit.isDirectiveLine("version:x :p :o ."))
+    assert(!TurtleSplit.isDirectiveLine("versioned:x :p :o ."))
   }
 
   test("keyword-prefixed subjects split-parse without duplication") {
