@@ -542,7 +542,9 @@ object Results {
         val c = if (i < cells.length) cells(i).trim else ""
         if (c.isEmpty) null
         else {
-          val t = new RdfIO.LineParser(c).parseTerm()
+          // a binding cell is a standalone term: triple terms <<( )>>
+          // are legal here (no object-position restriction applies)
+          val t = new RdfIO.LineParser(c).parseTerm(objPos = true)
           Row(t.kind, t.lex, t.dt, t.lang)
         }
       }: _*)

@@ -472,6 +472,27 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](ttl("""@version "1.2"  """)) // missing dot
   }
 
+  test("reifier sugar desugars to exactly its rdf:reifies expansion") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    // pattern side: ~?r == explicit reifies pattern with a triple term
+    val sugar = SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?s :p ?o ~?r . ?r :n ?v }")
+    val expanded = SparqlParser.parse(pfx +
+      s"SELECT ?r WHERE { ?s :p ?o . ?r <${rdf}reifies> <<( ?s :p ?o )>> . " +
+      "?r :n ?v }")
+    assert(sugar == expanded)
+    // block-after-reifier == reifies pattern + properties on the reifier
+    val sugar2 = SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?s :p ?o ~?r {| :n ?v |} }")
+    assert(sugar2 == expanded)
+    // CG block without a reifier targets the quoted term, NOT a reifier
+    val cg = SparqlParser.parse(pfx +
+      "SELECT ?v WHERE { ?s :p ?o {| :n ?v |} }")
+    val cgExpanded = SparqlParser.parse(pfx +
+      "SELECT ?v WHERE { ?s :p ?o . << ?s :p ?o >> :n ?v }")
+    assert(cg == cgExpanded)
+  }
+
   test("RDF 1.2 reifiers in CONSTRUCT templates and update quad data") {
     assert(SparqlParser.parse(pfx +
       "CONSTRUCT { ?s :p ?o ~?r } WHERE { ?s :p ?o . ?r :src ?s }") != null)

@@ -86,6 +86,17 @@ class ResultsSpec extends AnyFunSuite {
       withNull.except(back).count() == 0)
   }
 
+  test("TSV cells accept RDF 1.2 triple-term tokens <<( )>>") {
+    val tsv = "?x\n<<( <http://x/s> <http://x/p> \"v\" )>>\n"
+    val df = Results.fromTsv(spark, tsv)
+    val t = df.head().getAs[org.apache.spark.sql.Row]("x")
+    assert(t.getByte(0) == Term.QuotedKind.toByte)
+    // identical to the CG spelling
+    val cg = Results.fromTsv(spark,
+      "?x\n<< <http://x/s> <http://x/p> \"v\" >>\n")
+    assert(t == cg.head().getAs[org.apache.spark.sql.Row]("x"))
+  }
+
   test("XML results roundtrip: toXml -> fromXml is lossless") {
     val withNull = sols.unionByName(
       sols.limit(1).select(col("rn"),
