@@ -846,10 +846,12 @@ final class SparqlParser(input: String) {
   private def parsePrimaryExpression(): Expr = {
     ws()
     if (peekSym("(")) { expect("("); val e = parseExpression(); expect(")"); e }
-    else if (peekSym("<<")) {
-      // SPARQL-star embedded triple in expression position: sugar for
-      // the TRIPLE(...) constructor over its components
-      expect("<<")
+    else if (peekSym("<<") || peekSym("<<(")) {
+      // SPARQL-star embedded triple / 1.2 ExprTripleTerm <<( )>> in
+      // expression position: sugar for the TRIPLE(...) constructor
+      // over its components
+      val oneTwo = peekSym("<<(")
+      if (oneTwo) expect("<<(") else expect("<<")
       def toExpr(tp: TermPat): Expr = tp match {
         case V(n) => EVar(n)
         case I(iri) => EIri(iri)
@@ -859,7 +861,7 @@ final class SparqlParser(input: String) {
       }
       val s = nonObj(parseVarOrTerm()); val p = nonObj(parseVarOrTerm())
       val o = inObj(parseVarOrTerm())
-      ws(); expect(">>")
+      ws(); if (oneTwo) expect(")>>") else expect(">>")
       EFn("TRIPLE", toExpr(s), toExpr(p), toExpr(o))
     }
     else if (peek("EXISTS")) { eat("EXISTS"); EExists(parseGroupGraphPattern()) }

@@ -472,6 +472,18 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](ttl("""@version "1.2"  """)) // missing dot
   }
 
+  test("ExprTripleTerm: <<( )>> in expression position = TRIPLE(...)") {
+    val a = SparqlParser.parse(pfx +
+      "SELECT ?t WHERE { ?x :p ?y BIND(<<( ?x :p ?y )>> AS ?t) }")
+    val b = SparqlParser.parse(pfx +
+      "SELECT ?t WHERE { ?x :p ?y BIND(<< ?x :p ?y >> AS ?t) }")
+    val c = SparqlParser.parse(pfx +
+      "SELECT ?t WHERE { ?x :p ?y BIND(TRIPLE(?x, :p, ?y) AS ?t) }")
+    assert(a == b && b == c)
+    assertThrows[Exception](SparqlParser.parse(pfx +
+      "SELECT ?t WHERE { BIND(<<( ?x :p ?y >> AS ?t) }"))
+  }
+
   test("reifier sugar desugars to exactly its rdf:reifies expansion") {
     val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     // pattern side: ~?r == explicit reifies pattern with a triple term
