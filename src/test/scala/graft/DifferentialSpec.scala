@@ -1613,4 +1613,78 @@ class DifferentialSpec extends AnyFunSuite {
         sys.env.getOrElse("GRAFT_FUZZ_N", "60").toInt), prop)
     assert(result.passed, s"ORDER BY differential failed: ${result.status}")
   }
+
+  // ---- tagged-literal constant differential (r11 s3) -----------------
+  // Pattern constants, sameTerm, and LANG/LANGDIR over the full tag
+  // universe (plain / xsd:string / @lang / @lang--dir): the constant
+  // paths (constFilter/constCol/compile) pick the datatype FROM the
+  // tag shape — a wrong pick silently matches nothing or the wrong
+  // bag. Naive side is exact term equality, which both RDF term
+  // matching and sameTerm are defined as.
+  test("tagged-literal constants match by exact term across the tag " +
+      "universe") {
+    type LT = (String, Option[String]) // lex, tag (None = xsd:string)
+    val genLT: Gen[LT] = for {
+      lex <- Gen.oneOf("a", "b", "")
+      tag <- Gen.oneOf(None, Some("en"), Some("de"),
+        Some("en--ltr"), Some("en--rtl"), Some("de--rtl"))
+    } yield (lex, tag)
+    def dtOf(tag: Option[String]): String = tag match {
+      case None => Term.XsdString
+      case Some(t) if t.contains("--") => Term.RdfDirLangString
+      case Some(_) => Term.RdfLangString
+    }
+    def text(lt: LT): String = lt match {
+      case (lex, None) => s""""$lex""""
+      case (lex, Some(t)) => s""""$lex"@$t"""
+    }
+    val genData = Gen.chooseNum(0, 12).flatMap(Gen.listOfN(_,
+      Gen.zip(Gen.choose(0, 3), genLT)))
+    val prop = Prop.forAllNoShrink(genData, genLT) { (data, probe) =>
+      val rows = data.map { case (si, (lex, tag)) =>
+        Row(Row(Term.DefaultGraphKind.toByte, null, null, null),
+          Row(0.toByte, s"http://x/s$si", null, null),
+          Row(0.toByte, "http://x/p", null, null),
+          Row(2.toByte, lex, dtOf(tag), tag.orNull))
+      }
+      val quads = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), Term.quadSchema)
+      // 1. constant OBJECT pattern: exact term matching
+      val pat = graft.parser.SparqlParser.execute(
+        s"SELECT ?s WHERE { ?s <http://x/p> ${text(probe)} }", quads)
+      val gotPat = pat.collect().map(_.getAs[Row]("s").getString(1))
+        .sorted.toSeq
+      val expPat = data.filter(_._2 == probe)
+        .map(d => s"http://x/s${d._1}").sorted
+      // 2. sameTerm against the constant
+      val st = graft.parser.SparqlParser.execute(
+        s"""SELECT ?s WHERE { ?s <http://x/p> ?o
+           |FILTER(sameTerm(?o, ${text(probe)})) }""".stripMargin, quads)
+      val gotSt = st.collect().map(_.getAs[Row]("s").getString(1))
+        .sorted.toSeq
+      // 3. LANG + LANGDIR recover the tag parts on every row
+      val parts = graft.parser.SparqlParser.execute(
+        """SELECT ?l ?d WHERE { ?s <http://x/p> ?o
+          |BIND(LANG(?o) AS ?l) BIND(LANGDIR(?o) AS ?d) }""".stripMargin,
+        quads)
+      val gotParts = parts.collect().map { r =>
+        (r.getAs[Row]("l").getString(1), r.getAs[Row]("d").getString(1))
+      }.sorted.toSeq
+      val expParts = data.map { case (_, (_, tag)) =>
+        val t = tag.getOrElse("")
+        val i = t.indexOf("--")
+        if (i < 0) (t, "") else (t.substring(0, i), t.substring(i + 2))
+      }.sorted
+      val ok = gotPat == expPat && gotSt == expPat && gotParts == expParts
+      if (!ok) println(s"TAGGED-LITERAL MISMATCH probe=$probe data=$data\n" +
+        s"pat got=$gotPat exp=$expPat\nsameTerm got=$gotSt\n" +
+        s"parts got=$gotParts exp=$expParts")
+      ok
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed,
+      s"tagged-literal differential failed: ${result.status}")
+  }
 }
