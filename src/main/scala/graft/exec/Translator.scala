@@ -385,6 +385,44 @@ object Translator {
     case other => inScopeVars(other) // Bgp, PathPattern, ValuesPat
   }
 
+  /** Vars a pattern references in EXPRESSION position within its own
+    * scope: subselect interiors (Project shells) are scope boundaries
+    * and contribute nothing; a nested EXISTS contributes its pattern
+    * scope plus its own expression refs (it would need the same
+    * correlation one level deeper). Used by markExists to detect
+    * expression-only correlation the semi-join cannot see.
+    */
+  private def scopedExprRefs(gp: GraphPattern): Set[String] = {
+    def refs(e: Expr): Set[String] = e match {
+      case EVar(n) => Set(n)
+      case EFn(_, args @ _*) => args.flatMap(refs).toSet
+      case EExists(p, _) => inScopeVars(p) ++ scopedExprRefs(p)
+      case _ => Set.empty
+    }
+    gp match {
+      case Project(_, _) => Set.empty // subselect: interior vars hidden
+      case Filter(e, i) => refs(e) ++ scopedExprRefs(i)
+      case Extend(i, _, ex) => refs(ex) ++ scopedExprRefs(i)
+      case Join(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
+      case Lateral(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
+      case Union(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
+      case Minus(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
+      case LeftJoin(a, b, f) => scopedExprRefs(a) ++ scopedExprRefs(b) ++
+        f.toSeq.flatMap(refs).toSet
+      case GraphPat(_, i) => scopedExprRefs(i)
+      case OrderBy(i, keys) =>
+        keys.flatMap(k => refs(k._1)).toSet ++ scopedExprRefs(i)
+      case Slice(i, _, _) => scopedExprRefs(i)
+      case Distinct(i) => scopedExprRefs(i)
+      case Reduced(i) => scopedExprRefs(i)
+      case Group(i, _, aggs) =>
+        aggs.flatMap(_._2.expr.toSeq.flatMap(refs)).toSet ++
+          aggs.flatMap(_._2.orderBy.flatMap(k => refs(k._1))).toSet ++
+          scopedExprRefs(i)
+      case _ => Set.empty
+    }
+  }
+
   private def checkNoDangling(gp: GraphPattern, hv: Set[String]): Unit = {
     val dangling = hv & treeRefs(gp)
     if (dangling.nonEmpty) throw new UnsupportedOperationException(
@@ -1100,8 +1138,20 @@ object Translator {
       val (existsConjs, scalarConjs) = splitConjuncts(expr)
       val in = translate(inner, src, ctx)
       val afterExists = existsConjs.foldLeft(in) { case (sol, EExists(p, pos)) =>
-        val sub = translate(p, src, ctx)
-        joinSols(sol, sub, if (pos) "left_semi" else "left_anti")
+        if (existsExprFree(p, sol.vars).isEmpty)
+          joinSols(sol, translate(p, src, ctx),
+            if (pos) "left_semi" else "left_anti")
+        else {
+          // expression-only correlation: semi-join blind (see
+          // existsHits); mark per row id and semi/anti on it
+          val tagged =
+            sol.df.withColumn("__eid", monotonically_increasing_id())
+          val hits = existsHits(
+            Sol(tagged, sol.vars, sol.sure, sol.cls), "__eid", p, src, ctx)
+          Sol(tagged.join(hits, Seq("__eid"),
+            if (pos) "left_semi" else "left_anti").drop("__eid"),
+            sol.vars, sol.sure, sol.cls)
+        }
       }
       // EXISTS nested INSIDE a scalar conjunct (e.g. `?x || EXISTS{…}`)
       // becomes a mark-join boolean variable first
@@ -1308,6 +1358,39 @@ object Translator {
     * Returns the marked Sol, the rewritten expressions, and the synthetic
     * columns to drop once the consumer has compiled them.
     */
+  /** Outer vars an EXISTS pattern references ONLY in expression
+    * position (BIND bodies, filters — not bound by its own patterns,
+    * not hidden inside subselects). The plain semi/anti join is blind
+    * to them: the standalone inner has no such column, so §18.5
+    * substitution demands hoisting those conjuncts and applying them
+    * POST-join (the LATERAL rewrite). */
+  private def existsExprFree(p: GraphPattern,
+      outerVars: Set[String]): Set[String] =
+    (scopedExprRefs(p) -- inScopeVars(p)) & outerVars
+
+  /** Row ids (unique `idCol` of `cur.df`) whose EXISTS evaluation of
+    * `p` under substitution is nonempty, for a pattern with
+    * expression-only correlation: hoist the correlated conjuncts,
+    * inner-join the decorrelated core, apply the conjuncts post-join.
+    * A shape whose correlation cannot hoist (under UNION/OPTIONAL arms
+    * it doesn't flow through, or a nested EXISTS) throws rather than
+    * silently decorrelating. */
+  private def existsHits(cur: Sol, idCol: String, p: GraphPattern,
+      src: QuadSource, ctx: GraphCtx): DataFrame = {
+    val (pH, pUp, pHv) = hoist(p, cur.vars)
+    checkNoDangling(pH, pHv)
+    val remaining = (scopedExprRefs(pH) -- inScopeVars(pH)) &
+      (cur.vars -- pHv)
+    if (remaining.nonEmpty) throw new UnsupportedOperationException(
+      "correlated EXISTS: outer variable(s) " + remaining.mkString(", ") +
+        " are referenced in a position that cannot be hoisted post-join")
+    // the row id rides as a (never-shared) variable so the join's
+    // output projection keeps it
+    val curId = Sol(cur.df, cur.vars + idCol, cur.sure + idCol, cur.cls)
+    applyHoisted(joinSols(curId, translate(pH, src, ctx), "inner"), pUp)
+      .df.select(col(idCol)).distinct()
+  }
+
   private def markExists(in0: Sol, exprs: Seq[Expr], src: QuadSource,
       ctx: GraphCtx): (Sol, Seq[Expr], Seq[String]) = {
     val markers = scala.collection.mutable.ArrayBuffer[(String, EExists)]()
@@ -1322,9 +1405,12 @@ object Translator {
     var df = in0.df.withColumn("__mid", monotonically_increasing_id())
     markers.foreach { case (m, EExists(p, pos)) =>
       val cur = Sol(df, in0.vars, in0.sure, in0.cls)
-      val sub = translate(p, src, ctx)
-      val hitIds = joinSols(cur, sub, "left_semi").df.select(col("__mid"))
-        .withColumn(m, Term.boolLit(lit(true)))
+      val hits =
+        if (existsExprFree(p, in0.vars).isEmpty)
+          joinSols(cur, translate(p, src, ctx), "left_semi").df
+            .select(col("__mid"))
+        else existsHits(cur, "__mid", p, src, ctx)
+      val hitIds = hits.withColumn(m, Term.boolLit(lit(true)))
       df = df.join(hitIds, Seq("__mid"), "left_outer")
         .withColumn(m,
           if (pos) coalesce(col(m), Term.boolLit(lit(false)))
