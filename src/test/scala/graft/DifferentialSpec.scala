@@ -1234,6 +1234,74 @@ class DifferentialSpec extends AnyFunSuite {
     assert(result.passed, s"EXISTS differential failed: ${result.status}")
   }
 
+  test("EXISTS correlated only through inner expressions matches " +
+      "substitution semantics") {
+    // the inner never BINDS the outer var — it copies it via BIND and
+    // filters on the copy, the shape the r11s3 fix covers: naive side
+    // substitutes the outer value into the copy per outer binding
+    val genArm = for {
+      outer <- genBgp
+      corrV <- Gen.oneOf(varNames)
+      innerCore <- Gen.frequency(2 -> Gen.const(Bgp(): GraphPattern),
+        3 -> genBgp.map { case Bgp(ps @ _*) =>
+          // rename pattern vars so the inner never binds corrV (pure
+          // expression correlation) — shared OTHER vars still join
+          def ren(tp: TermPat): TermPat = tp match {
+            case V(n) if n == corrV => V(n + "2")
+            case other => other
+          }
+          Bgp(ps.map(t =>
+            TriplePattern(ren(t.s), ren(t.p), ren(t.o))): _*)
+        })
+      rhs <- Gen.frequency(
+        2 -> Gen.choose(0, 4).map(n => (EIri(s"http://x/i$n"): Expr)),
+        1 -> Gen.choose(0, 5).map(n =>
+          (ELit(n.toString, Term.XsdInteger): Expr)))
+      positive <- Gen.oneOf(true, false)
+    } yield (outer, corrV, innerCore, rhs, positive)
+    val prop = Prop.forAllNoShrink(genData, genArm) {
+      case (data, (outer, corrV, innerCore, rhs, positive)) =>
+        val inner = Filter(EFn("=", EVar("z"), rhs),
+          Extend(innerCore, "z", EVar(corrV)))
+        val gp = Filter(EExists(inner, positive), outer)
+        val rhsT: T = rhs match {
+          case EIri(i) => (0, i, null)
+          case ELit(lex, dt, _) => (2, lex, dt)
+          case _ => fail("unreachable")
+        }
+        val innerRows = evalNaive(innerCore, data)
+        val expected = evalNaive(outer, data).filter { b =>
+          // substitution: z := b(corrV); unbound -> BIND errors ->
+          // z unbound -> '=' errors -> row drops
+          val ex = b.get(corrV).exists(zv => zv == rhsT &&
+            innerRows.exists(ib =>
+              (ib.keySet & b.keySet).forall(v => ib(v) == b(v))))
+          if (positive) ex else !ex
+        }.map(canon).sorted
+        try {
+          val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+          val got = df.collect().toSeq.map { r =>
+            cmpVars.flatMap { v =>
+              if (!df.columns.contains(v)) None
+              else Option(r.getAs[Row](v)).map(t =>
+                s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+            }.mkString("|")
+          }.sorted
+          if (got != expected)
+            println(s"EXISTS-SUBST MISMATCH for $gp\ndata=$data\n" +
+              s"expected=$expected\ngot=$got")
+          got == expected
+        } catch {
+          case _: UnsupportedOperationException => true // loud corners
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed,
+      s"EXISTS substitution differential failed: ${result.status}")
+  }
+
   // ---- Group/aggregate differential (r10) ----------------------------
   // Mirrors the engine's documented §18.5 semantics: evaluation errors
   // (unbound vars) drop from the multiset, a PRESENT non-numeric term
