@@ -257,4 +257,92 @@ object Algebra {
     case GraphPat(name, i) => sureIn(i, v) || vars(name)(v)
     case _ => false
   }
+
+  /** Every variable NAME appearing anywhere in the tree — pattern
+    * positions, expression references, AS targets, projection lists,
+    * group keys and aggregate output names, EXISTS interiors. A
+    * conservative superset used for fresh-name generation and
+    * rename-apart collision checks.
+    */
+  def allVars(gp: GraphPattern): Set[String] = {
+    def ev(e: Expr): Set[String] = e match {
+      case EVar(n) => Set(n)
+      case EFn(_, args @ _*) => args.flatMap(ev).toSet
+      case EExists(p, _) => allVars(p)
+      case _ => Set.empty
+    }
+    gp match {
+      case b: Bgp => inScopeVars(b)
+      case p: PathPattern => inScopeVars(p)
+      case v: ValuesPat => inScopeVars(v)
+      case Join(l, r) => allVars(l) ++ allVars(r)
+      case Lateral(l, r) => allVars(l) ++ allVars(r)
+      case Union(l, r) => allVars(l) ++ allVars(r)
+      case Minus(l, r) => allVars(l) ++ allVars(r)
+      case LeftJoin(l, r, f) =>
+        allVars(l) ++ allVars(r) ++ f.toSeq.flatMap(ev)
+      case Filter(e, i) => ev(e) ++ allVars(i)
+      case Extend(i, v, e) => allVars(i) ++ ev(e) + v
+      case Project(i, vs) => allVars(i) ++ vs
+      case Distinct(i) => allVars(i)
+      case Reduced(i) => allVars(i)
+      case Slice(i, _, _) => allVars(i)
+      case OrderBy(i, ks) => allVars(i) ++ ks.flatMap(k => ev(k._1))
+      case Group(i, keys, aggs) => allVars(i) ++ keys ++ aggs.map(_._1) ++
+        aggs.flatMap(a => a._2.expr.toSeq.flatMap(ev)) ++
+        aggs.flatMap(a => a._2.orderBy.flatMap(k => ev(k._1)))
+      case GraphPat(name, i) => vars(name) ++ allVars(i)
+      case Service(name, i, _) => vars(name) ++ allVars(i)
+    }
+  }
+
+  /** Homomorphic variable rename over a pattern tree: every occurrence
+    * of a name in `m`'s domain — pattern positions (including inside
+    * quoted-triple patterns), expression references, AS targets,
+    * projection lists, group keys/aggregate names, EXISTS interiors —
+    * is replaced. Used by the EXISTS rename-apart rule (§18.6:
+    * subselect-hidden variables are fresh, never correlated).
+    */
+  def renameVars(gp: GraphPattern, m: Map[String, String]): GraphPattern = {
+    def rn(n: String): String = m.getOrElse(n, n)
+    def rt(tp: TermPat): TermPat = tp match {
+      case V(n) => V(rn(n))
+      case Q(s, p, o) => Q(rt(s), rt(p), rt(o))
+      case other => other
+    }
+    def rtp(tp: TriplePattern): TriplePattern =
+      TriplePattern(rt(tp.s), rt(tp.p), rt(tp.o))
+    def re(e: Expr): Expr = e match {
+      case EVar(n) => EVar(rn(n))
+      case EFn(name, args @ _*) => EFn(name, args.map(re): _*)
+      case EExists(p, pos) => EExists(renameVars(p, m), pos)
+      case other => other
+    }
+    gp match {
+      case Bgp(ps @ _*) => Bgp(ps.map(rtp): _*)
+      case PathPattern(s, path, o) => PathPattern(rt(s), path, rt(o))
+      case Join(l, r) => Join(renameVars(l, m), renameVars(r, m))
+      case Lateral(l, r) => Lateral(renameVars(l, m), renameVars(r, m))
+      case Union(l, r) => Union(renameVars(l, m), renameVars(r, m))
+      case Minus(l, r) => Minus(renameVars(l, m), renameVars(r, m))
+      case LeftJoin(l, r, f) =>
+        LeftJoin(renameVars(l, m), renameVars(r, m), f.map(re))
+      case Filter(e, i) => Filter(re(e), renameVars(i, m))
+      case Extend(i, v, e) => Extend(renameVars(i, m), rn(v), re(e))
+      case Project(i, vs) => Project(renameVars(i, m), vs.map(rn))
+      case Distinct(i) => Distinct(renameVars(i, m))
+      case Reduced(i) => Reduced(renameVars(i, m))
+      case Slice(i, off, lim) => Slice(renameVars(i, m), off, lim)
+      case OrderBy(i, ks) =>
+        OrderBy(renameVars(i, m), ks.map(k => (re(k._1), k._2)))
+      case Group(i, keys, aggs) => Group(renameVars(i, m), keys.map(rn),
+        aggs.map { case (n, a) => (rn(n), a.copy(
+          expr = a.expr.map(re),
+          orderBy = a.orderBy.map(k => (re(k._1), k._2))))
+        })
+      case ValuesPat(vs, rows) => ValuesPat(vs.map(rn), rows)
+      case GraphPat(name, i) => GraphPat(rt(name), renameVars(i, m))
+      case Service(name, i, s) => Service(rt(name), renameVars(i, m), s)
+    }
+  }
 }

@@ -332,11 +332,14 @@ object Translator {
         val (i2, up0, hv) = hoist(i, lVars)
         val scope = inScopeVars(i) -- hv
         val (exs, scalars) = splitConjuncts(e)
+        // EXISTS-bearing scalars never hoist: a hoisted conjunct is
+        // compiled directly (no mark-join rewrite), so they stay put
+        // and lateralJoinSafe/existsSemi decide their routing
         val (up, stay) = scalars.partition { s =>
           val vs = exprVars(s)
-          (vs & hv).nonEmpty ||
+          !hasExists(s) && ((vs & hv).nonEmpty ||
             (!(vs & lVars).subsetOf(scope) &&
-              (vs -- lVars).subsetOf(scope ++ hv))
+              (vs -- lVars).subsetOf(scope ++ hv)))
         }
         val keep: Seq[Expr] = exs ++ stay
         val rebuilt =
@@ -354,7 +357,8 @@ object Translator {
         val vs = exprVars(ex)
         val correlated = (vs & hv).nonEmpty ||
           !(vs & lVars).subsetOf(inScopeVars(i) -- hv)
-        if (correlated && !lVars(v)) (i2, u :+ HExt(v, ex), hv + v)
+        if (correlated && !lVars(v) && !hasExists(ex))
+          (i2, u :+ HExt(v, ex), hv + v)
         else (Extend(i2, v, ex), u, hv)
       case other => (other, Nil, Set.empty[String])
     }
@@ -385,42 +389,126 @@ object Translator {
     case other => inScopeVars(other) // Bgp, PathPattern, ValuesPat
   }
 
-  /** Vars a pattern references in EXPRESSION position within its own
-    * scope: subselect interiors (Project shells) are scope boundaries
-    * and contribute nothing; a nested EXISTS contributes its pattern
-    * scope plus its own expression refs (it would need the same
-    * correlation one level deeper). Used by markExists to detect
-    * expression-only correlation the semi-join cannot see.
+  /** Every variable §18.6 `Substitute` can reach inside a pattern —
+    * all pattern positions (including MINUS right sides, which bind
+    * nothing in-scope but ARE substituted into) plus every expression
+    * position, recursing through nested EXISTS. The `renameApart` flag
+    * selects the subselect rule: EXISTS renames hidden subselect
+    * variables apart (a var bound inside a `SELECT` but not projected
+    * is a fresh variable — locked by exists-subselect-hidden), so the
+    * Project case discounts them; LATERAL's locked subselect-shell
+    * rule instead descends, so hidden vars still count. AS positions
+    * (BIND targets, aggregate output names) are never substituted and
+    * are excluded — for EXISTS nonemptiness the compatible-join merge
+    * is equivalent either way.
     */
-  private def scopedExprRefs(gp: GraphPattern): Set[String] = {
+  private def substRefs(gp: GraphPattern, renameApart: Boolean)
+      : Set[String] = {
     def refs(e: Expr): Set[String] = e match {
       case EVar(n) => Set(n)
       case EFn(_, args @ _*) => args.flatMap(refs).toSet
-      case EExists(p, _) => inScopeVars(p) ++ scopedExprRefs(p)
+      // EXISTS interiors always use the EXISTS rule for THEIR
+      // subselects, wherever the enclosing pattern sits
+      case EExists(p, _) => substRefs(p, renameApart = true)
       case _ => Set.empty
     }
     gp match {
-      case Project(_, _) => Set.empty // subselect: interior vars hidden
-      case Filter(e, i) => refs(e) ++ scopedExprRefs(i)
-      case Extend(i, _, ex) => refs(ex) ++ scopedExprRefs(i)
-      case Join(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
-      case Lateral(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
-      case Union(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
-      case Minus(a, b) => scopedExprRefs(a) ++ scopedExprRefs(b)
-      case LeftJoin(a, b, f) => scopedExprRefs(a) ++ scopedExprRefs(b) ++
-        f.toSeq.flatMap(refs).toSet
-      case GraphPat(_, i) => scopedExprRefs(i)
-      case OrderBy(i, keys) =>
-        keys.flatMap(k => refs(k._1)).toSet ++ scopedExprRefs(i)
-      case Slice(i, _, _) => scopedExprRefs(i)
-      case Distinct(i) => scopedExprRefs(i)
-      case Reduced(i) => scopedExprRefs(i)
-      case Group(i, _, aggs) =>
-        aggs.flatMap(_._2.expr.toSeq.flatMap(refs)).toSet ++
-          aggs.flatMap(_._2.orderBy.flatMap(k => refs(k._1))).toSet ++
-          scopedExprRefs(i)
-      case _ => Set.empty
+      case b: Bgp => inScopeVars(b)
+      case p: PathPattern => inScopeVars(p)
+      case v: ValuesPat => inScopeVars(v)
+      case Join(l, r) => substRefs(l, renameApart) ++ substRefs(r, renameApart)
+      case Lateral(l, r) =>
+        substRefs(l, renameApart) ++ substRefs(r, renameApart)
+      case Union(l, r) =>
+        substRefs(l, renameApart) ++ substRefs(r, renameApart)
+      case Minus(l, r) =>
+        substRefs(l, renameApart) ++ substRefs(r, renameApart)
+      case LeftJoin(l, r, f) => substRefs(l, renameApart) ++
+        substRefs(r, renameApart) ++ f.toSeq.flatMap(refs)
+      case Filter(e, i) => refs(e) ++ substRefs(i, renameApart)
+      case Extend(i, _, ex) => substRefs(i, renameApart) ++ refs(ex)
+      case Project(i, vs) =>
+        val inner = substRefs(i, renameApart)
+        if (renameApart) inner -- (inScopeVars(i) -- vs) else inner
+      case Distinct(i) => substRefs(i, renameApart)
+      case Reduced(i) => substRefs(i, renameApart)
+      case Slice(i, _, _) => substRefs(i, renameApart)
+      case OrderBy(i, ks) =>
+        substRefs(i, renameApart) ++ ks.flatMap(k => refs(k._1))
+      case Group(i, _, aggs) => substRefs(i, renameApart) ++
+        aggs.flatMap(a => a._2.expr.toSeq.flatMap(refs)) ++
+        aggs.flatMap(a => a._2.orderBy.flatMap(k => refs(k._1)))
+      case GraphPat(name, i) => vars(name) ++ substRefs(i, renameApart)
+      case Service(name, i, _) => vars(name) ++ substRefs(i, renameApart)
     }
+  }
+
+  /** Outer vars an EXISTS pattern correlates on, under the §18.6
+    * rename-apart rule for subselect-hidden variables.
+    */
+  private def existsRefs(p: GraphPattern, outer: Set[String]): Set[String] =
+    substRefs(p, renameApart = true) & outer
+
+  /** Expression-level variant of [[existsRefs]] for scalar conjuncts
+    * that carry nested EXISTS (`?x || EXISTS{…}`).
+    */
+  private def exprExistsRefs(e: Expr): Set[String] = e match {
+    case EVar(n) => Set(n)
+    case EFn(_, args @ _*) => args.flatMap(exprExistsRefs).toSet
+    case EExists(p, _) => substRefs(p, renameApart = true)
+    case _ => Set.empty
+  }
+
+  /** §18.6 rename-apart: alpha-rename, inside every subselect interior
+    * of an EXISTS pattern, the variables that are bound there but NOT
+    * projected AND collide with an outer name — they are fresh
+    * variables, so per-binding evaluation (which descends through
+    * projections) must not correlate them. Bottom-up so nested
+    * subselects rename first.
+    */
+  private def renameHidden(gp: GraphPattern, outer: Set[String])
+      : GraphPattern = {
+    var n = 0
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= allVars(gp) ++= outer
+    def fresh(v: String): String = {
+      var c = s"__ra${n}_$v"; n += 1
+      while (taken(c)) { c = s"__ra${n}_$v"; n += 1 }
+      taken += c; c
+    }
+    def walkExpr(e: Expr): Expr = e match {
+      case EFn(name, args @ _*) => EFn(name, args.map(walkExpr): _*)
+      case EExists(p, pos) => EExists(walk(p), pos)
+      case other => other
+    }
+    def walk(p: GraphPattern): GraphPattern = p match {
+      case Project(i, vs) =>
+        val i1 = walk(i)
+        val hidden = (inScopeVars(i1) -- vs) & outer
+        val m = hidden.map(v => v -> fresh(v)).toMap
+        Project(if (m.isEmpty) i1 else renameVars(i1, m), vs)
+      case Join(l, r) => Join(walk(l), walk(r))
+      case Lateral(l, r) => Lateral(walk(l), walk(r))
+      case Union(l, r) => Union(walk(l), walk(r))
+      case Minus(l, r) => Minus(walk(l), walk(r))
+      case LeftJoin(l, r, f) => LeftJoin(walk(l), walk(r), f.map(walkExpr))
+      case Filter(e, i) => Filter(walkExpr(e), walk(i))
+      case Extend(i, v, ex) => Extend(walk(i), v, walkExpr(ex))
+      case Distinct(i) => Distinct(walk(i))
+      case Reduced(i) => Reduced(walk(i))
+      case Slice(i, off, lim) => Slice(walk(i), off, lim)
+      case OrderBy(i, ks) =>
+        OrderBy(walk(i), ks.map(k => (walkExpr(k._1), k._2)))
+      case Group(i, keys, aggs) => Group(walk(i), keys,
+        aggs.map { case (nm, a) => (nm, a.copy(
+          expr = a.expr.map(walkExpr),
+          orderBy = a.orderBy.map(k => (walkExpr(k._1), k._2))))
+        })
+      case GraphPat(name, i) => GraphPat(name, walk(i))
+      case Service(name, i, s) => Service(name, walk(i), s)
+      case leaf => leaf
+    }
+    walk(gp)
   }
 
   private def checkNoDangling(gp: GraphPattern, hv: Set[String]): Unit = {
@@ -458,22 +546,30 @@ object Translator {
     * Anything else (per-binding aggregation, re-binding an outer var)
     * still throws rather than silently decorrelating.
     */
-  private def translateLateral(l: GraphPattern, r: GraphPattern,
-      src: QuadSource, ctx: GraphCtx): Sol = {
-    val lVars = inScopeVars(l)
-
+  /** Is `gp` "join-safe" under substitution from `lVars`: bottom-up
+    * evaluation plus an equi/compat join on the shared variables
+    * coincides with per-binding substitution (§18.5/§18.6). Shared by
+    * LATERAL and the EXISTS routing (existsSemi).
+    */
+  private def lateralJoinSafe(lVars: Set[String])
+      (gp0: GraphPattern): Boolean = {
     // A scalar filter conjunct is bottom-up-safe when every left var it
     // references is bound inside its own scope (join handles the
     // correlation), OR when it also references a non-left var its scope
     // does not bind — then it evaluates to error -> false under both
     // bottom-up and substitution semantics (unbound either way).
-    def scalarOk(s: Expr, scope: Set[String]): Boolean = {
-      val vs = exprVars(s)
-      (vs & lVars).subsetOf(scope) || !(vs -- lVars).subsetOf(scope)
-    }
+    // EXISTS never errors, so EXISTS-bearing conjuncts instead require
+    // every substitution-visible ref (incl. expression positions and
+    // MINUS right sides INSIDE the EXISTS) to be scope-bound.
+    def scalarOk(s: Expr, scope: Set[String]): Boolean =
+      if (hasExists(s)) (exprExistsRefs(s) & lVars).subsetOf(scope)
+      else {
+        val vs = exprVars(s)
+        (vs & lVars).subsetOf(scope) || !(vs -- lVars).subsetOf(scope)
+      }
     def filterOk(e: Expr, scope: Set[String]): Boolean = {
       val (exs, scalars) = splitConjuncts(e)
-      exs.forall(ex => (inScopeVars(ex.pattern) & lVars).subsetOf(scope)) &&
+      exs.forall(ex => existsRefs(ex.pattern, lVars).subsetOf(scope)) &&
         scalars.forall(scalarOk(_, scope))
     }
     def joinSafe(gp: GraphPattern): Boolean = gp match {
@@ -482,13 +578,14 @@ object Translator {
       case Lateral(a, b) => joinSafe(a) && joinSafe(b)
       case Filter(e, i) => joinSafe(i) && filterOk(e, inScopeVars(i))
       case Extend(i, v, ex) => joinSafe(i) && !lVars(v) &&
-        (exprVars(ex) & lVars).subsetOf(inScopeVars(i))
+        ((if (hasExists(ex)) exprExistsRefs(ex) else exprVars(ex)) &
+          lVars).subsetOf(inScopeVars(i))
       case Union(a, b) => joinSafe(a) && joinSafe(b)
       case GraphPat(_, i) => joinSafe(i)
       case LeftJoin(a, b, filt) => joinSafe(a) && joinSafe(b) &&
         (inScopeVars(b) & lVars).subsetOf(inScopeVars(a)) &&
         filt.forall(f => scalarOk(f, inScopeVars(a) ++ inScopeVars(b)))
-      case Minus(a, b) => joinSafe(a) && {
+      case Minus(a, b) => joinSafe(a) && minusSideSafe(b) && {
         val bl = inScopeVars(b) & lVars
         bl.subsetOf(inScopeVars(a)) && {
           // §18.5 over σ-domains: substituted (outer) vars do not count
@@ -500,7 +597,7 @@ object Translator {
           // (a sometimes-unbound substituted var in `a` is vacuously
           // compatible with ANY `b` value bottom-up, where substitution
           // pins it to the outer constant). Otherwise the per-binding
-          // rewrite below handles the overlap per row.
+          // rewrite handles the overlap per row.
           val live = (inScopeVars(a) & inScopeVars(b)) -- lVars
           bl.isEmpty ||
             (live.nonEmpty &&
@@ -510,6 +607,33 @@ object Translator {
       }
       case _ => false
     }
+    // Inside a MINUS right side, nothing bottom-up pins a left var
+    // except the anti-join's compat on scope-bound pattern vars — so a
+    // left-var ref is only safe as a pattern var in a monotone
+    // position. Expression refs, inner MINUS right sides, EXISTS
+    // interiors and anything non-monotone route to per-binding when
+    // they touch lVars.
+    def minusSideSafe(gp: GraphPattern): Boolean = gp match {
+      case _: Bgp | _: PathPattern | _: ValuesPat => true
+      case Join(x, y) => minusSideSafe(x) && minusSideSafe(y)
+      case Union(x, y) => minusSideSafe(x) && minusSideSafe(y)
+      case GraphPat(_, i) => minusSideSafe(i)
+      case Filter(e, i) => minusSideSafe(i) &&
+        (exprExistsRefs(e) & lVars).isEmpty
+      case Extend(i, v, ex) => minusSideSafe(i) && !lVars(v) &&
+        (exprExistsRefs(ex) & lVars).isEmpty
+      case Minus(x, y) => minusSideSafe(x) &&
+        (substRefs(y, renameApart = false) & lVars).isEmpty
+      case other =>
+        (substRefs(other, renameApart = false) & lVars).isEmpty
+    }
+    joinSafe(gp0)
+  }
+
+  private def translateLateral(l: GraphPattern, r: GraphPattern,
+      src: QuadSource, ctx: GraphCtx): Sol = {
+    val lVars = inScopeVars(l)
+    def joinSafe(gp: GraphPattern): Boolean = lateralJoinSafe(lVars)(gp)
 
     // Correlated scalar filter conjuncts AND correlated BINDs in
     // conjunctive position (Filter/Extend over Join/Extend/Lateral
@@ -645,6 +769,69 @@ object Translator {
     val ls = Sol(ls0.df.withColumn("__lid", monotonically_increasing_id()),
       ls0.vars + "__lid", ls0.sure + "__lid")
 
+    val pb = new PerBinding(ls, lVars, ls0.sure, src)
+
+    val (joined0, rsVars): (Sol, Set[String]) =
+      if (joinSafe(nodeH)) {
+        val rs = translate(nodeH, src, ctx)
+        (joinSols(ls, rs, "inner"), rs.vars)
+      } else (pb.perBinding(nodeH, ctx), inScopeVars(nodeH))
+    val joined = applyHoisted(applyExtends(joined0), nUp)
+    var df = joined.df
+    if (distinct) {
+      val dCols = ("__lid" +: proj.getOrElse(
+        (rsVars ++ shellExtends.map(_._1)).toSeq)
+        .filter(joined.vars)).distinct
+      df = df.dropDuplicates(dCols)
+    }
+    if (hasSlice) {
+      import org.apache.spark.sql.expressions.Window
+      val sortCols =
+        if (orderKeys.nonEmpty) orderKeys.map { case (e, asc) =>
+          val k = sortKey(SparqlExpr.compile(e, joined.bind))
+          if (asc) k.asc else k.desc
+        }
+        else (joined.vars -- ls.vars).toSeq.sorted.map(v => sortKey(col(v)).asc)
+      val w = Window.partitionBy(col("__lid")).orderBy(sortCols: _*)
+      df = df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") > offset &&
+          (if (limit >= 0) col("__rn") <= offset + limit else lit(true)))
+        .drop("__rn")
+    }
+    // the peeled projection hides pattern vars; ones the left binds
+    // only SOMETIMES revert to the outer value in the merged solution
+    val hidden = proj.map(p => ((ls0.vars & rsVars) -- p.toSet)
+      .filterNot(ls0.sure).toSeq.sorted).getOrElse(Nil)
+    val df2 = pb.restoreOuter(df, hidden)
+    val outVars = ls0.vars ++ proj.map(_.toSet)
+      .getOrElse(rsVars ++ shellExtends.map(_._1))
+    Sol(df2.select(outVars.toSeq.sorted.map(v =>
+      (if (joined.vars(v)) col(v) else nullTerm).as(v)): _*),
+      outVars, (joined.sure & outVars) -- hidden)
+  }
+
+  /** Per-binding (§18.5 substitution) evaluation engine, shared by
+    * correlated LATERAL and correlated EXISTS (existsSemi/existsHits).
+    * `ls` is the outer solution tagged with a unique `__lid` row id
+    * (riding in `vars` so every join keeps it), `lVars` the
+    * substitution domain (the outer in-scope vars), `sure0` the outer
+    * sure-bound set without the tag.
+    *
+    * Join-safe cores hoist their correlated conjuncts and inner-join
+    * the left (substitution = join for those shapes); σ distributes
+    * over LeftJoin / Minus / Union / Filter / Group / Slice / Project,
+    * so cross-correlated shapes RECURSE on both sides and recombine
+    * __lid-keyed — every per-binding scope stays separate while each
+    * combine is one hash-joinable shuffle. An UNCORRELATED subtree
+    * (no σ-visible outer refs) evaluates standalone once and joins —
+    * translate handles shapes with no σ arm. Anything else throws
+    * rather than silently decorrelating.
+    */
+  private final class PerBinding(ls: Sol, lVars: Set[String],
+      sure0: Set[String], src: QuadSource) {
+    private def joinSafe(gp: GraphPattern): Boolean =
+      lateralJoinSafe(lVars)(gp)
+
     /** Projection-hidden vars that the right side binds and the left
       * sometimes does NOT bind: the projection hides the PATTERN
       * binding, so the merged solution reverts to the OUTER value
@@ -662,20 +849,16 @@ object Translator {
         }
       }
 
-    /** Per-binding evaluation of a subpattern under substitution
-      * semantics. Join-safe cores hoist their correlated conjuncts and
-      * inner-join the left (substitution = join for those shapes);
-      * σ distributes over LeftJoin / Minus / Union, so cross-correlated
-      * shapes RECURSE on both sides and recombine __lid-keyed — every
-      * per-binding scope stays separate while each combine is one
-      * hash-joinable shuffle. Anything else (e.g. re-binding an outer
-      * var) throws rather than silently decorrelating.
-      */
     def perBinding(p: GraphPattern, pctx: GraphCtx): Sol = {
       val (pH, pUp, pHv) = hoist(p, lVars)
       checkNoDangling(pH, pHv)
       val core: Sol =
-        if (joinSafe(pH)) joinSols(ls, translate(pH, src, pctx), "inner")
+        if (joinSafe(pH) ||
+            // uncorrelated subtree: σ touches nothing inside it, so one
+            // standalone evaluation paired with every left row IS the
+            // per-binding semantics (and covers shapes with no σ arm)
+            (substRefs(pH, renameApart = false) & lVars).isEmpty)
+          joinSols(ls, translate(pH, src, pctx), "inner")
         else pH match {
           // a named-graph wrapper around an unsafe core: σ evaluates
           // the core against that graph — recurse with FixedG.
@@ -701,7 +884,8 @@ object Translator {
           // LeftJoin(σA, σB, σF) — evaluate BOTH sides per binding and
           // left-outer join them (shared __lid + left vars + a/b vars).
           case LeftJoin(a0, b0, filt) =>
-            joinSols(perBinding(a0, pctx), perBinding(b0, pctx), "left_outer",
+            joinSols(perBinding(a0, pctx), perBinding(b0, pctx),
+              "left_outer",
               filt.map(f => (bind: String => Option[Column]) =>
                 SparqlExpr.compileBool(f, bind)))
           // Cross-correlated MINUS: σ(Minus(A,B),μ) = Minus(σA,σB) with
@@ -719,7 +903,7 @@ object Translator {
             val B = perBinding(b0, pctx)
             val sharedAB = inScopeVars(a0) & inScopeVars(b0)
             val leftShared = sharedAB & lVars
-            val maybe = (leftShared -- ls0.sure).toSeq.sorted
+            val maybe = (leftShared -- sure0).toSeq.sorted
             val live = (sharedAB -- lVars).toSeq.sorted
             if (live.isEmpty && maybe.isEmpty) A
             else {
@@ -743,26 +927,28 @@ object Translator {
                 .drop(maybe.map("__ob_" + _): _*),
                 A.vars, A.sure, A.cls)
             }
-          // Cross-correlated FILTER (NOT) EXISTS: the EXISTS pattern
-          // evaluates under the current solution substituted (§18.6),
-          // so evaluate it per binding too (recursion) and semi/anti
-          // join __lid-keyed — the same compatible-mapping treatment
-          // the bottom-up Filter case uses, restricted per binding.
-          // Scalar conjuncts compile over the combined row (left vars
-          // present = substitution).
+          // Cross-correlated FILTER: σ(Filter(F,P),μ) = Filter(σF,σP).
+          // EXISTS conjuncts route through existsSemi (per-binding
+          // substitution down to THIS row's full scope — outer vars
+          // AND pattern vars); EXISTS nested inside scalar conjuncts
+          // become mark-join markers; scalar conjuncts compile over the
+          // combined row (left vars present = substitution).
           case Filter(e, i0) =>
             val (existsConjs, scalarConjs) = splitConjuncts(e)
             val base = perBinding(i0, pctx)
             val afterExists = existsConjs.foldLeft(base) {
-              case (sol, EExists(p, pos)) =>
-                joinSols(sol, perBinding(p, pctx),
-                  if (pos) "left_semi" else "left_anti")
+              case (sol, EExists(pe, pos)) =>
+                existsSemi(sol, pe, pos, src, pctx)
             }
-            scalarConjs.foldLeft(afterExists) { (sol, ex) =>
+            val (marked, scalars2, aux) =
+              markExists(afterExists, scalarConjs, src, pctx)
+            val filtered = scalars2.foldLeft(marked) { (sol, ex) =>
               Sol(sol.df.where(coalesce(
                 SparqlExpr.compileBool(ex, sol.bind, sol.hint),
                 lit(false))), sol.vars, sol.sure, sol.cls)
             }
+            Sol(filtered.df.drop(aux: _*), afterExists.vars,
+              afterExists.sure, afterExists.cls)
           // Nested correlated AGGREGATE (a grouped subselect under a
           // correlated OPTIONAL/UNION branch): aggregate the
           // per-binding input per (__lid, left vars, group keys).
@@ -803,8 +989,8 @@ object Translator {
           // inside the recursion (e.g. a LIMIT subselect under a
           // correlated OPTIONAL branch).
           case Slice(inner0, off, lim) =>
-            val (core, keys, proj2, dist) = peelSliceShell(inner0)
-            val base = perBinding(core, pctx)
+            val (core2, keys, proj2, dist) = peelSliceShell(inner0)
+            val base = perBinding(core2, pctx)
             import org.apache.spark.sql.expressions.Window
             var df = base.df
             if (dist) {
@@ -814,7 +1000,7 @@ object Translator {
               df = df.dropDuplicates(dCols)
             }
             val sortCols =
-              if (keys.nonEmpty) sortColumns(base, core, keys)
+              if (keys.nonEmpty) sortColumns(base, core2, keys)
               else (base.vars -- ls.vars).toSeq.sorted
                 .map(v => sortKey(col(v)).asc)
             val w = Window.partitionBy(col("__lid")).orderBy(sortCols: _*)
@@ -824,8 +1010,8 @@ object Translator {
               .drop("__rn")
             proj2 match {
               case Some(vs) =>
-                val hidden = ((lVars & inScopeVars(core)) -- vs.toSet)
-                  .filterNot(ls0.sure).toSeq.sorted
+                val hidden = ((lVars & inScopeVars(core2)) -- vs.toSet)
+                  .filterNot(sure0).toSeq.sorted
                 val keepSet = base.vars & (vs.toSet ++ lVars + "__lid")
                 Sol(restoreOuter(df, hidden)
                   .select(keepSet.toSeq.sorted.map(col): _*),
@@ -840,11 +1026,13 @@ object Translator {
           // before the projection applies); the projection then hides
           // the non-projected pattern vars, with the outer vars and
           // the __lid tag riding along for the merge. Bag semantics:
-          // a column drop never changes multiplicity.
+          // a column drop never changes multiplicity. (EXISTS patterns
+          // rename THEIR hidden vars apart BEFORE reaching here —
+          // renameHidden — so this lateral rule stays locked.)
           case Project(i0, vs) =>
             val base = perBinding(i0, pctx)
             val hidden = ((lVars & inScopeVars(i0)) -- vs.toSet)
-              .filterNot(ls0.sure).toSeq.sorted
+              .filterNot(sure0).toSeq.sorted
             val keepSet = base.vars & (vs.toSet ++ lVars + "__lid")
             val keep = keepSet.toSeq.sorted
             Sol(restoreOuter(base.df, hidden).select(keep.map(col): _*),
@@ -866,12 +1054,17 @@ object Translator {
           // unsafe core nested under them still evaluates per binding.
           case Join(a0, b0) =>
             joinSols(perBinding(a0, pctx), perBinding(b0, pctx), "inner")
-          case Extend(i0, v, ex) if !lVars(v) =>
-            val base = perBinding(i0, pctx)
-            Sol(base.df.withColumn(v, SparqlExpr.compile(ex, base.bind)),
-              base.vars + v, base.sure,
-              SparqlExpr.exprClass(ex, base.hint)
-                .map(k => base.cls + (v -> k)).getOrElse(base.cls - v))
+          case Extend(i0, v, ex0) if !lVars(v) =>
+            val base0 = perBinding(i0, pctx)
+            // EXISTS as a value inside the BIND body → mark join first
+            val (base, Seq(ex), aux) =
+              markExists(base0, Seq(ex0), src, pctx)
+            Sol(base.df
+              .withColumn(v, SparqlExpr.compile(ex, base.bind))
+              .drop(aux: _*),
+              base0.vars + v, base0.sure,
+              SparqlExpr.exprClass(ex0, base0.hint)
+                .map(k => base0.cls + (v -> k)).getOrElse(base0.cls - v))
           // Extend RE-BINDING an outer var: substitution cannot touch
           // the AS position, so σμ(Extend(P,v,e)) = Extend(σμ(P),v,σμ(e))
           // binds v in a σ-domain that never contains it; LATERAL's
@@ -879,21 +1072,24 @@ object Translator {
           // re-bound value JOINS compatibly rather than replacing. An
           // erroring e leaves v unbound in the σ-solution, which merges
           // freely, keeping the outer value (error-as-unbound).
-          case Extend(i0, v, ex) =>
-            val base = perBinding(i0, pctx)
+          case Extend(i0, v, ex0) =>
+            val base0 = perBinding(i0, pctx)
+            val (base, Seq(ex), aux) =
+              markExists(base0, Seq(ex0), src, pctx)
             val value = SparqlExpr.compile(ex, base.bind)
             Sol(base.df
               .where(col(v).isNull || value.isNull || value === col(v))
-              .withColumn(v, coalesce(col(v), value)),
-              base.vars, base.sure, base.cls - v)
+              .withColumn(v, coalesce(col(v), value))
+              .drop(aux: _*),
+              base0.vars, base0.sure, base0.cls - v)
           // σ distributes over Union: evaluate each branch per binding
           // and bag-union with var padding (translate's Union shape).
           case Union(a0, b0) =>
             val A = perBinding(a0, pctx)
             val B = perBinding(b0, pctx)
-            val allVars = (A.vars ++ B.vars).toSeq.sorted
+            val allVs = (A.vars ++ B.vars).toSeq.sorted
             def pad(s: Sol): DataFrame =
-              s.df.select(allVars.map(v =>
+              s.df.select(allVs.map(v =>
                 (if (s.vars(v)) col(v) else nullTerm).as(v)): _*)
             val uCls = (A.cls.keySet ++ B.cls.keySet).flatMap { v =>
               (A.cls.get(v), B.cls.get(v)) match {
@@ -920,44 +1116,6 @@ object Translator {
         }
       applyHoisted(core, pUp)
     }
-
-    val (joined0, rsVars): (Sol, Set[String]) =
-      if (joinSafe(nodeH)) {
-        val rs = translate(nodeH, src, ctx)
-        (joinSols(ls, rs, "inner"), rs.vars)
-      } else (perBinding(nodeH, ctx), inScopeVars(nodeH))
-    val joined = applyHoisted(applyExtends(joined0), nUp)
-    var df = joined.df
-    if (distinct) {
-      val dCols = ("__lid" +: proj.getOrElse(
-        (rsVars ++ shellExtends.map(_._1)).toSeq)
-        .filter(joined.vars)).distinct
-      df = df.dropDuplicates(dCols)
-    }
-    if (hasSlice) {
-      import org.apache.spark.sql.expressions.Window
-      val sortCols =
-        if (orderKeys.nonEmpty) orderKeys.map { case (e, asc) =>
-          val k = sortKey(SparqlExpr.compile(e, joined.bind))
-          if (asc) k.asc else k.desc
-        }
-        else (joined.vars -- ls.vars).toSeq.sorted.map(v => sortKey(col(v)).asc)
-      val w = Window.partitionBy(col("__lid")).orderBy(sortCols: _*)
-      df = df.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") > offset &&
-          (if (limit >= 0) col("__rn") <= offset + limit else lit(true)))
-        .drop("__rn")
-    }
-    // the peeled projection hides pattern vars; ones the left binds
-    // only SOMETIMES revert to the outer value in the merged solution
-    val hidden = proj.map(p => ((ls0.vars & rsVars) -- p.toSet)
-      .filterNot(ls0.sure).toSeq.sorted).getOrElse(Nil)
-    val df2 = restoreOuter(df, hidden)
-    val outVars = ls0.vars ++ proj.map(_.toSet)
-      .getOrElse(rsVars ++ shellExtends.map(_._1))
-    Sol(df2.select(outVars.toSeq.sorted.map(v =>
-      (if (joined.vars(v)) col(v) else nullTerm).as(v)): _*),
-      outVars, (joined.sure & outVars) -- hidden)
   }
 
   /** Path pattern -> solution. Constant endpoints become closure seeds
@@ -1134,24 +1292,12 @@ object Translator {
         ls.sure & rs.sure, uCls)
 
     case Filter(expr, inner) =>
-      // EXISTS/NOT EXISTS conjuncts become semi/anti joins (SURVEY §2.3)
+      // EXISTS/NOT EXISTS conjuncts become semi/anti joins (SURVEY
+      // §2.3), routed per §18.6 substitution semantics by existsSemi
       val (existsConjs, scalarConjs) = splitConjuncts(expr)
       val in = translate(inner, src, ctx)
-      val afterExists = existsConjs.foldLeft(in) { case (sol, EExists(p, pos)) =>
-        if (existsExprFree(p, sol.vars).isEmpty)
-          joinSols(sol, translate(p, src, ctx),
-            if (pos) "left_semi" else "left_anti")
-        else {
-          // expression-only correlation: semi-join blind (see
-          // existsHits); mark per row id and semi/anti on it
-          val tagged =
-            sol.df.withColumn("__eid", monotonically_increasing_id())
-          val hits = existsHits(
-            Sol(tagged, sol.vars, sol.sure, sol.cls), "__eid", p, src, ctx)
-          Sol(tagged.join(hits, Seq("__eid"),
-            if (pos) "left_semi" else "left_anti").drop("__eid"),
-            sol.vars, sol.sure, sol.cls)
-        }
+      val afterExists = existsConjs.foldLeft(in) {
+        case (sol, EExists(p, pos)) => existsSemi(sol, p, pos, src, ctx)
       }
       // EXISTS nested INSIDE a scalar conjunct (e.g. `?x || EXISTS{…}`)
       // becomes a mark-join boolean variable first
@@ -1358,37 +1504,54 @@ object Translator {
     * Returns the marked Sol, the rewritten expressions, and the synthetic
     * columns to drop once the consumer has compiled them.
     */
-  /** Outer vars an EXISTS pattern references ONLY in expression
-    * position (BIND bodies, filters — not bound by its own patterns,
-    * not hidden inside subselects). The plain semi/anti join is blind
-    * to them: the standalone inner has no such column, so §18.5
-    * substitution demands hoisting those conjuncts and applying them
-    * POST-join (the LATERAL rewrite). */
-  private def existsExprFree(p: GraphPattern,
-      outerVars: Set[String]): Set[String] =
-    (scopedExprRefs(p) -- inScopeVars(p)) & outerVars
-
-  /** Row ids (unique `idCol` of `cur.df`) whose EXISTS evaluation of
-    * `p` under substitution is nonempty, for a pattern with
-    * expression-only correlation: hoist the correlated conjuncts,
-    * inner-join the decorrelated core, apply the conjuncts post-join.
-    * A shape whose correlation cannot hoist (under UNION/OPTIONAL arms
-    * it doesn't flow through, or a nested EXISTS) throws rather than
-    * silently decorrelating. */
+  /** Row ids (unique `idCol` column of `cur.df`, NOT in `cur.vars`)
+    * whose EXISTS evaluation of `p` under §18.6 substitution is
+    * nonempty: the id rides as the per-binding `__lid` tag and the
+    * FULL outer row is the substitution domain, so expression-position
+    * correlation, MINUS right sides, UNION/OPTIONAL arms and nested
+    * EXISTS all evaluate per binding (the LATERAL σ machinery).
+    * Callers rename-apart subselect-hidden vars first (renameHidden).
+    */
   private def existsHits(cur: Sol, idCol: String, p: GraphPattern,
       src: QuadSource, ctx: GraphCtx): DataFrame = {
-    val (pH, pUp, pHv) = hoist(p, cur.vars)
-    checkNoDangling(pH, pHv)
-    val remaining = (scopedExprRefs(pH) -- inScopeVars(pH)) &
-      (cur.vars -- pHv)
-    if (remaining.nonEmpty) throw new UnsupportedOperationException(
-      "correlated EXISTS: outer variable(s) " + remaining.mkString(", ") +
-        " are referenced in a position that cannot be hoisted post-join")
-    // the row id rides as a (never-shared) variable so the join's
-    // output projection keeps it
-    val curId = Sol(cur.df, cur.vars + idCol, cur.sure + idCol, cur.cls)
-    applyHoisted(joinSols(curId, translate(pH, src, ctx), "inner"), pUp)
-      .df.select(col(idCol)).distinct()
+    // an enclosing per-binding scope's __lid is just another outer var
+    // here — stash it under a fresh name so THIS evaluation owns the tag
+    val (df0, vars0, sure0) =
+      if (!cur.vars("__lid")) (cur.df, cur.vars, cur.sure)
+      else {
+        var k = 0
+        var nm = "__olid0"
+        while (cur.vars(nm)) { k += 1; nm = s"__olid$k" }
+        (cur.df.withColumnRenamed("__lid", nm),
+          cur.vars - "__lid" + nm,
+          if (cur.sure("__lid")) cur.sure - "__lid" + nm else cur.sure)
+      }
+    val ls = Sol(df0.withColumnRenamed(idCol, "__lid"),
+      vars0 + "__lid", sure0 + "__lid", cur.cls - "__lid")
+    new PerBinding(ls, vars0, sure0, src).perBinding(p, ctx)
+      .df.select(col("__lid").as(idCol)).distinct()
+  }
+
+  /** Filter `sol` by (NOT) EXISTS(p0) under §18.6 substitution:
+    * rename subselect-hidden vars apart, then pick the cheapest correct
+    * plan — a plain semi/anti join when the pattern is uncorrelated or
+    * its correlation coincides with the compat equi-join
+    * (lateralJoinSafe); otherwise tag row ids and evaluate per binding
+    * (existsHits). */
+  private def existsSemi(sol: Sol, p0: GraphPattern, pos: Boolean,
+      src: QuadSource, ctx: GraphCtx): Sol = {
+    val p = renameHidden(p0, sol.vars)
+    val jt = if (pos) "left_semi" else "left_anti"
+    if (existsRefs(p, sol.vars).isEmpty || lateralJoinSafe(sol.vars)(p))
+      joinSols(sol, translate(p, src, ctx), jt)
+    else {
+      val tagged = sol.df.withColumn("__eid",
+        monotonically_increasing_id())
+      val hits = existsHits(Sol(tagged, sol.vars, sol.sure, sol.cls),
+        "__eid", p, src, ctx)
+      Sol(tagged.join(hits, Seq("__eid"), jt).drop("__eid"),
+        sol.vars, sol.sure, sol.cls)
+    }
   }
 
   private def markExists(in0: Sol, exprs: Seq[Expr], src: QuadSource,
@@ -1403,10 +1566,12 @@ object Translator {
     val rewritten = exprs.map(strip)
     if (markers.isEmpty) return (in0, rewritten, Nil)
     var df = in0.df.withColumn("__mid", monotonically_increasing_id())
-    markers.foreach { case (m, EExists(p, pos)) =>
+    markers.foreach { case (m, EExists(p0, pos)) =>
       val cur = Sol(df, in0.vars, in0.sure, in0.cls)
+      val p = renameHidden(p0, in0.vars)
       val hits =
-        if (existsExprFree(p, in0.vars).isEmpty)
+        if (existsRefs(p, in0.vars).isEmpty ||
+            lateralJoinSafe(in0.vars)(p))
           joinSols(cur, translate(p, src, ctx), "left_semi").df
             .select(col("__mid"))
         else existsHits(cur, "__mid", p, src, ctx)

@@ -296,26 +296,43 @@ object RdfIO {
     * lib/oxrdfio · RdfSerializer). Triple formats (nt/ttl/rdf) take the
     * default-graph slice view of a quad frame; quad formats keep graphs.
     */
-  def write(quads: DataFrame, path: String, format: String): Unit = {
+  def write(quads: DataFrame, path: String, format: String): Unit =
+    write(quads, path, format, edition12 = false)
+
+  /** As [[write]]; `edition12 = true` selects the RDF 1.2 output
+    * edition for the line/Turtle family: quoted triples serialize as
+    * triple terms `<<( s p o )>>` (object position only — a quoted
+    * SUBJECT errors loudly, since 1.2 gives it no spelling).
+    */
+  def write(quads: DataFrame, path: String, format: String,
+      edition12: Boolean): Unit = {
     def triples =
       (if (quads.columns.contains("g"))
         quads.where(col("g")("kind") === Term.DefaultGraphKind)
       else quads).select("s", "p", "o")
+    def no12(fmt: String): Unit = if (edition12)
+      throw new IllegalArgumentException(
+        s"the RDF 1.2 output edition applies to nt/nq/ttl/trig, not $fmt")
     format.toLowerCase match {
       case "nt" | "ntriples" | "application/n-triples" =>
-        writeNTriples(triples, path)
-      case "nq" | "nquads" | "application/n-quads" => writeNQuads(quads, path)
+        writeNTriples(triples, path, edition12)
+      case "nq" | "nquads" | "application/n-quads" =>
+        writeNQuads(quads, path, edition12)
       case "ttl" | "turtle" | "text/turtle" =>
-        TurtleWriter.writeTurtle(triples, path)
-      case "trig" | "application/trig" => TurtleWriter.writeTriG(quads, path)
+        TurtleWriter.writeTurtle(triples, path, edition12 = edition12)
+      case "trig" | "application/trig" =>
+        TurtleWriter.writeTriG(quads, path, edition12 = edition12)
       case "rdf" | "rdfxml" | "application/rdf+xml" =>
-        RdfXmlWriter.write(triples, path)
-      case "jsonld" | "application/ld+json" => JsonLdWriter.write(
-        if (quads.columns.contains("g")) quads
-        else quads.withColumn("g", graft.model.Term.defaultGraph), path)
+        no12(format); RdfXmlWriter.write(triples, path)
+      case "jsonld" | "application/ld+json" =>
+        no12(format)
+        JsonLdWriter.write(
+          if (quads.columns.contains("g")) quads
+          else quads.withColumn("g", graft.model.Term.defaultGraph), path)
       // every Turtle document is a valid N3 document (N3 is a strict
       // superset), so the N3 sink is the Turtle serializer
-      case "n3" | "text/n3" => TurtleWriter.writeTurtle(triples, path)
+      case "n3" | "text/n3" =>
+        no12(format); TurtleWriter.writeTurtle(triples, path)
       case other => throw new IllegalArgumentException(
         s"unsupported RDF output format: $other " +
           "(supported: nt, nq, ttl, trig, rdf, jsonld, n3)")
@@ -327,31 +344,51 @@ object RdfIO {
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
 
-  /** Format one term column as its N-Triples token. */
-  def formatTerm(t: Column): Column =
+  /** Format one term column as its N-Triples token. With
+    * `edition12 = true` quoted triples render as RDF 1.2 triple terms
+    * `<<( s p o )>>` (recursively) instead of the CG-star `<< >>` lex.
+    */
+  def formatTerm(t: Column, edition12: Boolean = false): Column =
     when(t("kind") === Term.IriKind, concat(lit("<"), t("lex"), lit(">")))
       .when(t("kind") === Term.BlankKind, concat(lit("_:"), t("lex")))
       // quoted triple: lex already IS the canonical N-Triples-star token
-      .when(t("kind") === Term.QuotedKind, t("lex"))
+      .when(t("kind") === Term.QuotedKind,
+        if (edition12) graft.expr.TripleTermLex.convert(t("lex"))
+        else t("lex"))
       .otherwise(concat(lit("\""), escape(t("lex")), lit("\""),
         when(t("lang").isNotNull, concat(lit("@"), t("lang")))
           .when(t("dt").isNotNull && t("dt") =!= Term.XsdString,
             concat(lit("^^<"), t("dt"), lit(">")))
           .otherwise(lit(""))))
 
+  /** Subject token: under the 1.2 edition a quoted-triple SUBJECT has
+    * no spelling (triple terms are object-only by grammar) — loud
+    * error, the RDF/XML-writer precedent for inexpressible terms.
+    */
+  private def subjectTerm(t: Column, edition12: Boolean): Column =
+    if (!edition12) formatTerm(t)
+    else when(t("kind") === Term.QuotedKind, raise_error(concat(
+      lit("RDF 1.2 edition: a quoted triple in SUBJECT position has " +
+        "no triple-term spelling (object-only): "), t("lex"))))
+      .otherwise(formatTerm(t, edition12 = true))
+
   /** Serialize quads to N-Quads text (named graph appended when present). */
-  def writeNQuads(quads: DataFrame, path: String): Unit =
+  def writeNQuads(quads: DataFrame, path: String,
+      edition12: Boolean = false): Unit =
     quads.select(concat(
-      formatTerm(col("s")), lit(" "), formatTerm(col("p")), lit(" "),
-      formatTerm(col("o")),
+      subjectTerm(col("s"), edition12), lit(" "),
+      formatTerm(col("p")), lit(" "),
+      formatTerm(col("o"), edition12),
       when(col("g")("kind") === Term.DefaultGraphKind, lit(""))
         .otherwise(concat(lit(" "), formatTerm(col("g")))),
       lit(" .")).as("value"))
       .write.mode("overwrite").text(path)
 
-  def writeNTriples(triples: DataFrame, path: String): Unit =
+  def writeNTriples(triples: DataFrame, path: String,
+      edition12: Boolean = false): Unit =
     triples.select(concat(
-      formatTerm(col("s")), lit(" "), formatTerm(col("p")), lit(" "),
-      formatTerm(col("o")), lit(" .")).as("value"))
+      subjectTerm(col("s"), edition12), lit(" "),
+      formatTerm(col("p")), lit(" "),
+      formatTerm(col("o"), edition12), lit(" .")).as("value"))
       .write.mode("overwrite").text(path)
 }

@@ -54,8 +54,19 @@ object TurtleWriter {
     * predicate position, literal short forms left OFF (typed lexicals
     * always carry their datatype — lossless under every reader).
     */
+  /** Subject token under the RDF 1.2 edition: a quoted-triple SUBJECT
+    * has no 1.2 spelling (triple terms are object-only) — loud error.
+    */
+  private def subjTok(t: Column, prefixes: Seq[(String, String)],
+      edition12: Boolean): Column =
+    if (!edition12) ttlTerm(t, prefixes)
+    else when(t("kind") === Term.QuotedKind, raise_error(concat(
+      lit("RDF 1.2 edition: a quoted triple in SUBJECT position has " +
+        "no triple-term spelling (object-only): "), t("lex"))))
+      .otherwise(ttlTerm(t, prefixes, edition12 = true))
+
   private def ttlTerm(t: Column, prefixes: Seq[(String, String)],
-      predicatePos: Boolean = false): Column = {
+      predicatePos: Boolean = false, edition12: Boolean = false): Column = {
     val iriTok =
       coalesce(pname(t("lex"), prefixes),
         concat(lit("<"), t("lex"), lit(">")))
@@ -64,8 +75,11 @@ object TurtleWriter {
       else iriTok
     when(t("kind") === Term.IriKind, iri)
       .when(t("kind") === Term.BlankKind, concat(lit("_:"), t("lex")))
-      // quoted triple lexicals already ARE canonical Turtle-star tokens
-      .when(t("kind") === Term.QuotedKind, t("lex"))
+      // quoted triple lexicals already ARE canonical Turtle-star tokens;
+      // the 1.2 edition re-renders them as <<( … )>> triple terms
+      .when(t("kind") === Term.QuotedKind,
+        if (edition12) graft.expr.TripleTermLex.convert(t("lex"))
+        else t("lex"))
       .otherwise(concat(lit("\""), RdfIO.escape(t("lex")), lit("\""),
         when(t("lang").isNotNull, concat(lit("@"), t("lang")))
           .when(t("dt").isNotNull && t("dt") =!= Term.XsdString,
@@ -147,13 +161,18 @@ object TurtleWriter {
       }
   }
 
-  /** Serialize triples (s, p, o) as Turtle. */
+  /** Serialize triples (s, p, o) as Turtle. `edition12` renders quoted
+    * triples as RDF 1.2 triple terms (object-only; quoted subjects
+    * error loudly).
+    */
   def writeTurtle(triples: DataFrame, path: String,
-      prefixes: Seq[(String, String)] = DefaultPrefixes): Unit =
+      prefixes: Seq[(String, String)] = DefaultPrefixes,
+      edition12: Boolean = false): Unit =
     emit(triples.select(lit("").as("gt"),
-      ttlTerm(col("s"), prefixes).as("st"),
+      subjTok(col("s"), prefixes, edition12).as("st"),
       ttlTerm(col("p"), prefixes, predicatePos = true).as("pt"),
-      ttlTerm(col("o"), prefixes).as("ot")), prefixes, path)
+      ttlTerm(col("o"), prefixes, edition12 = edition12).as("ot")),
+      prefixes, path)
 
   /** Triples as ONE Turtle document string — protocol responses only
     * (interactive scale, driver-side by design); dataset-scale export
@@ -195,11 +214,13 @@ object TurtleWriter {
     * bare triples, named graphs GRAPH blocks.
     */
   def writeTriG(quads: DataFrame, path: String,
-      prefixes: Seq[(String, String)] = DefaultPrefixes): Unit =
+      prefixes: Seq[(String, String)] = DefaultPrefixes,
+      edition12: Boolean = false): Unit =
     emit(quads.select(
       when(col("g")("kind") === Term.DefaultGraphKind, lit(""))
         .otherwise(ttlTerm(col("g"), prefixes)).as("gt"),
-      ttlTerm(col("s"), prefixes).as("st"),
+      subjTok(col("s"), prefixes, edition12).as("st"),
       ttlTerm(col("p"), prefixes, predicatePos = true).as("pt"),
-      ttlTerm(col("o"), prefixes).as("ot")), prefixes, path)
+      ttlTerm(col("o"), prefixes, edition12 = edition12).as("ot")),
+      prefixes, path)
 }

@@ -52,6 +52,23 @@ object QuotedTriple {
       renderTerm(p.kind, p.lex, p.dt, p.lang) + " " +
       renderTerm(o.kind, o.lex, o.dt, o.lang) + " >>"
 
+  /** Re-render a canonical CG-star lex `<< s p o >>` as the RDF 1.2
+    * triple-term spelling `<<( s p o )>>`, recursing into nested quoted
+    * components (sparql12-query §4.2.3 / rdf12-concepts triple terms —
+    * both spellings denote the SAME term in this engine, so this is a
+    * serialization-edition concern only). Returns null on malformed
+    * input (unreachable for engine-produced lexicals).
+    */
+  def tripleTermLex(canonical: String): String = {
+    val parts = decode(canonical)
+    if (parts == null) return null
+    def tok(t: QTerm): String =
+      if (t.kind.toInt == Term.QuotedKind) tripleTermLex(t.lex)
+      else renderTerm(t.kind, t.lex, t.dt, t.lang)
+    "<<( " + tok(parts(0)) + " " + tok(parts(1)) + " " +
+      tok(parts(2)) + " )>>"
+  }
+
   /** Parse the canonical form back into its three components; returns
     * null on any shape violation (malformed input => SPARQL error).
     */

@@ -786,7 +786,17 @@ class DifferentialSpec extends AnyFunSuite {
 
   // ---- spark side ----------------------------------------------------
   private def quadsDf(data: Seq[(T, T, T)]) = {
-    def row(t: T): Row = Row(t._1.toByte, t._2, t._3, null)
+    // sentinel dt "@tag" = language-tagged string (the 3-tuple T has no
+    // lang slot): decodes to the engine's storage — combined tag in the
+    // lang slot, dt = rdf:langString / rdf:dirLangString for "--" tags
+    def row(t: T): Row = t match {
+      case (2, lex, dt) if dt != null && dt.startsWith("@") =>
+        val tag = dt.substring(1)
+        Row(2.toByte, lex,
+          if (tag.contains("--")) Term.RdfDirLangString
+          else Term.RdfLangString, tag)
+      case _ => Row(t._1.toByte, t._2, t._3, null)
+    }
     val dg = Row(Term.DefaultGraphKind.toByte, null, null, null)
     val rows = data.map { case (s, p, o) => Row(dg, row(s), row(p), row(o)) }
     spark.createDataFrame(
@@ -1194,21 +1204,23 @@ class DifferentialSpec extends AnyFunSuite {
       rows.mkString(", "))
   }
 
-  test("FILTER [NOT] EXISTS matches compatibility semantics on BGP " +
-      "inners") {
-    def compatible(a: Binding, b: Binding): Boolean =
-      (a.keySet & b.keySet).forall(v => a(v) == b(v))
-    // r11: inners widened beyond BGPs to Union/OPTIONAL/MINUS shapes —
-    // the semi/anti join must keep COMPATIBILITY semantics when the
-    // inner leaves shared vars unbound in some solutions
+  test("FILTER [NOT] EXISTS matches §18.6 substitution semantics " +
+      "over Union/OPTIONAL/MINUS inners") {
+    // r11s4: the model moved from join-compatibility to TRUE
+    // substitution (evalSubst from each outer row) — they coincide on
+    // monotone (BGP/Join/Union) inners, but diverge when the inner
+    // holds a MINUS right side or an OPTIONAL-only binding of an outer
+    // var: substitution pins the outer value INSIDE the inner (and a
+    // substituted var leaves the MINUS overlap domain), where the old
+    // semi-join only checked post-hoc compatibility. The engine routes
+    // those shapes through the per-binding rewrite (existsSemi).
     val genInnerShape: Gen[GraphPattern] =
       Gen.frequency(2 -> genBgp, 3 -> genPattern(1))
     val prop = Prop.forAllNoShrink(genData, genPattern(1), genInnerShape,
       Gen.oneOf(true, false)) { (data, outer, innerB, positive) =>
       val gp = Filter(EExists(innerB, positive), outer)
-      val innerSols = evalNaive(innerB, data)
       val expected = evalNaive(outer, data).filter { b =>
-        val ex = innerSols.exists(compatible(b, _))
+        val ex = evalSubst(innerB, data, b).nonEmpty
         if (positive) ex else !ex
       }.map(canon).sorted
       try {
@@ -1315,10 +1327,18 @@ class DifferentialSpec extends AnyFunSuite {
     // terms of different datatypes (int 1 vs decimal 1)
     val numericDts = Set(Term.XsdInteger, Term.XsdDecimal,
       Term.XsdFloat, Term.XsdDouble)
-    def ordKey(t: T): (Int, Double, String, String) = t match {
-      case (1, lex, _) => (1, Double.MaxValue, lex, "")
-      case (0, lex, _) => (2, Double.MaxValue, lex, "")
-      case (2, lex, dt) if numericDts(dt) => (3, lex.toDouble, lex, dt)
+    // the 5th slot mirrors sortKey's final lang tiebreak; the sentinel
+    // "@tag" dt (see quadsDf) expands to the engine's stored
+    // (dt = rdf:(dir)langString, lang = tag) pair
+    def ordKey(t: T): (Int, Double, String, String, String) = t match {
+      case (1, lex, _) => (1, Double.MaxValue, lex, "", "")
+      case (0, lex, _) => (2, Double.MaxValue, lex, "", "")
+      case (2, lex, dt) if dt != null && dt.startsWith("@") =>
+        val tag = dt.substring(1)
+        (3, Double.MaxValue, lex,
+          if (tag.contains("--")) Term.RdfDirLangString
+          else Term.RdfLangString, tag)
+      case (2, lex, dt) if numericDts(dt) => (3, lex.toDouble, lex, dt, "")
       case (2, lex, dt) if dt == Term.XsdDateTime =>
         // sortKey ranks temporals at unix_timestamp SECOND granularity,
         // offsets normalized to UTC; a NAIVE dateTime reads as UTC (the
@@ -1331,18 +1351,18 @@ class DifferentialSpec extends AnyFunSuite {
             java.time.LocalDateTime.parse(lex)
               .toEpochSecond(java.time.ZoneOffset.UTC)
         }
-        (3, epoch.toDouble, lex, dt)
+        (3, epoch.toDouble, lex, dt, "")
       case (2, lex, dt) if dt == Term.XsdDate =>
         // tsVal: a date ranks at its midnight instant
         (3, java.time.LocalDate.parse(lex).atStartOfDay
-          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt)
+          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt, "")
       case (2, lex, dt) if dt == Term.XsdTime =>
         // tsVal anchors times on 1972-12-31 (a leap year's last day)
         (3, java.time.LocalDateTime.parse(s"1972-12-31T$lex")
-          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt)
+          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt, "")
       case (2, lex, dt) if dt == Term.XsdGYear =>
         (3, java.time.LocalDate.parse(s"$lex-01-01").atStartOfDay
-          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt)
+          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble, lex, dt, "")
       case (2, lex, dt) if dt == Term.XsdDayTimeDuration =>
         // sortKey ranks dayTimeDurations by signed seconds (durDtSecs:
         // D from the date part, H/M/S from the time part)
@@ -1356,9 +1376,9 @@ class DifferentialSpec extends AnyFunSuite {
         val secs = sign * (comp(datePart, "(\\d+)D") * 86400L +
           comp(timePart, "(\\d+)H") * 3600L +
           comp(timePart, "(\\d+)M") * 60L + comp(timePart, "(\\d+)S"))
-        (3, secs.toDouble, lex, dt)
-      case (2, lex, dt) => (3, Double.MaxValue, lex, dt)
-      case (k, lex, _) => (4 + k, Double.MaxValue, lex, "")
+        (3, secs.toDouble, lex, dt, "")
+      case (2, lex, dt) => (3, Double.MaxValue, lex, dt, "")
+      case (k, lex, _) => (4 + k, Double.MaxValue, lex, "", "")
     }
     implicit val ordT: Ordering[T] = Ordering.by(ordKey)
     def naiveAgg(group: Seq[Binding], call: AggCall,
@@ -1426,10 +1446,11 @@ class DifferentialSpec extends AnyFunSuite {
           val (we, asc) = call.orderBy.head
           val wn = we match {
             case EVar(x) => x; case other => fail(s"gc key: $other") }
-          def key(k: Option[T]): (Int, Double, String, String) =
-            k.map(ordKey).getOrElse((0, Double.MaxValue, "", ""))
+          def key(k: Option[T]): (Int, Double, String, String, String) =
+            k.map(ordKey).getOrElse((0, Double.MaxValue, "", "", ""))
           val elems = group.flatMap(b => b.get(vn).map(t => (t._2, b.get(wn))))
-          val ord = implicitly[Ordering[(Int, Double, String, String)]]
+          val ord =
+            implicitly[Ordering[(Int, Double, String, String, String)]]
           val sorted = elems.sortWith { case ((l1, k1), (l2, k2)) =>
             val (a, b2) = (key(k1), key(k2))
             if (a != b2) { if (asc) ord.lt(a, b2) else ord.gt(a, b2) }
@@ -1492,6 +1513,15 @@ class DifferentialSpec extends AnyFunSuite {
       1 -> Gen.oneOf("2.5", "-0.5", "4.0").map(l =>
         (2, l, Term.XsdDouble)),
       1 -> Gen.oneOf("1.5", "3.0").map(l => (2, l, Term.XsdFloat)),
+      // language-tagged strings incl. RDF 1.2 directional tags (r11s4,
+      // closing the dirLang aggregate blind spot): non-numeric for
+      // SUM/AVG (error), lang is the LAST sortKey tiebreak for
+      // MIN/MAX/SAMPLE and GROUP_CONCAT element order, and COUNT
+      // DISTINCT must keep "a"@en / "a"@fr / "a"@en--ltr / "a" apart
+      2 -> (for { l <- Gen.oneOf("a", "b", "c")
+                  tag <- Gen.oneOf("@en", "@fr", "@en-gb",
+                    "@en--ltr", "@ar--rtl") }
+        yield (2, l, tag): T),
       // temporals: non-numeric for SUM/AVG (error), value-ranked for
       // MIN/MAX/SAMPLE and GROUP_CONCAT element order. Mixed timezone
       // presence (r11): Z, positive/negative offsets, and NAIVE values
@@ -1542,8 +1572,12 @@ class DifferentialSpec extends AnyFunSuite {
         val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
         val got = df.collect().toSeq.map { r =>
           (keys ++ aggs.map(_._1)).flatMap { v =>
+            // lang-tagged rows canonicalize back to the sentinel form
             Option(r.getAs[Row](v)).map(t =>
-              s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+              if (t.getString(3) != null)
+                s"$v=${t.getByte(0)}:${t.getString(1)}:@${t.getString(3)}"
+              else
+                s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
           }.mkString("|")
         }.sorted
         if (got != expected)
@@ -1589,8 +1623,12 @@ class DifferentialSpec extends AnyFunSuite {
         val got = df.collect().toSeq.map { r =>
           outVars.flatMap { v =>
             if (!df.columns.contains(v)) None
+            // lang-tagged rows canonicalize back to the sentinel form
             else Option(r.getAs[Row](v)).map(t =>
-              s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+              if (t.getString(3) != null)
+                s"$v=${t.getByte(0)}:${t.getString(1)}:@${t.getString(3)}"
+              else
+                s"$v=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
           }.mkString("|")
         }.sorted
         if (got != expected)

@@ -24,6 +24,62 @@ class RdfIOSpec extends AnyFunSuite {
     assert(nq.g.lex == "http://e/g")
   }
 
+  test("RDF 1.2 output edition: quoted terms serialize as <<( )>> " +
+      "triple terms, roundtrip losslessly, quoted subjects error") {
+    import graft.model.QuotedTriple
+    // lex conversion, incl. a nested quoted component
+    assert(QuotedTriple.tripleTermLex(
+      """<< <http://x/s> <http://x/p> "v" >>""") ==
+      """<<( <http://x/s> <http://x/p> "v" )>>""")
+    assert(QuotedTriple.tripleTermLex(
+      "<< <http://x/s> <http://x/p> << <http://x/a> <http://x/b> " +
+        "<http://x/c> >> >>") ==
+      "<<( <http://x/s> <http://x/p> <<( <http://x/a> <http://x/b> " +
+        "<http://x/c> )>> )>>")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ed12")
+    java.nio.file.Files.writeString(dir.resolve("in.nt"),
+      """<http://x/r> <http://x/reifies> << <http://x/s> <http://x/p> "v" >> .
+        |<http://x/r> <http://x/q> << <http://x/s> <http://x/p> << <http://x/a> <http://x/b> <http://x/c> >> >> .
+        |<http://x/plain> <http://x/p> "w" .
+        |""".stripMargin)
+    val quads = RdfIO.read(spark, dir.resolve("in.nt").toString, "nt")
+    for (fmt <- Seq("nt", "ttl", "trig", "nq")) {
+      val out = dir.resolve(s"out_$fmt").toString
+      RdfIO.write(quads, out, fmt, edition12 = true)
+      val text = spark.read.text(out).collect().map(_.getString(0))
+        .mkString("\n")
+      assert(text.contains("<<(") && text.contains(")>>"),
+        s"$fmt: expected triple-term spelling in:\n$text")
+      assert(!text.matches("(?s).*<<[^(].*"),
+        s"$fmt: CG-star token leaked into 1.2-edition output:\n$text")
+      val back = RdfIO.read(spark, out, fmt)
+      assert(back.count() == quads.count() &&
+        back.except(quads).count() == 0 &&
+        quads.except(back).count() == 0,
+        s"$fmt: 1.2-edition roundtrip must be lossless")
+    }
+    // the 1.2 edition has no spelling for a quoted SUBJECT — loud error
+    java.nio.file.Files.writeString(dir.resolve("subj.nt"),
+      """<< <http://x/s> <http://x/p> "v" >> <http://x/q> <http://x/o> .
+        |""".stripMargin)
+    val subj = RdfIO.read(spark, dir.resolve("subj.nt").toString, "nt")
+    for (fmt <- Seq("nt", "ttl")) {
+      val e = intercept[Exception] {
+        RdfIO.write(subj, dir.resolve(s"bad_$fmt").toString, fmt,
+          edition12 = true)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("SUBJECT")), e.toString)
+    }
+    // other sinks reject the option rather than silently ignoring it
+    assertThrows[IllegalArgumentException] {
+      RdfIO.write(quads, dir.resolve("bad_rdf").toString, "rdf",
+        edition12 = true)
+    }
+  }
+
   test("quads -> N-Quads -> quads roundtrip is lossless") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nq").toString
     val quads = TpchRdf.quads(spark, sf)
