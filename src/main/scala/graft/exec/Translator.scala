@@ -631,8 +631,18 @@ object Translator {
   }
 
   private def translateLateral(l: GraphPattern, r: GraphPattern,
-      src: QuadSource, ctx: GraphCtx): Sol = {
-    val lVars = inScopeVars(l)
+      src: QuadSource, ctx: GraphCtx): Sol =
+    lateralSol(translate(l, src, ctx), inScopeVars(l), r, src, ctx)
+
+  /** LATERAL with an already-evaluated left side: `ls0` are the left
+    * solutions, `lVars` the substitution domain (every `ls0` var the
+    * right side may reference — for a nested σ(Lateral) this includes
+    * the OUTER domain, whose bindings ride in `ls0`'s rows).
+    */
+  private def lateralSol(ls0: Sol, lVars: Set[String],
+      r: GraphPattern, src: QuadSource, ctx: GraphCtx): Sol = {
+    require(!ls0.vars("__lid"),
+      "lateralSol caller must stash an enclosing __lid tag first")
     def joinSafe(gp: GraphPattern): Boolean = lateralJoinSafe(lVars)(gp)
 
     // Correlated scalar filter conjuncts AND correlated BINDs in
@@ -646,7 +656,7 @@ object Translator {
     val (rH, rUp, rHv) = hoist(r, lVars)
     checkNoDangling(rH, rHv)
     if (joinSafe(rH))
-      return applyHoisted(joinSols(translate(l, src, ctx),
+      return applyHoisted(joinSols(ls0,
         translate(rH, src, ctx), "inner"), rUp)
 
     // subselect shell: peel Slice / Distinct / Project / OrderBy down to
@@ -670,9 +680,12 @@ object Translator {
       case _ => peeling = false
     }
     def applyExtends(sol0: Sol): Sol =
-      shellExtends.reverse.foldLeft(sol0) { case (s, (v, ex)) =>
-        Sol(s.df.withColumn(v, SparqlExpr.compile(ex, s.bind)),
-          s.vars + v, s.sure)
+      shellExtends.reverse.foldLeft(sol0) { case (s, (v, ex0)) =>
+        // EXISTS as a value inside a peeled BIND → mark join first
+        // (evaluated post-join, so the left bindings substitute)
+        val (sM, Seq(ex), aux) = markExists(s, Seq(ex0), src, ctx)
+        Sol(sM.df.withColumn(v, SparqlExpr.compile(ex, sM.bind))
+          .drop(aux: _*), s.vars + v, s.sure)
       }
     node match {
       // per-binding aggregation: tag each left row, outer-join the
@@ -685,7 +698,7 @@ object Translator {
             joinSafe(g2) && (ghv & treeRefs(g2)).isEmpty
           } =>
         val (ginner, gUp, _) = hoist(ginner0, lVars)
-        val ls = translate(l, src, ctx)
+        val ls = ls0
         val lsId = Sol(ls.df.withColumn("__lid", monotonically_increasing_id()),
           ls.vars + "__lid", ls.sure + "__lid")
         val rs0 = translate(ginner, src, ctx)
@@ -765,7 +778,7 @@ object Translator {
     // Tag left rows with a unique id: DISTINCT and the top-k window are
     // per left SOLUTION (multiset semantics), not per left value tuple —
     // duplicate left rows each get their own k rows / their own dedup.
-    val ls0 = translate(l, src, ctx)
+    // ls0 already evaluated (lateralSol parameter)
     val ls = Sol(ls0.df.withColumn("__lid", monotonically_increasing_id()),
       ls0.vars + "__lid", ls0.sure + "__lid")
 
@@ -884,10 +897,8 @@ object Translator {
           // LeftJoin(σA, σB, σF) — evaluate BOTH sides per binding and
           // left-outer join them (shared __lid + left vars + a/b vars).
           case LeftJoin(a0, b0, filt) =>
-            joinSols(perBinding(a0, pctx), perBinding(b0, pctx),
-              "left_outer",
-              filt.map(f => (bind: String => Option[Column]) =>
-                SparqlExpr.compileBool(f, bind)))
+            leftJoinFiltered(perBinding(a0, pctx), perBinding(b0, pctx),
+              filt, src, pctx)
           // Cross-correlated MINUS: σ(Minus(A,B),μ) = Minus(σA,σB) with
           // the §18.5 disjoint-domain rule over the σ-DOMAINS — bound
           // left vars are substituted constants and do not count toward
@@ -1101,6 +1112,28 @@ object Translator {
             }.toMap
             Sol(pad(A).unionByName(pad(B)), A.vars ++ B.vars,
               A.sure & B.sure, uCls)
+          // σ distributes over a nested LATERAL: σμ(Lateral(A,B)) pairs
+          // each σμ(A) solution μ' with eval(σμ'(B)) — and since μ's
+          // bindings ride in every per-binding row of σμ(A), running
+          // the LATERAL machinery with σμ(A) AS the left side and the
+          // WIDENED domain (outer ∪ scope(A)) is exactly that. This
+          // evaluation's __lid tag is just another left var for the
+          // inner lateral — stash it under a fresh name around the
+          // call so the inner machinery owns the tag name.
+          case Lateral(a0, b0) =>
+            val A = perBinding(a0, pctx)
+            var k = 0; var nm = "__olid0"
+            while (A.vars(nm)) { k += 1; nm = s"__olid$k" }
+            val stashed = Sol(A.df.withColumnRenamed("__lid", nm),
+              A.vars - "__lid" + nm, A.sure - "__lid" + nm, A.cls)
+            // nm rides as an outer var (so projections keep it and no
+            // Union arm pads the LONG tag with a null Term struct)
+            val res = lateralSol(stashed, lVars ++ inScopeVars(a0) + nm,
+              b0, src, pctx)
+            Sol(res.df.withColumnRenamed(nm, "__lid"),
+              res.vars - nm + "__lid",
+              if (res.sure(nm)) res.sure - nm + "__lid" else res.sure,
+              res.cls)
           // a BARE correlated ORDER BY (no enclosing Slice): the inner
           // order is unobservable after the per-binding join — a
           // SPARQL solution sequence loses its order through Join/
@@ -1240,9 +1273,8 @@ object Translator {
     case Lateral(l, r) => translateLateral(l, r, src, ctx)
 
     case LeftJoin(l, r, filt) =>
-      joinSols(translate(l, src, ctx), translate(r, src, ctx),
-        "left_outer", filt.map(f => (b: String => Option[Column]) =>
-          SparqlExpr.compileBool(f, b)))
+      leftJoinFiltered(translate(l, src, ctx), translate(r, src, ctx),
+        filt, src, ctx)
 
     case Minus(l, r) =>
       val ls = translate(l, src, ctx)
@@ -1504,6 +1536,47 @@ object Translator {
     * Returns the marked Sol, the rewritten expressions, and the synthetic
     * columns to drop once the consumer has compiled them.
     */
+  /** §18.2.2.7 LeftJoin with an arbitrary condition. A plain scalar
+    * condition compiles into the outer join; an EXISTS-bearing one
+    * cannot (EXISTS needs its own subplan), so decompose per the spec
+    * definition LeftJoin = Filter(expr, Join(Ω1,Ω2)) ∪ Diff(Ω1,Ω2,expr):
+    * tag left rows, inner-join the compatible pairs, run the normal
+    * filter flow on the pairs (EXISTS via existsSemi — §18.6
+    * substitution over μ1∪μ2 — and mark joins for nested EXISTS), then
+    * anti-join back the left rows with no surviving pair, right vars
+    * unbound. Three hash joins, no per-row work.
+    */
+  private def leftJoinFiltered(A: Sol, B: Sol, filt: Option[Expr],
+      src: QuadSource, ctx: GraphCtx): Sol = filt match {
+    case Some(f) if hasExists(f) =>
+      var k = 0; var id = "__ljid0"
+      while (A.vars(id) || B.vars(id)) { k += 1; id = s"__ljid$k" }
+      val tagged = Sol(A.df.withColumn(id, monotonically_increasing_id()),
+        A.vars + id, A.sure + id, A.cls)
+      val pairs = joinSols(tagged, B, "inner")
+      val (existsConjs, scalarConjs) = splitConjuncts(f)
+      val afterExists = existsConjs.foldLeft(pairs) {
+        case (sol, EExists(p, pos)) => existsSemi(sol, p, pos, src, ctx)
+      }
+      val (marked, scalars2, aux) =
+        markExists(afterExists, scalarConjs, src, ctx)
+      val keptDf = scalars2.foldLeft(marked.df) { (df, e) =>
+        df.where(coalesce(
+          SparqlExpr.compileBool(e, marked.bind, marked.hint), lit(false)))
+      }.drop(aux: _*)
+      val outVars = (A.vars ++ B.vars).toSeq.sorted
+      val bare = tagged.df
+        .join(keptDf.select(col(id)).distinct(), Seq(id), "left_anti")
+        .select(outVars.map(v =>
+          (if (A.vars(v)) col(v) else nullTerm).as(v)): _*)
+      Sol(keptDf.select(outVars.map(col): _*).unionByName(bare),
+        A.vars ++ B.vars, A.sure ++ (B.sure -- B.vars),
+        mergeCls(A, B, "left_outer"))
+    case _ =>
+      joinSols(A, B, "left_outer", filt.map(f =>
+        (b: String => Option[Column]) => SparqlExpr.compileBool(f, b)))
+  }
+
   /** Row ids (unique `idCol` column of `cur.df`, NOT in `cur.vars`)
     * whose EXISTS evaluation of `p` under §18.6 substitution is
     * nonempty: the id rides as the per-binding `__lid` tag and the
