@@ -100,6 +100,23 @@ object Sparql {
       run(s, dir, gp).select(str("cname").as("c_name"), str("seg").as("seg"))
     },
 
+    // §18.6 EXISTS substitution, σ-domain MINUS rule: ?c is outer-bound
+    // inside the EXISTS, so it is a CONSTANT there — the MINUS sides
+    // share no live variable (σ-domains {o} vs {o2}) and the MINUS
+    // removes nothing; EXISTS reduces to "the customer has an order".
+    // A bottom-up compat evaluation would share ?c across the MINUS and
+    // empty the pattern (zero rows) — this gate pins the spec rule.
+    "sp33_exists_subst" -> { (s, dir) =>
+      val gp = OrderBy(Filter(
+        EExists(Minus(
+          Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c"))),
+          Bgp(TriplePattern(V("o2"), I(P("orderedBy")), V("c"))))),
+        Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+          TriplePattern(V("c"), I(P("mktsegment")), V("seg")))),
+        Seq(EVar("cname") -> true))
+      run(s, dir, gp).select(str("cname").as("c_name"), str("seg").as("seg"))
+    },
+
     // VALUES joined into a BGP (§2.6)
     "sp6_values" -> { (s, dir) =>
       val gp = Join(
@@ -334,6 +351,10 @@ object Sparql {
       """SELECT c_name, c_mktsegment AS seg FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
           AND CAST(o_totalprice AS DECIMAL(38,2)) > 300000)
+        ORDER BY c_name""",
+    "sp33_exists_subst" ->
+      """SELECT c_name, c_mktsegment AS seg FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         ORDER BY c_name""",
     "sp6_values" ->
       """SELECT c_name, r_name

@@ -180,6 +180,16 @@ class DifferentialSpec extends AnyFunSuite {
       1 -> (for { l <- genPattern(depth - 1); body <- genBgp
                   inner <- genBgp; pos <- Gen.oneOf(true, false) }
         yield Lateral(l, Filter(EExists(inner, pos), body))),
+      // ...with non-monotone EXISTS inners (r11s4): Union/OPTIONAL/
+      // MINUS shapes inside the EXISTS route through the per-binding
+      // σ machinery (existsSemi), incl. the σ-domain MINUS rule
+      1 -> (for { l <- genPattern(depth - 1); body <- genBgp
+                  a <- genBgp; b <- genBgp
+                  mk <- Gen.oneOf[(GraphPattern, GraphPattern) =>
+                    GraphPattern](Minus(_, _), Union(_, _),
+                    LeftJoin(_, _, None))
+                  pos <- Gen.oneOf(true, false) }
+        yield Lateral(l, Filter(EExists(mk(a, b), pos), body))),
       // ...and the same under a correlated OPTIONAL arm
       1 -> (for { l <- genPattern(depth - 1); a <- genBgp; body <- genBgp
                   inner <- genBgp; pos <- Gen.oneOf(true, false) }
