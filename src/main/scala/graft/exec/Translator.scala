@@ -1442,9 +1442,17 @@ object Translator {
       }
 
     case OrderBy(inner, keys) =>
-      val in = translate(inner, src, ctx)
-      Sol(in.df.orderBy(sortColumns(in, inner, keys): _*),
-        in.vars, in.sure, in.cls)
+      val in0 = translate(inner, src, ctx)
+      // EXISTS in an ORDER BY key (a valid BuiltInCall position) →
+      // mark-join marker first. The marker is a boolean Term whose lex
+      // order ("false" < "true") IS its §15.1 value order, so the
+      // EVar sort-key branches stay correct for it.
+      val (in, keys2, aux) = {
+        val (m, rewritten, a) = markExists(in0, keys.map(_._1), src, ctx)
+        (m, rewritten.zip(keys.map(_._2)), a)
+      }
+      Sol(in.df.orderBy(sortColumns(in, inner, keys2): _*)
+        .drop(aux: _*), in0.vars, in0.sure, in0.cls)
 
     case Group(inner, keys, aggs) =>
       translateGroup(inner, keys, aggs, src, ctx)
@@ -1891,8 +1899,21 @@ object Translator {
   }
 
   private def translateGroup(inner: GraphPattern, keys: Seq[String],
-      aggs: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol = {
-    val in = translate(inner, src, ctx)
+      aggs0: Seq[(String, AggCall)], src: QuadSource, ctx: GraphCtx): Sol = {
+    val in0 = translate(inner, src, ctx)
+    // EXISTS inside aggregate arguments (SUM(IF(EXISTS{…},1,0))) or a
+    // GROUP_CONCAT order key → mark-join markers BEFORE aggregation.
+    // Markers are deterministic per solution, so COUNT(DISTINCT *)
+    // over vars-plus-markers counts the same solutions.
+    val flat = aggs0.flatMap(a =>
+      a._2.expr.toSeq ++ a._2.orderBy.map(_._1))
+    val (in, rewrittenFlat, _) = markExists(in0, flat, src, ctx)
+    val it = rewrittenFlat.iterator
+    val aggs = aggs0.map { case (nm, c) =>
+      (nm, c.copy(
+        expr = c.expr.map(_ => it.next()),
+        orderBy = c.orderBy.map { case (_, asc) => (it.next(), asc) }))
+    }
     // Inside GRAPH ?g the pattern evaluates once PER named graph
     // (§18.2.2.3), so an aggregate written there groups per graph — the
     // graph variable joins the keys implicitly.

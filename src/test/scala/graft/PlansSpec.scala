@@ -37,6 +37,44 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
   }
 
+  test("per-binding EXISTS (sigma-domain MINUS inner) stays hash-joined") {
+    // sp33's shape: the MINUS inside EXISTS shares only the outer var,
+    // so the per-binding path runs — it must stay broadcast/hash joins
+    // keyed on the row-id tag, never a nested-loop or cartesian product
+    val gp = Filter(
+      EExists(Minus(
+        Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c"))),
+        Bgp(TriplePattern(V("o2"), I(P("orderedBy")), V("c"))))),
+      Bgp(TriplePattern(V("c"), I(P("name")), V("cname"))))
+    val df = Translator.translate(gp, TpchRdf.quads(spark, sf)).df
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"per-binding EXISTS must stay hash-joinable:\n$plan")
+    // semantics witness: sigma-domains are disjoint -> MINUS removes
+    // nothing -> every customer with >=1 order survives
+    val n = df.count()
+    assert(n > 0, "expected customers with orders")
+  }
+
+  test("OPTIONAL with an EXISTS condition decomposes into hash joins") {
+    val gp = LeftJoin(
+      Bgp(TriplePattern(V("c"), I(P("name")), V("cname"))),
+      Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+      Some(EExists(Bgp(
+        TriplePattern(V("o"), I(P("orderedBy")), V("c"))))))
+    val df = Translator.translate(gp, TpchRdf.quads(spark, sf)).df
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"leftJoinFiltered must stay hash-joinable:\n$plan")
+    // every customer appears exactly once: with ?b when it has an
+    // order, bare otherwise (the Diff arm of §18.2.2.7)
+    val rows = df.select(col("cname")("lex")).collect().map(_.getString(0))
+    assert(rows.length == rows.distinct.length,
+      "one row per customer expected")
+  }
+
   test("MINUS with nullable shared vars keeps compatibility semantics") {
     // right side binds ?b only optionally -> not sure -> theta join path
     val gp = Minus(
