@@ -111,15 +111,21 @@ object Results {
     out.append("]}}")
   }
 
-  private def termText(t: Row, tsv: Boolean): String = {
+  private def termText(t: Row, tsv: Boolean,
+      edition12: Boolean = false): String = {
     val kind = t.getByte(0)
     val lex = Option(t.getString(1)).getOrElse("")
     if (!tsv) lex // CSV: plain lexical forms (spec §4)
     else kind match { // TSV: full N-Triples terms (spec §3)
       case k if k == Term.IriKind.toByte => s"<$lex>"
       case k if k == Term.BlankKind.toByte => s"_:$lex"
-      // quoted triple: lex already IS the canonical N-Triples-star token
-      case k if k == Term.QuotedKind.toByte => lex
+      // quoted triple: lex already IS the canonical N-Triples-star
+      // token; the RDF 1.2 results edition re-renders it as a
+      // <<( … )>> triple term (results cells are object-position-free,
+      // so no subject check applies)
+      case k if k == Term.QuotedKind.toByte =>
+        if (edition12) Option(QuotedTriple.tripleTermLex(lex)).getOrElse(lex)
+        else lex
       case _ =>
         val esc = lex.replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", "\\n").replace("\t", "\\t")
@@ -152,7 +158,7 @@ object Results {
     * endpoint streaming form).
     */
   def writeSeparated(solutions: DataFrame, tsv: Boolean,
-      out: Appendable): Unit = {
+      out: Appendable, edition12: Boolean = false): Unit = {
     askValue(solutions) match {
       case Some(b) => out.append(s"$b\r\n"); return
       case None =>
@@ -166,7 +172,7 @@ object Results {
         Option(row.getAs[Row](i)) match {
           case None => ""
           case Some(t) =>
-            val s = termText(t, tsv)
+            val s = termText(t, tsv, edition12)
             if (tsv) s else csvEscape(s)
         }
       }
@@ -176,6 +182,15 @@ object Results {
 
   def toCsv(solutions: DataFrame): String = toSeparated(solutions, tsv = false)
   def toTsv(solutions: DataFrame): String = toSeparated(solutions, tsv = true)
+
+  /** TSV in the RDF 1.2 output edition: quoted terms render as
+    * `<<( s p o )>>` triple terms instead of the CG `<< >>` lex.
+    */
+  def toTsv12(solutions: DataFrame): String = {
+    val sb = new java.lang.StringBuilder
+    writeSeparated(solutions, tsv = true, sb, edition12 = true)
+    sb.toString
+  }
 
   private def xmlEscape(s: String): String = s.flatMap {
     case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"

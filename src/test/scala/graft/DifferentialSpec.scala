@@ -995,6 +995,58 @@ class DifferentialSpec extends AnyFunSuite {
     assert(got == expected, s"expected=$expected got=$got")
   }
 
+  test("EXISTS nested in || inside a correlated LATERAL filter marks " +
+      "per binding") {
+    // r11s4: the mark-join path inside the per-binding engine — the
+    // EXISTS sits in EXPRESSION position (`BOUND(?v) || [!]EXISTS{…}`),
+    // so the Filter arm cannot turn it into a semi-join conjunct; the
+    // marker must still evaluate under §18.6 substitution from the
+    // COMBINED per-binding row. Expected side computed inline (the
+    // 3VL model has no EXISTS case): BOUND is error-free and EXISTS
+    // never errors, so the disjunction is 2-valued here.
+    val genArm = for {
+      l <- genBgp; body <- genBgp; inner <- genBgp
+      v <- Gen.oneOf(varNames)
+      neg <- Gen.oneOf(true, false)
+    } yield (l, body, inner, v, neg)
+    val prop = Prop.forAllNoShrink(genData, genArm) {
+      case (data, (l, body, inner, v, neg)) =>
+        val exPart: Expr =
+          if (neg) EFn("!", EExists(inner, true)) else EExists(inner, true)
+        val gp = Lateral(l,
+          Filter(EFn("||", EFn("BOUND", EVar(v)), exPart), body))
+        val expected = evalNaive(l, data).flatMap { bl =>
+          evalSubst(body, data, bl).filter { b =>
+            b.contains(v) || {
+              val ex = evalSubst(inner, data, b).nonEmpty
+              if (neg) !ex else ex
+            }
+          }
+        }.map(canon).sorted
+        try {
+          val df = graft.exec.Translator.translate(gp, quadsDf(data)).df
+          val got = df.collect().toSeq.map { r =>
+            cmpVars.flatMap { v2 =>
+              if (!df.columns.contains(v2)) None
+              else Option(r.getAs[Row](v2)).map(t =>
+                s"$v2=${t.getByte(0)}:${t.getString(1)}:${t.getString(2)}")
+            }.mkString("|")
+          }.sorted
+          if (got != expected)
+            println(s"LATERAL-MARK-EXISTS MISMATCH for $gp\ndata=$data\n" +
+              s"expected=$expected\ngot=$got")
+          got == expected
+        } catch {
+          case _: UnsupportedOperationException => true // loud corners
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(
+        sys.env.getOrElse("GRAFT_FUZZ_N", "40").toInt), prop)
+    assert(result.passed,
+      s"lateral mark-exists differential failed: ${result.status}")
+  }
+
   test("EXISTS inside a correlated LATERAL body pins outer vars per " +
       "left row") {
     // left binds ?a ∈ {i0, i1}. Body binds {c→i9, b→i2} regardless of

@@ -215,6 +215,26 @@ class ResultsSpec extends AnyFunSuite {
     }
   }
 
+  test("TSV 1.2 edition renders quoted terms as <<( )>> triple terms") {
+    val q = SparqlExpr.fn("TRIPLE", Seq(
+      graft.model.Term.iri("http://x/s"), graft.model.Term.iri("http://x/p"),
+      SparqlExpr.fn("TRIPLE", Seq(
+        graft.model.Term.iri("http://x/a"), graft.model.Term.iri("http://x/b"),
+        graft.model.Term.iri("http://x/c")))))
+    val df = spark.range(1).select(q.as("t"))
+    val tsv = Results.toTsv12(df)
+    assert(tsv.contains(
+      "<<( <http://x/s> <http://x/p> <<( <http://x/a> <http://x/b> " +
+        "<http://x/c> )>> )>>"), tsv)
+    assert(!tsv.matches("(?s).*<<[^(].*"), s"CG token leaked: $tsv")
+    // the TSV parser reads both spellings back to the same term
+    val back = Results.fromTsv(spark, tsv)
+    val t = back.head.getAs[org.apache.spark.sql.Row]("t")
+    assert(t.getByte(0) == Term.QuotedKind.toByte)
+    assert(Results.fromTsv(spark, Results.toTsv(df)).head
+      .getAs[org.apache.spark.sql.Row]("t") == t)
+  }
+
   test("fromJson handles unbound vars and typed/bnode terms") {
     val json = """{"head":{"vars":["a","b"]},"results":{"bindings":[
       {"a":{"type":"uri","value":"http://x/1"}},
