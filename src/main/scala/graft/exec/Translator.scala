@@ -370,12 +370,18 @@ object Translator {
     * be rewritten bottom-up and must throw, not silently mis-bind.
     */
   private def treeRefs(gp: GraphPattern): Set[String] = gp match {
-    case Filter(e, i) => exprVars(e) ++ treeRefs(i)
-    case Extend(i, _, ex) => exprVars(ex) ++ treeRefs(i)
+    // expression positions walk with exprExistsRefs, NOT exprVars:
+    // exprVars' EExists case sees only the interior's in-scope vars,
+    // blind to expression-position refs (a hoisted BIND var referenced
+    // only inside an EXISTS interior's filter would dangle undetected
+    // and evaluate unbound — silently wrong). exprExistsRefs applies
+    // the full §18.6 substRefs reachability.
+    case Filter(e, i) => exprExistsRefs(e) ++ treeRefs(i)
+    case Extend(i, _, ex) => exprExistsRefs(ex) ++ treeRefs(i)
     case Join(a, b) => treeRefs(a) ++ treeRefs(b)
     case Lateral(a, b) => treeRefs(a) ++ treeRefs(b)
     case LeftJoin(a, b, f) => treeRefs(a) ++ treeRefs(b) ++
-      f.map(exprVars).getOrElse(Set.empty)
+      f.map(exprExistsRefs).getOrElse(Set.empty)
     case Minus(a, b) => treeRefs(a) ++ treeRefs(b)
     case Union(a, b) => treeRefs(a) ++ treeRefs(b)
     case GraphPat(_, i) => treeRefs(i)
@@ -383,9 +389,9 @@ object Translator {
     case Distinct(i) => treeRefs(i)
     case Reduced(i) => treeRefs(i)
     case Slice(i, _, _) => treeRefs(i)
-    case OrderBy(i, ks) => treeRefs(i) ++ ks.flatMap(k => exprVars(k._1))
+    case OrderBy(i, ks) => treeRefs(i) ++ ks.flatMap(k => exprExistsRefs(k._1))
     case Group(i, keys, aggs) => treeRefs(i) ++ keys ++
-      aggs.flatMap(_._2.expr.map(exprVars).getOrElse(Set.empty))
+      aggs.flatMap(_._2.expr.map(exprExistsRefs).getOrElse(Set.empty))
     case other => inScopeVars(other) // Bgp, PathPattern, ValuesPat
   }
 

@@ -62,6 +62,15 @@ object QuotedTriple {
   def tripleTermLex(canonical: String): String = {
     val parts = decode(canonical)
     if (parts == null) return null
+    // The 1.2 grammars restrict a triple term's SUBJECT to IRI/bnode —
+    // a nested quoted triple there has no <<( … )>> spelling at ANY
+    // depth, so error loudly like the writers' top-level subject check
+    // (rdf12 N-Triples ttSubject; silently emitting would produce
+    // non-conformant 1.2-edition output).
+    if (parts(0).kind.toInt == Term.QuotedKind)
+      throw new IllegalArgumentException(
+        "RDF 1.2 edition: a quoted triple in the SUBJECT slot of a " +
+          "triple term has no spelling (IRI/bnode only): " + canonical)
     def tok(t: QTerm): String =
       if (t.kind.toInt == Term.QuotedKind) tripleTermLex(t.lex)
       else renderTerm(t.kind, t.lex, t.dt, t.lang)

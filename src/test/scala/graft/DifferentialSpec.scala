@@ -1094,6 +1094,34 @@ class DifferentialSpec extends AnyFunSuite {
     assert(gotN == expN, s"expected=$expN got=$gotN")
   }
 
+  test("hoisted BIND var referenced only inside an EXISTS interior's " +
+      "expression stays LOUD (treeRefs sees through EExists)") {
+    // LATERAL body: BIND(?n+1 AS ?z) correlates on the left's ?n, so it
+    // hoists post-join; ?z is then referenced ONLY inside the EXISTS
+    // interior's filter EXPRESSION — a position the bottom-up rewrite
+    // cannot serve (the EXISTS compiles before the hoisted BIND
+    // applies). exprVars' EExists case saw only the interior's
+    // in-scope vars, so this shape used to evaluate with ?z UNBOUND —
+    // constant-false EXISTS, silently wrong. checkNoDangling must
+    // throw instead.
+    def p(n: Int) = s"http://x/p$n"
+    val gp = Lateral(
+      Bgp(TriplePattern(V("a"), I(p(0)), V("n"))),
+      Filter(
+        EExists(Filter(EFn("=", EVar("u"), EVar("z")),
+          Bgp(TriplePattern(V("q"), I(p(2)), V("u")))), true),
+        Extend(Bgp(TriplePattern(V("c"), I(p(1)), V("b"))),
+          "z", EFn("+", EVar("n"), ELit("1", Term.XsdInteger)))))
+    val data: Seq[(T, T, T)] = Seq(
+      (iri(0), (0, p(0), null), int(1)),
+      (iri(9), (0, p(1), null), iri(2)),
+      (iri(3), (0, p(2), null), int(2)))
+    val e = intercept[UnsupportedOperationException] {
+      graft.exec.Translator.translate(gp, quadsDf(data)).df.collect()
+    }
+    assert(e.getMessage.contains("z"), e.getMessage)
+  }
+
   test("translator matches the naive evaluator on named-graph algebra") {
     val prop = Prop.forAllNoShrink(genDataG, genPatternG(2)) {
       case ((data, named), gp) =>

@@ -78,6 +78,28 @@ class RdfIOSpec extends AnyFunSuite {
       RdfIO.write(quads, dir.resolve("bad_rdf").toString, "rdf",
         edition12 = true)
     }
+    // a NESTED quoted SUBJECT has no 1.2 spelling either (a triple
+    // term's subject slot is IRI/bnode only at every depth) — the lex
+    // converter errors loudly instead of emitting invalid <<( <<( …
+    val nestedSubj = "<< << <http://x/a> <http://x/b> <http://x/c> >> " +
+      "<http://x/p> <http://x/o> >>"
+    val eL = intercept[IllegalArgumentException] {
+      QuotedTriple.tripleTermLex(nestedSubj)
+    }
+    assert(eL.getMessage.contains("SUBJECT"), eL.getMessage)
+    // …and the writer path surfaces it: such a term in OBJECT position
+    // passes the top-level subject check but must still fail loudly
+    java.nio.file.Files.writeString(dir.resolve("nsub.nt"),
+      s"<http://x/r> <http://x/q> $nestedSubj .\n")
+    val nsub = RdfIO.read(spark, dir.resolve("nsub.nt").toString, "nt")
+    val eW = intercept[Exception] {
+      RdfIO.write(nsub, dir.resolve("bad_nsub").toString, "nt",
+        edition12 = true)
+    }
+    def wmsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ wmsgs(t.getCause)
+    assert(wmsgs(eW).exists(_.contains("SUBJECT")), eW.toString)
   }
 
   test("quads -> N-Quads -> quads roundtrip is lossless") {
