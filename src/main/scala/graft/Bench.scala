@@ -35,9 +35,12 @@ object Bench {
     spark.range(2).count()
     val warmup = (System.nanoTime() - t0) / 1e9
 
-    // SPARK_GRAFT_RUNS > 1: repeat the whole set and report per-query
-    // MEDIANS (BASELINE.md: totals vary ±20% run-to-run; medians don't)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    // Default runs=3 (r12, verdict #4): single-run driver benches read
+    // as false 2× regressions on a drifting box — per-query MEDIANS are
+    // the comparable signal (BASELINE.md: totals vary ±20%+ run-to-run;
+    // medians don't). q00_box_sentinel's plan never changes, so its
+    // median separates box drift from code regression at a glance.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // SPARK_GRAFT_ONLY=q1,q2: restrict to named queries (local micro-
     // benchmarking; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -501,23 +501,56 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
-  /** ANN top-k via SRP-LSH: exact rerank within matching buckets.
-    * Recall < 1 by construction; pair with bruteTopK to measure.
+  /** Bucket signature for one LSH table: `bits` sign bits drawn from
+    * the table's own plane range (table t uses planes t·bits …
+    * t·bits+bits−1), so tables are independent hash functions.
+    */
+  private def srpBucketAt(e: Column, table: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(e, sequence(lit(0), size(e) - 1),
+          (x, i) => x.cast(DoubleType) * planeSign(table * bits + j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k via multi-table SRP-LSH (Charikar 2002; the classic
+    * L-tables amplification): each vector lands in one bucket per
+    * table, candidates are same-bucket-in-ANY-table pairs, reranked by
+    * exact cosine. Single-table SRP at a bucket width that keeps work
+    * sub-quadratic has near-zero recall on near-orthogonal embeddings
+    * (measured 0.1 at 8 planes / 500 vecs); L independent coarser
+    * tables recover it at the same asymptotic cost. Candidate
+    * generation shuffles only (id, table, bucket) triples — embeddings
+    * re-join by id for the rerank, so the bucket join never carries
+    * vectors. Recall < 1 by construction; pair with bruteTopK to
+    * measure. At corpus scale, grow `bits` ~ log2(n / target bucket
+    * size) and keep `tables` as the recall knob.
     */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
-      planes: Int = 8): DataFrame = {
-    // persist: query and corpus sides both consume the bucketed view —
-    // without it the interpreted srpBucket fold runs once per side
+      tables: Int = 8, bits: Int = 5): DataFrame = {
+    // persist: bucket signatures and norms feed both join sides —
+    // without it the interpreted projection folds run once per side
     // (no ReusedExchange across join aliases; the dd4 lesson)
-    val v = withNorm(emb).withColumn("bucket",
-      srpBucket(col("embedding"), planes))
+    val v = withNorm(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
-    val q = v.where(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("norm2").as("qn"), col("bucket"))
+    val bk = v.select(col("vec_id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          srpBucketAt(col("embedding"), t, bits).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb")("t").as("t"), col("tb")("b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
+    val qb = bk.join(v.where(queryPred).select("vec_id"), "vec_id")
+      .select(col("vec_id").as("qid"), col("t"), col("b"))
+    val cands = qb
+      .join(bk.select(col("vec_id").as("cid"), col("t"), col("b")),
+        Seq("t", "b"))
+      .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val q = v.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("norm2").as("qn"))
     val c = v.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("norm2").as("cn"), col("bucket"))
-    val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("cid"))
+      col("norm2").as("cn"))
+    val scored = cands.join(q, "qid").join(c, "cid")
       .withColumn("cos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)

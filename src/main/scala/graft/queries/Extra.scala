@@ -20,7 +20,58 @@ object Extra {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // ---- raw sketch outputs (golden/bounds-netted in GoldenSpec) -------
+  // The queries-map sketch entries are ORACLE GATES (r12): estimate vs
+  // in-Spark exact with measured-bound booleans, so the driver can
+  // hash-verify them. The raw estimates keep their committed nets.
+  private[graft] def rawApproxDistinct(s: SparkSession,
+      dir: String): DataFrame =
+    Tables(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  private[graft] def rawHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    graft.ops.Sketches.hllMerge(graft.ops.Sketches.hllPartials(
+        li, Seq("l_returnflag"), col("l_partkey")), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_distinct"))
+      .join(li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct")),
+        "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+  private[graft] def rawKll(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kllMerge(graft.ops.Sketches.kllPartials(
+        Tables(s, dir, "lineitem"), Seq("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), Seq(0.5, 0.9))
+      .select(col("l_returnflag"), col("q50"), col("q90"))
+      .orderBy(col("l_returnflag"))
+  private[graft] def rawTheta(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val pa = graft.ops.Sketches.thetaMerge(graft.ops.Sketches
+      .thetaPartials(li.where(col("l_returnflag") === "A"), Nil,
+        col("l_partkey")), Nil)
+    val pb = graft.ops.Sketches.thetaMerge(graft.ops.Sketches
+      .thetaPartials(li.where(col("l_returnflag") === "R"), Nil,
+        col("l_partkey")), Nil)
+    graft.ops.Sketches.thetaSetOps(pa, pb, Nil)
+      .select(col("approx_intersection"), col("approx_difference"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // box sentinel (r12, verdict #4): a fixed full-scan aggregate whose
+    // plan NEVER changes round to round — per-round drift on this query
+    // is host noise by definition, so bench-total swings decompose into
+    // box drift (sentinel moved) vs code regression (sentinel flat)
+    "q00_box_sentinel" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D)).cast(StringType).cast(DoubleType)
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast(StringType)
+          .cast(DoubleType).as("sum_price"))
+    },
+
     // window functions: ranking + running aggregate per partition
     "q16_window" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").where(col("l_suppkey") < 20)
@@ -84,9 +135,10 @@ object Extra {
         .orderBy(col("user_id"), col("event_id"))
     },
 
-    // mergeable HLL sketch workflow: per-group partials unioned to the
-    // estimate without raw rescan (no exact oracle by design; exact
-    // column computed alongside, bounds asserted in SketchSpec)
+    // mergeable HLL sketch workflow gate (r12): per-group partials
+    // unioned to the estimate, compared in-Spark against the exact
+    // distinct count (which the oracle recomputes); measured rel err
+    // <= 0.0095 at sf0.01/0.1 — bound 0.05
     "q23_hll_merge" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val partials = graft.ops.Sketches.hllPartials(
@@ -96,36 +148,62 @@ object Extra {
         .join(li.groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_partkey")).as("exact_distinct")),
           "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("within_bound"))
         .orderBy(col("l_returnflag"))
     },
 
-    // mergeable KLL quantile workflow: per-partition partials merged to
-    // per-group quantile estimates (no exact oracle by design; rank
-    // error bounds asserted in SketchSpec)
+    // mergeable KLL quantile workflow gate (r12): merged per-group
+    // estimates rank-checked in-Spark against the raw data (tie-safe
+    // two-sided: count(v<=est)/n >= q-eps AND count(v<est)/n <= q+eps);
+    // measured rank err <= 0.005, eps = 0.05 = 3x the k=200 KLL 99%
+    // normalized rank error (compaction is randomized — GoldenGen note)
     "q25_kll_quantiles" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val partials = graft.ops.Sketches.kllPartials(
-        li, Seq("l_returnflag"), col("l_quantity"))
-      graft.ops.Sketches.kllMerge(partials, Seq("l_returnflag"),
-        Seq(0.5, 0.9))
-        .select(col("l_returnflag"), col("q50"), col("q90"))
+      val est = rawKll(s, dir)
+      val eps = 0.05
+      li.join(broadcast(est), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity") <= col("q50"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("l_quantity") < col("q50"), 1L).otherwise(0L))
+            .as("lt50"),
+          sum(when(col("l_quantity") <= col("q90"), 1L).otherwise(0L))
+            .as("le90"),
+          sum(when(col("l_quantity") < col("q90"), 1L).otherwise(0L))
+            .as("lt90"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("le50") >= col("n_rows") * (0.5 - eps) &&
+            col("lt50") <= col("n_rows") * (0.5 + eps)).as("q50_ok"),
+          (col("le90") >= col("n_rows") * (0.9 - eps) &&
+            col("lt90") <= col("n_rows") * (0.9 + eps)).as("q90_ok"))
         .orderBy(col("l_returnflag"))
     },
 
-    // theta-sketch set algebra: distinct-part overlap between return
-    // flags, estimated from sketches without joining raw ids (no exact
-    // oracle by design; error bounds asserted in SketchSpec)
+    // theta-sketch set-algebra gate (r12): intersection/difference
+    // estimates compared in-Spark against the exact distinct-set ops
+    // (which the oracle recomputes); measured rel err 0 at sf0.01
+    // (exact mode) and 0.0064 at sf0.1 — tolerance 5% of the union + 1
     "q26_theta_overlap" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val pa = graft.ops.Sketches.thetaMerge(graft.ops.Sketches
-        .thetaPartials(li.where(col("l_returnflag") === "A"), Nil,
-          col("l_partkey")), Nil)
-      val pb = graft.ops.Sketches.thetaMerge(graft.ops.Sketches
-        .thetaPartials(li.where(col("l_returnflag") === "R"), Nil,
-          col("l_partkey")), Nil)
-      graft.ops.Sketches.thetaSetOps(pa, pb, Nil)
-        .select(round(col("approx_intersection")).as("inter"),
-          round(col("approx_difference")).as("diff"))
+      val aSet = li.where(col("l_returnflag") === "A")
+        .select("l_partkey").distinct()
+      val rSet = li.where(col("l_returnflag") === "R")
+        .select("l_partkey").distinct()
+      val exact = aSet.join(rSet, Seq("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter"))
+        .crossJoin(broadcast(aSet.join(rSet, Seq("l_partkey"), "left_anti")
+          .agg(count(lit(1)).as("exact_diff"))))
+      rawTheta(s, dir).crossJoin(broadcast(exact))
+        .withColumn("tol",
+          (col("exact_inter") + col("exact_diff")) * 0.05 + 1.0)
+        .select(col("exact_inter"), col("exact_diff"),
+          (abs(col("approx_intersection") - col("exact_inter")) <=
+            col("tol")).as("inter_ok"),
+          (abs(col("approx_difference") - col("exact_diff")) <=
+            col("tol")).as("diff_ok"))
     },
 
     // skew-salted join: hot orderkeys scattered over salt sub-keys,
@@ -142,12 +220,17 @@ object Extra {
         .orderBy(col("o_orderstatus"))
     },
 
-    // approximate distinct (sketch surface; no exact oracle by design)
+    // approximate-distinct gate (r12): HLL++ estimate compared in-Spark
+    // against the exact count (which the oracle recomputes); measured
+    // rel err <= 0.027 at sf0.01/0.1 (default rsd 0.05) — bound 0.1
     "q20_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.1).as("within_bound"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -337,6 +420,31 @@ object Extra {
     })
 
   val oracle: Map[String, String] = Map(
+    "q00_box_sentinel" ->
+      """SELECT count(*) AS n,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price
+        FROM lineitem""",
+    // r12 sketch gates: the oracle recomputes the exact side and
+    // asserts the bound booleans (measured margins in the query docs)
+    "q20_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        true AS within_bound FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q23_hll_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct,
+        true AS within_bound FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q25_kll_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n_rows, true AS q50_ok,
+        true AS q90_ok FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q26_theta_overlap" ->
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
+          WHERE l_returnflag = 'A'),
+        r AS (SELECT DISTINCT l_partkey FROM lineitem
+          WHERE l_returnflag = 'R'),
+        i AS (SELECT count(*) c FROM (SELECT * FROM a INTERSECT SELECT * FROM r)),
+        d AS (SELECT count(*) c FROM (SELECT * FROM a EXCEPT SELECT * FROM r))
+        SELECT i.c AS exact_inter, d.c AS exact_diff,
+          true AS inter_ok, true AS diff_ok FROM i, d""",
     "q16_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         row_number() OVER w AS rn,

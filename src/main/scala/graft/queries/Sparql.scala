@@ -117,6 +117,27 @@ object Sparql {
       run(s, dir, gp).select(str("cname").as("c_name"), str("seg").as("seg"))
     },
 
+    // EXISTS inside a correlated LATERAL body (r12): the EXISTS
+    // correlates on BOTH the outer ?c and the body's ?o — the latter
+    // ONLY in expression position (?o2 != ?o), the r11s4 hard class —
+    // so existsSemi routes it through the per-binding σ engine
+    // (__lid-keyed hash joins). Semantics: each customer's orders that
+    // have a SIBLING order by the same customer. Also the sp33 scale
+    // companion: the 10×/100× PerBinding legs run this shape.
+    "sp34_lateral_exists" -> { (s, dir) =>
+      val gp = Lateral(
+        Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+          TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+        Filter(
+          EExists(Filter(EFn("!=", EVar("o2"), EVar("o")),
+            Bgp(TriplePattern(V("o2"), I(P("orderedBy")), V("c"))))),
+          Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c")),
+            TriplePattern(V("o"), I(P("totalprice")), V("tp")))))
+      run(s, dir, gp)
+        .select(str("cname").as("c_name"), dbl("tp").as("price"))
+        .orderBy(col("c_name"), col("price"))
+    },
+
     // VALUES joined into a BGP (§2.6)
     "sp6_values" -> { (s, dir) =>
       val gp = Join(
@@ -356,6 +377,14 @@ object Sparql {
       """SELECT c_name, c_mktsegment AS seg FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         ORDER BY c_name""",
+    "sp34_lateral_exists" ->
+      """SELECT c_name, CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS DOUBLE)
+          AS price
+        FROM customer JOIN orders o ON o.o_custkey = c_custkey
+        WHERE EXISTS (SELECT 1 FROM orders o2
+          WHERE o2.o_custkey = c_custkey
+            AND o2.o_orderkey != o.o_orderkey)
+        ORDER BY c_name, price""",
     "sp6_values" ->
       """SELECT c_name, r_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey

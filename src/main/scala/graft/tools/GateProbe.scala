@@ -81,7 +81,8 @@ object GateProbe {
     val kll = Sketches.kllMerge(
       Sketches.kllPartials(li, Seq("l_returnflag"), col("l_quantity")),
       Seq("l_returnflag"), Seq(0.5, 0.9))
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .collect().map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[Double]("q50"), r.getAs[Double]("q90")))
     for ((f, q50, q90) <- kll; (q, est) <- Seq((0.5, q50), (0.9, q90))) {
       val n = li.where(col("l_returnflag") === f).count().toDouble
       val le = li.where(col("l_returnflag") === f &&

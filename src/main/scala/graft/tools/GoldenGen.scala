@@ -23,9 +23,19 @@ object GoldenGen {
   // exact sorted-input values at rank (q ± KllSlack)·n, which every
   // correct coin sequence and merge order must land inside, and which a
   // broken merge/serialization path lands far outside.
-  val names = Seq("dd4_simhash", "dd12_semdedup", "ann2_lsh_topk",
-    "ann3_ivf_topk", "ann4_pq_topk", "q20_approx_distinct",
-    "q23_hll_merge", "q26_theta_overlap")
+  // r12: the SparkEntry.queries entries for these names became oracle
+  // GATES (exact-vs-approximate bound checks the driver hash-verifies);
+  // the byte-exact golden net stays pointed at the RAW approximate
+  // outputs via these builders, under the same golden filenames.
+  val raws: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd4_simhash" -> (graft.queries.Pipeline.rawSimhash(_, _)),
+    "dd12_semdedup" -> (graft.queries.Pipeline.rawSemdedup(_, _)),
+    "ann2_lsh_topk" -> (graft.queries.Pipeline.rawAnn2(_, _)),
+    "ann3_ivf_topk" -> (graft.queries.Pipeline.rawAnn3(_, _)),
+    "ann4_pq_topk" -> (graft.queries.Pipeline.rawAnn4(_, _)),
+    "q20_approx_distinct" -> (graft.queries.Extra.rawApproxDistinct(_, _)),
+    "q23_hll_merge" -> (graft.queries.Extra.rawHllMerge(_, _)),
+    "q26_theta_overlap" -> (graft.queries.Extra.rawTheta(_, _)))
 
   /** Rank slack for the q25 bounds golden: 3× the k=200 KLL normalized
     * rank error (~1.65%), rounded up — wide enough that no legitimate
@@ -88,8 +98,8 @@ object GoldenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    for (n <- names) {
-      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+    for ((n, mk) <- raws) {
+      val df = mk(spark, sfDir)
       Files.writeString(Paths.get(outDir, s"$n.golden"), canon(df))
       println(s"[golden] wrote $n")
     }

@@ -1004,23 +1004,52 @@ class DifferentialSpec extends AnyFunSuite {
     // COMBINED per-binding row. Expected side computed inline (the
     // 3VL model has no EXISTS case): BOUND is error-free and EXISTS
     // never errors, so the disjunction is 2-valued here.
+    // r12 (verdict #3): widened beyond `BOUND(?v) || EXISTS{BGP}` — the
+    // scalar side draws 3VL-error-capable comparisons over vars that may
+    // be LATERAL-body-bound, outer-bound, or unbound; the EXISTS inner
+    // draws non-monotone shapes (Union/Minus/OPTIONAL route through the
+    // per-binding σ machinery); the disjunction runs in both orders.
+    // 3VL model: error || true = true, error || false = error (row
+    // drops); EXISTS never errors.
+    val genScalar: Gen[Expr] = Gen.frequency(
+      2 -> Gen.oneOf(varNames).map(v => EFn("BOUND", EVar(v))),
+      3 -> (for {
+        v <- Gen.oneOf(varNames); op <- Gen.oneOf("=", "<", ">", "!=")
+        n <- Gen.choose(0, 5)
+      } yield EFn(op, EVar(v), ELit(n.toString, Term.XsdInteger))),
+      2 -> (for {
+        v1 <- Gen.oneOf(varNames); v2 <- Gen.oneOf(varNames)
+        op <- Gen.oneOf("=", "<")
+      } yield EFn(op, EVar(v1), EVar(v2))))
+    val genInner: Gen[GraphPattern] = Gen.frequency(
+      3 -> genBgp,
+      1 -> (for { a <- genBgp; b <- genBgp } yield Union(a, b)),
+      1 -> (for { a <- genBgp; b <- genBgp } yield Minus(a, b)),
+      1 -> (for { a <- genBgp; b <- genBgp } yield LeftJoin(a, b, None)))
     val genArm = for {
-      l <- genBgp; body <- genBgp; inner <- genBgp
-      v <- Gen.oneOf(varNames)
+      l <- genBgp; body <- genBgp; inner <- genInner
+      sc <- genScalar
       neg <- Gen.oneOf(true, false)
-    } yield (l, body, inner, v, neg)
+      exFirst <- Gen.oneOf(true, false)
+    } yield (l, body, inner, sc, neg, exFirst)
     val prop = Prop.forAllNoShrink(genData, genArm) {
-      case (data, (l, body, inner, v, neg)) =>
+      case (data, (l, body, inner, sc, neg, exFirst)) =>
         val exPart: Expr =
           if (neg) EFn("!", EExists(inner, true)) else EExists(inner, true)
-        val gp = Lateral(l,
-          Filter(EFn("||", EFn("BOUND", EVar(v)), exPart), body))
+        val cond =
+          if (exFirst) EFn("||", exPart, sc) else EFn("||", sc, exPart)
+        val gp = Lateral(l, Filter(cond, body))
         val expected = evalNaive(l, data).flatMap { bl =>
           evalSubst(body, data, bl).filter { b =>
-            b.contains(v) || {
-              val ex = evalSubst(inner, data, b).nonEmpty
-              if (neg) !ex else ex
+            val ex = evalSubst(inner, data, b).nonEmpty
+            val ex3: Option[Boolean] = Some(if (neg) !ex else ex)
+            val s3 = evalFilter3(sc, b)
+            val or3 = (ex3, s3) match {
+              case (Some(true), _) | (_, Some(true)) => Some(true)
+              case (Some(false), Some(false)) => Some(false)
+              case _ => None
             }
+            or3.contains(true)
           }
         }.map(canon).sorted
         try {

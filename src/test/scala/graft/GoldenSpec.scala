@@ -13,11 +13,11 @@ import graft.tools.GoldenGen
 class GoldenSpec extends AnyFunSuite {
   import TestSpark._
 
-  for (name <- GoldenGen.names) {
+  for ((name, mk) <- GoldenGen.raws) {
     test(s"golden: $name matches committed sf0.001 output") {
       val expected = Files.readString(Paths.get(
         getClass.getResource(s"/golden/$name.golden").toURI))
-      val got = GoldenGen.canon(SparkEntry.queries(name)(spark, sf))
+      val got = GoldenGen.canon(mk(spark, sf))
       assert(got == expected,
         s"$name drifted from golden output — if intentional, regenerate " +
           "with graft.tools.GoldenGen and review the diff")
@@ -37,7 +37,7 @@ class GoldenSpec extends AnyFunSuite {
       val c = l.split("\t")
       c(0) -> (c(2).toDouble, c(3).toDouble, c(4).toDouble, c(5).toDouble)
     }.toMap
-    val got = SparkEntry.queries("q25_kll_quantiles")(spark, sf)
+    val got = graft.queries.Extra.rawKll(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     assert(got.map(_._1).toSet == bounds.keySet, "return-flag set drifted")
     got.foreach { case (f, q50, q90) =>

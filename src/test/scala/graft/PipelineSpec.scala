@@ -129,7 +129,8 @@ class PipelineSpec extends AnyFunSuite {
   test("LSH ANN cosines are bounded by brute-force top-1 per query") {
     val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    val lsh = Similarity.lshTopK(emb, col("vec_id") < 10, 5, planes = 4)
+    val lsh = Similarity.lshTopK(emb, col("vec_id") < 10, 5,
+      tables = 4, bits = 4)
       .collect()
     assert(lsh.nonEmpty, "LSH buckets should yield candidates")
     lsh.foreach { r =>

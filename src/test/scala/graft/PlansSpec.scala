@@ -57,6 +57,32 @@ class PlansSpec extends AnyFunSuite {
     assert(n > 0, "expected customers with orders")
   }
 
+  test("sp34 shape: EXISTS in a correlated LATERAL body stays hash-joined") {
+    // the EXISTS correlates on the outer ?c AND the body's ?o, the
+    // latter only in expression position — the full per-binding σ path
+    // (markExists inside the LATERAL engine); must stay __lid-keyed
+    // hash joins, never a nested-loop or cartesian product
+    val gp = Lateral(
+      Bgp(TriplePattern(V("c"), I(P("name")), V("cname")),
+        TriplePattern(V("c"), I(P("acctbal")), V("b"))),
+      Filter(
+        EExists(Filter(EFn("!=", EVar("o2"), EVar("o")),
+          Bgp(TriplePattern(V("o2"), I(P("orderedBy")), V("c"))))),
+        Bgp(TriplePattern(V("o"), I(P("orderedBy")), V("c")),
+          TriplePattern(V("o"), I(P("totalprice")), V("tp")))))
+    val df = Translator.translate(gp, TpchRdf.quads(spark, sf)).df
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL-EXISTS per-binding path must stay hash-joinable:\n$plan")
+    // semantics witness: only orders with a sibling order survive —
+    // every surviving customer contributes >= 2 rows
+    val perC = df.groupBy(col("cname")("lex")).count()
+      .collect().map(_.getLong(1))
+    assert(perC.nonEmpty && perC.forall(_ >= 2),
+      "each surviving customer must have >= 2 qualifying orders")
+  }
+
   test("OPTIONAL with an EXISTS condition decomposes into hash joins") {
     val gp = LeftJoin(
       Bgp(TriplePattern(V("c"), I(P("name")), V("cname"))),
