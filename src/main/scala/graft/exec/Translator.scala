@@ -784,8 +784,14 @@ object Translator {
     // Tag left rows with a unique id: DISTINCT and the top-k window are
     // per left SOLUTION (multiset semantics), not per left value tuple —
     // duplicate left rows each get their own k rows / their own dedup.
-    // ls0 already evaluated (lateralSol parameter)
-    val ls = Sol(ls0.df.withColumn("__lid", monotonically_increasing_id()),
+    // ls0 already evaluated (lateralSol parameter). PERSISTED (r12): the
+    // tagged frame feeds several consumers (per-binding combines,
+    // restoreOuter, keys-empty padding) — without the persist each
+    // consumer re-derives the whole outer lineage AND re-evaluates
+    // monotonically_increasing_id, which is only correct while every
+    // materialization keeps the exact same partition layout.
+    val ls = Sol(scratchTag(ls0.df.withColumn("__lid",
+        monotonically_increasing_id())),
       ls0.vars + "__lid", ls0.sure + "__lid")
 
     val pb = new PerBinding(ls, lVars, ls0.sure, src)
@@ -1565,7 +1571,10 @@ object Translator {
     case Some(f) if hasExists(f) =>
       var k = 0; var id = "__ljid0"
       while (A.vars(id) || B.vars(id)) { k += 1; id = s"__ljid$k" }
-      val tagged = Sol(A.df.withColumn(id, monotonically_increasing_id()),
+      // persisted (r12): consumed by the pair join AND the bare
+      // anti-join — the dual-consumer id-stability rule
+      val tagged = Sol(scratchTag(A.df.withColumn(id,
+          monotonically_increasing_id())),
         A.vars + id, A.sure + id, A.cls)
       val pairs = joinSols(tagged, B, "inner")
       val (existsConjs, scalarConjs) = splitConjuncts(f)
@@ -1632,14 +1641,29 @@ object Translator {
     if (existsRefs(p, sol.vars).isEmpty || lateralJoinSafe(sol.vars)(p))
       joinSols(sol, translate(p, src, ctx), jt)
     else {
-      val tagged = sol.df.withColumn("__eid",
-        monotonically_increasing_id())
+      // persisted (r12): consumed by existsHits AND the semi join back —
+      // same dual-consumer id-stability rule as lateralSol's __lid
+      val tagged = scratchTag(sol.df.withColumn("__eid",
+        monotonically_increasing_id()))
       val hits = existsHits(Sol(tagged, sol.vars, sol.sure, sol.cls),
         "__eid", p, src, ctx)
       Sol(tagged.join(hits, Seq("__eid"), jt).drop("__eid"),
         sol.vars, sol.sure, sol.cls)
     }
   }
+
+  /** Persist + track a row-id-tagged frame: every
+    * `monotonically_increasing_id` tag that feeds MORE THAN ONE
+    * consumer must materialize exactly once — separate materializations
+    * re-evaluate the id expression and are only consistent while the
+    * partition layout stays identical, and they re-derive the whole
+    * upstream lineage besides (measured: 2 full outer rebuilds per
+    * EXISTS at the 10× scale leg). Tracked as scratch so long-lived
+    * sessions release it after materializing (Bench/Verify discipline).
+    */
+  private def scratchTag(df: DataFrame): DataFrame =
+    graft.ops.ScratchCaches.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def markExists(in0: Sol, exprs: Seq[Expr], src: QuadSource,
       ctx: GraphCtx): (Sol, Seq[Expr], Seq[String]) = {
@@ -1654,6 +1678,9 @@ object Translator {
     if (markers.isEmpty) return (in0, rewritten, Nil)
     var df = in0.df.withColumn("__mid", monotonically_increasing_id())
     markers.foreach { case (m, EExists(p0, pos)) =>
+      // each iteration consumes df twice (hit derivation + the marker
+      // left-outer join) — persist per iteration, same rule as __eid
+      df = scratchTag(df)
       val cur = Sol(df, in0.vars, in0.sure, in0.cls)
       val p = renameHidden(p0, in0.vars)
       val hits =

@@ -75,7 +75,7 @@ final class JsonLdParser(content: String,
         } else vocab.map(_ + key)
       }
 
-    /** Expand an @id / @type VALUE (base-relative, compact, or term). */
+    /** Expand an @id VALUE (base-relative, compact, or term). */
     def expandRef(v: String): String =
       if (v.startsWith("_:")) v
       else terms.get(v).map(_.iri).getOrElse {
@@ -85,6 +85,25 @@ final class JsonLdParser(content: String,
           if (local.startsWith("//")) v
           else terms.get(pfx).map(_.iri + local).getOrElse(v)
         } else base.map(b => resolve(b, v)).getOrElse(v)
+      }
+
+    /** Expand an @type value / type-map key / value-object datatype:
+      * IRI expansion with vocab=TRUE — term defs and compact IRIs
+      * first, then the VOCAB mapping, then base resolution (r12 fix:
+      * these positions previously base-resolved like @id values, so
+      * `"@type": "T"` under @vocab emitted the garbage relative IRI
+      * `T` instead of vocab+T).
+      */
+    def expandTypeRef(v: String): String =
+      if (v.startsWith("_:")) v
+      else terms.get(v).map(_.iri).getOrElse {
+        val c = v.indexOf(':')
+        if (c > 0) {
+          val (pfx, local) = (v.substring(0, c), v.substring(c + 1))
+          if (local.startsWith("//")) v
+          else terms.get(pfx).map(_.iri + local).getOrElse(v)
+        } else vocab.map(_ + v)
+          .orElse(base.map(b => resolve(b, v))).getOrElse(v)
       }
 
     private def resolve(b: String, rel: String): String =
@@ -142,7 +161,12 @@ final class JsonLdParser(content: String,
         case ("@vocab", v) =>
           if (!v.isNull && !v.isTextual) // "invalid vocab mapping"
             err(s"invalid vocab mapping: $v")
-          ctx = ctx.copy(vocab = if (v.isNull) None else Some(v.asText))
+          // IRI expansion with vocab=true, documentRelative=true (r12):
+          // a RELATIVE @vocab concatenates onto the previous vocab
+          // mapping, else resolves against @base — it was previously
+          // taken verbatim, producing relative property IRIs
+          ctx = ctx.copy(vocab =
+            if (v.isNull) None else Some(ctx.expandTypeRef(v.asText)))
         case ("@base", v) =>
           if (!v.isNull && !v.isTextual) // "invalid base IRI"
             err(s"invalid base IRI: $v")
@@ -275,12 +299,18 @@ final class JsonLdParser(content: String,
     if (v.isBoolean)
       TermRow(Term.LiteralKind.toByte, v.asBoolean.toString,
         Term.XsdBoolean, null)
-    else if (v.isIntegralNumber)
-      TermRow(Term.LiteralKind.toByte, v.asLong.toString,
-        Term.XsdInteger, null)
-    else if (v.isNumber)
-      TermRow(Term.LiteralKind.toByte, v.asDouble.toString,
-        Term.XsdDouble, null)
+    else if (v.isNumber) {
+      // Object-to-RDF: canonical double when the number has a fraction
+      // or the coercion datatype IS xsd:double, else integer lexical;
+      // a coerced datatype replaces the native default (r12: doubles
+      // previously used Double.toString — "5.5" instead of the XSD
+      // canonical "5.5E0")
+      val dt = td.flatMap(_.typ).filter(t => t != "@id" && t != "@json")
+      val asDbl = !v.isIntegralNumber || dt.contains(Term.XsdDouble)
+      TermRow(Term.LiteralKind.toByte,
+        if (asDbl) canonicalDouble(v.asDouble) else v.asLong.toString,
+        dt.getOrElse(if (asDbl) Term.XsdDouble else Term.XsdInteger), null)
+    }
     else td.flatMap(_.typ) match {
       case Some("@id") => ref(ctx.expandRef(v.asText))
       case Some(dt) => TermRow(Term.LiteralKind.toByte, v.asText, dt, null)
@@ -300,6 +330,18 @@ final class JsonLdParser(content: String,
           }
         }
     }
+
+  /** XSD canonical xsd:double lexical form (single leading digit,
+    * at least one fraction digit, E exponent): 5.5 -> "5.5E0",
+    * 100 -> "1.0E2" — what the JSON-LD Object-to-RDF algorithm
+    * requires for native non-integral numbers.
+    */
+  private def canonicalDouble(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "INF"
+    else if (d.isNegInfinity) "-INF"
+    else new java.text.DecimalFormat("0.0###############E0",
+      new java.text.DecimalFormatSymbols(java.util.Locale.ROOT)).format(d)
 
   /** JCS-style canonical JSON for rdf:JSON literals: object keys
     * sorted, no whitespace, strings JSON-escaped. Numbers: integrals
@@ -366,9 +408,20 @@ final class JsonLdParser(content: String,
           TermRow(Term.LiteralKind.toByte, canonicalJson(lex),
             RdfNs + "JSON", null)
         else if (lex.isNull) null
-        else if (typeKey.isDefined)
-          TermRow(Term.LiteralKind.toByte, lex.asText,
-            ctx.expandRef(v.get(typeKey.get).asText), null)
+        else if (typeKey.isDefined) {
+          // datatype IRIs expand with vocab=true; a NUMBER @value
+          // converts per Object-to-RDF: canonical double when it has a
+          // fraction or the datatype IS xsd:double, else integer lexical
+          val dt = ctx.expandTypeRef(v.get(typeKey.get).asText)
+          val lexS =
+            if (lex.isNumber) {
+              if (!lex.isIntegralNumber || dt == Term.XsdDouble)
+                canonicalDouble(lex.asDouble)
+              else lex.asLong.toString
+            } else if (lex.isBoolean) lex.asBoolean.toString
+            else lex.asText
+          TermRow(Term.LiteralKind.toByte, lexS, dt, null)
+        }
         else if (dir.isDefined)
           directedLit(lex.asText,
             langKey.map(k => Term.normLang(v.get(k).asText)), dir.get, g)
@@ -383,12 +436,34 @@ final class JsonLdParser(content: String,
       listTerm(v.elements.asScala.toSeq, g, ctx, td)
     else scalarLit(v, td, ctx, g)
 
+  /** Unwrap explicit set objects — `{"@set": [...]}`, optionally with
+    * `@index` — into their member values, recursively (JSON-LD
+    * expansion: @set is pure syntactic sugar in ANY value position;
+    * r12 fix — such objects previously parsed as NODE OBJECTS, minting
+    * a blank node and silently dropping the members). Any other key
+    * alongside @set is the spec's invalid-set-or-list-object error.
+    */
+  private def flattenSets(vs: Seq[JsonNode],
+      kw: String => String): Seq[JsonNode] =
+    vs.flatMap { v =>
+      if (v.isObject) {
+        val fields = v.fieldNames.asScala.toSeq
+        if (fields.exists(f => kw(f) == "@set")) {
+          fields.find(f => kw(f) != "@set" && kw(f) != "@index")
+            .foreach(f => err(s"invalid set or list object key '$f'"))
+          flattenSets(asArray(
+            v.get(fields.find(f => kw(f) == "@set").get)), kw)
+        } else Seq(v)
+      } else Seq(v)
+    }
+
   private def listTerm(items: Seq[JsonNode], g: TermRow, ctx: Ctx,
       td: Option[TermDef]): TermRow = {
     val itemTd = td.map(_.copy(container = Set.empty[String]))
     // evaluate items FIRST: a {"@value": null} entry yields a null
-    // term and drops out of the list exactly like a bare JSON null
-    val terms = items.filterNot(_.isNull)
+    // term and drops out of the list exactly like a bare JSON null;
+    // explicit @set objects unwrap into the surrounding list
+    val terms = flattenSets(items, ctx.keyword _).filterNot(_.isNull)
       .map(valueTerm(_, g, ctx, itemTd)).filter(_ != null)
     terms match {
       case Seq() => iri(RdfNs + "nil")
@@ -442,7 +517,7 @@ final class JsonLdParser(content: String,
     }
     typeVals.foreach(x =>
       out += QuadRow(g, subj, iri(RdfNs + "type"),
-        ref(ctx0.expandRef(x))))
+        ref(ctx0.expandTypeRef(x))))
     // type-scoped contexts: a matched @type whose term definition
     // carries @context extends the active context for THIS node (they
     // do not propagate into nested node objects unless they say
@@ -571,7 +646,7 @@ final class JsonLdParser(content: String,
                   val t = valueTerm(v, g, vctx, entryTd)
                   if (t != null && vkw(e.getKey) != "@none")
                     out += QuadRow(g, t, iri(RdfNs + "type"),
-                      ref(vctx.expandRef(e.getKey)))
+                      ref(vctx.expandTypeRef(e.getKey)))
                   emit(t)
                 }
               }
@@ -593,7 +668,9 @@ final class JsonLdParser(content: String,
             val vs =
               if (cont.contains("@list") && value.isArray)
                 Seq(value) // one list, not n values
-              else asArray(value) // @set and no-container: n values
+              else // @set-container and no-container: n values, with
+                // explicit {"@set": [...]} value objects unwrapped
+                flattenSets(asArray(value), vkw)
             vs.foreach { v =>
               // null values mean "no value" in JSON-LD: dropped, and
               // {"@value": null} drops the same way

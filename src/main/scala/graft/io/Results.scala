@@ -122,10 +122,13 @@ object Results {
       // quoted triple: lex already IS the canonical N-Triples-star
       // token; the RDF 1.2 results edition re-renders it as a
       // <<( … )>> triple term (results cells are object-position-free,
-      // so no subject check applies)
+      // so no subject check applies). The canonical lex escapes
+      // \\ \" \n \r but legally keeps TAB raw (N-Triples allows it) —
+      // raw TAB is a CELL SEPARATOR here, so it must re-escape or the
+      // row silently grows a column (wave 27 catch)
       case k if k == Term.QuotedKind.toByte =>
-        if (edition12) Option(QuotedTriple.tripleTermLex(lex)).getOrElse(lex)
-        else lex
+        (if (edition12) Option(QuotedTriple.tripleTermLex(lex)).getOrElse(lex)
+         else lex).replace("\t", "\\t")
       case _ =>
         val esc = lex.replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", "\\n").replace("\t", "\\t")

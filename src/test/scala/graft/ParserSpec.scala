@@ -505,6 +505,42 @@ class ParserSpec extends AnyFunSuite {
     assert(cg == cgExpanded)
   }
 
+  test("wave 27: SPARQL reifier runs, object-list distribution, case") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    // mixed run: each block annotates ITS preceding reifier
+    val run = SparqlParser.parse(pfx +
+      "SELECT * WHERE { ?s :p ?o ~?r1 {| :n 1 |} ~?r2 {| :n 2 |} }")
+    val runExp = SparqlParser.parse(pfx +
+      s"""SELECT * WHERE { ?s :p ?o .
+        ?r1 <${rdf}reifies> <<( ?s :p ?o )>> . ?r1 :n 1 .
+        ?r2 <${rdf}reifies> <<( ?s :p ?o )>> . ?r2 :n 2 }""")
+    assert(run == runExp)
+    // reifiers distribute per OBJECT in an object list
+    val ol = SparqlParser.parse(pfx +
+      "SELECT * WHERE { ?s :p ?o1 ~?r1 , ?o2 ~?r2 }")
+    val olExp = SparqlParser.parse(pfx +
+      s"""SELECT * WHERE { ?s :p ?o1 .
+        ?r1 <${rdf}reifies> <<( ?s :p ?o1 )>> . ?s :p ?o2 .
+        ?r2 <${rdf}reifies> <<( ?s :p ?o2 )>> }""")
+    assert(ol == olExp)
+    // same reifier var on two triples joins (no special casing)
+    assert(SparqlParser.parse(pfx +
+      "SELECT ?r WHERE { ?s :p ?o ~?r . ?a :q ?b ~?r }") != null)
+    // VERSION keyword is case-insensitive like every SPARQL keyword
+    assert(SparqlParser.parse("version \"1.2\"\n" + pfx +
+      "SELECT ?x WHERE { ?x ?p <<( :a :b :c )>> }") != null)
+    // doubled tilde: two reifiers of the same triple (bare + named)
+    val dbl = SparqlParser.parse(pfx +
+      "SELECT * WHERE { ?s :p ?o ~~?r }")
+    assert(dbl != null)
+    // malformed stays loud
+    for (bad <- Seq(
+      "SELECT * WHERE { ?s :p ?o ~\"lit\" }",   // literal reifier
+      "SELECT * WHERE { ?s :p ?o ~?r {| |} }",  // empty block
+      "SELECT * WHERE { ?s :p , ?o ~?r }"))     // object-less comma
+      assertThrows[Exception](SparqlParser.parse(pfx + bad))
+  }
+
   test("RDF 1.2 reifiers in CONSTRUCT templates and update quad data") {
     assert(SparqlParser.parse(pfx +
       "CONSTRUCT { ?s :p ?o ~?r } WHERE { ?s :p ?o . ?r :src ?s }") != null)

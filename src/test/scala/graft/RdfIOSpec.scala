@@ -1098,6 +1098,70 @@ class RdfIOSpec extends AnyFunSuite {
       hit2.head().getAs[Row]("r").getString(1) == "http://x/r")
   }
 
+  test("wave 27: reifier/annotation interaction corners (RDF 1.2)") {
+    val Reifies = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+    def ttl(doc: String) =
+      new graft.io.TurtleParser("@prefix : <http://x/> . " + doc).parse()
+    // multiple reifiers in one run: each reifies the SAME triple term
+    val two = ttl(""":s :p :o ~:r1 ~:r2 .""")
+    assert(two.count(_.p.lex == Reifies) == 2 &&
+      two.filter(_.p.lex == Reifies).map(_.s.lex).toSet ==
+        Set("http://x/r1", "http://x/r2") &&
+      two.filter(_.p.lex == Reifies).map(_.o).distinct.size == 1)
+    // reifiers distribute per OBJECT in an object list
+    val ol = ttl(""":s :p :o1 ~:r1 , :o2 ~:r2 .""")
+    def reified(r: String) = ol.find(q =>
+      q.s.lex == s"http://x/$r" && q.p.lex == Reifies).get.o.lex
+    assert(reified("r1").contains("o1") && !reified("r1").contains("o2"))
+    assert(reified("r2").contains("o2") && !reified("r2").contains("o1"))
+    // predicate-object list continues after a reifier
+    val po = ttl(""":s :p :o ~:r ; :q :z .""")
+    assert(po.exists(q => q.p.lex == "http://x/q" && q.o.lex == "http://x/z")
+      && po.count(_.p.lex == Reifies) == 1)
+    // explicit blank-node-label reifier
+    val bl = ttl(""":s :p :o ~_:b7 .""")
+    assert(bl.find(_.p.lex == Reifies).get.s.kind == Term.BlankKind.toByte)
+    // whitespace/comment between ~ and the reifier term
+    val ws = ttl(":s :p :o ~ # c\n :r .")
+    assert(ws.find(_.p.lex == Reifies).get.s.lex == "http://x/r")
+    // annotation of an annotation: the inner block's subject is the
+    // quoted term of the OUTER annotation triple
+    val nest = ttl(""":s :p :o {| :m :x {| :k :v |} |} .""")
+    val inner = nest.find(_.p.lex == "http://x/k").get
+    assert(inner.s.kind == Term.QuotedKind.toByte &&
+      inner.s.lex.contains("http://x/m"))
+    // reifier sugar inside an annotation block body reifies the
+    // annotation triple itself
+    val ra = ttl(""":s :p :o {| :q :z ~:r2 |} .""")
+    val r2 = ra.find(q => q.s.lex == "http://x/r2").get
+    assert(r2.p.lex == Reifies && r2.o.lex.contains("http://x/q"))
+    // `a` keyword inside a block; triple term as a block object
+    assert(ttl(""":s :p :o {| a :T |} .""")
+      .exists(q => q.p.lex.endsWith("#type") &&
+        q.s.kind == Term.QuotedKind.toByte))
+    assert(ttl(""":s :p :o {| :sameAs <<( :a :b :c )>> |} .""")
+      .exists(q => q.p.lex == "http://x/sameAs" &&
+        q.o.kind == Term.QuotedKind.toByte))
+    // reifier on a quoted-triple OBJECT reifies the full (nested) term
+    val qq = ttl(""":s :p << :a :b :c >> ~:r .""")
+    val rq = qq.find(_.p.lex == Reifies).get
+    assert(rq.o.lex.contains("<< <http://x/a>"))
+    // `~~:r` is TWO reifiers (grammar: reifier ::= '~' term?, and
+    // annotations repeat): a fresh bare bnode plus :r
+    val dbl = ttl(""":s :p :o ~~:r .""")
+    assert(dbl.count(_.p.lex == Reifies) == 2 &&
+      dbl.filter(_.p.lex == Reifies).exists(_.s.lex == "http://x/r") &&
+      dbl.filter(_.p.lex == Reifies)
+        .exists(_.s.kind == Term.BlankKind.toByte))
+    // malformed runs stay loud
+    for (bad <- Seq(
+      ":s :p :o {| |} .",            // empty annotation block
+      ":s :p :o , ~:r .",            // reifier with no object
+      ":s :p ( :o ~:r ) .",          // reifier inside a collection
+      ":s :p :o ~(:r) ."             // reifier must be IRI/bnode
+    )) assertThrows[Exception](ttl(bad))
+  }
+
   test("JSON-LD wave 8: value-object validity, null handling") {
     import graft.io.JsonLdParser
     def ld(doc: String) = new JsonLdParser(doc).parse()

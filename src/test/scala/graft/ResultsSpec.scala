@@ -235,6 +235,48 @@ class ResultsSpec extends AnyFunSuite {
       .getAs[org.apache.spark.sql.Row]("t") == t)
   }
 
+  test("wave 27: TSV 1.2 roundtrips hostile terms inside triple terms") {
+    // quoted triples whose components carry TSV-hostile content — tab,
+    // newline, quote, backslash literals, dirLang tags, datatypes,
+    // bnodes — must survive toTsv12 -> fromTsv as the same term, and
+    // the 1.2 cell must never leak a CG token
+    def lit(lex: String, dt: String = null, lang: String = null) =
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(Term.LiteralKind.toByte)
+          .as("kind"),
+        org.apache.spark.sql.functions.lit(lex).as("lex"),
+        (if (dt == null) org.apache.spark.sql.functions
+          .lit(null).cast("string")
+         else org.apache.spark.sql.functions.lit(dt)).as("dt"),
+        (if (lang == null) org.apache.spark.sql.functions
+          .lit(null).cast("string")
+         else org.apache.spark.sql.functions.lit(lang)).as("lang"))
+    val hostiles = Seq(
+      lit("tab\there"), lit("nl\nthere"), lit("q\"uote"),
+      lit("back\\slash"), lit("mixed\t\"x\\\n"),
+      lit("dir", Term.RdfDirLangString, "ar--rtl"),
+      lit("5", Term.XsdInteger))
+    for (h <- hostiles) {
+      val q = SparqlExpr.fn("TRIPLE", Seq(
+        graft.model.Term.iri("http://x/s"),
+        graft.model.Term.iri("http://x/p"), h))
+      // once plain, once nested one level deeper
+      val qq = SparqlExpr.fn("TRIPLE", Seq(
+        graft.model.Term.iri("http://x/a"),
+        graft.model.Term.iri("http://x/b"), q))
+      for (term <- Seq(q, qq)) {
+        val df = spark.range(1).select(term.as("t"))
+        val tsv = Results.toTsv12(df)
+        assert(!tsv.matches("(?s).*<<[^(].*"), s"CG token leaked: $tsv")
+        val back = Results.fromTsv(spark, tsv)
+          .head.getAs[org.apache.spark.sql.Row]("t")
+        val orig = df.head.getAs[org.apache.spark.sql.Row]("t")
+        assert(back == orig, s"hostile 1.2 roundtrip drifted:\n$tsv\n" +
+          s"orig=$orig\nback=$back")
+      }
+    }
+  }
+
   test("fromJson handles unbound vars and typed/bnode terms") {
     val json = """{"head":{"vars":["a","b"]},"results":{"bindings":[
       {"a":{"type":"uri","value":"http://x/1"}},
