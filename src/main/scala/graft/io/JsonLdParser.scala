@@ -43,7 +43,8 @@ final class JsonLdParser(content: String,
   private case class TermDef(iri: String, typ: Option[String] = None,
       lang: Option[String] = None, container: Set[String] = Set.empty,
       scoped: Option[JsonNode] = None, reverse: Boolean = false,
-      dir: Option[String] = None, prot: Boolean = false)
+      dir: Option[String] = None, prot: Boolean = false,
+      prefixOk: Boolean = false)
 
   /** Active context. `aliases` maps user keys to JSON-LD keywords;
     * `prev` is the context to revert to when descending into a nested
@@ -66,24 +67,29 @@ final class JsonLdParser(content: String,
       * JSON-LD algorithm for unmapped keys without @vocab).
       */
     def expandKey(key: String): Option[String] =
-      terms.get(key).map(_.iri).orElse {
+      terms.get(key).map(td => Option(td.iri)).getOrElse {
         val c = key.indexOf(':')
         if (c > 0) {
           val (pfx, local) = (key.substring(0, c), key.substring(c + 1))
           if (local.startsWith("//")) Some(key) // absolute like http://
-          else terms.get(pfx).map(_.iri + local).orElse(Some(key))
+          // JSON-LD 1.1 prefix rule: only simple terms ending in a
+          // gen-delim or expanded terms carrying @prefix: true act as
+          // prefixes; otherwise the compact IRI stands as its own IRI
+          else terms.get(pfx).filter(_.prefixOk).map(_.iri + local)
+            .orElse(Some(key))
         } else vocab.map(_ + key)
       }
 
     /** Expand an @id VALUE (base-relative, compact, or term). */
     def expandRef(v: String): String =
       if (v.startsWith("_:")) v
-      else terms.get(v).map(_.iri).getOrElse {
+      else terms.get(v).flatMap(td => Option(td.iri)).getOrElse {
         val c = v.indexOf(':')
         if (c > 0) {
           val (pfx, local) = (v.substring(0, c), v.substring(c + 1))
           if (local.startsWith("//")) v
-          else terms.get(pfx).map(_.iri + local).getOrElse(v)
+          else terms.get(pfx).filter(_.prefixOk).map(_.iri + local)
+            .getOrElse(v)
         } else base.map(b => resolve(b, v)).getOrElse(v)
       }
 
@@ -96,12 +102,13 @@ final class JsonLdParser(content: String,
       */
     def expandTypeRef(v: String): String =
       if (v.startsWith("_:")) v
-      else terms.get(v).map(_.iri).getOrElse {
+      else terms.get(v).flatMap(td => Option(td.iri)).getOrElse {
         val c = v.indexOf(':')
         if (c > 0) {
           val (pfx, local) = (v.substring(0, c), v.substring(c + 1))
           if (local.startsWith("//")) v
-          else terms.get(pfx).map(_.iri + local).getOrElse(v)
+          else terms.get(pfx).filter(_.prefixOk).map(_.iri + local)
+            .getOrElse(v)
         } else vocab.map(_ + v)
           .orElse(base.map(b => resolve(b, v))).getOrElse(v)
       }
@@ -156,6 +163,107 @@ final class JsonLdParser(content: String,
       }
       ctx = ctx.copy(terms = ctx.terms + (term -> d))
     }
+    // Create Term Definition is ON DEMAND (spec §4.2): a term's value
+    // may reference terms/prefixes defined LATER in the same context
+    // object — ensure() recursively defines dependencies first, with
+    // the spec's "cyclic IRI mapping" error on genuine cycles.
+    val ctxKeywords = Set("@vocab", "@base", "@language", "@direction",
+      "@version", "@propagate", "@protected", "@import")
+    val entries: Map[String, JsonNode] = node.fields.asScala
+      .filterNot(e => ctxKeywords(e.getKey))
+      .map(e => e.getKey -> e.getValue).toMap
+    val keywords = Set("@id", "@type", "@value", "@language", "@direction",
+      "@list", "@set", "@reverse", "@graph", "@index", "@included",
+      "@nest", "@none", "@json", "@container", "@prefix") ++ ctxKeywords
+    var done = Set[String]()
+    var defining = List[String]()
+    def ensure(name: String): Unit =
+      if (!done(name) && entries.contains(name)) {
+        if (defining.contains(name)) err(s"cyclic IRI mapping: '$name'")
+        defining ::= name
+        defineEntry(name, entries(name))
+        defining = defining.tail
+        done += name
+      }
+    // ensure any term/prefix a value string depends on before expanding
+    def ensureFor(v: String): Unit = {
+      ensure(v)
+      val c = v.indexOf(':')
+      if (c > 0) ensure(v.substring(0, c))
+    }
+    def expandRefD(v: String): String = { ensureFor(v); ctx.expandRef(v) }
+    def expandTypeRefD(v: String): String =
+      { ensureFor(v); ctx.expandTypeRef(v) }
+    def defineEntry(term: String, v: JsonNode): Unit = v match {
+      case v if v.isNull =>
+        // explicit null definition: blocks @vocab/prefix expansion of
+        // the key even when a vocab mapping is active
+        define(term, TermDef(null, prot = protDefault))
+      case v if v.isTextual && v.asText.startsWith("@") =>
+        // only true keywords alias; keyword-LOOKALIKE values make the
+        // term definition ignored entirely (spec: terms that look
+        // like keywords MUST be ignored)
+        if (keywords(v.asText))
+          ctx = ctx.copy(aliases = ctx.aliases + (term -> v.asText))
+      case v if v.isTextual =>
+        val id = expandRefD(v.asText)
+        // simple terms act as prefixes iff their IRI ends in a
+        // gen-delim character (JSON-LD 1.1 §4.4)
+        val pfxOk = id.nonEmpty && ":/?#[]@".contains(id.last)
+        define(term, TermDef(id, prot = protDefault, prefixOk = pfxOk))
+      case v if v.isObject =>
+        val rev = v.has("@reverse")
+        if (rev && v.has("@id"))
+          err(s"term '$term' has both @reverse and @id")
+        val id =
+          if (rev) expandRefD(v.get("@reverse").asText)
+          else if (v.has("@id")) expandRefD(v.get("@id").asText)
+          else {
+            // the term's own name expands as a compact IRI / vocab
+            // key — WITHOUT a self-lookup (that would read as a cycle)
+            val c = term.indexOf(':')
+            if (c > 0) {
+              ensure(term.substring(0, c))
+              ctx.expandKey(term).getOrElse(term)
+            } else ctx.vocab.map(_ + term).getOrElse(term)
+          }
+        val typ = Option(v.get("@type")).map(_.asText).flatMap(t =>
+          if (t == "@none") None // 1.1: explicit "no coercion"
+          else Some(
+            if (t == "@id" || t == "@vocab" || t == "@json") t
+            else expandTypeRefD(t)))
+        val lang = Option(v.get("@language"))
+          .map(l => if (l.isNull) "" else Term.normLang(l.asText))
+        val dir = Option(v.get("@direction"))
+          .map(d => if (d.isNull) "" else checkDir(d.asText))
+        // @container takes a keyword or (1.1) an array of keywords
+        val cont: Set[String] = Option(v.get("@container")).map { c =>
+          if (c.isNull) Set.empty[String]
+          else if (c.isArray) c.elements.asScala.map(_.asText).toSet
+          else Set(c.asText)
+        }.getOrElse(Set.empty)
+        val known = Set("@list", "@set", "@index", "@language", "@id",
+          "@type", "@graph", "@none")
+        cont.find(!known(_)).foreach(c =>
+          err(s"term '$term': unknown @container '$c'"))
+        if (rev && (cont("@list") || cont("@language") || cont("@graph")))
+          err(s"term '$term': @reverse with ${cont.mkString(",")} " +
+            "container")
+        val prot = Option(v.get("@protected")).map(_.asBoolean)
+          .getOrElse(protDefault)
+        // expanded terms are prefixes only with an explicit
+        // @prefix: true (JSON-LD 1.1 §4.4)
+        val pfxOk = Option(v.get("@prefix")).exists { p =>
+          if (!p.isBoolean) err(s"invalid @prefix value on '$term'")
+          p.asBoolean
+        }
+        // scoped (term-level) context: raw node kept, parsed against
+        // the ACTIVE context at each use site (property or type)
+        val scoped = Option(v.get("@context"))
+        define(term, TermDef(id, typ, lang, cont, scoped, rev, dir, prot,
+          pfxOk))
+      case _ =>
+    }
     node.fields.asScala.foreach { e =>
       (e.getKey, e.getValue) match {
         case ("@vocab", v) =>
@@ -166,7 +274,7 @@ final class JsonLdParser(content: String,
           // mapping, else resolves against @base — it was previously
           // taken verbatim, producing relative property IRIs
           ctx = ctx.copy(vocab =
-            if (v.isNull) None else Some(ctx.expandTypeRef(v.asText)))
+            if (v.isNull) None else Some(expandTypeRefD(v.asText)))
         case ("@base", v) =>
           if (!v.isNull && !v.isTextual) // "invalid base IRI"
             err(s"invalid base IRI: $v")
@@ -183,47 +291,7 @@ final class JsonLdParser(content: String,
           if (!(v.isNumber && v.asDouble == 1.1))
             err(s"invalid @version value: $v (must be the number 1.1)")
         case ("@propagate" | "@protected", _) =>
-        case (term, v) if v.isTextual && v.asText.startsWith("@") =>
-          ctx = ctx.copy(aliases = ctx.aliases + (term -> v.asText))
-        case (term, v) if v.isTextual =>
-          define(term,
-            TermDef(ctx.expandRef(v.asText), prot = protDefault))
-        case (term, v) if v.isObject =>
-          val rev = v.has("@reverse")
-          if (rev && v.has("@id"))
-            err(s"term '$term' has both @reverse and @id")
-          val id =
-            if (rev) ctx.expandRef(v.get("@reverse").asText)
-            else if (v.has("@id")) ctx.expandRef(v.get("@id").asText)
-            else ctx.expandKey(term).getOrElse(term)
-          val typ = Option(v.get("@type")).map(_.asText)
-            .map(t => if (t == "@id" || t == "@vocab") "@id"
-                      else if (t == "@json") "@json"
-                      else ctx.expandRef(t))
-          val lang = Option(v.get("@language"))
-            .map(l => if (l.isNull) "" else Term.normLang(l.asText))
-          val dir = Option(v.get("@direction"))
-            .map(d => if (d.isNull) "" else checkDir(d.asText))
-          // @container takes a keyword or (1.1) an array of keywords
-          val cont: Set[String] = Option(v.get("@container")).map { c =>
-            if (c.isNull) Set.empty[String]
-            else if (c.isArray) c.elements.asScala.map(_.asText).toSet
-            else Set(c.asText)
-          }.getOrElse(Set.empty)
-          val known = Set("@list", "@set", "@index", "@language", "@id",
-            "@type", "@graph", "@none")
-          cont.find(!known(_)).foreach(c =>
-            err(s"term '$term': unknown @container '$c'"))
-          if (rev && (cont("@list") || cont("@language") || cont("@graph")))
-            err(s"term '$term': @reverse with ${cont.mkString(",")} " +
-              "container")
-          val prot = Option(v.get("@protected")).map(_.asBoolean)
-            .getOrElse(protDefault)
-          // scoped (term-level) context: raw node kept, parsed against
-          // the ACTIVE context at each use site (property or type)
-          val scoped = Option(v.get("@context"))
-          define(term, TermDef(id, typ, lang, cont, scoped, rev, dir, prot))
-        case _ =>
+        case (term, _) => ensure(term)
       }
     }
     if (propagate) { if (clearPrev) ctx.copy(prev = None) else ctx }
@@ -300,19 +368,14 @@ final class JsonLdParser(content: String,
       TermRow(Term.LiteralKind.toByte, v.asBoolean.toString,
         Term.XsdBoolean, null)
     else if (v.isNumber) {
-      // Object-to-RDF: canonical double when the number has a fraction
-      // or the coercion datatype IS xsd:double, else integer lexical;
-      // a coerced datatype replaces the native default (r12: doubles
-      // previously used Double.toString — "5.5" instead of the XSD
-      // canonical "5.5E0")
-      val dt = td.flatMap(_.typ).filter(t => t != "@id" && t != "@json")
-      val asDbl = !v.isIntegralNumber || dt.contains(Term.XsdDouble)
-      TermRow(Term.LiteralKind.toByte,
-        if (asDbl) canonicalDouble(v.asDouble) else v.asLong.toString,
-        dt.getOrElse(if (asDbl) Term.XsdDouble else Term.XsdInteger), null)
+      val dt = td.flatMap(_.typ)
+        .filter(t => t != "@id" && t != "@json" && t != "@vocab")
+      val (lex, dty) = numLex(v, dt)
+      TermRow(Term.LiteralKind.toByte, lex, dty, null)
     }
     else td.flatMap(_.typ) match {
       case Some("@id") => ref(ctx.expandRef(v.asText))
+      case Some("@vocab") => ref(ctx.expandTypeRef(v.asText))
       case Some(dt) => TermRow(Term.LiteralKind.toByte, v.asText, dt, null)
       case None =>
         // term language/direction ("" clears the default) else context
@@ -330,6 +393,32 @@ final class JsonLdParser(content: String,
           }
         }
     }
+
+  /** JSON number -> RDF lexical + datatype per Object-to-RDF (r12
+    * wave 2): a number is a DOUBLE when it has a non-zero fractional
+    * part or |v| >= 1e21 — by VALUE, not source lexical, so 1e2 is the
+    * integer 100 — or when the coerced datatype IS xsd:double;
+    * integers use exact big-integer lexicals (no silent Long overflow
+    * for 20-digit literals).
+    */
+  private def numLex(v: JsonNode, dt: Option[String]): (String, String) = {
+    val asDbl = dt.contains(Term.XsdDouble) || {
+      if (v.isIntegralNumber)
+        v.bigIntegerValue.abs.toString.length > 21 // >= 1e21: 22+ digits
+      else {
+        val d = v.asDouble
+        d.isNaN || d.isInfinite || d != Math.rint(d) || Math.abs(d) >= 1e21
+      }
+    }
+    if (asDbl) (canonicalDouble(v.asDouble), dt.getOrElse(Term.XsdDouble))
+    else {
+      val lex =
+        if (v.isIntegralNumber) v.bigIntegerValue.toString
+        else java.math.BigDecimal.valueOf(v.asDouble)
+          .toBigInteger.toString
+      (lex, dt.getOrElse(Term.XsdInteger))
+    }
+  }
 
   /** XSD canonical xsd:double lexical form (single leading digit,
     * at least one fraction digit, E exponent): 5.5 -> "5.5E0",
@@ -389,7 +478,9 @@ final class JsonLdParser(content: String,
           "@index")
         v.fieldNames.asScala.find(k => !allowed(vk(k)))
           .foreach(k => err(s"invalid value object key '$k'"))
-        if (typeKey.isDefined && langKey.isDefined)
+        // an explicit null @language/@direction is "not present"
+        val langN = langKey.map(v.get).filterNot(_.isNull)
+        if (typeKey.isDefined && langN.isDefined)
           err("@value with both @type and @language")
         if (typeKey.isDefined && dirKey.isDefined &&
           !v.get(dirKey.get).isNull)
@@ -404,6 +495,9 @@ final class JsonLdParser(content: String,
           .map(d => checkDir(d.asText))
         if (dir.isDefined && !lex.isTextual && !lex.isNull)
           err("@direction on a non-string @value")
+        if (langN.isDefined && !lex.isTextual && !lex.isNull && !jsonTyped)
+          err("invalid language-tagged value: @language on a " +
+            "non-string @value")
         if (jsonTyped)
           TermRow(Term.LiteralKind.toByte, canonicalJson(lex),
             RdfNs + "JSON", null)
@@ -414,20 +508,17 @@ final class JsonLdParser(content: String,
           // fraction or the datatype IS xsd:double, else integer lexical
           val dt = ctx.expandTypeRef(v.get(typeKey.get).asText)
           val lexS =
-            if (lex.isNumber) {
-              if (!lex.isIntegralNumber || dt == Term.XsdDouble)
-                canonicalDouble(lex.asDouble)
-              else lex.asLong.toString
-            } else if (lex.isBoolean) lex.asBoolean.toString
+            if (lex.isNumber) numLex(lex, Some(dt))._1
+            else if (lex.isBoolean) lex.asBoolean.toString
             else lex.asText
           TermRow(Term.LiteralKind.toByte, lexS, dt, null)
         }
         else if (dir.isDefined)
           directedLit(lex.asText,
-            langKey.map(k => Term.normLang(v.get(k).asText)), dir.get, g)
-        else if (langKey.isDefined)
+            langN.map(l => Term.normLang(l.asText)), dir.get, g)
+        else if (langN.isDefined)
           TermRow(Term.LiteralKind.toByte, lex.asText, Term.RdfLangString,
-            Term.normLang(v.get(langKey.get).asText))
+            Term.normLang(langN.get.asText))
         else scalarLit(lex, None, Ctx(), g) // explicit @value: no coercion
       } else if (listKey.isDefined) listTerm(
         v.get(listKey.get).elements.asScala.toSeq, g, ctx, td)
@@ -462,9 +553,15 @@ final class JsonLdParser(content: String,
     val itemTd = td.map(_.copy(container = Set.empty[String]))
     // evaluate items FIRST: a {"@value": null} entry yields a null
     // term and drops out of the list exactly like a bare JSON null;
-    // explicit @set objects unwrap into the surrounding list
+    // explicit @set objects unwrap into the surrounding list; a nested
+    // ARRAY is a nested list (JSON-LD 1.1 lifted the list-of-lists
+    // restriction)
     val terms = flattenSets(items, ctx.keyword _).filterNot(_.isNull)
-      .map(valueTerm(_, g, ctx, itemTd)).filter(_ != null)
+      .map { item =>
+        if (item.isArray)
+          listTerm(item.elements.asScala.toSeq, g, ctx, itemTd)
+        else valueTerm(item, g, ctx, itemTd)
+      }.filter(_ != null)
     terms match {
       case Seq() => iri(RdfNs + "nil")
       case live =>
@@ -521,8 +618,10 @@ final class JsonLdParser(content: String,
     // type-scoped contexts: a matched @type whose term definition
     // carries @context extends the active context for THIS node (they
     // do not propagate into nested node objects unless they say
-    // @propagate: true — the descend() above reverts them)
-    val ctx = typeVals.foldLeft(ctx0) { (c, t) =>
+    // @propagate: true — the descend() above reverts them). The spec
+    // applies them in LEXICOGRAPHIC order of the type strings, not
+    // document order.
+    val ctx = typeVals.sorted.foldLeft(ctx0) { (c, t) =>
       c.terms.get(t).flatMap(_.scoped)
         .map(parseContext(_, c, defaultPropagate = false)).getOrElse(c)
     }
@@ -536,6 +635,12 @@ final class JsonLdParser(content: String,
       rn.fields.asScala.foreach { e =>
         ctx.expandKey(e.getKey).foreach { p =>
           asArray(e.getValue).filterNot(_.isNull).foreach { v =>
+            // a list object can never be a reverse value (§9.13:
+            // "invalid reverse property value")
+            if (v.isObject && v.fieldNames.asScala.exists(f =>
+              kw(f) == "@list"))
+              err(s"invalid reverse property value for '${e.getKey}' " +
+                "(list object)")
             val t = valueTerm(v, g, ctx, ctx.terms.get(e.getKey))
             if (t == null || t.kind == Term.LiteralKind.toByte)
               err(s"invalid @reverse value for '${e.getKey}' (literal)")
@@ -609,6 +714,19 @@ final class JsonLdParser(content: String,
                 }
                 out += QuadRow(g, subj, iri(p), gName)
               }
+            } else if (cont("@index") && value.isObject) {
+              // @graph+@index map: keys are opaque indexes that drop;
+              // each ITEM is content of its own fresh bnode graph
+              value.fields.asScala.foreach(e =>
+                asArray(e.getValue).foreach { v =>
+                  if (!v.isNull) {
+                    if (!v.isObject) err("@graph map entry must be a " +
+                      "node object")
+                    val gName = fresh()
+                    nodeObject(v, gName, vctx)
+                    out += QuadRow(g, subj, iri(p), gName)
+                  }
+                })
             } else asArray(value).foreach { v =>
               if (!v.isNull) {
                 if (!v.isObject)
@@ -653,17 +771,36 @@ final class JsonLdParser(content: String,
             }
           } else if (cont("@index") && value.isObject) {
             // index map: keys are opaque indexes, values are the data
+            // (explicit @set objects unwrap like any value position)
             value.fields.asScala.foreach(ix =>
-              asArray(ix.getValue).foreach { v =>
-                emit(valueTerm(v, g, vctx, td))
-              })
+              flattenSets(asArray(ix.getValue), vkw)
+                .filterNot(_.isNull).foreach { v =>
+                  emit(valueTerm(v, g, vctx, entryTd))
+                })
           } else if (cont("@language") && value.isObject) {
-            // language map: keys are BCP47 tags, values the strings
+            // language map: keys are BCP47 tags ("@none"/alias = no
+            // language), values the strings; the term or context
+            // default @direction applies to every entry
+            val mdir = td.flatMap(_.dir).orElse(vctx.dir)
+              .filter(_.nonEmpty)
             value.fields.asScala.foreach(lv =>
-              asArray(lv.getValue).foreach(v =>
-                out += QuadRow(g, subj, iri(p),
-                  TermRow(Term.LiteralKind.toByte, v.asText,
-                    Term.RdfLangString, Term.normLang(lv.getKey)))))
+              asArray(lv.getValue).filterNot(_.isNull).foreach { v =>
+                if (!v.isTextual)
+                  err("language map values must be strings")
+                val lang =
+                  if (vkw(lv.getKey) == "@none") None
+                  else Some(Term.normLang(lv.getKey))
+                val t = mdir match {
+                  case Some(d) => directedLit(v.asText, lang, d, g)
+                  case None => lang match {
+                    case Some(l) => TermRow(Term.LiteralKind.toByte,
+                      v.asText, Term.RdfLangString, l)
+                    case None => TermRow(Term.LiteralKind.toByte,
+                      v.asText, Term.XsdString, null)
+                  }
+                }
+                out += QuadRow(g, subj, iri(p), t)
+              })
           } else {
             val vs =
               if (cont.contains("@list") && value.isArray)
