@@ -1360,7 +1360,15 @@ object Translator {
       // EXISTS as a value (BIND(EXISTS{…} AS ?e)) → mark-join marker
       val (in, Seq(expr2), aux) = markExists(in0, Seq(expr), src, ctx)
       val c = SparqlExpr.compile(expr2, in.bind, in.hint)
-      Sol(in.df.withColumn(v, c).drop(aux: _*), in0.vars + v, in0.sure,
+      val ext = in.df.withColumn(v, c).drop(aux: _*)
+      // BNODE()/UUID()/STRUUID()/RAND() mint per-EVALUATION values:
+      // a frame carrying such a column that later feeds >1 consumer
+      // (CONSTRUCT template branches, self-joins, EXISTS probes) must
+      // materialize once — re-evaluations only agree while the
+      // partition layout stays identical, the same divergence class as
+      // the __lid/__mid row ids caught at the r12 10× scale leg
+      val pinned = if (nondetExpr(expr)) scratchTag(ext) else ext
+      Sol(pinned, in0.vars + v, in0.sure,
         SparqlExpr.exprClass(expr, in0.hint)
           .map(k => in0.cls + (v -> k)).getOrElse(in0.cls - v))
 
@@ -1664,6 +1672,18 @@ object Translator {
   private def scratchTag(df: DataFrame): DataFrame =
     graft.ops.ScratchCaches.track(df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Does the expression mint a fresh value per evaluation? (BNODE in
+    * both arities — the labeled form rides monotonically_increasing_id
+    * — plus the uuid/random builtins.)
+    */
+  private def nondetExpr(e: Expr): Boolean = e match {
+    case EFn(name, args @ _*) =>
+      val n = name.toUpperCase(java.util.Locale.ROOT)
+      n == "BNODE" || n == "UUID" || n == "STRUUID" || n == "RAND" ||
+        args.exists(nondetExpr)
+    case _ => false
+  }
 
   private def markExists(in0: Sol, exprs: Seq[Expr], src: QuadSource,
       ctx: GraphCtx): (Sol, Seq[Expr], Seq[String]) = {

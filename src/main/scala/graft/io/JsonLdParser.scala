@@ -44,7 +44,7 @@ final class JsonLdParser(content: String,
       lang: Option[String] = None, container: Set[String] = Set.empty,
       scoped: Option[JsonNode] = None, reverse: Boolean = false,
       dir: Option[String] = None, prot: Boolean = false,
-      prefixOk: Boolean = false)
+      prefixOk: Boolean = false, indexProp: Option[String] = None)
 
   /** Active context. `aliases` maps user keys to JSON-LD keywords;
     * `prev` is the context to revert to when descending into a nested
@@ -246,7 +246,9 @@ final class JsonLdParser(content: String,
           "@type", "@graph", "@none")
         cont.find(!known(_)).foreach(c =>
           err(s"term '$term': unknown @container '$c'"))
-        if (rev && (cont("@list") || cont("@language") || cont("@graph")))
+        // reverse terms may only carry @set / @index containers (§9.24
+        // "invalid reverse property")
+        if (rev && (cont -- Set("@set", "@index")).nonEmpty)
           err(s"term '$term': @reverse with ${cont.mkString(",")} " +
             "container")
         val prot = Option(v.get("@protected")).map(_.asBoolean)
@@ -257,11 +259,19 @@ final class JsonLdParser(content: String,
           if (!p.isBoolean) err(s"invalid @prefix value on '$term'")
           p.asBoolean
         }
+        // property-based data indexing (1.1 §4.6.1): index-map keys
+        // become VALUES of this property instead of dropping
+        val idxProp = Option(v.get("@index")).map { ip =>
+          if (!cont("@index"))
+            err(s"term '$term': @index requires an @index container")
+          if (!ip.isTextual) err(s"term '$term': invalid @index value")
+          expandTypeRefD(ip.asText)
+        }
         // scoped (term-level) context: raw node kept, parsed against
         // the ACTIVE context at each use site (property or type)
         val scoped = Option(v.get("@context"))
         define(term, TermDef(id, typ, lang, cont, scoped, rev, dir, prot,
-          pfxOk))
+          pfxOk, idxProp))
       case _ =>
     }
     node.fields.asScala.foreach { e =>
@@ -291,6 +301,11 @@ final class JsonLdParser(content: String,
           if (!(v.isNumber && v.asDouble == 1.1))
             err(s"invalid @version value: $v (must be the number 1.1)")
         case ("@propagate" | "@protected", _) =>
+        case ("@import", v) =>
+          // @import always names a remote context document — same
+          // zero-egress failure as a string @context entry
+          throw new IllegalArgumentException("JSON-LD: loading remote " +
+            s"context failed (zero egress @import): $v")
         case (term, _) => ensure(term)
       }
     }
@@ -364,9 +379,13 @@ final class JsonLdParser(content: String,
     */
   private def scalarLit(v: JsonNode, td: Option[TermDef],
       ctx: Ctx, g: TermRow): TermRow =
-    if (v.isBoolean)
+    if (v.isBoolean) {
+      // a coerced datatype overrides the native xsd:boolean default
+      val dt = td.flatMap(_.typ)
+        .filter(t => t != "@id" && t != "@json" && t != "@vocab")
       TermRow(Term.LiteralKind.toByte, v.asBoolean.toString,
-        Term.XsdBoolean, null)
+        dt.getOrElse(Term.XsdBoolean), null)
+    }
     else if (v.isNumber) {
       val dt = td.flatMap(_.typ)
         .filter(t => t != "@id" && t != "@json" && t != "@vocab")
@@ -771,11 +790,25 @@ final class JsonLdParser(content: String,
             }
           } else if (cont("@index") && value.isObject) {
             // index map: keys are opaque indexes, values are the data
-            // (explicit @set objects unwrap like any value position)
+            // (explicit @set objects unwrap like any value position).
+            // With property-based indexing the key also lands on each
+            // entry node as a string value of the index property
+            val ipOpt = td.flatMap(_.indexProp)
             value.fields.asScala.foreach(ix =>
               flattenSets(asArray(ix.getValue), vkw)
                 .filterNot(_.isNull).foreach { v =>
-                  emit(valueTerm(v, g, vctx, entryTd))
+                  val t = valueTerm(v, g, vctx, entryTd)
+                  if (t != null) ipOpt.foreach { ip =>
+                    if (vkw(ix.getKey) != "@none") {
+                      if (t.kind == Term.LiteralKind.toByte)
+                        err("property-based index entries must be " +
+                          "node objects")
+                      out += QuadRow(g, t, iri(ip),
+                        TermRow(Term.LiteralKind.toByte, ix.getKey,
+                          Term.XsdString, null))
+                    }
+                  }
+                  emit(t)
                 })
           } else if (cont("@language") && value.isObject) {
             // language map: keys are BCP47 tags ("@none"/alias = no
@@ -803,7 +836,10 @@ final class JsonLdParser(content: String,
               })
           } else {
             val vs =
-              if (cont.contains("@list") && value.isArray)
+              if (td.exists(_.typ.contains("@json")))
+                Seq(value) // @json captures the WHOLE value — an array
+                // is ONE JSON literal (W3C js04), not n values
+              else if (cont.contains("@list") && value.isArray)
                 Seq(value) // one list, not n values
               else // @set-container and no-container: n values, with
                 // explicit {"@set": [...]} value objects unwrapped

@@ -476,7 +476,69 @@ final class SparqlParser(input: String) {
           }
           nodes.head
         }
-      } else parseVarOrTerm()
+      } else if (peekSym("<<") && !peekSym("<<(")) reifiedTriple()
+      else parseVarOrTerm()
+    }
+
+    /** `reifier ::= '~' (Var | iri | BlankNode)?` — shared between the
+      * annotation run and the internal reifiedTriple form; a bare `~`
+      * mints a fresh bnode.
+      */
+    def parseReifier(): TermPat = {
+      ws()
+      val r: TermPat =
+        if (pos < input.length &&
+          (input(pos) == '?' || input(pos) == '$'))
+          V(parseVarName())
+        else if (pos < input.length && input(pos) == '[') {
+          expect("["); expect("]")
+          anonVar += 1; B(s"anon$anonVar")
+        } else if (pos < input.length && (input(pos) == '<' ||
+          input(pos) == '_' || input(pos) == ':' ||
+          graft.model.Term.isPnCharsBase(input(pos))))
+          nonObj(parseVarOrTerm())
+        else { anonVar += 1; B(s"anon$anonVar") }
+      r match {
+        case _: V | _: I | _: B => r
+        case _ => fail("a reifier must be a variable, IRI, or blank node")
+      }
+    }
+
+    /** SPARQL 1.2 `reifiedTriple ::= '<<' rtSubject verb rtObject
+      * reifier? '>>'`: with an INTERNAL reifier the term denotes the
+      * reifier and the pattern `r rdf:reifies <<( s p o )>>` joins in
+      * (same semantics as the Turtle side); without one it stays the
+      * CG quoted-triple pattern.
+      */
+    def reifiedTriple(): TermPat = {
+      expect("<<")
+      def component(): TermPat = {
+        ws()
+        if (peekSym("<<") && !peekSym("<<(")) reifiedTriple()
+        else parseVarOrTerm()
+      }
+      val qs = nonObj(component())
+      val qp = nonObj(parseVarOrTerm())
+      val qo = inObj(component())
+      ws()
+      val rei = if (peekSym("~")) { expect("~"); Some(parseReifier()) }
+        else None
+      ws()
+      expect(">>")
+      qs match {
+        case _: L => fail("literal subject in quoted triple")
+        case _ =>
+      }
+      qp match {
+        case _: V | _: I =>
+        case _ => fail("quoted-triple predicate must be a variable or IRI")
+      }
+      rei match {
+        case Some(r) =>
+          out += Bgp(TriplePattern(r, I(RdfNs + "reifies"), Q(qs, qp, qo)))
+          r
+        case None => Q(qs, qp, qo)
+      }
     }
 
     def propertyList(s: TermPat): Unit = {
@@ -522,25 +584,7 @@ final class SparqlParser(input: String) {
               ws()
             } else if (peekSym("~")) {
               expect("~")
-              ws()
-              val r: TermPat =
-                if (pos < input.length &&
-                  (input(pos) == '?' || input(pos) == '$'))
-                  V(parseVarName())
-                else if (pos < input.length && (input(pos) == '<' ||
-                  input(pos) == '_' || input(pos) == ':' ||
-                  graft.model.Term.isPnCharsBase(input(pos)) ||
-                  input(pos) == '[')) {
-                  if (input(pos) == '[') {
-                    expect("["); expect("]")
-                    anonVar += 1; B(s"anon$anonVar")
-                  } else nonObj(parseVarOrTerm())
-                } else { anonVar += 1; B(s"anon$anonVar") }
-              r match {
-                case _: V | _: I | _: B =>
-                case _ => fail("a reifier must be a variable, IRI, or " +
-                  "blank node")
-              }
+              val r = parseReifier()
               out += Bgp(TriplePattern(r, I(RdfNs + "reifies"), quotedPat()))
               annTarget = r
               ws()

@@ -304,9 +304,19 @@ final class SparqlServer(initial: GraftStore, port: Int = 0,
               "application/xml"),
             "csv" -> Seq("text/csv"),
             "tsv" -> Seq("text/tab-separated-values")), "json") match {
-            case Some("tsv") => respondStream(ex, 200,
-              "text/tab-separated-values; charset=utf-8")(
-              Results.writeSeparated(df, tsv = true, _))
+            case Some("tsv") =>
+              // a `version=1.2` media-type parameter selects the RDF
+              // 1.2 output edition (quoted terms as <<( )>> triple
+              // terms); plain TSV keeps the CG lex
+              val tsv12 = accept.toLowerCase.split(",").exists { r =>
+                val t = r.replaceAll("\\s", "")
+                t.startsWith("text/tab-separated-values") &&
+                  t.contains("version=1.2")
+              }
+              respondStream(ex, 200,
+                "text/tab-separated-values; charset=utf-8")(
+                Results.writeSeparated(df, tsv = true, _,
+                  edition12 = tsv12))
             case Some("csv") =>
               respondStream(ex, 200, "text/csv; charset=utf-8")(
                 Results.writeSeparated(df, tsv = false, _))

@@ -476,6 +476,25 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "same label => same bnode within each solution")
   }
 
+  test("BIND(BNODE()) column is consistent across CONSTRUCT template " +
+      "branches (nondeterministic-column multi-consumer, r12 class)") {
+    val data = Seq(((node(0), ns + "p0", Left(node(1)): Either[String, Long]), false),
+      ((node(2), ns + "p0", Left(node(3)): Either[String, Long]), false))
+    val df = SparqlParser.execute(
+      s"PREFIX : <$ns>\nCONSTRUCT { ?s :x ?b . ?b :y ?o . } " +
+        "WHERE { ?s :p0 ?o . BIND(BNODE() AS ?b) }", quadsDf(data))
+    val rows = df.collect()
+    assert(rows.length == 4, rows.mkString("\n"))
+    val byPred = rows.groupBy(_.getAs[Row]("p").getString(1))
+    // the ?b minted for a solution must be the SAME term in the :x
+    // triple's object and the :y triple's subject — if the template
+    // union re-evaluates the uuid() column per branch, they diverge
+    val xB = byPred(ns + "x").map(_.getAs[Row]("o").getString(1)).toSet
+    val yB = byPred(ns + "y").map(_.getAs[Row]("s").getString(1)).toSet
+    assert(xB == yB, s"bnode identity split across branches: $xB vs $yB")
+    assert(xB.size == 2, "fresh per solution")
+  }
+
   test("parsed text executes identically to the specified algebra") {
     val prop = Prop.forAllNoShrink(genData, genGroup(1)) { (data, piece) =>
       val quads = quadsDf(data)

@@ -221,6 +221,28 @@ class JsonLdSuite2Spec extends AnyFunSuite {
       "@id": "${X}s", "p": {"none": "thing"}}""",
     s"""<${X}s> <${X}p> "thing" .""")
 
+  check("property-based index map adds the key as a property value",
+    s"""{"@context": {"p": {"@id": "${X}p", "@container": "@index",
+        "@index": "${X}prop"}},
+      "@id": "${X}s", "p": {"k1": {"@id": "${X}a", "${X}q": "v"},
+        "k2": {"@id": "${X}b"}}}""",
+    s"""<${X}s> <${X}p> <${X}a> .
+      <${X}s> <${X}p> <${X}b> .
+      <${X}a> <${X}q> "v" .
+      <${X}a> <${X}prop> "k1" .
+      <${X}b> <${X}prop> "k2" .""")
+
+  check("property-based index map @none key adds no property",
+    s"""{"@context": {"p": {"@id": "${X}p", "@container": "@index",
+        "@index": "${X}prop"}},
+      "@id": "${X}s", "p": {"@none": {"@id": "${X}a"}}}""",
+    s"""<${X}s> <${X}p> <${X}a> .""")
+
+  checkErr("@index in a term definition without an @index container",
+    s"""{"@context": {"p": {"@id": "${X}p", "@index": "${X}prop"}},
+      "@id": "${X}s", "p": "v"}""",
+    "@index requires")
+
   check("index map @none key behaves like any index",
     s"""{"@context": {"p": {"@id": "${X}p", "@container": "@index"}},
       "@id": "${X}s", "p": {"@none": "a", "i": "b"}}""",
@@ -377,6 +399,109 @@ class JsonLdSuite2Spec extends AnyFunSuite {
       "@id": "${X}s", "p": {"ar": "v"}}""",
     s"""<${X}s> <${X}p> "v"^^<https://www.w3.org/ns/i18n#ar_rtl> .""",
     rdfDirection = Some("i18n-datatype"))
+
+  check("boolean with a coerced datatype",
+    s"""{"@context": {"p": {"@id": "${X}p", "@type": "${Xsd}string"}},
+      "@id": "${X}s", "p": true}""",
+    s"""<${X}s> <${X}p> "true"^^<${Xsd}string> .""")
+
+  checkErr("@reverse term with an @id container is invalid",
+    s"""{"@context": {"rev": {"@reverse": "${X}p", "@container": "@id"}},
+      "@id": "${X}s", "rev": {"${X}o": {}}}""",
+    "@reverse with")
+
+  check("@reverse term with an @index container works",
+    s"""{"@context": {"rev": {"@reverse": "${X}p", "@container": "@index"}},
+      "@id": "${X}s", "rev": {"i": {"@id": "${X}o"}}}""",
+    s"""<${X}o> <${X}p> <${X}s> .""")
+
+  check("context array: later layers override earlier",
+    s"""{"@context": [{"p": "${X}old"}, {"p": "${X}new"}],
+      "@id": "${X}s", "p": "v"}""",
+    s"""<${X}s> <${X}new> "v" .""")
+
+  check("null context mid-array resets prior terms",
+    s"""{"@context": [{"p": "${X}old", "@language": "en"}, null,
+        {"q": "${X}q"}],
+      "@id": "${X}s", "q": "v"}""",
+    s"""<${X}s> <${X}q> "v" .""")
+
+  check("aliased @direction key in a value object",
+    s"""{"@context": {"dir": "@direction", "val": "@value",
+        "lang": "@language"},
+      "@id": "${X}s", "${X}p":
+        {"val": "v", "lang": "ar", "dir": "rtl"}}""",
+    s"""<${X}s> <${X}p> "v"@ar .""")
+
+  check("graph container with @set behaves like plain graph container",
+    s"""{"@context": {"p": {"@id": "${X}p",
+        "@container": ["@graph", "@set"]}},
+      "@id": "${X}s", "p": [{"@id": "${X}a", "${X}q": "v"}]}""",
+    s"""<${X}s> <${X}p> _:g .
+      <${X}a> <${X}q> "v" _:g .""")
+
+  check("explicit @graph object under a graph container nests once",
+    s"""{"@id": "${X}s", "${X}p":
+      {"@graph": [{"@id": "${X}a", "${X}q": "v"},
+        {"@id": "${X}b", "${X}q": "w"}]}}""",
+    s"""<${X}s> <${X}p> _:g .
+      <${X}a> <${X}q> "v" _:g .
+      <${X}b> <${X}q> "w" _:g .""")
+
+  check("type coercion on an @id map entry's inner strings",
+    s"""{"@context": {"p": {"@id": "${X}p", "@container": "@id"},
+        "q": {"@id": "${X}q", "@type": "@id"}},
+      "@id": "${X}s", "p": {"${X}o1": {"q": "${X}t"}}}""",
+    s"""<${X}s> <${X}p> <${X}o1> .
+      <${X}o1> <${X}q> <${X}t> .""")
+
+  check("deeply nested @nest chains flatten",
+    s"""{"@context": {"n1": "@nest", "n2": "@nest"},
+      "@id": "${X}s", "n1": {"n2": {"${X}p": "v"}}}""",
+    s"""<${X}s> <${X}p> "v" .""")
+
+  check("explicit @json value object with null @value",
+    s"""{"@id": "${X}s", "${X}p": {"@value": null, "@type": "@json"}}""",
+    "<" + X + "s> <" + X + "p> \"null\"^^<" + Rdf + "JSON> .")
+
+  check("@json term coercion captures a value-object-SHAPED map verbatim",
+    s"""{"@context": {"p": {"@id": "${X}p", "@type": "@json"}},
+      "@id": "${X}s", "p": {"@value": null, "@type": "@json"}}""",
+    "<" + X + "s> <" + X + "p> " +
+      "\"{\\\"@type\\\":\\\"@json\\\",\\\"@value\\\":null}\"" +
+      "^^<" + Rdf + "JSON> .")
+
+  check("numeric keys in a language map are just tags-by-name",
+    s"""{"@context": {"p": {"@id": "${X}p", "@container": "@language"}},
+      "@id": "${X}s", "p": {"EN-US": "v"}}""",
+    s"""<${X}s> <${X}p> "v"@en-us .""")
+
+  check("id map whose entry carries its own @id wins over the key",
+    s"""{"@context": {"p": {"@id": "${X}p", "@container": "@id"}},
+      "@id": "${X}s", "p": {"${X}key": {"@id": "${X}own", "${X}q": "v"}}}""",
+    s"""<${X}s> <${X}p> <${X}own> .
+      <${X}own> <${X}q> "v" .""")
+
+  checkErr("@import fails loudly under zero egress",
+    s"""{"@context": {"@import": "http://remote/ctx.jsonld"},
+      "@id": "${X}s", "${X}p": "v"}""",
+    "loading remote context failed")
+
+  checkErr("cyclic IRI mapping errors",
+    s"""{"@context": {"a": "b:x", "b": "a:y"},
+      "@id": "${X}s", "a": "v"}""",
+    "cyclic IRI mapping")
+
+  check("term whose value is another term aliases its IRI",
+    s"""{"@context": {"p2": "p1", "p1": "${X}p"},
+      "@id": "${X}s", "p2": "v"}""",
+    s"""<${X}s> <${X}p> "v" .""")
+
+  check("native double inside @json keeps JSON form, not XSD canonical",
+    s"""{"@context": {"p": {"@id": "${X}p", "@type": "@json"}},
+      "@id": "${X}s", "p": [1.5, true]}""",
+    "<" + X + "s> <" + X + "p> " +
+      "\"[1.5,true]\"^^<" + Rdf + "JSON> .")
 
   check("compound-literal mode reifies value, language and direction",
     s"""{"@id": "${X}s", "${X}p":

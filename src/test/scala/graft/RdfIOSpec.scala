@@ -1042,6 +1042,36 @@ class RdfIOSpec extends AnyFunSuite {
     assertThrows[Exception](ttl(""":r :q <<( "l" :p :o )>> ."""))
   }
 
+  test("RDF 1.2 internal reifier form << s p o ~r >> (wave 28)") {
+    val Reifies = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+    def ttl(doc: String) =
+      new graft.io.TurtleParser("@prefix : <http://x/> . " + doc).parse()
+    // object position: the term denotes the REIFIER, rdf:reifies asserted
+    val t = ttl(""":a :q << :s :p :o ~:r >> .""")
+    assert(t.size == 2)
+    val main = t.find(_.p.lex == "http://x/q").get
+    assert(main.o.kind == Term.IriKind.toByte && main.o.lex == "http://x/r")
+    val rq = t.find(_.p.lex == Reifies).get
+    assert(rq.s.lex == "http://x/r" && rq.o.kind == Term.QuotedKind.toByte)
+    // bare ~ mints a bnode reifier and the object IS that bnode
+    val t2 = ttl(""":a :q << :s :p :o ~ >> .""")
+    val r2 = t2.find(_.p.lex == Reifies).get.s
+    assert(r2.kind == Term.BlankKind.toByte)
+    assert(t2.find(_.p.lex == "http://x/q").get.o == r2)
+    // ANON reifier form
+    assert(ttl(""":a :q << :s :p :o ~[] >> .""")
+      .find(_.p.lex == Reifies).get.s.kind == Term.BlankKind.toByte)
+    // subject position too (reifiedTriple is an rtSubject)
+    val t3 = ttl("""<< :s :p :o ~:r >> :note "n" .""")
+    assert(t3.exists(q => q.s.lex == "http://x/r" &&
+      q.p.lex == "http://x/note"))
+    // a literal reifier is rejected
+    assertThrows[Exception](ttl(""":a :q << :s :p :o ~"lit" >> ."""))
+    // plain << s p o >> keeps the CG quoted-term reading
+    val t4 = ttl(""":a :q << :s :p :o >> .""")
+    assert(t4.size == 1 && t4.head.o.kind == Term.QuotedKind.toByte)
+  }
+
   test("RDF 1.2 reifiers: ~r asserts the triple plus rdf:reifies; " +
       "blocks retarget") {
     val Reifies = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
@@ -1096,6 +1126,21 @@ class RdfIOSpec extends AnyFunSuite {
       quads)
     assert(hit2.count() == 1 &&
       hit2.head().getAs[Row]("r").getString(1) == "http://x/r")
+    // SPARQL internal-reifier pattern (wave 28): << s p o ~r >> denotes
+    // the reifier and joins `r rdf:reifies <<(s p o)>>`
+    val hit3 = graft.parser.SparqlParser.execute(
+      """PREFIX : <http://x/>
+        |SELECT ?s ?n WHERE { << ?s :p ?o ~?r >> :note ?n }""".stripMargin,
+      quads)
+    val row3 = hit3.head()
+    assert(hit3.count() == 1 &&
+      row3.getAs[Row]("s").getString(1) == "http://x/s" &&
+      row3.getAs[Row]("n").getString(1) == "hello")
+    // object position parses too (no matching data -> empty, no error)
+    assert(graft.parser.SparqlParser.execute(
+      """PREFIX : <http://x/>
+        |SELECT ?x WHERE { ?x :q << :a :b :c ~:r2 >> }""".stripMargin,
+      quads).count() == 0)
   }
 
   test("wave 27: reifier/annotation interaction corners (RDF 1.2)") {

@@ -102,6 +102,24 @@ class SparqlServerSpec extends AnyFunSuite {
     assert(xml.body().contains("""its:dir="rtl""""), xml.body())
     val tsv = get(s"/query?query=${enc(q)}", "text/tab-separated-values")
     assert(tsv.body().contains("@ar--rtl"), tsv.body())
+    // wave 28: dirLang nested INSIDE a quoted triple through the
+    // protocol TSV path — the 1.2 edition (version=1.2 media-type
+    // parameter) re-renders the term as <<( … )>>, keeping the
+    // directional tag; plain TSV keeps the CG << >> lex
+    val updQ = """INSERT DATA {
+      <http://x/r2> <http://x/says> << <http://x/d> <http://x/lbl> "نص"@ar--rtl >> }"""
+    val reqQ = HttpRequest.newBuilder(URI.create(server.uri("/update")))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(BodyPublishers.ofString(s"update=${enc(updQ)}")).build()
+    assert(send(reqQ).statusCode() == 204)
+    val q2 = "SELECT ?t WHERE { <http://x/r2> <http://x/says> ?t }"
+    val tsvCg = get(s"/query?query=${enc(q2)}", "text/tab-separated-values")
+    assert(tsvCg.body().contains("<<") && !tsvCg.body().contains("<<(") &&
+      tsvCg.body().contains("@ar--rtl"), tsvCg.body())
+    val tsv12 = get(s"/query?query=${enc(q2)}",
+      "text/tab-separated-values;version=1.2")
+    assert(tsv12.body().contains("<<(") && tsv12.body().contains(")>>") &&
+      tsv12.body().contains("@ar--rtl"), tsv12.body())
     // LANGDIR filters work over protocol-inserted data
     val f = get(s"/query?query=${enc(
       "SELECT ?l WHERE { ?s <http://x/lbl> ?l FILTER(LANGDIR(?l) = \"rtl\") }")}")
