@@ -503,6 +503,91 @@ class JsonLdSuite2Spec extends AnyFunSuite {
     "<" + X + "s> <" + X + "p> " +
       "\"[1.5,true]\"^^<" + Rdf + "JSON> .")
 
+  check("@vocab empty string resolves to @base",
+    s"""{"@context": {"@base": "$X", "@vocab": ""},
+      "@id": "${X}s", "p": "v"}""",
+    s"""<${X}s> <${X}p> "v" .""")
+
+  check("relative @id forms: dot segments, fragment, query",
+    s"""{"@context": {"@base": "http://b/dir/file"},
+      "@id": "#f", "${X}p": [{"@id": "?q=1"}, {"@id": "../up"}]}""",
+    s"""<http://b/dir/file#f> <${X}p> <http://b/dir/file?q=1> .
+      <http://b/dir/file#f> <${X}p> <http://b/up> .""")
+
+  check("two terms mapping one IRI merge in the output",
+    s"""{"@context": {"a": "${X}p", "b": "${X}p"},
+      "@id": "${X}s", "a": "1", "b": "2"}""",
+    s"""<${X}s> <${X}p> "1" .
+      <${X}s> <${X}p> "2" .""")
+
+  check("term with only @container falls back to @vocab for its IRI",
+    s"""{"@context": {"@vocab": "$X",
+        "p": {"@container": "@list"}},
+      "@id": "${X}s", "p": ["a"]}""",
+    s"""<${X}s> <${X}p> _:l .
+      _:l <${Rdf}first> "a" .
+      _:l <${Rdf}rest> <${Rdf}nil> .""")
+
+  check("language tags lowercase at every site",
+    s"""{"@id": "${X}s",
+      "${X}p": {"@value": "v", "@language": "EN-Us"}}""",
+    s"""<${X}s> <${X}p> "v"@en-us .""")
+
+  check("reverse term with @type: @id coercion",
+    s"""{"@context": {"rev": {"@reverse": "${X}p", "@type": "@id"}},
+      "@id": "${X}s", "rev": "${X}o"}""",
+    s"""<${X}o> <${X}p> <${X}s> .""")
+
+  check("list container with @type: @id coerced items",
+    s"""{"@context": {"p": {"@id": "${X}p", "@container": "@list",
+        "@type": "@id"}},
+      "@id": "${X}s", "p": ["${X}a", "${X}b"]}""",
+    s"""<${X}s> <${X}p> _:l0 .
+      _:l0 <${Rdf}first> <${X}a> .
+      _:l0 <${Rdf}rest> _:l1 .
+      _:l1 <${Rdf}first> <${X}b> .
+      _:l1 <${Rdf}rest> <${Rdf}nil> .""")
+
+  check("type-scoped context can swap @vocab for the node",
+    s"""{"@context": {"@vocab": "${X}v1#",
+        "T": {"@id": "${X}T", "@context": {"@vocab": "${X}v2#"}}},
+      "@id": "${X}s", "@type": "T", "p": "v"}""",
+    s"""<${X}s> <${Rdf}type> <${X}T> .
+      <${X}s> <${X}v2#p> "v" .""")
+
+  check("aliased @list key in a value object",
+    s"""{"@context": {"list": "@list"},
+      "@id": "${X}s", "${X}p": {"list": ["a"]}}""",
+    s"""<${X}s> <${X}p> _:l .
+      _:l <${Rdf}first> "a" .
+      _:l <${Rdf}rest> <${Rdf}nil> .""")
+
+  check("@included nests recursively",
+    s"""{"@id": "${X}s", "${X}p": "v",
+      "@included": [{"@id": "${X}t", "${X}q": "w",
+        "@included": [{"@id": "${X}u", "${X}r": "x"}]}]}""",
+    s"""<${X}s> <${X}p> "v" .
+      <${X}t> <${X}q> "w" .
+      <${X}u> <${X}r> "x" .""")
+
+  check("index map entries may be plain scalars",
+    s"""{"@context": {"p": {"@id": "${X}p", "@container": "@index"}},
+      "@id": "${X}s", "p": {"i": [1, "a"]}}""",
+    s"""<${X}s> <${X}p> "1"^^<${Xsd}integer> .
+      <${X}s> <${X}p> "a" .""")
+
+  check("compound-literal without @language keeps value + direction",
+    s"""{"@id": "${X}s", "${X}p":
+      {"@value": "v", "@direction": "ltr"}}""",
+    s"""<${X}s> <${X}p> _:c .
+      _:c <${Rdf}value> "v" .
+      _:c <${Rdf}direction> "ltr" .""",
+    rdfDirection = Some("compound-literal"))
+
+  check("top-level empty @graph emits nothing",
+    s"""[{"@graph": []}, {"@id": "${X}s", "${X}p": "v"}]""",
+    s"""<${X}s> <${X}p> "v" .""")
+
   check("compound-literal mode reifies value, language and direction",
     s"""{"@id": "${X}s", "${X}p":
       {"@value": "v", "@language": "AR", "@direction": "rtl"}}""",
