@@ -303,6 +303,66 @@ final class SparqlParser(input: String) {
     try body finally objCtx = saved
   }
 
+  /** `reifier ::= '~' (Var | iri | BlankNode)?` — a bare `~` mints a
+    * fresh bnode. Shared by the annotation runs and the internal
+    * reifiedTriple form across pattern, CONSTRUCT and quad templates.
+    */
+  private def parseReifierTerm(): TermPat = {
+    ws()
+    val r: TermPat =
+      if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
+        V(parseVarName())
+      else if (pos < input.length && input(pos) == '[') {
+        expect("["); expect("]")
+        anonVar += 1; B(s"anon$anonVar")
+      } else if (pos < input.length && (input(pos) == '<' ||
+        input(pos) == '_' || input(pos) == ':' ||
+        Term.isPnCharsBase(input(pos))))
+        nonObj(parseVarOrTerm())
+      else { anonVar += 1; B(s"anon$anonVar") }
+    r match {
+      case _: V | _: I | _: B => r
+      case _ => fail("a reifier must be a variable, IRI, or blank node")
+    }
+  }
+
+  /** SPARQL 1.2 `reifiedTriple ::= '<<' rtSubject verb rtObject
+    * reifier? '>>'`: with an INTERNAL reifier the term denotes the
+    * reifier and `emit` receives `r rdf:reifies <<( s p o )>>` — a
+    * pattern join or a template triple, per call site; without one it
+    * stays the CG quoted-triple term this engine implements.
+    */
+  private def parseReifiedTriple(emit: TriplePattern => Unit): TermPat = {
+    expect("<<")
+    def component(): TermPat = {
+      ws()
+      if (peekSym("<<") && !peekSym("<<(")) parseReifiedTriple(emit)
+      else parseVarOrTerm()
+    }
+    val qs = nonObj(component())
+    val qp = nonObj(parseVarOrTerm())
+    val qo = inObj(component())
+    ws()
+    val rei =
+      if (peekSym("~")) { expect("~"); Some(parseReifierTerm()) } else None
+    ws()
+    expect(">>")
+    qs match {
+      case _: L => fail("literal subject in quoted triple")
+      case _ =>
+    }
+    qp match {
+      case _: V | _: I =>
+      case _ => fail("quoted-triple predicate must be a variable or IRI")
+    }
+    rei match {
+      case Some(r) =>
+        emit(TriplePattern(r, I(RdfNs + "reifies"), Q(qs, qp, qo)))
+        r
+      case None => Q(qs, qp, qo)
+    }
+  }
+
   private def parseVarOrTerm(): TermPat = {
     ws()
     if (pos < input.length && (input(pos) == '?' || input(pos) == '$'))
@@ -476,69 +536,9 @@ final class SparqlParser(input: String) {
           }
           nodes.head
         }
-      } else if (peekSym("<<") && !peekSym("<<(")) reifiedTriple()
+      } else if (peekSym("<<") && !peekSym("<<("))
+        parseReifiedTriple(tp => out += Bgp(tp))
       else parseVarOrTerm()
-    }
-
-    /** `reifier ::= '~' (Var | iri | BlankNode)?` — shared between the
-      * annotation run and the internal reifiedTriple form; a bare `~`
-      * mints a fresh bnode.
-      */
-    def parseReifier(): TermPat = {
-      ws()
-      val r: TermPat =
-        if (pos < input.length &&
-          (input(pos) == '?' || input(pos) == '$'))
-          V(parseVarName())
-        else if (pos < input.length && input(pos) == '[') {
-          expect("["); expect("]")
-          anonVar += 1; B(s"anon$anonVar")
-        } else if (pos < input.length && (input(pos) == '<' ||
-          input(pos) == '_' || input(pos) == ':' ||
-          graft.model.Term.isPnCharsBase(input(pos))))
-          nonObj(parseVarOrTerm())
-        else { anonVar += 1; B(s"anon$anonVar") }
-      r match {
-        case _: V | _: I | _: B => r
-        case _ => fail("a reifier must be a variable, IRI, or blank node")
-      }
-    }
-
-    /** SPARQL 1.2 `reifiedTriple ::= '<<' rtSubject verb rtObject
-      * reifier? '>>'`: with an INTERNAL reifier the term denotes the
-      * reifier and the pattern `r rdf:reifies <<( s p o )>>` joins in
-      * (same semantics as the Turtle side); without one it stays the
-      * CG quoted-triple pattern.
-      */
-    def reifiedTriple(): TermPat = {
-      expect("<<")
-      def component(): TermPat = {
-        ws()
-        if (peekSym("<<") && !peekSym("<<(")) reifiedTriple()
-        else parseVarOrTerm()
-      }
-      val qs = nonObj(component())
-      val qp = nonObj(parseVarOrTerm())
-      val qo = inObj(component())
-      ws()
-      val rei = if (peekSym("~")) { expect("~"); Some(parseReifier()) }
-        else None
-      ws()
-      expect(">>")
-      qs match {
-        case _: L => fail("literal subject in quoted triple")
-        case _ =>
-      }
-      qp match {
-        case _: V | _: I =>
-        case _ => fail("quoted-triple predicate must be a variable or IRI")
-      }
-      rei match {
-        case Some(r) =>
-          out += Bgp(TriplePattern(r, I(RdfNs + "reifies"), Q(qs, qp, qo)))
-          r
-        case None => Q(qs, qp, qo)
-      }
     }
 
     def propertyList(s: TermPat): Unit = {
@@ -584,7 +584,7 @@ final class SparqlParser(input: String) {
               ws()
             } else if (peekSym("~")) {
               expect("~")
-              val r = parseReifier()
+              val r = parseReifierTerm()
               out += Bgp(TriplePattern(r, I(RdfNs + "reifies"), quotedPat()))
               annTarget = r
               ws()
@@ -1314,7 +1314,9 @@ final class SparqlParser(input: String) {
           }
           nodes.head
         }
-      } else parseVarOrTerm()
+      } else if (peekSym("<<") && !peekSym("<<("))
+        parseReifiedTriple(tp => out += tp)
+      else parseVarOrTerm()
     }
     def props(s: TermPat): Unit = {
       var moreProps = true
@@ -1339,24 +1341,7 @@ final class SparqlParser(input: String) {
             } else if (peekSym("~")) {
               // template reifier: same 1.2 sugar as the pattern side
               expect("~")
-              ws()
-              val r: TermPat =
-                if (pos < input.length &&
-                  (input(pos) == '?' || input(pos) == '$'))
-                  V(parseVarName())
-                else if (pos < input.length && input(pos) == '[') {
-                  expect("["); expect("]")
-                  anonVar += 1; B(s"anon$anonVar")
-                } else if (pos < input.length && (input(pos) == '<' ||
-                  input(pos) == '_' || input(pos) == ':' ||
-                  graft.model.Term.isPnCharsBase(input(pos))))
-                  nonObj(parseVarOrTerm())
-                else { anonVar += 1; B(s"anon$anonVar") }
-              r match {
-                case _: V | _: I | _: B =>
-                case _ => fail("a reifier must be a variable, IRI, or " +
-                  "blank node")
-              }
+              val r = parseReifierTerm()
               out += TriplePattern(r, I(RdfNs + "reifies"), Q(s, p, o))
               annTarget = r
               ws()
@@ -1406,7 +1391,11 @@ final class SparqlParser(input: String) {
           ws()
           if (!peekSym("]")) props(b)
           expect("]"); b
-        } else parseVarOrTerm()
+        } else if (peekSym("<<") && !peekSym("<<("))
+          // internal reifier form lands its rdf:reifies quad in the
+          // enclosing graph, like the post-object `~r` sugar below
+          parseReifiedTriple(tp => out += g -> tp)
+        else parseVarOrTerm()
       }
       def props(s: TermPat): Unit = {
         var moreProps = true
@@ -1428,24 +1417,7 @@ final class SparqlParser(input: String) {
             // r rdf:reifies <<(s p o)>> quad in the same graph
             while (peekSym("~")) {
               expect("~")
-              ws()
-              val r: TermPat =
-                if (pos < input.length &&
-                  (input(pos) == '?' || input(pos) == '$'))
-                  V(parseVarName())
-                else if (pos < input.length && input(pos) == '[') {
-                  expect("["); expect("]")
-                  anonVar += 1; B(s"anon$anonVar")
-                } else if (pos < input.length && (input(pos) == '<' ||
-                  input(pos) == '_' || input(pos) == ':' ||
-                  graft.model.Term.isPnCharsBase(input(pos))))
-                  nonObj(parseVarOrTerm())
-                else { anonVar += 1; B(s"anon$anonVar") }
-              r match {
-                case _: V | _: I | _: B =>
-                case _ => fail("a reifier must be a variable, IRI, or " +
-                  "blank node")
-              }
+              val r = parseReifierTerm()
               out += g -> TriplePattern(r, I(RdfNs + "reifies"), Q(s, p, o))
               ws()
             }

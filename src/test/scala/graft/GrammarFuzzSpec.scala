@@ -476,6 +476,26 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "same label => same bnode within each solution")
   }
 
+  test("CONSTRUCT template internal reifier << s p o ~ >> (wave 28)") {
+    val data = Seq(((node(0), ns + "p0", Left(node(1)): Either[String, Long]), false),
+      ((node(2), ns + "p0", Left(node(3)): Either[String, Long]), false))
+    val df = SparqlParser.execute(
+      s"PREFIX : <$ns>\nCONSTRUCT { << ?s :q ?o ~ >> :note \"n\" . } " +
+        "WHERE { ?s :p0 ?o }", quadsDf(data))
+    val rows = df.collect()
+    // per solution: r rdf:reifies <<(s q o)>> plus r :note "n"
+    assert(rows.length == 4, rows.mkString("\n"))
+    val reifies = rows.filter(_.getAs[Row]("p").getString(1).endsWith("reifies"))
+    val notes = rows.filter(_.getAs[Row]("p").getString(1) == ns + "note")
+    assert(reifies.length == 2 && notes.length == 2)
+    // the note subjects are exactly the reifier bnodes, pairwise fresh
+    def s1(r: Row) = r.getAs[Row]("s").getString(1)
+    assert(reifies.map(s1).toSet == notes.map(s1).toSet)
+    assert(reifies.map(s1).distinct.length == 2)
+    assert(reifies.forall(_.getAs[Row]("o").getByte(0) ==
+      graft.model.Term.QuotedKind.toByte))
+  }
+
   test("BIND(BNODE()) column is consistent across CONSTRUCT template " +
       "branches (nondeterministic-column multi-consumer, r12 class)") {
     val data = Seq(((node(0), ns + "p0", Left(node(1)): Either[String, Long]), false),

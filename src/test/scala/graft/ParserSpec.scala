@@ -552,6 +552,14 @@ class ParserSpec extends AnyFunSuite {
       "INSERT DATA { :s :p :o ~:r }") != null)
     assert(SparqlParser.parseUpdateText(pfx +
       "INSERT DATA { GRAPH :g { :s :p :o ~ } }") != null)
+    // internal reifier form accepted at every template position
+    assert(SparqlParser.parse(pfx +
+      "CONSTRUCT { << ?s :p ?o ~?r >> :note \"n\" } WHERE { ?s :p ?o }")
+      != null)
+    assert(SparqlParser.parseUpdateText(pfx +
+      "INSERT DATA { :a :q << :s :p :o ~:r >> }") != null)
+    assert(SparqlParser.parseUpdateText(pfx +
+      "INSERT DATA { GRAPH :g { :a :q << :s :p :o ~ >> } }") != null)
   }
 
   test("RDF 1.2 triple terms in SPARQL: object positions only") {

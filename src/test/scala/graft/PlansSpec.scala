@@ -651,4 +651,31 @@ class PlansSpec extends AnyFunSuite {
     // IRI-valued predicates come out VOther (uniform non-literal)
     assert(inferred.get(P("inNation")).contains(Term.VOther))
   }
+
+  test("pipeline scans prune to needed columns (100 TB discipline)") {
+    // documents.parquet carries doc_id/text/lang/source/n_chars; a
+    // 2-column projection that reads all five at 100 TB pays ~2x the
+    // scan for nothing — lock ReadSchema to the needed fields.
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+    for (name <- Seq("ts7_token_counts", "dd1_exact_dedup",
+        "dd2_ngram_jaccard", "ts1_langid")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val schemas = readSchemas(df)
+      assert(schemas.nonEmpty, s"$name: no file scan found")
+      schemas.foreach { s =>
+        assert(!s.contains("source") && !s.contains("n_chars"),
+          s"$name reads unused columns: struct<$s>")
+      }
+      graft.ops.ScratchCaches.releaseAll()
+    }
+    // ann1 needs exactly vec_id + embedding — and nothing else exists,
+    // so lock that the brute-force path has no extra scan of documents
+    val ann = graft.SparkEntry.queries("ann1_brute_topk")(spark, sf)
+    assert(!ann.queryExecution.executedPlan.toString.contains("documents"),
+      "ann1 must not scan the documents table")
+    graft.ops.ScratchCaches.releaseAll()
+  }
 }
