@@ -194,7 +194,22 @@ final class JsonLdParser(content: String,
     def expandRefD(v: String): String = { ensureFor(v); ctx.expandRef(v) }
     def expandTypeRefD(v: String): String =
       { ensureFor(v); ctx.expandTypeRef(v) }
-    def defineEntry(term: String, v: JsonNode): Unit = v match {
+    def defineEntry(term: String, v: JsonNode): Unit = if (
+      term.startsWith("@")) {
+      // keywords may not be redefined — except @type, which 1.1 allows
+      // to gain @container: @set (+@protected); toRdf output is
+      // unchanged either way, arrays were always legal @type values.
+      // Keyword-LOOKALIKE term names (@foo) are ignored with the same
+      // rule as keyword-lookalike values.
+      if (keywords(term)) {
+        val ok = term == "@type" && v.isObject &&
+          v.fields.asScala.forall { e =>
+            (e.getKey == "@container" && e.getValue.isTextual &&
+              e.getValue.asText == "@set") || e.getKey == "@protected"
+          }
+        if (!ok) err(s"keyword redefinition: '$term'")
+      }
+    } else v match {
       case v if v.isNull =>
         // explicit null definition: blocks @vocab/prefix expansion of
         // the key even when a vocab mapping is active

@@ -584,6 +584,26 @@ class JsonLdSuite2Spec extends AnyFunSuite {
       _:c <${Rdf}direction> "ltr" .""",
     rdfDirection = Some("compound-literal"))
 
+  check("@type may be redefined with @container: @set only",
+    s"""{"@context": {"@type": {"@container": "@set"}},
+      "@id": "${X}s", "@type": ["${X}T"]}""",
+    s"""<${X}s> <${Rdf}type> <${X}T> .""")
+
+  checkErr("any other keyword redefinition errors",
+    s"""{"@context": {"@value": "${X}v"},
+      "@id": "${X}s", "${X}p": "v"}""",
+    "keyword redefinition")
+
+  checkErr("@type redefinition beyond @container: @set errors",
+    s"""{"@context": {"@type": {"@id": "${X}t"}},
+      "@id": "${X}s", "${X}p": "v"}""",
+    "keyword redefinition")
+
+  check("keyword-lookalike term NAME is ignored",
+    s"""{"@context": {"@fancy": "${X}fancy"},
+      "@id": "${X}s", "${X}p": "kept"}""",
+    s"""<${X}s> <${X}p> "kept" .""")
+
   check("top-level empty @graph emits nothing",
     s"""[{"@graph": []}, {"@id": "${X}s", "${X}p": "v"}]""",
     s"""<${X}s> <${X}p> "v" .""")
