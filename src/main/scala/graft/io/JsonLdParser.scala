@@ -113,6 +113,23 @@ final class JsonLdParser(content: String,
           .orElse(base.map(b => resolve(b, v))).getOrElse(v)
       }
 
+    /** IRI expansion with vocab=true and documentRelative=FALSE — the
+      * Create Term Definition mode: term-definition values (@id,
+      * @reverse, coercion datatypes, simple string defs) consult term
+      * defs, compact IRIs and the vocab mapping but never base-resolve.
+      */
+    def expandTermValue(v: String): String =
+      if (v.startsWith("_:")) v
+      else terms.get(v).flatMap(td => Option(td.iri)).getOrElse {
+        val c = v.indexOf(':')
+        if (c > 0) {
+          val (pfx, local) = (v.substring(0, c), v.substring(c + 1))
+          if (local.startsWith("//")) v
+          else terms.get(pfx).filter(_.prefixOk).map(_.iri + local)
+            .getOrElse(v)
+        } else vocab.map(_ + v).getOrElse(v)
+      }
+
     private def resolve(b: String, rel: String): String =
       graft.model.IriResolve.resolve(b, rel) // shared RFC 3986 resolver
   }
@@ -191,7 +208,8 @@ final class JsonLdParser(content: String,
       val c = v.indexOf(':')
       if (c > 0) ensure(v.substring(0, c))
     }
-    def expandRefD(v: String): String = { ensureFor(v); ctx.expandRef(v) }
+    def expandTermValueD(v: String): String =
+      { ensureFor(v); ctx.expandTermValue(v) }
     def expandTypeRefD(v: String): String =
       { ensureFor(v); ctx.expandTypeRef(v) }
     def defineEntry(term: String, v: JsonNode): Unit = if (
@@ -221,7 +239,7 @@ final class JsonLdParser(content: String,
         if (keywords(v.asText))
           ctx = ctx.copy(aliases = ctx.aliases + (term -> v.asText))
       case v if v.isTextual =>
-        val id = expandRefD(v.asText)
+        val id = expandTermValueD(v.asText)
         // simple terms act as prefixes iff their IRI ends in a
         // gen-delim character (JSON-LD 1.1 §4.4)
         val pfxOk = id.nonEmpty && ":/?#[]@".contains(id.last)
@@ -231,8 +249,8 @@ final class JsonLdParser(content: String,
         if (rev && v.has("@id"))
           err(s"term '$term' has both @reverse and @id")
         val id =
-          if (rev) expandRefD(v.get("@reverse").asText)
-          else if (v.has("@id")) expandRefD(v.get("@id").asText)
+          if (rev) expandTermValueD(v.get("@reverse").asText)
+          else if (v.has("@id")) expandTermValueD(v.get("@id").asText)
           else {
             // the term's own name expands as a compact IRI / vocab
             // key — WITHOUT a self-lookup (that would read as a cycle)
@@ -289,6 +307,10 @@ final class JsonLdParser(content: String,
           pfxOk, idxProp))
       case _ =>
     }
+    // keyword entries apply BEFORE any term definition regardless of
+    // document order (Context Processing steps 5.x precede Create Term
+    // Definition) — a vocab/base declared after a term in source order
+    // still shapes that term's expansion
     node.fields.asScala.foreach { e =>
       (e.getKey, e.getValue) match {
         case ("@vocab", v) =>
@@ -315,15 +337,16 @@ final class JsonLdParser(content: String,
         case ("@version", v) => // "invalid @version value": only 1.1
           if (!(v.isNumber && v.asDouble == 1.1))
             err(s"invalid @version value: $v (must be the number 1.1)")
-        case ("@propagate" | "@protected", _) =>
         case ("@import", v) =>
           // @import always names a remote context document — same
           // zero-egress failure as a string @context entry
           throw new IllegalArgumentException("JSON-LD: loading remote " +
             s"context failed (zero egress @import): $v")
-        case (term, _) => ensure(term)
+        case _ =>
       }
     }
+    node.fields.asScala.foreach(e =>
+      if (!ctxKeywords(e.getKey)) ensure(e.getKey))
     if (propagate) { if (clearPrev) ctx.copy(prev = None) else ctx }
     else ctx.copy(prev = Some(parent.descend))
   }

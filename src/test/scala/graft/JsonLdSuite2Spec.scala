@@ -604,6 +604,22 @@ class JsonLdSuite2Spec extends AnyFunSuite {
       "@id": "${X}s", "${X}p": "kept"}""",
     s"""<${X}s> <${X}p> "kept" .""")
 
+  check("simple term definition values expand with @vocab",
+    s"""{"@context": {"@vocab": "$X", "p": "q"},
+      "@id": "${X}s", "p": "v"}""",
+    s"""<${X}s> <${X}q> "v" .""")
+
+  check("@vocab declared after the term still shapes it",
+    s"""{"@context": {"p": "q", "@vocab": "$X"},
+      "@id": "${X}s", "p": "v"}""",
+    s"""<${X}s> <${X}q> "v" .""")
+
+  check("expanded @id values expand with @vocab too",
+    s"""{"@context": {"@vocab": "$X",
+        "p": {"@id": "q", "@type": "@id"}},
+      "@id": "${X}s", "p": "${X}o"}""",
+    s"""<${X}s> <${X}q> <${X}o> .""")
+
   check("top-level empty @graph emits nothing",
     s"""[{"@graph": []}, {"@id": "${X}s", "${X}p": "v"}]""",
     s"""<${X}s> <${X}p> "v" .""")
