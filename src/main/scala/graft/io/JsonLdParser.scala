@@ -594,7 +594,12 @@ final class JsonLdParser(content: String,
   private def flattenSets(vs: Seq[JsonNode],
       kw: String => String): Seq[JsonNode] =
     vs.flatMap { v =>
-      if (v.isObject) {
+      // nested ARRAYS flatten recursively in value positions (the
+      // expansion algorithm appends expanded-array items) — only under
+      // an @list container do they become nested lists, and listTerm
+      // bypasses this flattening for exactly that reason
+      if (v.isArray) flattenSets(v.elements.asScala.toSeq, kw)
+      else if (v.isObject) {
         val fields = v.fieldNames.asScala.toSeq
         if (fields.exists(f => kw(f) == "@set")) {
           fields.find(f => kw(f) != "@set" && kw(f) != "@index")
@@ -611,14 +616,15 @@ final class JsonLdParser(content: String,
     // evaluate items FIRST: a {"@value": null} entry yields a null
     // term and drops out of the list exactly like a bare JSON null;
     // explicit @set objects unwrap into the surrounding list; a nested
-    // ARRAY is a nested list (JSON-LD 1.1 lifted the list-of-lists
-    // restriction)
-    val terms = flattenSets(items, ctx.keyword _).filterNot(_.isNull)
-      .map { item =>
-        if (item.isArray)
-          listTerm(item.elements.asScala.toSeq, g, ctx, itemTd)
-        else valueTerm(item, g, ctx, itemTd)
-      }.filter(_ != null)
+    // ARRAY here is a NESTED LIST (JSON-LD 1.1 lifted the
+    // list-of-lists restriction), so it must dodge flattenSets'
+    // value-position array flattening
+    val terms = items.flatMap { item =>
+      if (item.isArray)
+        Seq(listTerm(item.elements.asScala.toSeq, g, ctx, itemTd))
+      else flattenSets(Seq(item), ctx.keyword _).filterNot(_.isNull)
+        .map(valueTerm(_, g, ctx, itemTd)).filter(_ != null)
+    }
     terms match {
       case Seq() => iri(RdfNs + "nil")
       case live =>

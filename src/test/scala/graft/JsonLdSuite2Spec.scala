@@ -620,6 +620,20 @@ class JsonLdSuite2Spec extends AnyFunSuite {
       "@id": "${X}s", "p": "${X}o"}""",
     s"""<${X}s> <${X}q> <${X}o> .""")
 
+  check("nested arrays flatten in plain value positions",
+    s"""{"@id": "${X}s", "${X}p": [["a"], "b", [["c"]]]}""",
+    s"""<${X}s> <${X}p> "a" .
+      <${X}s> <${X}p> "b" .
+      <${X}s> <${X}p> "c" .""")
+
+  check("nested array inside an explicit @list stays a nested list",
+    s"""{"@id": "${X}s", "${X}p": {"@list": [["a"]]}}""",
+    s"""<${X}s> <${X}p> _:o0 .
+      _:o0 <${Rdf}first> _:i0 .
+      _:o0 <${Rdf}rest> <${Rdf}nil> .
+      _:i0 <${Rdf}first> "a" .
+      _:i0 <${Rdf}rest> <${Rdf}nil> .""")
+
   check("top-level empty @graph emits nothing",
     s"""[{"@graph": []}, {"@id": "${X}s", "${X}p": "v"}]""",
     s"""<${X}s> <${X}p> "v" .""")
