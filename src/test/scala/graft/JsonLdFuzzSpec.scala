@@ -33,7 +33,9 @@ class JsonLdFuzzSpec extends AnyFunSuite {
   private case class OInt(n: Long) extends Obj
   private case class OBool(b: Boolean) extends Obj
   private case class Node(id: String, types: Seq[String],
-      props: Seq[(String, Seq[Obj])])
+      props: Seq[(String, Seq[Obj])],
+      // @reverse-map edges: (pred, target ids) => quad (target, pred, id)
+      rev: Seq[(String, Seq[String])] = Nil)
   // graphs: (None = default graph, Some(name) = named), each with nodes
   private case class Doc(graphs: Seq[(Option[String], Seq[Node])])
 
@@ -64,6 +66,10 @@ class JsonLdFuzzSpec extends AnyFunSuite {
         n.props.flatMap { case (p, os) =>
           os.map(o => QuadRow(g, ref(n.id),
             term(Term.IriKind.toByte, p), objTerm(o)))
+        } ++
+        n.rev.flatMap { case (p, ts) =>
+          ts.map(t => QuadRow(g, ref(t),
+            term(Term.IriKind.toByte, p), ref(n.id)))
         }
     } yield q).toSet
 
@@ -91,11 +97,22 @@ class JsonLdFuzzSpec extends AnyFunSuite {
       no <- Gen.choose(1, 3)
       os <- Gen.listOfN(no, genObj)
     } yield p -> os)
+    nr <- Gen.frequency(3 -> Gen.const(0), 1 -> Gen.const(1))
+    revs <- Gen.listOfN(nr, for {
+      p <- Gen.choose(0, 3).map(pred)
+      nt2 <- Gen.choose(1, 2)
+      ts <- Gen.listOfN(nt2, Gen.oneOf(
+        Gen.choose(0, 5).map(iriNode),
+        Gen.choose(0, 3).map(k => s"_:b$k")))
+    } yield p -> ts)
     // one JSON key per predicate — a repeated key would overwrite in
     // the rendered object, not merge
   } yield Node(id, types.distinct,
     props.groupBy(_._1).map { case (p, ps) =>
       p -> ps.flatMap(_._2)
+    }.toSeq,
+    revs.groupBy(_._1).map { case (p, ps) =>
+      p -> ps.flatMap(_._2).distinct
     }.toSeq)
 
   private val genDoc: Gen[Doc] = for {
@@ -115,8 +132,8 @@ class JsonLdFuzzSpec extends AnyFunSuite {
   private case class Cfg(usePrefix: Boolean, useVocab: Boolean,
       aliasId: Boolean, aliasType: Boolean, defaultLang: Option[String],
       // per-pred term specs: (termName, expanded, coerceId, langMapOk,
-      // langNull)
-      terms: Map[String, (String, Boolean, Boolean, Boolean, Boolean)],
+      // langNull, idxMap)
+      terms: Map[String, (String, Boolean, Boolean, Boolean, Boolean, Boolean)],
       ctxTermsFirst: Boolean, seed: Long)
 
   private val genCfg: Gen[Cfg] = for {
@@ -127,16 +144,17 @@ class JsonLdFuzzSpec extends AnyFunSuite {
     dl <- Gen.option(Gen.oneOf(langs))
     nt <- Gen.choose(0, 4)
     tks <- Gen.listOfN(nt, Gen.choose(0, 3))
-    specs <- Gen.sequence[Seq[(String, (String, Boolean, Boolean, Boolean, Boolean))],
-      (String, (String, Boolean, Boolean, Boolean, Boolean))](
+    specs <- Gen.sequence[Seq[(String, (String, Boolean, Boolean, Boolean, Boolean, Boolean))],
+      (String, (String, Boolean, Boolean, Boolean, Boolean, Boolean))](
       tks.distinct.map { k =>
         for {
           exp <- Gen.oneOf(true, false)
           coerce <- Gen.oneOf(true, false)
           lm <- Gen.oneOf(true, false)
           ln <- Gen.oneOf(true, false)
+          ix <- Gen.oneOf(true, false)
         } yield pred(k) -> (s"t$k", exp, exp && coerce, exp && lm,
-          exp && ln)
+          exp && ln, exp && !lm && ix)
       })
     ctf <- Gen.oneOf(true, false)
     seed <- Gen.choose(0L, Long.MaxValue)
@@ -157,7 +175,7 @@ class JsonLdFuzzSpec extends AnyFunSuite {
         cfg.defaultLang.foreach(l => c.put("@language", l))
       }
       def termDefs(): Unit = cfg.terms.foreach {
-        case (p, (name, expanded, coerce, langMap, langNull)) =>
+        case (p, (name, expanded, coerce, langMap, langNull, idxMap)) =>
           // the term's IRI value itself renders as compact / vocab /
           // absolute — forward references exercise on-demand defs
           val iriForm =
@@ -170,6 +188,7 @@ class JsonLdFuzzSpec extends AnyFunSuite {
             d.put("@id", iriForm)
             if (coerce) d.put("@type", "@id")
             if (langMap) d.put("@container", "@language")
+            if (idxMap) d.put("@container", "@index")
             if (langNull) d.putNull("@language")
             c.set[ObjectNode](name, d)
           }
@@ -186,7 +205,7 @@ class JsonLdFuzzSpec extends AnyFunSuite {
       else id
 
     def keyForm(p: String): String = cfg.terms.get(p) match {
-      case Some((name, _, _, _, _)) => name
+      case Some((name, _, _, _, _, _)) => name
       case None =>
         if (cfg.usePrefix && rnd.nextBoolean())
           "ex:" + p.substring(X.length)
@@ -253,6 +272,7 @@ class JsonLdFuzzSpec extends AnyFunSuite {
         val coerceId = spec.exists(_._3)
         val langMap = spec.exists(_._4)
         val termLangNull = spec.exists(_._5)
+        val idxMap = spec.exists(_._6)
         val key = keyForm(p)
         // language-map rendering: only when the term has the container
         // AND every value is language-tagged
@@ -266,6 +286,18 @@ class JsonLdFuzzSpec extends AnyFunSuite {
               m.set[ObjectNode](l, a)
             }
           o.set[ObjectNode](key, m)
+        } else if (idxMap && rnd.nextBoolean()) {
+          // index map: opaque keys drop; values render as usual
+          val m = F.objectNode()
+          val groups = os.zipWithIndex.groupBy(_._2 % (1 + rnd.nextInt(2)))
+          groups.foreach { case (gi, entries) =>
+            val a = F.arrayNode()
+            entries.foreach { case (ob, _) =>
+              a.add(objNode(ob, coerceId, termLangNull, inline))
+            }
+            m.set[ObjectNode](s"i$gi", a)
+          }
+          o.set[ObjectNode](key, m)
         } else {
           val arr = F.arrayNode()
           os.foreach { ob =>
@@ -275,17 +307,29 @@ class JsonLdFuzzSpec extends AnyFunSuite {
               val w = F.arrayNode(); w.add(node); arr.add(w)
             } else arr.add(node)
           }
-          // a langMap-container term must always take a plain ARRAY
-          // here: any bare object value (value object, @set wrapper)
-          // would read as a language map
+          // a container-map term must always take a plain ARRAY here:
+          // any bare object value (value object, @set wrapper) would
+          // read as a language/index map — container-map
+          // interpretation is unconditional for map values
           val rendered: com.fasterxml.jackson.databind.JsonNode =
-            if (langMap) arr
+            if (langMap || idxMap) arr
             else if (os.size == 1 && rnd.nextBoolean()) arr.get(0)
             else if (rnd.nextInt(4) == 0) {
               val s = F.objectNode(); s.set[ObjectNode]("@set", arr); s
             } else arr
           o.set[ObjectNode](key, rendered)
         }
+      }
+      if (n.rev.nonEmpty) {
+        val rm = F.objectNode()
+        n.rev.foreach { case (p, targets) =>
+          val a = F.arrayNode()
+          targets.foreach { t =>
+            val v = F.objectNode(); v.put("@id", idForm(t)); a.add(v)
+          }
+          rm.set[ObjectNode](keyForm(p), a)
+        }
+        o.set[ObjectNode]("@reverse", rm)
       }
       o
     }
