@@ -220,9 +220,14 @@ object PathExec {
       }
     case Some(Seed(nodes, false)) => constG(ctx) match {
       // constant scope: cheap semi-join on the term only, constant pg
-      // attached after — same plan as the pre-pg implementation
+      // attached after — same plan as the pre-pg implementation.
+      // graphTermsRaw: a semi-join right side needs no dedup, and the
+      // dropped distinct was a full exchange+aggregate over every
+      // subject/object of the graph (r12 — measured 7.9 MB of sp22's
+      // 8 MB shuffle)
       case Some(g) =>
-        nodes.join(graphTerms(src, ctx).select("n"), Seq("n"), "left_semi")
+        nodes.join(graphTermsRaw(src, ctx).select("n"), Seq("n"),
+            "left_semi")
           .distinct()
           .select(g.as("pg"), col("n").as("ps"), col("n").as("po"))
       case None =>
@@ -256,6 +261,22 @@ object PathExec {
     }
   }
 
+  /** [[graphTerms]] as a MULTISET (no dedup): for semi-join right sides
+    * the distinct is semantics-free and costs a full exchange+aggregate
+    * over every term of the graph.
+    */
+  private def graphTermsRaw(src: QuadSource, ctx: GraphCtx): DataFrame = {
+    val g = src.all.where(gFilter(ctx))
+    constG(ctx) match {
+      case Some(c) =>
+        g.select(col("s").as("n")).union(g.select(col("o").as("n")))
+          .select(c.as("pg"), col("n"))
+      case None =>
+        g.select(col("g").as("pg"), col("s").as("n"))
+          .union(g.select(col("g").as("pg"), col("o").as("n")))
+    }
+  }
+
   /** One-or-more closure of the inner path, per graph, seeded when an
     * endpoint is known. The edge relation itself stays unrestricted
     * (multi-hop walks may traverse anywhere within their graph), but the
@@ -276,50 +297,70 @@ object PathExec {
     }
   }
 
+  /** Scale-adaptive partition count for the fixpoint relations (r12,
+    * guide §2): localCheckpoint materializes with the PLAN's
+    * partitioning (AQE's coalescing does not reach the .rdd path), so
+    * without this every iteration's stages run shuffle.partitions-many
+    * near-empty tasks whose fixed cost dominates once the frontier is
+    * small. ~64k rows per partition: 1 task at test scale, thousands at
+    * 10^9-edge scale. The count reads the just-checkpointed blocks.
+    */
+  private def adaptiveParts(checkpointed: DataFrame): Int =
+    math.max(1L, (checkpointed.count() + 65535) / 65536).toInt
+
   /** Seeded semi-naive closure: rows (g, s, t) with s in seed and t
     * reachable from s in >= 1 step within graph g. Frontier and result
     * carry only seed-reachable pairs — O(reachable), not O(V·E).
     */
   private def closureFrom(edges0: DataFrame, seed: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint(true)
-    var result = seed.select(col("n").as("ps")).distinct()
+    val edgesCp = edges0.localCheckpoint(true)
+    val parts = adaptiveParts(edgesCp)
+    val edges = edgesCp.coalesce(parts) // narrow view over cached blocks
+    val r0 = seed.select(col("n").as("ps")).distinct()
       .join(edges, Seq("ps"))
-      .select(col("pg"), col("ps"), col("po")).distinct().localCheckpoint(true)
-    var frontier = result
-    var i = 1
-    val cap = maxIters(edges)
-    while (i < cap && !frontier.isEmpty) {
-      val stepped = frontier.select(col("pg"), col("ps"), col("po").as("mid"))
-        .join(edges.select(col("pg").as("pg2"), col("ps").as("mid2"),
-          col("po")), col("mid") === col("mid2") && col("pg") === col("pg2"))
-        .select(col("pg"), col("ps"), col("po")).distinct()
-      frontier = stepped.except(result).localCheckpoint(true)
-      result = result.union(frontier).localCheckpoint(true)
-      i += 1
-    }
-    if (i >= cap && !frontier.isEmpty) raiseCap(cap)
-    result
+      .select(col("pg"), col("ps"), col("po")).distinct()
+      .coalesce(parts).localCheckpoint(true)
+    semiNaive(r0, edges, parts, 1, maxIters(edges))
   }
 
   /** Distributed all-pairs semi-naive closure (both endpoints free),
     * per graph.
     */
   private def closure(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint(true)
-    var result = edges
-    var frontier = edges
-    var i = 0
-    val cap = maxIters(edges)
+    val edgesCp = edges0.localCheckpoint(true)
+    val parts = adaptiveParts(edgesCp)
+    val edges = edgesCp.coalesce(parts) // narrow view over cached blocks
+    semiNaive(edges, edges, parts, 0, maxIters(edges))
+  }
+
+  /** The shared semi-naive loop. The RESULT is kept as a lazy union of
+    * the per-iteration frontier checkpoints instead of being
+    * re-checkpointed every round (r12): each iteration then runs ONE
+    * materialization job (the new frontier) plus the emptiness probe,
+    * and the result rows are never copied depth-many times. Frontier
+    * dedup against the accumulated result is a LEFT ANTI join on the
+    * (pg, ps, po) columns — `stepped` is already distinct, so EXCEPT's
+    * additional left-side aggregate was a wasted exchange per round
+    * (struct equality is ordering-based in Spark, so null-valued term
+    * FIELDS compare stably; the columns themselves are never null).
+    */
+  private def semiNaive(r0: DataFrame, edges: DataFrame, parts: Int,
+      firstIter: Int, cap: Int): DataFrame = {
+    var resultParts = List(r0)
+    var frontier = r0
+    var i = firstIter
     while (i < cap && !frontier.isEmpty) {
+      val result = resultParts.reduce(_ union _)
       val stepped = frontier.select(col("pg"), col("ps"), col("po").as("mid"))
         .join(edges.select(col("pg").as("pg2"), col("ps").as("mid2"),
           col("po")), col("mid") === col("mid2") && col("pg") === col("pg2"))
         .select(col("pg"), col("ps"), col("po")).distinct()
-      frontier = stepped.except(result).localCheckpoint(true)
-      result = result.union(frontier).localCheckpoint(true)
+      frontier = stepped.join(result, Seq("pg", "ps", "po"), "left_anti")
+        .coalesce(parts).localCheckpoint(true)
+      resultParts ::= frontier
       i += 1
     }
     if (i >= cap && !frontier.isEmpty) raiseCap(cap)
-    result
+    resultParts.reduce(_ union _)
   }
 }

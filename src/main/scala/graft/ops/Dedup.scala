@@ -49,11 +49,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int,
       k: Int = 3, dfCap: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // filter ABOVE the persist barrier, not below it: a filter whose
+    // predicate re-derives the shingle array pushes below any scan
+    // fan-out exchange (Tables.fanOut) and re-computes every doc's
+    // shingles in the pre-exchange task — measured 1.5 s single-task
+    // at sf0.1. Cached: all docs; filtered view: identical rows as
+    // before (r12, guide §2.5/§7.2).
     val withSh = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
-      .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
+      .where(col("n") > 0)
     val sh = withSh.select(col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
     val dfTab = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -283,11 +289,13 @@ object Dedup {
   def incrementalJaccardPairs(corpus: DataFrame, incoming: DataFrame,
       num: Int, den: Int, k: Int = 3, dfCap: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // filter above the persist barrier — same fan-out pushdown hazard
+    // as [[ngramJaccardPairs]]'s withSh (r12)
     def withSh(d: DataFrame) = d.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
-      .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
+      .where(col("n") > 0)
     val cs = withSh(corpus)
     val ns = withSh(incoming)
     val cIdx = cs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
@@ -389,6 +397,8 @@ object Dedup {
     val verts = p.select(col("da").as("id"))
       .unionByName(p.select(col("db").as("id"))).distinct()
       .localCheckpoint()
+      // (verts stays plan-partitioned: it is touched once, by the final
+      // left join — not worth an extra coalesce pass)
     // One star phase, join-formulated: m(u) = min(N(u) ∪ {u}) computed
     // by a groupBy — the neighborhood is never materialized as an array
     // (a giant component's root has component-sized degree; collect_*
@@ -409,17 +419,27 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
     }
+    // Scale-adaptive loop partitioning (r12, guide §2): localCheckpoint
+    // materializes with the PLAN's partitioning — AQE's post-shuffle
+    // coalescing does not reach the .rdd path — so each round's stages
+    // otherwise run shuffle.partitions-many near-empty tasks whose fixed
+    // cost dominates at near-dup-pair scale (pairs are a small fraction
+    // of the corpus by construction). ~64k edges per partition keeps the
+    // loop 1-task at test scale and thousands-of-tasks at 10^9 edges;
+    // the count replaces (and is no dearer than) the old isEmpty probe.
+    val nEdges = p.count()
+    val parts = math.max(1L, (nEdges + 65535) / 65536).toInt
     var edges = p.select(col("da").as("u"), col("db").as("v"))
-      .localCheckpoint()
+      .coalesce(parts).localCheckpoint()
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0
     while (!converged) {
       rounds += 1
       if (rounds > MaxCcRounds)
         throw new IllegalStateException(
           s"dupClusters did not converge in $MaxCcRounds rounds")
       edges = star(star(edges, large = true), large = false)
-        .localCheckpoint()
+        .coalesce(parts).localCheckpoint()
       // all edges point parent < child; the set is a star forest (= the
       // joint fixpoint, with each center the component min) exactly when
       // no parent is itself a child — one id-pair join to test
@@ -440,9 +460,19 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
       k: Int = 3): DataFrame =
+    minhashSignaturesRaw(docs, numHashes, k).where(size(col("sh")) > 0)
+
+  /** [[minhashSignatures]] WITHOUT the empty-doc filter (empty docs get
+    * MinHashSig's all-null signature). Callers that persist the
+    * signature table cache this and filter ABOVE the cache barrier: a
+    * predicate re-deriving the shingle array pushes below the scan
+    * fan-out exchange and serializes the whole shingle pass into one
+    * pre-exchange task (r12; the ngramJaccardPairs withSh lesson).
+    */
+  private def minhashSignaturesRaw(docs: DataFrame, numHashes: Int,
+      k: Int): DataFrame =
     docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
-      .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         graft.expr.MinHashSig.sigCol(col("sh"), numHashes).as("sig"))
 
@@ -461,8 +491,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       num: Int = 8, den: Int = 10, k: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, k)
+    // cache the UNFILTERED signature pass, filter above the cache
+    // barrier (see minhashSignaturesRaw). Emitted pairs are unchanged —
+    // empty docs never reach banding or verification.
+    val sigs = minhashSignaturesRaw(docs, numHashes, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
+      .where(size(col("sh")) > 0)
     val banded = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),

@@ -16,8 +16,12 @@ object Pipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+  // fanOut: these sources feed expensive per-row compute (shingles,
+  // gram hashes, winnowing, dot products) — see Tables.fanOut (r12)
+  private def docs(s: SparkSession, dir: String) =
+    Tables.fanOut(Tables(s, dir, "documents"))
+  private def emb(s: SparkSession, dir: String) =
+    Tables.fanOut(Tables(s, dir, "embeddings"))
 
   // ---- raw approximate outputs (golden-netted in GoldenSpec) ---------
   // The queries-map entries for the hash-internal operators are ORACLE
