@@ -31,7 +31,7 @@ object Bench {
     // store load, untimed below; pipeline-only dirs (tools.ScaleUp
     // output) carry no TPC-H tables — skip the quad warmup there
     if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
-      graft.io.TpchRdf.quads(spark, sfDir).count()
+      graft.io.TpchRdf.warm(spark, sfDir) // base store + predicate index
     spark.range(2).count()
     val warmup = (System.nanoTime() - t0) / 1e9
 

@@ -15,6 +15,29 @@ object QueryExec {
   def select(gp: GraphPattern, quads: DataFrame): DataFrame =
     Translator.translate(gp, quads).df
 
+  // ---- QuadSource entry points (r12): callers holding an INDEXED
+  // store (per-predicate vertical partition, TpchRdf.source) route
+  // pattern scans through its pruned byPredicate slices --------------
+  def select(gp: GraphPattern, store: graft.io.QuadSource): DataFrame =
+    Translator.translate(gp, store, Translator.DefaultG).df
+
+  def ask(gp: GraphPattern, store: graft.io.QuadSource): DataFrame = {
+    val sol = Translator.translate(gp, store, Translator.DefaultG)
+    sol.df.limit(1)
+      .agg(count(lit(1)).as("n"))
+      .select((col("n") > 0).as("result"))
+  }
+
+  def construct(template: Seq[TriplePattern], gp: GraphPattern,
+      store: graft.io.QuadSource): DataFrame =
+    instantiate(template,
+      Translator.translate(gp, store, Translator.DefaultG))
+
+  def describe(gp: GraphPattern, v: String,
+      store: graft.io.QuadSource): DataFrame =
+    describeSol(Translator.translate(gp, store, Translator.DefaultG),
+      Seq(v), store.all)
+
   /** SELECT with a predicate->value-class catalog (type-inference
     * lattice seed; see QuadSource.predClass).
     */

@@ -77,15 +77,23 @@ object QuadSource {
 /** In-memory/cached DataFrame store: predicate filter is a plain filter
   * (Catalyst prunes union branches via constant folding). `classes` is
   * the optional predicate->value-class catalog (see
-  * QuadSource.predClass).
+  * QuadSource.predClass). `index` is an optional in-memory VERTICAL
+  * PARTITION of the store (r12): per-predicate pre-filtered (usually
+  * persisted) DataFrames, the cached-store analogue of
+  * [[PartitionedQuadStore]]'s partition pruning — a constant-predicate
+  * scan reads a predicate-sized relation with a predicate-sized plan
+  * instead of filtering the whole store through its full union plan on
+  * every pattern.
   */
 final case class DfQuadSource(df: DataFrame,
     classes: Map[String, Term.VClass] = Map.empty,
-    registry: Seq[String] = Nil) extends QuadSource {
+    registry: Seq[String] = Nil,
+    index: Map[String, DataFrame] = Map.empty) extends QuadSource {
   def all: DataFrame = df
   override def extraNamedGraphs: Seq[String] = registry
   def byPredicate(iri: String): DataFrame =
-    df.where(col("p")("kind") === Term.IriKind && col("p")("lex") === iri)
+    index.getOrElse(iri,
+      df.where(col("p")("kind") === Term.IriKind && col("p")("lex") === iri))
   override def predClass(iri: String): Option[Term.VClass] =
     classes.get(iri)
 }

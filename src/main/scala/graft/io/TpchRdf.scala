@@ -60,6 +60,47 @@ object TpchRdf {
       buildQuads(spark, dir).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  private val srcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.io.DfQuadSource]
+
+  /** The quad store as a QuadSource with an in-memory VERTICAL PARTITION
+    * (r12): one persisted per-predicate slice per vocabulary predicate,
+    * the cached analogue of [[PartitionedQuadStore]]'s planning-time
+    * partition pruning. A constant-predicate pattern scan then reads a
+    * predicate-sized cached relation through a one-node plan instead of
+    * re-filtering the whole store through its 20-branch union plan —
+    * both the per-pattern scan work and the per-query Catalyst planning
+    * shrink. Same session-lifetime store-index shape as the `quads`
+    * cache itself (built once per (session, dir), load-time at scale).
+    */
+  def source(spark: SparkSession, dir: String): graft.io.DfQuadSource =
+    srcCache.getOrElseUpdate((spark, dir), {
+      val all = quads(spark, dir)
+      val preds = Seq("name", "label", "mktsegment", "status", "priority",
+        "acctbal", "totalprice", "orderdate", "inNation", "inRegion",
+        "locatedIn", "orderedBy").map(P)
+      // each slice holds ~1/|preds| of the store — coalesce its cached
+      // partitioning proportionally (scale-adaptive: the base store's
+      // partition count follows its input splits)
+      val sliceParts = math.max(1,
+        all.rdd.getNumPartitions / preds.size)
+      val index = preds.map { p =>
+        p -> all.where(col("p")("kind") === Term.IriKind &&
+            col("p")("lex") === p)
+          .coalesce(sliceParts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }.toMap
+      graft.io.DfQuadSource(all, predClasses, Nil, index)
+    })
+
+  /** Materialize the session's quad-store caches (base store + the
+    * per-predicate index) — the untimed "store load" of the bench.
+    */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    quads(spark, dir).count()
+    source(spark, dir).index.values.foreach(_.count())
+  }
+
   /** Full quad table: customers/nations/regions/orders in the default
     * graph, suppliers in a named graph, plus a 3-level `:locatedIn`
     * chain (customer -> nation -> region -> :world) for path queries.

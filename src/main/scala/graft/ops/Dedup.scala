@@ -603,10 +603,16 @@ object Dedup {
         }
         struct(lit(tid).as("t"), key.as("k"))
     }
+    // persisted: BOTH self-join sides read the keyed table — without
+    // the barrier each side re-runs the Generate, whose 36-entry array
+    // expression re-evaluates per OUTPUT row (the gramArr lesson), and
+    // the join side feeding a broadcast build runs it single-threaded
     val keyed = sh.select(col("doc_id"), col("simhash"),
       explode(array(entries: _*)).as("e"))
       .select(col("doc_id"), col("simhash"),
         col("e.t").as("t"), col("e.k").as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCaches.track)
     keyed.as("a").join(keyed.as("b"),
       col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -1722,6 +1722,50 @@ object SparqlParser {
       : org.apache.spark.sql.DataFrame =
     executeProtocol(query, quads, Nil, Nil)
 
+  /** Parse and execute against an indexed QuadSource (r12): queries
+    * without FROM/FROM NAMED run straight over the store — constant-
+    * predicate scans hit its per-predicate slices; a query carrying its
+    * own dataset clause falls back to the dataset-rewritten quad table
+    * (the rewrite invalidates any per-predicate index by construction).
+    */
+  def execute(query: String, store: graft.io.QuadSource)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.exec.QueryExec
+    val parser = new SparqlParser(query)
+    val form = parser.parseQuery()
+    if (parser.fromDefault.nonEmpty || parser.fromNamed.nonEmpty)
+      executeParsed(form, QueryExec.applyDataset(store.all,
+        parser.fromDefault, parser.fromNamed), parser.fromNamed)
+    else form match {
+      case Select(p) => QueryExec.select(p, store)
+      case Ask(p) => QueryExec.ask(p, store)
+      case Construct(t, p) => QueryExec.construct(t, p, store)
+      case Describe(p, vs) => describeVs(p, vs, store)
+    }
+  }
+
+  private def describeVs(p: graft.algebra.Algebra.GraphPattern,
+      vs: Seq[String], store: graft.io.QuadSource)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.exec.QueryExec
+    vs match {
+      case Seq(v) => QueryExec.describe(p, v, store)
+      case _ => QueryExec.describe(p, vs, store.all, Nil)
+    }
+  }
+
+  private def executeParsed(form: QueryForm,
+      dataset: org.apache.spark.sql.DataFrame, reg: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import graft.exec.QueryExec
+    form match {
+      case Select(p) => QueryExec.select(p, dataset, reg)
+      case Ask(p) => QueryExec.ask(p, dataset, reg)
+      case Construct(t, p) => QueryExec.construct(t, p, dataset, reg)
+      case Describe(p, vs) => QueryExec.describe(p, vs, dataset, reg)
+    }
+  }
+
   def execute(query: String, quads: org.apache.spark.sql.DataFrame,
       registry: Seq[String]): org.apache.spark.sql.DataFrame =
     executeProtocol(query, quads, Nil, Nil, registry)

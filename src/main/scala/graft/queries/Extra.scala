@@ -237,10 +237,10 @@ object Extra {
     // DESCRIBE a fixed resource (§2.9)
     "sp20_describe" -> { (s, dir) =>
       val gp = Bgp(TriplePattern(V("c"), I(P("name")), V("n")))
-      val quads = TpchRdf.quads(s, dir)
       QueryExec.describe(
         Filter(EFn("=", EFn("STR", EVar("c")),
-          ELit.str(TpchRdf.ns + "customer/0")), gp), "c", quads)
+          ELit.str(TpchRdf.ns + "customer/0")), gp), "c",
+        TpchRdf.source(s, dir))
         .select(col("s")("lex").as("s"), col("p")("lex").as("p"),
           col("o")("lex").as("o"))
         .orderBy(col("p"), col("o"))
@@ -252,7 +252,7 @@ object Extra {
         PathPattern(V("c"), PNeg(Seq(P("inNation"), P("locatedIn"),
           P("name"))), V("o")),
         Bgp(TriplePattern(V("c"), I(P("acctbal")), V("b"))))
-      QueryExec.select(gp, TpchRdf.quads(s, dir))
+      QueryExec.select(gp, TpchRdf.source(s, dir))
         .select(col("c")("lex").as("c"), col("o")("lex").as("o"))
         .orderBy(col("c"), col("o"))
     },
@@ -263,7 +263,7 @@ object Extra {
         Bgp(TriplePattern(V("r"), I(P("name")), V("rn")),
           TriplePattern(V("r"), I(P("locatedIn")), I(TpchRdf.WORLD))),
         PathPattern(V("r"), PZeroOrOne(PLink(P("locatedIn"))), V("y")))
-      QueryExec.select(gp, TpchRdf.quads(s, dir))
+      QueryExec.select(gp, TpchRdf.source(s, dir))
         .select(col("rn")("lex").as("r_name"), col("y")("lex").as("y"))
         .orderBy(col("r_name"), col("y"))
     },
@@ -280,7 +280,7 @@ object Extra {
             "after", EFn("STRAFTER", EVar("cname"), ELit.str("#"))),
           "masked", EFn("REPLACE", EVar("cname"), ELit.str("[0-9]"),
             ELit.str("x"))))
-      QueryExec.select(gp, TpchRdf.quads(s, dir))
+      QueryExec.select(gp, TpchRdf.source(s, dir))
         .select(col("cname")("lex").as("c_name"),
           col("before")("lex").as("before"),
           col("after")("lex").as("after"),
@@ -341,7 +341,7 @@ object Extra {
             EFn(">=", EVar("b"), ELit("5000", graft.model.Term.XsdDecimal)),
             ELit.str("high"), ELit.str("low")))),
         Seq(EVar("cname") -> true))
-      QueryExec.select(gp, TpchRdf.quads(s, dir))
+      QueryExec.select(gp, TpchRdf.source(s, dir))
         .select(col("cname")("lex").as("c_name"),
           col("tier")("lex").as("tier"))
     },

@@ -23,8 +23,10 @@ object Sparql {
   private def dbl(v: String): Column = col(v)("lex").cast(DoubleType)
   private def int64(v: String): Column = col(v)("lex").cast(LongType)
 
+  // r12: the indexed source routes constant-predicate scans through
+  // the store's per-predicate cached slices (TpchRdf.source)
   private def run(s: SparkSession, dir: String, gp: GraphPattern): DataFrame =
-    QueryExec.select(gp, TpchRdf.quads(s, dir), TpchRdf.predClasses)
+    QueryExec.select(gp, TpchRdf.source(s, dir))
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -19,8 +19,9 @@ object SparqlText {
 
   private val prologue = s"PREFIX : <${TpchRdf.ns}>\n"
 
+  // r12: indexed source — see Sparql.run
   private def run(s: SparkSession, dir: String, q: String): DataFrame =
-    SparqlParser.execute(prologue + q, TpchRdf.quads(s, dir))
+    SparqlParser.execute(prologue + q, TpchRdf.source(s, dir))
 
   type Q = (SparkSession, String) => DataFrame
 
