@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.io.Tables.fanOut
 
 /** Deduplication operators for training-data pipelines: exact,
   * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -30,7 +31,7 @@ object Dedup {
     * MinHash paths.
     */
   def shingleRows(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
+    fanOut(docs).select(col("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col("text")), k)).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs at `threshold` (as a rational
@@ -55,7 +56,7 @@ object Dedup {
     // shingles in the pre-exchange task — measured 1.5 s single-task
     // at sf0.1. Cached: all docs; filtered view: identical rows as
     // before (r12, guide §2.5/§7.2).
-    val withSh = docs.select(col("doc_id"),
+    val withSh = fanOut(docs).select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
@@ -215,7 +216,7 @@ object Dedup {
     // reads a computed array, not a re-evaluated subtree (see
     // TextOps.winnowHashes) — CollapseProject leaves the stage split
     // because the array is non-cheap and referenced more than once
-    docs.select(col("doc_id"),
+    fanOut(docs).select(col("doc_id"),
       TextOps.gramHashes(TextOps.tokens(col("text")), k).as("hs"))
       .select(col("doc_id"),
         explode(TextOps.winnowHashes(col("hs"), w)).as("fp"))
@@ -291,7 +292,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // filter above the persist barrier — same fan-out pushdown hazard
     // as [[ngramJaccardPairs]]'s withSh (r12)
-    def withSh(d: DataFrame) = d.select(col("doc_id"),
+    def withSh(d: DataFrame) = fanOut(d).select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
@@ -471,7 +472,7 @@ object Dedup {
     */
   private def minhashSignaturesRaw(docs: DataFrame, numHashes: Int,
       k: Int): DataFrame =
-    docs.select(col("doc_id"),
+    fanOut(docs).select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), k).as("sh"))
       .select(col("doc_id"), col("sh"),
         graft.expr.MinHashSig.sigCol(col("sh"), numHashes).as("sig"))
@@ -529,7 +530,7 @@ object Dedup {
     // sum of +-1 per occurrence == +-cnt per distinct token). Replaces
     // the former 64-row crossJoin + two-stage aggregation — no x64 row
     // blowup, map-side partial aggregation does most of the work.
-    val toks = docs.select(col("doc_id"),
+    val toks = fanOut(docs).select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map(j =>
@@ -679,7 +680,7 @@ object Dedup {
     * never re-tokenize the corpus.
     */
   private def tokenHashArr(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+    fanOut(docs).select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
         transform(col("__t"), t => xxhash64(t)).as("th1"),
         transform(col("__t"), t => xxhash64(lit(GramSalt), t)).as("th2"))

@@ -16,10 +16,13 @@ object Pipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // fanOut: these sources feed expensive per-row compute (shingles,
-  // gram hashes, winnowing, dot products) — see Tables.fanOut (r12)
-  private def docs(s: SparkSession, dir: String) =
-    Tables.fanOut(Tables(s, dir, "documents"))
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+  // fanOut: embeddings feed per-row dot-product compute — Tables.fanOut
+  // (r12). The document source is NOT fanned out here: the heavy text
+  // operators fan out inside graft.ops (op-local), while the cheap
+  // explode->aggregate queries measure FASTER fused into the scan task
+  // than paying an exchange (A/B: ts19 0.64 vs 1.50 s, ts12 0.78 vs
+  // 2.08, ts16 0.51 vs 1.09, ts3 0.68 vs 0.94, ts25 0.41 vs 0.79).
   private def emb(s: SparkSession, dir: String) =
     Tables.fanOut(Tables(s, dir, "embeddings"))
 
