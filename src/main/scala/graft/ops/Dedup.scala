@@ -407,18 +407,22 @@ object Dedup {
     // neighbors, small the smaller ones; both re-attach u itself.
     // Every emitted edge is parent < child, within u's closed
     // neighborhood — connectivity is preserved exactly.
-    def star(es: DataFrame, large: Boolean): DataFrame = {
+    // `dedup`: the distinct between the two phases of a double round is
+    // semantics-free (duplicate edges change neither neighborhood mins
+    // nor connectivity; the small-star distinct dedups the round's
+    // output) — dropping it saves one exchange per round (r12)
+    def star(es: DataFrame, large: Boolean, dedup: Boolean): DataFrame = {
       val sym = es.unionByName(es.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("mu"), least(col("mn"), col("u")).as("m"))
       val side =
         if (large) sym.where(col("v") > col("u"))
         else sym.where(col("v") < col("u"))
-      side.join(mins, col("u") === col("mu"))
+      val out = side.join(mins, col("u") === col("mu"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins.select(col("mu").as("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
-        .distinct()
+      if (dedup) out.distinct() else out
     }
     // Scale-adaptive loop partitioning (r12, guide §2): localCheckpoint
     // materializes with the PLAN's partitioning — AQE's post-shuffle
@@ -439,7 +443,8 @@ object Dedup {
       if (rounds > MaxCcRounds)
         throw new IllegalStateException(
           s"dupClusters did not converge in $MaxCcRounds rounds")
-      edges = star(star(edges, large = true), large = false)
+      edges = star(star(edges, large = true, dedup = false),
+          large = false, dedup = true)
         .coalesce(parts).localCheckpoint()
       // all edges point parent < child; the set is a star forest (= the
       // joint fixpoint, with each center the component min) exactly when

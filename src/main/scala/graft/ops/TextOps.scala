@@ -99,17 +99,27 @@ object TextOps {
     */
   def collocations(doc: DataFrame, minCount: Long = 5,
       textCol: String = "text"): DataFrame = {
-    val toks = doc.select(explode(tokens(col(textCol))).as("t"))
-    val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
-    val nTok = toks.agg(count(lit(1)).as("n_tok"))
-    val bg = doc
+    // Two corpus passes, not four (r12, guide §2.3): the totals derive
+    // from the count tables — n_tok = Σ unigram counts, n_bg = Σ bigram
+    // counts (identical longs by definition) — and the count tables are
+    // persisted because each feeds multiple consumers (uni joins in as
+    // n_a AND n_b; Catalyst does not reuse exchanges across aliases).
+    val d = graft.io.Tables.fanOut(doc)
+    val uni = d.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCaches.track)
+    val nTok = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_tok"))
+    val bgAll = d
       .select(explode(ngrams(tokens(col(textCol)), 2)).as("bg"))
       .select(split(col("bg"), " ").as("p"))
       .select(element_at(col("p"), 1).as("a"),
         element_at(col("p"), 2).as("b"))
-    val nBg = bg.agg(count(lit(1)).as("n_bg"))
-    val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minCount)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCaches.track)
+    val nBg = bgAll.agg(coalesce(sum(col("n_ab")), lit(0L)).as("n_bg"))
+    val bc = bgAll.where(col("n_ab") >= minCount)
     val lift = (col("n_ab").cast(DoubleType) * col("n_tok") * col("n_tok")) /
       (col("n_bg").cast(DoubleType) * col("n_a") * col("n_b"))
     bc.join(uni.select(col("t").as("a"), col("c").as("n_a")), "a")
