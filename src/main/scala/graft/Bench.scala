@@ -80,16 +80,19 @@ object Bench {
     val total = results.map(_._2).sum
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"warmup_sec":${f(warmup)},"runs":$runs,"sf":"$sfDir"}"""
-    println(full)
-    // The full line is ~4 KB for 135 queries; a capture buffer that
-    // keeps only an output TAIL can cut its head and leave nothing
-    // parseable (observed in round-6/7 bench artifacts). Also persist
-    // the full line to a file and re-emit a SHORT total-only line last,
-    // so any tail window ends with valid JSON.
+    // Output contract (r13, verdict #2): the full per-query JSON is the
+    // FINAL stdout line. The driver parses a TAIL window of the output,
+    // so a short stub printed after the full line beheads it (r12/r11:
+    // PERF parsed null both rounds — the stub had no "queries" map and
+    // the full line lost its head to the window edge). The stub now goes
+    // FIRST (humans tailing still see the total), the full line LAST so
+    // any tail window ends with the complete parseable JSON; the file
+    // copy stays for belt and braces.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","full":"target/bench_last.json"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), full + "\n")
     catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","full":"target/bench_last.json"}""")
+    println(full)
     spark.stop()
   }
 }

@@ -303,10 +303,18 @@ object PathExec {
     * without this every iteration's stages run shuffle.partitions-many
     * near-empty tasks whose fixed cost dominates once the frontier is
     * small. ~64k rows per partition: 1 task at test scale, thousands at
-    * 10^9-edge scale. The count reads the just-checkpointed blocks.
+    * 10^9-edge scale.
     */
-  private def adaptiveParts(checkpointed: DataFrame): Int =
-    math.max(1L, (checkpointed.count() + 65535) / 65536).toInt
+  private def partsFor(rows: Long): Int =
+    math.max(1L, (rows + 65535) / 65536).toInt
+
+  /** Re-checkpoint the accumulated result union every this many
+    * frontiers (r13): the per-round LEFT ANTI dedup re-scans every prior
+    * frontier — O(depth²) block scans and an O(depth) plan on a deep
+    * graph. Compaction bounds both at one extra materialization per K
+    * rounds; a diameter-3 graph never triggers it.
+    */
+  private val CompactEvery = 8
 
   /** Seeded semi-naive closure: rows (g, s, t) with s in seed and t
     * reachable from s in >= 1 step within graph g. Frontier and result
@@ -314,13 +322,13 @@ object PathExec {
     */
   private def closureFrom(edges0: DataFrame, seed: DataFrame): DataFrame = {
     val edgesCp = edges0.localCheckpoint(true)
-    val parts = adaptiveParts(edgesCp)
+    val parts = partsFor(edgesCp.count())
     val edges = edgesCp.coalesce(parts) // narrow view over cached blocks
     val r0 = seed.select(col("n").as("ps")).distinct()
       .join(edges, Seq("ps"))
       .select(col("pg"), col("ps"), col("po")).distinct()
       .coalesce(parts).localCheckpoint(true)
-    semiNaive(r0, edges, parts, 1, maxIters(edges))
+    semiNaive(r0, r0.count(), edges, 1, maxIters(edges))
   }
 
   /** Distributed all-pairs semi-naive closure (both endpoints free),
@@ -328,39 +336,56 @@ object PathExec {
     */
   private def closure(edges0: DataFrame): DataFrame = {
     val edgesCp = edges0.localCheckpoint(true)
-    val parts = adaptiveParts(edgesCp)
-    val edges = edgesCp.coalesce(parts) // narrow view over cached blocks
-    semiNaive(edges, edges, parts, 0, maxIters(edges))
+    val n = edgesCp.count()
+    val edges = edgesCp.coalesce(partsFor(n)) // narrow view over cache
+    semiNaive(edges, n, edges, 0, maxIters(edges))
   }
 
   /** The shared semi-naive loop. The RESULT is kept as a lazy union of
     * the per-iteration frontier checkpoints instead of being
     * re-checkpointed every round (r12): each iteration then runs ONE
-    * materialization job (the new frontier) plus the emptiness probe,
-    * and the result rows are never copied depth-many times. Frontier
-    * dedup against the accumulated result is a LEFT ANTI join on the
-    * (pg, ps, po) columns — `stepped` is already distinct, so EXCEPT's
-    * additional left-side aggregate was a wasted exchange per round
-    * (struct equality is ordering-based in Spark, so null-valued term
-    * FIELDS compare stably; the columns themselves are never null).
+    * materialization job (the new frontier) plus one count over the
+    * just-checkpointed blocks — the count IS the emptiness probe (same
+    * cost as the old isEmpty against cached blocks) and additionally
+    * feeds the next round's partition sizing (r13: the closure can
+    * exceed |edges| by orders of magnitude, so parts re-derive from the
+    * latest frontier's own materialized count each iteration instead of
+    * freezing at the loop head). Frontier dedup against the accumulated
+    * result is a LEFT ANTI join on the (pg, ps, po) columns — `stepped`
+    * is already distinct, so EXCEPT's additional left-side aggregate was
+    * a wasted exchange per round (struct equality is ordering-based in
+    * Spark, so null-valued term FIELDS compare stably; the columns
+    * themselves are never null — every row's terms come from quads or
+    * seeds, and the anti-join would otherwise re-emit a null row every
+    * round until the cap raised).
     */
-  private def semiNaive(r0: DataFrame, edges: DataFrame, parts: Int,
+  private def semiNaive(r0: DataFrame, n0: Long, edges: DataFrame,
       firstIter: Int, cap: Int): DataFrame = {
     var resultParts = List(r0)
+    var resultCount = n0
     var frontier = r0
+    var frontierCount = n0
     var i = firstIter
-    while (i < cap && !frontier.isEmpty) {
+    while (i < cap && frontierCount > 0) {
+      if (resultParts.length >= CompactEvery)
+        resultParts = List(resultParts.reduce(_ union _)
+          .coalesce(partsFor(resultCount)).localCheckpoint(true))
       val result = resultParts.reduce(_ union _)
       val stepped = frontier.select(col("pg"), col("ps"), col("po").as("mid"))
         .join(edges.select(col("pg").as("pg2"), col("ps").as("mid2"),
           col("po")), col("mid") === col("mid2") && col("pg") === col("pg2"))
         .select(col("pg"), col("ps"), col("po")).distinct()
+      // the new frontier's size is unknown until materialized — size its
+      // partitions from the last frontier (off at most by the per-round
+      // growth factor, corrected next round)
       frontier = stepped.join(result, Seq("pg", "ps", "po"), "left_anti")
-        .coalesce(parts).localCheckpoint(true)
+        .coalesce(partsFor(frontierCount)).localCheckpoint(true)
+      frontierCount = frontier.count()
+      resultCount += frontierCount
       resultParts ::= frontier
       i += 1
     }
-    if (i >= cap && !frontier.isEmpty) raiseCap(cap)
+    if (i >= cap && frontierCount > 0) raiseCap(cap)
     resultParts.reduce(_ union _)
   }
 }

@@ -37,6 +37,17 @@ object Tables {
     * sorts before round-robin repartition, so retries are stable too).
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // Scan-shape gate (r13, advice): probing df.rdd.getNumPartitions on
+    // an input with upstream shuffles eagerly materializes those stages
+    // under AQE and recomputes them at action time. fanOut exists for
+    // raw scans; a wide operator anywhere in the plan means the input is
+    // already exchange-partitioned — return it untouched, don't probe.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Sort | _: Window | _: Distinct |
+          _: Deduplicate | _: RepartitionOperation | _: GlobalLimit) => p
+    }.isDefined
+    if (wide) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }

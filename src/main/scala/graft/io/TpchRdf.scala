@@ -55,13 +55,43 @@ object TpchRdf {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def quads(spark: SparkSession, dir: String): DataFrame =
+  def quads(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     cache.getOrElseUpdate((spark, dir),
       buildQuads(spark, dir).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val srcCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.io.DfQuadSource]
+
+  /** Drop cache entries whose SparkContext has stopped (r13, advice):
+    * a long-lived JVM that cycles sessions (the test JVM) otherwise
+    * accumulates dead DataFrame references forever. Unpersist is
+    * pointless on a stopped context — the blocks died with it.
+    */
+  private def evictStopped(): Unit = {
+    cache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
+    }
+    srcCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) srcCache.remove(k)
+    }
+  }
+
+  /** Unpersist and forget this session's store caches (base quad table
+    * + per-predicate index slices) for `dir`, or for every dir the
+    * session has loaded when `dir` is null (r13, advice: the slices had
+    * no release path — a leak in long-lived/shared JVMs).
+    */
+  def release(spark: SparkSession, dir: String = null): Unit = {
+    val keys = (cache.keys ++ srcCache.keys).toSet
+      .filter(k => k._1 == spark && (dir == null || k._2 == dir))
+    keys.foreach { k =>
+      srcCache.remove(k).foreach(_.index.values.foreach(_.unpersist()))
+      cache.remove(k).foreach(_.unpersist())
+    }
+  }
 
   /** The quad store as a QuadSource with an in-memory VERTICAL PARTITION
     * (r12): one persisted per-predicate slice per vocabulary predicate,

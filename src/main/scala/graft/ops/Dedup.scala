@@ -262,8 +262,12 @@ object Dedup {
     * the anti join broadcasts at real scale; documents never reshuffle.
     */
   def dedupApply(docs: DataFrame, clusters: DataFrame): DataFrame =
+    // broadcast EXPLICITLY (r13): the drop list reaches here through the
+    // CC fixpoint's checkpoints, whose size estimates are unknowable —
+    // the documented broadcast contract should not hang on an estimate
     docs.join(
-      clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      broadcast(clusters.where(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")),
       Seq("doc_id"), "left_anti")
 
   /** Incremental near-dup detection — the production shape for a
@@ -363,7 +367,10 @@ object Dedup {
       .orderBy(col("__prio"), col("doc_id"))
     val drop = members.withColumn("__rn", row_number().over(w))
       .where(col("__rn") > 1).select("doc_id")
-    docs.join(drop, Seq("doc_id"), "left_anti")
+    // broadcast: same contract as [[dedupApply]] — the estimate through
+    // the window + CC checkpoints picked a SortMergeJoin that sorted and
+    // exchanged the whole corpus (r13 plan audit: SMJ LeftAnti → BHJ)
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
 
   /** Connected components over near-dup pairs — the clustering step

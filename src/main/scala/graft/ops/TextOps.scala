@@ -18,7 +18,11 @@ object TextOps {
   /** Whitespace tokens (corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word k-shingles ("n-gram" units for Jaccard/MinHash). */
+  /** Distinct word k-shingles ("n-gram" units for Jaccard/MinHash).
+    * (r13 A/B note: replacing the per-gram slice with k element_at
+    * lookups measured SLOWER — 6.2 → 12.5 s of stage CPU on the dd2
+    * shingle pass — so the slice formulation stays.)
+    */
   def shingles(ws: Column, k: Int = 3): Column =
     when(size(ws) < k, array().cast(ArrayType(StringType)))
       .otherwise(array_distinct(transform(
@@ -99,32 +103,63 @@ object TextOps {
     */
   def collocations(doc: DataFrame, minCount: Long = 5,
       textCol: String = "text"): DataFrame = {
-    // Two corpus passes, not four (r12, guide §2.3): the totals derive
-    // from the count tables — n_tok = Σ unigram counts, n_bg = Σ bigram
-    // counts (identical longs by definition) — and the count tables are
-    // persisted because each feeds multiple consumers (uni joins in as
-    // n_a AND n_b; Catalyst does not reuse exchanges across aliases).
-    val d = graft.io.Tables.fanOut(doc)
-    val uni = d.select(explode(tokens(col(textCol))).as("t"))
+    // Corpus-pass budget (r13, fixing the r12 regression — guide §2.3
+    // still, but without the machinery that anti-scaled): the totals are
+    // ONE map-side 1-row aggregate over the docs — n_tok = Σ|tokens| and
+    // n_bg = Σ max(|tokens|−1, 0) are exactly the explode-row counts the
+    // old 4-pass version aggregated (split() emits every element,
+    // ngrams(·,2) emits max(n−1,0) rows) for the price of a scan with no
+    // explode and no shuffle. That frees the bigram count table of its
+    // second consumer, so it needs NO persist (one consumer: the
+    // minCount filter), and only `uni` — genuinely consumed twice (n_a
+    // and n_b join sides; Catalyst does not reuse exchanges across
+    // aliases) — stays persisted. No fanOut: these are the cheap
+    // explode→aggregate passes the r12 A/B measured FASTER fused into
+    // the scan task than paying a round-robin exchange (ts19/ts12/ts16;
+    // the r12 ts24 rewrite shipped fanOut+2 persists unbenched and the
+    // driver measured 2.2→7.1 s at 32 cores).
+    // ONE fanned-out tokenization, persisted; totals, unigrams and
+    // bigrams all read the cached token arrays. The cache barrier is
+    // load-bearing twice over: (a) one corpus scan + split serves three
+    // consumers, (b) Generate's inferred non-empty-array filter
+    // (InferFiltersFromGenerate) otherwise pushes the WHOLE pair-array
+    // expression below the fan-out exchange and re-derives it in the
+    // single pre-exchange scan task (measured 5.1 s of the 5.9 s total
+    // at sf0.1 — the ngramJaccardPairs filter-above-cache hazard, which
+    // also afflicted the shipped r12 version's explode(ngrams(...))).
+    val wsBound = col("__ws")
+    val tok = graft.io.Tables.fanOut(doc)
+      .select(tokens(col(textCol)).as("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCaches.track)
+    val totals = tok.agg(
+      coalesce(sum(size(wsBound).cast(LongType)), lit(0L)).as("n_tok"),
+      coalesce(sum(greatest(size(wsBound) - 1, lit(0)).cast(LongType)),
+        lit(0L)).as("n_bg"))
+    val uni = tok.select(explode(wsBound).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(ScratchCaches.track)
-    val nTok = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_tok"))
-    val bgAll = d
-      .select(explode(ngrams(tokens(col(textCol)), 2)).as("bg"))
-      .select(split(col("bg"), " ").as("p"))
-      .select(element_at(col("p"), 1).as("a"),
-        element_at(col("p"), 2).as("b"))
+    // adjacent pairs as STRUCTS straight off the token array — the
+    // ngrams() route built a "a b" string per bigram (concat_ws + slice
+    // allocation) only for split() to take it apart again; tokens are
+    // space-split so the round-trip was lossless and pure overhead
+    val bc = tok
+      .select(when(size(wsBound) < 2,
+          array().cast(ArrayType(StructType(Seq(
+            StructField("a", StringType), StructField("b", StringType))))))
+        .otherwise(transform(sequence(lit(1), size(wsBound) - 1),
+          i => struct(element_at(wsBound, i).as("a"),
+            element_at(wsBound, i + 1).as("b")))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p")("a").as("a"), col("p")("b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(ScratchCaches.track)
-    val nBg = bgAll.agg(coalesce(sum(col("n_ab")), lit(0L)).as("n_bg"))
-    val bc = bgAll.where(col("n_ab") >= minCount)
+      .where(col("n_ab") >= minCount)
     val lift = (col("n_ab").cast(DoubleType) * col("n_tok") * col("n_tok")) /
       (col("n_bg").cast(DoubleType) * col("n_a") * col("n_b"))
     bc.join(uni.select(col("t").as("a"), col("c").as("n_a")), "a")
       .join(uni.select(col("t").as("b"), col("c").as("n_b")), "b")
-      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         lift.as("lift"), log2(lift).as("pmi"))
   }

@@ -188,10 +188,17 @@ object Extra {
     // (exact mode) and 0.0064 at sf0.1 — tolerance 5% of the union + 1
     "q26_theta_overlap" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
+      // persist (r13, guide §5): each key set feeds BOTH the semi- and
+      // the anti-join of the exact leg — unpersisted, each consumer
+      // re-ran the scan + distinct. Cached relations are key-sized.
       val aSet = li.where(col("l_returnflag") === "A")
         .select("l_partkey").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.ops.ScratchCaches.track)
       val rSet = li.where(col("l_returnflag") === "R")
         .select("l_partkey").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.ops.ScratchCaches.track)
       val exact = aSet.join(rSet, Seq("l_partkey"), "left_semi")
         .agg(count(lit(1)).as("exact_inter"))
         .crossJoin(broadcast(aSet.join(rSet, Seq("l_partkey"), "left_anti")

@@ -63,11 +63,17 @@ object Pipeline {
     val hits = exact.select("qid", "cid")
       .join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("h"))
+    // persist (r13, guide §5): `per` feeds both the total aggregate and
+    // the output projection — unpersisted, each consumer re-ran the
+    // whole exact top-k AND the approximate index build. The cached
+    // relation is queries-sized (|queries| rows).
     val per = exact.where(col("rank") === 1)
       .select(col("qid"), col("cid").as("top_cid"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"), col("top_cid"),
         coalesce(col("h"), lit(0L)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ScratchCaches.track)
     val tot = per.agg(sum(col("h")).as("tot"))
     val base = per.crossJoin(broadcast(tot))
     val cols = Seq(col("qid"), col("top_cid")) ++
@@ -495,9 +501,18 @@ object Pipeline {
     // every reported pair IS an exact pair); recall measured 0.71
     // @sf0.01, 0.62 @sf0.1 (cross-cluster pairs unseen) — bound 0.5.
     "dd12_semdedup" -> { (s, dir) =>
+      // persist both pair legs (r13, guide §5): the gate consumes
+      // `exact` THREE times (semi-join left, anti-join right, count) and
+      // `sem` twice — unpersisted, each consumer re-ran the quadratic
+      // all-pairs cosine / the clustered pair generation from scratch.
+      // The cached relations are id pairs only, never vectors.
       val exact = Similarity.cosinePairs(emb(s, dir), 0.4, lit(true))
         .select("va", "vb")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(ScratchCaches.track)
       val sem = Similarity.semdedupPairs(emb(s, dir), 0.4).select("va", "vb")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(ScratchCaches.track)
       val inter = exact.join(sem, Seq("va", "vb"), "left_semi")
       val spurious = sem.join(exact, Seq("va", "vb"), "left_anti")
       exact.agg(count(lit(1)).as("n_exact_pairs"))
