@@ -188,17 +188,13 @@ object Extra {
     // (exact mode) and 0.0064 at sf0.1 — tolerance 5% of the union + 1
     "q26_theta_overlap" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      // persist (r13, guide §5): each key set feeds BOTH the semi- and
-      // the anti-join of the exact leg — unpersisted, each consumer
-      // re-ran the scan + distinct. Cached relations are key-sized.
+      // (r13 A/B: persisting aSet/rSet measured SLOWER — 0.90 → 1.10 s —
+      // ReusedExchange already shares the scan+distinct subtrees within
+      // the single action; the cache barrier only added jobs.)
       val aSet = li.where(col("l_returnflag") === "A")
         .select("l_partkey").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .transform(graft.ops.ScratchCaches.track)
       val rSet = li.where(col("l_returnflag") === "R")
         .select("l_partkey").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .transform(graft.ops.ScratchCaches.track)
       val exact = aSet.join(rSet, Seq("l_partkey"), "left_semi")
         .agg(count(lit(1)).as("exact_inter"))
         .crossJoin(broadcast(aSet.join(rSet, Seq("l_partkey"), "left_anti")
@@ -357,7 +353,7 @@ object Extra {
     // parser (§2.10): copy suppliers out, merge them into the default
     // graph, drop the scratch graph
     "sp29_graph_mgmt" -> { (s, dir) =>
-      val quads = TpchRdf.quads(s, dir)
+      val quads = TpchRdf.store(s, dir)
       val updated = UpdateExec.executeText(
         s"""COPY GRAPH <${TpchRdf.G_SUPPLIERS}> TO GRAPH <urn:x-graft:tmp> ;
             ADD GRAPH <urn:x-graft:tmp> TO DEFAULT ;
@@ -370,7 +366,7 @@ object Extra {
     // one, CLEAR empties the other — total count returns to base and
     // the only surviving named-graph quads are the suppliers
     "sp30_graph_lifecycle" -> { (s, dir) =>
-      val quads = TpchRdf.quads(s, dir)
+      val quads = TpchRdf.store(s, dir)
       val updated = UpdateExec.executeText(
         """CREATE GRAPH <urn:x-graft:t1> ;
            INSERT DATA {
@@ -387,7 +383,7 @@ object Extra {
     // GRAPH-targeted DELETE/INSERT templates + WITH (§2.10): insert
     // matches into a named graph, then WITH-scope a delete to it
     "sp31_update_with_graph" -> { (s, dir) =>
-      val quads = TpchRdf.quads(s, dir)
+      val quads = TpchRdf.store(s, dir)
       val updated = UpdateExec.executeText(
         s"""INSERT { GRAPH <urn:x-graft:vip> { ?c <urn:x-graft:vip> ?b } }
             WHERE { ?c <${P("acctbal")}> ?b . FILTER(?b > 7000) } ;
@@ -401,7 +397,7 @@ object Extra {
     // USING re-scopes the update WHERE like FROM (§2.10): match
     // suppliers inside their named graph, write into the default graph
     "sp32_update_using" -> { (s, dir) =>
-      val quads = TpchRdf.quads(s, dir)
+      val quads = TpchRdf.store(s, dir)
       val updated = UpdateExec.executeText(
         s"""INSERT { ?s <urn:x-graft:snapshot> ?b }
             USING <${TpchRdf.G_SUPPLIERS}>
@@ -414,7 +410,7 @@ object Extra {
 
     // INSERT DATA + DELETE DATA ground quads (§2.10)
     "sp24_insert_data" -> { (s, dir) =>
-      val quads = TpchRdf.quads(s, dir)
+      val quads = TpchRdf.store(s, dir)
       val added = UpdateExec(InsertData(Seq(
         (I("urn:x-graft:g"), TriplePattern(I("urn:x-graft:s"),
           I("urn:x-graft:p"), L.str("v1"))),

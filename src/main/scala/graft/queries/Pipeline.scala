@@ -63,17 +63,15 @@ object Pipeline {
     val hits = exact.select("qid", "cid")
       .join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("h"))
-    // persist (r13, guide §5): `per` feeds both the total aggregate and
-    // the output projection — unpersisted, each consumer re-ran the
-    // whole exact top-k AND the approximate index build. The cached
-    // relation is queries-sized (|queries| rows).
+    // (r13 A/B: persisting `per` measured ~2× SLOWER on every ann gate —
+    // ann2 1.07 → 2.37 s, ann4 1.28 → 2.66 s — the dual consumers share
+    // their exchange subtrees via ReusedExchange within the one action;
+    // the cache barrier split the DAG and doubled the jobs.)
     val per = exact.where(col("rank") === 1)
       .select(col("qid"), col("cid").as("top_cid"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"), col("top_cid"),
         coalesce(col("h"), lit(0L)).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(ScratchCaches.track)
     val tot = per.agg(sum(col("h")).as("tot"))
     val base = per.crossJoin(broadcast(tot))
     val cols = Seq(col("qid"), col("top_cid")) ++

@@ -288,7 +288,7 @@ object Sparql {
 
     // SPARQL UPDATE: INSERT..WHERE then query the updated store (§2.10)
     "sp17_update" -> { (s, dir) =>
-      val quads = TpchRdf.quads(s, dir)
+      val quads = TpchRdf.store(s, dir)
       val upd = DeleteInsert(
         delete = Nil,
         insert = Seq(DefaultGraphPat ->
@@ -304,7 +304,7 @@ object Sparql {
 
     // CLEAR GRAPH + whole-store count: checks quad construction itself
     "sp18_clear_graph" -> { (s, dir) =>
-      val quads = TpchRdf.quads(s, dir)
+      val quads = TpchRdf.store(s, dir)
       val updated = UpdateExec(ClearGraph(Some(TpchRdf.G_SUPPLIERS)), quads)
       updated.agg(count(lit(1)).as("cnt"))
     },

@@ -124,7 +124,7 @@ object SparqlText {
               FILTER(?b > 7000.00) } ;
             DELETE WHERE { ?o :priority ?p } ;
             CLEAR GRAPH <${TpchRdf.G_SUPPLIERS}>""",
-        TpchRdf.quads(s, dir))
+        TpchRdf.store(s, dir))
       updated.agg(count(lit(1)).as("cnt"))
     },
 
@@ -225,7 +225,7 @@ object SparqlText {
       val updated = graft.update.UpdateExec.executeText(prologue +
         """INSERT { << ?c :acctbal ?b >> :flag "hi" } WHERE {
              ?c :acctbal ?b . FILTER(?b > 9500.00) }""",
-        TpchRdf.quads(s, dir))
+        TpchRdf.store(s, dir))
       SparqlParser.execute(prologue +
         """SELECT ?cname ?b WHERE {
              << ?c :acctbal ?b >> :flag "hi" .
