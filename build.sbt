@@ -28,3 +28,48 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Shard the test suites across parallel forked JVMs (r13): the suites
+// run ~20 min of Spark work strictly sequentially in one JVM (r12's
+// full run took ~45 min wall and was killed mid-suite by the harness
+// budget). Each group is its own JVM with its own SparkSession and its
+// own warehouse dir; the derived quad store is already pid-salted
+// (TpchRdf.storePath), and no suite shares mutable files with another.
+// Groups are weight-packed from the measured per-suite seconds of the
+// r13 full run (unknown suites get a default) so the longest group,
+// not the sum, bounds the wall time.
+val testSuiteWeights: Map[String, Int] = Map(
+  "graft.FixtureSpec" -> 335, "graft.DifferentialSpec" -> 134,
+  "graft.SparqlServerSpec" -> 115, "graft.CanonSpec" -> 68,
+  "graft.PipelineSpec" -> 66, "graft.BuiltinsSpec" -> 60,
+  "graft.UpdateFuzzSpec" -> 60, "graft.RdfIOSpec" -> 50,
+  "graft.GrammarFuzzSpec" -> 43, "graft.ResultsSpec" -> 43,
+  "graft.SketchSpec" -> 42, "graft.PlansSpec" -> 37,
+  "graft.GraftStoreSpec" -> 30, "graft.QuadStoreSpec" -> 26,
+  "graft.DictExecSpec" -> 24, "graft.StreamingSpec" -> 11,
+  "graft.ScratchCachesSpec" -> 11, "graft.GoldenSpec" -> 10)
+Test / testGrouping := {
+  val groups = 4
+  val opts = (Test / javaOptions).value
+  val tests = (Test / definedTests).value
+    .sortBy(t => (-testSuiteWeights.getOrElse(t.name, 10), t.name))
+  val packed = Array.fill(groups)(
+    scala.collection.mutable.ListBuffer.empty[sbt.TestDefinition])
+  val load = Array.fill(groups)(0)
+  tests.foreach { t =>
+    val i = load.indexOf(load.min)
+    packed(i) += t
+    load(i) += testSuiteWeights.getOrElse(t.name, 10)
+  }
+  packed.toSeq.zipWithIndex.filter(_._1.nonEmpty).map { case (ts, i) =>
+    Tests.Group(
+      s"g$i",
+      ts.toSeq,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(
+        (opts :+ s"-Dspark.sql.warehouse.dir=target/test-wh-g$i").toVector)))
+  }
+}
+// allow all shards to run concurrently (default caps forked groups at 1)
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(8))

@@ -143,11 +143,15 @@ object TpchRdf {
       graft.io.DfQuadSource(all, predClasses, Nil, index)
     })
 
-  /** Session-local path for the derived parquet store (under target/ —
-    * never inside the read-only test data dir).
+  /** Process-local path for the derived parquet store (under target/ —
+    * never inside the read-only test data dir). Salted with the JVM pid
+    * so concurrently forked test JVMs (build.sbt testGrouping) never
+    * write the same directory, and a fresh process never reads a stale
+    * store from a previous code version.
     */
   private def storePath(dir: String): String =
-    "target/quadstore/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    "target/quadstore/p" + ProcessHandle.current().pid() + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** The full quad table as a 3-node parquet scan over the on-disk
     * store (r13). For the UPDATE paths: a `;`-chained update folds each

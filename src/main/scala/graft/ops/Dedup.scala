@@ -418,8 +418,17 @@ object Dedup {
     // semantics-free (duplicate edges change neither neighborhood mins
     // nor connectivity; the small-star distinct dedups the round's
     // output) — dropping it saves one exchange per round (r12)
-    def star(es: DataFrame, large: Boolean, dedup: Boolean): DataFrame = {
+    // `parts`-wide EXPLICIT u-repartition at the phase head (r13, guide
+    // §2.4): the loop body materializes through the .rdd path where
+    // AQE's coalescing never runs, so the groupBy and the mins join
+    // otherwise each plan a shuffle.partitions-wide exchange per phase —
+    // hundreds of near-empty tasks per round at near-dup-pair scale.
+    // hashpartitioning(u, parts) satisfies both downstream clusterings,
+    // so each phase runs exactly ONE exchange at the loop's own width.
+    def star(es: DataFrame, large: Boolean, dedup: Boolean,
+        parts: Int): DataFrame = {
       val sym = es.unionByName(es.select(col("v").as("u"), col("u").as("v")))
+        .repartition(parts, col("u"))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("mu"), least(col("mn"), col("u")).as("m"))
       val side =
@@ -429,7 +438,11 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins.select(col("mu").as("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
-      if (dedup) out.distinct() else out
+      // the round-closing distinct re-clusters on both columns at the
+      // loop width; hashpartitioning(u, v, parts) satisfies it with no
+      // further exchange
+      if (dedup) out.repartition(parts, col("u"), col("v")).distinct()
+      else out
     }
     // Scale-adaptive loop partitioning (r12, guide §2): localCheckpoint
     // materializes with the PLAN's partitioning — AQE's post-shuffle
@@ -450,9 +463,11 @@ object Dedup {
       if (rounds > MaxCcRounds)
         throw new IllegalStateException(
           s"dupClusters did not converge in $MaxCcRounds rounds")
-      edges = star(star(edges, large = true, dedup = false),
-          large = false, dedup = true)
-        .coalesce(parts).localCheckpoint()
+      // the closing repartition(parts, u, v) already leaves the round
+      // output parts-wide — no coalesce needed before the checkpoint
+      edges = star(star(edges, large = true, dedup = false, parts),
+          large = false, dedup = true, parts)
+        .localCheckpoint()
       // all edges point parent < child; the set is a star forest (= the
       // joint fixpoint, with each center the component min) exactly when
       // no parent is itself a child — one id-pair join to test
