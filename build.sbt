@@ -28,6 +28,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Test-JVM stability headroom (r13) — TEST-SCOPED ONLY so the bench/run
+// JVMs keep stock memory behavior. The long suites occasionally hit a
+// TaskMemoryManager allocation livelock ("Failed to allocate a page,
+// try again" every ~20 s forever, heartbeats time out, the scheduler
+// endpoint dies — the same signature as the r12 red run): hundreds of
+// tiny fixture queries accumulate broadcast/cache blocks faster than
+// the weak-ref ContextCleaner reclaims them, and a 64 MB default page
+// request then cannot be satisfied. Smaller pages + periodic GC for the
+// cleaner + a bigger heap each independently defuse it.
+Test / javaOptions ++= Seq(
+  "-Dspark.buffer.pageSize=4m",
+  "-Dspark.cleaner.periodicGC.interval=2min",
+  "-Xmx10g",
+)
 
 // Shard the test suites across parallel forked JVMs (r13): the suites
 // run ~20 min of Spark work strictly sequentially in one JVM (r12's

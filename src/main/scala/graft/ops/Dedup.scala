@@ -61,6 +61,12 @@ object Dedup {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(ScratchCaches.track)
       .where(col("n") > 0)
+    // (r13 A/B note: persisting the exploded shingle relation as well —
+    // it feeds the df aggregate AND the prefix pass — measured within
+    // noise locally and tripped the cache-hygiene soak: a scratch cache
+    // whose plan embeds ANOTHER tracked cache makes every releaseAll
+    // unpersist trigger CacheManager dependent-recache churn. Scratch
+    // persists stay a flat set over uncached subtrees.)
     val sh = withSh.select(col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
     val dfTab = sh.groupBy("s").agg(count(lit(1)).as("df"))

@@ -173,8 +173,14 @@ object Pipeline {
     // hamming<=7 — measured 1.0 @sf0.01, 0.94 @sf0.1; bound 0.8. The
     // pair count is oracle-computed; raw pairs stay golden-netted.
     "dd4_simhash" -> { (s, dir) =>
+      // persist: `exact` feeds the semi-join AND the count, and the
+      // verification filter on top of ngramJaccardPairs leaves no
+      // exchange for ReusedExchange to share (the dd12 case) — without
+      // the cache the post-scratch half of the pair pipeline runs twice
       val exact = Dedup.ngramJaccardPairs(docs(s, dir), 8, 10)
         .select("da", "db")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(ScratchCaches.track)
       val rec = exact.join(Dedup.simhashPairs(docs(s, dir), 7)
         .select("da", "db"), Seq("da", "db"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact_pairs"))
